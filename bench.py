@@ -1,0 +1,66 @@
+"""Benchmark harness: run the declared query surface at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly one JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"d01_...": sec, ...}, "sf": <float>}
+
+Each query is timed end-to-end (plan build + execution + result fetch to
+the driver). All declared queries return small results (aggregates or
+LIMITed), so collect() is the correct terminal op — it measures the
+cluster-side work, not a driver materialization of the dataset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from deepcell_data_engineering_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    import __spark_entry__ as entrymod
+
+    qmap = entrymod.queries()
+    spark = get_spark(app_name="dde-spark-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footer caches with one tiny query so the first
+    # measured query doesn't absorb session startup noise.
+    first = sorted(qmap)[0]
+    qmap[first](spark, sf_dir).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in sorted(qmap):
+        t0 = time.perf_counter()
+        qmap[name](spark, sf_dir).collect()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_surface_total_runtime",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

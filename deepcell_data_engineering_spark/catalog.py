@@ -1,0 +1,62 @@
+"""Table catalog over the driver-generated parquet testdata.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet file (or directory) each under a
+scale-factor directory.
+
+``events.ts`` is parquet TIMESTAMP(NANOS); Spark reads it only with
+``spark.sql.legacy.parquet.nanosAsLong=true`` (as a nanosecond LONG), which
+we normalize to a microsecond TIMESTAMP with integer division (``ts DIV
+1000`` — exact; float division would lose precision above 2^53 ns).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # already set via builder, or not settable — read will tell
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one catalog table, applying per-table normalization."""
+    if name not in TABLE_NAMES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        _ensure_nanos_conf(spark)
+        df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return df
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every catalog table as a temp view (normalized), so both
+    the DataFrame API and ``spark.sql`` see the same relations."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

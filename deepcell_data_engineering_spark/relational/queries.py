@@ -1,0 +1,596 @@
+"""Declared relational query surface (SURVEY.md §2b, D01–D30).
+
+Each query is built with the DataFrame API (Catalyst plans it; pushdown,
+pruning, broadcast and AQE apply) and carries an equivalent DuckDB oracle
+SQL string for the driver's hash-matching correctness gate.
+
+Naming contract: every computed column is aliased identically in the Spark
+plan and the oracle SQL — the driver sorts columns by name before hashing.
+
+Scale notes (100 TB posture):
+- Dimension tables (region, nation, and generated dim tables) are
+  explicitly ``broadcast()`` so star joins never shuffle the fact side.
+- Aggregations are expressed as single groupBy/agg pipelines → Catalyst
+  emits partial (map-side) aggregation before the shuffle.
+- Top-k queries use orderBy+limit → Spark plans TakeOrderedAndProject
+  (per-partition top-k, no global sort materialization).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deepcell_data_engineering_spark.catalog import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # DuckDB SQL; None → rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _q(name: str, oracle: Optional[str], doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = QuerySpec(name=name, build=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# D01–D05: scan / project / filter / distinct / top-k
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "d01_scan_filter",
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+       WHERE l_quantity > 45 AND l_returnflag = 'R'
+       ORDER BY l_orderkey, l_linenumber""",
+    doc="Predicate pushdown + column pruning (SURVEY P-group).",
+)
+def d01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .where((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@_q(
+    "d02_like_strings",
+    """SELECT p_partkey, UPPER(p_brand) AS b, SUBSTR(p_type, 1, 5) AS t5 FROM part
+       WHERE p_name LIKE '%re%' ORDER BY p_partkey""",
+    doc="LIKE + string scalar functions (S23/F6 analog).",
+)
+def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%re%"))
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("b"),
+            F.substring("p_type", 1, 5).alias("t5"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@_q(
+    "d03_natural_sort",
+    """SELECT c_custkey, CAST(regexp_extract(c_name, '[0-9]+', 0) AS BIGINT) AS name_num
+       FROM customer ORDER BY name_num, c_custkey LIMIT 100""",
+    doc="Natural-sort key via regexp_extract (misc_utils.py:35-38 sorted_nicely).",
+)
+def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.regexp_extract("c_name", "[0-9]+", 0).cast("bigint").alias("name_num"),
+        )
+        .orderBy("name_num", "c_custkey")
+        .limit(100)
+    )
+
+
+@_q(
+    "d04_topk",
+    """SELECT o_orderkey, ROUND(o_totalprice, 2) AS tp FROM orders
+       ORDER BY tp DESC, o_orderkey LIMIT 25""",
+    doc="Top-k: Spark plans TakeOrderedAndProject (no full sort).",
+)
+def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("tp"))
+        .orderBy(F.col("tp").desc(), "o_orderkey")
+        .limit(25)
+    )
+
+
+@_q(
+    "d05_distinct",
+    """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+       ORDER BY l_returnflag, l_linestatus""",
+    doc="DISTINCT = partial hash-aggregate before shuffle (A5 analog).",
+)
+def d05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D10–D16: join family
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "d10_inner_join",
+    """SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+       ORDER BY n_name""",
+    doc="Inner equi join; region broadcast (J1 metadata↔paths analog).",
+)
+def d10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        nation.join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+            "inner",
+        )
+        .select("n_name", "r_name")
+        .orderBy("n_name")
+    )
+
+
+@_q(
+    "d11_star_join_agg",
+    """SELECT r_name, COUNT(*) AS cnt, ROUND(SUM(c_acctbal), 2) AS bal
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+                     JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name ORDER BY r_name""",
+    doc="Star-schema multi-way join + agg; both dims broadcast → fact never shuffles for the join.",
+)
+def d11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@_q(
+    "d12_left_join",
+    """SELECT c_custkey, COALESCE(COUNT(o_orderkey), 0) AS n_orders
+       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       GROUP BY c_custkey ORDER BY n_orders DESC, c_custkey LIMIT 100""",
+    doc="Left outer join + null-tolerant count (J2 blank-fill analog).",
+)
+def d12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "c_custkey")
+        .limit(100)
+    )
+
+
+@_q(
+    "d13_semi_join",
+    """SELECT c_custkey FROM customer
+       WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+       ORDER BY c_custkey""",
+    doc="Left-semi join / IN-subquery (P1 isin subset).",
+)
+def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    nations = _t(spark, sf_dir, "nation").where(F.col("n_regionkey") == 1)
+    return (
+        customer.join(
+            F.broadcast(nations),
+            customer.c_nationkey == nations.n_nationkey,
+            "left_semi",
+        )
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@_q(
+    "d14_anti_join",
+    """SELECT c_custkey FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+       ORDER BY c_custkey""",
+    doc="Left-anti join (J3 missing-files report).",
+)
+def d14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    big_orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return (
+        customer.join(
+            big_orders,
+            customer.c_custkey == big_orders.o_custkey,
+            "left_anti",
+        )
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@_q(
+    "d15_range_join",
+    """SELECT o.o_orderkey, COUNT(*) AS n_within_week
+       FROM orders o JOIN lineitem l
+         ON l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate >= o.o_orderdate
+        AND l.l_shipdate <  o.o_orderdate + INTERVAL 7 DAY
+       GROUP BY o.o_orderkey ORDER BY n_within_week DESC, o.o_orderkey LIMIT 50""",
+    doc="Equi join + range (theta) residual predicate (J4 frame-window analog).",
+)
+def d15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    cond = (
+        (lineitem.l_orderkey == orders.o_orderkey)
+        & (lineitem.l_shipdate >= orders.o_orderdate)
+        & (lineitem.l_shipdate < orders.o_orderdate + F.expr("INTERVAL 7 DAY"))
+    )
+    return (
+        orders.join(lineitem, cond)
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_within_week"))
+        .orderBy(F.col("n_within_week").desc(), "o_orderkey")
+        .limit(50)
+    )
+
+
+@_q(
+    "d16_cross_join",
+    """SELECT r_name, g.gen FROM region
+       CROSS JOIN (SELECT 1 AS gen UNION ALL SELECT 2 UNION ALL SELECT 3) g
+       ORDER BY r_name, gen""",
+    doc="Cross join with a generated dim table (J5 crop-grid fan-out shape).",
+)
+def d16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    gen = spark.range(1, 4).select(F.col("id").cast("int").alias("gen"))
+    return region.crossJoin(F.broadcast(gen)).select("r_name", "gen").orderBy("r_name", "gen")
+
+
+# ---------------------------------------------------------------------------
+# D17–D22: aggregation family
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "d17_grouped_agg",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+              ROUND(SUM(l_quantity), 2) AS sq, ROUND(AVG(l_extendedprice), 2) AS ap,
+              ROUND(MIN(l_discount), 2) AS mind, ROUND(MAX(l_tax), 2) AS maxt
+       FROM lineitem GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""",
+    doc="TPC-H Q1-shaped grouped agg; partial aggregation map-side (A1–A3).",
+)
+def d17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sq"),
+            F.round(F.avg("l_extendedprice"), 2).alias("ap"),
+            F.round(F.min("l_discount"), 2).alias("mind"),
+            F.round(F.max("l_tax"), 2).alias("maxt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_q(
+    "d18_count_distinct_having",
+    """SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS np
+       FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 5
+       ORDER BY np DESC, o_custkey LIMIT 100""",
+    doc="DISTINCT aggregate + HAVING (A5 cell counts, P7 min-objects).",
+)
+def d18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.countDistinct("o_orderpriority").alias("np"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .where(F.col("_n") >= 5)
+        .drop("_n")
+        .orderBy(F.col("np").desc(), "o_custkey")
+        .limit(100)
+    )
+
+
+@_q(
+    "d19_median",
+    """SELECT c_mktsegment, ROUND(MEDIAN(c_acctbal), 2) AS med_bal, COUNT(*) AS n
+       FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    doc="Exact grouped median (A1 compute_cell_size; percentile_approx at scale).",
+)
+def d19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.median("c_acctbal"), 2).alias("med_bal"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@_q(
+    "d20_rollup",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COUNT(*) AS cnt
+       FROM lineitem GROUP BY ROLLUP (l_returnflag) ORDER BY rf""",
+    doc="ROLLUP to grand total (A4 benchmark rollup-to-'all').",
+)
+def d20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"), "cnt")
+        .orderBy("rf")
+    )
+
+
+@_q(
+    "d21_grouping_sets",
+    """SELECT COALESCE(o_orderstatus, '-') AS st, COALESCE(o_orderpriority, '-') AS pr,
+              COUNT(*) AS cnt
+       FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+       ORDER BY st, pr""",
+    doc="GROUPING SETS — exactly the tissue/platform/all rollup the reference hand-rolls (dataset_builder.py:651-692).",
+)
+def d21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_d21_orders")
+    return spark.sql(
+        """SELECT COALESCE(o_orderstatus, '-') AS st, COALESCE(o_orderpriority, '-') AS pr,
+                  COUNT(*) AS cnt
+           FROM _d21_orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           ORDER BY st, pr"""
+    )
+
+
+@_q(
+    "d22_conditional_agg",
+    """SELECT l_returnflag,
+              COUNT(CASE WHEN l_discount > 0.05 AND l_tax > 0.04 THEN 1 END) AS inter,
+              COUNT(CASE WHEN l_discount > 0.05 OR  l_tax > 0.04 THEN 1 END) AS uni
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    doc="Conditional counts — the jaccard intersection/union shape (A3, dataset_benchmarker.py:103-105).",
+)
+def d22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    disc = F.col("l_discount") > 0.05
+    tax = F.col("l_tax") > 0.04
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(disc & tax, 1)).alias("inter"),
+            F.count(F.when(disc | tax, 1)).alias("uni"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D23–D25: window functions
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "d23_window_rank",
+    """SELECT o_custkey, o_orderkey,
+              ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+              DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS dr
+       FROM orders ORDER BY o_custkey, rn LIMIT 200""",
+    doc="Ranking windows — dense_rank is the L1/L2 relabel primitive; row_number the A7 argmax.",
+)
+def d23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w_rn = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_dr = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w_rn).alias("rn"),
+            F.dense_rank().over(w_dr).alias("dr"),
+        )
+        .orderBy("o_custkey", "rn")
+        .limit(200)
+    )
+
+
+@_q(
+    "d24_window_lag_lead",
+    """SELECT user_id, event_id,
+              LAG(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+              LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+       FROM events ORDER BY user_id, event_id LIMIT 200""",
+    doc="lag/lead — the frame t vs t+1 primitive (L3/L4 relabel propagation).",
+)
+def d24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .orderBy("user_id", "event_id")
+        .limit(200)
+    )
+
+
+@_q(
+    "d25_window_running_max",
+    """SELECT l_orderkey, l_linenumber,
+              ROUND(MAX(l_extendedprice) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_max
+       FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 200""",
+    doc="Running max with explicit RANGE frame (A8 stitch label offset). RANGE, "
+    "not ROWS: the testdata has duplicate (l_orderkey, l_linenumber) pairs, and "
+    "a ROWS frame over tied sort keys is nondeterministic; RANGE includes peers.",
+)
+def d25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.max("l_extendedprice").over(w), 2).alias("run_max"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(200)
+    )
+
+
+# ---------------------------------------------------------------------------
+# D26–D27: set operations
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "d26_intersect",
+    """SELECT c_nationkey AS k FROM customer
+       INTERSECT
+       SELECT s_nationkey AS k FROM supplier
+       ORDER BY k""",
+    doc="INTERSECT (set semantics).",
+)
+def d26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersect(s).orderBy("k")
+
+
+@_q(
+    "d27_except",
+    """SELECT k FROM (
+         SELECT DISTINCT p_size AS k FROM part
+         EXCEPT
+         SELECT n_nationkey AS k FROM nation
+       ) t ORDER BY k""",
+    doc="EXCEPT over distinct inputs (S17 union family; engine surface).",
+)
+def d27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select(F.col("p_size").alias("k")).distinct()
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
+    return p.subtract(n).orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# D28–D30: date/time, math/string scalars, documents
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "d28_date_agg",
+    """SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sv
+       FROM events GROUP BY CAST(ts AS DATE), event_type
+       ORDER BY d, event_type""",
+    doc="Date truncation + agg — tumbling-window analog in batch SQL (R4).",
+)
+def d28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sv"),
+        )
+        .orderBy("d", "event_type")
+    )
+
+
+@_q(
+    "d29_math_string",
+    """SELECT p_partkey,
+              CAST(FLOOR(p_retailprice) AS BIGINT) AS fp,
+              ROUND(SQRT(p_size), 3) AS sq,
+              CONCAT(p_brand, '#', CAST(p_size AS STRING)) AS tag
+       FROM part ORDER BY p_partkey LIMIT 100""",
+    doc="floor/sqrt/round/concat — the reference's scalar math surface (§2.9).",
+)
+def d29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.floor("p_retailprice").cast("bigint").alias("fp"),
+            F.round(F.sqrt("p_size"), 3).alias("sq"),
+            F.concat(F.col("p_brand"), F.lit("#"), F.col("p_size").cast("string")).alias("tag"),
+        )
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+@_q(
+    "d30_documents_agg",
+    """SELECT lang, COUNT(*) AS n_docs, MAX(n_chars) AS max_chars,
+              ROUND(AVG(LENGTH(text)), 2) AS avg_len
+       FROM documents GROUP BY lang ORDER BY lang""",
+    doc="Text-table grouping (north-star text analysis entry point).",
+)
+def d30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.avg(F.length("text")), 2).alias("avg_len"),
+        )
+        .orderBy("lang")
+    )

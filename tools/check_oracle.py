@@ -1,0 +1,43 @@
+"""Run every registered query against the DuckDB oracle at a given SF.
+
+Usage: python tools/check_oracle.py [sf_dir]
+Mirrors the driver's t2 gate (row count + columns + value hash).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from deepcell_data_engineering_spark.oracle import compare, duckdb_connect
+from deepcell_data_engineering_spark.session import get_spark
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    spark = get_spark(app_name="check-oracle", master="local[8]", shuffle_partitions=16)
+    con = duckdb_connect(sf_dir)
+    failed = []
+    for name, build in sorted(queries.items()):
+        t0 = time.time()
+        df = build(spark, sf_dir)
+        if name not in oracles:
+            n = df.count()
+            print(f"  {name:32s} rows-only  rows={n}  {time.time()-t0:.2f}s")
+            continue
+        res = compare(name, df, con, oracles[name])
+        status = "OK " if res.ok else "FAIL"
+        print(f"  {name:32s} {status} rows={res.spark_rows} {time.time()-t0:.2f}s {res.detail}")
+        if not res.ok:
+            failed.append(name)
+    print(f"\n{len(queries) - len(failed)}/{len(queries)} passed at {sf_dir}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
