@@ -1,0 +1,142 @@
+"""Seeded dataset splits and nested tranches (SURVEY §2.8 D5/D6).
+
+Semantics source: caliban_toolbox/dataset_splitter.py:94-153 (nested
+prefix tranches over a seeded permutation, duplication up to min_size) and
+build.py:179-263 (train/val/test split with small-N edge cases).
+
+RNG-parity design (SURVEY §7.4 #2): permutations are computed on the
+DRIVER over compact image indices with ``np.random.RandomState(seed)`` —
+bit-identical to the reference for the tranche splitter — and broadcast-
+joined onto the distributed table. The data never moves to the driver;
+only the index permutation does. (The reference's train/val/test split
+delegates to sklearn's shuffle; sklearn is not available here, so that
+split is seeded-numpy deterministic with the same edge-case contract, not
+bit-identical to sklearn.)
+"""
+
+from __future__ import annotations
+
+import math
+import warnings
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _index_assignment_df(df: DataFrame, rows: list[tuple[int, int, str]]):
+    """(img_idx, copy, split) assignment joined back onto the table."""
+    spark = df.sparkSession
+    assign = spark.createDataFrame(rows, schema="img_idx BIGINT, copy INT, split STRING")
+    return df.join(F.broadcast(assign), on="img_idx", how="inner")
+
+
+def _n_images(df: DataFrame) -> int:
+    n = df.select(F.max("img_idx")).collect()[0][0]
+    if n is None:
+        raise ValueError("empty dataset")
+    return int(n) + 1
+
+
+def split_tranches(
+    df: DataFrame,
+    split_counts: list[int] | None = None,
+    split_proportions: list[float] | None = None,
+    min_size: int = 1,
+    seed: int = 0,
+) -> dict[str, DataFrame]:
+    """Nested prefix tranches (dataset_splitter.py:94-153): one seeded
+    permutation; each tranche is a prefix of it, so smaller tranches are
+    subsets of larger ones. Tranches below ``min_size`` tile their
+    indices up to min_size (duplication)."""
+    if (split_counts is None) == (split_proportions is None):
+        raise ValueError("exactly one of split_counts or split_proportions must be supplied")
+    n = _n_images(df)
+
+    if split_counts is not None:
+        split_counts = sorted(split_counts)
+        if split_counts[0] <= 0:
+            raise ValueError("smallest split_count must be greater than 0")
+        if len(set(split_counts)) != len(split_counts):
+            raise ValueError("duplicate split_counts are not allowed")
+        if not all(isinstance(c, int) for c in split_counts):
+            raise ValueError("all split_counts must be integers")
+        keys = [str(c) for c in split_counts]
+    else:
+        split_proportions = sorted(split_proportions)
+        if split_proportions[0] <= 0:
+            raise ValueError("smallest split_proportion must be non-zero")
+        if split_proportions[-1] > 1:
+            raise ValueError("largest split_proportion cannot be greater than 1")
+        if len(set(split_proportions)) != len(split_proportions):
+            raise ValueError("duplicate splits are not allowed")
+        split_counts = [max(int(n * p), 1) for p in split_proportions]
+        keys = [str(p) for p in split_proportions]
+
+    permuted = np.random.RandomState(seed=seed).permutation(np.arange(n))
+    out: dict[str, DataFrame] = {}
+    for key, count in zip(keys, split_counts):
+        idx = permuted[:count]
+        if len(idx) < min_size:
+            multiplier = int(np.ceil(min_size / len(idx)))
+            idx = np.tile(idx, multiplier)[:min_size]
+        rows = [(int(v), int(c), key) for c, v in enumerate(idx)]
+        # `copy` disambiguates duplicated indices so downstream row counts
+        # match the reference's duplicated batches
+        out[key] = _index_assignment_df(df, rows).drop("split")
+    return out
+
+
+def train_val_test_split(
+    df: DataFrame,
+    data_split: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    seed: int | None = None,
+) -> DataFrame:
+    """Seeded 3-way split with the reference's small-N contract
+    (build.py:179-263): N=1 → train only; N=2 → train+val; ratio
+    underflow → guarantee ≥1 image per split. Returns the input with a
+    ``split`` column ('train'/'val'/'test')."""
+    total = round(float(sum(data_split)), 2)
+    if total != 1:
+        raise ValueError(f"data splits must sum to 1, supplied splits sum to {total}")
+    if 0 in data_split:
+        raise ValueError("all splits must be non-zero")
+    train_ratio, val_ratio, test_ratio = data_split
+    n = _n_images(df)
+
+    rng = np.random.RandomState(seed=seed)
+    perm = rng.permutation(np.arange(n))
+
+    if n == 1:
+        warnings.warn("Only one image, returning training split only")
+        sizes = {"train": 1, "val": 0, "test": 0}
+    elif n == 2:
+        warnings.warn("Only two images, returning training and val split only")
+        sizes = {"train": 1, "val": 1, "test": 0}
+    else:
+        val_remainder_ratio = round(1 - train_ratio, 2)
+        if n * val_remainder_ratio < 1:
+            warnings.warn("Not enough data for specified split; returning modified split")
+            sizes = {"train": n - 2, "val": 1, "test": 1}
+        else:
+            n_remainder = math.ceil(n * val_remainder_ratio)
+            test_remainder_ratio = round(test_ratio / (val_ratio + test_ratio), 2)
+            if n_remainder * test_remainder_ratio < 1:
+                warnings.warn("Not enough data for test split; returning modified split")
+                sizes = {"train": n - n_remainder - 1, "val": n_remainder, "test": 1}
+            else:
+                n_test = math.ceil(n_remainder * test_remainder_ratio)
+                sizes = {
+                    "train": n - n_remainder,
+                    "val": n_remainder - n_test,
+                    "test": n_test,
+                }
+
+    rows = []
+    pos = 0
+    for split in ("train", "val", "test"):
+        for v in perm[pos : pos + sizes[split]]:
+            rows.append((int(v), 0, split))
+        pos += sizes[split]
+    return _index_assignment_df(df, rows)

@@ -52,8 +52,15 @@ LABELS_LONG_SCHEMA = StructType(
 )
 
 
-def labels_long(images: DataFrame) -> DataFrame:
-    """One row per (unit, nonzero cell id): area + bbox (inclusive)."""
+def labels_long(images: DataFrame, extra_keys: list[str] | None = None) -> DataFrame:
+    """One row per (unit, nonzero cell id): area + bbox (inclusive).
+
+    ``extra_keys``: additional input columns carried through per cell row
+    (e.g. ``img_idx``/``tissue`` for the dataset-build pipeline)."""
+    extra_keys = extra_keys or []
+    schema = StructType(
+        LABELS_LONG_SCHEMA.fields + [images.schema[k] for k in extra_keys]
+    )
 
     def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -76,23 +83,24 @@ def labels_long(images: DataFrame) -> DataFrame:
                 for k, cell in enumerate(uniq):
                     pos = sorted_pos[bounds[k]:bounds[k + 1]]
                     rr, cc = pos // w, pos % w
-                    rows.append(
-                        {
-                            "fov": r["fov"],
-                            "stack": int(r["stack"]),
-                            "crop": int(r["crop"]),
-                            "slice": int(r["slice"]),
-                            "cell_id": int(cell),
-                            "area": int(pos.size),
-                            "rmin": int(rr.min()),
-                            "rmax": int(rr.max()),
-                            "cmin": int(cc.min()),
-                            "cmax": int(cc.max()),
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=[f.name for f in LABELS_LONG_SCHEMA.fields])
+                    rec = {
+                        "fov": r["fov"],
+                        "stack": int(r["stack"]),
+                        "crop": int(r["crop"]),
+                        "slice": int(r["slice"]),
+                        "cell_id": int(cell),
+                        "area": int(pos.size),
+                        "rmin": int(rr.min()),
+                        "rmax": int(rr.max()),
+                        "cmin": int(cc.min()),
+                        "cmax": int(cc.max()),
+                    }
+                    for k2 in extra_keys:
+                        rec[k2] = r[k2]
+                    rows.append(rec)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return images.mapInPandas(explode, schema=LABELS_LONG_SCHEMA)
+    return images.mapInPandas(explode, schema=schema)
 
 
 def cell_counts(images: DataFrame) -> DataFrame:
