@@ -1,0 +1,247 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Design notes (100 TB posture):
+- Everything is expressed with built-in Spark functions over exploded
+  shingle/token tables — whole-stage codegen, map-side partial aggs, no
+  Python in the hot path.
+- Hashes are md5-based and therefore IDENTICAL in any engine — MinHash
+  takes the lexicographic MIN of md5(seed || shingle) strings, so the
+  DuckDB oracle reproduces signatures bit-for-bit (no RNG, no
+  engine-specific hash()).
+- LSH banding turns O(n²) pair generation into a shuffle on band keys:
+  only docs sharing a band hash are joined. Band count / rows-per-band
+  trade recall vs candidate volume exactly as in the MinHash literature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deepcell_data_engineering_spark.functions.text import fingerprint
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical (canonicalized) texts: fingerprint -> keeper id +
+    copy count. Dedup = semi-join df against keep_id."""
+    return (
+        df.groupBy(fingerprint(F.col(text_col)).alias("fp"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row (min id) per identical text."""
+    keepers = exact_dup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def shingles(df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Explode each doc into its character k-gram shingles (distinct per
+    doc). Docs shorter than k contribute their whole text once."""
+    n = F.greatest(F.length(F.col(text_col)) - F.lit(k - 1), F.lit(1))
+    return (
+        df.select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), n)).alias("pos"),
+            F.col(text_col),
+        )
+        .select(id_col, F.col(text_col).substr(F.col("pos"), F.lit(k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 4,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per doc: h_j = min over shingles of
+    md5(j || shingle). One shuffle (groupBy doc), all JVM-side."""
+    sh = shingles(df, k=k, text_col=text_col, id_col=id_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(j)), F.col("shingle")))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: list[list[str]] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any band hash.
+
+    ``bands``: list of signature-column groups, e.g. [["h0","h1"],
+    ["h2","h3"]]. Each band is md5(concat of its columns); an equi
+    self-join per band, unioned and distinct'd.
+    """
+    hash_cols = [c for c in signatures.columns if c != id_col]
+    if bands is None:
+        bands = [[c] for c in hash_cols]
+    pair_dfs = []
+    for i, band_cols in enumerate(bands):
+        banded = signatures.select(
+            F.col(id_col),
+            F.md5(F.concat(*[F.col(c) for c in band_cols])).alias("band"),
+        )
+        a = banded.alias("a")
+        b = banded.alias("b")
+        pair_dfs.append(
+            a.join(b, on="band")
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+        )
+    pairs = pair_dfs[0]
+    for p in pair_dfs[1:]:
+        pairs = pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame | None = None,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact shingle-set Jaccard per pair. With ``candidate_pairs`` (from
+    LSH) the shingle join is restricted to candidates — the scale path;
+    without it, all pairs sharing >=1 shingle are scored (verification /
+    small-N path)."""
+    sh = shingles(df, k=k, text_col=text_col, id_col=id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidate_pairs is not None:
+        inter = inter.join(candidate_pairs, on=["id_a", "id_b"], how="left_semi")
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame,
+    bits: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash over whitespace tokens: token hash = first 60 bits of md5;
+    per bit position, sum +1/-1 across the doc's distinct tokens; set the
+    bit where the sum is positive. md5-derived, engine-portable."""
+    tokens = (
+        df.select(
+            id_col,
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .distinct()
+        .select(
+            id_col,
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint").alias("h"),
+        )
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    per_bit = (
+        tokens.select(id_col, "h", bit)
+        .select(
+            id_col,
+            "b",
+            # shiftright/shiftleft builtins take a literal count; the
+            # per-row bit index needs the SQL expression form
+            F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1).alias("w"),
+        )
+        .groupBy(id_col, "b")
+        .agg(F.sum("w").alias("s"))
+    )
+    return per_bit.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<double> columns — built-in
+    higher-order functions only (zip_with + aggregate), JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All pairs with cosine similarity above ``threshold``.
+
+    Brute-force O(n²) formulation — correct for verification and small n;
+    the scale path buckets with sign-random-projection LSH first
+    (similarity.srp_buckets) and restricts this join to same-bucket pairs.
+    """
+    vecs = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    a = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") > threshold)
+    )

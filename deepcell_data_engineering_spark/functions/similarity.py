@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Query set × corpus via broadcast cross join (queries are few), cosine
+  via built-in higher-order functions, per-query top-k via one
+  row_number window. No Python in the plan.
+- ``srp_buckets`` + ``lsh_topk``: the scale path — sign-random-projection
+  LSH. Hyperplanes are derived deterministically from md5 (no RNG state,
+  reproducible across engines/runs). Candidates = same-bucket vectors
+  only; at 1000 executors the bucket join replaces the O(n·q) scan with a
+  shuffle on bucket keys. Recall is tunable by (n_planes, n_tables).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from deepcell_data_engineering_spark.functions.dedup import cosine_expr
+
+
+def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
+    return df.withColumn(
+        vec_col, F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query (self-matches excluded)."""
+    c = _as_double(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vc")
+    )
+    q = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("vq")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("vq"), F.col("vc")).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("_sim", 6).alias("cosine"),
+        )
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 0) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: unit-normal components
+    seeded from (seed, plane, dim) via numpy — computed once on the
+    driver, shipped as literals (tiny)."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def srp_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Sign-random-projection bucket id per vector: bit i = sign of
+    dot(v, plane_i). One narrow projection, no shuffle."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = _as_double(df, vec_col)
+    bucket = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(w)) for w in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("bigint")).otherwise(0)
+    return v.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's SRP bucket,
+    then exact cosine + window top-k on the (much smaller) candidate set."""
+    cb = srp_buckets(corpus, dim, n_planes, seed, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vc"), "bucket"
+    )
+    qb = srp_buckets(queries, dim, n_planes, seed, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("vq"), "bucket"
+    )
+    scored = (
+        cb.join(qb, on="bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("vq"), F.col("vc")).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("_sim", 6).alias("cosine"))
+    )

@@ -1,0 +1,269 @@
+"""Oracle-checked pipeline-extension queries (dedup / text analysis /
+similarity search) over the ``documents`` and ``embeddings`` tables.
+
+These are the LLM-training-data-pipeline operators (BASELINE.json north
+star) exposed through the same registry as the D-series: every entry has
+a DuckDB-dual formulation, made possible by md5-based hashing (identical
+in both engines) instead of engine-local hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deepcell_data_engineering_spark.catalog import load_table
+from deepcell_data_engineering_spark.functions import dedup as dd
+from deepcell_data_engineering_spark.functions import similarity as sim
+from deepcell_data_engineering_spark.functions import text as tx
+from deepcell_data_engineering_spark.relational.queries import _q
+
+
+@_q(
+    "x01_token_stats",
+    """SELECT doc_id,
+              len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+              length(text) AS n_chars
+       FROM documents ORDER BY doc_id""",
+    doc="Whitespace token counting (text-analysis family).",
+)
+def x01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+@_q(
+    "x02_quality_features",
+    """SELECT doc_id,
+              length(text) AS q_n_chars,
+              len(regexp_split_to_array(trim(text), '\\s+')) AS q_n_tokens,
+              ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                    / length(text), 4) AS q_alpha_ratio,
+              length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS q_n_punct,
+              ROUND(length(text)
+                    / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS q_avg_token_len
+       FROM documents ORDER BY doc_id""",
+    doc="Heuristic quality scoring: length/punct/alpha/token features.",
+)
+def x02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        tx.quality_features(docs)
+        .select(
+            "doc_id", "q_n_chars", "q_n_tokens", "q_alpha_ratio",
+            "q_n_punct", "q_avg_token_len",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lang_oracle() -> str:
+    score_sql = {}
+    for lang, markers in tx.LANG_MARKERS.items():
+        parts = [
+            f"CAST((length(p.t) - length(replace(p.t, '{m}', ''))) / {len(m)} AS INT)"
+            for m in markers
+        ]
+        score_sql[lang] = " + ".join(parts)
+    langs = list(tx.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s.score_{l}" for l in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s.score_{l} = {best} AND {best} > 0 THEN '{l}'" for l in langs
+    ) + " ELSE 'unknown' END"
+    scores = ", ".join(f"{expr} AS score_{l}" for l, expr in score_sql.items())
+    return f"""
+        WITH p AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t FROM documents),
+             s AS (SELECT doc_id, lang, {scores} FROM p)
+        SELECT s.lang, {case} AS predicted, COUNT(*) AS n
+        FROM s GROUP BY s.lang, predicted ORDER BY s.lang, predicted"""
+
+
+@_q(
+    "x03_lang_id",
+    _lang_oracle(),
+    doc="Stopword-marker language ID heuristic; confusion counts per true lang.",
+)
+def x03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", tx.predict_lang(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@_q(
+    "x04_exact_dedup",
+    """SELECT md5(lower(trim(text))) AS fp, MIN(doc_id) AS keep_id,
+              COUNT(*) AS n_copies
+       FROM documents GROUP BY fp ORDER BY keep_id""",
+    doc="Exact dedup groups: canonical-text fingerprint -> keeper + count.",
+)
+def x04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_dup_groups(docs).orderBy("keep_id")
+
+
+@_q(
+    "x05_minhash_signatures",
+    """WITH sh AS (
+         SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle
+         FROM documents,
+              LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i)
+       )
+       SELECT doc_id,
+              min(md5('0' || shingle)) AS h0, min(md5('1' || shingle)) AS h1,
+              min(md5('2' || shingle)) AS h2, min(md5('3' || shingle)) AS h3
+       FROM sh GROUP BY doc_id ORDER BY doc_id""",
+    doc="MinHash signatures (4 hashes over char 5-gram shingles), "
+    "md5-based so the oracle reproduces them bit-for-bit.",
+)
+def x05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_signatures(docs, num_hashes=4, k=5).orderBy("doc_id")
+
+
+@_q(
+    "x06_minhash_lsh_pairs",
+    """WITH sh AS (
+         SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle
+         FROM documents,
+              LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i)
+       ),
+       sig AS (
+         SELECT doc_id,
+                min(md5('0' || shingle)) AS h0, min(md5('1' || shingle)) AS h1,
+                min(md5('2' || shingle)) AS h2, min(md5('3' || shingle)) AS h3
+         FROM sh GROUP BY doc_id
+       ),
+       banded AS (
+         SELECT doc_id, md5(h0 || h1) AS band FROM sig
+         UNION ALL
+         SELECT doc_id, md5(h2 || h3) AS band FROM sig
+       )
+       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+       ORDER BY id_a, id_b""",
+    doc="MinHash-LSH candidate pairs: 2 bands x 2 rows; only same-band "
+    "docs are joined (the near-dedup scale path).",
+)
+def x06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs, num_hashes=4, k=5)
+    return dd.lsh_candidate_pairs(sigs, bands=[["h0", "h1"], ["h2", "h3"]]).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@_q(
+    "x07_ngram_jaccard",
+    """WITH d AS (SELECT * FROM documents WHERE doc_id < 40),
+       sh AS (
+         SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle
+         FROM d, LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i)
+       ),
+       sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id
+       )
+       SELECT id_a, id_b,
+              ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+       FROM inter JOIN sizes sa ON id_a = sa.doc_id
+                  JOIN sizes sb ON id_b = sb.doc_id
+       ORDER BY id_a, id_b""",
+    doc="Exact n-gram Jaccard similarity over a bounded doc subset "
+    "(the LSH-verification stage of near-dedup).",
+)
+def x07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    return dd.ngram_jaccard_pairs(docs, k=5).orderBy("id_a", "id_b")
+
+
+@_q(
+    "x08_simhash",
+    """WITH tok AS (
+         SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         FROM documents
+       ),
+       h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+       bits AS (SELECT unnest(generate_series(0, 15)) AS b),
+       per_bit AS (
+         SELECT doc_id, b,
+                SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         FROM h, bits GROUP BY doc_id, b
+       )
+       SELECT doc_id,
+              SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+       FROM per_bit GROUP BY doc_id ORDER BY doc_id""",
+    doc="16-bit SimHash document fingerprints from md5 token hashes.",
+)
+def x08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash(docs, bits=16).orderBy("doc_id")
+
+
+@_q(
+    "x09_cosine_topk",
+    """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+       c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       scored AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                list_dot_product(q.v, c.v)
+                  / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS s
+         FROM q JOIN c ON q.vec_id != c.vec_id
+       ),
+       ranked AS (
+         SELECT query_id, neighbor_id, s,
+                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+         FROM scored
+       )
+       SELECT query_id, neighbor_id, rank, ROUND(s, 6) AS cosine
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    doc="Brute-force cosine top-5 similarity search (10 query vectors vs "
+    "the full corpus) — the exact baseline for ANN.",
+)
+def x09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5
+    ).orderBy("query_id", "rank")
+
+
+@_q(
+    "x10_embedding_neardup",
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300)
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              ROUND(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+                AS cosine
+       FROM v a JOIN v b ON a.vec_id < b.vec_id
+       WHERE ROUND(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) > 0.4
+       ORDER BY id_a, id_b""",
+    doc="Embedding-cosine near-duplicate pairs above 0.4 on a bounded "
+    "subset (brute-force verification path of embedding dedup).",
+)
+def x10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    return dd.embedding_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
+@_q(
+    "x11_srp_lsh_topk",
+    None,  # hyperplane literals are engine-internal -> rows-only check
+    doc="Sign-random-projection LSH approximate top-k (the ANN scale "
+    "path); validated against exact top-k in tests/test_similarity.py.",
+)
+def x11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return sim.lsh_topk(
+        emb, emb.where(F.col("vec_id") < 10), dim=dim, k=5, n_planes=6
+    ).orderBy("query_id", "rank")

@@ -1,0 +1,126 @@
+"""Semantic tests for text analysis, dedup, and similarity operators —
+synthetic fixtures where the testdata lacks the phenomenon (near-dups)."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from deepcell_data_engineering_spark.functions.dedup import (
+    dedup_exact,
+    embedding_neardup_pairs,
+    exact_dup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from deepcell_data_engineering_spark.functions.similarity import (
+    cosine_topk,
+    lsh_topk,
+)
+from deepcell_data_engineering_spark.functions.text import (
+    predict_lang,
+    quality_features,
+    token_count,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away into the woods"
+    )
+    rows = [
+        (0, base, "en"),
+        (1, base, "en"),  # exact duplicate of 0
+        (2, base.replace("quick", "swift"), "en"),  # near-duplicate of 0
+        (3, "der hund und die katze spielen in der garten und haus", "de"),
+        (4, "el perro y los gatos juegan en una casa grande", "es"),
+        (5, "completely different content about spark query engines", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING, lang STRING")
+
+
+def test_token_count_and_quality(spark, docs):
+    out = {r["doc_id"]: r for r in quality_features(docs).collect()}
+    assert out[0]["q_n_tokens"] == len(out[0]["text"].split())
+    assert out[0]["q_n_punct"] == 0
+    assert 0.7 < out[0]["q_alpha_ratio"] < 0.9
+
+
+def test_lang_id_heuristic(spark, docs):
+    out = {r["doc_id"]: r["pred"] for r in
+           docs.select("doc_id", predict_lang(F.col("text")).alias("pred")).collect()}
+    assert out[0] == "en" and out[3] == "de" and out[4] == "es"
+
+
+def test_exact_dedup(spark, docs):
+    groups = exact_dup_groups(docs)
+    dup = [r for r in groups.collect() if r["n_copies"] > 1]
+    assert len(dup) == 1 and dup[0]["keep_id"] == 0 and dup[0]["n_copies"] == 2
+    kept = sorted(r["doc_id"] for r in dedup_exact(docs).collect())
+    assert kept == [0, 2, 3, 4, 5]
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    sigs = minhash_signatures(docs, num_hashes=8, k=5)
+    # exact dups must collide on every band
+    pairs = lsh_candidate_pairs(sigs, bands=[[f"h{i}"] for i in range(8)])
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert (0, 2) in got  # near-dup caught by at least one single-hash band
+    assert (0, 5) not in got  # unrelated doc shares no minimum
+
+
+def test_ngram_jaccard_scores(spark, docs):
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(docs, k=5).collect()}
+    assert out[(0, 1)] == 1.0
+    assert 0.5 < out[(0, 2)] < 1.0
+    assert out.get((0, 5), 0.0) < 0.2
+
+
+def test_simhash_near_dup_close_hamming(spark, docs):
+    out = {r["doc_id"]: int(r["simhash"]) for r in simhash(docs, bits=16).collect()}
+    assert out[0] == out[1]  # identical docs -> identical simhash
+    ham_near = bin(out[0] ^ out[2]).count("1")
+    ham_far = bin(out[0] ^ out[5]).count("1")
+    assert ham_near < ham_far
+
+
+@pytest.fixture()
+def vectors(spark):
+    rng = np.random.default_rng(42)
+    rows = []
+    for i in range(50):
+        v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    # vector 50 = near-copy of vector 0
+    v0 = np.array(rows[0][1]) + 0.01 * rng.standard_normal(16)
+    rows.append((50, [float(x) for x in v0 / np.linalg.norm(v0)]))
+    return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+
+
+def test_cosine_topk_exact(spark, vectors):
+    out = cosine_topk(vectors, vectors.where("vec_id = 0"), k=3).collect()
+    assert [r["query_id"] for r in out] == [0, 0, 0]
+    assert out[0]["neighbor_id"] == 50 and out[0]["cosine"] > 0.99
+    # numpy cross-check of the full ranking
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in vectors.collect()}
+    sims = sorted(
+        ((float(vecs[0] @ v / (np.linalg.norm(vecs[0]) * np.linalg.norm(v))), i)
+         for i, v in vecs.items() if i != 0),
+        reverse=True,
+    )
+    assert [i for _, i in sims[:3]] == [r["neighbor_id"] for r in out]
+
+
+def test_lsh_topk_finds_near_copy(spark, vectors):
+    out = lsh_topk(vectors, vectors.where("vec_id = 0"), dim=16, k=3, n_planes=4).collect()
+    assert out and out[0]["neighbor_id"] == 50  # same bucket with high prob at 4 planes
+
+
+def test_embedding_neardup(spark, vectors):
+    pairs = embedding_neardup_pairs(vectors, threshold=0.95).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 50)}
