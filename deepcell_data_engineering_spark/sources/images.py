@@ -176,7 +176,12 @@ def write_npz_units(
                 grp = grp.sort_values("stack")
                 h, w = int(grp.iloc[0]["height"]), int(grp.iloc[0]["width"])
                 nchan = len(grp.iloc[0]["channels"]) if grp.iloc[0]["channels"] is not None else 0
-                xs = np.stack([decode_x(r["X"], h, w, nchan) for _, r in grp.iterrows()])
+                has_x = grp.iloc[0]["X"] is not None
+                xs = (
+                    np.stack([decode_x(r["X"], h, w, nchan) for _, r in grp.iterrows()])
+                    if has_x
+                    else None
+                )
                 ys = np.stack([decode_y(r["y"], h, w) for _, r in grp.iterrows()])
                 blank = int(ys.sum() == 0)
                 name = f"{fov}_crop_{int(crop)}_slice_{int(slc)}.npz"

@@ -1,0 +1,129 @@
+"""Streaming window operators (SURVEY §2.6).
+
+The reference's slice operator IS a window: ``slice_overlap=0`` is a
+tumbling window, overlap > 0 a sliding window (slice_utils.py:56-62); the
+engine exposes the real Structured Streaming forms over event-time data.
+Every helper here is source-agnostic: pass a batch DataFrame and it runs
+as a batch agg; pass a streaming DataFrame (readStream) and the identical
+plan runs incrementally — that's the batch/stream parity the tests pin.
+
+Watermarks bound state for late data: the reference's "missing annotation
+tolerated as blank" (io_utils.py:215-218) is the batch shadow of a
+drop-late policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    df: DataFrame,
+    window_len: str = "1 hour",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-(window, event_type) counts and value sums — the tumbling
+    analog of the slice operator with slice_overlap=0."""
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window_len).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sv"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "cnt",
+            "sv",
+        )
+    )
+
+
+def sliding_counts(
+    df: DataFrame,
+    window_len: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding window (slice with overlap = window_len - slide)."""
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window_len, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+def session_counts(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows per key (engine-only addition; the reference has
+    no session concept — SURVEY §2.6 last row)."""
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            key_col,
+            "cnt",
+        )
+    )
+
+
+def dedup_events(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup within the watermark horizon — the streaming
+    twin of exact_dup_groups. In batch mode it's dropDuplicates."""
+    key_cols = key_cols or ["event_id"]
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+    return df.dropDuplicates(key_cols)
+
+
+def read_events_stream(spark, sf_dir: str) -> DataFrame:
+    """Open the events table as a file stream (one-file source dir); used
+    with trigger(availableNow=True) for deterministic replay in tests.
+
+    events.ts is parquet TIMESTAMP(NANOS) read as a long (see catalog) and
+    normalized with exact integer division.
+    """
+    from deepcell_data_engineering_spark.catalog import _ensure_nanos_conf
+
+    _ensure_nanos_conf(spark)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the file-stream source requires a directory; point it at sf_dir and
+    # glob-filter to the events file
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    from pyspark.sql.types import LongType
+
+    if isinstance(stream.schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return stream

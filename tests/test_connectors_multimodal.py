@@ -1,0 +1,148 @@
+"""Connectors (manifests, URLs, missing-file anti join, NPZ round trip)
+and multimodal column plumbing."""
+
+import numpy as np
+import pytest
+
+from deepcell_data_engineering_spark.sources.codecs import decode_npz, encode_npz
+from deepcell_data_engineering_spark.sources.images import (
+    images_df,
+    read_npz_units,
+    rectangle_grid_labels,
+    rows_from_arrays,
+    write_npz_units,
+)
+from deepcell_data_engineering_spark.sources.manifests import (
+    create_upload_log,
+    format_job_url,
+    latest_log_name,
+    listed_files,
+    missing_files_report,
+    next_log_name,
+    read_manifest,
+    write_manifest,
+)
+from deepcell_data_engineering_spark.sources.multimodal import (
+    MEDIA_SCHEMA,
+    decode_media,
+    extract_features,
+    resize_media,
+    sample_frames,
+)
+
+
+def test_job_url_projection():
+    url = format_job_url("2020/exp1", "stage_0", "fov1.npz", pixel_only=True)
+    assert "2020__exp1" in url and "stage_0" in url and url.endswith(
+        "?pixel_only=True&label_only=False&rgb=False"
+    )
+
+
+def test_manifest_roundtrip_and_latest(spark, tmp_path):
+    mf = create_upload_log(
+        spark, "stage_0", "exp/a", [f"fov{i}.npz" for i in range(4)], job_id=9
+    )
+    assert mf.columns == [
+        "project_url", "filename", "stage", "aws_folder", "job_id",
+        "pixel_only", "label_only", "rgb_mode",
+    ]
+    path = str(tmp_path / "stage_0_upload_log.csv")
+    write_manifest(mf, path)
+    back = read_manifest(spark, path)
+    assert back.count() == 4
+    assert latest_log_name(["stage_0_log.csv", "stage_2_log.csv", "stage_1_log.csv"]) == "stage_2_log.csv"
+    assert next_log_name("stage_2_log.csv") == "stage_3_log.csv"
+    with pytest.raises(ValueError):
+        next_log_name("not_a_stage.csv")
+
+
+def test_missing_files_anti_join(spark, tmp_path):
+    mf = create_upload_log(spark, "stage_0", "exp", [f"f{i}.npz" for i in range(5)])
+    # only 3 of 5 'downloaded'
+    for i in [0, 2, 4]:
+        (tmp_path / f"f{i}.npz").write_bytes(encode_npz(None, np.zeros((1, 2, 2, 1))))
+    actual = listed_files(spark, str(tmp_path), glob="*.npz")
+    missing = sorted(r["filename"] for r in missing_files_report(mf, actual).collect())
+    assert missing == ["f1.npz", "f3.npz"]
+
+
+def test_npz_sink_and_source_roundtrip(spark, tmp_path):
+    y = rectangle_grid_labels(60, 60, cell_h=6, cell_w=6, pitch_r=20, pitch_c=20)
+    x = np.random.default_rng(0).random((2, 60, 60, 1)).astype(np.float32)
+    df = images_df(spark, rows_from_arrays("fovA", x, np.stack([y, y])))
+    manifest = write_npz_units(df, str(tmp_path / "units"), blank_labels="include")
+    rows = manifest.collect()
+    assert len(rows) == 1 and rows[0]["blank"] == 0
+    back = read_npz_units(spark, str(tmp_path / "units/*.npz"))
+    assert back.count() == 2  # two stacks rehydrated
+    r = back.where("stack = 1").collect()[0]
+    assert (r["fov"], r["crop"], r["slice"]) == ("fovA", 0, 0)
+    arrs = decode_npz(open(rows[0]["path"], "rb").read())
+    np.testing.assert_array_equal(arrs["y"][0, :, :, 0], y)
+
+
+def test_npz_blank_routing(spark, tmp_path):
+    blank = np.zeros((1, 20, 20), dtype=np.int32)
+    df = images_df(spark, rows_from_arrays("fovB", None, blank))
+    skipped = write_npz_units(df, str(tmp_path / "skip"), blank_labels="skip").collect()
+    assert skipped[0]["blank"] == 1 and skipped[0]["path"] is None
+    sep = write_npz_units(df, str(tmp_path / "sep"), blank_labels="separate").collect()
+    assert "/separate/" in sep[0]["path"]
+    with pytest.raises(ValueError):
+        write_npz_units(df, str(tmp_path / "bad"), blank_labels="bogus")
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        {
+            "media_id": i,
+            "kind": "video" if i % 2 else "image",
+            "format": "fake-raw",
+            "meta": {"height": 16, "width": 12, "n_channels": 3,
+                     "n_frames": 4 if i % 2 else 1, "sample_rate": None},
+            "payload": bytes([i]) * 32,
+        }
+        for i in range(4)
+    ]
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def test_decode_stub_contract():
+    with pytest.raises(NotImplementedError):
+        decode_media("tiff", b"x", {"height": 1, "width": 1, "n_channels": 1, "n_frames": 1})
+    with pytest.raises(ValueError):
+        decode_media("bogus", b"x", {"height": 1, "width": 1, "n_channels": 1, "n_frames": 1})
+    a = decode_media("fake-raw", b"abc", {"height": 4, "width": 3, "n_channels": 2, "n_frames": 1})
+    b = decode_media("fake-raw", b"abc", {"height": 4, "width": 3, "n_channels": 2, "n_frames": 1})
+    np.testing.assert_array_equal(a, b)  # deterministic fake
+
+
+def test_extract_features(spark, media):
+    out = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert len(out) == 4
+    assert len(out[0]["mean"]) == 3 and len(out[0]["std"]) == 3
+    assert out[1]["n_frames"] == 4
+    assert all(0.0 < m < 1.0 for m in out[0]["mean"])
+
+
+def test_sample_frames_fanout(spark, media):
+    frames = sample_frames(media.where("kind = 'video'"), every_n=2).collect()
+    # 2 videos x 4 frames sampled every 2 -> 2 frames each
+    assert len(frames) == 4
+    assert {f["frame_idx"] for f in frames} == {0, 2}
+    f0 = frames[0]
+    arr = np.frombuffer(f0["frame"], dtype=np.float32).reshape(
+        f0["height"], f0["width"], f0["n_channels"]
+    )
+    assert arr.shape == (16, 12, 3)
+
+
+def test_resize_media_roundtrip(spark, media):
+    resized = resize_media(media, 8, 6)
+    rows = {r["media_id"]: r for r in resized.collect()}
+    assert rows[0]["format"] == "raw-f32"
+    assert rows[0]["meta"]["height"] == 8 and rows[0]["meta"]["width"] == 6
+    # decoded resized payload has the new dims; features still computable
+    feats = extract_features(resized).collect()
+    assert len(feats) == 4

@@ -1,0 +1,160 @@
+"""Structured Streaming: batch/stream parity for windows, watermarking,
+stateful ops. Streams replay the events parquet (availableNow trigger)."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from deepcell_data_engineering_spark.catalog import load_table
+from deepcell_data_engineering_spark.sources.codecs import decode_y, encode_y
+from deepcell_data_engineering_spark.streaming.stateful import (
+    stateful_frame_relabel,
+    stateful_user_stats,
+)
+from deepcell_data_engineering_spark.streaming.windows import (
+    dedup_events,
+    read_events_stream,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+from conftest import SF_SMOKE
+
+
+def _run_stream(df, tmp_path, name, mode="complete"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_batch_stream_parity(spark, tmp_path):
+    batch = load_table(spark, SF_SMOKE, "events")
+    expected = {
+        (r["w_start"], r["event_type"]): (r["cnt"], r["sv"])
+        for r in tumbling_counts(batch, "1 hour").collect()
+    }
+    stream = read_events_stream(spark, SF_SMOKE)
+    _run_stream(tumbling_counts(stream, "1 hour"), tmp_path, "tumbling")
+    got = {
+        (r["w_start"], r["event_type"]): (r["cnt"], r["sv"])
+        for r in spark.sql("SELECT * FROM tumbling").collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_sliding_and_session_windows_batch(spark):
+    batch = load_table(spark, SF_SMOKE, "events")
+    slid = sliding_counts(batch, "2 hours", "1 hour").collect()
+    # every event lands in exactly 2 sliding windows
+    assert sum(r["cnt"] for r in slid) == 2 * batch.count()
+    sess = session_counts(batch, gap="30 minutes").collect()
+    assert sum(r["cnt"] for r in sess) == batch.count()
+    # sessions are per-user, disjoint, each at least 1 event
+    assert all(r["cnt"] >= 1 for r in sess)
+
+
+def test_watermarked_stream_agg(spark, tmp_path):
+    stream = read_events_stream(spark, SF_SMOKE)
+    agg = tumbling_counts(stream, "1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits windows closed by the watermark; with a single
+    # batch the final windows stay open -> emitted rows form a subset of batch
+    batch = load_table(spark, SF_SMOKE, "events")
+    expected = {
+        (r["w_start"], r["event_type"]): (r["cnt"], r["sv"])
+        for r in tumbling_counts(batch, "1 hour").collect()
+    }
+    got = spark.sql("SELECT * FROM wm").collect()
+    for r in got:
+        assert expected[(r["w_start"], r["event_type"])] == (r["cnt"], r["sv"])
+
+
+def test_stream_dedup(spark, tmp_path):
+    stream = read_events_stream(spark, SF_SMOKE)
+    doubled = stream.union(stream)  # every event twice
+    q = (
+        dedup_events(doubled, ["event_id"], watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("SELECT count(*) AS n FROM dedup").collect()[0]["n"]
+    assert n == load_table(spark, SF_SMOKE, "events").count()
+
+
+def test_stateful_user_stats(spark, tmp_path):
+    stream = read_events_stream(spark, SF_SMOKE)
+    q = (
+        stateful_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("ustats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ustats"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["user_id"]: (r["n_events"], r["total_value"])
+           for r in spark.sql("SELECT * FROM ustats").collect()}
+    batch = load_table(spark, SF_SMOKE, "events")
+    expected = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_stateful_frame_relabel_stream(spark, tmp_path):
+    # build a 4-frame drifting-cell stack, stream it from parquet
+    ys = np.zeros((4, 30, 30), dtype=np.int32)
+    for s in range(4):
+        ys[s, s : s + 10, s : s + 10] = 42  # same cell drifting
+    rows = [
+        {"fov": "fov1", "stack": s, "height": 30, "width": 30, "y": encode_y(ys[s])}
+        for s in range(4)
+    ]
+    src = str(tmp_path / "frames_src")
+    spark.createDataFrame(
+        rows, "fov STRING, stack INT, height INT, width INT, y BINARY"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "fov STRING, stack INT, height INT, width INT, y BINARY"
+    ).parquet(src)
+    q = (
+        stateful_frame_relabel(stream)
+        .writeStream.format("memory")
+        .queryName("frames")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "frames_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM frames ORDER BY stack").collect()
+    assert len(out) == 4
+    for r in out:
+        m = decode_y(r["y"], 30, 30)
+        assert set(np.unique(m[ys[r["stack"]] == 42])) == {1}  # id propagated
