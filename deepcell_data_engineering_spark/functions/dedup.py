@@ -52,19 +52,21 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------------------
 
 
-def shingles(df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Explode each doc into its character k-gram shingles (distinct per
-    doc). Docs shorter than k contribute their whole text once."""
+def shingles(df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id",
+             distinct: bool = True) -> DataFrame:
+    """Explode each doc into its character k-gram shingles. Docs shorter
+    than k contribute their whole text once.
+
+    ``distinct=False`` skips the per-doc dedup shuffle — correct for any
+    duplicate-insensitive consumer (MinHash min-aggregation); set-based
+    consumers (Jaccard) need the default."""
     n = F.greatest(F.length(F.col(text_col)) - F.lit(k - 1), F.lit(1))
-    return (
-        df.select(
-            id_col,
-            F.explode(F.sequence(F.lit(1), n)).alias("pos"),
-            F.col(text_col),
-        )
-        .select(id_col, F.col(text_col).substr(F.col("pos"), F.lit(k)).alias("shingle"))
-        .distinct()
-    )
+    out = df.select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), n)).alias("pos"),
+        F.col(text_col),
+    ).select(id_col, F.col(text_col).substr(F.col("pos"), F.lit(k)).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
@@ -75,8 +77,10 @@ def minhash_signatures(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """MinHash signature per doc: h_j = min over shingles of
-    md5(j || shingle). One shuffle (groupBy doc), all JVM-side."""
-    sh = shingles(df, k=k, text_col=text_col, id_col=id_col)
+    md5(j || shingle). ONE shuffle total: min() is duplicate-insensitive,
+    so shingles skip their dedup shuffle, and the groupBy partial-aggs
+    map-side (each task ships one row per (doc, j), not the shingles)."""
+    sh = shingles(df, k=k, text_col=text_col, id_col=id_col, distinct=False)
     aggs = [
         F.min(F.md5(F.concat(F.lit(str(j)), F.col("shingle")))).alias(f"h{j}")
         for j in range(num_hashes)
@@ -98,26 +102,23 @@ def lsh_candidate_pairs(
     hash_cols = [c for c in signatures.columns if c != id_col]
     if bands is None:
         bands = [[c] for c in hash_cols]
-    pair_dfs = []
-    for i, band_cols in enumerate(bands):
-        banded = signatures.select(
-            F.col(id_col),
-            F.md5(F.concat(*[F.col(c) for c in band_cols])).alias("band"),
+    # single pass: unpivot every band hash with one explode, then ONE
+    # self-join on the band key (vs re-deriving signatures per band)
+    band_exprs = F.array(
+        *[F.md5(F.concat(*[F.col(c) for c in band_cols])) for band_cols in bands]
+    )
+    banded = signatures.select(F.col(id_col), F.explode(band_exprs).alias("band"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on="band")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
         )
-        a = banded.alias("a")
-        b = banded.alias("b")
-        pair_dfs.append(
-            a.join(b, on="band")
-            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-            )
-        )
-    pairs = pair_dfs[0]
-    for p in pair_dfs[1:]:
-        pairs = pairs.unionByName(p)
-    return pairs.distinct()
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(

@@ -131,33 +131,35 @@ def x05(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "x06_minhash_lsh_pairs",
     """WITH sh AS (
-         SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle
+         SELECT doc_id, substr(text, i, 5) AS shingle
          FROM documents,
               LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i)
        ),
        sig AS (
          SELECT doc_id,
                 min(md5('0' || shingle)) AS h0, min(md5('1' || shingle)) AS h1,
-                min(md5('2' || shingle)) AS h2, min(md5('3' || shingle)) AS h3
+                min(md5('2' || shingle)) AS h2, min(md5('3' || shingle)) AS h3,
+                min(md5('4' || shingle)) AS h4, min(md5('5' || shingle)) AS h5
          FROM sh GROUP BY doc_id
        ),
        banded AS (
-         SELECT doc_id, md5(h0 || h1) AS band FROM sig
+         SELECT doc_id, md5(h0 || h1 || h2) AS band FROM sig
          UNION ALL
-         SELECT doc_id, md5(h2 || h3) AS band FROM sig
+         SELECT doc_id, md5(h3 || h4 || h5) AS band FROM sig
        )
        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
        ORDER BY id_a, id_b""",
-    doc="MinHash-LSH candidate pairs: 2 bands x 2 rows; only same-band "
-    "docs are joined (the near-dedup scale path).",
+    doc="MinHash-LSH candidate pairs: 2 bands x 3 rows (3-row bands keep "
+    "the candidate set subquadratic on this small-vocabulary corpus); "
+    "only same-band docs are joined — the near-dedup scale path.",
 )
 def x06(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(docs, num_hashes=4, k=5)
-    return dd.lsh_candidate_pairs(sigs, bands=[["h0", "h1"], ["h2", "h3"]]).orderBy(
-        "id_a", "id_b"
-    )
+    sigs = dd.minhash_signatures(docs, num_hashes=6, k=5)
+    return dd.lsh_candidate_pairs(
+        sigs, bands=[["h0", "h1", "h2"], ["h3", "h4", "h5"]]
+    ).orderBy("id_a", "id_b")
 
 
 @_q(
