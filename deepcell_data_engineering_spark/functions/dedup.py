@@ -5,10 +5,12 @@ Design notes (100 TB posture):
 - Everything is expressed with built-in Spark functions over exploded
   shingle/token tables — whole-stage codegen, map-side partial aggs, no
   Python in the hot path.
-- Hashes are md5-based and therefore IDENTICAL in any engine — MinHash
-  takes the lexicographic MIN of md5(seed || shingle) strings, so the
-  DuckDB oracle reproduces signatures bit-for-bit (no RNG, no
-  engine-specific hash()).
+- Hashes are md5-derived and therefore IDENTICAL in any engine: each
+  shingle is md5'd ONCE, two 28-bit chunks of the digest become integers,
+  and the k MinHash functions are 2-universal hashes a_j*x1 + b_j*x2 + c_j
+  mod (2^31 - 1) over those chunks — pure 64-bit-safe integer arithmetic
+  that DuckDB reproduces bit-for-bit (no RNG, no engine-specific hash(),
+  and k-1 fewer md5 evaluations per shingle than hashing per function).
 - LSH banding turns O(n²) pair generation into a shuffle on band keys:
   only docs sharing a band hash are joined. Band count / rows-per-band
   trade recall vs candidate volume exactly as in the MinHash literature.
@@ -69,6 +71,18 @@ def shingles(df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "d
     return out.distinct() if distinct else out
 
 
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def minhash_params(j: int) -> tuple[int, int, int]:
+    """Deterministic 2-universal hash coefficients for hash function j —
+    shared with the SQL oracle so both engines compute identical values."""
+    a = (1_000_003 * (j + 1)) % MINHASH_P
+    b = (998_244_353 * (j + 7)) % MINHASH_P
+    c = (69_069 * (j + 13)) % MINHASH_P
+    return a, b, c
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 4,
@@ -76,16 +90,26 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash signature per doc: h_j = min over shingles of
-    md5(j || shingle). ONE shuffle total: min() is duplicate-insensitive,
-    so shingles skip their dedup shuffle, and the groupBy partial-aggs
-    map-side (each task ships one row per (doc, j), not the shingles)."""
+    """MinHash signature per doc: h_j = min over shingles of a 2-universal
+    hash of the shingle's md5. ONE md5 per shingle (the j functions are
+    integer arithmetic over two 28-bit digest chunks; every intermediate
+    < 2^62, so ANSI-safe), and ONE shuffle total: min() is duplicate-
+    insensitive, so shingles skip their dedup shuffle, and the groupBy
+    partial-aggs map-side (each task ships one row per (doc, j), not the
+    shingles)."""
     sh = shingles(df, k=k, text_col=text_col, id_col=id_col, distinct=False)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(str(j)), F.col("shingle")))).alias(f"h{j}")
-        for j in range(num_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    digest = F.md5(F.col("shingle"))
+    x1 = F.conv(F.substring(digest, 1, 7), 16, 10).cast("long")
+    x2 = F.conv(F.substring(digest, 9, 7), 16, 10).cast("long")
+    chunked = sh.select(id_col, x1.alias("x1"), x2.alias("x2"))
+    aggs = []
+    for j in range(num_hashes):
+        a, b, c = minhash_params(j)
+        h = F.pmod(
+            F.lit(a) * F.col("x1") + F.lit(b) * F.col("x2") + F.lit(c), F.lit(MINHASH_P)
+        )
+        aggs.append(F.min(h).alias(f"h{j}"))
+    return chunked.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -105,7 +129,10 @@ def lsh_candidate_pairs(
     # single pass: unpivot every band hash with one explode, then ONE
     # self-join on the band key (vs re-deriving signatures per band)
     band_exprs = F.array(
-        *[F.md5(F.concat(*[F.col(c) for c in band_cols])) for band_cols in bands]
+        *[
+            F.md5(F.concat_ws("-", *[F.col(c).cast("string") for c in band_cols]))
+            for band_cols in bands
+        ]
     )
     banded = signatures.select(F.col(id_col), F.explode(band_exprs).alias("band"))
     a = banded.alias("a")

@@ -109,19 +109,42 @@ def x04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dup_groups(docs).orderBy("keep_id")
 
 
-@_q(
-    "x05_minhash_signatures",
-    """WITH sh AS (
-         SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle
+def _minhash_oracle_terms(num_hashes: int) -> str:
+    """DuckDB SQL for the j 2-universal hash minima — generated from the
+    same minhash_params() coefficients the Spark side uses, so the two
+    dialects cannot drift. All intermediates < 2^60: BIGINT-safe in both
+    engines; operands positive, so DuckDB's % == Spark's pmod."""
+    terms = []
+    for j in range(num_hashes):
+        a, b, c = dd.minhash_params(j)
+        terms.append(
+            f"min(({a} * x1 + {b} * x2 + {c}) % {dd.MINHASH_P}) AS h{j}"
+        )
+    return ",\n              ".join(terms)
+
+
+_MINHASH_CHUNKS = """WITH sh AS (
+         SELECT doc_id, substr(text, i, 5) AS shingle
          FROM documents,
               LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i)
-       )
+       ),
+       chunks AS (
+         SELECT doc_id,
+                ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS x1,
+                ('0x' || substr(md5(shingle), 9, 7))::BIGINT AS x2
+         FROM sh
+       )"""
+
+
+@_q(
+    "x05_minhash_signatures",
+    f"""{_MINHASH_CHUNKS}
        SELECT doc_id,
-              min(md5('0' || shingle)) AS h0, min(md5('1' || shingle)) AS h1,
-              min(md5('2' || shingle)) AS h2, min(md5('3' || shingle)) AS h3
-       FROM sh GROUP BY doc_id ORDER BY doc_id""",
-    doc="MinHash signatures (4 hashes over char 5-gram shingles), "
-    "md5-based so the oracle reproduces them bit-for-bit.",
+              {_minhash_oracle_terms(4)}
+       FROM chunks GROUP BY doc_id ORDER BY doc_id""",
+    doc="MinHash signatures (4 hash functions over char 5-gram shingles): "
+    "one md5 per shingle, then 2-universal integer hashes of two 28-bit "
+    "digest chunks — bit-identical in both engines.",
 )
 def x05(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -130,22 +153,20 @@ def x05(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "x06_minhash_lsh_pairs",
-    """WITH sh AS (
-         SELECT doc_id, substr(text, i, 5) AS shingle
-         FROM documents,
-              LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i)
-       ),
+    f"""{_MINHASH_CHUNKS},
        sig AS (
          SELECT doc_id,
-                min(md5('0' || shingle)) AS h0, min(md5('1' || shingle)) AS h1,
-                min(md5('2' || shingle)) AS h2, min(md5('3' || shingle)) AS h3,
-                min(md5('4' || shingle)) AS h4, min(md5('5' || shingle)) AS h5
-         FROM sh GROUP BY doc_id
+              {_minhash_oracle_terms(6)}
+         FROM chunks GROUP BY doc_id
        ),
        banded AS (
-         SELECT doc_id, md5(h0 || h1 || h2) AS band FROM sig
+         SELECT doc_id,
+                md5(h0::VARCHAR || '-' || h1::VARCHAR || '-' || h2::VARCHAR) AS band
+         FROM sig
          UNION ALL
-         SELECT doc_id, md5(h3 || h4 || h5) AS band FROM sig
+         SELECT doc_id,
+                md5(h3::VARCHAR || '-' || h4::VARCHAR || '-' || h5::VARCHAR) AS band
+         FROM sig
        )
        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
