@@ -328,3 +328,79 @@ def summarize_dataset(df: DataFrame) -> DataFrame:
            GROUP BY GROUPING SETS ((tissue), (platform), ())
            ORDER BY tissue, platform"""
     )
+
+
+# ---------------------------------------------------------------------------
+# D10/D11: build orchestration
+# ---------------------------------------------------------------------------
+
+
+def validate_output_shape(output_shape) -> list[tuple[int, int]]:
+    """D11 `_validate_output_shape` (dataset_builder.py:528-564): accept
+    one (h, w) pair (applied to all three splits) or a list of exactly
+    three pairs; anything else is an error."""
+    err = ValueError(
+        "output_shape must be an (h, w) pair or a list of three (h, w) pairs"
+    )
+    try:
+        shapes = list(output_shape)
+    except TypeError:
+        raise err from None
+    if len(shapes) == 2 and all(isinstance(v, int) for v in shapes):
+        return [tuple(shapes)] * 3
+    if len(shapes) == 3 and all(
+        len(s) == 2 and all(isinstance(v, int) for v in s) for s in shapes
+    ):
+        return [tuple(s) for s in shapes]
+    raise err
+
+
+def build_dataset(
+    df: DataFrame,
+    tissues="all",
+    platforms="all",
+    output_shape=(512, 512),
+    resize="false",
+    data_split: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    seed: int = 0,
+    balance: bool = False,
+    relabel: bool = False,
+    small_object_threshold: int = 0,
+    min_objects: int = 0,
+    cache: bool = True,
+) -> dict[str, DataFrame]:
+    """D10 `build_dataset` (dataset_builder.py:566-649): the composed
+    training-set query. Per split: subset (P1) -> reshape (D7/R11) ->
+    clean (D8) -> balance (D9, train/val only — the test split is NEVER
+    resampled, dataset_builder.py:644-646).
+
+    Each split is one lazy DataFrame pipeline; ``cache=True`` persists
+    the split frames the way the reference caches reloads keyed on
+    seed/split (dataset_builder.py:616-617). Balance runs after clean so
+    resampling sees the post-filter population, matching the reference's
+    stage order."""
+    from deepcell_data_engineering_spark.dataset.splitter import train_val_test_split
+
+    shapes = validate_output_shape(output_shape)
+    split_df = train_val_test_split(df, data_split=data_split, seed=seed)
+    out: dict[str, DataFrame] = {}
+    for (split, shape), balance_this in zip(
+        zip(("train", "val", "test"), shapes), (balance, balance, False)
+    ):
+        part = split_df.where(F.col("split") == split).drop("split")
+        if part.limit(1).count() == 0:
+            out[split] = part
+            continue
+        part = subset_dataset(part, tissues=tissues, platforms=platforms)
+        part = reshape_dataset(part, shape, resize=resize)
+        if relabel or small_object_threshold or min_objects:
+            part = clean_labels(
+                part,
+                relabel=relabel,
+                small_object_threshold=small_object_threshold,
+                min_objects=min_objects,
+            )
+        if balance_this:
+            part = balance_dataset(part, seed=seed)
+        out[split] = part.persist() if cache else part
+    return out

@@ -220,3 +220,52 @@ def test_benchmark_rollup(spark):
     assert by_cat[("all", "all")]["f1"] == 1.0
     assert by_cat[("tissue", "breast")]["precision"] == 1.0
     assert by_cat[("platform", "mibi")]["jaccard"] == 1.0
+
+
+def test_validate_output_shape():
+    from deepcell_data_engineering_spark.dataset.builder import validate_output_shape
+
+    assert validate_output_shape((20, 40)) == [(20, 40)] * 3
+    assert validate_output_shape([(20, 20), (10, 10), (5, 5)]) == [
+        (20, 20), (10, 10), (5, 5)]
+    for bad in (20, (20,), [(20, 20), (10, 10)], "shape"):
+        with pytest.raises(ValueError):
+            validate_output_shape(bad)
+
+
+def test_build_dataset_orchestration(spark):
+    from deepcell_data_engineering_spark.dataset.builder import build_dataset
+
+    splits = build_dataset(
+        _dataset(spark, SPECS),
+        output_shape=(20, 20),
+        data_split=(0.5, 0.25, 0.25),
+        seed=7,
+        balance=True,
+        cache=False,
+    )
+    assert set(splits) == {"train", "val", "test"}
+    # 8 images at (.5,.25,.25) -> 4/2/2 images; each 40x40 tiles into 4
+    # 20x20; balance upsamples train/val but NEVER test
+    n = {k: v.count() for k, v in splits.items()}
+    assert n["test"] == 8
+    assert n["train"] >= 16 and n["val"] >= 8
+    # every output row is tile-shaped
+    for k in splits:
+        dims = splits[k].select("height", "width").distinct().collect()
+        assert [(d["height"], d["width"]) for d in dims] == [(20, 20)]
+    # determinism: same seed -> same membership
+    again = build_dataset(
+        _dataset(spark, SPECS), output_shape=(20, 20),
+        data_split=(0.5, 0.25, 0.25), seed=7, balance=True, cache=False,
+    )
+    for k in splits:
+        a = sorted(r["img_idx"] for r in splits[k].select("img_idx").collect())
+        b = sorted(r["img_idx"] for r in again[k].select("img_idx").collect())
+        assert a == b
+    # clean after tiling drops empty tiles (min_objects applies per tile)
+    cleaned = build_dataset(
+        _dataset(spark, SPECS), output_shape=(20, 20),
+        data_split=(0.5, 0.25, 0.25), seed=7, min_objects=1, cache=False,
+    )
+    assert cleaned["train"].count() <= 16
