@@ -128,3 +128,74 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("_sim", 6).alias("cosine"))
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its ``nprobe``
+    nearest centroids by cosine (ties -> smaller centroid id). Centroids
+    are broadcast (they are tiny: k rows); assignment is one narrow
+    broadcast join + window — the inverted-file build step."""
+    c = _as_double(centroids, vec_col).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("vcent")
+    )
+    v = _as_double(df, vec_col)
+    scored = v.crossJoin(F.broadcast(c)).select(
+        id_col, vec_col, "centroid_id",
+        cosine_expr(F.col(vec_col), F.col("vcent")).alias("_cs"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_cs").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= nprobe)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k — the ANN scale path alongside SRP-LSH.
+
+    Centroids are the ``n_centroids`` lowest-id corpus vectors
+    (deterministic, no RNG; a k-means refinement would slot in the same
+    shape). Corpus vectors live in exactly one inverted list (nprobe=1);
+    queries probe their ``nprobe`` nearest lists; exact cosine + window
+    top-k runs on the union of probed lists only. At scale the candidate
+    join shuffles on centroid_id instead of scanning the corpus per
+    query, and each list is a co-partitioned bucket."""
+    centroids = corpus.orderBy(id_col).limit(n_centroids)
+    inv = ivf_assign(corpus, centroids, vec_col, id_col, nprobe=1).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vc"), "centroid_id"
+    )
+    probes = ivf_assign(queries, centroids, vec_col, id_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("vq"), "centroid_id"
+    )
+    scored = (
+        inv.join(probes, on="centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine_expr(F.col("vq"), F.col("vc")).alias("_sim"),
+        )
+        # a (query, neighbor) pair can appear via several probed lists
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("_sim").alias("_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("_sim", 6).alias("cosine"))
+    )

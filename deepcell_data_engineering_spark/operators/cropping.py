@@ -34,7 +34,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from deepcell_data_engineering_spark.sources.codecs import (
@@ -70,6 +70,40 @@ def compute_crop_indices(
     ends = starts + crop_size
     padding = int(ends[-1] - img_len)
     return starts, ends, padding
+
+
+def crop_grid_df(
+    lengths: DataFrame,
+    crop_size: int,
+    overlap_frac: float = 0.0,
+    len_col: str = "img_len",
+) -> DataFrame:
+    """R1 as a *generated dimension table* (the J5 cross-join input):
+    for every distinct image length, one row per 1-D crop with
+    (crop_idx, crop_start, crop_end, padding) — pure sequence arithmetic,
+    JVM-side, broadcastable. Same grid as ``compute_crop_indices``:
+    starts = arange(0, len - overlap, stride), ends = starts + size,
+    padding = last end - len (crop_utils.py:38-82)."""
+    overlap_pix = math.floor(crop_size * overlap_frac)
+    stride = crop_size - overlap_pix
+    grid = (
+        lengths.select(F.col(len_col))
+        .where(F.col(len_col) > overlap_pix)
+        .distinct()
+        .select(
+            len_col,
+            F.posexplode(
+                F.sequence(
+                    F.lit(0), F.col(len_col) - overlap_pix - 1, F.lit(stride)
+                )
+            ).alias("crop_idx", "crop_start"),
+        )
+        .withColumn("crop_end", F.col("crop_start") + crop_size)
+    )
+    w = Window.partitionBy(len_col)
+    return grid.withColumn(
+        "padding", F.max("crop_end").over(w) - F.col(len_col)
+    )
 
 
 @dataclass

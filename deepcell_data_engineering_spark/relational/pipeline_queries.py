@@ -290,3 +290,110 @@ def x11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_topk(
         emb, emb.where(F.col("vec_id") < 10), dim=dim, k=5, n_planes=6
     ).orderBy("query_id", "rank")
+
+
+@_q(
+    "x12_crop_grid",
+    """WITH lens AS (SELECT DISTINCT p_size AS img_len FROM part WHERE p_size > 4),
+       grid AS (
+         SELECT img_len,
+                ROW_NUMBER() OVER (PARTITION BY img_len ORDER BY s) - 1 AS crop_idx,
+                s AS crop_start, s + 10 AS crop_end
+         FROM lens, LATERAL (SELECT unnest(generate_series(0, img_len - 5, 6)) AS s)
+       )
+       SELECT img_len, crop_idx, crop_start, crop_end,
+              MAX(crop_end) OVER (PARTITION BY img_len) - img_len AS padding
+       FROM grid ORDER BY img_len, crop_idx""",
+    doc="R1 crop-index grid as a generated dimension table (crop_size=10, "
+    "overlap=4): starts/ends/right-padding per distinct image length — "
+    "the broadcast side of the J5 crop fan-out cross join.",
+)
+def x12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.operators.cropping import crop_grid_df
+
+    lens = load_table(spark, sf_dir, "part").select(
+        F.col("p_size").cast("long").alias("img_len")
+    )
+    return crop_grid_df(lens, crop_size=10, overlap_frac=0.4).orderBy(
+        "img_len", "crop_idx"
+    )
+
+
+@_q(
+    "x13_overlap_vote",
+    """WITH votes AS (
+         SELECT l_orderkey, l_suppkey, COUNT(*) AS n
+         FROM lineitem GROUP BY l_orderkey, l_suppkey
+       ),
+       ranked AS (
+         SELECT l_orderkey, l_suppkey, n,
+                ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                   ORDER BY n DESC, l_suppkey) AS r
+         FROM votes
+       )
+       SELECT l_orderkey, l_suppkey AS winner, n AS vote_count
+       FROM ranked WHERE r = 1 ORDER BY l_orderkey LIMIT 200""",
+    doc="A7 overlap majority vote (stitch conflict resolution): per key, "
+    "the candidate with the most votes, ties to the smallest id — "
+    "count + rank-1 window, the exact argmax shape of crop_utils.py:193-206.",
+)
+def x13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    votes = li.groupBy("l_orderkey", "l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("l_orderkey").orderBy(F.col("n").desc(), F.col("l_suppkey"))
+    return (
+        votes.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select(
+            "l_orderkey",
+            F.col("l_suppkey").alias("winner"),
+            F.col("n").alias("vote_count"),
+        )
+        .orderBy("l_orderkey")
+        .limit(200)
+    )
+
+
+@_q(
+    "x14_ivf_topk",
+    """WITH cent AS (
+         SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS vcent
+         FROM embeddings ORDER BY vec_id LIMIT 8
+       ),
+       vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       assign AS (
+         SELECT vec_id, v, centroid_id,
+                ROW_NUMBER() OVER (
+                  PARTITION BY vec_id
+                  ORDER BY list_dot_product(v, vcent)
+                    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(vcent, vcent))) DESC,
+                    centroid_id) AS r
+         FROM vecs, cent
+       ),
+       inv    AS (SELECT vec_id AS neighbor_id, v AS vc, centroid_id FROM assign WHERE r = 1),
+       probes AS (SELECT vec_id AS query_id, v AS vq, centroid_id
+                  FROM assign WHERE r <= 2 AND vec_id < 10),
+       cand AS (
+         SELECT query_id, neighbor_id,
+                MAX(list_dot_product(vq, vc)
+                  / (sqrt(list_dot_product(vq, vq)) * sqrt(list_dot_product(vc, vc)))) AS s
+         FROM inv JOIN probes USING (centroid_id)
+         WHERE neighbor_id != query_id
+         GROUP BY query_id, neighbor_id
+       ),
+       ranked AS (
+         SELECT query_id, neighbor_id, s,
+                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+         FROM cand
+       )
+       SELECT query_id, neighbor_id, rank, ROUND(s, 6) AS cosine
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    doc="IVF approximate top-k (ANN scale path): corpus bucketed into 8 "
+    "inverted lists by nearest centroid; queries probe their 2 nearest "
+    "lists; exact cosine only within probed lists.",
+)
+def x14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), n_centroids=8, nprobe=2, k=5
+    ).orderBy("query_id", "rank")

@@ -160,3 +160,22 @@ def test_labels_long_and_counts(spark):
     assert (r["rmin"], r["rmax"], r["cmin"], r["cmax"]) == (30, 33, 40, 49)
     counts = {r["stack"]: r["n_cells"] for r in cell_counts(images).collect()}
     assert counts == {0: 2, 1: 1}
+
+
+def test_crop_grid_df_matches_numpy_grid(spark):
+    from deepcell_data_engineering_spark.operators.cropping import (
+        compute_crop_indices,
+        crop_grid_df,
+    )
+
+    lens = spark.createDataFrame([(31,), (40,), (7,)], "img_len bigint")
+    out = crop_grid_df(lens, crop_size=10, overlap_frac=0.4).collect()
+    by_len = {}
+    for r in out:
+        by_len.setdefault(r["img_len"], []).append(r)
+    for img_len, rows in by_len.items():
+        rows.sort(key=lambda r: r["crop_idx"])
+        starts, ends, padding = compute_crop_indices(img_len, crop_size=10, overlap_frac=0.4)
+        assert [r["crop_start"] for r in rows] == starts.tolist()
+        assert [r["crop_end"] for r in rows] == ends.tolist()
+        assert all(r["padding"] == padding for r in rows)

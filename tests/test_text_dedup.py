@@ -124,3 +124,24 @@ def test_lsh_topk_finds_near_copy(spark, vectors):
 def test_embedding_neardup(spark, vectors):
     pairs = embedding_neardup_pairs(vectors, threshold=0.95).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 50)}
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    from deepcell_data_engineering_spark.catalog import load_table
+    from deepcell_data_engineering_spark.functions import similarity as sim
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = sim.cosine_topk(emb, queries, k=5)
+    approx = sim.ivf_topk(emb, queries, n_centroids=8, nprobe=4, k=5)
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # probing half the lists must recover a solid fraction of true top-5
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5
+    # every approx neighbor carries the true cosine (exact rescoring)
+    sc = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in sc:
+            assert abs(r["cosine"] - sc[key]) < 1e-9
