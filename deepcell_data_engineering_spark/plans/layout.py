@@ -1,0 +1,73 @@
+"""Physical data layout strategies: bucketing and skew salting.
+
+At 100 TB the difference between a co-located join and a shuffled join is
+the job. Two tools:
+
+- **Bucketing** (`write_bucketed` / `read_bucketed`): persist both join
+  sides bucketed+sorted on the join key; Spark's scan then reports the
+  bucket spec and the sort-merge join runs without either side
+  re-shuffling (`count_exchanges == 0` — asserted in tests). This is the
+  engine's answer to the reference's per-experiment directory layout:
+  the hot join keys (fov, exp_id, doc fingerprint) are bucket keys.
+
+- **Salting** (`salted_join`): for skewed keys (one fov with 100x the
+  crops, one band hash holding half the corpus), split each hot key into
+  ``n_salts`` sub-keys: the big side gets a deterministic salt from a
+  hash of a high-cardinality disambiguator column, the small side is
+  exploded across all salts. The join stays an equi join on
+  (key, salt) — skew spread across n_salts tasks at the cost of
+  replicating the small side n_salts times. AQE's skew-join handles the
+  moderate cases automatically (enabled in session.py); salting is for
+  the pathological ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    path: str | None = None,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a bucketed (+sorted) managed table. Both sides of a
+    recurring join written with the same (cols, n_buckets) join without
+    any exchange."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    writer = writer.sortBy(*(sort_cols or bucket_cols))
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    salt_source: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi join. ``salt_source``: a high-cardinality
+    column on the big side used to derive a deterministic salt (defaults
+    to the key itself via monotonically varying hash of all columns is
+    NOT deterministic — callers pass a real column, e.g. the row's unique
+    id). The small side is replicated across all salts with one explode.
+    """
+    src = F.col(salt_source) if salt_source else F.spark_partition_id()
+    big_salted = big.withColumn("_salt", F.pmod(F.hash(src), F.lit(n_salts)))
+    small_salted = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return (
+        big_salted.join(small_salted, on=[key, "_salt"], how=how).drop("_salt")
+    )

@@ -1,0 +1,65 @@
+"""Plan-shape contracts: broadcast star joins, pushdown/pruning evidence,
+bucketed co-located joins (zero exchanges), and salted skew joins."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepcell_data_engineering_spark.catalog import load_table
+from deepcell_data_engineering_spark.plans import inspect as pi
+from deepcell_data_engineering_spark.plans import layout
+from deepcell_data_engineering_spark.relational import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_star_join_broadcasts(spark):
+    df = QUERIES["d11_star_join_agg"].build(spark, SF)
+    s = pi.join_strategies(df)
+    assert s["broadcast_hash"] == 2
+    assert s["sort_merge"] == 0 and s["shuffled_hash"] == 0
+
+
+def test_scan_prunes_and_pushes(spark):
+    df = QUERIES["d01_scan_filter"].build(spark, SF)
+    cols = pi.scan_columns(df)
+    assert cols and set(cols[0]) == {
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    }
+    filters = pi.pushed_filters(df)
+    assert any("l_quantity" in f for f in filters)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    cust = load_table(spark, SF, "customer").select("c_custkey", "c_acctbal")
+    orders = load_table(spark, SF, "orders").select("o_custkey", "o_totalprice")
+    layout.write_bucketed(
+        cust, "b_cust", ["c_custkey"], n_buckets=4, path=str(tmp_path / "bc")
+    )
+    layout.write_bucketed(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        "b_orders", ["c_custkey"], n_buckets=4, path=str(tmp_path / "bo"),
+    )
+    joined = layout.read_bucketed(spark, "b_cust").join(
+        layout.read_bucketed(spark, "b_orders"), on="c_custkey"
+    )
+    assert pi.count_exchanges(joined) == 0  # co-located: no shuffle at all
+    # same join on the unbucketed parquet shuffles (or broadcasts) — the
+    # bucketed layout is what removed the exchange
+    plain = cust.join(orders.withColumnRenamed("o_custkey", "c_custkey"), on="c_custkey")
+    assert pi.count_exchanges(plain) > 0 or pi.join_strategies(plain)["broadcast_hash"] > 0
+    # row parity
+    assert joined.count() == plain.count()
+
+
+def test_salted_join_matches_plain_join(spark):
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = orders.join(cust, on="o_custkey").select("o_orderkey", "c_name")
+    salted = layout.salted_join(
+        orders, cust, key="o_custkey", n_salts=4, salt_source="o_orderkey"
+    ).select("o_orderkey", "c_name")
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b and len(a) > 0
