@@ -252,6 +252,41 @@ def read_npz_units(
     return bin_df.mapInPandas(decode, schema=IMAGES_SCHEMA)
 
 
+def write_combined_npz(df: DataFrame, out_path: str) -> int:
+    """S17 `concatenate_npz_files`/`create_combined_npz`
+    (pipeline.py:70-110): union all units along the batch axis into ONE
+    compressed NPZ artifact. The single-file sink is the NPZ analog of
+    ``coalesce(1).write`` — all rows funnel to one task which streams
+    them into the archive in deterministic key order. Returns the batch
+    count. (At 100 TB you would keep Parquet; this sink exists for
+    format parity with the reference's notebook hand-off.)"""
+
+    def write_all(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs, ys, n = [], [], 0
+        for pdf in batches:
+            pdf = pdf.sort_values(["fov", "crop", "slice", "stack"])
+            for _, r in pdf.iterrows():
+                h, w = int(r["height"]), int(r["width"])
+                nchan = len(r["channels"]) if r["channels"] is not None else 0
+                if r["X"] is not None:
+                    xs.append(decode_x(r["X"], h, w, nchan))
+                if r["y"] is not None:
+                    ys.append(decode_y(r["y"], h, w))
+                n += 1
+        if n:
+            with open(out_path, "wb") as fh:
+                fh.write(
+                    encode_npz(
+                        np.stack(xs) if xs else None,
+                        np.stack(ys)[..., None] if ys else None,
+                    )
+                )
+        yield pd.DataFrame({"n": [n]})
+
+    counts = df.coalesce(1).mapInPandas(write_all, schema="n long").collect()
+    return int(counts[0]["n"]) if counts else 0
+
+
 def fill_missing_units(
     images: DataFrame, expected_units: DataFrame
 ) -> DataFrame:

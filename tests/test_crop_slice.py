@@ -179,3 +179,44 @@ def test_crop_grid_df_matches_numpy_grid(spark):
         assert [r["crop_start"] for r in rows] == starts.tolist()
         assert [r["crop_end"] for r in rows] == ends.tolist()
         assert all(r["padding"] == padding for r in rows)
+
+
+def test_reconstruct_image_stack_composite(spark):
+    from deepcell_data_engineering_spark.operators.reconstruct import (
+        ReconLog,
+        crop_and_slice,
+        reconstruct_image_stack,
+    )
+
+    stacks, h, w = 6, 60, 60
+    ys = np.zeros((stacks, h, w), dtype=np.int32)
+    for s in range(stacks):
+        ys[s, 5 : 5 + s + 1, 5 : 5 + s + 1] = 3
+    images = images_df(spark, rows_from_arrays("fovA", None, ys))
+    units, log = crop_and_slice(
+        images, crop_size=(30, 30), overlap_frac=0.1, slice_len=3, slice_overlap=1
+    )
+    # log survives a JSON round trip (the recon_log sidecar contract)
+    log2 = ReconLog.from_json(log.to_json())
+    restored = reconstruct_image_stack(units, log2)
+    masks = _collect_masks(restored)
+    assert len(masks) == stacks
+    for (_, stack, _, _), m in masks.items():
+        np.testing.assert_array_equal(m > 0, ys[stack] > 0)
+
+
+def test_write_combined_npz(spark, tmp_path):
+    from deepcell_data_engineering_spark.sources.codecs import decode_npz
+    from deepcell_data_engineering_spark.sources.images import write_combined_npz
+
+    ys = np.zeros((3, 16, 16), dtype=np.int32)
+    ys[:, :4, :4] = 5
+    xs = np.ones((3, 16, 16, 2), dtype=np.float32)
+    images = images_df(spark, rows_from_arrays("fovZ", xs, ys))
+    out = str(tmp_path / "combined.npz")
+    n = write_combined_npz(images, out)
+    assert n == 3
+    arrays = decode_npz(open(out, "rb").read())
+    assert arrays["X"].shape == (3, 16, 16, 2)
+    assert arrays["y"].shape == (3, 16, 16, 1)
+    np.testing.assert_array_equal(arrays["y"][..., 0], ys)
