@@ -88,26 +88,17 @@ def split_tranches(
     return out
 
 
-def train_val_test_split(
-    df: DataFrame,
-    data_split: tuple[float, float, float] = (0.8, 0.1, 0.1),
-    seed: int | None = None,
-) -> DataFrame:
-    """Seeded 3-way split with the reference's small-N contract
-    (build.py:179-263): N=1 → train only; N=2 → train+val; ratio
-    underflow → guarantee ≥1 image per split. Returns the input with a
-    ``split`` column ('train'/'val'/'test')."""
+def _validate_ratios(data_split: tuple[float, float, float]) -> None:
     total = round(float(sum(data_split)), 2)
     if total != 1:
         raise ValueError(f"data splits must sum to 1, supplied splits sum to {total}")
     if 0 in data_split:
         raise ValueError("all splits must be non-zero")
+
+
+def _split_sizes(n: int, data_split: tuple[float, float, float]) -> dict[str, int]:
+    """The reference's small-N sizing contract (build.py:179-263)."""
     train_ratio, val_ratio, test_ratio = data_split
-    n = _n_images(df)
-
-    rng = np.random.RandomState(seed=seed)
-    perm = rng.permutation(np.arange(n))
-
     if n == 1:
         warnings.warn("Only one image, returning training split only")
         sizes = {"train": 1, "val": 0, "test": 0}
@@ -132,11 +123,59 @@ def train_val_test_split(
                     "val": n_remainder - n_test,
                     "test": n_test,
                 }
+    return sizes
 
+
+def _assignment_rows(ids, sizes: dict[str, int], rng) -> list[tuple[int, int, str]]:
+    perm = rng.permutation(np.asarray(ids))
     rows = []
     pos = 0
     for split in ("train", "val", "test"):
         for v in perm[pos : pos + sizes[split]]:
             rows.append((int(v), 0, split))
         pos += sizes[split]
+    return rows
+
+
+def train_val_test_split(
+    df: DataFrame,
+    data_split: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    seed: int | None = None,
+) -> DataFrame:
+    """Seeded 3-way split with the reference's small-N contract
+    (build.py:179-263): N=1 → train only; N=2 → train+val; ratio
+    underflow → guarantee ≥1 image per split. Returns the input with a
+    ``split`` column ('train'/'val'/'test')."""
+    _validate_ratios(data_split)
+    n = _n_images(df)
+    rng = np.random.RandomState(seed=seed)
+    rows = _assignment_rows(np.arange(n), _split_sizes(n, data_split), rng)
+    return _index_assignment_df(df, rows)
+
+
+def per_experiment_split(
+    df: DataFrame,
+    exp_col: str = "fov",
+    data_split: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    seed: int | None = None,
+) -> DataFrame:
+    """D4 `_load_all_experiments` split scoping (dataset_builder.py:
+    165-254): the 3-way split runs WITHIN each experiment, then the
+    per-experiment splits union — so every experiment contributes to
+    every split (no experiment ends up test-only). One seeded RNG drawn
+    in sorted experiment order keeps the assignment deterministic; only
+    the per-experiment id lists (tiny) touch the driver, and the
+    assignment broadcast-joins back."""
+    _validate_ratios(data_split)
+    groups = (
+        df.groupBy(exp_col).agg(F.collect_list("img_idx").alias("ids")).collect()
+    )
+    rng = np.random.RandomState(seed=seed)
+    rows: list[tuple[int, int, str]] = []
+    for g in sorted(groups, key=lambda r: r[exp_col]):
+        ids = sorted(int(i) for i in g["ids"])
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            sizes = _split_sizes(len(ids), data_split)
+        rows += _assignment_rows(ids, sizes, rng)
     return _index_assignment_df(df, rows)

@@ -269,3 +269,27 @@ def test_build_dataset_orchestration(spark):
         data_split=(0.5, 0.25, 0.25), seed=7, min_objects=1, cache=False,
     )
     assert cleaned["train"].count() <= 16
+
+
+def test_per_experiment_split(spark):
+    from deepcell_data_engineering_spark.dataset.splitter import per_experiment_split
+
+    # 3 experiments x 6 images each, keyed by tissue as the experiment col
+    specs = [(f"exp{e}", "mibi", 2) for e in range(3) for _ in range(6)]
+    df = _dataset(spark, specs)  # tissue column holds exp id
+    out = per_experiment_split(df, exp_col="tissue", data_split=(0.5, 0.25, 0.25), seed=1)
+    per = (
+        out.groupBy("tissue", "split").count().collect()
+    )
+    counts = {(r["tissue"], r["split"]): r["count"] for r in per}
+    # every experiment contributes to every split: 3/1/2 or similar per exp
+    for e in range(3):
+        assert counts[(f"exp{e}", "train")] == 3
+        assert counts[(f"exp{e}", "val")] >= 1
+        assert counts[(f"exp{e}", "test")] >= 1
+        assert sum(counts[(f"exp{e}", s)] for s in ("train", "val", "test")) == 6
+    # deterministic
+    again = per_experiment_split(df, exp_col="tissue", data_split=(0.5, 0.25, 0.25), seed=1)
+    a = sorted(map(tuple, out.select("img_idx", "split").collect()))
+    b = sorted(map(tuple, again.select("img_idx", "split").collect()))
+    assert a == b
