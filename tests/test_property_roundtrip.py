@@ -1,0 +1,87 @@
+"""Property-based crop/slice round-trip invariants (SURVEY §5: the
+engine's addition over the reference's fixed-size tests) + UDAF checks."""
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from deepcell_data_engineering_spark.operators.cropping import crop_images, stitch_crops
+from deepcell_data_engineering_spark.operators.slicing import slice_images, stitch_slices
+from deepcell_data_engineering_spark.sources.codecs import decode_y
+from deepcell_data_engineering_spark.sources.images import images_df, rows_from_arrays
+
+
+def _mask(height, width, seed):
+    rng = np.random.RandomState(seed)
+    y = np.zeros((height, width), dtype=np.int32)
+    cell = 1
+    for _ in range(rng.randint(1, 6)):
+        r0, c0 = rng.randint(0, height - 4), rng.randint(0, width - 4)
+        y[r0 : r0 + 4, c0 : c0 + 4] = cell
+        cell += 1
+    return y
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    crop=st.integers(min_value=12, max_value=40),
+    overlap=st.sampled_from([0.0, 0.1, 0.25, 0.4]),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_crop_stitch_roundtrip_property(spark, crop, overlap, seed):
+    import math
+
+    y = _mask(50, 46, seed)
+    images = images_df(spark, rows_from_arrays("fovP", None, y[None, ...]))
+    cropped, log = crop_images(images, crop_size=(crop, crop), overlap_frac=overlap)
+    restored = stitch_crops(cropped, log)
+    r = restored.collect()[0]
+    m = decode_y(r["y"], r["height"], r["width"])
+    # invariant for ALL params (reshape_data_test.py:185-191): same support
+    np.testing.assert_array_equal(m > 0, y > 0)
+    # cell-identity preservation needs the overlap region to cover the
+    # 4px cells — with less overlap a boundary-split cell legitimately
+    # stitches into two ids (same as the reference, whose round-trip
+    # tests always use overlap_frac=0.2 with cells smaller than overlap)
+    if math.floor(crop * overlap) >= 4:
+        assert len(np.unique(m)) == len(np.unique(y))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    slice_len=st.integers(min_value=2, max_value=7),
+    overlap=st.integers(min_value=0, max_value=1),
+    stacks=st.integers(min_value=3, max_value=9),
+)
+def test_slice_stitch_roundtrip_property(spark, slice_len, overlap, stacks):
+    ys = np.stack([_mask(20, 20, s) for s in range(stacks)])
+    images = images_df(spark, rows_from_arrays("fovQ", None, ys))
+    sliced, log = slice_images(images, slice_len=slice_len, slice_overlap=overlap)
+    restored = stitch_slices(sliced, log)
+    masks = {r["stack"]: decode_y(r["y"], r["height"], r["width"]) for r in restored.collect()}
+    assert len(masks) == stacks
+    for s in range(stacks):
+        np.testing.assert_array_equal(masks[s], ys[s])
+
+
+def test_hmean_and_exact_median_udafs(spark):
+    from deepcell_data_engineering_spark.functions.udafs import exact_median, hmean
+
+    df = spark.createDataFrame(
+        [("a", 0.5), ("a", 1.0), ("b", 0.0), ("b", 1.0), ("c", 3.0)],
+        "grp string, v double",
+    )
+    rows = {
+        r["grp"]: (r["hm"], r["med"])
+        for r in df.groupBy("grp")
+        .agg(hmean(F.col("v")).alias("hm"), exact_median(F.col("v")).alias("med"))
+        .collect()
+    }
+    # harmonic mean of (0.5, 1.0) = 2/3; zero value -> 0.0 (F1 contract)
+    assert rows["a"][0] == pytest.approx(2 / 3)
+    assert rows["b"][0] == 0.0
+    assert rows["c"][0] == 3.0
+    assert rows["a"][1] == pytest.approx(0.75)
