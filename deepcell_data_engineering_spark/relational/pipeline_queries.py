@@ -397,3 +397,27 @@ def x14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(
         emb, emb.where(F.col("vec_id") < 10), n_centroids=8, nprobe=2, k=5
     ).orderBy("query_id", "rank")
+
+
+@_q(
+    "x15_json_extract",
+    """SELECT event_type,
+              (json_extract_string(props, '$.k')::BIGINT) // 10 AS k_bucket,
+              COUNT(*) AS n,
+              ROUND(AVG(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k
+       FROM events
+       GROUP BY event_type, k_bucket
+       ORDER BY event_type, k_bucket""",
+    doc="Schema-on-read JSON extraction over events.props (the metadata "
+    "document pattern, data_loader.py:380-394): get_json_object path "
+    "extraction feeding a grouped aggregate.",
+)
+def x15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", (k / 10).cast("long").alias("k_bucket"), k.alias("k"))
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("k"), 4).alias("avg_k"))
+        .orderBy("event_type", "k_bucket")
+    )
