@@ -382,14 +382,22 @@ def build_dataset(
     from deepcell_data_engineering_spark.dataset.splitter import train_val_test_split
 
     shapes = validate_output_shape(output_shape)
-    split_df = train_val_test_split(df, data_split=data_split, seed=seed)
+    # persist the split assignment: each split's pipeline (plus the
+    # emptiness probe) would otherwise re-run the split join from scratch
+    split_df = train_val_test_split(df, data_split=data_split, seed=seed).persist()
+    split_counts = {
+        r["split"]: r["n"]
+        for r in split_df.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
     out: dict[str, DataFrame] = {}
     for (split, shape), balance_this in zip(
         zip(("train", "val", "test"), shapes), (balance, balance, False)
     ):
         part = split_df.where(F.col("split") == split).drop("split")
-        if part.limit(1).count() == 0:
-            out[split] = part
+        if split_counts.get(split, 0) == 0:
+            # empty frame with the SAME post-reshape schema as the other
+            # splits, so unionByName across splits always works
+            out[split] = df.sparkSession.createDataFrame([], DATASET_SCHEMA)
             continue
         part = subset_dataset(part, tissues=tissues, platforms=platforms)
         part = reshape_dataset(part, shape, resize=resize)
@@ -402,5 +410,6 @@ def build_dataset(
             )
         if balance_this:
             part = balance_dataset(part, seed=seed)
+        part = part.select(*_DS_COLS)  # uniform schema ('copy' etc. dropped)
         out[split] = part.persist() if cache else part
     return out

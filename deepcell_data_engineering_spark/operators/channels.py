@@ -90,6 +90,8 @@ def set_channel_colors(df: DataFrame, plot_colors: list[str], n_channels: int | 
     come out blank)."""
     if not set(plot_colors) <= set(CALIBAN_COLOR_ORDER):
         raise ValueError(f"supplied plot_colors not valid, must be one of: {CALIBAN_COLOR_ORDER}")
+    if len(set(plot_colors)) != len(plot_colors):
+        raise ValueError("plot_colors contains duplicates; each channel needs its own color")
     first = df.select("channels").first()
     channel_names = list(first["channels"]) if first and first["channels"] else []
     if n_channels is None:

@@ -53,18 +53,25 @@ def salted_join(
     big: DataFrame,
     small: DataFrame,
     key: str,
+    salt_source: str,
     n_salts: int = 8,
-    salt_source: str | None = None,
     how: str = "inner",
 ) -> DataFrame:
-    """Skew-resistant equi join. ``salt_source``: a high-cardinality
-    column on the big side used to derive a deterministic salt (defaults
-    to the key itself via monotonically varying hash of all columns is
-    NOT deterministic — callers pass a real column, e.g. the row's unique
-    id). The small side is replicated across all salts with one explode.
+    """Skew-resistant equi join. ``salt_source`` is a high-cardinality
+    column on the big side (e.g. the row's unique id); its hash spreads
+    each hot key across ``n_salts`` sub-keys deterministically. The small
+    side is replicated across all salts with one explode.
+
+    Only ``inner`` and ``left`` are allowed: the big side carries exactly
+    one salt per row so those joins are row-for-row equivalent to the
+    unsalted join, while right/full outer would emit one null-extended
+    row per salt for unmatched small-side keys (n_salts-fold inflation).
     """
-    src = F.col(salt_source) if salt_source else F.spark_partition_id()
-    big_salted = big.withColumn("_salt", F.pmod(F.hash(src), F.lit(n_salts)))
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports how='inner'/'left', got {how!r}")
+    big_salted = big.withColumn(
+        "_salt", F.pmod(F.hash(F.col(salt_source)), F.lit(n_salts))
+    )
     small_salted = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

@@ -91,6 +91,10 @@ class FigureEightClient:
             params={"type": "full", "key": self.key},
             allow_redirects=True,
         )
+        if getattr(resp, "status_code", 200) != 200:
+            raise ValueError(
+                f"download_report not successful. Status code: {resp.status_code}"
+            )
         save_path = os.path.join(log_dir, "job_report.zip")
         with open(save_path, "wb") as fh:
             fh.write(resp.content)

@@ -262,10 +262,21 @@ def write_combined_npz(df: DataFrame, out_path: str) -> int:
     format parity with the reference's notebook hand-off.)"""
 
     def write_all(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # accumulate ALL batches, then sort ONCE: Arrow may deliver the
+        # single partition as several batches, and per-batch sorting would
+        # interleave the batch axis
+        parts = [pdf for pdf in batches if len(pdf)]
         xs, ys, n = [], [], 0
-        for pdf in batches:
-            pdf = pdf.sort_values(["fov", "crop", "slice", "stack"])
-            for _, r in pdf.iterrows():
+        if parts:
+            whole = pd.concat(parts).sort_values(["fov", "crop", "slice", "stack"])
+            for payload_col in ("X", "y"):
+                present = whole[payload_col].notna()
+                if present.any() and not present.all():
+                    raise ValueError(
+                        f"mixed null/non-null {payload_col} payloads would "
+                        "misalign the combined batch axis; fill or drop them first"
+                    )
+            for _, r in whole.iterrows():
                 h, w = int(r["height"]), int(r["width"])
                 nchan = len(r["channels"]) if r["channels"] is not None else 0
                 if r["X"] is not None:

@@ -96,9 +96,15 @@ class OntologySpec:
     _levels: dict = field(init=False, repr=False)
 
     def __post_init__(self) -> None:
-        # phase-only imaging may omit compartment (data_loader.py:87-88)
+        # phase-only imaging may omit compartment (data_loader.py:87-88);
+        # normalize+canonicalize imaging_type FIRST so 'phase', ['phase'],
+        # and ['Phase'] all qualify
+        imaging = self.imaging_type
+        if isinstance(imaging, str):
+            imaging = [imaging]
+        imaging = canonicalize_vocab("imaging_type", [str(v).lower() for v in imaging])
         if self.compartment is None:
-            if self.imaging_type != ["phase"]:
+            if imaging != ["phase"]:
                 raise ValueError("compartment not specified (required unless imaging_type == ['phase'])")
             self.compartment = "all"
         self._levels = {}
@@ -174,7 +180,14 @@ def load_metadata(spark: SparkSession, glob_path: str) -> DataFrame:
     df = df.withColumn("metadata_path", F.input_file_name())
     for fld in df.schema.fields:
         if fld.dataType.typeName() == "array":
-            df = df.withColumn(fld.name, F.array_join(F.col(fld.name), " "))
+            # stringify elements first: array_join requires array<string>,
+            # but JSON lists may infer numeric (e.g. {"dims": [512, 512]})
+            df = df.withColumn(
+                fld.name,
+                F.array_join(
+                    F.transform(F.col(fld.name), lambda x: x.cast("string")), " "
+                ),
+            )
     return df.na.drop(how="any", subset=[f.name for f in df.schema.fields if f.name != "metadata_path"])
 
 
@@ -190,22 +203,23 @@ def pad_ragged_stacks(images: DataFrame, blank_payload: bytes | None = None) -> 
     per_fov = (
         images.groupBy("fov")
         .agg(
-            F.max("stack").alias("have_max"),
             F.first("height").alias("height"),
             F.first("width").alias("width"),
             F.first("channels").alias("channels"),
             F.first("compartment").alias("compartment"),
         )
-        .withColumn("global_max", F.max("have_max").over(Window.partitionBy()))
+    )
+    global_max = images.agg(F.max("stack")).collect()[0][0]
+    if global_max is None:
+        return images
+    full_grid = per_fov.select(
+        "fov", "height", "width", "channels", "compartment",
+        F.explode(F.sequence(F.lit(0), F.lit(int(global_max)))).alias("stack"),
     )
     holes = (
-        # sequence(a, b) with a > b generates a DESCENDING range — guard so
-        # fully-populated fovs contribute no hole rows
-        per_fov.filter(F.col("have_max") < F.col("global_max"))
-        .select(
-            "fov", "height", "width", "channels", "compartment",
-            F.explode(F.sequence(F.col("have_max") + 1, F.col("global_max"))).alias("stack"),
-        )
+        # left-anti against existing keys fills BOTH interior gaps (a fov
+        # with stacks {0, 3}) and short tails, per the full-grid design
+        full_grid.join(images.select("fov", "stack"), on=["fov", "stack"], how="left_anti")
         .withColumn("crop", F.lit(0))
         .withColumn("slice", F.lit(0))
         .withColumn("X", F.lit(blank_payload).cast("binary"))
@@ -243,9 +257,16 @@ def natural_sort_key(col: Column | str) -> list[Column]:
     natural order as a composite ORDER BY key — (text-with-digits-blanked,
     first-number) — entirely JVM-side."""
     c = F.col(col) if isinstance(col, str) else col
+    # compare EVERY numeric group, not just the first ('d1_9' < 'd1_10'):
+    # left-pad each number to fixed width so lexicographic array order
+    # equals numeric order, like the reference's per-chunk int comparison
+    nums = F.transform(
+        F.regexp_extract_all(c, F.lit(r"([0-9]+)"), 1),
+        lambda x: F.lpad(x, 20, "0"),
+    )
     return [
         F.regexp_replace(c, r"[0-9]+", ""),
-        F.coalesce(F.regexp_extract(c, r"([0-9]+)", 1).cast("long"), F.lit(-1)),
+        nums,
         c,
     ]
 

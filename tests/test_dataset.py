@@ -293,3 +293,17 @@ def test_per_experiment_split(spark):
     a = sorted(map(tuple, out.select("img_idx", "split").collect()))
     b = sorted(map(tuple, again.select("img_idx", "split").collect()))
     assert a == b
+
+
+def test_build_dataset_uniform_schema_small_n(spark):
+    from deepcell_data_engineering_spark.dataset.builder import build_dataset
+
+    with pytest.warns(UserWarning):
+        splits = build_dataset(
+            _dataset(spark, SPECS[:1]), output_shape=(20, 20), seed=0, cache=False
+        )
+    cols = {k: v.columns for k, v in splits.items()}
+    assert cols["train"] == cols["val"] == cols["test"]
+    # empty splits union cleanly with populated ones
+    allrows = splits["train"].unionByName(splits["val"]).unionByName(splits["test"])
+    assert allrows.count() == splits["train"].count()

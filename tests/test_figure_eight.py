@@ -142,3 +142,15 @@ def test_default_transport_gated():
         f8.FigureEightClient(key="k")
     except NotImplementedError:
         pass
+
+
+def test_download_report_failure_raises(tmp_path):
+    class FailingTransport(FakeTransport):
+        def get(self, url, params=None, allow_redirects=False):
+            if url.endswith(".csv?"):
+                return FakeResponse(status_code=500)
+            return super().get(url, params, allow_redirects)
+
+    client = f8.FigureEightClient(key="k", transport=FailingTransport())
+    with pytest.raises(ValueError, match="download_report not successful"):
+        client.download_report(42, str(tmp_path))

@@ -308,3 +308,47 @@ def test_overlay_channel_pair_dataframe(spark):
     r = out.collect()[0]
     assert r["channels"] == ["overlay"]
     assert decode_x(r["X"], 100, 100, 1).shape == (100, 100, 1)
+
+
+# ---------------------------------------------------------------------------
+# Regression tests (code-review findings)
+# ---------------------------------------------------------------------------
+
+
+def test_natural_sort_multi_number(spark):
+    names = ["d1_9.tif", "d1_10.tif", "d1_2.tif", "d2_1.tif"]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    out = [r["name"] for r in loader.natural_sorted(df, "name").collect()]
+    assert out == ["d1_2.tif", "d1_9.tif", "d1_10.tif", "d2_1.tif"]
+
+
+def test_phase_string_form_allows_none_compartment():
+    spec = loader.OntologySpec(imaging_type="phase", compartment=None)
+    assert spec._levels["compartment"] is None
+    spec2 = loader.OntologySpec(imaging_type=["Phase"], compartment=None)
+    assert spec2._levels["compartment"] is None
+
+
+def test_pad_ragged_stacks_fills_interior_holes(spark):
+    df = blank_images(spark, fovs=1, stacks=4, height=8, width=8)
+    holey = df.filter(~F.col("stack").isin([1, 2]))  # keep stacks {0, 3}
+    padded = loader.pad_ragged_stacks(holey)
+    stacks = sorted(r["stack"] for r in padded.select("stack").collect())
+    assert stacks == [0, 1, 2, 3]
+    assert padded.filter(F.col("y").isNull()).count() == 2
+
+
+def test_load_metadata_numeric_arrays(spark, tmp_path):
+    d = tmp_path / "meta2"
+    d.mkdir()
+    (d / "a.json").write_text(json.dumps({"dims": [512, 512], "EXP_ID": "e1"}))
+    meta = loader.load_metadata(spark, str(d / "*.json"))
+    assert meta.collect()[0]["dims"] == "512 512"
+
+
+def test_set_channel_colors_duplicate_colors_raise(spark):
+    df = _one_image_df(
+        spark, {"DNA": np.ones((100, 100), np.float32), "Mem": np.ones((100, 100), np.float32)}
+    )
+    with pytest.raises(ValueError, match="duplicates"):
+        ch.set_channel_colors(df, ["red", "red"])

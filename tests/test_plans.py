@@ -63,3 +63,12 @@ def test_salted_join_matches_plain_join(spark):
     a = sorted(map(tuple, plain.collect()))
     b = sorted(map(tuple, salted.collect()))
     assert a == b and len(a) > 0
+
+
+def test_salted_join_rejects_outer(spark):
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    with pytest.raises(ValueError, match="inner"):
+        layout.salted_join(orders, cust, key="o_custkey", salt_source="o_orderkey", how="full")
