@@ -1,0 +1,100 @@
+"""As-of join — a time-series operator Spark's DataFrame API lacks.
+
+The reference's closest shape is frame-to-frame propagation ("the most
+recent previous frame's labels", relabel.py:227-276); the general form —
+for each left row, the latest right row at-or-before it per key — is the
+standard as-of join of time-series engines (DuckDB/kdb/pandas
+merge_asof).
+
+Spark-native implementation: NO cross/range join. Both sides union into
+one keyed stream tagged by side; ONE window sorted by (time, side)
+carries the last-seen right payload forward; left rows then read their
+carried match. Cost = one shuffle on the key + one sort — the same plan
+shape as any windowed aggregate, linear at 100 TB, no candidate-pair
+blow-up. (A range-join formulation would be O(left x right-per-key).)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | list[str] | None = None,
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance=None,
+    suffix: str = "_matched",
+) -> DataFrame:
+    """For every left row, attach the nearest right row per ``by`` key:
+    at-or-before it (``backward``) or at-or-after it (``forward``).
+
+    ``value_cols``: right columns to carry (default: all non-key,
+    non-time columns). The matched right timestamp is exposed as
+    ``{on}{suffix}``; unmatched left rows keep nulls (left-join
+    semantics). ``tolerance``: a Column/interval expression; matches
+    further than it are nulled out (pandas merge_asof semantics).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    by = [by] if isinstance(by, str) else list(by or [])
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in by + [on]]
+    carried = [f"{c}{suffix}" for c in value_cols] + [f"{on}{suffix}"]
+
+    l_tag = left.select(
+        *by, on, *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[on].dataType).alias("__r_ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in left.columns if c not in by + [on]],
+    )
+    r_tag = right.select(
+        *by, on, *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.col(on).alias("__r_ts"),
+        F.lit(0).alias("__side"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in by + [on]
+        ],
+    )
+    both = l_tag.unionByName(r_tag)
+
+    # backward: sort ascending; right (side 0) sorts before left at equal
+    # time, so an exact-time right row IS visible to the left row.
+    # forward: same trick on the reversed time axis.
+    if direction == "backward":
+        order = [F.col(on).asc(), F.col("__side").asc()]
+    else:
+        order = [F.col(on).desc(), F.col("__side").asc()]
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried_exprs = [
+        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+        for c in value_cols
+    ] + [F.last("__r_ts", ignorenulls=True).over(w).alias(f"{on}{suffix}")]
+
+    out = (
+        both.select("*", *carried_exprs)
+        .where(F.col("__side") == 1)
+        .drop("__side", "__r_ts", *[f"__r_{c}" for c in value_cols])
+    )
+    if tolerance is not None:
+        gap = (
+            F.col(on) - F.col(f"{on}{suffix}")
+            if direction == "backward"
+            else F.col(f"{on}{suffix}") - F.col(on)
+        )
+        keep = gap <= tolerance
+        out = out.select(
+            *[c for c in out.columns if c not in carried],
+            *[F.when(keep, F.col(c)).alias(c) for c in carried],
+        )
+    return out

@@ -421,3 +421,39 @@ def x15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("k"), 4).alias("avg_k"))
         .orderBy("event_type", "k_bucket")
     )
+
+
+@_q(
+    "x16_asof_join",
+    """WITH p AS (
+         SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+       ),
+       v AS (
+         SELECT user_id, ts, MAX(event_id) AS view_id
+         FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+       )
+       SELECT p.event_id, p.user_id, v.view_id AS view_id_matched
+       FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+       ORDER BY p.event_id""",
+    doc="As-of join (each purchase joined to the user's most recent "
+    "at-or-before view): Spark side is the union+window carry-forward "
+    "composition (one shuffle, no range-join blow-up); oracle side is "
+    "DuckDB's native ASOF JOIN.",
+)
+def x16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    return (
+        asof_join(purchases, views, on="ts", by="user_id", value_cols=["view_id"])
+        .select("event_id", "user_id", "view_id_matched")
+        .orderBy("event_id")
+    )

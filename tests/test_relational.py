@@ -24,3 +24,38 @@ def test_query_matches_oracle(spark, con, name):
         return
     res = compare(name, df, con, spec.oracle)
     assert res.ok, f"{name}: {res.detail} (spark={res.spark_rows}, oracle={res.oracle_rows})"
+
+
+def test_asof_join_directions_and_tolerance(spark):
+    from pyspark.sql import functions as F
+
+    from deepcell_data_engineering_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 10, "a"), ("u1", 20, "b"), ("u2", 5, "c")], "k string, ts long, tag string"
+    )
+    right = spark.createDataFrame(
+        [("u1", 8, 100), ("u1", 10, 200), ("u1", 15, 300), ("u2", 9, 400)],
+        "k string, ts long, v int",
+    )
+    back = {
+        r["tag"]: (r["v_matched"], r["ts_matched"])
+        for r in asof_join(left, right, on="ts", by="k").collect()
+    }
+    # exact-time match is inclusive; latest at-or-before wins
+    assert back["a"] == (200, 10)
+    assert back["b"] == (300, 15)
+    assert back["c"] == (None, None)  # u2 has no view at-or-before ts=5
+
+    fwd = {
+        r["tag"]: r["v_matched"]
+        for r in asof_join(left, right, on="ts", by="k", direction="forward").collect()
+    }
+    assert fwd["a"] == 200 and fwd["b"] is None and fwd["c"] == 400
+
+    tol = {
+        r["tag"]: r["v_matched"]
+        for r in asof_join(left, right, on="ts", by="k", tolerance=F.lit(2)).collect()
+    }
+    assert tol["a"] == 200  # gap 0 <= 2
+    assert tol["b"] is None  # gap 5 > 2 nulled
