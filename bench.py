@@ -57,6 +57,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # the query surface GROWS round over round; normalize
+                # before comparing totals across rounds
+                "n_queries": len(timings),
+                "sec_per_query": round(total / max(len(timings), 1), 4),
             }
         )
     )
