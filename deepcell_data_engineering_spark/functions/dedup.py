@@ -55,13 +55,18 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id",
-             distinct: bool = True) -> DataFrame:
+             distinct: bool = True, widen: bool = True) -> DataFrame:
     """Explode each doc into its character k-gram shingles. Docs shorter
     than k contribute their whole text once.
 
     ``distinct=False`` skips the per-doc dedup shuffle — correct for any
     duplicate-insensitive consumer (MinHash min-aggregation); set-based
-    consumers (Jaccard) need the default."""
+    consumers (Jaccard) need the default. ``widen=False`` skips the
+    pre-explode repartition for callers feeding bounded subsets."""
+    from deepcell_data_engineering_spark.plans.layout import spread
+
+    if widen:
+        df = spread(df)  # the k-gram explode fans out ~len(text)x
     n = F.greatest(F.length(F.col(text_col)) - F.lit(k - 1), F.lit(1))
     out = df.select(
         id_col,
@@ -159,7 +164,9 @@ def ngram_jaccard_pairs(
     LSH) the shingle join is restricted to candidates — the scale path;
     without it, all pairs sharing >=1 shingle are scored (verification /
     small-N path)."""
-    sh = shingles(df, k=k, text_col=text_col, id_col=id_col)
+    # verification path: inputs are bounded candidate subsets, so the
+    # pre-explode widen shuffle costs more than it spreads
+    sh = shingles(df, k=k, text_col=text_col, id_col=id_col, widen=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -198,8 +205,11 @@ def simhash(
     """SimHash over whitespace tokens: token hash = first 60 bits of md5;
     per bit position, sum +1/-1 across the doc's distinct tokens; set the
     bit where the sum is positive. md5-derived, engine-portable."""
+    from deepcell_data_engineering_spark.plans.layout import spread
+
     tokens = (
-        df.select(
+        spread(df)
+        .select(
             id_col,
             F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
         )

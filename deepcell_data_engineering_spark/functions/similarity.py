@@ -80,9 +80,13 @@ def srp_buckets(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Sign-random-projection bucket id per vector: bit i = sign of
-    dot(v, plane_i). One narrow projection, no shuffle."""
+    dot(v, plane_i). One narrow projection (plus a widen-repartition when
+    the scan arrives single-partition: the n_planes x dim dot products
+    per row are the cost, not the scan)."""
+    from deepcell_data_engineering_spark.plans.layout import spread
+
     planes = _hyperplanes(dim, n_planes, seed)
-    v = _as_double(df, vec_col)
+    v = _as_double(spread(df), vec_col)
     bucket = F.lit(0).cast("bigint")
     for i, plane in enumerate(planes):
         arr = F.array(*[F.lit(float(w)) for w in plane])
@@ -141,10 +145,12 @@ def ivf_assign(
     nearest centroids by cosine (ties -> smaller centroid id). Centroids
     are broadcast (they are tiny: k rows); assignment is one narrow
     broadcast join + window — the inverted-file build step."""
+    from deepcell_data_engineering_spark.plans.layout import spread
+
     c = _as_double(centroids, vec_col).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("vcent")
     )
-    v = _as_double(df, vec_col)
+    v = _as_double(spread(df), vec_col)
     scored = v.crossJoin(F.broadcast(c)).select(
         id_col, vec_col, "centroid_id",
         cosine_expr(F.col(vec_col), F.col("vcent")).alias("_cs"),

@@ -49,6 +49,36 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def spread(
+    df: DataFrame,
+    fanout: int = 32,
+    min_bytes_per_task: int = 256 * 1024,
+) -> DataFrame:
+    """Widen a narrow scan before a high-fan-out operator (explode,
+    per-row hashing, flatMap-style UDF). A small parquet file arrives as
+    ONE input partition; an explode that multiplies work 100-1000x then
+    runs on one core. One cheap round-robin shuffle of the PRE-fan-out
+    rows spreads the expensive downstream work across the cluster.
+
+    Work-aware: the target task count is estimated from the optimizer's
+    size statistics times ``fanout`` (the caller's work multiplier), so a
+    40-row verification subset is NOT shuffled into 32 near-empty tasks
+    while a full-corpus shingle explode is. No-op when the input is
+    already wide enough or the estimated work is below one task's worth."""
+    sess = df.sparkSession
+    max_tasks = sess.sparkContext.defaultParallelism
+    try:
+        size_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        size_bytes = min_bytes_per_task * max_tasks  # unknown: assume big
+    target = min(max_tasks, max(1, (size_bytes * fanout) // min_bytes_per_task))
+    if target <= 1 or df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(int(target))
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
