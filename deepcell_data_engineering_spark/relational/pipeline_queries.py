@@ -457,3 +457,54 @@ def x16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "view_id_matched")
         .orderBy("event_id")
     )
+
+
+@_q(
+    "x17_sessionize",
+    """WITH flagged AS (
+         SELECT user_id, ts, value,
+                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events
+       ),
+       sess AS (
+         SELECT user_id, ts, value,
+                SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+         FROM flagged
+       )
+       SELECT user_id,
+              epoch_us(MIN(ts)) AS sess_start_us,
+              epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS sess_end_us,
+              COUNT(*) AS n_events,
+              ROUND(SUM(value), 2) AS sum_value
+       FROM sess GROUP BY user_id, sid
+       ORDER BY user_id, sess_start_us""",
+    doc="Sessionization: Spark's native session_window (the batch twin of "
+    "streaming/windows.py:session_counts — same operator, same plan) "
+    "cross-checked against an independent gaps-and-islands SQL "
+    "formulation. Session = events per user separated by < 30 min; "
+    "window end = last event + gap, matching Spark's semantics. One "
+    "shuffle on user_id; timestamps exported as exact epoch micros so "
+    "the hash compare is engine-neutral.",
+)
+def x17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("sess_start_us"),
+            F.unix_micros(F.col("w.end")).alias("sess_end_us"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "sess_start_us")
+    )
