@@ -117,6 +117,60 @@ def minhash_signatures(
     return chunked.groupBy(id_col).agg(*aggs)
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer et al., SIGMOD 2003):
+    hash every char k-gram with the j=0 2-universal hash of its md5
+    chunks (engine-portable, like MinHash), slide a w-hash window over
+    positions, keep each full window's minimum, and dedup — the selected
+    minima are the doc's fingerprint set. Any substring match of length
+    >= w + k - 1 between two docs is guaranteed to share a fingerprint.
+
+    One explode + one window over (id, pos) — a single shuffle on the doc
+    id; density is ~2/(w+1) of the k-gram count, so the fingerprint table
+    is a fraction of the shingle table's size at 100 TB."""
+    from pyspark.sql import Window
+
+    from deepcell_data_engineering_spark.plans.layout import spread
+
+    a, b, c = minhash_params(0)
+    n = F.greatest(F.length(F.col(text_col)) - F.lit(k - 1), F.lit(1))
+    grams = (
+        spread(df)
+        .select(
+            id_col,
+            n.alias("n_grams"),
+            F.explode(F.sequence(F.lit(1), n)).alias("pos"),
+            F.col(text_col),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "pos",
+            F.col(text_col).substr(F.col("pos"), F.lit(k)).alias("gram"),
+        )
+    )
+    digest = F.md5(F.col("gram"))
+    x1 = F.conv(F.substring(digest, 1, 7), 16, 10).cast("long")
+    x2 = F.conv(F.substring(digest, 9, 7), 16, 10).cast("long")
+    h = F.pmod(F.lit(a) * x1 + F.lit(b) * x2 + F.lit(c), F.lit(MINHASH_P))
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.currentRow, w - 1
+    )
+    return (
+        grams.select(id_col, "n_grams", "pos", h.alias("h"))
+        .select(id_col, "n_grams", "pos", F.min("h").over(win).alias("fp"))
+        .where(F.col("pos") <= F.greatest(F.col("n_grams") - F.lit(w - 1), F.lit(1)))
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: list[list[str]] | None = None,

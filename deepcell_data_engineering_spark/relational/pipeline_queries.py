@@ -508,3 +508,57 @@ def x17(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "sess_start_us")
     )
+
+
+def _winnow_oracle(k: int, w: int) -> str:
+    """DuckDB dual of winnow_fingerprints — generated from the same
+    minhash_params(0) coefficients so the dialects cannot drift."""
+    a, b, c = dd.minhash_params(0)
+    return f"""WITH g AS (
+         SELECT doc_id,
+                greatest(length(text) - {k - 1}, 1) AS n_grams,
+                i AS pos,
+                substr(text, i, {k}) AS gram
+         FROM documents,
+              LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - {k - 1}, 1))) AS i)
+       ),
+       h AS (
+         SELECT doc_id, n_grams, pos,
+                ({a} * ('0x' || substr(md5(gram), 1, 7))::BIGINT
+               + {b} * ('0x' || substr(md5(gram), 9, 7))::BIGINT
+               + {c}) % {dd.MINHASH_P} AS h
+         FROM g
+       ),
+       sel AS (
+         SELECT DISTINCT doc_id, fp FROM (
+           SELECT doc_id, pos, n_grams,
+                  MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp
+           FROM h
+         ) WHERE pos <= greatest(n_grams - {w - 1}, 1)
+       )
+       SELECT doc_id, COUNT(*) AS n_fp, MIN(fp) AS min_fp, MAX(fp) AS max_fp
+       FROM sel GROUP BY doc_id ORDER BY doc_id"""
+
+
+@_q(
+    "x18_winnow_fingerprint",
+    _winnow_oracle(k=5, w=4),
+    doc="Document fingerprinting by winnowing (Schleimer et al. 2003): "
+    "rolling k-gram hash, per-window minima, distinct — guarantees any "
+    "substring match of length >= w+k-1 shares a fingerprint. Spark side "
+    "is one explode + one window (single shuffle); both engines hash via "
+    "md5 chunks so the fingerprint values are bit-identical.",
+)
+def x18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dd.winnow_fingerprints(docs, k=5, w=4)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -14,6 +14,7 @@ from deepcell_data_engineering_spark.functions.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    winnow_fingerprints,
 )
 from deepcell_data_engineering_spark.functions.similarity import (
     cosine_topk,
@@ -79,6 +80,25 @@ def test_ngram_jaccard_scores(spark, docs):
     assert out[(0, 1)] == 1.0
     assert 0.5 < out[(0, 2)] < 1.0
     assert out.get((0, 5), 0.0) < 0.2
+
+
+def test_winnow_guarantee_and_density(spark, docs):
+    k, w = 5, 4
+    fps = winnow_fingerprints(docs, k=k, w=w)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # identical docs -> identical fingerprint sets
+    assert by_doc[0] == by_doc[1]
+    # near-dup shares a long substring (>= w+k-1 chars) -> must share a fp
+    assert by_doc[0] & by_doc[2]
+    # density: winnowing selects ~2/(w+1) of k-gram positions, never more
+    # than the number of full windows
+    base_len = docs.where(F.col("doc_id") == 0).select(F.length("text")).head()[0]
+    assert len(by_doc[0]) <= base_len - (k - 1) - (w - 1)
+    assert len(by_doc[0]) < (base_len - k + 1) / 2
+    # unrelated doc: tiny overlap at most (hash collisions on short grams)
+    assert len(by_doc[0] & by_doc[5]) <= 1
 
 
 def test_simhash_near_dup_close_hamming(spark, docs):
