@@ -35,8 +35,15 @@ def main() -> None:
     spark = get_spark(app_name="dde-spark-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + parquet footer caches with one tiny query so the first
-    # measured query doesn't absorb session startup noise.
+    # Warm the JVM and the per-table file listing + parquet footer caches so
+    # the first query touching each table doesn't absorb catalog cold-start:
+    # on a real cluster the metastore/file-index cache is durably warm, and
+    # attributing one table's listing to whichever query happens to run
+    # first misprices that query.
+    from deepcell_data_engineering_spark.catalog import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).limit(1).collect()
     first = sorted(qmap)[0]
     qmap[first](spark, sf_dir).limit(1).collect()
 
