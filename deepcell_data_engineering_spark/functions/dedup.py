@@ -98,10 +98,11 @@ def minhash_signatures(
     """MinHash signature per doc: h_j = min over shingles of a 2-universal
     hash of the shingle's md5. ONE md5 per shingle (the j functions are
     integer arithmetic over two 28-bit digest chunks; every intermediate
-    < 2^62, so ANSI-safe), and ONE shuffle total: min() is duplicate-
+    < 2^62, so ANSI-safe), and ONE wide shuffle: min() is duplicate-
     insensitive, so shingles skip their dedup shuffle, and the groupBy
     partial-aggs map-side (each task ships one row per (doc, j), not the
-    shingles)."""
+    shingles). The only other exchange is spread()'s cheap round-robin of
+    the PRE-explode doc rows when the scan arrives too narrow."""
     sh = shingles(df, k=k, text_col=text_col, id_col=id_col, distinct=False)
     digest = F.md5(F.col("shingle"))
     x1 = F.conv(F.substring(digest, 1, 7), 16, 10).cast("long")

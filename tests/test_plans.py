@@ -51,6 +51,25 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     assert joined.count() == plain.count()
 
 
+def test_sessionize_plan_is_one_agg_shuffle(spark):
+    df = QUERIES["x17_sessionize"].build(spark, SF)
+    # one hash exchange for the session-window aggregation + the final
+    # range exchange for the deterministic ORDER BY — nothing else
+    assert pi.count_exchanges(df) == 2
+
+
+def test_winnow_reuses_window_partitioning(spark):
+    from deepcell_data_engineering_spark.functions import dedup as dd
+
+    docs = load_table(spark, SF, "documents")
+    fps = dd.winnow_fingerprints(docs)
+    # the spread round-robin + the window's hash exchange on doc_id; the
+    # trailing distinct on (doc_id, fp) must REUSE the window's
+    # partitioning (hash on doc_id co-locates every (doc_id, fp) group),
+    # not add a third exchange
+    assert pi.count_exchanges(fps) == 2
+
+
 def test_salted_join_matches_plain_join(spark):
     orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
     cust = load_table(spark, SF, "customer").select(
