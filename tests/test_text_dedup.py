@@ -82,6 +82,27 @@ def test_ngram_jaccard_scores(spark, docs):
     assert out.get((0, 5), 0.0) < 0.2
 
 
+def test_nonportable_hash_path_same_semantics(spark, docs):
+    # portable=False swaps md5 for JVM xxhash64 (the production path);
+    # hash VALUES differ but the dedup semantics must be unchanged
+    sigs = minhash_signatures(docs, num_hashes=8, k=5, portable=False)
+    pairs = lsh_candidate_pairs(
+        sigs, bands=[[f"h{i}"] for i in range(8)], portable=False
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 2) in got and (0, 5) not in got
+
+    sh = {r["doc_id"]: int(r["simhash"]) for r in
+          simhash(docs, bits=16, portable=False).collect()}
+    assert sh[0] == sh[1]
+    assert bin(sh[0] ^ sh[2]).count("1") < bin(sh[0] ^ sh[5]).count("1")
+
+    fp = {}
+    for r in winnow_fingerprints(docs, portable=False).collect():
+        fp.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fp[0] == fp[1] and (fp[0] & fp[2])
+
+
 def test_winnow_guarantee_and_density(spark, docs):
     k, w = 5, 4
     fps = winnow_fingerprints(docs, k=k, w=w)
