@@ -134,6 +134,116 @@ def lsh_topk(
     )
 
 
+# beyond this many centroid floats, inlining literals bloats the plan;
+# switch to the broadcast-join assignment
+_INLINE_LIMIT = 8192
+
+
+def kmeans_fit(
+    df: DataFrame,
+    n_clusters: int = 8,
+    max_iter: int = 5,
+    tol: float = 1e-6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column — the IVF centroid
+    trainer (see ivf_topk) and the engine's representative ITERATIVE
+    algorithm: centroids live on the driver (k x dim floats — tiny),
+    and each iteration is ONE distributed pass over the corpus: a
+    broadcast nearest-centroid assignment (cosine, ties to the smaller
+    centroid id — identical to ivf_assign) plus a per-dimension avg
+    aggregate built from fixed column expressions (no explode, no
+    Python; one shuffle of k x dim partial aggregates per iteration).
+
+    Deterministic: init = the n_clusters lowest-id vectors, no RNG.
+    Stops early when no centroid moves more than ``tol`` (squared L2).
+    Returns (centroid_id, embedding array<double>, n_assigned).
+
+    Assignment strategy: for small models (k x dim <= ``_INLINE_LIMIT``)
+    the unit-normalized centroids are inlined as literal arrays and the
+    nearest id is ``array_position(scores, array_max(scores))`` — no
+    join, no window, and the only shuffle per iteration is k x dim
+    partial-avg rows. For big models it falls back to the broadcast-join
+    assignment (ivf_assign's shape), which scales in k x dim but
+    shuffles the scored rows."""
+    import math
+
+    v = _as_double(df, vec_col).select(id_col, vec_col)
+    first = v.select(vec_col).head()
+    if first is None:
+        raise ValueError("kmeans_fit: empty input")
+    dim = len(first[0])
+    centroids = [
+        list(r[0])
+        for r in v.orderBy(id_col).limit(n_clusters).select(vec_col).collect()
+    ]
+    counts: dict[int, int] = {}
+    inline = n_clusters * dim <= _INLINE_LIMIT
+
+    for _ in range(max_iter):
+        if inline:
+            # cosine argmax == dot-with-unit-centroid argmax (the common
+            # 1/|v| factor preserves order); first max wins -> ties break
+            # to the smaller centroid id, matching ivf_assign. Built as
+            # ONE SQL string: thousands of literal Column objects would
+            # cost a py4j round-trip each and dominate the iteration.
+            dots = []
+            for c in centroids:
+                cn = math.sqrt(sum(x * x for x in c)) or 1.0
+                arr = "array(" + ",".join(f"{x / cn!r}d" for x in c) + ")"
+                dots.append(
+                    f"aggregate(zip_with({vec_col}, {arr}, (a, b) -> a * b),"
+                    f" 0d, (acc, s) -> acc + s)"
+                )
+            scores = "array(" + ",".join(dots) + ")"
+            assigned = v.selectExpr(
+                vec_col,
+                f"cast(array_position({scores}, array_max({scores})) - 1"
+                f" as int) as centroid_id",
+            )
+        else:
+            c_df = v.sparkSession.createDataFrame(
+                [(i, c) for i, c in enumerate(centroids)],
+                schema="centroid_id INT, vcent ARRAY<DOUBLE>",
+            )
+            assigned = ivf_assign(
+                v, c_df.withColumnRenamed("centroid_id", id_col)
+                .withColumnRenamed("vcent", vec_col),
+                vec_col, id_col, nprobe=1,
+            )
+        mean_arr = (
+            "array(" + ",".join(f"avg({vec_col}[{i}])" for i in range(dim)) + ")"
+        )
+        stats = (
+            assigned.groupBy("centroid_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr(mean_arr).alias("mean_vec"),
+            )
+            .collect()
+        )
+        new_centroids = list(centroids)
+        counts = {r["centroid_id"]: int(r["n"]) for r in stats}
+        for r in stats:  # empty clusters keep their previous centroid
+            new_centroids[r["centroid_id"]] = [float(x) for x in r["mean_vec"]]
+        shift = max(
+            sum((a - b) ** 2 for a, b in zip(old, new))
+            for old, new in zip(centroids, new_centroids)
+        )
+        centroids = new_centroids
+        if shift <= tol:
+            break
+
+    return df.sparkSession.createDataFrame(
+        [
+            (i, c, counts.get(i, 0))
+            for i, c in enumerate(centroids)
+        ],
+        schema=f"centroid_id INT, {vec_col} ARRAY<DOUBLE>, n_assigned BIGINT",
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
@@ -171,17 +281,24 @@ def ivf_topk(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k — the ANN scale path alongside SRP-LSH.
 
-    Centroids are the ``n_centroids`` lowest-id corpus vectors
-    (deterministic, no RNG; a k-means refinement would slot in the same
-    shape). Corpus vectors live in exactly one inverted list (nprobe=1);
+    Default centroids are the ``n_centroids`` lowest-id corpus vectors
+    (deterministic, no RNG — keeps the oracle SQL-expressible); pass
+    ``centroids=kmeans_fit(corpus, ...)`` for trained lists with tighter
+    recall. Corpus vectors live in exactly one inverted list (nprobe=1);
     queries probe their ``nprobe`` nearest lists; exact cosine + window
     top-k runs on the union of probed lists only. At scale the candidate
     join shuffles on centroid_id instead of scanning the corpus per
     query, and each list is a co-partitioned bucket."""
-    centroids = corpus.orderBy(id_col).limit(n_centroids)
+    if centroids is None:
+        centroids = corpus.orderBy(id_col).limit(n_centroids)
+    else:
+        centroids = centroids.select(
+            F.col("centroid_id").alias(id_col), vec_col
+        )
     inv = ivf_assign(corpus, centroids, vec_col, id_col, nprobe=1).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vc"), "centroid_id"
     )

@@ -510,6 +510,29 @@ def x17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "x19_kmeans_centroids",
+    None,  # iterative algorithm: not SQL-expressible; rows-only check
+    doc="Lloyd k-means over the embeddings table (8 clusters, 3 "
+    "iterations, deterministic lowest-id init — no RNG). The engine's "
+    "representative iterative algorithm: driver-resident centroids, one "
+    "distributed pass per iteration (inline-literal assignment + "
+    "per-dimension avg; the only shuffle is k x dim partial aggregates). "
+    "Output: per-centroid assignment count and vector norm.",
+)
+def x19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    fit = sim.kmeans_fit(emb, n_clusters=8, max_iter=3)
+    norm = F.sqrt(
+        F.aggregate(F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return fit.select(
+        "centroid_id",
+        "n_assigned",
+        F.round(norm, 4).alias("centroid_norm"),
+    ).orderBy("centroid_id")
+
+
 def _winnow_oracle(k: int, w: int) -> str:
     """DuckDB dual of winnow_fingerprints — generated from the same
     minhash_params(0) coefficients so the dialects cannot drift."""

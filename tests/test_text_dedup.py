@@ -167,6 +167,47 @@ def test_embedding_neardup(spark, vectors):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 50)}
 
 
+def test_kmeans_recovers_separated_clusters(spark):
+    from deepcell_data_engineering_spark.functions.similarity import kmeans_fit
+
+    rng = np.random.default_rng(7)
+    anchors = np.eye(3)  # three orthogonal cluster directions
+    rows = []
+    for i in range(30):
+        a = anchors[i % 3]
+        v = a + 0.05 * rng.standard_normal(3)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    out = kmeans_fit(df, n_clusters=3, max_iter=10).collect()
+    assert sorted(r["n_assigned"] for r in out) == [10, 10, 10]
+    # each centroid should align tightly with one distinct anchor
+    matched = set()
+    for r in out:
+        c = np.array(r["embedding"])
+        best = int(np.argmax([c @ a / np.linalg.norm(c) for a in anchors]))
+        assert c @ anchors[best] / np.linalg.norm(c) > 0.98
+        matched.add(best)
+    assert matched == {0, 1, 2}
+
+
+def test_kmeans_join_fallback_matches_inline(spark, monkeypatch):
+    from deepcell_data_engineering_spark.catalog import load_table
+    from deepcell_data_engineering_spark.functions import similarity as sim
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    inline = sim.kmeans_fit(emb, n_clusters=4, max_iter=2).collect()
+    monkeypatch.setattr(sim, "_INLINE_LIMIT", 0)
+    joined = sim.kmeans_fit(emb, n_clusters=4, max_iter=2).collect()
+
+    def canon(rows):
+        return {
+            r["centroid_id"]: (r["n_assigned"], tuple(round(x, 9) for x in r["embedding"]))
+            for r in rows
+        }
+
+    assert canon(inline) == canon(joined)
+
+
 def test_ivf_topk_recall_vs_exact(spark):
     from deepcell_data_engineering_spark.catalog import load_table
     from deepcell_data_engineering_spark.functions import similarity as sim
