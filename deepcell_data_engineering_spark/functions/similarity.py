@@ -169,9 +169,20 @@ def kmeans_fit(
     shuffles the scored rows."""
     import math
 
-    v = _as_double(df, vec_col).select(id_col, vec_col)
+    from pyspark import StorageLevel
+
+    # Iterative algorithm: every Lloyd pass re-scans the working set, so
+    # persist the narrow (id, vec) projection once — the standard Spark
+    # posture for iterative ML (MLlib's KMeans warns when its input is
+    # uncached). MEMORY_AND_DISK spills rather than OOMs at scale.
+    v = (
+        _as_double(df, vec_col)
+        .select(id_col, vec_col)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     first = v.select(vec_col).head()
     if first is None:
+        v.unpersist()
         raise ValueError("kmeans_fit: empty input")
     dim = len(first[0])
     centroids = [
@@ -235,6 +246,7 @@ def kmeans_fit(
         if shift <= tol:
             break
 
+    v.unpersist()
     return df.sparkSession.createDataFrame(
         [
             (i, c, counts.get(i, 0))
