@@ -594,3 +594,37 @@ def d30(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@_q(
+    "d31_pivot",
+    """SELECT o_orderstatus,
+              COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+              COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low,
+              ROUND(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2) AS amt_urgent,
+              ROUND(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '5-LOW'), 2) AS amt_low
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    doc="PIVOT to wide conditional aggregates (long->wide reshape, the "
+    "relational dual of the R-series tensor reshapes). Pivot values are "
+    "pinned explicitly: an unpinned pivot() first runs a distinct-values "
+    "job over the fact table — a full extra scan at 100 TB.",
+)
+def d31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    piv = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "5-LOW"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("amt"),
+        )
+    )
+    # pivot leaves absent (status, priority) cells NULL; COUNT FILTER in
+    # the oracle yields 0 there (SUM FILTER yields NULL in both engines)
+    return piv.select(
+        "o_orderstatus",
+        F.coalesce(F.col("`1-URGENT_n`"), F.lit(0)).alias("n_urgent"),
+        F.coalesce(F.col("`5-LOW_n`"), F.lit(0)).alias("n_low"),
+        F.col("`1-URGENT_amt`").alias("amt_urgent"),
+        F.col("`5-LOW_amt`").alias("amt_low"),
+    ).orderBy("o_orderstatus")
