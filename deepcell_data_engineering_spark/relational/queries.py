@@ -628,3 +628,29 @@ def d31(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("`1-URGENT_amt`").alias("amt_urgent"),
         F.col("`5-LOW_amt`").alias("amt_low"),
     ).orderBy("o_orderstatus")
+
+
+@_q(
+    "d32_unpivot",
+    """SELECT p_partkey, metric, val FROM (
+           SELECT p_partkey, 'retail' AS metric, p_retailprice AS val FROM part
+           UNION ALL
+           SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+       ) WHERE p_partkey <= 100 ORDER BY p_partkey, metric""",
+    doc="UNPIVOT wide columns into (metric, val) long form — the inverse of "
+    "d31_pivot. unpivot() plans as a single Expand over one scan (each input "
+    "row fans out to N output rows map-side, no shuffle, no self-union "
+    "re-scan of the fact table — the UNION ALL oracle would scan twice).",
+)
+def d32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 100)
+        .select(
+            "p_partkey",
+            F.col("p_retailprice").alias("retail"),
+            F.col("p_size").cast("double").alias("size"),
+        )
+        .unpivot("p_partkey", ["retail", "size"], "metric", "val")
+        .orderBy("p_partkey", "metric")
+    )
