@@ -654,3 +654,26 @@ def d32(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unpivot("p_partkey", ["retail", "size"], "metric", "val")
         .orderBy("p_partkey", "metric")
     )
+
+
+@_q(
+    "d33_string_agg",
+    """SELECT n_regionkey,
+              string_agg(n_name, ',' ORDER BY n_name) AS nations,
+              COUNT(*) AS n
+       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    doc="Ordered string aggregation (LISTAGG). collect_list gives no "
+    "intra-group order guarantee under parallel merge, so the list is "
+    "array_sort-ed before joining — the only way the concatenation is "
+    "deterministic across partitionings (and hence across cluster sizes).",
+)
+def d33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("n_regionkey")
+    )
