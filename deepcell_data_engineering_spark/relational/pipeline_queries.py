@@ -223,7 +223,7 @@ def x07(spark: SparkSession, sf_dir: str) -> DataFrame:
          FROM h, bits GROUP BY doc_id, b
        )
        SELECT doc_id,
-              SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+              CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
        FROM per_bit GROUP BY doc_id ORDER BY doc_id""",
     doc="16-bit SimHash document fingerprints from md5 token hashes.",
 )
@@ -278,17 +278,60 @@ def x10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.embedding_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
 
 
+# All SFs of the synthetic embeddings table share this dimensionality
+# (verified per-SF); a constant keeps the SRP oracle generatable and
+# removes the per-call `.first()` dim probe.
+EMB_DIM = 64
+
+
+def _srp_oracle(dim: int, n_planes: int, k: int, n_queries: int) -> str:
+    """DuckDB dual of srp_buckets + lsh_topk: the deterministic
+    hyperplane floats (numpy RandomState(0), same as the Spark side) are
+    inlined as DOUBLE[] literals, exactly the generated-oracle pattern
+    _minhash_oracle_terms uses — the two engines cannot drift. Python's
+    shortest-roundtrip float repr parses back to the identical double."""
+    planes = sim._hyperplanes(dim, n_planes, seed=0)
+    bits = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(w)) for w in plane) + "]::DOUBLE[]"
+        bits.append(
+            f"CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << i} ELSE 0 END"
+        )
+    bucket = "\n                + ".join(bits)
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+       q AS (SELECT vec_id AS query_id, v AS vq, bucket FROM b WHERE vec_id < {n_queries}),
+       c AS (SELECT vec_id AS neighbor_id, v AS vc, bucket FROM b),
+       scored AS (
+         SELECT query_id, neighbor_id,
+                list_dot_product(vq, vc)
+                  / (sqrt(list_dot_product(vq, vq)) * sqrt(list_dot_product(vc, vc))) AS s
+         FROM c JOIN q USING (bucket)
+         WHERE neighbor_id != query_id
+       ),
+       ranked AS (
+         SELECT query_id, neighbor_id, s,
+                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+         FROM scored
+       )
+       SELECT query_id, neighbor_id, rank, ROUND(s, 6) AS cosine
+       FROM ranked WHERE rank <= {k} ORDER BY query_id, rank"""
+
+
 @_q(
     "x11_srp_lsh_topk",
-    None,  # hyperplane literals are engine-internal -> rows-only check
+    _srp_oracle(dim=EMB_DIM, n_planes=6, k=5, n_queries=10),
     doc="Sign-random-projection LSH approximate top-k (the ANN scale "
-    "path); validated against exact top-k in tests/test_similarity.py.",
+    "path): candidates restricted to the query's SRP bucket, exact "
+    "cosine + window top-k on the candidate set. Oracle-checkable "
+    "because the hyperplanes are deterministic literals shared with the "
+    "generated DuckDB SQL; also validated against exact top-k in "
+    "tests/test_similarity.py.",
 )
 def x11(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
     return sim.lsh_topk(
-        emb, emb.where(F.col("vec_id") < 10), dim=dim, k=5, n_planes=6
+        emb, emb.where(F.col("vec_id") < 10), dim=EMB_DIM, k=5, n_planes=6
     ).orderBy("query_id", "rank")
 
 
