@@ -41,20 +41,33 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    from pyspark.sql.types import StructField, StructType
+
     by = [by] if isinstance(by, str) else list(by or [])
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in by + [on]]
     carried = [f"{c}{suffix}" for c in value_cols] + [f"{on}{suffix}"]
 
+    # The matched right row travels as ONE struct so a single
+    # last(ignorenulls=True) carries the whole tuple: a NULL inside a
+    # matched row's value column is inherited as NULL (DuckDB/pandas
+    # as-of semantics), never replaced by a stale value from an older
+    # right row — which per-column carries would do.
+    r_struct_t = StructType(
+        [StructField(c, right.schema[c].dataType) for c in value_cols]
+        + [StructField("__ts", right.schema[on].dataType)]
+    )
     l_tag = left.select(
-        *by, on, *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
-        F.lit(None).cast(right.schema[on].dataType).alias("__r_ts"),
+        *by, on,
+        F.lit(None).cast(r_struct_t).alias("__r"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in left.columns if c not in by + [on]],
     )
     r_tag = right.select(
-        *by, on, *[F.col(c).alias(f"__r_{c}") for c in value_cols],
-        F.col(on).alias("__r_ts"),
+        *by, on,
+        F.struct(
+            *[F.col(c).alias(c) for c in value_cols], F.col(on).alias("__ts")
+        ).alias("__r"),
         F.lit(0).alias("__side"),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
@@ -76,15 +89,15 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried_exprs = [
-        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-        for c in value_cols
-    ] + [F.last("__r_ts", ignorenulls=True).over(w).alias(f"{on}{suffix}")]
 
     out = (
-        both.select("*", *carried_exprs)
+        both.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
         .where(F.col("__side") == 1)
-        .drop("__side", "__r_ts", *[f"__r_{c}" for c in value_cols])
+        .select(
+            *[c for c in both.columns if c not in ("__r", "__side")],
+            *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in value_cols],
+            F.col("__m.__ts").alias(f"{on}{suffix}"),
+        )
     )
     if tolerance is not None:
         gap = (

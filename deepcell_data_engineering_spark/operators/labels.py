@@ -103,12 +103,23 @@ def labels_long(images: DataFrame, extra_keys: list[str] | None = None) -> DataF
     return images.mapInPandas(explode, schema=schema)
 
 
-def cell_counts(images: DataFrame) -> DataFrame:
-    """Cells per image unit — `len(np.unique(y)) - 1` (A5)."""
+def cell_counts(images: DataFrame, approx: bool = False, rsd: float = 0.02) -> DataFrame:
+    """Cells per image unit — `len(np.unique(y)) - 1` (A5).
+
+    ``approx=True`` switches to the HyperLogLog++ sketch
+    (approx_count_distinct): at 100 TB an exact countDistinct expands to
+    a two-phase distinct shuffle per group, while the sketch is a fixed
+    ~1.5 KB state merged map-side — the scale path when counts feed a
+    threshold (P2 sparse filter) rather than an exact report."""
+    cnt = (
+        F.approx_count_distinct("cell_id", rsd=rsd)
+        if approx
+        else F.countDistinct("cell_id")
+    )
     return (
         labels_long(images)
         .groupBy("fov", "stack", "crop", "slice")
-        .agg(F.countDistinct("cell_id").alias("n_cells"))
+        .agg(cnt.alias("n_cells"))
     )
 
 

@@ -553,19 +553,72 @@ def x17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle(k: int, dim: int, iters: int) -> str:
+    """DuckDB dual of kmeans_fit: the loop is unrolled into ``iters``
+    assign/update CTE pairs (deterministic lowest-id init makes every
+    pass SQL-expressible). Semantics mirrored exactly: cosine argmax ==
+    dot with unit-normalized centroid, ties to the smaller centroid id
+    (first-max), per-dimension avg update, empty clusters keep their
+    previous centroid, counts reported from the LAST assignment pass.
+    The final norm is rounded to 4 decimals so last-ulp differences in
+    cross-engine float summation order cannot flip the hash."""
+    guard = (
+        "CASE WHEN list_dot_product(cvec, cvec) = 0 THEN 1.0"
+        " ELSE sqrt(list_dot_product(cvec, cvec)) END"
+    )
+    avg_list = "[" + ", ".join(f"avg(v[{i + 1}])" for i in range(dim)) + "]"
+    ctes = [
+        "vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS (
+         SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id, v AS cvec
+         FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT {k})
+       )""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""a{i} AS (
+         SELECT vec_id, v, centroid_id FROM (
+           SELECT vec_id, v, centroid_id,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, centroid_id) AS r
+           FROM (SELECT vec_id, v, centroid_id,
+                        list_dot_product(v,
+                          list_transform(cvec, x -> x / ({guard}))) AS s
+                 FROM vecs, c{i - 1})
+         ) WHERE r = 1
+       )""")
+        ctes.append(f"""u{i} AS (
+         SELECT centroid_id, COUNT(*) AS n, {avg_list}::DOUBLE[] AS cvec
+         FROM a{i} GROUP BY centroid_id
+       )""")
+        ctes.append(f"""c{i} AS (
+         SELECT p.centroid_id, COALESCE(u.cvec, p.cvec) AS cvec
+         FROM c{i - 1} p LEFT JOIN u{i} u ON p.centroid_id = u.centroid_id
+       )""")
+    joined = ",\n       ".join(ctes)
+    return f"""WITH {joined}
+       SELECT c.centroid_id,
+              COALESCE(u.n, 0) AS n_assigned,
+              ROUND(sqrt(list_dot_product(c.cvec, c.cvec)), 4) AS centroid_norm
+       FROM c{iters} c LEFT JOIN u{iters} u ON c.centroid_id = u.centroid_id
+       ORDER BY c.centroid_id"""
+
+
 @_q(
     "x19_kmeans_centroids",
-    None,  # iterative algorithm: not SQL-expressible; rows-only check
+    _kmeans_oracle(k=8, dim=EMB_DIM, iters=3),
     doc="Lloyd k-means over the embeddings table (8 clusters, 3 "
     "iterations, deterministic lowest-id init — no RNG). The engine's "
     "representative iterative algorithm: driver-resident centroids, one "
     "distributed pass per iteration (inline-literal assignment + "
     "per-dimension avg; the only shuffle is k x dim partial aggregates). "
-    "Output: per-centroid assignment count and vector norm.",
+    "Oracle-checkable because the fixed-iteration loop unrolls into "
+    "generated assign/update CTE pairs (tol=0 pins the pass count; an "
+    "early converged break would be a fixed point anyway). Output: "
+    "per-centroid assignment count and vector norm.",
 )
 def x19(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    fit = sim.kmeans_fit(emb, n_clusters=8, max_iter=3)
+    fit = sim.kmeans_fit(emb, n_clusters=8, max_iter=3, tol=0.0)
     norm = F.sqrt(
         F.aggregate(F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x * x)
     )

@@ -677,3 +677,65 @@ def d33(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@_q(
+    "d34_cube",
+    """SELECT COALESCE(o_orderstatus, '-') AS st, COALESCE(o_orderpriority, '-') AS pr,
+              COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS amt
+       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       ORDER BY st, pr""",
+    doc="CUBE over (status, priority) — completes the GROUPING "
+    "SETS/ROLLUP/CUBE surface next to d20/d21 (the reference's benchmark "
+    "rollup shape, dataset_benchmarker.py:112-121). One Expand node fans "
+    "each row to its 4 grouping sets map-side; one shuffle.",
+)
+def d34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("amt"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("-")).alias("st"),
+            F.coalesce("o_orderpriority", F.lit("-")).alias("pr"),
+            "cnt",
+            "amt",
+        )
+        .orderBy("st", "pr")
+    )
+
+
+@_q(
+    "d35_approx_distinct",
+    """SELECT l_returnflag,
+              COUNT(DISTINCT l_partkey) AS n_exact,
+              TRUE AS approx_ok
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    doc="approx_count_distinct (HyperLogLog++) certified against the "
+    "exact count: the query emits the exact distinct count plus a "
+    "within-5%-tolerance flag for the sketch, so the nondeterministic-"
+    "across-engines sketch value itself never enters the hash compare "
+    "while its accuracy IS oracle-gated. The sketch is the A5 cell-count "
+    "scale path (operators/labels.py cell_counts(approx=True)): fixed "
+    "~KB state merged map-side vs a per-group distinct shuffle.",
+)
+def d35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_exact"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_approx"),
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            <= F.col("n_exact") * F.lit(0.05)
+        ).alias("approx_ok"),
+    ).orderBy("l_returnflag")

@@ -59,3 +59,24 @@ def test_asof_join_directions_and_tolerance(spark):
     }
     assert tol["a"] == 200  # gap 0 <= 2
     assert tol["b"] is None  # gap 5 > 2 nulled
+
+
+def test_asof_join_matched_row_null_is_inherited(spark):
+    """A NULL value column in the matched (latest at-or-before) right row
+    must come through as NULL — not a stale value carried from an older
+    right row (pandas merge_asof / DuckDB ASOF semantics: the matched
+    row's whole tuple)."""
+    from deepcell_data_engineering_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([("u1", 20, "a")], "k string, ts long, tag string")
+    right = spark.createDataFrame(
+        [("u1", 5, 100, "x"), ("u1", 15, None, "y")],
+        "k string, ts long, v int, w string",
+    )
+    out = asof_join(left, right, on="ts", by="k").collect()
+    assert len(out) == 1
+    r = out[0]
+    # matched row is ts=15: v is NULL there, w='y'; ts_matched points at it
+    assert r["ts_matched"] == 15
+    assert r["v_matched"] is None
+    assert r["w_matched"] == "y"

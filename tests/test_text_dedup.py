@@ -208,6 +208,45 @@ def test_kmeans_join_fallback_matches_inline(spark, monkeypatch):
     assert canon(inline) == canon(joined)
 
 
+def test_kmeans_matches_numpy_lloyd_reference(spark):
+    """Independent driver-side Lloyd in plain numpy, mirroring kmeans_fit
+    semantics (lowest-id init, cosine argmax with first-max ties,
+    per-dimension mean update, empty clusters keep their centroid,
+    counts from the last pass). Centroids compared to 9 decimals, counts
+    exactly — a hard expected-value check alongside the unrolled-SQL
+    oracle of x19."""
+    from deepcell_data_engineering_spark.catalog import load_table
+    from deepcell_data_engineering_spark.functions.similarity import kmeans_fit
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    k, iters = 5, 3
+    out = kmeans_fit(emb, n_clusters=k, max_iter=iters, tol=0.0).collect()
+
+    rows = sorted(
+        (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+        for r in emb.select("vec_id", "embedding").collect()
+    )
+    X = np.stack([v for _, v in rows])
+    cents = X[:k].copy()
+    counts = np.zeros(k, dtype=int)
+    for _ in range(iters):
+        norms = np.sqrt((cents**2).sum(axis=1))
+        norms[norms == 0] = 1.0
+        scores = X @ (cents / norms[:, None]).T
+        assign = scores.argmax(axis=1)  # argmax takes the first max: ties -> smaller id
+        counts = np.bincount(assign, minlength=k)
+        for c in range(k):
+            if counts[c]:
+                cents[c] = X[assign == c].mean(axis=0)
+
+    got = {r["centroid_id"]: (r["n_assigned"], np.array(r["embedding"])) for r in out}
+    assert sorted(got) == list(range(k))
+    for c in range(k):
+        n, vec = got[c]
+        assert n == counts[c]
+        np.testing.assert_allclose(vec, cents[c], rtol=0, atol=1e-9)
+
+
 def test_ivf_topk_recall_vs_exact(spark):
     from deepcell_data_engineering_spark.catalog import load_table
     from deepcell_data_engineering_spark.functions import similarity as sim
