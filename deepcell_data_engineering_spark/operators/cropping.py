@@ -143,17 +143,30 @@ def crop_images(
     crop_size: tuple[int, int] | None = None,
     crop_num: tuple[int, int] | None = None,
     overlap_frac: float = 0.0,
+    validate: bool = True,
+    dims: tuple[int, int] | None = None,
 ) -> tuple[DataFrame, CropLog]:
     """Tile every image unit into overlapping 2D crops (R2/R3).
 
     Input rows must be un-cropped (crop = 0, enforced like
     crop_utils.py:104-105). Output: one row per (input row × grid cell),
     with ``crop`` = row-major grid counter and zero-padded edges.
+
+    ``validate=False`` skips the three guard jobs (already-cropped check,
+    uniform-dims distinct, fov-name listing) for composed pipelines that
+    have already validated their input once — the grid then comes from
+    ``dims`` (or a single-row probe) and the log carries no fov names.
     """
-    already = df.select(F.countDistinct("crop").alias("n")).collect()[0]["n"]
-    if already > 1:
-        raise ValueError("images have already been cropped")
-    height, width = _uniform_dims(df)
+    if validate:
+        already = df.select(F.countDistinct("crop").alias("n")).collect()[0]["n"]
+        if already > 1:
+            raise ValueError("images have already been cropped")
+        height, width = _uniform_dims(df)
+    elif dims is not None:
+        height, width = dims
+    else:
+        probe = df.select("height", "width").first()
+        height, width = int(probe["height"]), int(probe["width"])
 
     r_starts, r_ends, r_pad = compute_crop_indices(
         height, None if crop_size is None else crop_size[0],
@@ -162,7 +175,11 @@ def crop_images(
         width, None if crop_size is None else crop_size[1],
         None if crop_num is None else crop_num[1], overlap_frac)
 
-    fov_names = [r["fov"] for r in df.select("fov").distinct().orderBy("fov").collect()]
+    fov_names = (
+        [r["fov"] for r in df.select("fov").distinct().orderBy("fov").collect()]
+        if validate
+        else []
+    )
     log = CropLog(
         row_starts=[int(v) for v in r_starts],
         row_ends=[int(v) for v in r_ends],

@@ -60,14 +60,35 @@ def crop_and_slice(
     overlap_frac: float = 0.0,
     slice_len: int | None = None,
     slice_overlap: int = 0,
+    validate: bool = True,
 ) -> tuple[DataFrame, ReconLog]:
-    """Forward pipeline (R3 then R6), emitting one merged log."""
+    """Forward pipeline (R3 then R6), emitting one merged log.
+
+    Guard jobs run at most once, against the narrow ORIGINAL input: the
+    slice step after a crop never re-validates or re-probes the
+    crop-fanned intermediate (its ``slice``/``stack`` columns are
+    untouched by cropping, and probing post-fan-out rows would cost a
+    full fan-out materialization)."""
     log = ReconLog()
     out = images
+    stack_len = None
+    if slice_len is not None and crop_size is not None:
+        # probe the stack extent pre-fan-out; one narrow agg job
+        from pyspark.sql import functions as F
+
+        stack_len = images.select(F.max("stack")).collect()[0][0] + 1
     if crop_size is not None:
-        out, log.crop = crop_images(out, crop_size=crop_size, overlap_frac=overlap_frac)
+        out, log.crop = crop_images(
+            out, crop_size=crop_size, overlap_frac=overlap_frac, validate=validate
+        )
     if slice_len is not None:
-        out, log.slice = slice_images(out, slice_len=slice_len, slice_overlap=slice_overlap)
+        out, log.slice = slice_images(
+            out,
+            slice_len=slice_len,
+            slice_overlap=slice_overlap,
+            validate=validate and crop_size is None,
+            stack_len=stack_len,
+        )
     return out, log
 
 

@@ -6,11 +6,11 @@ environment has no skimage/scipy): relabel_sequential and 8-connectivity
 connected components are re-derived from their public definitions.
 
 Spark design:
-- L1 (preserve): the label mapping is *relational* — dense_rank over the
-  distinct cell ids of ``labels_long`` — then applied to pixel payloads
-  with a broadcast mapping (mapping size = #distinct cells per stack,
-  small; at extreme scale remap labels_long by join instead and defer
-  pixel rewrite to the sink).
+- L1 (preserve): the label mapping is *relational* — a distributed
+  dense rank over the distinct cell ids of ``labels_long`` — applied to
+  pixel payloads either via a size-guarded broadcast or, above the
+  guard, via a fully distributed cell_id join + per-image pair list
+  (the mapping never touches the driver).
 - L2 (all_frames): embarrassingly parallel per image — mapInPandas.
 - L3/L4 (predict): inherently sequential along the stack (each frame's
   labels depend on the previous frame's output) — applyInPandas per
@@ -176,40 +176,129 @@ def _assert_unit(df: DataFrame) -> None:
         raise ValueError("relabeling requires un-cropped, un-sliced data")
 
 
-def relabel_preserve(df: DataFrame, start_val: int = 1) -> DataFrame:
-    """L1: one dense mapping across the whole input — every instance of a
-    cell id maps to the same new id in every frame/fov."""
-    _assert_unit(df)
+def _global_dense_ids(cell_ids: DataFrame, start_val: int) -> DataFrame:
+    """Distributed dense rank: distinct ``cell_id`` -> contiguous
+    ``new_id`` starting at ``start_val``, without a single-task global
+    window. repartitionByRange sorts ids into contiguous per-partition
+    ranges (ascending with partition id); each partition ranks locally
+    and adds its cumulative offset. The only driver data is one count
+    per partition — O(#partitions), never O(#cells)."""
     from pyspark.sql import Window
 
-    mapping_df = (
-        labels_long(df)
-        .select("cell_id")
-        .distinct()
-        .withColumn(
-            "new_id",
-            F.row_number().over(Window.orderBy("cell_id")) + F.lit(start_val - 1),
-        )
+    ranged = cell_ids.repartitionByRange("cell_id").withColumn(
+        "__p", F.spark_partition_id()
     )
-    mapping = {r["cell_id"]: r["new_id"] for r in mapping_df.collect()}
-    bc = df.sparkSession.sparkContext.broadcast(mapping)
+    counts = sorted(
+        ranged.groupBy("__p").count().collect(), key=lambda r: r["__p"]
+    )
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r["__p"], acc))
+        acc += r["count"]
+    off_df = cell_ids.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "__p int, __off long"
+    )
+    w = Window.partitionBy("__p").orderBy("cell_id")
+    return ranged.join(F.broadcast(off_df), "__p").select(
+        "cell_id",
+        (F.row_number().over(w) + F.col("__off") + F.lit(start_val - 1)).alias(
+            "new_id"
+        ),
+    )
 
-    def remap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        m = bc.value
+
+def _remap_sparse(y: np.ndarray, olds: np.ndarray, news: np.ndarray) -> np.ndarray:
+    """Rewrite nonzero labels via sorted-array lookup. Unlike a dense
+    LUT of size max(id), memory is O(#mapped cells) — one huge sparse
+    cell id cannot blow up the allocation."""
+    out = np.zeros(y.shape, dtype=np.int64)
+    nz = y != 0
+    if nz.any() and olds.size:
+        out[nz] = news[np.searchsorted(olds, y[nz])]
+    return out
+
+
+def relabel_preserve(
+    df: DataFrame,
+    start_val: int = 1,
+    distributed: bool | None = None,
+    max_broadcast_cells: int = 2_000_000,
+) -> DataFrame:
+    """L1: one dense mapping across the whole input — every instance of a
+    cell id maps to the same new id in every frame/fov.
+
+    Two physical strategies, identical semantics:
+
+    - **broadcast** (small mappings): the {cell_id -> new_id} table is
+      collected and broadcast; one narrow mapInPandas rewrites payloads.
+    - **distributed** (default above ``max_broadcast_cells`` distinct
+      cells, or forced with ``distributed=True``): the mapping NEVER
+      touches the driver. Per-image cell rows join the mapping on
+      cell_id (shuffle on cell_id), collapse to a per-image pair list
+      (small: cells in ONE image), and join back onto the images by
+      unit key; the rewrite reads each row's own pair list. Driver
+      traffic is O(#range partitions), so billions of distinct cells
+      are fine.
+
+    At 100 TB call with a persisted ``df`` — both strategies derive the
+    mapping from one labels_long pass and rewrite in a second.
+    """
+    _assert_unit(df)
+    keys = ["fov", "stack", "crop", "slice"]
+    img_cells = labels_long(df).select(*keys, "cell_id")
+    cells = img_cells.select("cell_id").distinct()
+    if distributed is None:
+        distributed = cells.count() > max_broadcast_cells
+    mapping_df = _global_dense_ids(cells, start_val)
+
+    if not distributed:
+        rows = mapping_df.collect()
+        olds_g = np.array(sorted(r["cell_id"] for r in rows), dtype=np.int64)
+        news_g = np.array(
+            [n for _, n in sorted((r["cell_id"], r["new_id"]) for r in rows)],
+            dtype=np.int64,
+        )
+        bc = df.sparkSession.sparkContext.broadcast((olds_g, news_g))
+
+        def remap_bc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            olds, news = bc.value
+            for pdf in batches:
+                for i in pdf.index:
+                    if pdf.at[i, "y"] is None:
+                        continue
+                    y = decode_y(
+                        pdf.at[i, "y"], int(pdf.at[i, "height"]), int(pdf.at[i, "width"])
+                    )
+                    pdf.at[i, "y"] = encode_y(_remap_sparse(y, olds, news))
+                yield pdf[_IMG_COLS]
+
+        return df.mapInPandas(remap_bc, schema=IMAGES_SCHEMA)
+
+    per_img = (
+        img_cells.join(mapping_df, "cell_id")
+        .groupBy(*keys)
+        .agg(F.collect_list(F.struct("cell_id", "new_id")).alias("__map"))
+    )
+    joined = df.join(per_img, keys, "left")
+
+    def remap_join(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for i in pdf.index:
                 if pdf.at[i, "y"] is None:
                     continue
-                y = decode_y(pdf.at[i, "y"], int(pdf.at[i, "height"]), int(pdf.at[i, "width"]))
-                if m:
-                    lut = np.zeros(max(int(y.max()), max(m)) + 1, dtype=np.int64)
-                    for old, new in m.items():
-                        lut[old] = new
-                    y = lut[y]
+                y = decode_y(
+                    pdf.at[i, "y"], int(pdf.at[i, "height"]), int(pdf.at[i, "width"])
+                )
+                pairs = pdf.at[i, "__map"]
+                if pairs is not None and len(pairs):
+                    olds = np.array([p["cell_id"] for p in pairs], dtype=np.int64)
+                    news = np.array([p["new_id"] for p in pairs], dtype=np.int64)
+                    order = np.argsort(olds)
+                    y = _remap_sparse(y, olds[order], news[order])
                 pdf.at[i, "y"] = encode_y(y)
             yield pdf[_IMG_COLS]
 
-    return df.mapInPandas(remap, schema=IMAGES_SCHEMA)
+    return joined.mapInPandas(remap_join, schema=IMAGES_SCHEMA)
 
 
 def relabel_all_frames(df: DataFrame, start_val: int = 1) -> DataFrame:

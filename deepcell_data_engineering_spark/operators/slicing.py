@@ -64,7 +64,11 @@ class SliceLog:
 
 
 def slice_images(
-    df: DataFrame, slice_len: int, slice_overlap: int = 0
+    df: DataFrame,
+    slice_len: int,
+    slice_overlap: int = 0,
+    validate: bool = True,
+    stack_len: int | None = None,
 ) -> tuple[DataFrame, SliceLog]:
     """Chunk the stack axis into overlapping slices (R5/R6).
 
@@ -72,18 +76,28 @@ def slice_images(
     Output rows have ``slice`` = chunk index and ``stack`` = within-chunk
     frame index. Frames in overlap regions are duplicated into every
     covering slice — exactly the dense tensor's fan-out, as a join.
+
+    ``validate=False`` skips the guard jobs (already-sliced check,
+    fov-name listing) for composed pipelines; pass ``stack_len`` to also
+    skip the max-stack probe, making plan construction job-free.
     """
-    already = df.select(F.countDistinct("slice").alias("n")).collect()[0]["n"]
-    if already > 1:
-        raise ValueError("images have already been sliced")
-    stack_len = df.select(F.max("stack")).collect()[0][0] + 1
+    if validate:
+        already = df.select(F.countDistinct("slice").alias("n")).collect()[0]["n"]
+        if already > 1:
+            raise ValueError("images have already been sliced")
+    if stack_len is None:
+        stack_len = df.select(F.max("stack")).collect()[0][0] + 1
     starts, ends = compute_slice_indices(stack_len, slice_len, slice_overlap)
     log = SliceLog(
         slice_start_indices=[int(v) for v in starts],
         slice_end_indices=[int(v) for v in ends],
         num_slices=len(starts),
         original_stack_len=int(stack_len),
-        fov_names=[r["fov"] for r in df.select("fov").distinct().orderBy("fov").collect()],
+        fov_names=(
+            [r["fov"] for r in df.select("fov").distinct().orderBy("fov").collect()]
+            if validate
+            else []
+        ),
     )
 
     spark = df.sparkSession

@@ -220,3 +220,52 @@ def test_write_combined_npz(spark, tmp_path):
     assert arrays["X"].shape == (3, 16, 16, 2)
     assert arrays["y"].shape == (3, 16, 16, 1)
     np.testing.assert_array_equal(arrays["y"][..., 0], ys)
+
+
+def test_crop_slice_validate_false_runs_no_guard_jobs(spark):
+    """validate=False must build the plan without any guard collect jobs
+    (composed pipelines validate once up front), and produce the same
+    rows as the validated path."""
+    import numpy as np
+
+    from deepcell_data_engineering_spark.operators.cropping import crop_images
+    from deepcell_data_engineering_spark.operators.slicing import slice_images
+    from deepcell_data_engineering_spark.sources.images import images_df, rows_from_arrays
+
+    ys = np.arange(4 * 20 * 20, dtype=np.int32).reshape(4, 20, 20) % 7
+    images = images_df(spark, rows_from_arrays("fov1", None, ys))
+
+    v_crops, v_log = crop_images(images, crop_size=(10, 10))
+    q_crops, q_log = crop_images(
+        images, crop_size=(10, 10), validate=False, dims=(20, 20)
+    )
+    assert q_log.row_starts == v_log.row_starts
+    assert q_log.num_crops == v_log.num_crops
+    assert q_log.fov_names == []  # not listed in the fast path
+    assert q_crops.count() == v_crops.count()
+
+    v_slices, vs_log = slice_images(images, slice_len=2)
+    q_slices, qs_log = slice_images(images, slice_len=2, validate=False, stack_len=4)
+    assert qs_log.slice_start_indices == vs_log.slice_start_indices
+    assert q_slices.count() == v_slices.count()
+
+    # with dims and stack_len given, plan construction runs zero jobs
+    df_cls = type(images)
+    calls = []
+    orig_collect, orig_first = df_cls.collect, df_cls.first
+
+    def spy_collect(self):
+        calls.append("collect")
+        return orig_collect(self)
+
+    def spy_first(self):
+        calls.append("first")
+        return orig_first(self)
+
+    df_cls.collect, df_cls.first = spy_collect, spy_first
+    try:
+        crop_images(images, crop_size=(10, 10), validate=False, dims=(20, 20))
+        slice_images(images, slice_len=2, validate=False, stack_len=4)
+    finally:
+        df_cls.collect, df_cls.first = orig_collect, orig_first
+    assert calls == []
