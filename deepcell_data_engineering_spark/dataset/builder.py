@@ -267,12 +267,69 @@ def clean_labels(
 # ---------------------------------------------------------------------------
 
 
-def balance_dataset(df: DataFrame, seed: int = 0, category: str = "tissue") -> DataFrame:
+def balance_dataset(
+    df: DataFrame,
+    seed: int = 0,
+    category: str = "tissue",
+    exact_parity: bool = True,
+) -> DataFrame:
     """Upsample every category to the max category count by seeded
     choice-with-replacement — the reference's exact RNG call pattern
     (dataset_builder.py:441-496): np.random.seed(seed), then one
     np.random.choice per under-represented category in np.unique order.
-    Assignment is driver-side over image ids; rows stay distributed."""
+    Assignment is driver-side over image ids; rows stay distributed.
+
+    ``exact_parity=False`` is the 1e9-image path: the driver sees only
+    per-category counts. Members get a within-category dense rank
+    (operators/ranking.py — no per-category single-task window); a
+    generated draws table (spark.range x category dim) picks member
+    ranks by seeded hash, and one distributed join materializes the
+    choice. Same output contract — every category lands on the max
+    count, full categories keep each member exactly once — different
+    (still seed-deterministic) draws than numpy."""
+    if not exact_parity:
+        from deepcell_data_engineering_spark.operators.ranking import (
+            global_dense_rank,
+        )
+
+        members = df.select("img_idx", category).distinct()
+        cat_counts = members.groupBy(category).agg(
+            F.count(F.lit(1)).alias("__n")
+        )  # O(#categories)
+        stats = cat_counts.collect()
+        if not stats:
+            return df
+        max_counts = max(r["__n"] for r in stats)
+        ranked = global_dense_rank(
+            members, "img_idx", partition_cols=[category], out_col="__r"
+        )
+        spark = df.sparkSession
+        cat_dim = F.broadcast(
+            spark.createDataFrame(
+                [(r[category], int(r["__n"])) for r in stats],
+                f"{category} {df.schema[category].dataType.simpleString()}, __n long",
+            )
+        )
+        draws = (
+            spark.range(max_counts)
+            .select(F.col("id").cast("int").alias("copy"))
+            .crossJoin(cat_dim)
+            .withColumn(
+                "__r",
+                F.when(
+                    F.col("__n") == max_counts, F.col("copy").cast("long")
+                ).otherwise(
+                    F.pmod(
+                        F.xxhash64(F.col(category), F.col("copy"), F.lit(seed)),
+                        F.col("__n"),
+                    )
+                ),
+            )
+            .select(category, "copy", "__r")
+        )
+        assign = draws.join(ranked, on=[category, "__r"]).select("img_idx", "copy")
+        return df.drop("copy").join(assign, on="img_idx", how="inner")
+
     order = [
         (int(r["img_idx"]), r[category])
         for r in df.select("img_idx", category).distinct().orderBy("img_idx").collect()
@@ -368,6 +425,7 @@ def build_dataset(
     small_object_threshold: int = 0,
     min_objects: int = 0,
     cache: bool = True,
+    exact_parity: bool = True,
 ) -> dict[str, DataFrame]:
     """D10 `build_dataset` (dataset_builder.py:566-649): the composed
     training-set query. Per split: subset (P1) -> reshape (D7/R11) ->
@@ -384,7 +442,9 @@ def build_dataset(
     shapes = validate_output_shape(output_shape)
     # persist the split assignment: each split's pipeline (plus the
     # emptiness probe) would otherwise re-run the split join from scratch
-    split_df = train_val_test_split(df, data_split=data_split, seed=seed).persist()
+    split_df = train_val_test_split(
+        df, data_split=data_split, seed=seed, exact_parity=exact_parity
+    ).persist()
     split_counts = {
         r["split"]: r["n"]
         for r in split_df.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -409,7 +469,7 @@ def build_dataset(
                 min_objects=min_objects,
             )
         if balance_this:
-            part = balance_dataset(part, seed=seed)
+            part = balance_dataset(part, seed=seed, exact_parity=exact_parity)
         part = part.select(*_DS_COLS)  # uniform schema ('copy' etc. dropped)
         out[split] = part.persist() if cache else part
     return out

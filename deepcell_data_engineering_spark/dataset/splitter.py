@@ -12,6 +12,16 @@ only the index permutation does. (The reference's train/val/test split
 delegates to sklearn's shuffle; sklearn is not available here, so that
 split is seeded-numpy deterministic with the same edge-case contract, not
 bit-identical to sklearn.)
+
+Scale design (``exact_parity=False``): at ~1e9 images even the index
+permutation bottlenecks the driver, so the scale path replaces the numpy
+permutation with a seeded hash order — ``xxhash64(img_idx, seed)`` ranks
+images via the distributed dense rank of operators/ranking.py — and
+assigns splits by rank boundary. Same size contract (including the
+small-N edge cases), same determinism per seed, prefix-nesting preserved
+for tranches (every tranche is a prefix of ONE hash order); the only
+driver data is one count per range partition. Not bit-identical to the
+numpy permutation, which is exactly the trade the flag names.
 """
 
 from __future__ import annotations
@@ -23,6 +33,17 @@ import numpy as np
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from deepcell_data_engineering_spark.operators.ranking import global_dense_rank
+
+
+def _hash_ranked(df: DataFrame, seed: int) -> DataFrame:
+    """Distinct img_idx ranked by the seeded hash order — the scale
+    path's permutation. Returns (img_idx, __r) with __r in [0, n)."""
+    ids = df.select("img_idx").distinct().withColumn(
+        "__h", F.xxhash64(F.col("img_idx"), F.lit(int(seed)))
+    )
+    return global_dense_rank(ids, ["__h", "img_idx"], out_col="__r").drop("__h")
 
 
 def _index_assignment_df(df: DataFrame, rows: list[tuple[int, int, str]]):
@@ -45,11 +66,16 @@ def split_tranches(
     split_proportions: list[float] | None = None,
     min_size: int = 1,
     seed: int = 0,
+    exact_parity: bool = True,
 ) -> dict[str, DataFrame]:
     """Nested prefix tranches (dataset_splitter.py:94-153): one seeded
     permutation; each tranche is a prefix of it, so smaller tranches are
     subsets of larger ones. Tranches below ``min_size`` tile their
-    indices up to min_size (duplication)."""
+    indices up to min_size (duplication).
+
+    ``exact_parity=False``: the permutation becomes the seeded hash
+    order (module docstring) — prefixes still nest because every tranche
+    cuts the SAME order; nothing O(n) touches the driver."""
     if (split_counts is None) == (split_proportions is None):
         raise ValueError("exactly one of split_counts or split_proportions must be supplied")
     n = _n_images(df)
@@ -73,6 +99,29 @@ def split_tranches(
             raise ValueError("duplicate splits are not allowed")
         split_counts = [max(int(n * p), 1) for p in split_proportions]
         keys = [str(p) for p in split_proportions]
+
+    if not exact_parity:
+        ranked = _hash_ranked(df, seed)
+        out_s: dict[str, DataFrame] = {}
+        for key, count in zip(keys, split_counts):
+            prefix = ranked.where(F.col("__r") < count)
+            if count < min_size:
+                # tiny tranche by definition — tiling via a generated
+                # copy dim keeps the reference's duplicated-batch counts
+                mult = int(np.ceil(min_size / count))
+                copies = df.sparkSession.range(mult).select(
+                    F.col("id").cast("int").alias("copy")
+                )
+                assign = (
+                    prefix.crossJoin(F.broadcast(copies))
+                    .withColumn("__pos", F.col("copy") * count + F.col("__r"))
+                    .where(F.col("__pos") < min_size)
+                    .select("img_idx", "copy")
+                )
+            else:
+                assign = prefix.select("img_idx", F.lit(0).alias("copy"))
+            out_s[key] = df.join(assign, on="img_idx", how="inner")
+        return out_s
 
     permuted = np.random.RandomState(seed=seed).permutation(np.arange(n))
     out: dict[str, DataFrame] = {}
@@ -141,15 +190,34 @@ def train_val_test_split(
     df: DataFrame,
     data_split: tuple[float, float, float] = (0.8, 0.1, 0.1),
     seed: int | None = None,
+    exact_parity: bool = True,
 ) -> DataFrame:
     """Seeded 3-way split with the reference's small-N contract
     (build.py:179-263): N=1 → train only; N=2 → train+val; ratio
     underflow → guarantee ≥1 image per split. Returns the input with a
-    ``split`` column ('train'/'val'/'test')."""
+    ``split`` column ('train'/'val'/'test').
+
+    ``exact_parity=False``: same size contract, but assignment is by
+    seeded-hash rank boundary (module docstring) — the driver sees one
+    scalar count and one count per range partition, never the index
+    permutation."""
     _validate_ratios(data_split)
     n = _n_images(df)
+    sizes = _split_sizes(n, data_split)
+    if not exact_parity:
+        ranked = _hash_ranked(df, 0 if seed is None else seed)
+        b1, b2 = sizes["train"], sizes["train"] + sizes["val"]
+        assign = ranked.select(
+            "img_idx",
+            F.lit(0).alias("copy"),
+            F.when(F.col("__r") < b1, "train")
+            .when(F.col("__r") < b2, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        return df.join(assign, on="img_idx", how="inner")
     rng = np.random.RandomState(seed=seed)
-    rows = _assignment_rows(np.arange(n), _split_sizes(n, data_split), rng)
+    rows = _assignment_rows(np.arange(n), sizes, rng)
     return _index_assignment_df(df, rows)
 
 

@@ -18,7 +18,7 @@ Design notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from deepcell_data_engineering_spark.functions.text import fingerprint
@@ -198,13 +198,27 @@ def lsh_candidate_pairs(
     bands: list[list[str]] | None = None,
     id_col: str = "doc_id",
     portable: bool = True,
-) -> DataFrame:
+    max_band_size: int | None = None,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Candidate near-dup pairs: docs sharing any band hash.
 
     ``bands``: list of signature-column groups, e.g. [["h0","h1"],
     ["h2","h3"]]. Each band hashes the concat of its columns (md5 when
     ``portable``, else the prefixed tuple itself via xxhash64); an equi
     self-join per band, unioned and distinct'd.
+
+    ``max_band_size`` is the production skew guard: a degenerate corpus
+    (mass-duplicated boilerplate collapsing half the docs into one band)
+    would otherwise generate a quadratic pair blow-up inside a single
+    join task — AQE can split the task but not shrink the pair count.
+    When set, bands holding more docs than the cap are DIVERTED from
+    pair generation into a second DataFrame ``(band, doc_id)`` of
+    known-duplicate clusters (every member of an over-cap band is a
+    near-certain duplicate; downstream keeps one representative per
+    cluster instead of scoring O(n^2) pairs). Per-band sizes come from
+    one count window over the SAME band shuffle the self-join needs, so
+    the guard adds no extra shuffle — both join sides reuse the
+    exchange. Returns ``(pairs, clusters)`` when the cap is set.
     """
     hash_cols = [c for c in signatures.columns if c != id_col]
     if bands is None:
@@ -222,9 +236,20 @@ def lsh_candidate_pairs(
         *[_band_key(i, band_cols) for i, band_cols in enumerate(bands)]
     )
     banded = signatures.select(F.col(id_col), F.explode(band_exprs).alias("band"))
+    hot = None
+    if max_band_size is not None:
+        sized = banded.withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy("band"))
+        )
+        banded = sized.where(F.col("__n") <= max_band_size).drop("__n")
+        hot = (
+            sized.where(F.col("__n") > max_band_size)
+            .select("band", id_col)
+            .distinct()
+        )
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    pairs = (
         a.join(b, on="band")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
@@ -233,6 +258,7 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+    return pairs if hot is None else (pairs, hot)
 
 
 def ngram_jaccard_pairs(

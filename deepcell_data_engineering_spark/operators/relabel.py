@@ -178,33 +178,13 @@ def _assert_unit(df: DataFrame) -> None:
 
 def _global_dense_ids(cell_ids: DataFrame, start_val: int) -> DataFrame:
     """Distributed dense rank: distinct ``cell_id`` -> contiguous
-    ``new_id`` starting at ``start_val``, without a single-task global
-    window. repartitionByRange sorts ids into contiguous per-partition
-    ranges (ascending with partition id); each partition ranks locally
-    and adds its cumulative offset. The only driver data is one count
-    per partition — O(#partitions), never O(#cells)."""
-    from pyspark.sql import Window
+    ``new_id`` starting at ``start_val`` (operators/ranking.py — driver
+    traffic is O(#partitions), never O(#cells))."""
+    from deepcell_data_engineering_spark.operators.ranking import global_dense_rank
 
-    ranged = cell_ids.repartitionByRange("cell_id").withColumn(
-        "__p", F.spark_partition_id()
-    )
-    counts = sorted(
-        ranged.groupBy("__p").count().collect(), key=lambda r: r["__p"]
-    )
-    offsets, acc = [], 0
-    for r in counts:
-        offsets.append((r["__p"], acc))
-        acc += r["count"]
-    off_df = cell_ids.sparkSession.createDataFrame(
-        offsets or [(0, 0)], "__p int, __off long"
-    )
-    w = Window.partitionBy("__p").orderBy("cell_id")
-    return ranged.join(F.broadcast(off_df), "__p").select(
-        "cell_id",
-        (F.row_number().over(w) + F.col("__off") + F.lit(start_val - 1)).alias(
-            "new_id"
-        ),
-    )
+    return global_dense_rank(
+        cell_ids, "cell_id", out_col="new_id", start=start_val
+    ).select("cell_id", "new_id")
 
 
 def _remap_sparse(y: np.ndarray, olds: np.ndarray, news: np.ndarray) -> np.ndarray:

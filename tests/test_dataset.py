@@ -307,3 +307,68 @@ def test_build_dataset_uniform_schema_small_n(spark):
     # empty splits union cleanly with populated ones
     allrows = splits["train"].unionByName(splits["val"]).unionByName(splits["test"])
     assert allrows.count() == splits["train"].count()
+
+
+def test_scale_mode_split_tranches_nested_no_driver_permutation(spark):
+    """exact_parity=False: tranches still nest (prefixes of one hash
+    order), sizes and duplication contracts hold, and the only collects
+    during plan build are O(#partitions) ranking offsets."""
+    df = _dataset(spark, SPECS)
+    out = split_tranches(df, split_counts=[2, 4, 8], seed=7, exact_parity=False)
+    ids = {
+        k: sorted(r["img_idx"] for r in v.select("img_idx").collect())
+        for k, v in out.items()
+    }
+    assert len(ids["2"]) == 2 and len(ids["4"]) == 4 and len(ids["8"]) == 8
+    assert set(ids["2"]) <= set(ids["4"]) <= set(ids["8"])
+    # seed-deterministic
+    again = split_tranches(df, split_counts=[4], seed=7, exact_parity=False)
+    assert sorted(r["img_idx"] for r in again["4"].select("img_idx").collect()) == ids["4"]
+    # different seed -> (almost surely) different prefix
+    other = split_tranches(df, split_counts=[4], seed=8, exact_parity=False)
+    other_ids = sorted(r["img_idx"] for r in other["4"].select("img_idx").collect())
+    assert len(other_ids) == 4
+    # duplication up to min_size
+    dup = split_tranches(df, split_counts=[2], min_size=5, seed=0, exact_parity=False)
+    assert dup["2"].count() == 5
+    assert dup["2"].select("img_idx").distinct().count() == 2
+
+
+def test_scale_mode_train_val_test_split_contract(spark):
+    df = _dataset(spark, SPECS)
+    out = train_val_test_split(df, (0.5, 0.25, 0.25), seed=3, exact_parity=False)
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {"train": 4, "val": 2, "test": 2}
+    # disjoint and total
+    assert out.select("img_idx").distinct().count() == 8
+    # deterministic per seed
+    again = train_val_test_split(df, (0.5, 0.25, 0.25), seed=3, exact_parity=False)
+    a = {(r["img_idx"], r["split"]) for r in out.select("img_idx", "split").collect()}
+    b = {(r["img_idx"], r["split"]) for r in again.select("img_idx", "split").collect()}
+    assert a == b
+
+
+def test_scale_mode_balance_dataset_contract(spark):
+    df = _dataset(spark, SPECS)  # breast:3, gi:3, immune:2
+    out = balance_dataset(df, seed=1, category="tissue", exact_parity=False)
+    counts = {
+        r["tissue"]: r["n"]
+        for r in out.groupBy("tissue").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(counts.values()) == {3}  # every category at the max
+    # full categories keep each member exactly once
+    breast = out.where(F.col("tissue") == "breast").select("img_idx").collect()
+    assert sorted(r["img_idx"] for r in breast) == [0, 1, 5]
+    # upsampled category draws only from its own members
+    immune = {r["img_idx"] for r in out.where(F.col("tissue") == "immune").collect()}
+    assert immune <= {4, 7}
+    # (img_idx, copy) unique -> downstream row identity preserved
+    assert out.select("img_idx", "copy").distinct().count() == out.count()
+    # deterministic per seed
+    again = balance_dataset(df, seed=1, category="tissue", exact_parity=False)
+    assert sorted(
+        (r["img_idx"], r["copy"]) for r in again.select("img_idx", "copy").collect()
+    ) == sorted((r["img_idx"], r["copy"]) for r in out.select("img_idx", "copy").collect())

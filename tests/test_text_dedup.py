@@ -266,3 +266,34 @@ def test_ivf_topk_recall_vs_exact(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in sc:
             assert abs(r["cosine"] - sc[key]) < 1e-9
+
+
+def test_lsh_band_skew_cap_bounds_pairs(spark):
+    """One band holding half the corpus must not explode into quadratic
+    pairs when the cap is set: its docs are diverted to a known-duplicate
+    cluster output, and surviving pairs come only from under-cap bands."""
+    from deepcell_data_engineering_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    # 20 near-identical docs (one hot band) + 10 distinct docs
+    rows = [(i, "common boilerplate text repeated verbatim in every doc") for i in range(20)]
+    rows += [(100 + i, f"unique document number {i} " + " ".join(f"w{i}{j}" for j in range(12)))
+             for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs, num_hashes=8, k=5)
+
+    uncapped = lsh_candidate_pairs(sigs, bands=[["h0", "h1"], ["h2", "h3"]])
+    assert uncapped.count() >= 190  # 20*19/2 pairs from the hot band
+
+    pairs, clusters = lsh_candidate_pairs(
+        sigs, bands=[["h0", "h1"], ["h2", "h3"]], max_band_size=10
+    )
+    hot_docs = {r["doc_id"] for r in clusters.collect()}
+    assert set(range(20)) <= hot_docs  # the boilerplate block is diverted
+    surviving = pairs.collect()
+    # no surviving pair may have BOTH endpoints inside the capped band
+    hot_pairs = [r for r in surviving if r["id_a"] in hot_docs and r["id_b"] in hot_docs]
+    assert len(hot_pairs) == 0
+    assert len(surviving) <= 45  # bounded: only the 10 distinct docs can pair
