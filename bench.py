@@ -47,14 +47,23 @@ def main() -> None:
     first = sorted(qmap)[0]
     qmap[first](spark, sf_dir).limit(1).collect()
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in sorted(qmap):
-        t0 = time.perf_counter()
-        qmap[name](spark, sf_dir).collect()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
-        total += dt
+    # median of n runs per query: round-over-round deltas shouldn't be
+    # single-sample noise (GC pause, first-touch page faults)
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in qmap}
+    for _ in range(runs):
+        for name in sorted(qmap):
+            t0 = time.perf_counter()
+            qmap[name](spark, sf_dir).collect()
+            samples[name].append(time.perf_counter() - t0)
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    timings = {name: round(median(xs), 4) for name, xs in samples.items()}
+    total = sum(timings.values())
 
     print(
         json.dumps(
@@ -68,6 +77,12 @@ def main() -> None:
                 # before comparing totals across rounds
                 "n_queries": len(timings),
                 "sec_per_query": round(total / max(len(timings), 1), 4),
+                "runs_per_query": runs,
+                "p95_query_sec": round(
+                    sorted(timings.values())[max(0, int(len(timings) * 0.95) - 1)], 4
+                )
+                if timings
+                else 0.0,
             }
         )
     )
