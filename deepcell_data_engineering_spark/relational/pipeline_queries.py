@@ -681,3 +681,33 @@ def x18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@_q(
+    "x20_interval_join",
+    """SELECT l.event_id AS event_id, r.event_id AS event_id_r
+       FROM (SELECT * FROM events WHERE event_type = 'view') l
+       JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+         ON l.user_id = r.user_id
+        AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+       ORDER BY event_id, event_id_r""",
+    doc="Interval (stream-stream) join, batch form: each view paired "
+    "with the same user's purchases in the following hour — "
+    "streaming/windows.py:interval_join, the attribution shape whose "
+    "streaming twin is watermark-bounded. Equi-key hash join on "
+    "user_id; the time range is a co-partitioned post-join filter, "
+    "never a cross product.",
+)
+def x20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.streaming.windows import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    return (
+        interval_join(views, purchases, max_delay="1 hour")
+        .select("event_id", "event_id_r")
+        .orderBy("event_id", "event_id_r")
+    )

@@ -739,3 +739,140 @@ def d35(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("n_exact") * F.lit(0.05)
         ).alias("approx_ok"),
     ).orderBy("l_returnflag")
+
+
+@_q(
+    "d36_exists_subquery",
+    """SELECT o_orderstatus, COUNT(*) AS n_orders
+       FROM orders o
+       WHERE EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    doc="Correlated EXISTS subquery — Catalyst decorrelates it into a "
+    "left-semi hash join with the predicate pushed below the join (the "
+    "SQL-surface twin of d13's DataFrame semi join).",
+)
+def d36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_d36_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_d36_lineitem")
+    return spark.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n_orders
+           FROM _d36_orders o
+           WHERE EXISTS (SELECT 1 FROM _d36_lineitem l
+                         WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+           GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+    )
+
+
+@_q(
+    "d37_scalar_subquery",
+    """SELECT p_partkey, p_brand, p_size
+       FROM part p
+       WHERE p_size > (SELECT AVG(p2.p_size) FROM part p2
+                       WHERE p2.p_brand = p.p_brand)
+       ORDER BY p_partkey""",
+    doc="Correlated scalar subquery (parts larger than their brand's "
+    "average size) — decorrelated into an aggregate + join. Integer "
+    "avg keeps the comparison exact across engines (float sums would "
+    "risk ulp-level membership flips).",
+)
+def d37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "part").createOrReplaceTempView("_d37_part")
+    return spark.sql(
+        """SELECT p_partkey, p_brand, p_size
+           FROM _d37_part p
+           WHERE p_size > (SELECT AVG(p2.p_size) FROM _d37_part p2
+                           WHERE p2.p_brand = p.p_brand)
+           ORDER BY p_partkey"""
+    )
+
+
+@_q(
+    "d38_ntile_percent_rank",
+    """SELECT c_custkey, c_nationkey, quartile,
+              ROUND(pr, 6) AS pr
+       FROM (SELECT c_custkey, c_nationkey,
+                    NTILE(4) OVER w AS quartile,
+                    PERCENT_RANK() OVER w AS pr
+             FROM customer
+             WINDOW w AS (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal, c_custkey))
+       WHERE quartile = 4
+       ORDER BY c_custkey""",
+    doc="NTILE + PERCENT_RANK ranking windows (completes the window "
+    "family next to d23/d24/d25). The window orders by (acctbal, "
+    "custkey) so ties can't reorder across engines.",
+)
+def d38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+        )
+        .where(F.col("quartile") == 4)
+        .orderBy("c_custkey")
+    )
+
+
+@_q(
+    "d39_array_hof",
+    """SELECT l_orderkey,
+              LEN(qtys) AS n_items,
+              qtys[LEN(qtys)] AS max_qty,
+              CAST(list_sum(list_transform(qtys, q -> q * q)) AS BIGINT) AS sum_sq
+       FROM (SELECT l_orderkey,
+                    list_sort(list(CAST(l_quantity AS BIGINT))) AS qtys
+             FROM lineitem GROUP BY l_orderkey)
+       WHERE LEN(qtys) >= 6
+       ORDER BY l_orderkey""",
+    doc="Array column built by aggregation, then higher-order functions "
+    "(array_sort / element_at / aggregate-lambda) — the §2.10 "
+    "JVM-side lambda surface; everything stays in whole-stage codegen, "
+    "no UDF. Quantities cast to BIGINT so the lambda arithmetic is "
+    "exact in both engines.",
+)
+def d39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.col("l_quantity").cast("bigint"))
+            ).alias("qtys")
+        )
+        .where(F.size("qtys") >= 6)
+        .select(
+            "l_orderkey",
+            F.size("qtys").alias("n_items"),
+            F.element_at("qtys", -1).alias("max_qty"),
+            F.aggregate(
+                "qtys", F.lit(0).cast("bigint"), lambda acc, q: acc + q * q
+            ).alias("sum_sq"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+@_q(
+    "d40_except_all",
+    """SELECT c FROM (
+         SELECT o_custkey AS c FROM orders
+         EXCEPT ALL
+         SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'F'
+       ) ORDER BY c""",
+    doc="EXCEPT ALL — bag (multiplicity-preserving) difference, the ALL "
+    "dual of d27's set EXCEPT: a customer with 5 orders, 2 of them 'F', "
+    "keeps 3 rows. Spark plans a single count-compare aggregation "
+    "(no distinct collapse).",
+)
+def d40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    all_c = orders.select(F.col("o_custkey").alias("c"))
+    f_c = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c")
+    )
+    return all_c.exceptAll(f_c).orderBy("c")

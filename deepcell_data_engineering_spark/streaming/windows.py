@@ -127,3 +127,48 @@ def read_events_stream(spark, sf_dir: str) -> DataFrame:
     if isinstance(stream.schema["ts"].dataType, LongType):
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     return stream
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left event with the right
+    events of the same key arriving within (left_ts, left_ts + max_delay]
+    — the attribution shape (click -> purchase). Source-agnostic: on
+    batch inputs the identical plan is a plain range-predicate join; on
+    streams both sides take the watermark and Spark bounds the join
+    state to watermark + max_delay per key.
+
+    Scale: the equi-key keeps this a hash join on ``key`` (the range
+    predicate is a post-join filter on co-partitioned rows), never a
+    cross product.
+    """
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    r = right.select(
+        F.col(key).alias(f"__k{suffix}"),
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+        *[
+            F.col(c).alias(f"{c}{suffix}")
+            for c in right.columns
+            if c not in (key, right_ts)
+        ],
+    )
+    cond = (
+        (F.col(key) == F.col(f"__k{suffix}"))
+        & (F.col(f"{right_ts}{suffix}") > F.col(left_ts))
+        & (
+            F.col(f"{right_ts}{suffix}")
+            <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return left.join(r, cond, "inner").drop(f"__k{suffix}")

@@ -158,3 +158,33 @@ def test_stateful_frame_relabel_stream(spark, tmp_path):
     for r in out:
         m = decode_y(r["y"], 30, 30)
         assert set(np.unique(m[ys[r["stack"]] == 42])) == {1}  # id propagated
+
+
+def test_interval_join_batch_stream_parity(spark, tmp_path):
+    """Stream-stream interval join (click->purchase attribution within
+    1 hour) must equal the identical batch-plan join."""
+    from deepcell_data_engineering_spark.streaming.windows import interval_join
+
+    batch = load_table(spark, SF_SMOKE, "events")
+    types = [r["event_type"] for r in batch.select("event_type").distinct().collect()]
+    t_left, t_right = sorted(types)[:2]
+    bl = batch.where(F.col("event_type") == t_left)
+    br = batch.where(F.col("event_type") == t_right)
+    expected = {
+        (r["event_id"], r["event_id_r"])
+        for r in interval_join(bl, br, max_delay="1 hour")
+        .select("event_id", "event_id_r")
+        .collect()
+    }
+    assert len(expected) > 0
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    sl = stream.where(F.col("event_type") == t_left)
+    sr = stream.where(F.col("event_type") == t_right)
+    joined = interval_join(sl, sr, max_delay="1 hour").select("event_id", "event_id_r")
+    _run_stream(joined, tmp_path, "ij", mode="append")
+    got = {
+        (r["event_id"], r["event_id_r"])
+        for r in spark.sql("SELECT * FROM ij").collect()
+    }
+    assert got == expected

@@ -1,9 +1,10 @@
 """Run every registered query against the DuckDB oracle at a given SF.
 
-Usage: python tools/check_oracle.py [sf_dir]
+Usage: python tools/check_oracle.py [sf_dir] [--only name1,name2,...]
 Mirrors the driver's t2 gate (row count + columns + value hash).
 """
 
+import argparse
 import os
 import sys
 import time
@@ -15,11 +16,18 @@ from deepcell_data_engineering_spark.session import get_spark
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default="", help="comma-separated query names")
+    args = ap.parse_args()
+    sf_dir = args.sf_dir
     import __spark_entry__ as entrymod
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if args.only:
+        keep = {n.strip() for n in args.only.split(",") if n.strip()}
+        queries = {n: q for n, q in queries.items() if n in keep}
     spark = get_spark(app_name="check-oracle", master="local[8]", shuffle_partitions=16)
     con = duckdb_connect(sf_dir)
     failed = []
