@@ -1,0 +1,62 @@
+"""Deterministic, engine-portable sampling for corpus construction.
+
+`df.sample()` / `sampleBy()` draw from a partition-local RNG stream, so
+results change under repartitioning and cannot be replayed by another
+engine. Training-data pipelines instead sample by *hashing the key*:
+keep a row iff h(seed, key) < threshold. That makes the sample (a) a
+pure function of the data — stable across runs, partitionings, engines,
+and incremental re-runs (a doc keeps its fate when the corpus grows),
+(b) embarrassingly parallel (no shuffle, no RNG state), and (c)
+oracle-checkable, since md5 is identical everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 28 bits of the md5 digest — fits comfortably in BIGINT in every
+# engine (same trick as functions/dedup.py:_digest_chunks).
+HASH_BITS = 28
+HASH_SPACE = 1 << HASH_BITS
+
+
+def hash_bucket(key: Column, seed: str = "s0") -> Column:
+    """Deterministic uniform integer in [0, 2^28) from (seed, key)."""
+    digest = F.md5(F.concat(F.lit(seed + ":"), key.cast("string")))
+    return F.conv(F.substring(digest, 1, 7), 16, 10).cast("long")
+
+
+def threshold(fraction: float) -> int:
+    """Integer acceptance threshold for a sampling fraction — comparing
+    BIGINT < BIGINT keeps the accept/reject decision exact (no float
+    boundary can flip a row between engines)."""
+    return int(fraction * HASH_SPACE)
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id", seed: str = "s0"
+) -> DataFrame:
+    """Uniform deterministic sample: keep ~fraction of rows by key hash."""
+    return df.where(
+        hash_bucket(F.col(key_col), seed) < F.lit(threshold(fraction))
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: str = "s0",
+) -> DataFrame:
+    """Per-stratum deterministic sample (e.g. downsample the dominant
+    language): each stratum gets its own acceptance threshold. Strata
+    absent from ``fractions`` are dropped. Pure filter — no shuffle; the
+    threshold lookup is a literal CASE, not a join."""
+    thr: Column = F.lit(-1)
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(threshold(frac))
+        ).otherwise(thr)
+    return df.where(hash_bucket(F.col(key_col), seed) < thr)

@@ -87,3 +87,83 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(text: Column) -> Column:
     """Canonical document fingerprint: md5 of lowercased, trimmed text."""
     return F.md5(F.lower(F.trim(text)))
+
+
+def tokens(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Explode lowercase whitespace tokens: one (id, term) row per token
+    occurrence. The vocabulary/TF-IDF primitive — a generator (explode)
+    over a narrow projection, so upstream column pruning reaches the
+    scan and the fan-out carries only (id, term)."""
+    return (
+        df.select(
+            id_col,
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+                "term"
+            ),
+        )
+        .where(F.col("term") != "")
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k most-characteristic terms per document by TF-IDF with a
+    *linearized* idf — score = tf * (N + 1) / (df + 1).
+
+    The linear idf ranks identically to log-idf for a fixed term (both
+    monotone-decreasing in df) and keeps every arithmetic step exact
+    across engines (integer product, one IEEE division — no libm log
+    whose last ulp may differ between the JVM and DuckDB), so the
+    operator stays value-hash checkable.
+
+    Shape: one shuffle for per-(doc, term) tf, one tiny term-level agg
+    for df (broadcast back — vocabulary << corpus), a 1-row count
+    cross-joined as a broadcast scalar, then a per-doc top-k window.
+    """
+    tok = tokens(df, text_col=text_col, id_col=id_col)
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.round(
+        F.col("tf") * (F.col("n_docs") + 1) / (F.col("df") + 1), 6
+    ).alias("tfidf")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n))
+        .select(id_col, "term", "tf", "df", score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def scrub(
+    df: DataFrame,
+    pattern: str,
+    replacement: str = "<REDACTED>",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pattern scrubbing (the PII-redaction shape): replace every match
+    of ``pattern`` and count the replacements — all JVM-side regex, no
+    UDF. Keep patterns in the RE2-compatible subset (alternation,
+    classes, \\b) so the DuckDB oracle dual behaves identically.
+
+    Returns (id, n_redacted, redacted_fp) — the fingerprint rather than
+    the full redacted payload, so the output stays narrow at scale."""
+    t = F.col(text_col)
+    return df.select(
+        id_col,
+        (F.size(F.split(t, pattern, -1)) - 1).alias("n_redacted"),
+        F.md5(F.regexp_replace(t, pattern, replacement)).alias("redacted_fp"),
+    )

@@ -711,3 +711,196 @@ def x20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_id_r")
         .orderBy("event_id", "event_id_r")
     )
+
+
+# ---------------------------------------------------------------------------
+# x21–x25: dedup clustering / TF-IDF / redaction / sampling / vocabulary
+# ---------------------------------------------------------------------------
+
+_X21_ORACLE = (
+    _MINHASH_CHUNKS.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+       sig AS (
+         SELECT doc_id,
+              {{terms}}
+         FROM chunks GROUP BY doc_id
+       ),
+       banded AS (
+         SELECT doc_id,
+                md5(h0::VARCHAR || '-' || h1::VARCHAR || '-' || h2::VARCHAR) AS band
+         FROM sig
+         UNION ALL
+         SELECT doc_id,
+                md5(h3::VARCHAR || '-' || h4::VARCHAR || '-' || h5::VARCHAR) AS band
+         FROM sig
+       ),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+       ),
+       und AS (SELECT id_a AS u, id_b AS v FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+       reach(a, b) AS (
+         SELECT u, v FROM und
+         UNION
+         SELECT r.a, e.v FROM reach r JOIN und e ON r.b = e.u
+       ),
+       comp AS (
+         SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+       )
+       SELECT d.doc_id AS doc_id,
+              COALESCE(c.component, d.doc_id) AS cluster_id,
+              COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
+       FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+       ORDER BY doc_id"""
+)
+
+
+@_q(
+    "x21_dup_clusters",
+    _X21_ORACLE.format(terms=_minhash_oracle_terms(6)),
+    doc="Duplicate-cluster assignment: transitively close the x06 LSH "
+    "candidate pairs into connected components (alternating large-star/"
+    "small-star — functions/graph.py) and label every document with its "
+    "cluster's minimum doc_id; is_canonical marks the survivor. The "
+    "oracle closes the same pairs with a recursive CTE — feasible at "
+    "oracle scale, while the Spark path is the O(log n)-round "
+    "at-scale formulation.",
+)
+def x21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions import graph as gr
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs, num_hashes=6, k=5)
+    pairs = dd.lsh_candidate_pairs(
+        sigs, bands=[["h0", "h1", "h2"], ["h3", "h4", "h5"]]
+    )
+    return gr.dup_clusters(docs, pairs).orderBy("doc_id")
+
+
+@_q(
+    "x22_tfidf_topk",
+    """WITH tok AS (
+         SELECT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+         FROM documents
+       ),
+       tf AS (
+         SELECT doc_id, term, COUNT(*) AS tf
+         FROM tok WHERE term <> '' GROUP BY doc_id, term
+       ),
+       dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       scored AS (
+         SELECT doc_id, term, tf, df,
+                ROUND(tf * (n_docs + 1) / (df + 1), 6) AS tfidf
+         FROM tf JOIN dfreq USING (term) CROSS JOIN n
+       ),
+       ranked AS (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, term) AS rnk
+         FROM scored
+       )
+       SELECT doc_id, term, tf, df, tfidf, rnk
+       FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    doc="Top-3 characteristic terms per document by TF-IDF with "
+    "linearized idf = (N+1)/(df+1) — exact cross-engine arithmetic "
+    "(no libm log in the checked path; the ranking is identical). "
+    "functions/text.py:tfidf_topk — doc-frequency table broadcasts.",
+)
+def x22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        tx.tfidf_topk(docs, k=3)
+        .withColumnRenamed("rank", "rnk")
+        .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+_SCRUB_PATTERN = r"\b(customer|value|spark)\b"
+
+
+@_q(
+    "x23_pattern_scrub",
+    f"""SELECT doc_id,
+              len(regexp_split_to_array(text, '{_SCRUB_PATTERN}')) - 1
+                  AS n_redacted,
+              md5(regexp_replace(text, '{_SCRUB_PATTERN}', '<REDACTED>', 'g'))
+                  AS redacted_fp
+       FROM documents ORDER BY doc_id""",
+    doc="Pattern scrubbing (the PII-redaction shape: emails/phones/ids "
+    "in production, corpus-present words here): regexp_replace every "
+    "match, count replacements, fingerprint the redacted text — "
+    "functions/text.py:scrub, all JVM-side regex in one codegen stage.",
+)
+def x23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.scrub(docs, _SCRUB_PATTERN).orderBy("doc_id")
+
+
+_SAMPLE_FRACTIONS = {"en": 0.125, "de": 0.5, "es": 0.5, "fr": 0.25, "zh": 0.5}
+
+
+def _x24_oracle() -> str:
+    from deepcell_data_engineering_spark.functions import sampling as sp
+
+    case = "CASE lang " + " ".join(
+        f"WHEN '{s}' THEN {sp.threshold(f)}"
+        for s, f in sorted(_SAMPLE_FRACTIONS.items())
+    ) + " ELSE -1 END"
+    return f"""SELECT doc_id, lang FROM documents
+       WHERE ('0x' || substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+             < {case}
+       ORDER BY doc_id"""
+
+
+@_q(
+    "x24_stratified_sample",
+    _x24_oracle(),
+    doc="Deterministic stratified sampling (downsample the dominant "
+    "language): keep a row iff md5(seed, doc_id) falls under its "
+    "stratum's integer threshold — functions/sampling.py. Pure filter, "
+    "no shuffle, no RNG state; the sample is a function of the data, "
+    "so it is stable across runs, partitionings, and engines.",
+)
+def x24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions import sampling as sp
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sp.stratified_hash_sample(docs, _SAMPLE_FRACTIONS, "lang", "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "x25_vocab_topk",
+    """WITH tok AS (
+         SELECT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+         FROM documents
+       )
+       SELECT term, COUNT(*) AS tf_total, COUNT(DISTINCT doc_id) AS df
+       FROM tok WHERE term <> ''
+       GROUP BY term
+       ORDER BY df DESC, tf_total DESC, term LIMIT 50""",
+    doc="Vocabulary building: corpus-wide term frequency + document "
+    "frequency, top-50 by df. The word-count-at-scale shape: explode "
+    "over a narrow (doc_id, text) projection, two-phase aggregate with "
+    "map-side partials; countDistinct expands (term, doc) then "
+    "collapses — both shuffles key on term.",
+)
+def x25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        tx.tokens(docs)
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf_total"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("df").desc(), F.col("tf_total").desc(), "term")
+        .limit(50)
+    )
