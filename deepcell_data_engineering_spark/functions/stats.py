@@ -1,0 +1,68 @@
+"""Exactly-reproducible distributed statistics.
+
+Spark's built-in ``stddev``/``corr``/``covar_samp`` merge per-partition
+float partials, so their low-order bits depend on partitioning and task
+order — fine for analytics, fatal for value-hash reproducibility (and
+for regression-testing a 1000-executor run against a laptop run). The
+scale-safe alternative when inputs are (or can be scaled to) integers:
+aggregate INTEGER power sums — exact, associative, order-insensitive,
+overflow-checked by ANSI mode — and derive the float statistics from
+those moments with a fixed IEEE expression (every op correctly rounded,
+hence bit-identical on any engine, any partitioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def moment_sums(x: Column, y: Column) -> list[Column]:
+    """The six power sums of an (x, y) integer pair. Inputs must be
+    integral-valued; magnitudes must keep n * max(x^2) inside 2^53 so
+    the moment-to-double conversion in the derived stats stays exact."""
+    return [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    ]
+
+
+def derived_stats(prefix_x: str = "x", prefix_y: str = "y") -> list[Column]:
+    """Sample stddev of x and Pearson corr(x, y) from the moment sums.
+    Written as one fixed expression tree — the DuckDB oracle dual must
+    spell the identical operation order so both engines perform the
+    same sequence of correctly-rounded IEEE ops."""
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_num = n * sxx - sx * sx
+    return [
+        F.round(F.sqrt(var_num / (n * (n - F.lit(1.0)))), 6).alias(
+            f"stddev_{prefix_x}"
+        ),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(var_num) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias(f"corr_{prefix_x}_{prefix_y}"),
+    ]
+
+
+def moment_stats(
+    df: DataFrame, x: Column, y: Column, group_cols: list[str]
+) -> DataFrame:
+    """Grouped exact-moment statistics: one shuffle (map-side partial
+    integer sums), then per-group scalar math — no second pass, unlike
+    the naive two-pass mean-then-deviation formulation."""
+    return (
+        df.groupBy(*group_cols)
+        .agg(*moment_sums(x, y))
+        .select(*group_cols, "n", "sx", "sy", *derived_stats())
+    )

@@ -122,28 +122,91 @@ def tfidf_topk(
     whose last ulp may differ between the JVM and DuckDB), so the
     operator stays value-hash checkable.
 
-    Shape: one shuffle for per-(doc, term) tf, one tiny term-level agg
-    for df (broadcast back — vocabulary << corpus), a 1-row count
-    cross-joined as a broadcast scalar, then a per-doc top-k window.
+    Shape: the token stream is exploded and aggregated to (doc, term,
+    tf) exactly ONCE; doc frequency comes from a count window over the
+    term partition of that same relation (a separate groupBy-join
+    formulation recomputes the explode — the dominant cost at scale —
+    because the two agg subplans differ and exchange reuse can't fire).
+    A 1-row corpus count cross-joins as a broadcast scalar; the per-doc
+    top-k row_number benefits from WindowGroupLimit partial pushdown.
     """
+    from pyspark.sql import Window
+
     tok = tokens(df, text_col=text_col, id_col=id_col)
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = df.agg(F.count(F.lit(1)).alias("n_docs"))
     score = F.round(
         F.col("tf") * (F.col("n_docs") + 1) / (F.col("df") + 1), 6
     ).alias("tfidf")
-    from pyspark.sql import Window
-
     w = Window.partitionBy(id_col).orderBy(
         F.col("tfidf").desc(), F.col("term")
     )
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .join(F.broadcast(n))
         .select(id_col, "term", "tf", "df", score)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a small bag-of-terms
+    query. Because the query is a fixed small term list, the whole
+    computation pivots into per-doc conditional counts: ONE explode +
+    ONE per-doc aggregation (dl + tf per query term), a 1-row global
+    aggregate (N, total length, df per term) broadcast back, then pure
+    scalar math — no per-term joins, no second pass over the tokens.
+
+    Returns (id, dl, bm25). The idf log is the only libm call; the
+    oracle dual spells the identical expression order so the rounded
+    score is engine-stable.
+    """
+    tok = tokens(df, text_col=text_col, id_col=id_col)
+    perdoc = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.count(F.when(F.col("term") == t, 1)).alias(f"tf_{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    g = perdoc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.count(F.when(F.col(f"tf_{i}") > 0, 1)).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    n = F.col("n_docs").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n
+    parts = []
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        dfc = F.col(f"df_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0) + (n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
+        )
+        sat = (tf * F.lit(k1 + 1.0)) / (
+            tf
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl))
+        )
+        parts.append(idf * sat)
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+    return perdoc.join(F.broadcast(g)).select(
+        id_col, "dl", F.round(score, 6).alias("bm25")
     )
 
 

@@ -904,3 +904,64 @@ def x25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), F.col("tf_total").desc(), "term")
         .limit(50)
     )
+
+
+_BM25_TERMS = ["spark", "window", "merge"]
+
+
+def _x26_oracle() -> str:
+    filters = "\n".join(
+        f"              COUNT(*) FILTER (WHERE term = '{t}') AS tf_{i},"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    dfs = "\n".join(
+        f"              COUNT(*) FILTER (WHERE tf_{i} > 0) AS df_{i},"
+        for i in range(len(_BM25_TERMS))
+    )
+    score = " + ".join(
+        f"ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        f" * ((CAST(tf_{i} AS DOUBLE) * 2.2)"
+        f" / (CAST(tf_{i} AS DOUBLE) + 1.2 * (0.25 + 0.75"
+        f" * (CAST(dl AS DOUBLE)"
+        f" / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""WITH tok AS (
+         SELECT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+         FROM documents
+       ),
+       perdoc AS (
+         SELECT doc_id,
+{filters}
+                COUNT(*) AS dl
+         FROM tok WHERE term <> '' GROUP BY doc_id
+       ),
+       g AS (
+         SELECT
+{dfs}
+                COUNT(*) AS n_docs, SUM(dl) AS sum_dl
+         FROM perdoc
+       )
+       SELECT doc_id, dl, ROUND({score}, 6) AS bm25
+       FROM perdoc CROSS JOIN g ORDER BY doc_id"""
+
+
+@_q(
+    "x26_bm25",
+    _x26_oracle(),
+    doc="Okapi BM25 relevance scoring for a fixed bag-of-terms query "
+    "(k1=1.2, b=0.75) — functions/text.py:bm25_scores. The fixed term "
+    "list pivots into per-doc conditional counts: one explode, one "
+    "per-doc agg, one broadcast 1-row global (N, avgdl, per-term df), "
+    "then scalar math; identical expression order keeps the rounded "
+    "score engine-stable.",
+)
+def x26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        tx.bm25_scores(docs, _BM25_TERMS)
+        .select("doc_id", "dl", "bm25")
+        .orderBy("doc_id")
+    )

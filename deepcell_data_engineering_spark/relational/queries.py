@@ -876,3 +876,51 @@ def d40(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c")
     )
     return all_c.exceptAll(f_c).orderBy("c")
+
+
+@_q(
+    "d41_moment_stats",
+    """WITH m AS (
+         SELECT l_returnflag,
+                COUNT(*) AS n,
+                SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS sx,
+                SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS sy,
+                SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)
+                    * CAST(ROUND(l_quantity, 0) AS BIGINT)) AS sxx,
+                SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)
+                    * CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS syy,
+                SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)
+                    * CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS sxy
+         FROM lineitem GROUP BY l_returnflag
+       )
+       SELECT l_returnflag, n, sx, sy,
+              ROUND(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))),
+                    6) AS stddev_x,
+              ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                    6) AS corr_x_y
+       FROM m ORDER BY l_returnflag""",
+    doc="Exactly-reproducible grouped statistics (functions/stats.py): "
+    "integer power sums — exact, order-insensitive, one shuffle with "
+    "map-side partials — then stddev/Pearson-corr derived by a fixed "
+    "IEEE expression. Spark's builtin stddev/corr merge float partials "
+    "whose low bits depend on partitioning; this formulation is "
+    "bit-stable from laptop to 1000 executors.",
+)
+def d41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.stats import moment_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity"), 0).cast("bigint")
+    y = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    return (
+        moment_stats(li, x, y, ["l_returnflag"])
+        .select("l_returnflag", "n", "sx", "sy", "stddev_x", "corr_x_y")
+        .orderBy("l_returnflag")
+    )

@@ -150,3 +150,82 @@ def test_threshold_is_integer_exact():
     assert threshold(1.0) == 1 << 28
     assert threshold(0.0) == 0
     assert threshold(0.5) == 1 << 27
+
+
+def test_moment_stats_match_numpy(spark):
+    import numpy as np
+
+    from deepcell_data_engineering_spark.functions.stats import moment_stats
+
+    rng = np.random.default_rng(3)
+    xs = rng.integers(1, 50, 500)
+    ys = xs * 2 + rng.integers(0, 20, 500)  # correlated
+    grp = rng.integers(0, 3, 500)
+    df = spark.createDataFrame(
+        [(int(g), int(x), int(y)) for g, x, y in zip(grp, xs, ys)],
+        "g int, x long, y long",
+    )
+    got = {
+        r["g"]: r
+        for r in moment_stats(df, F.col("x"), F.col("y"), ["g"]).collect()
+    }
+    for g in range(3):
+        m = grp == g
+        assert got[g]["n"] == int(m.sum())
+        assert abs(got[g]["stddev_x"] - float(np.std(xs[m], ddof=1))) < 1e-6
+        assert (
+            abs(got[g]["corr_x_y"] - float(np.corrcoef(xs[m], ys[m])[0, 1]))
+            < 1e-6
+        )
+
+
+def test_moment_stats_partition_invariant(spark):
+    """The whole point: identical values regardless of partitioning."""
+    from deepcell_data_engineering_spark.functions.stats import moment_stats
+
+    rows = [(i % 2, i % 47 + 1, (i * 7) % 31) for i in range(2000)]
+    df1 = spark.createDataFrame(rows, "g int, x long, y long").repartition(1)
+    df64 = spark.createDataFrame(rows, "g int, x long, y long").repartition(64)
+    r1 = sorted(
+        map(tuple, moment_stats(df1, F.col("x"), F.col("y"), ["g"]).collect())
+    )
+    r64 = sorted(
+        map(tuple, moment_stats(df64, F.col("x"), F.col("y"), ["g"]).collect())
+    )
+    assert r1 == r64
+
+
+def test_bm25_matches_reference(spark):
+    import math
+
+    from deepcell_data_engineering_spark.functions.text import bm25_scores
+
+    corpus = {
+        0: "spark window merge spark",
+        1: "window table scan filter",
+        2: "nothing relevant here at all",
+        3: "spark spark spark spark spark",
+    }
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    terms = ["spark", "window"]
+    toks = {d: t.split() for d, t in corpus.items()}
+    N = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / N
+    dfreq = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
+
+    def ref_score(d):
+        s = 0.0
+        for t in terms:
+            tf = toks[d].count(t)
+            idf = math.log(1.0 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * (tf * 2.2) / (
+                tf + 1.2 * (0.25 + 0.75 * (len(toks[d]) / avgdl))
+            )
+        return s
+
+    got = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, terms).collect()}
+    for d in corpus:
+        assert abs(got[d] - ref_score(d)) < 1e-6
+    assert got[3] > got[1] > got[2] == 0.0
