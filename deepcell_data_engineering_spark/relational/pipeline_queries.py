@@ -965,3 +965,60 @@ def x26(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "dl", "bm25")
         .orderBy("doc_id")
     )
+
+
+def _x27_oracle() -> str:
+    from deepcell_data_engineering_spark.functions import sampling as sp
+
+    case = "CASE lang " + " ".join(
+        f"WHEN '{s}' THEN {sp.threshold(f)}"
+        for s, f in sorted(_SAMPLE_FRACTIONS.items())
+    ) + " ELSE -1 END"
+    return f"""WITH q AS (
+         SELECT doc_id, lang,
+                len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                md5(lower(trim(text))) AS fp
+         FROM documents
+       ),
+       canon AS (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         FROM q
+       )
+       SELECT doc_id, lang, n_tokens FROM canon
+       WHERE rn = 1
+         AND n_tokens BETWEEN 20 AND 400
+         AND ('0x' || substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+             < {case}
+       ORDER BY doc_id"""
+
+
+@_q(
+    "x27_corpus_build",
+    _x27_oracle(),
+    doc="End-to-end training-corpus selection composing the pipeline "
+    "stages: exact-dedup canonicalization (min doc_id per text "
+    "fingerprint, one window), token-count quality gate, and "
+    "deterministic per-language stratified downsampling — the flagship "
+    "'build the training set' flow. Every stage is a filter or a "
+    "single-shuffle window; nothing touches the driver.",
+)
+def x27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions import sampling as sp
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        "lang",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        tx.fingerprint(F.col("text")).alias("fp"),
+    )
+    canon = q.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
+    ).where(F.col("rn") == 1)
+    gated = canon.where(F.col("n_tokens").between(20, 400))
+    return (
+        sp.stratified_hash_sample(gated, _SAMPLE_FRACTIONS, "lang", "doc_id")
+        .select("doc_id", "lang", "n_tokens")
+        .orderBy("doc_id")
+    )

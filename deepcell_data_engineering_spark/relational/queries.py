@@ -924,3 +924,55 @@ def d41(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "n", "sx", "sy", "stddev_x", "corr_x_y")
         .orderBy("l_returnflag")
     )
+
+
+@_q(
+    "d42_snapshot_diff",
+    """WITH old AS (
+         SELECT o_orderkey,
+                md5(concat_ws(chr(31),
+                    COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0) || 'NULL'),
+                    COALESCE(CAST(o_totalprice AS VARCHAR), chr(0) || 'NULL')))
+                    AS h_old
+         FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+       ),
+       new AS (
+         SELECT o_orderkey,
+                md5(concat_ws(chr(31),
+                    COALESCE(CAST(CASE WHEN o_orderkey % 97 = 0 THEN 'X'
+                                       ELSE o_orderstatus END AS VARCHAR),
+                             chr(0) || 'NULL'),
+                    COALESCE(CAST(o_totalprice AS VARCHAR), chr(0) || 'NULL')))
+                    AS h_new
+         FROM orders
+       )
+       SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+              CASE WHEN h_old IS NULL THEN 'added'
+                   WHEN h_new IS NULL THEN 'removed'
+                   WHEN h_old <> h_new THEN 'changed' END AS change_type
+       FROM old FULL OUTER JOIN new USING (o_orderkey)
+       WHERE CASE WHEN h_old IS NULL THEN 'added'
+                  WHEN h_new IS NULL THEN 'removed'
+                  WHEN h_old <> h_new THEN 'changed' END IS NOT NULL
+       ORDER BY o_orderkey""",
+    doc="Snapshot diff (CDC / incremental-rebuild primitive — "
+    "operators/diff.py): old = pre-1996 orders, new = all orders with a "
+    "synthetic status mutation on every 97th key. Both sides reduce to "
+    "(key, row-hash) before one full outer join, so only narrow "
+    "relations shuffle; unchanged keys are dropped.",
+)
+def d42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.operators.diff import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    new = orders.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    return (
+        snapshot_diff(old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"])
+        .orderBy("o_orderkey")
+    )

@@ -229,3 +229,23 @@ def test_bm25_matches_reference(spark):
     for d in corpus:
         assert abs(got[d] - ref_score(d)) < 1e-6
     assert got[3] > got[1] > got[2] == 0.0
+
+
+def test_snapshot_diff_classifies(spark):
+    from deepcell_data_engineering_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (3, None, None), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    # 1 unchanged (absent), 2 changed, 3 changed (c -> NULL, not a
+    # concat_ws collision), 4 removed, 5 added
+    assert got == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
