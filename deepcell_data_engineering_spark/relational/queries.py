@@ -976,3 +976,43 @@ def d42(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_diff(old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"])
         .orderBy("o_orderkey")
     )
+
+
+@_q(
+    "d43_quantiles",
+    """SELECT l_returnflag,
+              quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS quartiles,
+              TRUE AS approx_ok
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    doc="Exact grouped multi-quantile (percentile with linear "
+    "interpolation) certified against percentile_approx: quantile "
+    "probabilities 1/4, 1/2, 3/4 have exact binary interpolation "
+    "fractions, so Spark's and DuckDB's (algebraically equal, "
+    "differently associated) interpolation formulas agree bitwise. "
+    "The approx sketch (KLL-style, fixed state, map-side merged — the "
+    "scale path for huge groups) is gated by a tolerance flag like "
+    "d35, never hash-compared directly.",
+)
+def d43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_quantity, array(0.25D, 0.5D, 0.75D))"
+            ).alias("quartiles"),
+            F.expr(
+                "approx_percentile(l_quantity, array(0.25D, 0.5D, 0.75D), 1000)"
+            ).alias("approx_q"),
+        )
+    )
+    ok = F.aggregate(
+        F.zip_with(
+            "quartiles", "approx_q", lambda q, a: F.abs(q - a) <= F.lit(1.0)
+        ),
+        F.lit(True),
+        lambda acc, v: acc & v,
+    )
+    return agg.select(
+        "l_returnflag", "quartiles", ok.alias("approx_ok")
+    ).orderBy("l_returnflag")

@@ -1,0 +1,65 @@
+"""Text-corpus interchange connectors (JSONL / CSV).
+
+Parquet is the engine's native format (columnar, predicate pushdown,
+partition pruning — see catalog.py); JSONL is the lingua franca LLM
+corpora actually arrive in, and CSV still carries metadata sidecars.
+These wrappers pin the two rules that matter at 100 TB:
+
+- ALWAYS pass an explicit schema on read. Schema inference is a full
+  extra pass over the data before the real job starts, and a sampled
+  inference can silently widen/narrow types between runs.
+- Line-based formats split by newline, so a .jsonl file parallelizes
+  across tasks even uncompressed; gzip is NOT splittable (one task per
+  file) — prefer many medium files or zstd-in-parquet for the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+DOCUMENTS_SCHEMA = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+)
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = None) -> None:
+    """One JSON object per line; files per task (no coalesce(1) — a
+    single-file write serializes the whole job through one task)."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: str = DOCUMENTS_SCHEMA
+) -> DataFrame:
+    """Schema-pinned JSONL read; corrupt lines land in a quarantine
+    column instead of failing the job (PERMISSIVE + columnNameOfCorrupt
+    is the posture for web-scale corpora where some lines are bad)."""
+    return (
+        spark.read.schema(schema + ", _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    (
+        df.write.mode("overwrite")
+        .option("header", str(header).lower())
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: str, header: bool = True
+) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("escape", '"')
+        .csv(path)
+    )

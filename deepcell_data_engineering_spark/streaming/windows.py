@@ -172,3 +172,23 @@ def interval_join(
         )
     )
     return left.join(r, cond, "inner").drop(f"__k{suffix}")
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    dim_cols: list[str] | None = None,
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to
+    each event. The static side re-resolves per micro-batch (so a dim
+    table refreshed in place is picked up) and is broadcast — the only
+    join strategy that adds zero state and zero shuffle to the stream.
+    Source-agnostic like every helper here: on batch inputs the same
+    plan is a plain broadcast hash join."""
+    cols = dim_cols if dim_cols is not None else [
+        c for c in dim.columns if c != key
+    ]
+    return stream.join(
+        F.broadcast(dim.select(key, *cols)), key, "left"
+    )

@@ -4,6 +4,11 @@ and multimodal column plumbing."""
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+from deepcell_data_engineering_spark.catalog import load_table
 from deepcell_data_engineering_spark.sources.codecs import decode_npz, encode_npz
 from deepcell_data_engineering_spark.sources.images import (
     images_df,
@@ -146,3 +151,43 @@ def test_resize_media_roundtrip(spark, media):
     # decoded resized payload has the new dims; features still computable
     feats = extract_features(resized).collect()
     assert len(feats) == 4
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    from deepcell_data_engineering_spark.sources.corpus import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    p = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, p)
+    # (Spark disallows filtering on ONLY the corrupt column from a raw
+    # scan, so materialize full rows first.)
+    back = read_jsonl(spark, p).collect()
+    assert all(r["_corrupt"] is None for r in back)
+    a = sorted(map(tuple, docs.collect()))
+    b = sorted(tuple(r)[:-1] for r in back)
+    assert a == b
+    # corrupt line -> quarantined, not fatal
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"doc_id": 1, "text": "ok"}\n{not json}\n')
+    q = read_jsonl(spark, str(bad)).collect()
+    assert len(q) == 2
+    assert sum(r["_corrupt"] is not None for r in q) == 1
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    from deepcell_data_engineering_spark.sources.corpus import (
+        DOCUMENTS_SCHEMA,
+        read_csv,
+        write_csv,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    p = str(tmp_path / "docs_csv")
+    write_csv(docs, p)
+    back = read_csv(spark, p, DOCUMENTS_SCHEMA)
+    assert sorted(map(tuple, docs.collect())) == sorted(
+        map(tuple, back.collect())
+    )

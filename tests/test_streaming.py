@@ -188,3 +188,31 @@ def test_interval_join_batch_stream_parity(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ij").collect()
     }
     assert got == expected
+
+
+def test_stream_static_enrich_parity(spark, tmp_path):
+    """Stream-static broadcast enrichment equals the batch join."""
+    from deepcell_data_engineering_spark.streaming.windows import (
+        stream_static_enrich,
+    )
+
+    dim = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    batch = load_table(spark, SF_SMOKE, "events")
+    expected = {
+        (r["event_id"], r["c_mktsegment"])
+        for r in stream_static_enrich(batch, dim)
+        .select("event_id", "c_mktsegment")
+        .collect()
+    }
+    assert len(expected) > 0
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    out = stream_static_enrich(stream, dim).select("event_id", "c_mktsegment")
+    _run_stream(out, tmp_path, "enrich", mode="append")
+    got = {
+        (r["event_id"], r["c_mktsegment"])
+        for r in spark.sql("SELECT * FROM enrich").collect()
+    }
+    assert got == expected
