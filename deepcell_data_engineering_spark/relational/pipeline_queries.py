@@ -1022,3 +1022,34 @@ def x27(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_tokens")
         .orderBy("doc_id")
     )
+
+
+# GPT-2-style pre-tokenizer regex, restricted to the RE2 ∩ Java-regex
+# common subset (ASCII classes, no lookarounds): contractions, runs of
+# letters / digits / other-symbols (each with optional leading space),
+# and whitespace runs.
+_BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+@_q(
+    "x28_bpe_tokens",
+    f"""SELECT doc_id,
+              len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws,
+              len(regexp_extract_all(text, '{_BPE_PATTERN.replace("'", "''")}'))
+                  AS n_bpe
+       FROM documents ORDER BY doc_id""",
+    doc="Token counting both ways the task needs it: whitespace tokens "
+    "and a BPE-ish pre-tokenizer regex (GPT-2 shape: contractions, "
+    "letter/digit/symbol runs with leading-space attachment) — the "
+    "cost estimator for training-corpus sizing. Pure regexp_extract_all "
+    "+ size, JVM-side, one codegen stage.",
+)
+def x28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_ws"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), F.lit(0))).alias(
+            "n_bpe"
+        ),
+    ).orderBy("doc_id")
