@@ -249,3 +249,14 @@ def test_snapshot_diff_classifies(spark):
     # 1 unchanged (absent), 2 changed, 3 changed (c -> NULL, not a
     # concat_ws collision), 4 removed, 5 added
     assert got == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
+
+
+def test_connected_components_clique_converges_fast(spark):
+    """A dense near-clique (the shape mass-duplicated boilerplate
+    produces) must converge in a handful of star rounds, not O(n)."""
+    n = 120
+    edges = [(i, j) for i in range(n) for j in range(i + 1, n) if (i + j) % 3]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = connected_components(df, max_iter=6).collect()
+    assert len(got) == n
+    assert {r["component"] for r in got} == {0}

@@ -91,3 +91,44 @@ def test_salted_join_rejects_outer(spark):
     )
     with pytest.raises(ValueError, match="inner"):
         layout.salted_join(orders, cust, key="o_custkey", salt_source="o_orderkey", how="full")
+
+
+def test_tfidf_single_token_explode(spark):
+    """x22 must explode the token stream exactly once: the only
+    documents scan reading `text` is the tf branch (the corpus-count
+    scan is column-pruned to nothing)."""
+    df = QUERIES["x22_tfidf_topk"].build(spark, SF)
+    text_scans = [c for c in pi.scan_columns(df) if "text" in c]
+    assert len(text_scans) == 1
+    plan = pi.executed_plan(df)
+    assert "WindowGroupLimit" in plan  # top-k pushed below the window sort
+
+
+def test_stratified_sample_is_pure_filter(spark):
+    """x24: no shuffle except the deterministic ORDER BY — sampling
+    must never repartition."""
+    df = QUERIES["x24_stratified_sample"].build(spark, SF)
+    assert pi.count_exchanges(df) == 1  # the final sort only
+
+
+def test_snapshot_diff_shuffles_narrow_rows(spark):
+    """d42: only (key, hash) reaches the full-outer join — the scans
+    must not read columns beyond key + compared columns."""
+    df = QUERIES["d42_snapshot_diff"].build(spark, SF)
+    for cols in pi.scan_columns(df):
+        assert set(cols) <= {
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+        }
+
+
+def test_moment_stats_one_shuffle_with_partials(spark):
+    df = QUERIES["d41_moment_stats"].build(spark, SF)
+    assert pi.count_exchanges(df) == 2  # group agg + final ORDER BY
+    assert "partial" in pi.executed_plan(df).lower()  # map-side combine
+
+
+def test_corpus_build_two_exchanges(spark):
+    """x27 end-to-end: dedup window shuffle + final sort; the quality
+    gate and sampling stages must not add exchanges."""
+    df = QUERIES["x27_corpus_build"].build(spark, SF)
+    assert pi.count_exchanges(df) == 2
