@@ -216,3 +216,32 @@ def test_stream_static_enrich_parity(spark, tmp_path):
         for r in spark.sql("SELECT * FROM enrich").collect()
     }
     assert got == expected
+
+
+def test_idempotent_sink_replay_safe(spark, tmp_path):
+    """Replaying an epoch (the at-least-once crash case) must not
+    duplicate rows; distinct epochs must coexist."""
+    from deepcell_data_engineering_spark.streaming.sinks import (
+        start_idempotent_parquet_sink,
+        write_epoch_idempotent,
+    )
+
+    out = str(tmp_path / "sink")
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id")
+    b0 = ev.where(F.col("event_id") % 2 == 0)
+    b1 = ev.where(F.col("event_id") % 2 == 1)
+    write_epoch_idempotent(b0, 0, out)
+    write_epoch_idempotent(b1, 1, out)
+    write_epoch_idempotent(b1, 1, out)  # replay of epoch 1
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count()  # no dupes from the replay
+    assert got.select("_epoch").distinct().count() == 2
+
+    # end-to-end through a real stream with availableNow trigger
+    out2 = str(tmp_path / "sink2")
+    stream = read_events_stream(spark, SF_SMOKE).select("event_id", "user_id")
+    q = start_idempotent_parquet_sink(
+        stream, out2, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out2).count() == ev.count()
