@@ -334,3 +334,59 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("_sim", 6).alias("cosine"))
     )
+
+
+def cluster_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    n_centroids: int = 32,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Semantic (embedding-cosine) near-duplicate pairs, cluster-scoped:
+    the scale path of embedding dedup. Vectors are coarse-quantized into
+    inverted lists (deterministic lowest-id centroids, like ivf_topk's
+    default) and exact cosine runs only within shared lists — the
+    all-pairs join of the brute-force path (embedding_neardup_pairs)
+    becomes an equi-join on centroid_id, quadratic only per list (size
+    n_centroids to taste: ~N/list_target). ``nprobe`` > 1 multi-assigns
+    each vector so near-dups straddling a list boundary still meet in
+    at least one list (the standard multi-probe recall fix); duplicate
+    co-occurrences collapse in a max aggregate.
+
+    Perf: vectors are unit-normalized ONCE per (vector, list) row
+    before the pair join, so the hot pair loop is a single dot product
+    — cosine_expr's dot/(|a|·|b|) form would recompute both norms per
+    pair, tripling the dominant cost."""
+    centroids = df.orderBy(id_col).limit(n_centroids)
+    lists = ivf_assign(df, centroids, vec_col, id_col, nprobe=nprobe)
+    norm = F.sqrt(
+        F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    safe = F.when(norm == 0, F.lit(1.0)).otherwise(norm)
+    lists = lists.select(
+        id_col, "centroid_id", F.transform(vec_col, lambda x: x / safe).alias("nv")
+    )
+    a, b = lists.alias("a"), lists.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.nv", "b.nv", lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, s: acc + s,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            dot.alias("_s"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.max("_s").alias("_s"))
+        .where(F.round("_s", 6) > F.lit(threshold))
+        .select("id_a", "id_b", F.round("_s", 6).alias("cosine"))
+    )

@@ -1053,3 +1053,46 @@ def x28(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bpe"
         ),
     ).orderBy("doc_id")
+
+
+@_q(
+    "x29_semantic_neardup",
+    """WITH cent AS (
+         SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS vcent
+         FROM embeddings ORDER BY vec_id LIMIT 32
+       ),
+       vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       assign AS (
+         SELECT vec_id, v, centroid_id,
+                ROW_NUMBER() OVER (
+                  PARTITION BY vec_id
+                  ORDER BY list_dot_product(v, vcent)
+                    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(vcent, vcent))) DESC,
+                    centroid_id) AS r
+         FROM vecs, cent
+       ),
+       lists AS (
+         SELECT vec_id, centroid_id,
+                list_transform(v, x -> x /
+                  (CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1.0
+                        ELSE sqrt(list_dot_product(v, v)) END)) AS nv
+         FROM assign WHERE r <= 2
+       ),
+       pairs AS (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                MAX(list_dot_product(a.nv, b.nv)) AS s
+         FROM lists a JOIN lists b
+           ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+         GROUP BY a.vec_id, b.vec_id
+       )
+       SELECT id_a, id_b, ROUND(s, 6) AS cosine
+       FROM pairs WHERE ROUND(s, 6) > 0.4 ORDER BY id_a, id_b""",
+    doc="Semantic near-dup at scale: embedding-cosine pairs restricted "
+    "to shared IVF lists (functions/similarity.py:cluster_neardup_pairs"
+    ") — x10's all-pairs brute force becomes an equi-join on "
+    "centroid_id; nprobe=2 multi-assignment preserves recall across "
+    "list boundaries.",
+)
+def x29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cluster_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")

@@ -260,3 +260,31 @@ def test_connected_components_clique_converges_fast(spark):
     got = connected_components(df, max_iter=6).collect()
     assert len(got) == n
     assert {r["component"] for r in got} == {0}
+
+
+def test_cluster_neardup_subset_of_brute_force(spark):
+    from deepcell_data_engineering_spark.functions.dedup import (
+        embedding_neardup_pairs,
+    )
+    from deepcell_data_engineering_spark.functions.similarity import (
+        cluster_neardup_pairs,
+    )
+    from deepcell_data_engineering_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    # list count sized to the corpus (~N/64 lists): recall depends on
+    # list granularity, so a 500-vector corpus gets 8 lists, not the
+    # default 32 a larger corpus would want
+    clustered = {
+        (r["id_a"], r["id_b"])
+        for r in cluster_neardup_pairs(
+            emb, threshold=0.4, n_centroids=8
+        ).collect()
+    }
+    assert clustered <= brute  # no false positives vs exact cosine
+    if brute:
+        assert len(clustered) / len(brute) >= 0.5  # multi-probe recall
