@@ -1016,3 +1016,42 @@ def d43(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "l_returnflag", "quartiles", ok.alias("approx_ok")
     ).orderBy("l_returnflag")
+
+
+@_q(
+    "d44_null_semantics",
+    """WITH o AS (
+         SELECT o_orderkey, NULLIF(o_orderstatus, 'F') AS st
+         FROM orders WHERE o_orderkey < 500
+       )
+       SELECT COALESCE(a.st, '(null)') AS status, COUNT(*) AS n_pairs
+       FROM o a JOIN o b
+         ON a.st IS NOT DISTINCT FROM b.st AND a.o_orderkey < b.o_orderkey
+       GROUP BY a.st ORDER BY status""",
+    doc="Tri-valued-logic parity: NULLIF manufactures NULLs, the join "
+    "uses null-safe equality (<=> / IS NOT DISTINCT FROM — NULLs match "
+    "each other, unlike '='), groups carry the NULL key, COALESCE "
+    "renders it. Spark plans EqualNullSafe as a hash-join key, so the "
+    "null-matching join is still an equi-join, not a nested loop.",
+)
+def d44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 500)
+        .select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("st"),
+        )
+    )
+    a, b = o.alias("a"), o.alias("b")
+    return (
+        a.join(
+            b,
+            F.col("a.st").eqNullSafe(F.col("b.st"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .groupBy(F.col("a.st").alias("st"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(F.coalesce("st", F.lit("(null)")).alias("status"), "n_pairs")
+        .orderBy("status")
+    )

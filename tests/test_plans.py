@@ -132,3 +132,52 @@ def test_corpus_build_two_exchanges(spark):
     gate and sampling stages must not add exchanges."""
     df = QUERIES["x27_corpus_build"].build(spark, SF)
     assert pi.count_exchanges(df) == 2
+
+
+def test_zorder_layout_tightens_both_dims(spark, tmp_path):
+    """After z-order writing on (x, y), per-file min/max ranges must be
+    tight on BOTH dimensions; a plain sort by x leaves y unclustered
+    (full-range in most files). Tightness = mean per-file range as a
+    fraction of the domain."""
+    import pyarrow.parquet as pq
+    import glob
+
+    from deepcell_data_engineering_spark.plans import layout
+
+    n = 1 << 12
+    side = 1 << 6  # 64 x 64 grid
+    rows = spark.range(n).select(
+        (F.col("id") % side).alias("x"),
+        ((F.col("id") * 2654435761) % side).alias("y"),  # decorrelated
+    )
+
+    def mean_range(path, col):
+        spans = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max
+                     for i in range(md.num_row_groups))
+            spans.append((hi - lo + 1) / side)
+        return sum(spans) / len(spans)
+
+    pz = str(tmp_path / "zorder")
+    layout.zorder_write(rows, pz, ["x", "y"], n_files=16, bits=6)
+    plain = str(tmp_path / "xsort")
+    (
+        rows.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(plain)
+    )
+    # plain x-sort: x tight, y spans ~everything
+    assert mean_range(plain, "x") < 0.25
+    assert mean_range(plain, "y") > 0.6
+    # z-order: BOTH dims tight enough to prune most files
+    assert mean_range(pz, "x") < 0.5
+    assert mean_range(pz, "y") < 0.5
+    # layout change must not change the data
+    back = spark.read.parquet(pz)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, rows.collect()))
