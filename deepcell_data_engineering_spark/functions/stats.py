@@ -66,3 +66,20 @@ def moment_stats(
         .agg(*moment_sums(x, y))
         .select(*group_cols, "n", "sx", "sy", *derived_stats())
     )
+
+
+def merge_grouped_sums(
+    parts: list[DataFrame], keys: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """Combine partial grouped-sum/count states — the algebraic-
+    aggregate property that makes incremental view maintenance work:
+    count and sum states merge by addition, so yesterday's aggregate
+    plus today's delta aggregate equals the full recompute without
+    rescanning history. Union + one re-aggregation shuffle of the
+    (tiny) state relations."""
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return merged.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )

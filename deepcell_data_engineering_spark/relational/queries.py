@@ -1055,3 +1055,119 @@ def d44(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.coalesce("st", F.lit("(null)")).alias("status"), "n_pairs")
         .orderBy("status")
     )
+
+
+@_q(
+    "d45_share_of_total",
+    """WITH per_seg AS (
+         SELECT c_mktsegment,
+                SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev_cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment
+       ),
+       tot AS (SELECT SUM(rev_cents) AS total_cents FROM per_seg)
+       SELECT c_mktsegment, rev_cents,
+              ROUND(CAST(rev_cents AS DOUBLE) / CAST(total_cents AS DOUBLE), 6)
+                  AS share
+       FROM per_seg CROSS JOIN tot ORDER BY c_mktsegment""",
+    doc="Percent-of-total per market segment. Deliberately NOT the "
+    "ratio_to_report window (SUM() OVER () forces every row through ONE "
+    "task — the classic global-window scale killer): the total is a "
+    "1-row aggregate of the already-tiny grouped relation, attached by "
+    "broadcast. Revenue summed as exact integer cents (functions/"
+    "stats.py posture) so the shares are bit-stable.",
+)
+def d45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_seg = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).alias("rev_cents")
+        )
+    )
+    tot = per_seg.agg(F.sum("rev_cents").alias("total_cents"))
+    return (
+        per_seg.join(F.broadcast(tot))
+        .select(
+            "c_mktsegment",
+            "rev_cents",
+            F.round(
+                F.col("rev_cents").cast("double")
+                / F.col("total_cents").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@_q(
+    "d46_try_cast",
+    """SELECT TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
+              TRY_CAST(substr(o_orderpriority, 3) AS BIGINT) AS junk,
+              COUNT(*) AS n
+       FROM orders
+       GROUP BY prio_num, junk ORDER BY prio_num""",
+    doc="Safe parsing under ANSI mode: try_cast yields NULL instead of "
+    "failing the job on malformed input ('URGENT' etc.) — the posture "
+    "for schema-on-read over dirty corpora, where one bad row must not "
+    "kill a 100 TB scan. The numeric prefix parses; the word suffix "
+    "NULLs out.",
+)
+def d46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.substring("o_orderpriority", 1, 1)
+            .try_cast("bigint")
+            .alias("prio_num"),
+            F.expr("TRY_CAST(substr(o_orderpriority, 3, 100) AS BIGINT)").alias(
+                "junk"
+            ),
+            )
+        .groupBy("prio_num", "junk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prio_num")
+    )
+
+
+@_q(
+    "d47_incremental_agg",
+    """SELECT o_orderstatus, COUNT(*) AS n,
+              SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev_cents
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    doc="Incremental view maintenance: the Spark side never aggregates "
+    "the full table in one pass — it merges yesterday's aggregate state "
+    "(orderkey < 15000) with today's delta state (the rest) via "
+    "functions/stats.py:merge_grouped_sums; the oracle IS the full "
+    "recompute, so the hash match proves state-merge == recompute. "
+    "Count/sum states are additive (exact integer cents), which is "
+    "exactly why a 100 TB daily pipeline only ever scans the delta.",
+)
+def d47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.stats import (
+        merge_grouped_sums,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(cents).alias("rev_cents")
+        )
+
+    old = state(o.where(F.col("o_orderkey") < 15000))
+    delta = state(o.where(F.col("o_orderkey") >= 15000))
+    return (
+        merge_grouped_sums([old, delta], ["o_orderstatus"], ["n", "rev_cents"])
+        .orderBy("o_orderstatus")
+    )
