@@ -82,7 +82,12 @@ def connected_components(
     )
     prev_sig = None
     for _ in range(max_iter):
+        prev = e
         e = _small_star(_large_star(e)).localCheckpoint()
+        # the new checkpoint is materialized (eager) — the previous
+        # round's blocks can be released; only the final edge set stays
+        # pinned (the caller's result depends on it)
+        prev.unpersist()
         # bit_xor (not sum): order-insensitive and overflow-free under
         # ANSI mode; the edge set is distinct, so no pair cancellation.
         sig = tuple(

@@ -355,26 +355,20 @@ def cluster_neardup_pairs(
     at least one list (the standard multi-probe recall fix); duplicate
     co-occurrences collapse in a max aggregate.
 
-    Perf: vectors are unit-normalized ONCE per (vector, list) row
-    before the pair join, so the hot pair loop is a single dot product
-    — cosine_expr's dot/(|a|·|b|) form would recompute both norms per
-    pair, tripling the dominant cost."""
+    Perf: the expensive step is the per-pair dot product (interpreted
+    higher-order lambdas), so the plan minimizes dot evaluations, not
+    just join size: the list self-join emits bare id pairs, duplicate
+    co-occurrences (a pair sharing several probed lists) collapse in a
+    DISTINCT while still narrow, and only then are unit-normalized
+    vectors attached — so every unique pair pays for exactly one dot.
+    Normalization happens once per vector (cosine_expr's dot/(|a|·|b|)
+    form would recompute both norms per pair)."""
     centroids = df.orderBy(id_col).limit(n_centroids)
-    lists = ivf_assign(df, centroids, vec_col, id_col, nprobe=nprobe)
-    norm = F.sqrt(
-        F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x)
-    )
-    safe = F.when(norm == 0, F.lit(1.0)).otherwise(norm)
-    lists = lists.select(
-        id_col, "centroid_id", F.transform(vec_col, lambda x: x / safe).alias("nv")
+    lists = ivf_assign(df, centroids, vec_col, id_col, nprobe=nprobe).select(
+        id_col, "centroid_id"
     )
     a, b = lists.alias("a"), lists.alias("b")
-    dot = F.aggregate(
-        F.zip_with("a.nv", "b.nv", lambda p, q: p * q),
-        F.lit(0.0),
-        lambda acc, s: acc + s,
-    )
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
@@ -383,10 +377,33 @@ def cluster_neardup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            dot.alias("_s"),
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.max("_s").alias("_s"))
+        .distinct()
+    )
+    norm = F.sqrt(
+        F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    safe = F.when(norm == 0, F.lit(1.0)).otherwise(norm)
+    nvecs = _as_double(df, vec_col).select(
+        id_col, F.transform(vec_col, lambda x: x / safe).alias("nv")
+    )
+    dot = F.aggregate(
+        F.zip_with("a_nv", "b_nv", lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, s: acc + s,
+    )
+    # no broadcast hint on the vector attach: AQE broadcasts while the
+    # corpus fits and degrades to a shuffle join when it doesn't
+    return (
+        pairs.join(
+            nvecs.select(F.col(id_col).alias("id_a"), F.col("nv").alias("a_nv")),
+            "id_a",
+        )
+        .join(
+            nvecs.select(F.col(id_col).alias("id_b"), F.col("nv").alias("b_nv")),
+            "id_b",
+        )
+        .select("id_a", "id_b", dot.alias("_s"))
         .where(F.round("_s", 6) > F.lit(threshold))
         .select("id_a", "id_b", F.round("_s", 6).alias("cosine"))
     )

@@ -47,6 +47,13 @@ def get_spark(
         # at large SF without over-splitting small files locally.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Runtime bloom-filter pruning: a selective filtered dim side
+        # injects a bloom filter into the fact scan of a shuffle join —
+        # rows that cannot match die at the scan instead of crossing the
+        # exchange. Thresholds are Spark's defaults (10M build side);
+        # the local testdata is below them, so the feature is exercised
+        # by a dedicated plan test with test-scoped thresholds.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

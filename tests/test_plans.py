@@ -181,3 +181,33 @@ def test_zorder_layout_tightens_both_dims(spark, tmp_path):
     # layout change must not change the data
     back = spark.read.parquet(pz)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, rows.collect()))
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """With a selective filter on the dim side of a shuffle join, Spark
+    injects a runtime bloom filter into the fact side — fact rows that
+    cannot match die at the scan, before the exchange. Thresholds are
+    lowered test-locally because the sf0.001 tables are far below the
+    production defaults."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+        o = load_table(spark, SF, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan or "BloomFilter" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
