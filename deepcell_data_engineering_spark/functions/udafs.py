@@ -36,3 +36,30 @@ def hmean(v: pd.Series) -> float:
 @pandas_udf("double")
 def exact_median(v: pd.Series) -> float:
     return float(np.median(v.to_numpy(dtype=float)))
+
+
+def make_span_udtf():
+    """Python UDTF (SURVEY §2.10 UDTF surface): explode a text document
+    into (span_idx, span_text, n_tokens) rows — the chunking step that
+    turns documents into training-window-sized spans. A UDTF is the
+    right tool when one input row yields a VARIABLE number of output
+    rows with computed columns (a lateral generator, not a map).
+
+    Row-at-a-time Python is the slow path (SURVEY §2.10): the engine's
+    hot chunkers stay in JVM explode/higher-order functions; this UDTF
+    exists to cover the surface and for genuinely custom generators.
+    Returned as a factory because ``udtf`` registration needs an active
+    session-aware analyzer in some environments."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="span_idx int, span_text string, n_tokens int")
+    class SpanUDTF:
+        def eval(self, text: str, max_tokens: int):
+            if text is None:
+                return
+            toks = text.split()
+            for i in range(0, len(toks), max_tokens):
+                chunk = toks[i : i + max_tokens]
+                yield i // max_tokens, " ".join(chunk), len(chunk)
+
+    return SpanUDTF

@@ -288,3 +288,29 @@ def test_cluster_neardup_subset_of_brute_force(spark):
     assert clustered <= brute  # no false positives vs exact cosine
     if brute:
         assert len(clustered) / len(brute) >= 0.5  # multi-probe recall
+
+
+def test_span_udtf_chunks_documents(spark):
+    from pyspark.sql.functions import lit
+
+    from deepcell_data_engineering_spark.functions.udafs import make_span_udtf
+
+    SpanUDTF = make_span_udtf()
+    spark.udtf.register("doc_spans", SpanUDTF)
+    rows = SpanUDTF(lit("a b c d e f g"), lit(3)).collect()
+    assert [(r["span_idx"], r["n_tokens"]) for r in rows] == [
+        (0, 3), (1, 3), (2, 1),
+    ]
+    assert rows[2]["span_text"] == "g"
+    # LATERAL join form over a table
+    spark.createDataFrame(
+        [(0, "w x y z"), (1, None)], "doc_id long, text string"
+    ).createOrReplaceTempView("_udtf_docs")
+    out = spark.sql(
+        """SELECT doc_id, s.span_idx, s.n_tokens
+           FROM _udtf_docs, LATERAL doc_spans(text, 2) s
+           ORDER BY doc_id, span_idx"""
+    ).collect()
+    assert [(r["doc_id"], r["span_idx"], r["n_tokens"]) for r in out] == [
+        (0, 0, 2), (0, 1, 2),
+    ]

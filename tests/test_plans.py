@@ -211,3 +211,25 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_observed_metrics_free_accounting(spark):
+    from deepcell_data_engineering_spark.plans.metrics import (
+        observed_filter,
+        observed_quality,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    flt, obs = observed_filter(docs, F.length("text") > 200)
+    kept = flt.count()
+    assert obs.get["n_seen"] == docs.count()
+    assert obs.get["n_kept"] == kept
+    q, obs2 = observed_quality(
+        docs.withColumn("maybe", F.nullif(F.col("lang"), F.lit("en"))),
+        ["maybe", "doc_id"],
+    )
+    q.collect()
+    m = obs2.get
+    assert m["n_null_doc_id"] == 0
+    assert m["n_null_maybe"] == docs.where(F.col("lang") == "en").count()
+    assert m["n_rows"] == docs.count()
