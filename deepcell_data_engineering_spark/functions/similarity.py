@@ -343,6 +343,7 @@ def cluster_neardup_pairs(
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    scorer: str = "jvm",
 ) -> DataFrame:
     """Semantic (embedding-cosine) near-duplicate pairs, cluster-scoped:
     the scale path of embedding dedup. Vectors are coarse-quantized into
@@ -362,7 +363,15 @@ def cluster_neardup_pairs(
     DISTINCT while still narrow, and only then are unit-normalized
     vectors attached — so every unique pair pays for exactly one dot.
     Normalization happens once per vector (cosine_expr's dot/(|a|·|b|)
-    form would recompute both norms per pair)."""
+    form would recompute both norms per pair).
+
+    ``scorer``: 'jvm' (default) evaluates the dot with built-in
+    higher-order functions — bit-identical to the DuckDB oracle (both
+    engines left-fold), which is what the hash gate checks; 'numpy'
+    scores each Arrow batch with a vectorized einsum — ~5-10x faster on
+    wide vectors, at the cost of SIMD/pairwise summation whose last ulp
+    can differ from the left-fold (tests pin agreement to 1e-9, the
+    oracle-gated query keeps 'jvm')."""
     centroids = df.orderBy(id_col).limit(n_centroids)
     lists = ivf_assign(df, centroids, vec_col, id_col, nprobe=nprobe).select(
         id_col, "centroid_id"
@@ -394,16 +403,34 @@ def cluster_neardup_pairs(
     )
     # no broadcast hint on the vector attach: AQE broadcasts while the
     # corpus fits and degrades to a shuffle join when it doesn't
+    attached = pairs.join(
+        nvecs.select(F.col(id_col).alias("id_a"), F.col("nv").alias("a_nv")),
+        "id_a",
+    ).join(
+        nvecs.select(F.col(id_col).alias("id_b"), F.col("nv").alias("b_nv")),
+        "id_b",
+    )
+    if scorer == "numpy":
+        import numpy as np
+        import pandas as pd
+
+        def score(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                av = np.stack(pdf["a_nv"].to_numpy())
+                bv = np.stack(pdf["b_nv"].to_numpy())
+                s = np.round(np.einsum("ij,ij->i", av, bv), 6)
+                out = pd.DataFrame(
+                    {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cosine": s}
+                )
+                yield out[out["cosine"] > threshold]
+
+        return attached.mapInPandas(
+            score, schema="id_a long, id_b long, cosine double"
+        )
     return (
-        pairs.join(
-            nvecs.select(F.col(id_col).alias("id_a"), F.col("nv").alias("a_nv")),
-            "id_a",
-        )
-        .join(
-            nvecs.select(F.col(id_col).alias("id_b"), F.col("nv").alias("b_nv")),
-            "id_b",
-        )
-        .select("id_a", "id_b", dot.alias("_s"))
+        attached.select("id_a", "id_b", dot.alias("_s"))
         .where(F.round("_s", 6) > F.lit(threshold))
         .select("id_a", "id_b", F.round("_s", 6).alias("cosine"))
     )

@@ -314,3 +314,24 @@ def test_span_udtf_chunks_documents(spark):
     assert [(r["doc_id"], r["span_idx"], r["n_tokens"]) for r in out] == [
         (0, 0, 2), (0, 1, 2),
     ]
+
+
+def test_cluster_neardup_numpy_scorer_agrees(spark):
+    from deepcell_data_engineering_spark.catalog import load_table
+    from deepcell_data_engineering_spark.functions.similarity import (
+        cluster_neardup_pairs,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    jvm = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cluster_neardup_pairs(emb, n_centroids=8).collect()
+    }
+    np_ = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cluster_neardup_pairs(
+            emb, n_centroids=8, scorer="numpy"
+        ).collect()
+    }
+    assert set(jvm) == set(np_)
+    assert all(abs(jvm[k] - np_[k]) < 1e-9 for k in jvm)
