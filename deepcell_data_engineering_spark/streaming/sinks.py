@@ -47,3 +47,47 @@ def start_idempotent_parquet_sink(
     if trigger_once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def start_incremental_agg(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    keys: list[str],
+    aggs: list,
+    trigger_once: bool = True,
+):
+    """Streaming incremental view maintenance: each micro-batch reduces
+    to its partial aggregate STATE (tiny — one row per touched group)
+    and lands under its epoch partition via the idempotent sink, so the
+    history of the stream is stored as additive state deltas, not raw
+    events. Crash replays overwrite their own epoch: exactly-once
+    maintenance from an at-least-once channel.
+
+    Read the maintained aggregate back with ``maintained_agg`` — a fold
+    over the (small) delta states, never over raw history."""
+
+    def land(batch_df: DataFrame, epoch_id: int) -> None:
+        delta = batch_df.groupBy(*keys).agg(*aggs)
+        write_epoch_idempotent(delta, epoch_id, path)
+
+    w = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def maintained_agg(
+    spark, path: str, keys: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """Current value of an incrementally-maintained aggregate: merge all
+    epoch delta states by addition (functions/stats.py posture — states
+    of count/sum aggregates are additive)."""
+    state = spark.read.parquet(path).drop(EPOCH_COL)
+    return state.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )

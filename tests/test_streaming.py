@@ -245,3 +245,55 @@ def test_idempotent_sink_replay_safe(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(out2).count() == ev.count()
+
+
+def test_streaming_incremental_agg_equals_batch(spark, tmp_path):
+    """Maintained aggregate (fold of per-epoch delta states) must equal
+    the batch recompute over all events — including after an epoch
+    replay."""
+    from deepcell_data_engineering_spark.streaming.sinks import (
+        maintained_agg,
+        start_incremental_agg,
+        write_epoch_idempotent,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    expected = {
+        (r["event_type"], r["n"], r["cents"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents"))
+        .collect()
+    }
+
+    out = str(tmp_path / "state")
+    stream = read_events_stream(spark, SF_SMOKE)
+    q = start_incremental_agg(
+        stream,
+        out,
+        str(tmp_path / "ckpt"),
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents")],
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in maintained_agg(
+            spark, out, ["event_type"], ["n", "cents"]
+        ).collect()
+    }
+    assert got == expected
+
+    # replay the last epoch by hand: state must not double-count
+    last = spark.read.parquet(out)
+    eid = last.agg(F.max("_epoch")).first()[0]
+    # a replay writes the same delta again under the same epoch
+    same_delta = spark.read.parquet(out).where(F.col("_epoch") == eid).drop("_epoch")
+    write_epoch_idempotent(same_delta, eid, out)
+    got2 = {
+        tuple(r)
+        for r in maintained_agg(
+            spark, out, ["event_type"], ["n", "cents"]
+        ).collect()
+    }
+    assert got2 == expected
