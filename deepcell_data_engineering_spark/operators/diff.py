@@ -54,3 +54,52 @@ def snapshot_diff(
         .where(F.col("change_type").isNotNull())
         .select(*keys, "change_type")
     )
+
+
+def snapshot_diff_with_payload(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """snapshot_diff plus the NEW row payload for added/changed keys —
+    the form a downstream MERGE consumes. 'removed' rows carry NULL
+    payload. Still narrow on the old side (keys + hash only); the new
+    side's payload rides along because the consumer needs it anyway."""
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in keys]
+    o = old.select(*keys, _row_hash(compare_cols).alias("__h_old"))
+    n = new.select(*keys, *compare_cols, _row_hash(compare_cols).alias("__h_new"))
+    j = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .where(F.col("change_type").isNotNull())
+        .select(*keys, *compare_cols, "change_type")
+    )
+
+
+def apply_changes(
+    base: DataFrame, changes: DataFrame, keys: list[str]
+) -> DataFrame:
+    """MERGE-style upsert/delete: apply a change feed (the output of
+    snapshot_diff_with_payload, or any CDC source with a change_type
+    column) to a base snapshot. added/changed rows replace or extend the
+    base; removed rows disappear. One left anti join (drop superseded/
+    deleted keys) + one union — the canonical parquet-era merge; with
+    both sides bucketed on the key the anti join is exchange-free.
+
+    Invariant (pinned by the d48 oracle): apply_changes(old,
+    snapshot_diff_with_payload(old, new)) == new."""
+    payload_cols = [
+        c for c in changes.columns if c not in ("change_type",)
+    ]
+    survivors = base.join(changes.select(*keys), keys, "left_anti")
+    upserts = changes.where(F.col("change_type") != "removed").select(
+        *[c for c in payload_cols if c in base.columns]
+    )
+    return survivors.unionByName(upserts)

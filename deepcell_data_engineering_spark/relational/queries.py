@@ -1171,3 +1171,39 @@ def d47(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_grouped_sums([old, delta], ["o_orderstatus"], ["n", "rev_cents"])
         .orderBy("o_orderstatus")
     )
+
+
+@_q(
+    "d48_apply_changes",
+    """SELECT o_orderkey,
+              CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END
+                  AS o_orderstatus,
+              o_totalprice
+       FROM orders ORDER BY o_orderkey""",
+    doc="CDC round trip (operators/diff.py): the Spark side never sees "
+    "the new snapshot whole — it diffs old vs new (d42's fixture: "
+    "pre-1996 baseline, every-97th-key mutation) and MERGE-applies the "
+    "change feed onto the old snapshot; the oracle is the new snapshot "
+    "computed directly. Hash equality proves diff->apply is lossless, "
+    "the invariant incremental pipelines stand on.",
+)
+def d48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.operators.diff import (
+        apply_changes,
+        snapshot_diff_with_payload,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    old = orders.where(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    ).drop("o_orderdate")
+    new = orders.drop("o_orderdate").withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    feed = snapshot_diff_with_payload(old, new, ["o_orderkey"])
+    return apply_changes(old, feed, ["o_orderkey"]).orderBy("o_orderkey")

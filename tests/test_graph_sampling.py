@@ -335,3 +335,22 @@ def test_cluster_neardup_numpy_scorer_agrees(spark):
     }
     assert set(jvm) == set(np_)
     assert all(abs(jvm[k] - np_[k]) < 1e-9 for k in jvm)
+
+
+def test_apply_changes_roundtrip_with_delete(spark):
+    """diff -> apply must reproduce the new snapshot exactly, including
+    deletes (absent from d48's grow-only fixture)."""
+    from deepcell_data_engineering_spark.operators.diff import (
+        apply_changes,
+        snapshot_diff_with_payload,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "k long, s string, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (4, "d", 4.0)], "k long, s string, v double"
+    )
+    feed = snapshot_diff_with_payload(old, new, ["k"])
+    got = sorted(map(tuple, apply_changes(old, feed, ["k"]).collect()))
+    assert got == sorted(map(tuple, new.collect()))
