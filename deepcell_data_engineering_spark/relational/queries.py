@@ -1207,3 +1207,53 @@ def d48(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feed = snapshot_diff_with_payload(old, new, ["o_orderkey"])
     return apply_changes(old, feed, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+@_q(
+    "d49_revenue_rollup",
+    """SELECT n_name,
+              date_trunc('month', o_orderdate) AS month,
+              COUNT(*) AS n_items,
+              SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+                  AS rev_c4
+       FROM lineitem
+       JOIN orders   ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation   ON c_nationkey = n_nationkey
+       GROUP BY n_name, month
+       ORDER BY n_name, month""",
+    doc="TPC-H-Q5-shaped reporting rollup: fact-to-fact join on the "
+    "shuffle key plus broadcast dims, monthly truncation, and revenue "
+    "extprice*(1-discount) carried as EXACT integer (cents x discount "
+    "basis points) so the 3-join aggregate stays hash-stable — float "
+    "product sums would be partitioning-dependent. The biggest join "
+    "(lineitem x orders) keys both sides on orderkey; everything "
+    "smaller broadcasts.",
+)
+def d49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    )
+    # no hint on customer: it broadcasts at test SF via AQE but is a
+    # real shuffle join at warehouse scale; nation (25 rows at any SF)
+    # is hinted.
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).alias("rev_c4"),
+        )
+        .orderBy("n_name", "month")
+    )
