@@ -399,3 +399,59 @@ def embedding_neardup_pairs(
         )
         .where(F.col("cosine") > threshold)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    min_share: float = 0.8,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-containment detection: directed pairs where most of doc A's
+    winnowing fingerprints also appear in doc B — the quote/boilerplate/
+    subset-duplicate case that symmetric Jaccard under-scores (a short
+    doc fully quoted inside a long one has low Jaccard but containment
+    ~1.0). share(A->B) = |fp(A) n fp(B)| / |fp(A)|; winnowing guarantees
+    any shared substring of length >= w+k-1 contributes fingerprints.
+
+    Shape: fingerprint table (~2/(w+1) density) self-joined on the
+    fingerprint VALUE, then one count aggregate per directed pair and a
+    rational division — all exact. ``max_bucket`` optionally drops
+    fingerprints shared by more than that many docs (ubiquitous
+    boilerplate shingles — the same bucket-cap hardening as
+    lsh_candidate_pairs) before the quadratic join."""
+    fps = winnow_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        fps = fps.withColumn(
+            "_bucket", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        ).where(F.col("_bucket") <= max_bucket).drop("_bucket")
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    a, b = fps.alias("a"), fps.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed(id_col, "id_a")), "id_a"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("n_inter") / F.col("n_fp"), 6).alias("share"),
+        )
+        .where(F.col("share") >= F.lit(min_share))
+    )

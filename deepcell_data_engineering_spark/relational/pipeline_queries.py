@@ -1096,3 +1096,56 @@ def x28(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x29(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.cluster_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
+def _containment_oracle(k: int, w: int, min_share: float) -> str:
+    a, b, c = dd.minhash_params(0)
+    return f"""WITH g AS (
+         SELECT doc_id,
+                greatest(length(text) - {k - 1}, 1) AS n_grams,
+                i AS pos,
+                substr(text, i, {k}) AS gram
+         FROM documents,
+              LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - {k - 1}, 1))) AS i)
+       ),
+       h AS (
+         SELECT doc_id, n_grams, pos,
+                ({a} * ('0x' || substr(md5(gram), 1, 7))::BIGINT
+               + {b} * ('0x' || substr(md5(gram), 9, 7))::BIGINT
+               + {c}) % {dd.MINHASH_P} AS h
+         FROM g
+       ),
+       sel AS (
+         SELECT DISTINCT doc_id, fp FROM (
+           SELECT doc_id, pos, n_grams,
+                  MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp
+           FROM h
+         ) WHERE pos <= greatest(n_grams - {w - 1}, 1)
+       ),
+       sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM sel GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+         FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id != b.doc_id
+         GROUP BY a.doc_id, b.doc_id
+       )
+       SELECT id_a, id_b,
+              ROUND(n_inter / n_fp, 6) AS share
+       FROM inter JOIN sizes ON id_a = sizes.doc_id
+       WHERE ROUND(n_inter / n_fp, 6) >= {min_share}
+       ORDER BY id_a, id_b"""
+
+
+@_q(
+    "x30_containment",
+    _containment_oracle(k=5, w=4, min_share=0.8),
+    doc="Directed near-containment pairs (functions/dedup.py:"
+    "containment_pairs): share(A->B) = |fp(A) n fp(B)| / |fp(A)| over "
+    "winnowing fingerprints — catches subset duplication (quotes, "
+    "boilerplate, doc-inside-doc) that symmetric Jaccard under-scores. "
+    "Fingerprint-value self-join + one count per directed pair; all "
+    "arithmetic rational.",
+)
+def x30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.containment_pairs(docs, min_share=0.8).orderBy("id_a", "id_b")

@@ -85,3 +85,98 @@ def test_hmean_and_exact_median_udafs(spark):
     assert rows["b"][0] == 0.0
     assert rows["c"][0] == 3.0
     assert rows["a"][1] == pytest.approx(0.75)
+
+
+# ---- round-2 operator properties: CDC, components, sampling ----
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_old=st.integers(min_value=0, max_value=40),
+    n_new=st.integers(min_value=0, max_value=40),
+)
+def test_cdc_roundtrip_property(spark, seed, n_old, n_new):
+    """apply(old, diff(old, new)) == new for arbitrary overlapping
+    snapshots (adds, deletes, value changes, and NULL payloads)."""
+    from deepcell_data_engineering_spark.operators.diff import (
+        apply_changes,
+        snapshot_diff_with_payload,
+    )
+
+    rng = np.random.RandomState(seed)
+
+    def snap(n, offset):
+        return [
+            (
+                int(k),
+                None if rng.rand() < 0.15 else f"s{rng.randint(3)}",
+                float(rng.randint(5)),
+            )
+            for k in rng.choice(np.arange(offset, offset + 60), n, replace=False)
+        ]
+
+    old_rows, new_rows = snap(n_old, 0), snap(n_new, 20)
+    schema = "k long, s string, v double"
+    old = spark.createDataFrame(old_rows, schema) if old_rows else spark.createDataFrame([], schema)
+    new = spark.createDataFrame(new_rows, schema) if new_rows else spark.createDataFrame([], schema)
+    feed = snapshot_diff_with_payload(old, new, ["k"])
+    got = sorted(map(tuple, apply_changes(old, feed, ["k"]).collect()))
+    assert got == sorted(map(tuple, new.collect()))
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_connected_components_property(spark, seed):
+    from deepcell_data_engineering_spark.functions.graph import (
+        connected_components,
+    )
+
+    rng = np.random.RandomState(seed)
+    n_edges = rng.randint(1, 80)
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.randint(0, 60, size=(n_edges, 2))
+        if a != b
+    ]
+    if not edges:
+        return
+    # driver-side union-find reference
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(edges, "id_a long, id_b long")
+        ).collect()
+    }
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    f1=st.floats(min_value=0.0, max_value=1.0),
+    f2=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_hash_sample_nesting_property(spark, f1, f2):
+    """For any two fractions, the smaller-fraction sample is a subset of
+    the larger — the property that makes hash sampling resumable."""
+    from deepcell_data_engineering_spark.functions.sampling import hash_sample
+
+    lo, hi = sorted([f1, f2])
+    docs = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    s_lo = {r["doc_id"] for r in hash_sample(docs, lo).collect()}
+    s_hi = {r["doc_id"] for r in hash_sample(docs, hi).collect()}
+    assert s_lo <= s_hi
