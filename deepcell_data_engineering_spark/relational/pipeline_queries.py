@@ -1098,7 +1098,7 @@ def x29(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cluster_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
 
 
-def _containment_oracle(k: int, w: int, min_share: float) -> str:
+def _containment_oracle(k: int, w: int, min_share: float, max_bucket: int) -> str:
     a, b, c = dd.minhash_params(0)
     return f"""WITH g AS (
          SELECT doc_id,
@@ -1123,29 +1123,39 @@ def _containment_oracle(k: int, w: int, min_share: float) -> str:
            FROM h
          ) WHERE pos <= greatest(n_grams - {w - 1}, 1)
        ),
-       sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM sel GROUP BY doc_id),
+       keep AS (
+         SELECT fp FROM (SELECT fp, COUNT(*) AS c FROM sel GROUP BY fp)
+         WHERE c <= {max_bucket}
+       ),
+       fps AS (SELECT sel.doc_id, sel.fp FROM sel JOIN keep USING (fp)),
+       sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY doc_id),
        inter AS (
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-         FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id != b.doc_id
+         FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id != b.doc_id
          GROUP BY a.doc_id, b.doc_id
        )
        SELECT id_a, id_b,
               ROUND(n_inter / n_fp, 6) AS share
        FROM inter JOIN sizes ON id_a = sizes.doc_id
        WHERE ROUND(n_inter / n_fp, 6) >= {min_share}
-       ORDER BY id_a, id_b"""
+       ORDER BY id_a, id_b""".replace("{max_bucket}", str(max_bucket))
 
 
 @_q(
     "x30_containment",
-    _containment_oracle(k=5, w=4, min_share=0.8),
+    _containment_oracle(k=5, w=4, min_share=0.8, max_bucket=64),
     doc="Directed near-containment pairs (functions/dedup.py:"
     "containment_pairs): share(A->B) = |fp(A) n fp(B)| / |fp(A)| over "
     "winnowing fingerprints — catches subset duplication (quotes, "
     "boilerplate, doc-inside-doc) that symmetric Jaccard under-scores. "
     "Fingerprint-value self-join + one count per directed pair; all "
-    "arithmetic rational.",
+    "arithmetic rational. The ubiquitous-boilerplate bucket cap "
+    "(max_bucket=64) is LOAD-BEARING on this tiny-vocabulary corpus: "
+    "uncapped, the hottest fingerprint holds ~4k docs at sf0.1 and the "
+    "join does ~600M pair-rows.",
 )
 def x30(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dd.containment_pairs(docs, min_share=0.8).orderBy("id_a", "id_b")
+    return dd.containment_pairs(docs, min_share=0.8, max_bucket=64).orderBy(
+        "id_a", "id_b"
+    )
