@@ -264,15 +264,55 @@ def ivf_assign(
     nprobe: int = 1,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its ``nprobe``
-    nearest centroids by cosine (ties -> smaller centroid id). Centroids
-    are broadcast (they are tiny: k rows); assignment is one narrow
-    broadcast join + window — the inverted-file build step."""
+    nearest centroids by cosine (ties -> smaller centroid id).
+
+    For small models (k x dim <= ``_INLINE_LIMIT``) the unit-normalized
+    centroids are inlined as literal arrays — kmeans_fit's trick,
+    extended to top-nprobe: scoring and selection happen inside per-row
+    array expressions (sort negated-score structs, slice nprobe), so
+    the plan is MAP-ONLY — no k-fold row blowup, no window shuffle.
+    Cosine argmax == dot with the unit centroid (the common 1/|v|
+    factor preserves order); ties break to the smaller centroid id via
+    the struct's position field. Big models fall back to the broadcast
+    crossJoin + window."""
+    import math
+
     from deepcell_data_engineering_spark.plans.layout import spread
 
     c = _as_double(centroids, vec_col).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("vcent")
     )
+    crows = c.collect()  # k rows — always driver-tiny
+    dim = len(crows[0]["vcent"]) if crows else 0
     v = _as_double(spread(df), vec_col)
+    if crows and len(crows) * dim <= _INLINE_LIMIT:
+        crows = sorted(crows, key=lambda r: r["centroid_id"])
+        ids_lit = (
+            "array(" + ",".join(f"{int(r['centroid_id'])}L" for r in crows) + ")"
+        )
+        dots = []
+        for r in crows:
+            vec = [float(x) for x in r["vcent"]]
+            nrm = math.sqrt(sum(x * x for x in vec)) or 1.0
+            arr = "array(" + ",".join(f"{x / nrm!r}d" for x in vec) + ")"
+            dots.append(
+                f"aggregate(zip_with({vec_col}, {arr}, (a, b) -> a * b),"
+                f" 0d, (acc, s) -> acc + s)"
+            )
+        scores = "array(" + ",".join(dots) + ")"
+        picked = (
+            "slice(array_sort(transform(_scores,"
+            f" (s, i) -> named_struct('ns', -s, 'idx', i))), 1, {nprobe})"
+        )
+        return (
+            v.selectExpr(id_col, vec_col, f"{scores} AS _scores")
+            .selectExpr(id_col, vec_col, f"explode({picked}) AS _pick")
+            .selectExpr(
+                id_col,
+                vec_col,
+                f"element_at({ids_lit}, _pick.idx + 1) AS centroid_id",
+            )
+        )
     scored = v.crossJoin(F.broadcast(c)).select(
         id_col, vec_col, "centroid_id",
         cosine_expr(F.col(vec_col), F.col("vcent")).alias("_cs"),

@@ -408,8 +408,10 @@ def x13(spark: SparkSession, sf_dir: str) -> DataFrame:
          SELECT vec_id, v, centroid_id,
                 ROW_NUMBER() OVER (
                   PARTITION BY vec_id
-                  ORDER BY list_dot_product(v, vcent)
-                    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(vcent, vcent))) DESC,
+                  ORDER BY list_dot_product(v,
+                    list_transform(vcent, x -> x /
+                      (CASE WHEN sqrt(list_dot_product(vcent, vcent)) = 0 THEN 1.0
+                            ELSE sqrt(list_dot_product(vcent, vcent)) END))) DESC,
                     centroid_id) AS r
          FROM vecs, cent
        ),
@@ -1066,8 +1068,10 @@ def x28(spark: SparkSession, sf_dir: str) -> DataFrame:
          SELECT vec_id, v, centroid_id,
                 ROW_NUMBER() OVER (
                   PARTITION BY vec_id
-                  ORDER BY list_dot_product(v, vcent)
-                    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(vcent, vcent))) DESC,
+                  ORDER BY list_dot_product(v,
+                    list_transform(vcent, x -> x /
+                      (CASE WHEN sqrt(list_dot_product(vcent, vcent)) = 0 THEN 1.0
+                            ELSE sqrt(list_dot_product(vcent, vcent)) END))) DESC,
                     centroid_id) AS r
          FROM vecs, cent
        ),
