@@ -1163,3 +1163,52 @@ def x30(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.containment_pairs(docs, min_share=0.8, max_bucket=64).orderBy(
         "id_a", "id_b"
     )
+
+
+@_q(
+    "x31_corpus_report",
+    """WITH q AS (
+         SELECT doc_id, lang, source,
+                len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                md5(lower(trim(text))) AS fp
+         FROM documents
+       ),
+       d AS (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+                    AS is_canon
+         FROM q
+       )
+       SELECT lang, source, COUNT(*) AS n_docs,
+              SUM(n_tokens) AS tokens_total,
+              COUNT(*) FILTER (WHERE NOT is_canon) AS n_dups,
+              ROUND(AVG(n_tokens), 4) AS avg_tokens
+       FROM d GROUP BY lang, source ORDER BY lang, source""",
+    doc="Corpus health report — the observability rollup every corpus "
+    "pipeline publishes: per (lang, source) document counts, token "
+    "totals, exact-duplicate counts (non-canonical rows of each text "
+    "fingerprint), and mean length. One fingerprint window + one "
+    "grouped agg; the avg is an exact integer sum over an exact count.",
+)
+def x31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        tx.fingerprint(F.col("text")).alias("fp"),
+    )
+    d = q.withColumn(
+        "is_canon",
+        F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")) == 1,
+    )
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_total"),
+            F.count(F.when(~F.col("is_canon"), 1)).alias("n_dups"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+        .orderBy("lang", "source")
+    )

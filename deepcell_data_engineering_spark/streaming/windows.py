@@ -192,3 +192,23 @@ def stream_static_enrich(
     return stream.join(
         F.broadcast(dim.select(key, *cols)), key, "left"
     )
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """State-bounded streaming deduplication: dropDuplicatesWithinWatermark
+    keeps a key's state only until the watermark passes it, so the dedup
+    state is O(keys per watermark window) instead of O(all keys ever) —
+    the production form of stream dedup (plain dropDuplicates grows
+    state forever on an unbounded key space). Duplicates arriving within
+    the watermark interval of the first occurrence are dropped; on batch
+    inputs this degrades to plain dropDuplicates over the keys."""
+    if not stream.isStreaming:
+        return stream.dropDuplicates(keys)
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -297,3 +297,26 @@ def test_streaming_incremental_agg_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got2 == expected
+
+
+def test_dedup_within_watermark_bounded_state(spark, tmp_path):
+    from deepcell_data_engineering_spark.streaming.windows import (
+        dedup_within_watermark,
+    )
+
+    batch = load_table(spark, SF_SMOKE, "events").withColumn(
+        "dup_key", F.col("event_id") % 50
+    )
+    expected = batch.dropDuplicates(["dup_key"]).count()
+    assert expected == 50
+
+    stream = read_events_stream(spark, SF_SMOKE).withColumn(
+        "dup_key", F.col("event_id") % 50
+    )
+    out = dedup_within_watermark(stream, ["dup_key"], watermark="10 days")
+    _run_stream(out.select("dup_key"), tmp_path, "wmdedup", mode="append")
+    # all testdata events fall inside one watermark interval, so the
+    # bounded-state dedup equals the global dedup here
+    got = spark.sql("SELECT COUNT(DISTINCT dup_key) c FROM wmdedup").first()["c"]
+    n = spark.sql("SELECT COUNT(*) c FROM wmdedup").first()["c"]
+    assert got == 50 and n == 50
