@@ -16,7 +16,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLE_NAMES = (
     "region",
@@ -51,6 +51,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            # Newer testdata writes micros TIMESTAMP_NTZ. With the session
+            # timezone pinned to UTC the cast is wall-time == instant, the
+            # same epoch DuckDB assigns the naive value — and downstream
+            # ops (unix_micros, session_window, watermarks) require TZ.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -68,6 +68,69 @@ def moment_stats(
     )
 
 
+def grouped_quantiles(
+    df: DataFrame,
+    value: Column,
+    group_cols: list[str],
+    probs: list[float],
+    names: list[str],
+    max_exact_group: int | None = None,
+    accuracy: int = 1000,
+    approx_names: list[str] | None = None,
+) -> DataFrame:
+    """Grouped quantiles with a bounded-executor-memory guard.
+
+    Exact ``percentile`` buffers every value of a group inside one
+    aggregation buffer — fine for bounded groups, an executor OOM when a
+    single group holds billions of rows at warehouse scale. This helper
+    computes BOTH estimators in one shuffle and routes per group:
+
+    - groups with ``count <= max_exact_group`` answer from the exact
+      ``percentile`` buffer;
+    - oversized groups never feed the exact buffer at all (their values
+      are masked to NULL *before* aggregation, and Spark's Percentile
+      aggregate skips nulls, so the unbounded buffer is never built) and
+      answer from ``approx_percentile`` — a fixed-size, map-side-merged
+      sketch.
+
+    The pre-agg group-size pass is a tiny grouped count attached by
+    broadcast. ``max_exact_group=None`` disables the guard (every group
+    exact). Output: ``group_cols + names + [n, exact]`` where ``exact``
+    says which estimator answered.
+    """
+    probs_lit = F.array(*[F.lit(float(p)) for p in probs])
+    if max_exact_group is None:
+        src = df
+        small = F.lit(True)
+        ncol = F.count(F.lit(1)).alias("n")
+    else:
+        gn = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__gn"))
+        src = df.join(F.broadcast(gn), on=group_cols)
+        small = F.col("__gn") <= F.lit(max_exact_group)
+        ncol = F.max("__gn").alias("n")
+    agg = src.groupBy(*group_cols).agg(
+        ncol,
+        F.percentile(F.when(small, value), probs_lit).alias("__ex"),
+        F.approx_percentile(value, probs_lit, F.lit(accuracy)).alias("__ap"),
+        F.max(small.cast("boolean")).alias("exact"),
+    )
+    picked = [
+        F.coalesce(
+            F.element_at("__ex", i + 1), F.element_at("__ap", i + 1)
+        ).alias(names[i])
+        for i in range(len(probs))
+    ]
+    extra = (
+        [
+            F.element_at("__ap", i + 1).alias(approx_names[i])
+            for i in range(len(probs))
+        ]
+        if approx_names
+        else []
+    )
+    return agg.select(*group_cols, *picked, *extra, "n", "exact")
+
+
 def merge_grouped_sums(
     parts: list[DataFrame], keys: list[str], sum_cols: list[str]
 ) -> DataFrame:

@@ -30,14 +30,19 @@ def duckdb_connect(sf_dir: str) -> "duckdb.DuckDBPyConnection":
 
 
 def _canon_cell(v) -> str:
+    # Strictness contract: at least as strict as the driver's
+    # canonicalizer. In particular a float64 65535.0 must NOT collapse
+    # to "65535" — DuckDB HUGEINT outputs surface through fetchdf() as
+    # float64, and folding them back to int strings is exactly what let
+    # the round-1/2 SUM(BIGINT)->HUGEINT oracle bugs pass locally while
+    # failing the driver's hash gate. Floats render via repr (shortest
+    # round-trip — bit-exact discrimination), never via %g.
     if v is None:
         return "\0NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "\0NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.9g}"
+        return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon_cell(x) for x in v) + "]"
     return str(v)
@@ -80,6 +85,30 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype class for the strictness gate: integer-valued
+    float64 vs int64 is a REAL driver-visible difference (the HUGEINT
+    class), while int32 vs int64 is not."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "other"
+
+
+def _array_cols(df: pd.DataFrame) -> list[str]:
+    import numpy as np
+
+    bad = []
+    for c in df.columns:
+        s = df[c].dropna()
+        if len(s) and isinstance(s.iloc[0], (list, tuple, np.ndarray)):
+            bad.append(c)
+    return bad
+
+
 def compare(name: str, spark_df, con, oracle_sql: str) -> CompareResult:
     spark_pd = _normalize(spark_df.toPandas())
     oracle_pd = _normalize(con.execute(oracle_sql).fetchdf())
@@ -92,6 +121,39 @@ def compare(name: str, spark_df, con, oracle_sql: str) -> CompareResult:
             len(spark_pd),
             len(oracle_pd),
             f"columns {sorted(spark_pd.columns)} vs {sorted(oracle_pd.columns)}",
+        )
+    # Driver-crash guard: its pandas canonicalizer sort_values() on a
+    # list-valued column raises "unhashable type: 'list'" (d43, r2).
+    arr = _array_cols(spark_pd) + _array_cols(oracle_pd)
+    if arr:
+        return CompareResult(
+            name,
+            False,
+            len(spark_pd),
+            len(oracle_pd),
+            f"array-typed output columns {sorted(set(arr))} would crash "
+            "the driver canonicalizer — emit scalars",
+        )
+    # Dtype-class gate: catches DuckDB HUGEINT (rendered float64 by
+    # fetchdf) against a Spark BIGINT even when every value is
+    # integer-equal.
+    kind_diff = [
+        c
+        for c in spark_pd.columns
+        if _dtype_kind(spark_pd[c]) != _dtype_kind(oracle_pd[c])
+    ]
+    if kind_diff:
+        return CompareResult(
+            name,
+            False,
+            len(spark_pd),
+            len(oracle_pd),
+            "dtype-class mismatch "
+            + ", ".join(
+                f"{c}: spark={_dtype_kind(spark_pd[c])}/"
+                f"oracle={_dtype_kind(oracle_pd[c])}"
+                for c in kind_diff
+            ),
         )
     hs, ho = table_hash(spark_pd), table_hash(oracle_pd)
     if hs != ho:

@@ -1179,7 +1179,7 @@ def x30(spark: SparkSession, sf_dir: str) -> DataFrame:
          FROM q
        )
        SELECT lang, source, COUNT(*) AS n_docs,
-              SUM(n_tokens) AS tokens_total,
+              CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
               COUNT(*) FILTER (WHERE NOT is_canon) AS n_dups,
               ROUND(AVG(n_tokens), 4) AS avg_tokens
        FROM d GROUP BY lang, source ORDER BY lang, source""",

@@ -893,7 +893,8 @@ def d40(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS sxy
          FROM lineitem GROUP BY l_returnflag
        )
-       SELECT l_returnflag, n, sx, sy,
+       SELECT l_returnflag, n,
+              CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
               ROUND(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))),
@@ -981,40 +982,45 @@ def d42(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "d43_quantiles",
     """SELECT l_returnflag,
-              quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS quartiles,
+              quantile_cont(l_quantity, 0.25) AS q25,
+              quantile_cont(l_quantity, 0.5) AS q50,
+              quantile_cont(l_quantity, 0.75) AS q75,
               TRUE AS approx_ok
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-    doc="Exact grouped multi-quantile (percentile with linear "
-    "interpolation) certified against percentile_approx: quantile "
-    "probabilities 1/4, 1/2, 3/4 have exact binary interpolation "
-    "fractions, so Spark's and DuckDB's (algebraically equal, "
-    "differently associated) interpolation formulas agree bitwise. "
-    "The approx sketch (KLL-style, fixed state, map-side merged — the "
-    "scale path for huge groups) is gated by a tolerance flag like "
-    "d35, never hash-compared directly.",
+    doc="Exact grouped quartiles (percentile with linear interpolation, "
+    "emitted as three scalar columns) certified against "
+    "percentile_approx: probabilities 1/4, 1/2, 3/4 have exact binary "
+    "interpolation fractions, so Spark's and DuckDB's (algebraically "
+    "equal, differently associated) interpolation formulas agree "
+    "bitwise. Runs through functions/stats.py:grouped_quantiles, whose "
+    "max_exact_group guard masks oversized groups out of the exact "
+    "percentile buffer (bounded executor memory) and answers them from "
+    "the approx sketch (KLL-style, fixed state, map-side merged) — the "
+    "guard threshold here is far above any test-SF group, so the exact "
+    "path answers and the hash is deterministic; the approx twin is "
+    "gated by a tolerance flag like d35, never hash-compared directly.",
 )
 def d43(spark: SparkSession, sf_dir: str) -> DataFrame:
-    agg = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.expr(
-                "percentile(l_quantity, array(0.25D, 0.5D, 0.75D))"
-            ).alias("quartiles"),
-            F.expr(
-                "approx_percentile(l_quantity, array(0.25D, 0.5D, 0.75D), 1000)"
-            ).alias("approx_q"),
-        )
+    from deepcell_data_engineering_spark.functions.stats import (
+        grouped_quantiles,
     )
-    ok = F.aggregate(
-        F.zip_with(
-            "quartiles", "approx_q", lambda q, a: F.abs(q - a) <= F.lit(1.0)
-        ),
-        F.lit(True),
-        lambda acc, v: acc & v,
+
+    qs = grouped_quantiles(
+        _t(spark, sf_dir, "lineitem"),
+        F.col("l_quantity"),
+        ["l_returnflag"],
+        [0.25, 0.5, 0.75],
+        ["q25", "q50", "q75"],
+        max_exact_group=100_000_000,
+        approx_names=["a25", "a50", "a75"],
     )
-    return agg.select(
-        "l_returnflag", "quartiles", ok.alias("approx_ok")
+    ok = (
+        (F.abs(F.col("q25") - F.col("a25")) <= F.lit(1.0))
+        & (F.abs(F.col("q50") - F.col("a50")) <= F.lit(1.0))
+        & (F.abs(F.col("q75") - F.col("a75")) <= F.lit(1.0))
+    )
+    return qs.select(
+        "l_returnflag", "q25", "q50", "q75", ok.alias("approx_ok")
     ).orderBy("l_returnflag")
 
 
@@ -1066,7 +1072,7 @@ def d44(spark: SparkSession, sf_dir: str) -> DataFrame:
          GROUP BY c_mktsegment
        ),
        tot AS (SELECT SUM(rev_cents) AS total_cents FROM per_seg)
-       SELECT c_mktsegment, rev_cents,
+       SELECT c_mktsegment, CAST(rev_cents AS BIGINT) AS rev_cents,
               ROUND(CAST(rev_cents AS DOUBLE) / CAST(total_cents AS DOUBLE), 6)
                   AS share
        FROM per_seg CROSS JOIN tot ORDER BY c_mktsegment""",
@@ -1142,7 +1148,8 @@ def d46(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "d47_incremental_agg",
     """SELECT o_orderstatus, COUNT(*) AS n,
-              SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev_cents
+              CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                   AS BIGINT) AS rev_cents
        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     doc="Incremental view maintenance: the Spark side never aggregates "
     "the full table in one pass — it merges yesterday's aggregate state "
@@ -1214,9 +1221,9 @@ def d48(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT n_name,
               date_trunc('month', o_orderdate) AS month,
               COUNT(*) AS n_items,
-              SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
-                  * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
-                  AS rev_c4
+              CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+                   AS BIGINT) AS rev_c4
        FROM lineitem
        JOIN orders   ON l_orderkey = o_orderkey
        JOIN customer ON o_custkey = c_custkey
