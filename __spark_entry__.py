@@ -30,11 +30,45 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["d11_star_join_agg"].build(spark, "/root/testdata/sf0.001")
 
 
+# The driver oracle-checks the first 50 registry entries per round. x06–x31
+# (the LSH/ANN/clustering/containment pipeline stack) had never been inside
+# that window, so they lead; 24 cheap d-queries that have been driver-green
+# for two consecutive rounds pad the window; everything else (x01–x05 and
+# the remaining d-queries, all previously driver-verified) follows.
+_CHECK_FIRST = [
+    "x06_minhash_lsh_pairs", "x07_ngram_jaccard", "x08_simhash",
+    "x09_cosine_topk", "x10_embedding_neardup", "x11_srp_lsh_topk",
+    "x12_crop_grid", "x13_overlap_vote", "x14_ivf_topk",
+    "x15_json_extract", "x16_asof_join", "x17_sessionize",
+    "x18_winnow_fingerprint", "x19_kmeans_centroids", "x20_interval_join",
+    "x21_dup_clusters", "x22_tfidf_topk", "x23_pattern_scrub",
+    "x24_stratified_sample", "x25_vocab_topk", "x26_bm25",
+    "x27_corpus_build", "x28_bpe_tokens", "x29_semantic_neardup",
+    "x30_containment", "x31_corpus_report",
+    "d01_scan_filter", "d02_like_strings", "d03_natural_sort", "d04_topk",
+    "d05_distinct", "d10_inner_join", "d11_star_join_agg", "d12_left_join",
+    "d13_semi_join", "d14_anti_join", "d16_cross_join", "d17_grouped_agg",
+    "d19_median", "d20_rollup", "d21_grouping_sets", "d22_conditional_agg",
+    "d26_intersect", "d27_except", "d30_documents_agg", "d31_pivot",
+    "d33_string_agg", "d35_approx_distinct", "d44_null_semantics",
+    "d46_try_cast",
+]
+
+
+def _ordered_names() -> list[str]:
+    rest = [n for n in QUERIES if n not in set(_CHECK_FIRST)]
+    return _CHECK_FIRST + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.build for name, spec in QUERIES.items()}
+    return {name: QUERIES[name].build for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL for each hash-checkable query."""
-    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None}
+    return {
+        name: QUERIES[name].oracle
+        for name in _ordered_names()
+        if QUERIES[name].oracle is not None
+    }

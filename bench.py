@@ -65,27 +65,33 @@ def main() -> None:
     timings = {name: round(median(xs), 4) for name, xs in samples.items()}
     total = sum(timings.values())
 
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_surface_total_runtime",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # the query surface GROWS round over round; normalize
-                # before comparing totals across rounds
-                "n_queries": len(timings),
-                "sec_per_query": round(total / max(len(timings), 1), 4),
-                "runs_per_query": runs,
-                "p95_query_sec": round(
-                    sorted(timings.values())[max(0, int(len(timings) * 0.95) - 1)], 4
-                )
-                if timings
-                else 0.0,
-            }
+    payload = {
+        "metric": "declared_query_surface_total_runtime",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # the query surface GROWS round over round; normalize
+        # before comparing totals across rounds
+        "n_queries": len(timings),
+        "sec_per_query": round(total / max(len(timings), 1), 4),
+        "runs_per_query": runs,
+        "p95_query_sec": round(
+            sorted(timings.values())[max(0, int(len(timings) * 0.95) - 1)], 4
         )
+        if timings
+        else 0.0,
+    }
+    line = json.dumps(payload)
+    # Durable copy: the driver captures stdout through a bounded tail
+    # buffer that has truncated the 76-query dict twice; the on-disk file
+    # is the round-over-round regression record.
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
     )
+    with open(out_path, "w") as f:
+        f.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

@@ -41,6 +41,32 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
         pass  # already set via builder, or not settable — read will tell
 
 
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize the events timestamp column to TimestampType regardless of
+    the physical parquet encoding the testdata generator used.
+
+    Shared by the batch reader (load_table) AND the streaming reader
+    (streaming.windows.read_events_stream) so a testdata format change can
+    never split the two paths again. Handles:
+
+    - LongType: nanosecond epoch (parquet TIMESTAMP(NANOS) read under
+      spark.sql.legacy.parquet.nanosAsLong) — exact integer division to
+      micros; float division would lose precision above 2^53 ns.
+    - TimestampNTZType: micros wall-time. With the session timezone pinned
+      to UTC the cast is wall-time == instant, the same epoch DuckDB
+      assigns the naive value — and downstream ops (unix_micros,
+      session_window, withWatermark) require TimestampType.
+    """
+    dt = df.schema[ts_col].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn(
+            ts_col, F.expr(f"timestamp_micros({ts_col} DIV 1000)")
+        )
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one catalog table, applying per-table normalization."""
     if name not in TABLE_NAMES:
@@ -48,16 +74,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         _ensure_nanos_conf(spark)
-        df = spark.read.parquet(path)
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
-            # Newer testdata writes micros TIMESTAMP_NTZ. With the session
-            # timezone pinned to UTC the cast is wall-time == instant, the
-            # same epoch DuckDB assigns the naive value — and downstream
-            # ops (unix_micros, session_window, watermarks) require TZ.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        return normalize_event_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

@@ -226,15 +226,65 @@ def per_experiment_split(
     exp_col: str = "fov",
     data_split: tuple[float, float, float] = (0.8, 0.1, 0.1),
     seed: int | None = None,
+    exact_parity: bool = True,
 ) -> DataFrame:
     """D4 `_load_all_experiments` split scoping (dataset_builder.py:
     165-254): the 3-way split runs WITHIN each experiment, then the
     per-experiment splits union — so every experiment contributes to
-    every split (no experiment ends up test-only). One seeded RNG drawn
-    in sorted experiment order keeps the assignment deterministic; only
-    the per-experiment id lists (tiny) touch the driver, and the
-    assignment broadcast-joins back."""
+    every split (no experiment ends up test-only).
+
+    ``exact_parity=True``: one seeded RNG drawn in sorted experiment
+    order keeps the assignment bit-deterministic vs the reference; the
+    per-experiment id LISTS are collected to the driver — bounded by
+    total image count, which caps this mode at ~1e7 images.
+
+    ``exact_parity=False`` (the scale path): only one COUNT per
+    experiment reaches the driver (for the small-N sizing contract,
+    which is scalar logic); assignment is the seeded per-experiment
+    hash order — ``row_number`` over ``xxhash64(img_idx, seed)``
+    partitioned by experiment — cut at the same size boundaries. Same
+    size contract per experiment, same determinism per seed, nothing
+    O(images) on the driver; not bit-identical to the numpy
+    permutation, which is exactly the trade the flag names."""
     _validate_ratios(data_split)
+    if not exact_parity:
+        from pyspark.sql import Window
+
+        counts = (
+            df.groupBy(exp_col)
+            .agg(F.count_distinct("img_idx").alias("__n"))
+            .collect()
+        )
+        bounds = []
+        for r in sorted(counts, key=lambda r: r[exp_col]):
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                sizes = _split_sizes(int(r["__n"]), data_split)
+            bounds.append(
+                (r[exp_col], sizes["train"], sizes["train"] + sizes["val"])
+            )
+        bdf = df.sparkSession.createDataFrame(
+            bounds, schema=[exp_col, "__b1", "__b2"]
+        )
+        w = Window.partitionBy(exp_col).orderBy(
+            F.xxhash64("img_idx", F.lit(0 if seed is None else int(seed))),
+            "img_idx",
+        )
+        assign = (
+            df.select(exp_col, "img_idx")
+            .distinct()
+            .withColumn("__r", F.row_number().over(w) - 1)
+            .join(F.broadcast(bdf), on=exp_col)
+            .select(
+                "img_idx",
+                F.lit(0).alias("copy"),
+                F.when(F.col("__r") < F.col("__b1"), "train")
+                .when(F.col("__r") < F.col("__b2"), "val")
+                .otherwise("test")
+                .alias("split"),
+            )
+        )
+        return df.join(assign, on="img_idx", how="inner")
     groups = (
         df.groupBy(exp_col).agg(F.collect_list("img_idx").alias("ids")).collect()
     )

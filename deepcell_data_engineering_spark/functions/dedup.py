@@ -376,13 +376,25 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """All pairs with cosine similarity above ``threshold``.
 
-    Brute-force O(n²) formulation — correct for verification and small n;
-    the scale path buckets with sign-random-projection LSH first
-    (similarity.srp_buckets) and restricts this join to same-bucket pairs.
+    Brute-force O(n²) formulation — the recall verifier for the bucketed
+    paths (similarity.cluster_neardup_pairs / srp_buckets) and correct
+    for small n. ``max_rows`` refuses inputs where the crossJoin would be
+    a scale accident (100k rows is already 5e9 pairs); pass ``None`` to
+    bypass when the quadratic cost is a deliberate choice.
     """
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_neardup_pairs: {n} rows would form ~{n * n // 2:.0e}"
+                f" pairs; this brute-force path is capped at max_rows="
+                f"{max_rows} — use similarity.cluster_neardup_pairs (IVF"
+                f" lists) at scale, or pass max_rows=None deliberately"
+            )
     vecs = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),

@@ -71,6 +71,35 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 0) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def _unit_rows_literal(rows: list[list[float]]) -> str:
+    """One 2-D ``array(array(...))`` SQL literal of unit-normalized rows.
+
+    The k separate ``aggregate(zip_with(...))`` strings this replaces made
+    the analyzed expression tree O(k x dim) PER SCORE REFERENCE (and the
+    argmax form referenced scores twice), which showed up as ~12 s of
+    plan analysis/codegen on cold k-means runs. A single nested literal
+    plus one shared ``transform`` lambda keeps the scoring tree O(1) in k
+    — same map-only physical plan, a fraction of the compile cost."""
+    import math
+
+    parts = []
+    for vec in rows:
+        fv = [float(x) for x in vec]
+        nrm = math.sqrt(sum(x * x for x in fv)) or 1.0
+        parts.append("array(" + ",".join(f"{x / nrm!r}d" for x in fv) + ")")
+    return "array(" + ",".join(parts) + ")"
+
+
+def _dot_scores_expr(vec_col: str, cmat: str) -> str:
+    """Score vector: dot(vec, unit_centroid_i) for every centroid row of
+    ``cmat``, via one transform lambda (cosine argmax == dot-with-unit-
+    centroid argmax; the common 1/|v| factor preserves order)."""
+    return (
+        f"transform({cmat}, c -> aggregate(zip_with({vec_col}, c,"
+        f" (a, b) -> a * b), 0d, (acc, s) -> acc + s))"
+    )
+
+
 def srp_buckets(
     df: DataFrame,
     dim: int,
@@ -167,51 +196,46 @@ def kmeans_fit(
     partial-avg rows. For big models it falls back to the broadcast-join
     assignment (ivf_assign's shape), which scales in k x dim but
     shuffles the scored rows."""
-    import math
-
     from pyspark import StorageLevel
 
     # Iterative algorithm: every Lloyd pass re-scans the working set, so
     # persist the narrow (id, vec) projection once — the standard Spark
     # posture for iterative ML (MLlib's KMeans warns when its input is
     # uncached). MEMORY_AND_DISK spills rather than OOMs at scale.
-    v = (
-        _as_double(df, vec_col)
-        .select(id_col, vec_col)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    first = v.select(vec_col).head()
-    if first is None:
-        v.unpersist()
-        raise ValueError("kmeans_fit: empty input")
-    dim = len(first[0])
+    # No element-wise double cast here: float inputs widen exactly inside
+    # the dot (zip_with against double literals) and avg expressions, so
+    # results are bit-identical and the cached working set stays at the
+    # parquet float width (half the memory, one less projection).
+    v = df.select(id_col, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    # one driver action seeds init centroids AND dim/emptiness — a
+    # separate head() job doubled the cold-start job count
     centroids = [
         list(r[0])
         for r in v.orderBy(id_col).limit(n_clusters).select(vec_col).collect()
     ]
+    if not centroids:
+        v.unpersist()
+        raise ValueError("kmeans_fit: empty input")
+    dim = len(centroids[0])
     counts: dict[int, int] = {}
     inline = n_clusters * dim <= _INLINE_LIMIT
 
     for _ in range(max_iter):
         if inline:
-            # cosine argmax == dot-with-unit-centroid argmax (the common
-            # 1/|v| factor preserves order); first max wins -> ties break
-            # to the smaller centroid id, matching ivf_assign. Built as
-            # ONE SQL string: thousands of literal Column objects would
-            # cost a py4j round-trip each and dominate the iteration.
-            dots = []
-            for c in centroids:
-                cn = math.sqrt(sum(x * x for x in c)) or 1.0
-                arr = "array(" + ",".join(f"{x / cn!r}d" for x in c) + ")"
-                dots.append(
-                    f"aggregate(zip_with({vec_col}, {arr}, (a, b) -> a * b),"
-                    f" 0d, (acc, s) -> acc + s)"
-                )
-            scores = "array(" + ",".join(dots) + ")"
+            # cosine argmax == dot-with-unit-centroid argmax; first max
+            # wins -> ties break to the smaller centroid id, matching
+            # ivf_assign. One 2-D literal + one transform lambda (see
+            # _unit_rows_literal) keeps plan analysis O(1) in k; scores
+            # materialize in their own projection so the argmax step
+            # references a column, not two copies of the k-wide tree.
+            cmat = _unit_rows_literal(centroids)
             assigned = v.selectExpr(
                 vec_col,
-                f"cast(array_position({scores}, array_max({scores})) - 1"
-                f" as int) as centroid_id",
+                f"{_dot_scores_expr(vec_col, cmat)} AS _scores",
+            ).selectExpr(
+                vec_col,
+                "cast(array_position(_scores, array_max(_scores)) - 1"
+                " as int) as centroid_id",
             )
         else:
             c_df = v.sparkSession.createDataFrame(
@@ -275,8 +299,6 @@ def ivf_assign(
     factor preserves order); ties break to the smaller centroid id via
     the struct's position field. Big models fall back to the broadcast
     crossJoin + window."""
-    import math
-
     from deepcell_data_engineering_spark.plans.layout import spread
 
     c = _as_double(centroids, vec_col).select(
@@ -290,16 +312,8 @@ def ivf_assign(
         ids_lit = (
             "array(" + ",".join(f"{int(r['centroid_id'])}L" for r in crows) + ")"
         )
-        dots = []
-        for r in crows:
-            vec = [float(x) for x in r["vcent"]]
-            nrm = math.sqrt(sum(x * x for x in vec)) or 1.0
-            arr = "array(" + ",".join(f"{x / nrm!r}d" for x in vec) + ")"
-            dots.append(
-                f"aggregate(zip_with({vec_col}, {arr}, (a, b) -> a * b),"
-                f" 0d, (acc, s) -> acc + s)"
-            )
-        scores = "array(" + ",".join(dots) + ")"
+        cmat = _unit_rows_literal([list(r["vcent"]) for r in crows])
+        scores = _dot_scores_expr(vec_col, cmat)
         picked = (
             "slice(array_sort(transform(_scores,"
             f" (s, i) -> named_struct('ns', -s, 'idx', i))), 1, {nprobe})"

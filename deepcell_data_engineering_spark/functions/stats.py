@@ -98,6 +98,15 @@ def grouped_quantiles(
     exact). Output: ``group_cols + names + [n, exact]`` where ``exact``
     says which estimator answered.
     """
+    if len(names) != len(probs):
+        raise ValueError(
+            f"grouped_quantiles: {len(names)} names for {len(probs)} probs"
+        )
+    if approx_names is not None and len(approx_names) != len(probs):
+        raise ValueError(
+            f"grouped_quantiles: {len(approx_names)} approx_names for"
+            f" {len(probs)} probs"
+        )
     probs_lit = F.array(*[F.lit(float(p)) for p in probs])
     if max_exact_group is None:
         src = df
@@ -105,7 +114,19 @@ def grouped_quantiles(
         ncol = F.count(F.lit(1)).alias("n")
     else:
         gn = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__gn"))
-        src = df.join(F.broadcast(gn), on=group_cols)
+        # null-safe join keys: groupBy treats NULL as a real group, so a
+        # plain inner equi-join would silently drop NULL-keyed groups
+        # from the guarded path (and only that path)
+        cond = None
+        right = F.broadcast(
+            gn.select(
+                *[F.col(c).alias(f"__gk_{c}") for c in group_cols], "__gn"
+            )
+        )
+        for c in group_cols:
+            eq = F.col(c).eqNullSafe(F.col(f"__gk_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        src = df.join(right, cond).drop(*[f"__gk_{c}" for c in group_cols])
         small = F.col("__gn") <= F.lit(max_exact_group)
         ncol = F.max("__gn").alias("n")
     agg = src.groupBy(*group_cols).agg(

@@ -104,7 +104,13 @@ def _array_cols(df: pd.DataFrame) -> list[str]:
     bad = []
     for c in df.columns:
         s = df[c].dropna()
-        if len(s) and isinstance(s.iloc[0], (list, tuple, np.ndarray)):
+        # check EVERY value, not just the first: a column whose first row
+        # is scalar but later rows hold lists would still crash the
+        # driver's sort_values canonicalizer. Result frames are small
+        # (post-aggregation), so the full scan is cheap.
+        if len(s) and bool(
+            s.map(lambda v: isinstance(v, (list, tuple, np.ndarray))).any()
+        ):
             bad.append(c)
     return bad
 

@@ -261,21 +261,51 @@ def x09(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "x10_embedding_neardup",
-    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300)
-       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-              ROUND(list_dot_product(a.v, b.v)
-                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
-                AS cosine
-       FROM v a JOIN v b ON a.vec_id < b.vec_id
-       WHERE ROUND(list_dot_product(a.v, b.v)
-                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) > 0.4
-       ORDER BY id_a, id_b""",
+    """WITH cent AS (
+         SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS vcent
+         FROM embeddings WHERE vec_id < 300 ORDER BY vec_id LIMIT 8
+       ),
+       vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                FROM embeddings WHERE vec_id < 300),
+       assign AS (
+         SELECT vec_id, v, centroid_id,
+                ROW_NUMBER() OVER (
+                  PARTITION BY vec_id
+                  ORDER BY list_dot_product(v,
+                    list_transform(vcent, x -> x /
+                      (CASE WHEN sqrt(list_dot_product(vcent, vcent)) = 0 THEN 1.0
+                            ELSE sqrt(list_dot_product(vcent, vcent)) END))) DESC,
+                    centroid_id) AS r
+         FROM vecs, cent
+       ),
+       lists AS (
+         SELECT vec_id, centroid_id,
+                list_transform(v, x -> x /
+                  (CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1.0
+                        ELSE sqrt(list_dot_product(v, v)) END)) AS nv
+         FROM assign WHERE r <= 2
+       ),
+       pairs AS (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                MAX(list_dot_product(a.nv, b.nv)) AS s
+         FROM lists a JOIN lists b
+           ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+         GROUP BY a.vec_id, b.vec_id
+       )
+       SELECT id_a, id_b, ROUND(s, 6) AS cosine
+       FROM pairs WHERE ROUND(s, 6) > 0.4 ORDER BY id_a, id_b""",
     doc="Embedding-cosine near-duplicate pairs above 0.4 on a bounded "
-    "subset (brute-force verification path of embedding dedup).",
+    "subset via the IVF-bucketed path (equi-join on centroid_id, 8 "
+    "lists, nprobe=2) — no registered query carries an unconditional "
+    "O(n^2) crossJoin; the brute-force all-pairs form stays available "
+    "as dedup.embedding_neardup_pairs (size-guarded) and serves as the "
+    "recall verifier in tests/test_text_dedup.py.",
 )
 def x10(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
-    return dd.embedding_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+    return sim.cluster_neardup_pairs(
+        emb, threshold=0.4, n_centroids=8, nprobe=2
+    ).orderBy("id_a", "id_b")
 
 
 # All SFs of the synthetic embeddings table share this dimensionality

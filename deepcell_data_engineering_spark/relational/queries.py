@@ -995,10 +995,14 @@ def d42(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bitwise. Runs through functions/stats.py:grouped_quantiles, whose "
     "max_exact_group guard masks oversized groups out of the exact "
     "percentile buffer (bounded executor memory) and answers them from "
-    "the approx sketch (KLL-style, fixed state, map-side merged) — the "
-    "guard threshold here is far above any test-SF group, so the exact "
-    "path answers and the hash is deterministic; the approx twin is "
-    "gated by a tolerance flag like d35, never hash-compared directly.",
+    "the approx sketch (KLL-style, fixed state, map-side merged). The "
+    "CERTIFIED query disables the guard (max_exact_group=None): hashed "
+    "columns must come from the exact estimator at EVERY scale factor — "
+    "a guard that silently flips big groups to the sketch would make "
+    "the hash partition-order-dependent at SF>=50. The guard path "
+    "itself is pinned by tests/test_stats.py unit tests; the "
+    "approx twin here is gated by a tolerance flag like d35, never "
+    "hash-compared directly.",
 )
 def d43(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepcell_data_engineering_spark.functions.stats import (
@@ -1011,7 +1015,7 @@ def d43(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_returnflag"],
         [0.25, 0.5, 0.75],
         ["q25", "q50", "q75"],
-        max_exact_group=100_000_000,
+        max_exact_group=None,
         approx_names=["a25", "a50", "a75"],
     )
     ok = (

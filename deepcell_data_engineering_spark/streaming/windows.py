@@ -107,10 +107,15 @@ def read_events_stream(spark, sf_dir: str) -> DataFrame:
     """Open the events table as a file stream (one-file source dir); used
     with trigger(availableNow=True) for deterministic replay in tests.
 
-    events.ts is parquet TIMESTAMP(NANOS) read as a long (see catalog) and
-    normalized with exact integer division.
+    events.ts arrives as either nanosecond LONG or TIMESTAMP_NTZ depending
+    on the testdata generation; normalize_event_ts (shared with the batch
+    reader in catalog.py) converts both to TimestampType so withWatermark
+    works on either encoding.
     """
-    from deepcell_data_engineering_spark.catalog import _ensure_nanos_conf
+    from deepcell_data_engineering_spark.catalog import (
+        _ensure_nanos_conf,
+        normalize_event_ts,
+    )
 
     _ensure_nanos_conf(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -122,11 +127,7 @@ def read_events_stream(spark, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    from pyspark.sql.types import LongType
-
-    if isinstance(stream.schema["ts"].dataType, LongType):
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    return stream
+    return normalize_event_ts(stream)
 
 
 def interval_join(

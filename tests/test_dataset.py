@@ -372,3 +372,43 @@ def test_scale_mode_balance_dataset_contract(spark):
     assert sorted(
         (r["img_idx"], r["copy"]) for r in again.select("img_idx", "copy").collect()
     ) == sorted((r["img_idx"], r["copy"]) for r in out.select("img_idx", "copy").collect())
+
+
+def test_per_experiment_split_scale_mode(spark):
+    """exact_parity=False: same per-experiment size contract and
+    determinism as the RNG-parity mode, but only one COUNT per
+    experiment touches the driver (no id lists)."""
+    from deepcell_data_engineering_spark.dataset.splitter import per_experiment_split
+
+    specs = [(f"exp{e}", "mibi", 2) for e in range(3) for _ in range(6)]
+    df = _dataset(spark, specs)
+    out = per_experiment_split(
+        df, exp_col="tissue", data_split=(0.5, 0.25, 0.25), seed=1,
+        exact_parity=False,
+    )
+    counts = {
+        (r["tissue"], r["split"]): r["count"]
+        for r in out.groupBy("tissue", "split").count().collect()
+    }
+    for e in range(3):
+        assert counts[(f"exp{e}", "train")] == 3
+        assert counts[(f"exp{e}", "val")] >= 1
+        assert counts[(f"exp{e}", "test")] >= 1
+        assert sum(counts[(f"exp{e}", s)] for s in ("train", "val", "test")) == 6
+    again = per_experiment_split(
+        df, exp_col="tissue", data_split=(0.5, 0.25, 0.25), seed=1,
+        exact_parity=False,
+    )
+    a = sorted(map(tuple, out.select("img_idx", "split").collect()))
+    b = sorted(map(tuple, again.select("img_idx", "split").collect()))
+    assert a == b
+    # both modes agree on the SIZES (not the membership — different orders)
+    parity = per_experiment_split(
+        df, exp_col="tissue", data_split=(0.5, 0.25, 0.25), seed=1
+    )
+    pc = {
+        (r["tissue"], r["split"]): r["count"]
+        for r in parity.groupBy("tissue", "split").count().collect()
+    }
+    assert pc == counts
+

@@ -233,3 +233,18 @@ def test_observed_metrics_free_accounting(spark):
     assert m["n_null_doc_id"] == 0
     assert m["n_null_maybe"] == docs.where(F.col("lang") == "en").count()
     assert m["n_rows"] == docs.count()
+
+
+def test_ivf_inline_assignment_is_map_only(spark):
+    """The small-model centroid assignment must stay join-free: centroids
+    arrive as ONE 2-D literal scored through a single transform lambda
+    (similarity._unit_rows_literal), so the plan has no join and exactly
+    the spread() repartition as its only exchange."""
+    from deepcell_data_engineering_spark.functions.similarity import ivf_assign
+
+    emb = load_table(spark, SF, "embeddings")
+    cent = emb.orderBy("vec_id").limit(8)
+    df = ivf_assign(emb, cent, nprobe=2)
+    s = pi.join_strategies(df)
+    assert all(v == 0 for v in s.values()), s
+    assert pi.count_exchanges(df) <= 1  # spread()'s widen-repartition only

@@ -80,3 +80,39 @@ def test_asof_join_matched_row_null_is_inherited(spark):
     assert r["ts_matched"] == 15
     assert r["v_matched"] is None
     assert r["w_matched"] == "y"
+
+
+def test_canonicalizer_rejects_hugeint_class_mismatch(spark, con):
+    """Strictness regression (r3 hardening): an uncast SUM(BIGINT) oracle
+    surfaces through DuckDB fetchdf() as float64 (HUGEINT), and the local
+    checker must REJECT it against Spark's int64 even though every value
+    is integer-equal — that mismatch is exactly what the driver's gate
+    flags. If someone removes the dtype-class gate, this test goes red."""
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k INT, v LONG").groupBy(
+        "k"
+    ).sum("v").withColumnRenamed("sum(v)", "s")
+    # uncast SUM over BIGINT -> HUGEINT -> float64 via fetchdf
+    bad = "SELECT k, SUM(v) AS s FROM (VALUES (1, 10::BIGINT), (2, 20::BIGINT)) t(k, v) GROUP BY k"
+    res = compare("hugeint_guard", df, con, bad)
+    assert not res.ok and "dtype-class" in res.detail
+    # the cast form passes
+    good = "SELECT k, CAST(SUM(v) AS BIGINT) AS s FROM (VALUES (1, 10::BIGINT), (2, 20::BIGINT)) t(k, v) GROUP BY k"
+    assert compare("hugeint_guard_cast", df, con, good).ok
+
+
+def test_canonicalizer_array_guard_scans_all_rows(spark, con):
+    """_array_cols must flag a column whose FIRST row is scalar but a
+    later row holds a list (driver sort_values would crash on it)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1,), (2,)], "k INT").withColumn(
+        "mixed",
+        F.when(F.col("k") == 2, F.array(F.lit(1), F.lit(2))),
+    )
+    res = compare(
+        "array_guard",
+        df,
+        con,
+        "SELECT 1 AS k, NULL AS mixed UNION ALL SELECT 2, [1, 2]",
+    )
+    assert not res.ok and "array-typed" in res.detail

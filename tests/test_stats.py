@@ -1,0 +1,68 @@
+"""Unit contracts for functions/stats.py — grouped_quantiles' guard path
+(null-keyed groups, estimator routing, arg validation)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from deepcell_data_engineering_spark.functions.stats import grouped_quantiles
+
+
+@pytest.fixture()
+def grouped_vals(spark):
+    rows = []
+    for g, n in [("a", 9), ("b", 200), (None, 9)]:
+        rows += [(g, float(i)) for i in range(1, n + 1)]
+    return spark.createDataFrame(rows, "g STRING, v DOUBLE")
+
+
+def test_null_keyed_group_survives_guard_path(spark, grouped_vals):
+    """groupBy treats NULL as a real group; the guarded path's group-size
+    attach must too (eqNullSafe join) — regression for the inner-join
+    form that silently dropped NULL-keyed groups."""
+    unguarded = grouped_quantiles(
+        grouped_vals, F.col("v"), ["g"], [0.5], ["q50"]
+    ).collect()
+    guarded = grouped_quantiles(
+        grouped_vals, F.col("v"), ["g"], [0.5], ["q50"], max_exact_group=1000
+    ).collect()
+    keys_u = {r["g"] for r in unguarded}
+    keys_g = {r["g"] for r in guarded}
+    assert keys_u == keys_g == {"a", "b", None}
+    # identical answers on both paths while every group is under the cap
+    med_u = {r["g"]: r["q50"] for r in unguarded}
+    med_g = {r["g"]: r["q50"] for r in guarded}
+    assert med_u == med_g
+    assert med_g[None] == 5.0 and med_g["a"] == 5.0 and med_g["b"] == 100.5
+
+
+def test_oversized_group_routes_to_sketch(spark, grouped_vals):
+    out = {
+        r["g"]: r
+        for r in grouped_quantiles(
+            grouped_vals,
+            F.col("v"),
+            ["g"],
+            [0.5],
+            ["q50"],
+            max_exact_group=50,
+        ).collect()
+    }
+    assert out["a"]["exact"] and out[None]["exact"]
+    assert not out["b"]["exact"]  # 200 rows > cap: sketch answered
+    assert abs(out["b"]["q50"] - 100.5) <= 1.0
+    assert out["b"]["n"] == 200
+
+
+def test_name_length_validation(spark, grouped_vals):
+    with pytest.raises(ValueError, match="names"):
+        grouped_quantiles(grouped_vals, F.col("v"), ["g"], [0.25, 0.5], ["q"])
+    with pytest.raises(ValueError, match="approx_names"):
+        grouped_quantiles(
+            grouped_vals,
+            F.col("v"),
+            ["g"],
+            [0.5],
+            ["q50"],
+            approx_names=["a", "b"],
+        )

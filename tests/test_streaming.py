@@ -320,3 +320,39 @@ def test_dedup_within_watermark_bounded_state(spark, tmp_path):
     got = spark.sql("SELECT COUNT(DISTINCT dup_key) c FROM wmdedup").first()["c"]
     n = spark.sql("SELECT COUNT(*) c FROM wmdedup").first()["c"]
     assert got == 50 and n == 50
+
+
+def test_ts_normalization_batch_and_stream_agree(spark):
+    """Both readers must yield TimestampType on every testdata encoding
+    (nanos-LONG or TIMESTAMP_NTZ) — regression for the r3 split where the
+    batch path was patched for NTZ but the stream path was not."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    from deepcell_data_engineering_spark.catalog import normalize_event_ts
+
+    batch = load_table(spark, SF_SMOKE, "events")
+    assert isinstance(batch.schema["ts"].dataType, TimestampType)
+    stream = read_events_stream(spark, SF_SMOKE)
+    assert isinstance(stream.schema["ts"].dataType, TimestampType)
+    # withWatermark is the op that throws EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+    stream.withWatermark("ts", "1 hour")
+
+    # the helper handles both physical encodings on synthetic frames
+    ntz = spark.createDataFrame(
+        [], StructType([StructField("ts", TimestampNTZType())])
+    )
+    assert isinstance(
+        normalize_event_ts(ntz).schema["ts"].dataType, TimestampType
+    )
+    nanos = spark.createDataFrame(
+        [], StructType([StructField("ts", LongType())])
+    )
+    assert isinstance(
+        normalize_event_ts(nanos).schema["ts"].dataType, TimestampType
+    )

@@ -297,3 +297,45 @@ def test_lsh_band_skew_cap_bounds_pairs(spark):
     hot_pairs = [r for r in surviving if r["id_a"] in hot_docs and r["id_b"] in hot_docs]
     assert len(hot_pairs) == 0
     assert len(surviving) <= 45  # bounded: only the 10 distinct docs can pair
+
+
+def test_embedding_neardup_size_guard(spark, vectors):
+    with pytest.raises(ValueError, match="max_rows"):
+        embedding_neardup_pairs(vectors, threshold=0.95, max_rows=10)
+    # explicit opt-out still works
+    pairs = embedding_neardup_pairs(
+        vectors, threshold=0.95, max_rows=None
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 50)}
+
+
+def test_bucketed_neardup_recall_vs_brute(spark):
+    """The registered x10 path (IVF-bucketed cluster_neardup_pairs) is
+    verified against the size-guarded brute-force all-pairs form: every
+    bucketed pair must also be a brute pair with the identical cosine,
+    and recall on the testdata subset must be high (multi-probe nprobe=2
+    catches list-straddling near-dups)."""
+    from deepcell_data_engineering_spark.catalog import load_table
+    from deepcell_data_engineering_spark.functions.similarity import (
+        cluster_neardup_pairs,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").where(
+        "vec_id < 300"
+    )
+    brute = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cluster_neardup_pairs(
+            emb, threshold=0.4, n_centroids=8, nprobe=2
+        ).collect()
+    }
+    assert set(bucketed) <= set(brute)  # no false positives, exact scores
+    for k, v in bucketed.items():
+        assert abs(brute[k] - v) < 1e-9
+    assert brute  # fixture actually exercises the threshold
+    recall = len(bucketed) / len(brute)
+    assert recall >= 0.8, (len(bucketed), len(brute))
