@@ -321,7 +321,26 @@ def predict_relationships(df: DataFrame, start_val: int = 1, threshold: float = 
 
 def relabel_data(df: DataFrame, relabel_type: str = "preserve", start_val: int = 1,
                  threshold: float = 0.1) -> DataFrame:
-    """L5 dispatcher (relabel.py:279-311)."""
+    """L5 dispatcher (relabel.py:279-311).
+
+    Streaming input + ``predict`` dispatches to the stateful twin
+    (streaming/stateful.py:stateful_frame_relabel): the same
+    frame-to-frame fold with the previous frame carried in the state
+    store, so an unbounded stack relabels incrementally instead of
+    buffering a whole (fov, crop, slice) group in one applyInPandas
+    call — the scale path for live acquisition. The other relabel
+    types are whole-stack by definition and reject streams."""
+    if df.isStreaming:
+        if relabel_type != "predict":
+            raise ValueError(
+                f"streaming relabel supports only relabel_type='predict' "
+                f"(stateful frame fold); got {relabel_type!r}"
+            )
+        from deepcell_data_engineering_spark.streaming.stateful import (
+            stateful_frame_relabel,
+        )
+
+        return stateful_frame_relabel(df, start_val, threshold)
     if relabel_type == "preserve":
         return relabel_preserve(df, start_val)
     if relabel_type == "all_frames":

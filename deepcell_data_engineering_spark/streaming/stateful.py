@@ -47,56 +47,67 @@ _FRAME_STATE_SCHEMA = StructType(
 )
 
 
-def _relabel_frames_fold(
-    key: Tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    import numpy as np
-
-    from deepcell_data_engineering_spark.operators.relabel import (
-        predict_next_frame,
-        relabel_sequential_np,
-    )
-    from deepcell_data_engineering_spark.sources.codecs import decode_y, encode_y
-
-    if state.exists:
-        prev_bytes, h, w, next_stack = state.get
-        prev = decode_y(prev_bytes, h, w)
-    else:
-        prev, next_stack = None, 0
-
-    out = []
-    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("stack")
-    for _, r in rows.iterrows():
-        h, w = int(r["height"]), int(r["width"])
-        y = decode_y(r["y"], h, w)
-        if prev is None:
-            cur = relabel_sequential_np(y, 1)
-        else:
-            cur = predict_next_frame(prev, y)
-        out.append(
-            {
-                "fov": r["fov"],
-                "stack": int(r["stack"]),
-                "height": h,
-                "width": w,
-                "y": encode_y(cur),
-            }
+def _make_relabel_frames_fold(start_val: int, threshold: float):
+    def _relabel_frames_fold(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        from deepcell_data_engineering_spark.operators.relabel import (
+            predict_next_frame,
+            relabel_sequential_np,
         )
-        prev = cur
-        next_stack = int(r["stack"]) + 1
+        from deepcell_data_engineering_spark.sources.codecs import (
+            decode_y,
+            encode_y,
+        )
 
-    state.update((encode_y(prev), int(prev.shape[0]), int(prev.shape[1]), next_stack))
-    yield pd.DataFrame(out, columns=[f.name for f in FRAME_OUT_SCHEMA.fields])
+        if state.exists:
+            prev_bytes, h, w, next_stack = state.get
+            prev = decode_y(prev_bytes, h, w)
+        else:
+            prev, next_stack = None, 0
+
+        out = []
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("stack")
+        for _, r in rows.iterrows():
+            h, w = int(r["height"]), int(r["width"])
+            y = decode_y(r["y"], h, w)
+            if prev is None:
+                cur = relabel_sequential_np(y, start_val)
+            else:
+                cur = predict_next_frame(prev, y, threshold)
+            out.append(
+                {
+                    "fov": r["fov"],
+                    "stack": int(r["stack"]),
+                    "height": h,
+                    "width": w,
+                    "y": encode_y(cur),
+                }
+            )
+            prev = cur
+            next_stack = int(r["stack"]) + 1
+
+        state.update(
+            (encode_y(prev), int(prev.shape[0]), int(prev.shape[1]), next_stack)
+        )
+        yield pd.DataFrame(out, columns=[f.name for f in FRAME_OUT_SCHEMA.fields])
+
+    return _relabel_frames_fold
 
 
-def stateful_frame_relabel(frames: DataFrame) -> DataFrame:
+def stateful_frame_relabel(
+    frames: DataFrame, start_val: int = 1, threshold: float = 0.1
+) -> DataFrame:
     """Streaming L4: propagate cell ids across arriving frames per fov.
     Input needs (fov, stack, height, width, y); frames of one fov must
-    arrive stack-ordered across batches (in-batch order is handled)."""
+    arrive stack-ordered across batches (in-batch order is handled).
+    Same fold as operators/relabel.py:predict_relationships, with the
+    previous frame carried in the state store instead of a local — the
+    scale path relabel_data dispatches to for streaming input."""
     return frames.groupBy("fov").applyInPandasWithState(
-        _relabel_frames_fold,
+        _make_relabel_frames_fold(start_val, threshold),
         outputStructType=FRAME_OUT_SCHEMA,
         stateStructType=_FRAME_STATE_SCHEMA,
         outputMode="append",

@@ -171,3 +171,46 @@ def test_relabel_preserve_distributed_parity(spark, monkeypatch):
     # dense and shared across frames: same physical cell -> same new id
     all_ids = np.unique(np.concatenate([m[m > 0] for m in dist.values()]))
     assert all_ids.min() == 1 and all_ids.max() == len(all_ids)
+
+
+def test_relabel_dispatcher_streaming_twin_parity(spark, tmp_path):
+    """relabel_data on one fixture, both ways: batch input runs
+    predict_relationships, streaming input dispatches to the stateful
+    fold (streaming/stateful.py) — identical relabeled masks."""
+    from deepcell_data_engineering_spark.sources.codecs import encode_y
+
+    ys = np.zeros((4, 24, 24), dtype=np.int32)
+    for s in range(4):
+        ys[s, s : s + 8, s : s + 8] = 42  # one drifting cell
+        ys[s, 16:20, 16:20] = 5 if s < 2 else 0  # second cell dies at s=2
+    images = images_df(spark, rows_from_arrays("fov1", None, ys))
+    batch_out = _masks(relabel_data(images, relabel_type="predict"))
+
+    rows = [
+        {"fov": "fov1", "stack": s, "height": 24, "width": 24, "y": encode_y(ys[s])}
+        for s in range(4)
+    ]
+    src = str(tmp_path / "disp_src")
+    spark.createDataFrame(
+        rows, "fov STRING, stack INT, height INT, width INT, y BINARY"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "fov STRING, stack INT, height INT, width INT, y BINARY"
+    ).parquet(src)
+    q = (
+        relabel_data(stream, relabel_type="predict")
+        .writeStream.format("memory")
+        .queryName("disp_relabel")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "disp_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_out = _masks(spark.sql("SELECT * FROM disp_relabel"))
+    assert set(stream_out) == set(batch_out)
+    for k in batch_out:
+        assert np.array_equal(stream_out[k], batch_out[k]), k
+    # non-predict types are whole-stack folds: streams rejected
+    with pytest.raises(ValueError, match="predict"):
+        relabel_data(stream, relabel_type="preserve")
