@@ -467,3 +467,38 @@ def containment_pairs(
         )
         .where(F.col("share") >= F.lit(min_share))
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    heldout: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Test-set decontamination: flag training documents sharing any
+    winnowing fingerprint with a held-out evaluation set — winnowing
+    guarantees any common substring of length >= w + k - 1 chars shares
+    a fingerprint, so this catches verbatim eval leakage without an
+    all-pairs comparison (the standard pre-training hygiene step).
+
+    Scale shape: both sides reduce to (id, fp) fingerprint sets (one
+    explode + one window each); the held-out fingerprint set is tiny
+    relative to the corpus (eval sets are small) so the semi/anti join
+    broadcasts. Returns (id, contaminated)."""
+    tf = winnow_fingerprints(train, k, w, text_col, id_col)
+    hf = F.broadcast(
+        winnow_fingerprints(heldout, k, w, text_col, id_col)
+        .select("fp")
+        .distinct()
+    )
+    hits = tf.join(hf, on="fp", how="leftsemi").select(id_col).distinct()
+    return (
+        train.select(id_col)
+        .join(hits.withColumn("__hit", F.lit(True)), on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("__hit", F.lit(False)).alias("contaminated"),
+        )
+    )

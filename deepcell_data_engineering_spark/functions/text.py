@@ -230,3 +230,132 @@ def scrub(
         (F.size(F.split(t, pattern, -1)) - 1).alias("n_redacted"),
         F.md5(F.regexp_replace(t, pattern, replacement)).alias("redacted_fp"),
     )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1),
+    word-level: the fraction of duplicate words and the share of the
+    most-frequent word bigram. High values flag boilerplate/spam docs a
+    training corpus should drop.
+
+    Computed entirely with per-row array higher-order functions — no
+    explode, no shuffle, one codegen stage: at 100 TB this is a pure map
+    over the corpus. The bigram mode is sort + longest-equal-run via ONE
+    aggregate pass (O(n log n) per row) — the naive
+    count-each-distinct-against-all form is O(n^2) interpreted-lambda
+    evaluations per row and measured ~50x slower at sf0.1. The word and
+    bigram arrays materialize once in intermediate projections so no
+    expression re-evaluates the split."""
+    w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # bigrams by zipping the word array against itself shifted one — no
+    # positional element_at (Spark's sequence(1, 0) DESCENDS rather than
+    # returning empty, so an index-transform form would fault on
+    # single-word docs); slices of a 1-word array are empty and zip_with
+    # of empties is empty
+    staged = df.withColumn("__w", w).withColumn(
+        "__bg",
+        F.expr(
+            "zip_with(slice(__w, 1, size(__w) - 1),"
+            " slice(__w, 2, size(__w) - 1), (a, b) -> concat(a, ' ', b))"
+        ),
+    )
+    dup_word_frac = F.round(
+        (F.size("__w") - F.size(F.array_distinct("__w"))) / F.size("__w"), 4
+    )
+    # mode count of a sorted array = longest run of equal neighbors
+    top = F.expr(
+        "aggregate(array_sort(__bg),"
+        " named_struct('prev', '', 'run', 0, 'best', 0),"
+        " (acc, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', IF(x = acc.prev, acc.run + 1, 1),"
+        "   'best', greatest(acc.best, IF(x = acc.prev, acc.run + 1, 1))),"
+        " acc -> acc.best)"
+    )
+    top_bigram_frac = F.when(
+        F.size("__bg") > 0, F.round(top / F.size("__bg"), 4)
+    ).otherwise(F.lit(0.0))
+    return staged.select(
+        *df.columns,
+        dup_word_frac.alias("dup_word_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 200,
+    stride: int = 150,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size overlapping character chunks (RAG/window chunking):
+    chunk i covers [i*stride, i*stride + chunk_size). The last chunk may
+    be short; every character is covered. A generator explode over a
+    narrow projection — the same scale shape as shingling (the scan
+    prunes to (id, text), the fan-out carries only chunk rows)."""
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    n = F.length(F.col(text_col))
+    # number of extra chunks beyond the first: ceil(max(n - chunk, 0) / stride)
+    extra = F.floor(
+        (F.greatest(n - F.lit(chunk_size), F.lit(0)) + F.lit(stride - 1))
+        / F.lit(stride)
+    ).cast("int")
+    return (
+        df.select(id_col, text_col)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), extra)).alias("chunk_idx"),
+            F.col(text_col),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.col(text_col)
+            .substr(F.col("chunk_idx") * stride + 1, F.lit(chunk_size))
+            .alias("chunk_text"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.length("chunk_text").alias("chunk_len"),
+            F.md5("chunk_text").alias("chunk_md5"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    part_col: str = "lang",
+    order_col: str = "doc_id",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic sequence packing: assign documents to training
+    context windows (packs) of ``budget`` tokens by running offset —
+    pack_id = floor(preceding-token-count / budget) within each
+    ``part_col`` partition, in ``order_col`` order. Documents never
+    reorder (deterministic curriculum), a doc may straddle its pack
+    boundary (the standard packed-sequence trade vs bin-packing, which
+    is inherently sequential). One window shuffle on (part, order) — at
+    scale the partition key keeps packs language-local so downstream
+    writers can emit one file per pack range."""
+    from pyspark.sql import Window
+
+    toks = (
+        F.col(tokens_col) if tokens_col else token_count(F.col(text_col))
+    ).cast("long")
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(toks).over(w)
+    return df.select(
+        order_col,
+        part_col,
+        toks.alias("n_tokens"),
+        F.floor((cum - toks) / F.lit(budget)).cast("long").alias("pack_id"),
+    )

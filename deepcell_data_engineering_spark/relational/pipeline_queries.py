@@ -1242,3 +1242,202 @@ def x31(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@_q(
+    "x32_repetition_signals",
+    """WITH t AS (
+         SELECT doc_id,
+                regexp_split_to_array(trim(lower(text)), '\\s+') AS w,
+                list_transform(
+                  generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 1),
+                  i -> regexp_split_to_array(trim(lower(text)), '\\s+')[i]
+                       || ' ' ||
+                       regexp_split_to_array(trim(lower(text)), '\\s+')[i + 1]
+                ) AS bg
+         FROM documents
+       )
+       SELECT doc_id,
+              ROUND((len(w) - len(list_distinct(w))) / len(w), 4) AS dup_word_frac,
+              CASE WHEN len(bg) > 0 THEN
+                ROUND(list_max(list_transform(list_distinct(bg),
+                        x -> len(list_filter(bg, y -> y = x)))) / len(bg), 4)
+              ELSE 0.0 END AS top_bigram_frac
+       FROM t ORDER BY doc_id""",
+    doc="Gopher-style repetition quality signals (Rae et al. 2021 "
+    "A1.1), word-level: duplicate-word fraction and most-frequent-"
+    "bigram share per document — the boilerplate/spam filter inputs. "
+    "Pure per-row array higher-order functions: no explode, no "
+    "shuffle, one codegen stage (a map over the corpus at 100 TB).",
+)
+def x32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        tx.repetition_signals(docs)
+        .select("doc_id", "dup_word_frac", "top_bigram_frac")
+        .orderBy("doc_id")
+    )
+
+
+def _decontam_oracle(k: int, w: int, holdout_mod: int) -> str:
+    """DuckDB dual of dedup.decontaminate with the held-out set selected
+    by doc_id % holdout_mod == 0 — fingerprint CTEs generated from the
+    same minhash_params(0) coefficients as the engine."""
+    a, b, c = dd.minhash_params(0)
+    fp_cte = f"""SELECT DISTINCT doc_id, fp FROM (
+           SELECT doc_id, pos, n_grams,
+                  MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp
+           FROM (
+             SELECT doc_id, n_grams, pos,
+                    ({a} * ('0x' || substr(md5(gram), 1, 7))::BIGINT
+                   + {b} * ('0x' || substr(md5(gram), 9, 7))::BIGINT
+                   + {c}) % {dd.MINHASH_P} AS h
+             FROM (
+               SELECT doc_id,
+                      greatest(length(text) - {k - 1}, 1) AS n_grams,
+                      i AS pos,
+                      substr(text, i, {k}) AS gram
+               FROM src,
+                    LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - {k - 1}, 1))) AS i)
+             )
+           )
+         ) WHERE pos <= greatest(n_grams - {w - 1}, 1)"""
+    return f"""WITH train AS (SELECT * FROM documents WHERE doc_id % {holdout_mod} <> 0),
+       heldout AS (SELECT * FROM documents WHERE doc_id % {holdout_mod} = 0),
+       tf AS (WITH src AS (SELECT * FROM train) {fp_cte}),
+       hf AS (SELECT DISTINCT fp FROM (WITH src AS (SELECT * FROM heldout) {fp_cte})),
+       hits AS (SELECT DISTINCT doc_id FROM tf SEMI JOIN hf USING (fp))
+       SELECT t.doc_id, COALESCE(h.doc_id IS NOT NULL, FALSE) AS contaminated
+       FROM train t LEFT JOIN hits h USING (doc_id)
+       ORDER BY t.doc_id"""
+
+
+@_q(
+    "x33_decontaminate",
+    _decontam_oracle(k=5, w=4, holdout_mod=20),
+    doc="Test-set decontamination (dedup.decontaminate): flag training "
+    "docs sharing any winnowing fingerprint with a held-out eval set "
+    "(every 20th doc_id here) — winnowing guarantees any common "
+    "substring >= w+k-1 chars shares a fingerprint, so verbatim eval "
+    "leakage is caught without an all-pairs scan. The held-out "
+    "fingerprint set broadcasts (eval sets are tiny vs the corpus).",
+)
+def x33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    heldout = docs.where(F.col("doc_id") % 20 == 0)
+    return dd.decontaminate(train, heldout, k=5, w=4).orderBy("doc_id")
+
+
+@_q(
+    "x34_chunk_documents",
+    """WITH c AS (
+         SELECT doc_id, i AS chunk_idx,
+                substr(text, i * 150 + 1, 200) AS chunk_text
+         FROM documents,
+              LATERAL (SELECT unnest(generate_series(0,
+                CAST(floor((greatest(length(text) - 200, 0) + 149) / 150) AS INT))) AS i)
+       )
+       SELECT doc_id, chunk_idx,
+              length(chunk_text) AS chunk_len,
+              md5(chunk_text) AS chunk_md5
+       FROM c ORDER BY doc_id, chunk_idx""",
+    doc="RAG-style overlapping character chunking (200-char windows, "
+    "stride 150): every char covered, last chunk short. A generator "
+    "explode over a narrow (id, text) projection — the shingle scale "
+    "shape; chunk identity via md5 so both engines hash the same "
+    "substring bytes.",
+)
+def x34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.chunk_documents(docs, chunk_size=200, stride=150).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+@_q(
+    "x35_pack_sequences",
+    """WITH p AS (
+         SELECT doc_id, lang,
+                CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         FROM documents
+       ),
+       packed AS (
+         SELECT doc_id, lang, n_tokens,
+                CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                     / 512) AS BIGINT) AS pack_id
+         FROM p
+       )
+       SELECT lang, pack_id,
+              COUNT(*) AS n_docs,
+              CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+              CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+              CAST(MAX(doc_id) AS BIGINT) AS last_doc
+       FROM packed GROUP BY lang, pack_id ORDER BY lang, pack_id""",
+    doc="Deterministic sequence packing (text.pack_sequences): documents "
+    "assigned to 512-token training context windows by running offset "
+    "within each language, in doc_id order — the batch-assembly step "
+    "between corpus and trainer. One window shuffle on (lang, doc_id) "
+    "plus the per-pack rollup; no driver state, no reordering.",
+)
+def x35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    packed = tx.pack_sequences(docs, budget=512, part_col="lang")
+    return (
+        packed.groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "pack_id")
+    )
+
+
+@_q(
+    "x36_embedding_health",
+    """WITH n AS (
+         SELECT label,
+                ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS nrm
+         FROM embeddings
+       )
+       SELECT label,
+              COUNT(*) AS n_vecs,
+              ROUND(MIN(nrm), 4) AS min_norm,
+              ROUND(MAX(nrm), 4) AS max_norm,
+              ROUND(AVG(nrm), 4) AS avg_norm,
+              COUNT(*) FILTER (WHERE nrm = 0) AS n_zero
+       FROM n GROUP BY label ORDER BY label""",
+    doc="Embedding-table health check: per-label vector counts and norm "
+    "range/mean plus zero-vector count — the sanity gate before any "
+    "ANN/dedup stage trusts the embedding column. Norms are rounded "
+    "pre-aggregation so both engines average identical doubles; one "
+    "grouped agg with map-side partials.",
+)
+def x36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        ),
+        6,
+    )
+    n = emb.select("label", nrm.alias("nrm"))
+    return (
+        n.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.count(F.when(F.col("nrm") == 0, 1)).alias("n_zero"),
+        )
+        .orderBy("label")
+    )

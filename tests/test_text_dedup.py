@@ -339,3 +339,85 @@ def test_bucketed_neardup_recall_vs_brute(spark):
     assert brute  # fixture actually exercises the threshold
     recall = len(bucketed) / len(brute)
     assert recall >= 0.8, (len(bucketed), len(brute))
+
+
+def test_repetition_signals_crafted(spark):
+    from deepcell_data_engineering_spark.functions.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # all dup words, one bigram
+            (2, "all fresh words here now"),     # no repetition
+            (3, "one"),                          # single word: no bigrams
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert out[1]["dup_word_frac"] == 0.75 and out[1]["top_bigram_frac"] == 1.0
+    assert out[2]["dup_word_frac"] == 0.0 and out[2]["top_bigram_frac"] == 0.25
+    assert out[3]["dup_word_frac"] == 0.0 and out[3]["top_bigram_frac"] == 0.0
+
+
+def test_chunk_documents_covers_every_char(spark):
+    from deepcell_data_engineering_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a" * 500), (2, "b" * 200), (3, "c" * 10), (4, "d" * 201)],
+        "doc_id LONG, text STRING",
+    )
+    out = chunk_documents(df, chunk_size=200, stride=150).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: chunks at 0,150,300 -> 3 total, last len 200
+    assert sorted(r["chunk_idx"] for r in by_doc[1]) == [0, 1, 2]
+    # coverage: last chunk must reach the end: idx*stride + len >= n
+    for doc, n in [(1, 500), (2, 200), (3, 10), (4, 201)]:
+        last = max(by_doc[doc], key=lambda r: r["chunk_idx"])
+        assert last["chunk_idx"] * 150 + last["chunk_len"] == n
+    assert len(by_doc[2]) == 1 and len(by_doc[3]) == 1
+    assert len(by_doc[4]) == 2  # one char past a full chunk -> one more
+
+
+def test_pack_sequences_budget_property(spark):
+    from deepcell_data_engineering_spark.functions.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", " ".join(["w"] * (10 + i % 7)))
+         for i in range(100)],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    out = pack_sequences(docs, budget=64).collect()
+    # pack ids are dense per lang and docs stay in id order within packs
+    by_lang = {}
+    for r in sorted(out, key=lambda r: (r["lang"], r["doc_id"])):
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        packs = [r["pack_id"] for r in rows]
+        assert packs == sorted(packs)  # monotone in doc order
+        # each pack's preceding-offset start is < budget past pack boundary:
+        # sum of tokens before a pack's first doc lies in [pack*64, pack*64+64)
+        cum = 0
+        for r in rows:
+            assert r["pack_id"] == cum // 64
+            cum += r["n_tokens"]
+
+
+def test_decontaminate_flags_planted_leak(spark):
+    from deepcell_data_engineering_spark.functions.dedup import decontaminate
+
+    leak = "the quick brown fox jumps over the lazy dog"
+    train = spark.createDataFrame(
+        [
+            (1, f"intro words then {leak} trailing content"),  # contains leak
+            (2, "completely unrelated text with no overlap at all"),
+            (3, leak),                                          # verbatim
+        ],
+        "doc_id LONG, text STRING",
+    )
+    heldout = spark.createDataFrame(
+        [(100, f"eval question: {leak}?")], "doc_id LONG, text STRING"
+    )
+    out = {r["doc_id"]: r["contaminated"] for r in decontaminate(train, heldout).collect()}
+    assert out[1] and out[3] and not out[2]
+    assert set(out) == {1, 2, 3}
