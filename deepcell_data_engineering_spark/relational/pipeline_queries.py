@@ -792,22 +792,26 @@ _X21_ORACLE = (
     "x21_dup_clusters",
     _X21_ORACLE.format(terms=_minhash_oracle_terms(6)),
     doc="Duplicate-cluster assignment: transitively close the x06 LSH "
-    "candidate pairs into connected components (alternating large-star/"
+    "candidate graph into connected components (alternating large-star/"
     "small-star — functions/graph.py) and label every document with its "
     "cluster's minimum doc_id; is_canonical marks the survivor. The "
-    "oracle closes the same pairs with a recursive CTE — feasible at "
-    "oracle scale, while the Spark path is the O(log n)-round "
-    "at-scale formulation.",
+    "closure input is lsh_band_star_edges — one (member, band-min) edge "
+    "per band membership, which spans EXACTLY the same components as "
+    "the C(n,2) clique pairs at O(docs x bands) edges (3.7M pairs -> "
+    "~10k edges at sf0.1; linear instead of quadratic in the largest "
+    "duplicate class at 100 TB). The oracle closes the clique-pair "
+    "graph with a recursive CTE — same components by construction, and "
+    "the parity is pinned by test_star_edges_same_components.",
 )
 def x21(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepcell_data_engineering_spark.functions import graph as gr
 
     docs = load_table(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(docs, num_hashes=6, k=5)
-    pairs = dd.lsh_candidate_pairs(
+    edges = dd.lsh_band_star_edges(
         sigs, bands=[["h0", "h1", "h2"], ["h3", "h4", "h5"]]
     )
-    return gr.dup_clusters(docs, pairs).orderBy("doc_id")
+    return gr.dup_clusters(docs, edges).orderBy("doc_id")
 
 
 @_q(
@@ -1440,4 +1444,184 @@ def x36(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("nrm") == 0, 1)).alias("n_zero"),
         )
         .orderBy("label")
+    )
+
+
+@_q(
+    "x37_funnel",
+    """WITH t1 AS (
+         SELECT user_id, MIN(ts) AS ts1 FROM events
+         WHERE event_type = 'view' GROUP BY user_id
+       ),
+       t2 AS (
+         SELECT e.user_id, MIN(e.ts) AS ts2
+         FROM events e JOIN t1 USING (user_id)
+         WHERE e.event_type = 'click' AND e.ts > t1.ts1
+         GROUP BY e.user_id
+       ),
+       t3 AS (
+         SELECT e.user_id, MIN(e.ts) AS ts3
+         FROM events e JOIN t2 USING (user_id)
+         WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+         GROUP BY e.user_id
+       )
+       SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+              (SELECT COUNT(*) FROM t1) AS n_view,
+              (SELECT COUNT(*) FROM t2) AS n_view_click,
+              (SELECT COUNT(*) FROM t3) AS n_full_funnel,
+              (SELECT ROUND(AVG(epoch(ts3 - ts1)), 2)
+               FROM t3 JOIN t1 USING (user_id)) AS avg_funnel_sec""",
+    doc="Ordered-funnel analysis (view -> click -> purchase, strictly "
+    "increasing event times per user) — the event-sequence shape every "
+    "product-analytics warehouse runs. Spark side: three chained "
+    "conditional window minima over ONE user partitioning (the "
+    "exchange is planned once; no self-joins), then a global rollup. "
+    "The oracle takes the equivalent join formulation.",
+)
+def x37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    s = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    s = s.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s = s.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = s.groupBy("user_id").agg(
+        F.first("t1").alias("t1"), F.first("t2").alias("t2"), F.first("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_view_click"),
+        F.count("t3").alias("n_full_funnel"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("t3").isNotNull(),
+                    (F.unix_micros("t3") - F.unix_micros("t1")) / F.lit(1e6),
+                )
+            ),
+            2,
+        ).alias("avg_funnel_sec"),
+    )
+
+
+@_q(
+    "x38_gapfill",
+    """WITH e AS (SELECT * FROM events WHERE value > 90),
+       hourly AS (
+         SELECT event_type, date_trunc('hour', ts) AS h,
+                COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+         FROM e GROUP BY 1, 2
+       ),
+       bounds AS (
+         SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1
+       ),
+       spine AS (
+         SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+         FROM bounds
+       ),
+       joined AS (
+         SELECT s.event_type, s.h, hourly.n, hourly.v
+         FROM spine s LEFT JOIN hourly USING (event_type, h)
+       )
+       SELECT event_type, h,
+              COALESCE(n, 0) AS n_events,
+              ROUND(COALESCE(last_value(v IGNORE NULLS) OVER (
+                PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 2) AS v_filled,
+              v IS NULL AS is_gap
+       FROM joined ORDER BY event_type, h""",
+    doc="Time-series resample + gap fill: hourly rollup of a sparse "
+    "event slice, a generated calendar spine per series (sequence + "
+    "explode — no driver loop), left join, and last-observation-"
+    "carried-forward via last(v, ignorenulls) over the series window. "
+    "The standard warehouse densification every metrics pipeline "
+    "needs; one shuffle for the rollup, one for the series window.",
+)
+def x38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("value") > 90)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v")
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    joined = spine.join(hourly, on=["event_type", "h"], how="left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "h",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.round(
+            F.coalesce(F.last("v", ignorenulls=True).over(w), F.lit(0.0)), 2
+        ).alias("v_filled"),
+        F.col("v").isNull().alias("is_gap"),
+    ).orderBy("event_type", "h")
+
+
+@_q(
+    "x39_salted_skew_join",
+    """WITH j AS (
+         SELECT e.event_type, c.c_mktsegment, e.value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       )
+       SELECT event_type, c_mktsegment,
+              COUNT(*) AS n,
+              ROUND(SUM(value), 2) AS total_value
+       FROM j GROUP BY event_type, c_mktsegment
+       ORDER BY event_type, c_mktsegment""",
+    doc="Skew-resistant fact-to-dimension enrichment: the events fact "
+    "side concentrates on few hot user_ids, so the join runs through "
+    "plans/layout.py:salted_join — each hot key spreads across 8 salt "
+    "sub-keys (deterministic hash of the row id) and the dimension "
+    "replicates across salts with one explode, so no single task owns "
+    "a hot key's whole row set. Row-for-row identical to the plain "
+    "join (the oracle IS the plain join); the salting is pinned by "
+    "tests/test_plans.py.",
+)
+def x39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.plans.layout import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    j = salted_join(ev, cust, key="user_id", salt_source="event_id", n_salts=8)
+    return (
+        j.groupBy("event_type", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type", "c_mktsegment")
     )

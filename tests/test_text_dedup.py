@@ -421,3 +421,32 @@ def test_decontaminate_flags_planted_leak(spark):
     out = {r["doc_id"]: r["contaminated"] for r in decontaminate(train, heldout).collect()}
     assert out[1] and out[3] and not out[2]
     assert set(out) == {1, 2, 3}
+
+
+def test_star_edges_same_components(spark):
+    """lsh_band_star_edges must yield the IDENTICAL duplicate clusters as
+    the C(n,2) clique pairs — a band's star spans the same vertex set as
+    its clique, so the closure cannot differ."""
+    from deepcell_data_engineering_spark.catalog import load_table
+    from deepcell_data_engineering_spark.functions import graph as gr
+    from deepcell_data_engineering_spark.functions.dedup import (
+        lsh_band_star_edges,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sigs = minhash_signatures(docs, num_hashes=6, k=5)
+    bands = [["h0", "h1", "h2"], ["h3", "h4", "h5"]]
+    pairs = lsh_candidate_pairs(sigs, bands=bands)
+    edges = lsh_band_star_edges(sigs, bands=bands)
+    assert edges.count() < pairs.count()  # the whole point
+    via_pairs = {
+        (r["doc_id"], r["cluster_id"])
+        for r in gr.dup_clusters(docs, pairs).collect()
+    }
+    via_edges = {
+        (r["doc_id"], r["cluster_id"])
+        for r in gr.dup_clusters(docs, edges).collect()
+    }
+    assert via_edges == via_pairs
