@@ -30,9 +30,9 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["d11_star_join_agg"].build(spark, "/root/testdata/sf0.001")
 
 
-# The driver oracle-checks the first 50 registry entries per round. x06–x31
-# (the LSH/ANN/clustering/containment pipeline stack) had never been inside
-# that window, so they lead; 24 cheap d-queries that have been driver-green
+# The driver oracle-checks the first 50 registry entries per round. The
+# x-series pipeline stack (x06–x31 never checked through round 3; x32–x39
+# new this round) leads; 16 cheap d-queries that have been driver-green
 # for two consecutive rounds pad the window; everything else (x01–x05 and
 # the remaining d-queries, all previously driver-verified) follows.
 _CHECK_FIRST = [
@@ -44,14 +44,14 @@ _CHECK_FIRST = [
     "x21_dup_clusters", "x22_tfidf_topk", "x23_pattern_scrub",
     "x24_stratified_sample", "x25_vocab_topk", "x26_bm25",
     "x27_corpus_build", "x28_bpe_tokens", "x29_semantic_neardup",
-    "x30_containment", "x31_corpus_report",
+    "x30_containment", "x31_corpus_report", "x32_repetition_signals",
+    "x33_decontaminate", "x34_chunk_documents", "x35_pack_sequences",
+    "x36_embedding_health", "x37_funnel", "x38_gapfill",
+    "x39_salted_skew_join",
     "d01_scan_filter", "d02_like_strings", "d03_natural_sort", "d04_topk",
     "d05_distinct", "d10_inner_join", "d11_star_join_agg", "d12_left_join",
     "d13_semi_join", "d14_anti_join", "d16_cross_join", "d17_grouped_agg",
     "d19_median", "d20_rollup", "d21_grouping_sets", "d22_conditional_agg",
-    "d26_intersect", "d27_except", "d30_documents_agg", "d31_pivot",
-    "d33_string_agg", "d35_approx_distinct", "d44_null_semantics",
-    "d46_try_cast",
 ]
 
 

@@ -398,6 +398,7 @@ def cluster_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scorer: str = "jvm",
+    dim: int | None = None,
 ) -> DataFrame:
     """Semantic (embedding-cosine) near-duplicate pairs, cluster-scoped:
     the scale path of embedding dedup. Vectors are coarse-quantized into
@@ -425,7 +426,17 @@ def cluster_neardup_pairs(
     scores each Arrow batch with a vectorized einsum — ~5-10x faster on
     wide vectors, at the cost of SIMD/pairwise summation whose last ulp
     can differ from the left-fold (tests pin agreement to 1e-9, the
-    oracle-gated query keeps 'jvm')."""
+    oracle-gated query keeps 'jvm').
+
+    ``dim``: when the (fixed) vector dimensionality is known, the jvm
+    dot unrolls into ``a[0]*b[0] + a[1]*b[1] + ...`` — plain projection
+    arithmetic that runs inside whole-stage codegen, unlike the
+    higher-order aggregate/zip_with form, which is interpreted per
+    element. Left-to-right association is IDENTICAL to the fold
+    (((a0b0 + a1b1) + a2b2)...), so results stay bit-identical to the
+    oracle. At sf0.1 both forms time the same (per-stage fixed
+    overhead dominates 245k pairs); the codegen form wins as the pair
+    count per task grows."""
     centroids = df.orderBy(id_col).limit(n_centroids)
     lists = ivf_assign(df, centroids, vec_col, id_col, nprobe=nprobe).select(
         id_col, "centroid_id"
@@ -450,11 +461,16 @@ def cluster_neardup_pairs(
     nvecs = _as_double(df, vec_col).select(
         id_col, F.transform(vec_col, lambda x: x / safe).alias("nv")
     )
-    dot = F.aggregate(
-        F.zip_with("a_nv", "b_nv", lambda p, q: p * q),
-        F.lit(0.0),
-        lambda acc, s: acc + s,
-    )
+    if dim is not None:
+        dot = F.expr(
+            " + ".join(f"a_nv[{i}] * b_nv[{i}]" for i in range(dim))
+        )
+    else:
+        dot = F.aggregate(
+            F.zip_with("a_nv", "b_nv", lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, s: acc + s,
+        )
     # no broadcast hint on the vector attach: AQE broadcasts while the
     # corpus fits and degrades to a shuffle join when it doesn't
     attached = pairs.join(

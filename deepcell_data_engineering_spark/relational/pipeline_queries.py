@@ -304,7 +304,7 @@ def x09(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x10(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
     return sim.cluster_neardup_pairs(
-        emb, threshold=0.4, n_centroids=8, nprobe=2
+        emb, threshold=0.4, n_centroids=8, nprobe=2, dim=EMB_DIM
     ).orderBy("id_a", "id_b")
 
 
@@ -1133,7 +1133,7 @@ def x28(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x29(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.cluster_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+    return sim.cluster_neardup_pairs(emb, threshold=0.4, dim=EMB_DIM).orderBy("id_a", "id_b")
 
 
 def _containment_oracle(k: int, w: int, min_share: float, max_bucket: int) -> str:
