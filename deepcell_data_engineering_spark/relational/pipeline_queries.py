@@ -1625,3 +1625,50 @@ def x39(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "c_mktsegment")
     )
+
+
+@_q(
+    "x40_length_trim",
+    """WITH t AS (
+         SELECT doc_id,
+                CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         FROM documents
+       ),
+       b AS (
+         SELECT quantile_cont(n_tokens, 0.25) AS q1,
+                quantile_cont(n_tokens, 0.75) AS q3
+         FROM t
+       )
+       SELECT doc_id, n_tokens
+       FROM t, b
+       WHERE n_tokens >= q1 - 1.5 * (q3 - q1)
+         AND n_tokens <= q3 + 1.5 * (q3 - q1)
+       ORDER BY doc_id""",
+    doc="Corpus length-outlier trim by the IQR rule: keep documents "
+    "whose token count lies within [q1 - 1.5*IQR, q3 + 1.5*IQR] — the "
+    "standard too-short/too-long filter stage. Quartile probabilities "
+    "have exact binary interpolation fractions, so Spark's percentile "
+    "and DuckDB's quantile_cont agree bitwise (the d43 certification "
+    "argument) and the bound arithmetic is identical double math. The "
+    "bounds attach as a broadcast scalar — one agg + one map filter, "
+    "no second full scan shape at 100 TB beyond the quantile pass.",
+)
+def x40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", tx.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    b = t.agg(
+        F.expr("percentile(n_tokens, 0.25)").alias("q1"),
+        F.expr("percentile(n_tokens, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        t.crossJoin(F.broadcast(b))
+        .where(
+            (F.col("n_tokens") >= F.col("q1") - 1.5 * iqr)
+            & (F.col("n_tokens") <= F.col("q3") + 1.5 * iqr)
+        )
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    )

@@ -63,3 +63,33 @@ def read_csv(
         .option("escape", '"')
         .csv(path)
     )
+
+
+def write_orc(df: DataFrame, path: str, compression: str = "zstd") -> None:
+    """ORC interchange sink — the other columnar format warehouse
+    estates standardize on; like parquet it carries an embedded schema,
+    column statistics, and predicate-pushdown support, so reads stay
+    scan-pruned. Files per task (never coalesce(1))."""
+    df.write.mode("overwrite").option("compression", compression).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC read; the embedded schema makes an explicit one optional
+    (unlike JSONL/CSV there is no inference pass to avoid)."""
+    return spark.read.orc(path)
+
+
+def write_corpus_partitioned(
+    df: DataFrame, path: str, partition_cols: tuple[str, ...] = ("lang",)
+) -> None:
+    """The production corpus layout: hive-partitioned parquet keyed by
+    the columns pipelines filter on first (language, source, date...).
+    A reader filtering on a partition column touches ONLY that
+    partition's directories (partition pruning happens at file-listing
+    time, before any I/O) — at 100 TB the difference between scanning
+    one language and scanning the world."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def read_corpus_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -152,3 +152,68 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def tws_available() -> bool:
+    """transformWithState's state server speaks protobuf; without the
+    google.protobuf runtime the driver worker crashes at pre-init. Gate
+    mirrors the S10 image-codec posture: real plumbing, honest check."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum) on the Spark 4 transformWithState
+    API — the successor of applyInPandasWithState (multiple named state
+    variables, optional TTL, timers). Same semantics as
+    stateful_user_stats; the test pins output parity between the two so
+    a migration to the new API is a drop-in. Requires the protobuf
+    runtime (see tws_available); the applyInPandasWithState twin is the
+    dependency-free path."""
+    if not tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the google.protobuf runtime, "
+            "not present in this environment — use stateful_user_stats "
+            "(applyInPandasWithState) instead"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Processor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n BIGINT, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._agg.exists():
+                n, total = self._agg.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "n_events": n,
+                        "total_value": round(total, 2),
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        Processor(),
+        outputStructType=USER_STATS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -191,3 +191,38 @@ def test_csv_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, docs.collect())) == sorted(
         map(tuple, back.collect())
     )
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from deepcell_data_engineering_spark.catalog import load_table
+    from deepcell_data_engineering_spark.sources.corpus import read_orc, write_orc
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    p = str(tmp_path / "docs_orc")
+    write_orc(docs, p)
+    back = read_orc(spark, p)
+    assert back.schema == docs.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+    # predicate pushdown reaches the ORC scan like parquet
+    plan = back.where(back.n_chars > 300)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "n_chars" in plan
+
+
+def test_partitioned_corpus_prunes_partitions(spark, tmp_path):
+    from deepcell_data_engineering_spark.catalog import load_table
+    from deepcell_data_engineering_spark.sources.corpus import (
+        read_corpus_partitioned,
+        write_corpus_partitioned,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    p = str(tmp_path / "docs_part")
+    write_corpus_partitioned(docs, p, partition_cols=("lang",))
+    back = read_corpus_partitioned(spark, p)
+    # row fidelity (column order differs: partition col moves last)
+    assert back.count() == docs.count()
+    one = back.where(back.lang == "en")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan
+    n_en = docs.where(docs.lang == "en").count()
+    assert one.count() == n_en

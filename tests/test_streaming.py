@@ -356,3 +356,43 @@ def test_ts_normalization_batch_and_stream_agree(spark):
     assert isinstance(
         normalize_event_ts(nanos).schema["ts"].dataType, TimestampType
     )
+
+
+def test_stateful_user_stats_tws_parity(spark, tmp_path):
+    """transformWithState (Spark 4 state API) twin of stateful_user_stats
+    must produce identical per-user running aggregates. Skips where the
+    protobuf runtime (required by the TWS state server) is absent; the
+    gate itself is asserted either way."""
+    from deepcell_data_engineering_spark.streaming.stateful import (
+        stateful_user_stats_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            stateful_user_stats_tws(
+                read_events_stream(spark, SF_SMOKE).select("user_id", "value")
+            )
+        pytest.skip("google.protobuf runtime absent: TWS state server cannot start")
+
+    batch = load_table(spark, SF_SMOKE, "events")
+    expected = {
+        (r["user_id"]): (r["n_events"], r["total_value"])
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .collect()
+    }
+    stream = read_events_stream(spark, SF_SMOKE).select("user_id", "value")
+    _run_stream(
+        stateful_user_stats_tws(stream), tmp_path, "tws_stats", mode="update"
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            "SELECT user_id, n_events, total_value FROM tws_stats"
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
