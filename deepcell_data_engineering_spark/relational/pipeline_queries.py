@@ -1672,3 +1672,55 @@ def x40(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens")
         .orderBy("doc_id")
     )
+
+
+@_q(
+    "x41_tumbling_rollup",
+    """SELECT date_trunc('hour', ts) AS w_start,
+              date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+              event_type,
+              COUNT(*) AS cnt,
+              ROUND(SUM(value), 2) AS sv
+       FROM events
+       GROUP BY 1, 2, 3 ORDER BY w_start, event_type""",
+    doc="Tumbling-window rollup THROUGH the streaming helper "
+    "(streaming/windows.py:tumbling_counts): every helper there is "
+    "source-agnostic — the identical plan aggregates a batch DataFrame "
+    "here and runs incrementally under a watermark on a readStream "
+    "(pinned by test_tumbling_batch_stream_parity). Registering the "
+    "batch form gives the window logic an oracle verdict the "
+    "stream-only form cannot have.",
+)
+def x41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.streaming.windows import tumbling_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_counts(ev, "1 hour").orderBy("w_start", "event_type")
+
+
+@_q(
+    "x42_sliding_rollup",
+    """SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end,
+              event_type, COUNT(*) AS cnt
+       FROM (
+         SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                        time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+                  AS w_start,
+                event_type
+         FROM events
+       )
+       GROUP BY 1, 2, 3 ORDER BY w_start, event_type""",
+    doc="Sliding-window rollup (1 h window, 30 min slide) through the "
+    "source-agnostic streaming helper sliding_counts — every event "
+    "lands in exactly window/slide = 2 windows. The oracle derives the "
+    "same assignment by unioning each event's two shifted 30-minute "
+    "buckets (midnight-aligned in both engines, so bucket boundaries "
+    "coincide). Stream form pinned by the batch/stream parity test.",
+)
+def x42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.streaming.windows import sliding_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_counts(ev, "1 hour", "30 minutes").orderBy(
+        "w_start", "event_type"
+    )

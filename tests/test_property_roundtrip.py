@@ -180,3 +180,77 @@ def test_hash_sample_nesting_property(spark, f1, f2):
     s_lo = {r["doc_id"] for r in hash_sample(docs, lo).collect()}
     s_hi = {r["doc_id"] for r in hash_sample(docs, hi).collect()}
     assert s_lo <= s_hi
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    chunk=st.integers(min_value=3, max_value=60),
+    stride_frac=st.sampled_from([0.5, 0.75, 1.0]),
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=1,
+            max_size=300,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_chunk_documents_property(spark, chunk, stride_frac, texts):
+    """Every character covered; every chunk an exact substring at its
+    declared offset; md5 consistent; stride == chunk means an exact
+    partition (no overlap, lengths sum to doc length)."""
+    import hashlib
+
+    from deepcell_data_engineering_spark.functions.text import chunk_documents
+
+    stride = max(int(chunk * stride_frac), 1)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    rows = chunk_documents(df, chunk_size=chunk, stride=stride).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        got = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        # dense chunk indices from zero
+        assert [r["chunk_idx"] for r in got] == list(range(len(got)))
+        for r in got:
+            sub = t[r["chunk_idx"] * stride : r["chunk_idx"] * stride + chunk]
+            assert r["chunk_len"] == len(sub)
+            assert r["chunk_md5"] == hashlib.md5(sub.encode()).hexdigest()
+        last = got[-1]
+        assert last["chunk_idx"] * stride + last["chunk_len"] == len(t)
+        if stride == chunk:
+            assert sum(r["chunk_len"] for r in got) == len(t)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    budget=st.integers(min_value=1, max_value=200),
+    n_docs=st.integers(min_value=1, max_value=60),
+    seed=st.integers(min_value=0, max_value=9999),
+)
+def test_pack_sequences_property(spark, budget, n_docs, seed):
+    """Pack ids: dense-from-zero per partition, monotone in doc order,
+    and every doc's pack equals floor(preceding tokens / budget)."""
+    from deepcell_data_engineering_spark.functions.text import pack_sequences
+
+    rng = np.random.RandomState(seed)
+    rows = [
+        (i, ["a", "b"][i % 2], " ".join(["w"] * int(rng.randint(1, 40))))
+        for i in range(n_docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING, text STRING")
+    out = sorted(
+        pack_sequences(df, budget=budget).collect(),
+        key=lambda r: (r["lang"], r["doc_id"]),
+    )
+    for lang in {"a", "b"}:
+        cum = 0
+        prev_pack = 0
+        for r in (x for x in out if x["lang"] == lang):
+            assert r["pack_id"] == cum // budget >= prev_pack
+            prev_pack = r["pack_id"]
+            cum += r["n_tokens"]
