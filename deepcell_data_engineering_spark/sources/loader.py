@@ -230,25 +230,35 @@ def pad_ragged_stacks(images: DataFrame, blank_payload: bytes | None = None) -> 
 
 def decode_image(payload: bytes, fmt: str = "tif") -> np.ndarray:
     """S10 `get_image` (utils/misc_utils.py:41-48): decode one tif/png/jpg
-    to float32. The imaging codec libraries are not available in this
-    container, so the decode is gated: real libs if importable, else a
-    clear NotImplementedError (the Spark plumbing around it — binaryFile
-    scan, Arrow batches, schema — is real and tested via encode_npz)."""
-    try:  # pragma: no cover - exercised only where libs exist
-        if fmt in ("tif", "tiff"):
+    to float32. Prefers the full codec libraries (tifffile/PIL) when
+    importable; otherwise the dependency-free baseline codecs in
+    sources/pycodecs.py decode uncompressed TIFF and any non-interlaced
+    PNG — the formats microscopes actually emit — so the decode is REAL
+    in this environment, not a stub. Only genuinely exotic encodings
+    (JPEG, LZW/tiled TIFF, Adam7 PNG) still raise, naming the feature."""
+    import io
+
+    if fmt in ("tif", "tiff"):
+        try:  # pragma: no cover - exercised only where libs exist
             import tifffile
 
-            import io
-
             return np.asarray(tifffile.imread(io.BytesIO(payload)), dtype=np.float32)
-        from PIL import Image
+        except ImportError:
+            from deepcell_data_engineering_spark.sources.pycodecs import decode_tiff
 
-        import io
+            return decode_tiff(payload).astype(np.float32)
+    try:  # pragma: no cover - exercised only where libs exist
+        from PIL import Image
 
         return np.asarray(Image.open(io.BytesIO(payload)), dtype=np.float32)
     except ImportError as exc:
+        if fmt == "png":
+            from deepcell_data_engineering_spark.sources.pycodecs import decode_png
+
+            return decode_png(payload).astype(np.float32)
         raise NotImplementedError(
-            f"image codec for {fmt!r} not installed in this environment"
+            f"image codec for {fmt!r} not installed in this environment "
+            "(pycodecs covers tif/png)"
         ) from exc
 
 

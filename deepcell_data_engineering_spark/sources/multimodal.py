@@ -46,22 +46,32 @@ MEDIA_SCHEMA = StructType(
     ]
 )
 
-_REAL_FORMATS = {"tiff", "png", "jpg", "jpeg", "wav", "mp4", "avi"}
+_REAL_FORMATS = {"jpg", "jpeg", "wav", "mp4", "avi"}
 
 
 def decode_media(fmt: str, payload: bytes, meta) -> np.ndarray:
     """Decode one payload to a dense array.
 
-    Real codecs are NOT available in this environment — calling with a
-    real format raises, exactly marking the integration point where
-    tifffile/PIL/librosa plug in on a production image.
-    ``fake-raw`` payloads decode deterministically from the payload bytes
-    (md5-seeded), giving tests a stable pseudo-media source.
+    ``tiff``/``png`` decode for real through the dependency-free
+    baseline codecs (sources/pycodecs.py). JPEG/audio/video codecs are
+    NOT available in this environment — those formats raise, exactly
+    marking the integration point where PIL/librosa/ffmpeg plug in on a
+    production image. ``fake-raw`` payloads decode deterministically
+    from the payload bytes (md5-seeded), giving tests a stable
+    pseudo-media source.
     """
+    if fmt in ("tiff", "tif"):
+        from deepcell_data_engineering_spark.sources.pycodecs import decode_tiff
+
+        return np.atleast_3d(decode_tiff(payload))[None, ...].astype(np.float32)
+    if fmt == "png":
+        from deepcell_data_engineering_spark.sources.pycodecs import decode_png
+
+        return np.atleast_3d(decode_png(payload))[None, ...].astype(np.float32)
     if fmt in _REAL_FORMATS:
         raise NotImplementedError(
             f"codec for {fmt!r} requires an image/audio library not present "
-            "in this environment (tifffile/PIL/librosa integration point)"
+            "in this environment (PIL/librosa/ffmpeg integration point)"
         )
     h = int(meta["height"] or 1)
     w = int(meta["width"] or 1)

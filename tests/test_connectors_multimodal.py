@@ -114,10 +114,18 @@ def media(spark):
 
 
 def test_decode_stub_contract():
+    meta = {"height": 1, "width": 1, "n_channels": 1, "n_frames": 1}
+    # tiff/png decode for REAL now (pycodecs); only jpeg/audio/video gate
+    from deepcell_data_engineering_spark.sources.pycodecs import encode_tiff
+
+    img = np.arange(6, dtype=np.uint16).reshape(2, 3)
+    out = decode_media("tiff", encode_tiff(img), meta)
+    assert out.shape == (1, 2, 3, 1)
+    np.testing.assert_array_equal(out[0, :, :, 0], img.astype(np.float32))
     with pytest.raises(NotImplementedError):
-        decode_media("tiff", b"x", {"height": 1, "width": 1, "n_channels": 1, "n_frames": 1})
+        decode_media("jpg", b"x", meta)
     with pytest.raises(ValueError):
-        decode_media("bogus", b"x", {"height": 1, "width": 1, "n_channels": 1, "n_frames": 1})
+        decode_media("bogus", b"x", meta)
     a = decode_media("fake-raw", b"abc", {"height": 4, "width": 3, "n_channels": 2, "n_frames": 1})
     b = decode_media("fake-raw", b"abc", {"height": 4, "width": 3, "n_channels": 2, "n_frames": 1})
     np.testing.assert_array_equal(a, b)  # deterministic fake
