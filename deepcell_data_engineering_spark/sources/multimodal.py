@@ -46,7 +46,7 @@ MEDIA_SCHEMA = StructType(
     ]
 )
 
-_REAL_FORMATS = {"jpg", "jpeg", "wav", "mp4", "avi"}
+_REAL_FORMATS = {"jpg", "jpeg", "mp4", "avi"}
 
 
 def decode_media(fmt: str, payload: bytes, meta) -> np.ndarray:
@@ -68,6 +68,13 @@ def decode_media(fmt: str, payload: bytes, meta) -> np.ndarray:
         from deepcell_data_engineering_spark.sources.pycodecs import decode_png
 
         return np.atleast_3d(decode_png(payload))[None, ...].astype(np.float32)
+    if fmt == "wav":
+        from deepcell_data_engineering_spark.sources.pycodecs import decode_wav
+
+        samples, _rate = decode_wav(payload)
+        # media tensor layout [frames, h, w, channels]: audio frames map
+        # to the frame axis, channels to the channel axis
+        return samples.astype(np.float32)[:, None, None, :]
     if fmt in _REAL_FORMATS:
         raise NotImplementedError(
             f"codec for {fmt!r} requires an image/audio library not present "

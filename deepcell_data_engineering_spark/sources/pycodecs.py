@@ -308,3 +308,70 @@ def encode_tiff(img: np.ndarray) -> bytes:
     strip_off = header_size + ifd_len + len(bits_arr)
     header = b"II" + struct.pack("<HI", 42, header_size)
     return header + build(strip_off, bits_off) + bits_arr + body
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM)
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM RIFF/WAVE payload to ((frames, channels) array,
+    sample_rate). Integer PCM 8 (unsigned) / 16 / 32-bit and IEEE
+    float32 are supported — everything a lab microphone or telemetry
+    recorder emits; compressed codecs (ADPCM, mp3-in-wav) raise."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("not a WAV: missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format == 1:  # integer PCM
+        try:
+            dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
+        except KeyError:
+            raise NotImplementedError(f"WAV PCM bit depth {bits} not supported")
+    elif audio_format == 3 and bits == 32:  # IEEE float
+        dtype = np.float32
+    else:
+        raise NotImplementedError(
+            f"WAV audio format {audio_format}/{bits}-bit not supported (PCM only)"
+        )
+    arr = np.frombuffer(data, dtype=np.dtype(dtype).newbyteorder("<"))
+    n_frames = arr.size // channels
+    return arr[: n_frames * channels].reshape(n_frames, channels), rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode (frames,) or (frames, channels) uint8/int16/int32/float32
+    as a PCM RIFF/WAVE payload."""
+    a = np.asarray(samples)
+    if a.ndim == 1:
+        a = a[:, None]
+    frames, channels = a.shape
+    if a.dtype == np.uint8:
+        bits, afmt = 8, 1
+    elif a.dtype == np.int16:
+        bits, afmt = 16, 1
+    elif a.dtype == np.int32:
+        bits, afmt = 32, 1
+    elif a.dtype == np.float32:
+        bits, afmt = 32, 3
+    else:
+        raise ValueError(f"unsupported dtype {a.dtype}")
+    body = a.astype(a.dtype.newbyteorder("<")).tobytes()
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", afmt, channels, sample_rate, sample_rate * block, block, bits)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks

@@ -187,3 +187,53 @@ def test_binaryfile_scan_decodes_tiffs(spark, tmp_path):
         arr = imgs[r["name"]]
         assert (r["height"], r["width"]) == arr.shape
         assert r["checksum"] == int(arr.astype(np.int64).sum())
+
+
+@pytest.mark.parametrize("channels", [None, 2])
+@pytest.mark.parametrize("dtype", [np.uint8, np.int16, np.int32, np.float32])
+def test_wav_roundtrip(channels, dtype):
+    from deepcell_data_engineering_spark.sources.pycodecs import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(5)
+    shape = (441,) if channels is None else (441, channels)
+    if dtype == np.float32:
+        samples = (rng.rand(*shape) * 2 - 1).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        samples = rng.randint(info.min, info.max, size=shape).astype(dtype)
+    out, rate = decode_wav(encode_wav(samples, 44100))
+    assert rate == 44100
+    expect = samples if channels else samples[:, None]
+    assert out.dtype == dtype and np.array_equal(out, expect)
+
+
+def test_wav_rejects_compressed_and_garbage():
+    from deepcell_data_engineering_spark.sources.pycodecs import (
+        decode_wav,
+        encode_wav,
+    )
+
+    payload = bytearray(encode_wav(np.zeros(10, dtype=np.int16), 8000))
+    # audio format field lives at offset 20 (RIFF8 + WAVE4 + 'fmt '4 + size4)
+    payload[20:22] = struct.pack("<H", 2)  # ADPCM
+    with pytest.raises(NotImplementedError, match="PCM"):
+        decode_wav(bytes(payload))
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"not audio at all")
+
+
+def test_decode_media_wav_tensor_layout():
+    from deepcell_data_engineering_spark.sources.multimodal import decode_media
+    from deepcell_data_engineering_spark.sources.pycodecs import encode_wav
+
+    samples = (np.arange(20, dtype=np.int16).reshape(10, 2) * 100).astype(np.int16)
+    out = decode_media(
+        "wav",
+        encode_wav(samples, 16000),
+        {"height": 1, "width": 1, "n_channels": 2, "n_frames": 10},
+    )
+    assert out.shape == (10, 1, 1, 2)
+    np.testing.assert_array_equal(out[:, 0, 0, :], samples.astype(np.float32))
