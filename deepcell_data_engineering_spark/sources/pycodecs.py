@@ -85,11 +85,13 @@ def decode_png(payload: bytes) -> np.ndarray:
         up = recon[y - 1] if y > 0 else zero_row
         if f == 0:
             recon[y] = cur
-        elif f == 1:  # Sub — sequential in x over pixel units
-            r = cur.copy()
-            for i in range(bpp, stride):
-                r[i] = (int(r[i]) + int(r[i - bpp])) & 0xFF
-            recon[y] = r
+        elif f == 1:  # Sub: per byte lane, recon = running sum of raw —
+            # cumsum in int64 then mask (mod distributes over addition),
+            # so the row vectorizes instead of a Python-per-byte loop
+            lanes = cur.reshape(-1, bpp)
+            recon[y] = (
+                np.cumsum(lanes.astype(np.int64), axis=0) & 0xFF
+            ).astype(np.uint8).reshape(stride)
         elif f == 2:  # Up — fully vectorized
             recon[y] = cur + up
         elif f == 3:  # Average
