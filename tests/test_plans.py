@@ -248,3 +248,39 @@ def test_ivf_inline_assignment_is_map_only(spark):
     s = pi.join_strategies(df)
     assert all(v == 0 for v in s.values()), s
     assert pi.count_exchanges(df) <= 1  # spread()'s widen-repartition only
+
+
+def test_funnel_shares_one_user_partitioning(spark):
+    """x37's three chained conditional window minima + the per-user
+    rollup all reuse ONE hash exchange on user_id (plus the final
+    single-row agg) — no self-joins, unlike the oracle's formulation."""
+    df = QUERIES["x37_funnel"].build(spark, SF)
+    assert pi.count_exchanges(df) == 2
+    s = pi.join_strategies(df)
+    assert all(v == 0 for v in s.values()), s
+
+
+def test_gapfill_broadcasts_the_spine_join(spark):
+    """x38's spine <- hourly attach must broadcast (both sides are
+    aggregates, tiny next to the raw events)."""
+    df = QUERIES["x38_gapfill"].build(spark, SF)
+    assert pi.join_strategies(df)["broadcast_hash"] == 1
+    assert pi.count_exchanges(df) <= 3
+
+
+def test_window_rollups_are_single_agg_shuffles(spark):
+    """x41/x42: one aggregation exchange + the deterministic ORDER BY
+    range exchange — the streaming-window helpers add nothing else."""
+    for name in ("x41_tumbling_rollup", "x42_sliding_rollup"):
+        df = QUERIES[name].build(spark, SF)
+        assert pi.count_exchanges(df) == 2, name
+        s = pi.join_strategies(df)
+        assert all(v == 0 for v in s.values()), (name, s)
+
+
+def test_decontaminate_broadcasts_heldout_fingerprints(spark):
+    """x33: the held-out fingerprint semi-join and the flag attach must
+    both broadcast — the corpus side never shuffles for the join."""
+    df = QUERIES["x33_decontaminate"].build(spark, SF)
+    s = pi.join_strategies(df)
+    assert s["broadcast_hash"] == 2 and s["sort_merge"] == 0, s
