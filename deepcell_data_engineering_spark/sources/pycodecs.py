@@ -201,9 +201,7 @@ def _read_ifd_values(buf: bytes, endian: str, type_: int, count: int, raw: bytes
     return list(struct.unpack(f"{endian}{count}{fmt}", data))
 
 
-def decode_tiff(payload: bytes) -> np.ndarray:
-    """Decode the first IFD of a baseline uncompressed TIFF to (h, w) or
-    (h, w, samples); uint8/uint16/uint32 or float32, either byte order."""
+def _tiff_endian(payload: bytes) -> str:
     if payload[:2] == b"II":
         endian = "<"
     elif payload[:2] == b"MM":
@@ -213,7 +211,12 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     (magic,) = struct.unpack(endian + "H", payload[2:4])
     if magic != 42:
         raise ValueError("not a TIFF: bad magic")
-    (ifd_off,) = struct.unpack(endian + "I", payload[4:8])
+    return endian
+
+
+def _decode_ifd(payload: bytes, endian: str, ifd_off: int) -> tuple[np.ndarray, int]:
+    """Decode one IFD (page); returns (array, next_ifd_offset — 0 at the
+    end of the chain)."""
     (n_tags,) = struct.unpack(endian + "H", payload[ifd_off : ifd_off + 2])
     tags: dict[int, list[int]] = {}
     for i in range(n_tags):
@@ -223,6 +226,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             tags[tag] = _read_ifd_values(payload, endian, type_, count, e[8:12])
         except NotImplementedError:
             continue  # unneeded tag of an exotic type (e.g. RATIONAL dpi)
+    next_off_pos = ifd_off + 2 + 12 * n_tags
+    (next_off,) = struct.unpack(endian + "I", payload[next_off_pos : next_off_pos + 4])
     w = tags[256][0]
     h = tags[257][0]
     compression = tags.get(259, [1])[0]
@@ -253,7 +258,34 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if arr.size != h * w * samples:
         raise ValueError("TIFF strip data length mismatch")
     arr = arr.reshape((h, w) if samples == 1 else (h, w, samples))
+    return arr, next_off
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Decode the first IFD of a baseline uncompressed TIFF to (h, w) or
+    (h, w, samples); uint8/uint16/uint32 or float32, either byte order.
+    Multi-page stacks: decode_tiff_stack."""
+    endian = _tiff_endian(payload)
+    (ifd_off,) = struct.unpack(endian + "I", payload[4:8])
+    arr, _ = _decode_ifd(payload, endian, ifd_off)
     return arr
+
+
+def decode_tiff_stack(payload: bytes) -> np.ndarray:
+    """Decode EVERY page of a multi-page TIFF — the microscope z/t-stack
+    layout (one IFD per frame, chained) — to (pages, h, w) or
+    (pages, h, w, samples). Pages must share shape and dtype."""
+    endian = _tiff_endian(payload)
+    (ifd_off,) = struct.unpack(endian + "I", payload[4:8])
+    pages = []
+    while ifd_off != 0:
+        arr, ifd_off = _decode_ifd(payload, endian, ifd_off)
+        pages.append(arr)
+        if len(pages) > 100_000:
+            raise ValueError("TIFF IFD chain does not terminate")
+    if len({(p.shape, str(p.dtype)) for p in pages}) != 1:
+        raise NotImplementedError("TIFF pages differ in shape/dtype")
+    return np.stack(pages)
 
 
 def encode_tiff(img: np.ndarray) -> bytes:
@@ -310,6 +342,45 @@ def encode_tiff(img: np.ndarray) -> bytes:
     strip_off = header_size + ifd_len + len(bits_arr)
     header = b"II" + struct.pack("<HI", 42, header_size)
     return header + build(strip_off, bits_off) + bits_arr + body
+
+
+def encode_tiff_stack(imgs: np.ndarray) -> bytes:
+    """Encode (pages, h, w[, samples]) as a multi-page baseline TIFF —
+    one chained IFD per page, the microscope z/t-stack layout. Built by
+    splicing single-page encodings: each page's absolute offsets shift
+    by its block start, and its next-IFD pointer links the chain."""
+    a = np.asarray(imgs)
+    if a.ndim not in (3, 4):
+        raise ValueError("expected (pages, h, w) or (pages, h, w, samples)")
+    header_size = 8
+    blocks: list[bytes] = []
+    offsets: list[int] = []
+    pos = header_size
+    for page in a:
+        single = encode_tiff(page)
+        block = single[header_size:]  # strip the per-page header
+        offsets.append(pos)
+        blocks.append(block)
+        pos += len(block)
+
+    out = bytearray(b"II" + struct.pack("<HI", 42, header_size))
+    for i, block in enumerate(blocks):
+        shift = offsets[i] - header_size
+        b = bytearray(block)
+        (n_tags,) = struct.unpack("<H", b[0:2])
+        # shift every absolute-offset field: strip offset (273) always;
+        # bits-per-sample (258) only when it is an offset (count > 2)
+        for t in range(n_tags):
+            off = 2 + 12 * t
+            tag, typ, cnt = struct.unpack("<HHI", b[off : off + 8])
+            if tag == 273 or (tag == 258 and cnt > 2):
+                (v,) = struct.unpack("<I", b[off + 8 : off + 12])
+                b[off + 8 : off + 12] = struct.pack("<I", v + shift)
+        next_pos = 2 + 12 * n_tags
+        nxt = offsets[i + 1] if i + 1 < len(blocks) else 0
+        b[next_pos : next_pos + 4] = struct.pack("<I", nxt)
+        out.extend(b)
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

@@ -237,3 +237,26 @@ def test_decode_media_wav_tensor_layout():
     )
     assert out.shape == (10, 1, 1, 2)
     np.testing.assert_array_equal(out[:, 0, 0, :], samples.astype(np.float32))
+
+
+@pytest.mark.parametrize("samples", [None, 3])
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.float32])
+def test_tiff_multipage_stack_roundtrip(samples, dtype):
+    from deepcell_data_engineering_spark.sources.pycodecs import (
+        decode_tiff,
+        decode_tiff_stack,
+        encode_tiff_stack,
+    )
+
+    shape = (5, 7, 6) if samples is None else (5, 7, 6, samples)
+    stack = _img(shape, dtype, seed=9)
+    payload = encode_tiff_stack(stack)
+    out = decode_tiff_stack(payload)
+    assert out.shape == stack.shape and out.dtype.base == np.dtype(dtype)
+    assert np.array_equal(out, stack)
+    # single-page decode of a stack yields the FIRST page
+    first = decode_tiff(payload)
+    assert np.array_equal(first, stack[0])
+    # a single-page file decodes as a 1-page stack
+    one = decode_tiff_stack(encode_tiff(stack[0]))
+    assert one.shape[0] == 1 and np.array_equal(one[0], stack[0])
