@@ -137,3 +137,50 @@ def dup_clusters(
         )
         .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+def pagerank(
+    pairs: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """PageRank over the undirected candidate-pair graph — duplicate-hub
+    centrality: template/boilerplate documents sit at the center of
+    dense near-dup neighborhoods and surface with the highest rank, the
+    QA view a dedup pipeline publishes alongside cluster counts.
+
+    Power iteration restricted to nodes that appear in a pair (every
+    such node has degree >= 1 under the undirected view, so there are
+    no dangling nodes and the damping term closes the mass balance).
+    Each iteration is one join of the edge list with the current rank
+    relation plus a grouped sum — the same per-round shuffle shape as
+    connected_components, with the edge list and degrees persisted via
+    localCheckpoint so iterations do not recompute the LSH upstream.
+    Fixed ``iters`` (no convergence collect) keeps the oracle
+    expressible as unrolled CTEs."""
+    und = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
+    n = deg.count()
+    if n == 0:
+        return deg.select("u", F.lit(0.0).alias("rank"), "d")
+    ranks = deg.select("u", F.lit(1.0 / n).alias("r"))
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contribs = (
+            und.join(ranks, "u")
+            .join(deg, "u")
+            .select(F.col("v").alias("u"), (F.col("r") / F.col("d")).alias("c"))
+        )
+        ranks = contribs.groupBy("u").agg(
+            (F.lit(base) + F.lit(damping) * F.sum("c")).alias("r")
+        )
+    return ranks.join(deg, "u").select(
+        F.col("u").alias("node"), F.round("r", 6).alias("rank"), "d"
+    )

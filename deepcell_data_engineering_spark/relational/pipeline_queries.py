@@ -1724,3 +1724,69 @@ def x42(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_counts(ev, "1 hour", "30 minutes").orderBy(
         "w_start", "event_type"
     )
+
+
+_X43_ORACLE = (
+    _MINHASH_CHUNKS
+    + """,
+       sig AS (
+         SELECT doc_id,
+              {terms}
+         FROM chunks GROUP BY doc_id
+       ),
+       banded AS (
+         SELECT doc_id,
+                md5(h0::VARCHAR || '-' || h1::VARCHAR || '-' || h2::VARCHAR) AS band
+         FROM sig
+         UNION ALL
+         SELECT doc_id,
+                md5(h3::VARCHAR || '-' || h4::VARCHAR || '-' || h5::VARCHAR) AS band
+         FROM sig
+       ),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+       ),
+       und AS (SELECT id_a AS u, id_b AS v FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+       deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
+       nn AS (SELECT COUNT(*) AS n FROM deg),
+       r0 AS (SELECT u, 1.0 / n AS r FROM deg, nn),
+       r1 AS (SELECT e.v AS u, 0.15 / ANY_VALUE(nn.n) + 0.85 * SUM(r0.r / deg.d) AS r
+              FROM und e JOIN r0 ON e.u = r0.u JOIN deg ON e.u = deg.u CROSS JOIN nn
+              GROUP BY e.v),
+       r2 AS (SELECT e.v AS u, 0.15 / ANY_VALUE(nn.n) + 0.85 * SUM(r1.r / deg.d) AS r
+              FROM und e JOIN r1 ON e.u = r1.u JOIN deg ON e.u = deg.u CROSS JOIN nn
+              GROUP BY e.v),
+       r3 AS (SELECT e.v AS u, 0.15 / ANY_VALUE(nn.n) + 0.85 * SUM(r2.r / deg.d) AS r
+              FROM und e JOIN r2 ON e.u = r2.u JOIN deg ON e.u = deg.u CROSS JOIN nn
+              GROUP BY e.v)
+       SELECT r3.u AS node, ROUND(r3.r, 6) AS rank, deg.d AS d
+       FROM r3 JOIN deg ON r3.u = deg.u
+       ORDER BY node"""
+)
+
+
+@_q(
+    "x43_pagerank",
+    _X43_ORACLE.format(terms=_minhash_oracle_terms(6)),
+    doc="Duplicate-hub centrality: 3-iteration PageRank (damping 0.85) "
+    "over the undirected x06 LSH candidate graph — boilerplate/template "
+    "documents anchor dense near-dup neighborhoods and surface with the "
+    "highest rank, the QA view a dedup pipeline publishes alongside "
+    "x21's cluster sizes. The engine's third iterative-algorithm class "
+    "(k-means: driver-scalar state; CC: shrinking edge relation; "
+    "PageRank: fixed-size rank relation re-joined per round); every "
+    "round is one edge-rank join + one grouped sum, with the edge list "
+    "checkpointed once. Fixed iteration count keeps the oracle an "
+    "unrolled-CTE dual over the same md5-derived graph.",
+)
+def x43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions import graph as gr
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs, num_hashes=6, k=5)
+    pairs = dd.lsh_candidate_pairs(
+        sigs, bands=[["h0", "h1", "h2"], ["h3", "h4", "h5"]]
+    )
+    return gr.pagerank(pairs, iters=3).orderBy("node")

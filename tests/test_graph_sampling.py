@@ -354,3 +354,36 @@ def test_apply_changes_roundtrip_with_delete(spark):
     feed = snapshot_diff_with_payload(old, new, ["k"])
     got = sorted(map(tuple, apply_changes(old, feed, ["k"]).collect()))
     assert got == sorted(map(tuple, new.collect()))
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """pagerank vs a dense numpy power iteration on a crafted graph:
+    star (hub should dominate) + a separate triangle."""
+    import numpy as np
+
+    from deepcell_data_engineering_spark.functions.graph import pagerank
+
+    edges = [(0, i) for i in range(1, 6)] + [(10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+    got = {r["node"]: (r["rank"], r["d"]) for r in pagerank(df, iters=3).collect()}
+
+    nodes = sorted({u for e in edges for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    und = set()
+    for a, b in edges:
+        und.add((a, b))
+        und.add((b, a))
+    deg = {u: sum(1 for (x, _) in und if x == u) for u in nodes}
+    r = np.full(n, 1.0 / n)
+    for _ in range(3):
+        nxt = np.full(n, 0.15 / n)
+        for (u, v) in und:
+            nxt[idx[v]] += 0.85 * r[idx[u]] / deg[u]
+        r = nxt
+    for u in nodes:
+        assert abs(got[u][0] - round(float(r[idx[u]]), 6)) <= 1e-6, u
+        assert got[u][1] == deg[u]
+    # the star hub out-ranks its leaves; triangle nodes are symmetric
+    assert got[0][0] > got[1][0]
+    assert got[10][0] == got[11][0] == got[12][0]
