@@ -1790,3 +1790,51 @@ def x43(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs, bands=[["h0", "h1", "h2"], ["h3", "h4", "h5"]]
     )
     return gr.pagerank(pairs, iters=3).orderBy("node")
+
+
+@_q(
+    "x44_unigram_logprob",
+    """WITH tok AS (
+         SELECT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+         FROM documents
+       ),
+       tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+       vocab AS (SELECT term, COUNT(*) AS tf FROM tok2 GROUP BY term),
+       total AS (SELECT COUNT(*) AS n FROM tok2),
+       scored AS (
+         SELECT t.doc_id,
+                COUNT(*) AS n_tokens,
+                SUM(-ln(v.tf / total.n)) AS nll
+         FROM tok2 t JOIN vocab v USING (term) CROSS JOIN total
+         GROUP BY t.doc_id
+       )
+       SELECT doc_id, n_tokens,
+              ROUND(nll / n_tokens, 4) AS avg_nll
+       FROM scored ORDER BY doc_id""",
+    doc="Perplexity-proxy quality score: self-trained unigram LM "
+    "(corpus term frequencies), per-document mean negative log "
+    "probability — the LM-free stand-in for the perplexity filter "
+    "every pre-training pipeline runs (high avg_nll = rare-token soup, "
+    "low = repetitive boilerplate). One token explode feeding BOTH the "
+    "vocabulary aggregate and the per-doc score; the vocab attach is a "
+    "broadcast (vocabulary << corpus at any scale that matters).",
+)
+def x44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(docs)
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = toks.count()
+    scored = (
+        toks.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(-F.log(F.col("tf") / F.lit(float(total)))).alias("nll"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("nll") / F.col("n_tokens"), 4).alias("avg_nll"),
+    ).orderBy("doc_id")
