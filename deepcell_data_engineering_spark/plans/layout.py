@@ -150,3 +150,43 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction — the operational chore every long-lived
+    100 TB table needs: streaming/incremental writers leave thousands of
+    KB-sized files per partition, and both the file-listing phase and
+    the per-file open cost then dominate scans. Rewrites the dataset
+    into ~``target_file_bytes`` files (sized from the ACTUAL on-disk
+    bytes, not row counts, so compression ratio is accounted for).
+    Returns the output file count."""
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, round(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files
+
+
+def write_sorted(
+    df: DataFrame, path: str, sort_cols: list[str], n_files: int | None = None
+) -> None:
+    """Range-partition + sort-within-partitions before writing, so each
+    parquet file covers a narrow, non-overlapping slice of the sort key
+    and every row group's min/max statistics become selective — a point
+    or range predicate on the key then prunes whole files (and row
+    groups within them) at planning time instead of scanning. The
+    single-dimension sibling of zorder_write (use that when two+
+    columns need locality at once)."""
+    out = df.repartitionByRange(*sort_cols) if n_files is None else df.repartitionByRange(n_files, *sort_cols)
+    out.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)

@@ -284,3 +284,46 @@ def test_decontaminate_broadcasts_heldout_fingerprints(spark):
     df = QUERIES["x33_decontaminate"].build(spark, SF)
     s = pi.join_strategies(df)
     assert s["broadcast_hash"] == 2 and s["sort_merge"] == 0, s
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    from deepcell_data_engineering_spark.plans import layout
+
+    src = str(tmp_path / "fragmented")
+    # a fragmented write: 64 tiny files
+    load_table(spark, SF, "orders").repartition(64).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+    out = str(tmp_path / "compacted")
+    layout.compact_files(spark, src, out, target_file_bytes=64 * 1024 * 1024)
+    got = glob.glob(f"{out}/*.parquet")
+    assert len(got) <= 2  # orders at sf0.001 is far under one target file
+    assert spark.read.parquet(out).count() == load_table(spark, SF, "orders").count()
+
+
+def test_write_sorted_tightens_rowgroup_stats(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from deepcell_data_engineering_spark.plans import layout
+
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    p_sorted = str(tmp_path / "sorted")
+    layout.write_sorted(orders, p_sorted, ["o_orderkey"], n_files=4)
+    files = sorted(glob.glob(f"{p_sorted}/*.parquet"))
+    assert len(files) == 4
+    spans = []
+    for f in files:
+        md = pq.read_metadata(f)
+        mins = [md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups)]
+        maxs = [md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups)]
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    # non-overlapping key ranges: each file's span ends before the next begins
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi < b_lo
+    # a point predicate prunes to one file's worth of splits
+    got = spark.read.parquet(p_sorted).where("o_orderkey = 1").count()
+    assert got == 1
