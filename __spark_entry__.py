@@ -49,9 +49,10 @@ _CHECK_FIRST = [
     "x36_embedding_health", "x37_funnel", "x38_gapfill",
     "x39_salted_skew_join", "x40_length_trim", "x41_tumbling_rollup",
     "x42_sliding_rollup", "x43_pagerank", "x44_unigram_logprob",
+    "x45_minhash_calibration",
     "d01_scan_filter", "d02_like_strings", "d03_natural_sort", "d04_topk",
     "d05_distinct", "d10_inner_join", "d11_star_join_agg", "d12_left_join",
-    "d13_semi_join", "d14_anti_join", "d16_cross_join",
+    "d13_semi_join", "d14_anti_join",
 ]
 
 

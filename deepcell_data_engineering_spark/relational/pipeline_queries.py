@@ -1838,3 +1838,105 @@ def x44(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(F.col("nll") / F.col("n_tokens"), 4).alias("avg_nll"),
     ).orderBy("doc_id")
+
+
+_X45_ORACLE = (
+    _MINHASH_CHUNKS.replace("FROM documents,", "FROM (SELECT * FROM documents WHERE doc_id < 200) documents,", 1)
+    + """,
+       sig AS (
+         SELECT doc_id,
+              {terms}
+         FROM chunks GROUP BY doc_id
+       ),
+       banded AS (
+         SELECT doc_id,
+                md5(h0::VARCHAR || '-' || h1::VARCHAR || '-' || h2::VARCHAR) AS band
+         FROM sig
+         UNION ALL
+         SELECT doc_id,
+                md5(h3::VARCHAR || '-' || h4::VARCHAR || '-' || h5::VARCHAR) AS band
+         FROM sig
+       ),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+       ),
+       dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+       sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+         FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id
+       ),
+       est AS (
+         SELECT p.id_a, p.id_b,
+                ROUND(((sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT
+                     + (sa.h2 = sb.h2)::INT + (sa.h3 = sb.h3)::INT
+                     + (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT) / 6.0, 6) AS j_est
+         FROM pairs p JOIN sig sa ON p.id_a = sa.doc_id
+                      JOIN sig sb ON p.id_b = sb.doc_id
+       )
+       SELECT e.id_a AS id_a, e.id_b AS id_b, e.j_est AS j_est,
+              COALESCE(ROUND(i.n_inter / (za.n_sh + zb.n_sh - i.n_inter), 6), 0.0)
+                AS j_exact,
+              ROUND(ABS(e.j_est
+                - COALESCE(i.n_inter / (za.n_sh + zb.n_sh - i.n_inter), 0.0)), 6)
+                AS abs_err
+       FROM est e
+       LEFT JOIN inter i ON e.id_a = i.id_a AND e.id_b = i.id_b
+       JOIN sizes za ON e.id_a = za.doc_id
+       JOIN sizes zb ON e.id_b = zb.doc_id
+       ORDER BY e.id_a, e.id_b"""
+)
+
+
+@_q(
+    "x45_minhash_calibration",
+    _X45_ORACLE.format(terms=_minhash_oracle_terms(6)),
+    doc="LSH parameter calibration — measure, don't guess: for every "
+    "candidate pair on a bounded subset, the MinHash signature estimate "
+    "(matching components / 6) side by side with the EXACT shingle-set "
+    "Jaccard and the absolute error. This is the empirical check that "
+    "the (num_hashes, band) configuration delivers the recall/precision "
+    "the dedup pipeline assumes; run it on a corpus sample before "
+    "committing parameters for a 100 TB pass. Candidate-scoped exact "
+    "scoring (x07's machinery) keeps the verification cost linear in "
+    "candidates, not pairs.",
+)
+def x45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    sigs = dd.minhash_signatures(docs, num_hashes=6, k=5)
+    pairs = dd.lsh_candidate_pairs(
+        sigs, bands=[["h0", "h1", "h2"], ["h3", "h4", "h5"]]
+    )
+    exact = dd.ngram_jaccard_pairs(docs, candidate_pairs=pairs, k=5)
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(6)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"h{j}").alias(f"b{j}") for j in range(6)]
+    )
+    matches = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(6)
+    )
+    est = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(matches / F.lit(6.0), 6).alias("j_est"))
+    )
+    raw_exact = exact.select(
+        "id_a", "id_b", F.col("jaccard").alias("__jx")
+    )
+    return (
+        est.join(raw_exact, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            "j_est",
+            F.coalesce(F.col("__jx"), F.lit(0.0)).alias("j_exact"),
+            F.round(
+                F.abs(F.col("j_est") - F.coalesce(F.col("__jx"), F.lit(0.0))), 6
+            ).alias("abs_err"),
+        )
+        .orderBy("id_a", "id_b")
+    )
