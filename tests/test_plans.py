@@ -327,3 +327,19 @@ def test_write_sorted_tightens_rowgroup_stats(spark, tmp_path):
     # a point predicate prunes to one file's worth of splits
     got = spark.read.parquet(p_sorted).where("o_orderkey = 1").count()
     assert got == 1
+
+
+def test_round4_iterative_queries_have_no_cartesian(spark):
+    """x43/x44/x45: joins resolve as broadcast or sort-merge — never a
+    nested-loop cartesian; x44's vocabulary attach broadcasts. x43's
+    per-iteration edge-rank joins plan as sort-merge statically (the
+    rank relation is per-node — NOT broadcastable at corpus scale) and
+    AQE downgrades them to broadcast at runtime when actual sizes allow;
+    forcing a broadcast hint would be the 100 TB mistake."""
+    for name in ("x43_pagerank", "x44_unigram_logprob", "x45_minhash_calibration"):
+        df = QUERIES[name].build(spark, SF)
+        s = pi.join_strategies(df)
+        assert s["broadcast_nested_loop"] == 0, (name, s)
+    x44 = QUERIES["x44_unigram_logprob"].build(spark, SF)
+    assert pi.join_strategies(x44)["broadcast_hash"] == 1
+    assert pi.count_exchanges(x44) <= 3
