@@ -30,29 +30,29 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["d11_star_join_agg"].build(spark, "/root/testdata/sf0.001")
 
 
-# The driver oracle-checks the first 50 registry entries per round. The
-# x-series pipeline stack (x06–x31 never checked through round 3; x32–x39
-# new this round) leads; 16 cheap d-queries that have been driver-green
-# for two consecutive rounds pad the window; everything else (x01–x05 and
-# the remaining d-queries, all previously driver-verified) follows.
+# The driver oracle-checks the first 50 registry entries per round.
+# Round-5 rotation: the 40 queries last driver-checked in round 3
+# (d15–d49 and x01–x05) lead, so every registered query's driver verdict
+# is at most one round old; the window is padded to 50 with the 10
+# cheapest round-4-green queries. Everything else (all driver-green in
+# round 4) follows.
 _CHECK_FIRST = [
-    "x06_minhash_lsh_pairs", "x07_ngram_jaccard", "x08_simhash",
-    "x09_cosine_topk", "x10_embedding_neardup", "x11_srp_lsh_topk",
-    "x12_crop_grid", "x13_overlap_vote", "x14_ivf_topk",
-    "x15_json_extract", "x16_asof_join", "x17_sessionize",
-    "x18_winnow_fingerprint", "x19_kmeans_centroids", "x20_interval_join",
-    "x21_dup_clusters", "x22_tfidf_topk", "x23_pattern_scrub",
-    "x24_stratified_sample", "x25_vocab_topk", "x26_bm25",
-    "x27_corpus_build", "x28_bpe_tokens", "x29_semantic_neardup",
-    "x30_containment", "x31_corpus_report", "x32_repetition_signals",
-    "x33_decontaminate", "x34_chunk_documents", "x35_pack_sequences",
-    "x36_embedding_health", "x37_funnel", "x38_gapfill",
-    "x39_salted_skew_join", "x40_length_trim", "x41_tumbling_rollup",
-    "x42_sliding_rollup", "x43_pagerank", "x44_unigram_logprob",
-    "x45_minhash_calibration",
-    "d01_scan_filter", "d02_like_strings", "d03_natural_sort", "d04_topk",
-    "d05_distinct", "d10_inner_join", "d11_star_join_agg", "d12_left_join",
-    "d13_semi_join", "d14_anti_join",
+    "d15_range_join", "d16_cross_join", "d17_grouped_agg",
+    "d18_count_distinct_having", "d19_median", "d20_rollup",
+    "d21_grouping_sets", "d22_conditional_agg", "d23_window_rank",
+    "d24_window_lag_lead", "d25_window_running_max", "d26_intersect",
+    "d27_except", "d28_date_agg", "d29_math_string", "d30_documents_agg",
+    "d31_pivot", "d32_unpivot", "d33_string_agg", "d34_cube",
+    "d35_approx_distinct", "d36_exists_subquery", "d37_scalar_subquery",
+    "d38_ntile_percent_rank", "d39_array_hof", "d40_except_all",
+    "d41_moment_stats", "d42_snapshot_diff", "d43_quantiles",
+    "d44_null_semantics", "d45_share_of_total", "d46_try_cast",
+    "d47_incremental_agg", "d48_apply_changes", "d49_revenue_rollup",
+    "x01_token_stats", "x02_quality_features", "x03_lang_id",
+    "x04_exact_dedup", "x05_minhash_signatures",
+    "d03_natural_sort", "x24_stratified_sample", "d02_like_strings",
+    "d04_topk", "d10_inner_join", "d13_semi_join", "x12_crop_grid",
+    "d14_anti_join", "x23_pattern_scrub", "d05_distinct",
 ]
 
 

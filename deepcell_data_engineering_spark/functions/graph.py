@@ -169,7 +169,9 @@ def pagerank(
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
     n = deg.count()
     if n == 0:
-        return deg.select("u", F.lit(0.0).alias("rank"), "d")
+        return deg.select(
+            F.col("u").alias("node"), F.lit(0.0).alias("rank"), "d"
+        )
     ranks = deg.select("u", F.lit(1.0 / n).alias("r"))
     base = (1.0 - damping) / n
     for _ in range(iters):

@@ -1816,15 +1816,22 @@ def x43(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(corpus term frequencies), per-document mean negative log "
     "probability — the LM-free stand-in for the perplexity filter "
     "every pre-training pipeline runs (high avg_nll = rare-token soup, "
-    "low = repetitive boilerplate). One token explode feeding BOTH the "
-    "vocabulary aggregate and the per-doc score; the vocab attach is a "
-    "broadcast (vocabulary << corpus at any scale that matters).",
+    "low = repetitive boilerplate). The corpus is exploded exactly "
+    "twice — once to materialize the vocabulary (localCheckpoint: the "
+    "vocab is tiny at any scale), once for the per-doc score; the "
+    "corpus token total is derived from the materialized vocabulary "
+    "(sum of term frequencies) instead of a third full count() pass, "
+    "and the vocab attach is a broadcast (vocabulary << corpus).",
 )
 def x44(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tx.tokens(docs)
-    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
-    total = toks.count()
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    total = vocab.agg(F.sum("tf")).collect()[0][0]
     scored = (
         toks.join(F.broadcast(vocab), "term")
         .groupBy("doc_id")
@@ -1880,7 +1887,8 @@ _X45_ORACLE = (
               COALESCE(ROUND(i.n_inter / (za.n_sh + zb.n_sh - i.n_inter), 6), 0.0)
                 AS j_exact,
               ROUND(ABS(e.j_est
-                - COALESCE(i.n_inter / (za.n_sh + zb.n_sh - i.n_inter), 0.0)), 6)
+                - COALESCE(ROUND(i.n_inter / (za.n_sh + zb.n_sh - i.n_inter), 6),
+                           0.0)), 6)
                 AS abs_err
        FROM est e
        LEFT JOIN inter i ON e.id_a = i.id_a AND e.id_b = i.id_b

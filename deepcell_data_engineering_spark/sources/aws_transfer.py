@@ -59,11 +59,17 @@ def _download_rows(
 ) -> list[dict]:
     """Download each key; a missing object is REPORTED, not fatal —
     the reference tolerates unannotated files the same way
-    (aws_functions.py:125-139)."""
+    (aws_functions.py:125-139). The key's full path is preserved under
+    ``out_dir`` (stage1/img.tif and stage2/img.tif must not clobber
+    each other — basename-only layout also races across partitions)."""
     out = []
     for r in rows:
         key = r["key"]
-        local = os.path.join(out_dir, os.path.basename(key))
+        rel = key.lstrip("/")
+        if os.path.isabs(rel) or ".." in rel.split("/"):
+            raise ValueError(f"refusing non-relative S3 key path: {key!r}")
+        local = os.path.join(out_dir, *rel.split("/"))
+        os.makedirs(os.path.dirname(local), exist_ok=True)
         try:
             resp = client.get_object(Bucket=bucket, Key=key)
             body = resp["Body"].read()

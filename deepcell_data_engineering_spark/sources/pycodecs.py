@@ -1,5 +1,6 @@
 """Dependency-free image codecs: PNG (all five scanline filters, gray /
-gray+alpha / RGB / RGBA, 8- and 16-bit) and baseline TIFF (uncompressed,
+gray+alpha / RGB / RGBA at 8/16-bit, plus palette color type 3 at bit
+depth 1/2/4/8 expanded to RGB(A)) and baseline TIFF (uncompressed,
 both byte orders, uint8/16/32 + float32, single or multi strip).
 
 The reference decodes microscope TIFF/PNG eagerly with tifffile/PIL
@@ -41,11 +42,18 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode a PNG to (h, w) or (h, w, channels), uint8 or uint16."""
+    """Decode a PNG to (h, w) or (h, w, channels), uint8 or uint16.
+
+    Palette images (color type 3, bit depth 1/2/4/8) are expanded to
+    RGB — or RGBA when a tRNS chunk is present — matching what the
+    reference sees from PIL for indexed screenshots/figures
+    (caliban_toolbox/utils/misc_utils.py:45-48)."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     pos = 8
     ihdr = None
+    plte = None
+    trns = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
@@ -54,6 +62,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -63,14 +75,23 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt, interlace = ihdr
     if interlace != 0:
         raise NotImplementedError("interlaced (Adam7) PNG not supported")
-    if color not in _PNG_CHANNELS:
-        raise NotImplementedError(f"PNG color type {color} (palette?) not supported")
-    if depth not in (8, 16):
+    if color == 3:
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"palette PNG bit depth {depth} invalid")
+        if plte is None or len(plte) % 3 != 0 or not plte:
+            raise ValueError("palette PNG missing/malformed PLTE chunk")
+        channels = 1
+        bpp = 1  # filter unit is one byte for sub-byte-packed indices
+        stride = (w * depth + 7) // 8
+    elif color not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG color type {color} not supported")
+    elif depth not in (8, 16):
         raise NotImplementedError(f"PNG bit depth {depth} not supported")
-    channels = _PNG_CHANNELS[color]
-    bps = depth // 8
-    bpp = channels * bps  # filter unit
-    stride = w * bpp
+    else:
+        channels = _PNG_CHANNELS[color]
+        bps = depth // 8
+        bpp = channels * bps  # filter unit
+        stride = w * bpp
     raw = zlib.decompress(bytes(idat))
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG data length mismatch")
@@ -113,6 +134,23 @@ def decode_png(payload: bytes) -> np.ndarray:
             recon[y] = r
         else:
             raise ValueError(f"PNG filter {f} invalid")
+    if color == 3:
+        if depth == 8:
+            idx = recon
+        else:  # unpack big-endian bit groups within each packed byte
+            bits_ = np.unpackbits(recon, axis=1)[:, : w * depth]
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+            idx = (bits_.reshape(h, w, depth) * weights).sum(axis=2)
+        lut = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(idx.max(initial=0)) >= len(lut):
+            raise ValueError("palette PNG index out of PLTE range")
+        rgb = lut[idx]
+        if trns is None:
+            return rgb
+        alpha_lut = np.full(len(lut), 255, dtype=np.uint8)
+        at = np.frombuffer(trns, dtype=np.uint8)[: len(lut)]
+        alpha_lut[: len(at)] = at
+        return np.dstack([rgb, alpha_lut[idx]])
     if depth == 16:
         img = recon.reshape(h, w, channels, 2).astype(np.uint16)
         img = (img[..., 0] << 8) | img[..., 1]  # network byte order
@@ -321,6 +359,11 @@ def encode_tiff(img: np.ndarray) -> bytes:
         e.append(struct.pack("<HHI", 257, 4, 1) + struct.pack("<I", h))
         if samples == 1:
             e.append(struct.pack("<HHI", 258, 3, 1) + struct.pack("<HH", bits, 0))
+        elif samples == 2:
+            # two SHORTs fit in the 4-byte value field — the TIFF spec
+            # requires inline storage when values fit (offset form here
+            # is spec-malformed and misread as inline by readers)
+            e.append(struct.pack("<HHI", 258, 3, 2) + struct.pack("<HH", bits, bits))
         else:
             e.append(struct.pack("<HHI", 258, 3, samples) + struct.pack("<I", bits_off))
         e.append(struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", 1, 0))
@@ -336,7 +379,7 @@ def encode_tiff(img: np.ndarray) -> bytes:
     ifd_len = len(build(0, 0))
     bits_arr = b""
     bits_off = 0
-    if samples > 1:
+    if samples > 2:
         bits_off = header_size + ifd_len
         bits_arr = struct.pack(f"<{samples}H", *([bits] * samples))
     strip_off = header_size + ifd_len + len(bits_arr)
@@ -410,6 +453,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or data is None:
         raise ValueError("not a WAV: missing fmt/data chunk")
     audio_format, channels, rate, _, _, bits = fmt
+    if channels < 1:
+        raise ValueError(f"malformed WAV fmt chunk: {channels} channels")
+    if bits < 1 or bits % 8 != 0:
+        raise ValueError(f"malformed WAV fmt chunk: {bits} bits per sample")
     if audio_format == 1:  # integer PCM
         try:
             dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]

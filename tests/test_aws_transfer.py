@@ -72,8 +72,36 @@ def test_download_rows_missing_is_reported_not_fatal(tmp_path):
         )
     assert out[0] == {"key": "fov/ok.npz", "missing": False, "n_bytes": 9}
     assert out[1] == {"key": "fov/gone.npz", "missing": True, "n_bytes": 0}
-    assert (tmp_path / "ok.npz").read_bytes() == b"annotated"
-    assert not (tmp_path / "gone.npz").exists()
+    assert (tmp_path / "fov" / "ok.npz").read_bytes() == b"annotated"
+    assert not (tmp_path / "fov" / "gone.npz").exists()
+
+
+def test_download_rows_preserves_key_paths_no_basename_collision(tmp_path):
+    client, stub = _stubbed_client()
+    for stage, body in [("stage1", b"one"), ("stage2", b"two!")]:
+        stub.add_response(
+            "get_object",
+            {"Body": io.BytesIO(body)},
+            expected_params={"Bucket": "b", "Key": f"{stage}/img.tif"},
+        )
+    with stub:
+        out = _download_rows(
+            [{"key": "stage1/img.tif"}, {"key": "stage2/img.tif"}],
+            client,
+            "b",
+            str(tmp_path),
+        )
+    assert [r["missing"] for r in out] == [False, False]
+    assert (tmp_path / "stage1" / "img.tif").read_bytes() == b"one"
+    assert (tmp_path / "stage2" / "img.tif").read_bytes() == b"two!"
+
+
+def test_download_rows_rejects_traversal_keys(tmp_path):
+    client, _ = _stubbed_client()
+    with pytest.raises(ValueError, match="non-relative"):
+        _download_rows(
+            [{"key": "../escape.bin"}], client, "b", str(tmp_path)
+        )
 
 
 def test_copy_files_stage_transition():
@@ -157,6 +185,6 @@ def test_distributed_upload_download_roundtrip(spark, tmp_path):
     assert rows["job/never-annotated.npz"]["missing"]
     for i, n in enumerate(names):
         assert not rows[f"job/{n}"]["missing"]
-        assert (out_dir / n).read_bytes() == bytes([i]) * (i + 1)
+        assert (out_dir / "job" / n).read_bytes() == bytes([i]) * (i + 1)
     missing = missing_downloads(spark, dl).collect()
     assert [r["key"] for r in missing] == ["job/never-annotated.npz"]

@@ -387,3 +387,14 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     # the star hub out-ranks its leaves; triangle nodes are symmetric
     assert got[0][0] > got[1][0]
     assert got[10][0] == got[11][0] == got[12][0]
+
+
+def test_pagerank_empty_graph_schema_matches_nonempty(spark):
+    """The empty-graph early return must expose the same (node, rank, d)
+    schema as the iterated path — downstream unions depend on it."""
+    from deepcell_data_engineering_spark.functions.graph import pagerank
+
+    empty = spark.createDataFrame([], "id_a LONG, id_b LONG")
+    out = pagerank(empty, iters=3)
+    assert out.columns == ["node", "rank", "d"]
+    assert out.count() == 0

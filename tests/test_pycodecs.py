@@ -80,7 +80,69 @@ def test_png_rejects_exotic_features():
         decode_png(b"JFIF" + bytes(payload))
 
 
-@pytest.mark.parametrize("samples", [None, 3])
+def _png_chunk(ctype, data):
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _palette_png(idx, depth, plte, trns=None):
+    """Handcraft a color-type-3 PNG from an (h, w) index array."""
+    h, w = idx.shape
+    raw = bytearray()
+    for row in idx:
+        if depth == 8:
+            packed = row.astype(np.uint8).tobytes()
+        else:
+            bits = ((row[:, None] >> np.arange(depth - 1, -1, -1)) & 1).astype(np.uint8)
+            packed = np.packbits(bits.reshape(-1)).tobytes()
+        raw += b"\x00" + packed  # filter 0 scanline
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", plte)
+    )
+    if trns is not None:
+        payload += _png_chunk(b"tRNS", trns)
+    return payload + _png_chunk(b"IDAT", zlib.compress(bytes(raw))) + _png_chunk(b"IEND", b"")
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+def test_palette_png_expands_to_rgb(depth):
+    """Color type 3 at every legal bit depth decodes to the PLTE RGB
+    expansion (the reference's PIL view of indexed images)."""
+    n = 2**depth
+    plte = bytes((i * 7) % 256 for i in range(n * 3))
+    rng = np.random.RandomState(depth)
+    idx = rng.randint(0, n, size=(9, 13))
+    out = decode_png(_palette_png(idx, depth, plte))
+    lut = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    assert out.shape == (9, 13, 3)
+    assert np.array_equal(out, lut[idx])
+
+
+def test_palette_png_trns_gives_rgba():
+    plte = bytes(range(12))  # 4 entries
+    trns = bytes([0, 128])  # entries 0/1 translucent, 2/3 default opaque
+    idx = np.array([[0, 1], [2, 3]])
+    out = decode_png(_palette_png(idx, 8, plte, trns=trns))
+    assert out.shape == (2, 2, 4)
+    assert np.array_equal(out[..., :3], np.frombuffer(plte, np.uint8).reshape(4, 3)[idx])
+    assert np.array_equal(out[..., 3], np.array([[0, 128], [255, 255]]))
+
+
+def test_palette_png_bad_inputs_raise():
+    idx = np.zeros((2, 2), dtype=np.uint8)
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(_palette_png(idx, 8, b""))
+    with pytest.raises(ValueError, match="out of PLTE range"):
+        decode_png(_palette_png(idx + 3, 8, bytes(9)))  # 3-entry palette
+
+
+@pytest.mark.parametrize("samples", [None, 2, 3, 4])
 @pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.uint32, np.float32])
 def test_tiff_roundtrip_shapes_dtypes(samples, dtype):
     shape = (11, 9) if samples is None else (11, 9, samples)
@@ -223,6 +285,16 @@ def test_wav_rejects_compressed_and_garbage():
         decode_wav(bytes(payload))
     with pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"not audio at all")
+    # a malformed fmt chunk declaring 0 channels must raise the precise
+    # ValueError the module promises, not ZeroDivisionError
+    zero_ch = bytearray(encode_wav(np.zeros(10, dtype=np.int16), 8000))
+    zero_ch[22:24] = struct.pack("<H", 0)  # channel count field
+    with pytest.raises(ValueError, match="0 channels"):
+        decode_wav(bytes(zero_ch))
+    bad_bits = bytearray(encode_wav(np.zeros(10, dtype=np.int16), 8000))
+    bad_bits[34:36] = struct.pack("<H", 12)  # bits-per-sample field
+    with pytest.raises(ValueError, match="12 bits"):
+        decode_wav(bytes(bad_bits))
 
 
 def test_decode_media_wav_tensor_layout():

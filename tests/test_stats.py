@@ -66,3 +66,45 @@ def test_name_length_validation(spark, grouped_vals):
             ["q50"],
             approx_names=["a", "b"],
         )
+
+
+@pytest.mark.parametrize("helper", ["moment_stats", "salted_join_inner", "salted_join_left"])
+def test_null_keyed_groups_across_grouped_helpers(spark, helper):
+    """Null-key sweep of the other grouped helpers that touch group keys:
+    moment_stats must keep the NULL group (pure groupBy — NULL is a real
+    group); salted_join must be row-for-row equivalent to the unsalted
+    join under NULL keys (plain equi-join semantics: inner drops NULL
+    matches, left keeps the unmatched big rows null-extended)."""
+    from deepcell_data_engineering_spark.functions.stats import moment_stats
+    from deepcell_data_engineering_spark.plans.layout import salted_join
+
+    if helper == "moment_stats":
+        rows = [(g, i, 2 * i + (i % 3)) for g in ["a", None] for i in range(1, 8)]
+        df = spark.createDataFrame(rows, "g STRING, x INT, y INT")
+        got = moment_stats(df, F.col("x"), F.col("y"), ["g"]).collect()
+        assert {r["g"] for r in got} == {"a", None}
+        by_key = {r["g"]: r for r in got}
+        assert by_key[None]["n"] == 7 and by_key[None]["n"] == by_key["a"]["n"]
+        assert by_key[None]["stddev_x"] == by_key["a"]["stddev_x"]
+        return
+
+    how = helper.rsplit("_", 1)[1]
+    big = spark.createDataFrame(
+        [(1, "k1", 10), (2, None, 20), (3, "k2", 30), (4, None, 40)],
+        "rid INT, k STRING, v INT",
+    )
+    small = spark.createDataFrame(
+        [("k1", "dim1"), (None, "dimnull")], "k STRING, label STRING"
+    )
+    plain = sorted(
+        map(tuple, big.join(small, on="k", how=how).select("rid", "k", "label").collect())
+    )
+    salted = sorted(
+        map(
+            tuple,
+            salted_join(big, small, key="k", salt_source="rid", how=how)
+            .select("rid", "k", "label")
+            .collect(),
+        )
+    )
+    assert salted == plain

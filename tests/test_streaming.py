@@ -396,3 +396,21 @@ def test_stateful_user_stats_tws_parity(spark, tmp_path):
         ).collect()
     }
     assert got == expected and len(got) > 0
+
+    # direct twin-vs-twin parity: the applyInPandasWithState production
+    # path and the TWS path must agree row-for-row on the same fixture
+    from deepcell_data_engineering_spark.streaming.stateful import (
+        stateful_user_stats,
+    )
+
+    twin_stream = read_events_stream(spark, SF_SMOKE).select("user_id", "value")
+    _run_stream(
+        stateful_user_stats(twin_stream), tmp_path, "apiws_stats", mode="update"
+    )
+    twin = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            "SELECT user_id, n_events, total_value FROM apiws_stats"
+        ).collect()
+    }
+    assert got == twin
