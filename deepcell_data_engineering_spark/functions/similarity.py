@@ -452,8 +452,20 @@ def cluster_neardup_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
-        .distinct()
     )
+    # dedup co-occurrences with an EXPLICIT partition count: the pair
+    # relation is tiny by bytes but the downstream per-pair dot is
+    # CPU-heavy, and AQE coalesces a plain DISTINCT's output to one
+    # partition at small SF, serializing the dot stage (measured 4.5s
+    # -> 2.9s at sf0.1). repartition(n, keys) satisfies the dedup
+    # aggregate's distribution requirement (no extra exchange) and a
+    # user-specified partition count is exempt from AQE coalescing.
+    sess = df.sparkSession
+    n_tasks = max(
+        sess.sparkContext.defaultParallelism,
+        int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    pairs = pairs.repartition(n_tasks, "id_a", "id_b").dropDuplicates()
     norm = F.sqrt(
         F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x)
     )
