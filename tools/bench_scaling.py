@@ -1,0 +1,90 @@
+"""Scaling pressure test: the 8 most expensive pipeline queries at
+sf0.1 (driver testdata) vs a locally generated sf1 (10x rows — see
+tools/gen_scale_data.py), recording the sf1/sf0.1 runtime ratio per
+query into BENCH_scaling.json.
+
+Reading the ratio: the corpora are 10x apart, so a near-linear operator
+lands well under ~15x (10x work + modest shuffle superlinearity);
+anything >=30x exposes a hidden quadratic — the closest local proxy for
+the 100 TB claim. Queries here are dominated by documents/embeddings
+scans, so the TPC-H tables (absent at sf1) don't matter.
+
+Usage: python tools/bench_scaling.py [--runs 3]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = [
+    "x29_semantic_neardup",
+    "x21_dup_clusters",
+    "x43_pagerank",
+    "x30_containment",
+    "x45_minhash_calibration",
+    "x18_winnow_fingerprint",
+    "x33_decontaminate",
+    "x06_minhash_lsh_pairs",
+]
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scaledata/sf1")
+
+
+def main() -> None:
+    runs = 3
+    if "--runs" in sys.argv:
+        runs = int(sys.argv[sys.argv.index("--runs") + 1])
+    if not os.path.exists(os.path.join(SF1, "documents.parquet")):
+        subprocess.check_call(
+            [sys.executable, os.path.join(os.path.dirname(__file__), "gen_scale_data.py"), SF1]
+        )
+
+    from deepcell_data_engineering_spark.relational import QUERIES as REG
+    from deepcell_data_engineering_spark.session import get_spark
+
+    spark = get_spark()
+    spark.range(1000).count()  # warm the JVM
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        return s[len(s) // 2]
+
+    out: dict[str, dict] = {}
+    for name in QUERIES:
+        build = REG[name].build
+        rec: dict[str, float] = {}
+        for label, sf_dir in [("sf0.1", SF01), ("sf1", SF1)]:
+            ts = []
+            for _ in range(runs):
+                t0 = time.time()
+                n = build(spark, sf_dir).count()
+                ts.append(time.time() - t0)
+            rec[label] = round(median(ts), 3)
+            rec[f"{label}_rows"] = n
+        rec["ratio"] = round(rec["sf1"] / rec["sf0.1"], 2)
+        out[name] = rec
+        print(f"{name:28s} sf0.1={rec['sf0.1']:7.2f}s  sf1={rec['sf1']:7.2f}s  "
+              f"ratio={rec['ratio']:5.1f}x  rows {rec['sf0.1_rows']} -> {rec['sf1_rows']}")
+
+    payload = {
+        "note": "sf1 is a locally generated 10x corpus (tools/gen_scale_data.py, "
+        "seed 42); ratio = sf1_median / sf0.1_median over "
+        f"{runs} runs; near-linear <= ~15x, >=30x flags a hidden quadratic",
+        "queries": out,
+        "max_ratio": max(r["ratio"] for r in out.values()),
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_scaling.json")
+    with open(path, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print(f"wrote {path}; max ratio {payload['max_ratio']}x")
+
+
+if __name__ == "__main__":
+    main()
