@@ -1,17 +1,19 @@
 """Dependency-free image codecs: PNG (all five scanline filters, gray /
-gray+alpha / RGB / RGBA at 8/16-bit, plus palette color type 3 at bit
-depth 1/2/4/8 expanded to RGB(A)) and baseline TIFF (uncompressed,
-both byte orders, uint8/16/32 + float32, single or multi strip).
+gray+alpha / RGB / RGBA at 8/16-bit, palette color type 3 at bit depth
+1/2/4/8 expanded to RGB(A), progressive/Adam7 interlace) and TIFF
+(uncompressed / Deflate / LZW / PackBits, horizontal-differencing
+predictor, strip or tile layout, both byte orders, uint8/16/32 +
+float32, single or multi page).
 
 The reference decodes microscope TIFF/PNG eagerly with tifffile/PIL
 (caliban_toolbox/utils/misc_utils.py:41-48, pre_annotation/
 data_loader.py:429). Those libraries are not installed in this
-environment, but the container DOES have everything a baseline decode
-needs: zlib (PNG's only compression) and struct. These codecs close the
-S10 gap for the formats microscopes actually emit — uncompressed or
-deflate data — while genuinely exotic encodings (JPEG, LZW-TIFF, tiled
-TIFF, interlaced PNG) still raise with a precise message naming the
-missing feature.
+environment, but the container DOES have everything those decodes
+need: zlib and struct (LZW/PackBits are ~40 lines each in pure
+Python). These codecs close the S10 gap for the formats microscopes
+and annotation tools actually emit; still-unsupported encodings
+(JPEG-in-TIFF, CCITT fax, floating-point predictor) raise with a
+precise message naming the missing feature.
 
 Scale posture: codecs run inside Arrow-batched UDFs over binaryFile
 scans (sources/loader.py:decode_image); each payload decodes
@@ -41,13 +43,74 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+# Adam7 pass layout: (col0, row0, col_step, row_step) per pass
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _unfilter_scanlines(buf: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering over ``h`` rows of ``stride``
+    payload bytes each (``buf`` holds h*(stride+1) bytes, a filter tag
+    leading every row); ``bpp`` is the filter unit in bytes."""
+    mat = np.frombuffer(buf, dtype=np.uint8).reshape(h, stride + 1)
+    filters = mat[:, 0]
+    rows = mat[:, 1:]
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    zero_row = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        cur = rows[y].astype(np.uint8)
+        up = recon[y - 1] if y > 0 else zero_row
+        if f == 0:
+            recon[y] = cur
+        elif f == 1:  # Sub: per byte lane, recon = running sum of raw —
+            # cumsum in int64 then mask (mod distributes over addition),
+            # so the row vectorizes instead of a Python-per-byte loop
+            pad = (-stride) % bpp  # interlaced passes may not be lane-aligned
+            lanes = np.concatenate([cur, np.zeros(pad, np.uint8)]).reshape(-1, bpp)
+            recon[y] = (
+                np.cumsum(lanes.astype(np.int64), axis=0) & 0xFF
+            ).astype(np.uint8).reshape(-1)[:stride]
+        elif f == 2:  # Up — fully vectorized
+            recon[y] = cur + up
+        elif f == 3:  # Average
+            r = cur.copy()
+            for i in range(stride):
+                left = int(r[i - bpp]) if i >= bpp else 0
+                r[i] = (int(cur[i]) + ((left + int(up[i])) >> 1)) & 0xFF
+            recon[y] = r
+        elif f == 4:  # Paeth
+            r = cur.copy()
+            for i in range(stride):
+                left = int(r[i - bpp]) if i >= bpp else 0
+                ul = int(up[i - bpp]) if i >= bpp else 0
+                a_, b_, c_ = left, int(up[i]), ul
+                p = a_ + b_ - c_
+                pa, pb, pc = abs(p - a_), abs(p - b_), abs(p - c_)
+                pred = a_ if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c_)
+                r[i] = (int(cur[i]) + pred) & 0xFF
+            recon[y] = r
+        else:
+            raise ValueError(f"PNG filter {f} invalid")
+    return recon
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """Decode a PNG to (h, w) or (h, w, channels), uint8 or uint16.
 
     Palette images (color type 3, bit depth 1/2/4/8) are expanded to
     RGB — or RGBA when a tRNS chunk is present — matching what the
     reference sees from PIL for indexed screenshots/figures
-    (caliban_toolbox/utils/misc_utils.py:45-48)."""
+    (caliban_toolbox/utils/misc_utils.py:45-48). Adam7-interlaced files
+    decode by unfiltering each of the seven sub-images independently
+    and scattering them into place."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     pos = 8
@@ -73,8 +136,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("not a PNG: missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if interlace != 0:
-        raise NotImplementedError("interlaced (Adam7) PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace} invalid")
     if color == 3:
         if depth not in (1, 2, 4, 8):
             raise ValueError(f"palette PNG bit depth {depth} invalid")
@@ -93,78 +156,98 @@ def decode_png(payload: bytes) -> np.ndarray:
         bpp = channels * bps  # filter unit
         stride = w * bpp
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG data length mismatch")
-    mat = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    filters = mat[:, 0]
-    rows = mat[:, 1:]
-    recon = np.zeros((h, stride), dtype=np.uint8)
-    zero_row = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        f = int(filters[y])
-        cur = rows[y].astype(np.uint8)
-        up = recon[y - 1] if y > 0 else zero_row
-        if f == 0:
-            recon[y] = cur
-        elif f == 1:  # Sub: per byte lane, recon = running sum of raw —
-            # cumsum in int64 then mask (mod distributes over addition),
-            # so the row vectorizes instead of a Python-per-byte loop
-            lanes = cur.reshape(-1, bpp)
-            recon[y] = (
-                np.cumsum(lanes.astype(np.int64), axis=0) & 0xFF
-            ).astype(np.uint8).reshape(stride)
-        elif f == 2:  # Up — fully vectorized
-            recon[y] = cur + up
-        elif f == 3:  # Average
-            r = cur.copy()
-            for i in range(stride):
-                left = int(r[i - bpp]) if i >= bpp else 0
-                r[i] = (int(cur[i]) + ((left + int(up[i])) >> 1)) & 0xFF
-            recon[y] = r
-        elif f == 4:  # Paeth
-            r = cur.copy()
-            for i in range(stride):
-                left = int(r[i - bpp]) if i >= bpp else 0
-                ul = int(up[i - bpp]) if i >= bpp else 0
-                a_, b_, c_ = left, int(up[i]), ul
-                p = a_ + b_ - c_
-                pa, pb, pc = abs(p - a_), abs(p - b_), abs(p - c_)
-                pred = a_ if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c_)
-                r[i] = (int(cur[i]) + pred) & 0xFF
-            recon[y] = r
-        else:
-            raise ValueError(f"PNG filter {f} invalid")
-    if color == 3:
-        if depth == 8:
-            idx = recon
-        else:  # unpack big-endian bit groups within each packed byte
-            bits_ = np.unpackbits(recon, axis=1)[:, : w * depth]
+
+    def stride_of(pw: int) -> int:
+        return (pw * depth + 7) // 8 if color == 3 else pw * bpp
+
+    def pass_pixels(buf: bytes, ph: int, pw: int) -> np.ndarray:
+        """Unfilter one (sub-)image: (ph, pw) palette indices, or
+        (ph, pw, channels) uint8/uint16 samples."""
+        recon = _unfilter_scanlines(buf, ph, stride_of(pw), bpp)
+        if color == 3:
+            if depth == 8:
+                return recon[:, :pw]
+            # unpack big-endian bit groups within each packed byte
+            bits_ = np.unpackbits(recon, axis=1)[:, : pw * depth]
             weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
-            idx = (bits_.reshape(h, w, depth) * weights).sum(axis=2)
+            return (bits_.reshape(ph, pw, depth) * weights).sum(axis=2).astype(np.uint8)
+        if depth == 16:
+            img = recon.reshape(ph, pw, channels, 2).astype(np.uint16)
+            return (img[..., 0] << 8) | img[..., 1]  # network byte order
+        return recon.reshape(ph, pw, channels)
+
+    if interlace == 0:
+        if len(raw) != h * (stride_of(w) + 1):
+            raise ValueError("PNG data length mismatch")
+        px = pass_pixels(raw, h, w)
+    else:  # Adam7: seven independently-filtered sub-images, scattered
+        if color == 3:
+            px = np.zeros((h, w), dtype=np.uint8)
+        else:
+            px = np.zeros((h, w, channels), dtype=np.uint16 if depth == 16 else np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            take = ph * (stride_of(pw) + 1)
+            chunk = raw[off : off + take]
+            off += take
+            if len(chunk) != take:
+                raise ValueError("PNG data length mismatch")
+            px[y0::dy, x0::dx] = pass_pixels(chunk, ph, pw)
+        if off != len(raw):
+            raise ValueError("PNG data length mismatch")
+    if color == 3:
         lut = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        if int(idx.max(initial=0)) >= len(lut):
+        if int(px.max(initial=0)) >= len(lut):
             raise ValueError("palette PNG index out of PLTE range")
-        rgb = lut[idx]
+        rgb = lut[px]
         if trns is None:
             return rgb
         alpha_lut = np.full(len(lut), 255, dtype=np.uint8)
         at = np.frombuffer(trns, dtype=np.uint8)[: len(lut)]
         alpha_lut[: len(at)] = at
-        return np.dstack([rgb, alpha_lut[idx]])
-    if depth == 16:
-        img = recon.reshape(h, w, channels, 2).astype(np.uint16)
-        img = (img[..., 0] << 8) | img[..., 1]  # network byte order
-    else:
-        img = recon.reshape(h, w, channels)
-    return img[:, :, 0] if channels == 1 else img
+        return np.dstack([rgb, alpha_lut[px]])
+    return px[:, :, 0] if channels == 1 else px
 
 
-def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+def _filter_scanlines(flat: np.ndarray, bpp: int, filter_type: int) -> bytes:
+    """Apply one PNG scanline filter to every row of ``flat``
+    ((h, stride) uint8); returns the filtered stream with the per-row
+    filter tag prepended."""
+    h, stride = flat.shape
+    lines = bytearray()
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        cur = flat[y]
+        left = np.concatenate([np.zeros(bpp, dtype=np.uint8), cur[:-bpp]]) if stride > bpp else np.zeros_like(cur)
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.uint8), prev[:-bpp]]) if stride > bpp else np.zeros_like(prev)
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            enc = cur - left
+        elif filter_type == 2:
+            enc = cur - prev
+        elif filter_type == 3:
+            enc = cur - (((left.astype(np.uint16) + prev.astype(np.uint16)) >> 1).astype(np.uint8))
+        else:
+            enc = cur - _paeth(left, prev, upleft)
+        lines.append(filter_type)
+        lines.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+    return bytes(lines)
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0, interlace: bool = False) -> bytes:
     """Encode (h, w) or (h, w, {2,3,4}) uint8/uint16 as PNG.
 
     ``filter_type`` selects the per-row scanline filter (0-4) — mainly
     so tests exercise every unfilter path; 0 (None) is the fast
-    default (zlib does the compressing either way)."""
+    default (zlib does the compressing either way). ``interlace``
+    emits Adam7: the seven sub-images are gathered and filtered
+    independently, mirroring the decoder's scatter."""
     a = np.asarray(img)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -182,47 +265,174 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
     else:
         raise ValueError(f"unsupported dtype {a.dtype} (uint8/uint16 only)")
     bpp = channels * (depth // 8)
-    flat = body.reshape(h, w * bpp).astype(np.uint8)
     if not 0 <= filter_type <= 4:
         raise ValueError(f"PNG filter {filter_type} invalid")
-    lines = bytearray()
-    prev = np.zeros(w * bpp, dtype=np.uint8)
-    for y in range(h):
-        cur = flat[y]
-        left = np.concatenate([np.zeros(bpp, dtype=np.uint8), cur[:-bpp]]) if w * bpp > bpp else np.zeros_like(cur)
-        upleft = np.concatenate([np.zeros(bpp, dtype=np.uint8), prev[:-bpp]]) if w * bpp > bpp else np.zeros_like(prev)
-        if filter_type == 0:
-            enc = cur
-        elif filter_type == 1:
-            enc = cur - left
-        elif filter_type == 2:
-            enc = cur - prev
-        elif filter_type == 3:
-            enc = cur - (((left.astype(np.uint16) + prev.astype(np.uint16)) >> 1).astype(np.uint8))
-        else:
-            enc = cur - _paeth(left, prev, upleft)
-        lines.append(filter_type)
-        lines.extend(enc.astype(np.uint8).tobytes())
-        prev = cur
+    if interlace:
+        lines = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = body[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            flat = sub.reshape(sub.shape[0], sub.shape[1] * bpp).astype(np.uint8)
+            lines.extend(_filter_scanlines(flat, bpp, filter_type))
+        stream = bytes(lines)
+    else:
+        flat = body.reshape(h, w * bpp).astype(np.uint8)
+        stream = _filter_scanlines(flat, bpp, filter_type)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         c = struct.pack(">I", len(data)) + ctype + data
         return c + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, int(interlace))
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + chunk(b"IDAT", zlib.compress(stream, 6))
         + chunk(b"IEND", b"")
     )
 
 
 # ---------------------------------------------------------------------------
-# baseline TIFF
+# TIFF
 # ---------------------------------------------------------------------------
 
 _TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (compression 5): MSB-first variable-width codes
+    9->12 bits with the spec's early-change convention, ClearCode 256,
+    EOI 257."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+    nbits = 9
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + nbits <= total_bits:
+        byte_pos = bitpos >> 3
+        window = int.from_bytes(data[byte_pos : byte_pos + 3].ljust(3, b"\0"), "big")
+        code = (window >> (24 - (bitpos & 7) - nbits)) & ((1 << nbits) - 1)
+        bitpos += nbits
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            nbits = 9
+            prev = None
+            continue
+        if not table:
+            raise ValueError("corrupt LZW stream: data before clear code")
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt LZW stream: bad initial code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream: code beyond table")
+        out.extend(entry)
+        prev = entry
+        # early change: the writer widens when ITS next free code hits
+        # 2^n - 1; the reader's table lags one entry behind, so widen at
+        # 2^n - 2
+        if len(table) >= (1 << nbits) - 2 and nbits < 12:
+            nbits += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (round-trip twin of _lzw_decode)."""
+    CLEAR, EOI = 256, 257
+    out_bits = bytearray()
+    acc = 0
+    acc_n = 0
+
+    def emit(code: int, nbits: int) -> None:
+        nonlocal acc, acc_n
+        acc = (acc << nbits) | code
+        acc_n += nbits
+        while acc_n >= 8:
+            out_bits.append((acc >> (acc_n - 8)) & 0xFF)
+            acc_n -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    nbits = 9
+    emit(CLEAR, nbits)
+    cur = b""
+    for b in data:
+        cand = cur + bytes([b])
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur], nbits)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << nbits) - 1 and nbits < 12:  # early change
+            nbits += 1
+        elif next_code == (1 << 12) - 1:
+            emit(CLEAR, nbits)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            nbits = 9
+        cur = bytes([b])
+    if cur:
+        emit(table[cur], nbits)
+    emit(EOI, nbits)
+    if acc_n:
+        out_bits.append((acc << (8 - acc_n)) & 0xFF)
+    return bytes(out_bits)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """Apple PackBits RLE (TIFF compression 32773)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        ctl = data[i]
+        i += 1
+        if ctl < 128:  # literal run of ctl+1 bytes
+            out.extend(data[i : i + ctl + 1])
+            i += ctl + 1
+        elif ctl > 128:  # repeat next byte 257-ctl times
+            if i >= n:
+                raise ValueError("corrupt PackBits stream: dangling repeat")
+            out.extend(bytes([data[i]]) * (257 - ctl))
+            i += 1
+        # 128 is a no-op
+    return bytes(out)
+
+
+_TIFF_DECOMPRESS = {
+    1: lambda d: d,
+    5: _lzw_decode,
+    8: zlib.decompress,
+    32946: zlib.decompress,  # legacy Deflate tag
+    32773: _packbits_decode,
+}
+
+
+def _undo_predictor(arr: np.ndarray, predictor: int) -> np.ndarray:
+    """Reverse TIFF predictor tag 317 on (rows, width[, samples]) integer
+    data. Predictor 2 = horizontal differencing per sample channel;
+    cumsum along the width axis modulo the sample width restores it."""
+    if predictor in (0, 1):
+        return arr
+    if predictor != 2:
+        raise NotImplementedError(f"TIFF predictor {predictor} not supported")
+    if arr.dtype.kind not in "ui":
+        raise NotImplementedError("TIFF predictor 2 requires integer samples")
+    mask = (1 << (arr.dtype.itemsize * 8)) - 1
+    acc = np.cumsum(arr.astype(np.int64), axis=1) & mask
+    return acc.astype(arr.dtype.newbyteorder("="))
 
 
 def _read_ifd_values(buf: bytes, endian: str, type_: int, count: int, raw: bytes) -> list[int]:
@@ -269,15 +479,18 @@ def _decode_ifd(payload: bytes, endian: str, ifd_off: int) -> tuple[np.ndarray, 
     w = tags[256][0]
     h = tags[257][0]
     compression = tags.get(259, [1])[0]
-    if compression != 1:
+    decompress = _TIFF_DECOMPRESS.get(compression)
+    if decompress is None:
         raise NotImplementedError(
-            f"TIFF compression {compression} not supported (baseline/uncompressed only)"
+            f"TIFF compression {compression} not supported "
+            "(uncompressed/LZW/Deflate/PackBits only)"
         )
     samples = tags.get(277, [1])[0]
     bits = tags.get(258, [8])
     if len(set(bits)) != 1:
         raise NotImplementedError("TIFF mixed bits-per-sample not supported")
     bits = bits[0]
+    predictor = tags.get(317, [1])[0]
     sample_format = tags.get(339, [1])[0]
     if sample_format == 3:
         if bits != 32:
@@ -287,15 +500,46 @@ def _decode_ifd(payload: bytes, endian: str, ifd_off: int) -> tuple[np.ndarray, 
         dtype = np.dtype(endian + {8: "u1", 16: "u2", 32: "u4"}[bits])
     else:
         raise NotImplementedError(f"TIFF sample format {sample_format} not supported")
+    if 322 in tags:  # tiled layout: decode each tile, assemble, crop
+        tw, tl = tags[322][0], tags[323][0]
+        offsets, counts = tags[324], tags[325]
+        across = (w + tw - 1) // tw
+        down = (h + tl - 1) // tl
+        if len(offsets) != across * down:
+            raise ValueError("TIFF tile count mismatch")
+        full = np.zeros(
+            (down * tl, across * tw, samples) if samples > 1 else (down * tl, across * tw),
+            dtype=dtype.newbyteorder("="),
+        )
+        for i, (o, c) in enumerate(zip(offsets, counts)):
+            raw = decompress(payload[o : o + c])
+            tile = np.frombuffer(raw, dtype=dtype)
+            if tile.size != tl * tw * samples:
+                raise ValueError("TIFF tile data length mismatch")
+            tile = tile.reshape((tl, tw) if samples == 1 else (tl, tw, samples))
+            tile = _undo_predictor(tile, predictor)
+            ty, tx = divmod(i, across)
+            full[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = tile
+        return full[:h, :w], next_off
     offsets = tags[273]
     counts = tags.get(279)
     if counts is None:
+        if compression != 1:
+            raise ValueError("compressed TIFF missing StripByteCounts")
         counts = [h * w * samples * (bits // 8) // len(offsets)] * len(offsets)
-    data = b"".join(payload[o : o + c] for o, c in zip(offsets, counts))
-    arr = np.frombuffer(data, dtype=dtype)
-    if arr.size != h * w * samples:
+    rows_per_strip = tags.get(278, [h])[0]
+    strips = []
+    for si, (o, c) in enumerate(zip(offsets, counts)):
+        raw = decompress(payload[o : o + c])
+        strip = np.frombuffer(raw, dtype=dtype)
+        n_rows = min(rows_per_strip, h - si * rows_per_strip)
+        if strip.size != n_rows * w * samples:
+            raise ValueError("TIFF strip data length mismatch")
+        strip = strip.reshape((n_rows, w) if samples == 1 else (n_rows, w, samples))
+        strips.append(_undo_predictor(strip, predictor))
+    arr = strips[0] if len(strips) == 1 else np.concatenate(strips, axis=0)
+    if arr.shape[0] != h:
         raise ValueError("TIFF strip data length mismatch")
-    arr = arr.reshape((h, w) if samples == 1 else (h, w, samples))
     return arr, next_off
 
 
@@ -326,9 +570,11 @@ def decode_tiff_stack(payload: bytes) -> np.ndarray:
     return np.stack(pages)
 
 
-def encode_tiff(img: np.ndarray) -> bytes:
+def encode_tiff(img: np.ndarray, compression: int = 1, predictor: int = 1) -> bytes:
     """Encode (h, w) or (h, w, samples) uint8/uint16/uint32/float32 as a
-    single-strip uncompressed little-endian baseline TIFF."""
+    single-strip little-endian TIFF. ``compression``: 1 (none),
+    5 (LZW), 8 (Deflate), 32773 (PackBits); ``predictor``: 1 (none) or
+    2 (horizontal differencing, integer dtypes only)."""
     a = np.ascontiguousarray(img)
     if a.ndim == 2:
         h, w, samples = a.shape[0], a.shape[1], 1
@@ -346,7 +592,30 @@ def encode_tiff(img: np.ndarray) -> bytes:
         bits, fmt = 32, 3
     else:
         raise ValueError(f"unsupported dtype {a.dtype}")
+    if predictor == 2:
+        if a.dtype.kind not in "ui":
+            raise ValueError("TIFF predictor 2 requires an integer dtype")
+        d = a.astype(np.int64)
+        d[:, 1:] = d[:, 1:] - d[:, :-1]  # differencing along width, per channel
+        mask = (1 << bits) - 1
+        a = (d & mask).astype(a.dtype)
+    elif predictor != 1:
+        raise ValueError(f"TIFF predictor {predictor} not supported")
     body = a.astype(a.dtype.newbyteorder("<")).tobytes()
+    if compression == 1:
+        pass
+    elif compression == 5:
+        body = _lzw_encode(body)
+    elif compression == 8:
+        body = zlib.compress(body, 6)
+    elif compression == 32773:
+        # literal-only PackBits: runs of <=128 raw bytes are valid output
+        body = b"".join(
+            bytes([len(body[i : i + 128]) - 1]) + body[i : i + 128]
+            for i in range(0, len(body), 128)
+        )
+    else:
+        raise ValueError(f"TIFF compression {compression} not supported")
     header_size = 8
     photometric = 1 if samples == 1 else 2
 
@@ -366,12 +635,14 @@ def encode_tiff(img: np.ndarray) -> bytes:
             e.append(struct.pack("<HHI", 258, 3, 2) + struct.pack("<HH", bits, bits))
         else:
             e.append(struct.pack("<HHI", 258, 3, samples) + struct.pack("<I", bits_off))
-        e.append(struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", 1, 0))
+        e.append(struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", compression, 0))
         e.append(struct.pack("<HHI", 262, 3, 1) + struct.pack("<HH", photometric, 0))
         e.append(struct.pack("<HHI", 273, 4, 1) + struct.pack("<I", strip_off))
         e.append(struct.pack("<HHI", 277, 3, 1) + struct.pack("<HH", samples, 0))
         e.append(struct.pack("<HHI", 278, 4, 1) + struct.pack("<I", h))
         e.append(struct.pack("<HHI", 279, 4, 1) + struct.pack("<I", len(body)))
+        if predictor == 2:
+            e.append(struct.pack("<HHI", 317, 3, 1) + struct.pack("<HH", 2, 0))
         e.append(struct.pack("<HHI", 339, 3, 1) + struct.pack("<HH", fmt, 0))
         ifd = struct.pack("<H", len(e)) + b"".join(e) + struct.pack("<I", 0)
         return ifd

@@ -73,8 +73,9 @@ def test_png_rejects_exotic_features():
     img = _img((4, 4), np.uint8)
     payload = bytearray(encode_png(img))
     # flip the interlace byte inside IHDR (offset: 8 sig + 8 hdr + 12)
-    payload[8 + 8 + 12] = 1
-    with pytest.raises(NotImplementedError, match="interlaced"):
+    # to an undefined method (0=none and 1=Adam7 both decode now)
+    payload[8 + 8 + 12] = 2
+    with pytest.raises(ValueError, match="interlace method 2"):
         decode_png(bytes(payload))
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"JFIF" + bytes(payload))
@@ -180,17 +181,17 @@ def test_tiff_big_endian_decodes():
     assert np.array_equal(out.astype(np.uint16), vals.astype(np.uint16))
 
 
-def test_tiff_rejects_compressed():
+def test_tiff_rejects_unsupported_compression():
     img = _img((4, 4), np.uint8)
     payload = bytearray(encode_tiff(img))
-    # compression tag (259) value: find its entry and set value to 5 (LZW)
+    # compression tag (259) value: set to 7 (JPEG-in-TIFF, unsupported)
     n = struct.unpack("<H", payload[8:10])[0]
     for i in range(n):
         off = 10 + 12 * i
         tag = struct.unpack("<H", payload[off : off + 2])[0]
         if tag == 259:
-            payload[off + 8 : off + 10] = struct.pack("<H", 5)
-    with pytest.raises(NotImplementedError, match="compression 5"):
+            payload[off + 8 : off + 10] = struct.pack("<H", 7)
+    with pytest.raises(NotImplementedError, match="compression 7"):
         decode_tiff(bytes(payload))
 
 
@@ -332,3 +333,211 @@ def test_tiff_multipage_stack_roundtrip(samples, dtype):
     # a single-page file decodes as a 1-page stack
     one = decode_tiff_stack(encode_tiff(stack[0]))
     assert one.shape[0] == 1 and np.array_equal(one[0], stack[0])
+
+
+# ---------------------------------------------------------------------------
+# round 5: TIFF compression (LZW/Deflate/PackBits), predictor, tiles;
+# PNG Adam7 interlace
+# ---------------------------------------------------------------------------
+
+
+def test_lzw_decoder_matches_tiff6_spec_vector():
+    """Decode the TIFF 6.0 spec's worked LZW example from hand-packed
+    9-bit MSB-first codes — validates the decoder against the published
+    dialect (ClearCode 256, EOI 257), independent of our own encoder."""
+    from deepcell_data_engineering_spark.sources.pycodecs import _lzw_decode
+
+    codes = [256, 7, 258, 8, 8, 258, 6, 6, 257]
+    acc = 0
+    for c in codes:
+        acc = (acc << 9) | c
+    nbits = 9 * len(codes)
+    pad = (8 - nbits % 8) % 8
+    packed = (acc << pad).to_bytes((nbits + pad) // 8, "big")
+    assert _lzw_decode(packed) == bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])
+
+
+def test_lzw_roundtrip_exercises_width_changes():
+    """Round-trip streams long enough to cross the 9->10->11->12-bit
+    early-change boundaries and a table reset."""
+    from deepcell_data_engineering_spark.sources.pycodecs import _lzw_decode, _lzw_encode
+
+    rng = np.random.RandomState(3)
+    for blob in [
+        b"",
+        b"ab" * 5,
+        bytes(rng.randint(0, 256, 5000, dtype=np.uint8)),  # crosses 9->10->11
+        bytes(rng.randint(0, 4, 200_000, dtype=np.uint8)),  # crosses 12 + reset
+    ]:
+        assert _lzw_decode(_lzw_encode(blob)) == blob
+
+
+@pytest.mark.parametrize("compression", [5, 8, 32773])
+@pytest.mark.parametrize("predictor", [1, 2])
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.uint32])
+def test_tiff_compressed_roundtrip(compression, predictor, dtype):
+    img = _img((37, 23), dtype, seed=1)
+    out = decode_tiff(encode_tiff(img, compression=compression, predictor=predictor))
+    assert out.dtype.base == np.dtype(dtype)
+    assert np.array_equal(out, img)
+
+
+def test_tiff_compressed_rgb_and_float():
+    rgb = _img((16, 9, 3), np.uint8, seed=2)
+    for compression in (5, 8, 32773):
+        assert np.array_equal(
+            decode_tiff(encode_tiff(rgb, compression=compression, predictor=2)), rgb
+        )
+    f = _img((8, 8), np.float32, seed=2)
+    assert np.array_equal(decode_tiff(encode_tiff(f, compression=8)), f)
+    with pytest.raises(ValueError, match="predictor 2 requires an integer"):
+        encode_tiff(f, predictor=2)
+
+
+def test_tiff_legacy_deflate_tag_decodes():
+    """Compression 32946 (old-style Deflate) decodes like 8."""
+    img = _img((6, 5), np.uint8, seed=4)
+    payload = bytearray(encode_tiff(img, compression=8))
+    n = struct.unpack("<H", payload[8:10])[0]
+    for i in range(n):
+        off = 10 + 12 * i
+        if struct.unpack("<H", payload[off : off + 2])[0] == 259:
+            payload[off + 8 : off + 10] = struct.pack("<H", 32946)
+    assert np.array_equal(decode_tiff(bytes(payload)), img)
+
+
+def _tiled_tiff(img, tw, tl, compression=1):
+    """Handcraft a little-endian tiled TIFF (tags 322-325) from (h, w)
+    or (h, w, samples) uint8/uint16."""
+    from deepcell_data_engineering_spark.sources.pycodecs import _lzw_encode
+
+    a = np.ascontiguousarray(img)
+    h, w = a.shape[:2]
+    samples = 1 if a.ndim == 2 else a.shape[2]
+    bits = a.dtype.itemsize * 8
+    across, down = (w + tw - 1) // tw, (h + tl - 1) // tl
+    padded = np.zeros(
+        (down * tl, across * tw) + (() if samples == 1 else (samples,)), dtype=a.dtype
+    )
+    padded[:h, :w] = a
+    tiles = []
+    for ty in range(down):
+        for tx in range(across):
+            raw = padded[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw]
+            raw = raw.astype(a.dtype.newbyteorder("<")).tobytes()
+            tiles.append(_lzw_encode(raw) if compression == 5 else raw)
+
+    entries = []
+
+    def entry(tag, typ, count, value_bytes):
+        entries.append(struct.pack("<HHI", tag, typ, count) + value_bytes)
+
+    n_entries = 10  # 256,257,258,259,262,277,322,323,324,325
+    ifd_len = 2 + 12 * n_entries + 4
+    data_start = 8 + ifd_len
+    # tile offset/count arrays live right after the IFD when count > 1
+    arrays = b""
+    tile_offsets, tile_counts = [], []
+    pos = data_start
+    n_tiles = len(tiles)
+    if n_tiles > 1:
+        pos += 8 * n_tiles  # two LONG arrays
+    for t in tiles:
+        tile_offsets.append(pos)
+        tile_counts.append(len(t))
+        pos += len(t)
+    entry(256, 4, 1, struct.pack("<I", w))
+    entry(257, 4, 1, struct.pack("<I", h))
+    entry(258, 3, 1, struct.pack("<HH", bits, 0))
+    entry(259, 3, 1, struct.pack("<HH", compression, 0))
+    entry(262, 3, 1, struct.pack("<HH", 1, 0))
+    entry(277, 3, 1, struct.pack("<HH", samples, 0))
+    entry(322, 4, 1, struct.pack("<I", tw))
+    entry(323, 4, 1, struct.pack("<I", tl))
+    if n_tiles == 1:
+        entry(324, 4, 1, struct.pack("<I", tile_offsets[0]))
+        entry(325, 4, 1, struct.pack("<I", tile_counts[0]))
+    else:
+        entry(324, 4, n_tiles, struct.pack("<I", data_start))
+        entry(325, 4, n_tiles, struct.pack("<I", data_start + 4 * n_tiles))
+        arrays = struct.pack(f"<{n_tiles}I", *tile_offsets) + struct.pack(
+            f"<{n_tiles}I", *tile_counts
+        )
+    # 324/325 replaced two of the reserved 9 slots when single-tile; the
+    # entry count is len(entries) either way
+    ifd = struct.pack("<H", len(entries)) + b"".join(sorted(entries)) + struct.pack("<I", 0)
+    assert len(ifd) == ifd_len
+    return b"II" + struct.pack("<HI", 42, 8) + ifd + arrays + b"".join(tiles)
+
+
+@pytest.mark.parametrize("compression", [1, 5])
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+def test_tiff_tiled_decodes(compression, dtype):
+    """Tiled layout (tags 322-325): tiles assemble in row-major order and
+    edge tiles crop back to the true image size."""
+    img = _img((21, 13), dtype, seed=5)
+    out = decode_tiff(_tiled_tiff(img, tw=8, tl=6, compression=compression))
+    assert np.array_equal(out, img)
+
+
+def test_tiff_tiled_rgb_single_tile():
+    img = _img((4, 4, 3), np.uint8, seed=6)
+    assert np.array_equal(decode_tiff(_tiled_tiff(img, tw=4, tl=4)), img)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize(
+    "shape,dtype",
+    [
+        ((31, 17), np.uint8),
+        ((8, 8, 3), np.uint8),
+        ((13, 5, 4), np.uint16),
+        ((1, 1), np.uint8),
+        ((3, 9, 2), np.uint8),
+        ((7, 1), np.uint16),
+        ((6, 6), np.uint16),
+    ],
+)
+def test_png_adam7_roundtrip(shape, dtype, filter_type):
+    """Adam7 interlace round-trips for every color type/depth/filter,
+    including dimensions where some passes are empty."""
+    img = _img(shape, dtype, seed=7)
+    out = decode_png(encode_png(img, filter_type=filter_type, interlace=True))
+    assert out.shape == img.shape and out.dtype.base == np.dtype(dtype)
+    assert np.array_equal(out, img)
+
+
+@pytest.mark.parametrize("depth", [1, 4, 8])
+def test_png_adam7_palette_decodes(depth):
+    """Handcrafted interlaced palette PNG: per-pass bit packing with
+    filter-0 scanlines scatters indices to the right pixels."""
+    n = 2**depth
+    plte = bytes((i * 11) % 256 for i in range(n * 3))
+    rng = np.random.RandomState(depth)
+    h, w = 11, 9
+    idx = rng.randint(0, n, size=(h, w))
+    adam7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = bytearray()
+    for x0, y0, dx, dy in adam7:
+        sub = idx[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for row in sub:
+            if depth == 8:
+                packed = row.astype(np.uint8).tobytes()
+            else:
+                bits = ((row[:, None] >> np.arange(depth - 1, -1, -1)) & 1).astype(np.uint8)
+                packed = np.packbits(bits.reshape(-1)).tobytes()
+            raw += b"\x00" + packed
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 1))
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = decode_png(payload)
+    lut = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    assert out.shape == (h, w, 3)
+    assert np.array_equal(out, lut[idx])
