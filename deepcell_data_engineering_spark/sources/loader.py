@@ -231,11 +231,12 @@ def pad_ragged_stacks(images: DataFrame, blank_payload: bytes | None = None) -> 
 def decode_image(payload: bytes, fmt: str = "tif") -> np.ndarray:
     """S10 `get_image` (utils/misc_utils.py:41-48): decode one tif/png/jpg
     to float32. Prefers the full codec libraries (tifffile/PIL) when
-    importable; otherwise the dependency-free baseline codecs in
-    sources/pycodecs.py decode uncompressed TIFF and any non-interlaced
-    PNG — the formats microscopes actually emit — so the decode is REAL
-    in this environment, not a stub. Only genuinely exotic encodings
-    (JPEG, LZW/tiled TIFF, Adam7 PNG) still raise, naming the feature."""
+    importable; otherwise the dependency-free codecs in
+    sources/pycodecs.py and sources/pyjpeg.py decode TIFF (uncompressed
+    / LZW / Deflate / PackBits, strip or tile), PNG (all filters,
+    palette, Adam7), and baseline JPEG — so the decode is REAL in this
+    environment, not a stub. Remaining exotica (progressive JPEG, CCITT
+    TIFF) raise, naming the feature."""
     import io
 
     if fmt in ("tif", "tiff"):
@@ -256,9 +257,13 @@ def decode_image(payload: bytes, fmt: str = "tif") -> np.ndarray:
             from deepcell_data_engineering_spark.sources.pycodecs import decode_png
 
             return decode_png(payload).astype(np.float32)
+        if fmt in ("jpg", "jpeg"):
+            from deepcell_data_engineering_spark.sources.pyjpeg import decode_jpeg
+
+            return decode_jpeg(payload).astype(np.float32)
         raise NotImplementedError(
             f"image codec for {fmt!r} not installed in this environment "
-            "(pycodecs covers tif/png)"
+            "(pycodecs/pyjpeg cover tif/png/jpg)"
         ) from exc
 
 

@@ -46,19 +46,19 @@ MEDIA_SCHEMA = StructType(
     ]
 )
 
-_REAL_FORMATS = {"jpg", "jpeg", "mp4", "avi"}
+_REAL_FORMATS = {"mp4", "avi"}
 
 
 def decode_media(fmt: str, payload: bytes, meta) -> np.ndarray:
     """Decode one payload to a dense array.
 
-    ``tiff``/``png`` decode for real through the dependency-free
-    baseline codecs (sources/pycodecs.py). JPEG/audio/video codecs are
-    NOT available in this environment — those formats raise, exactly
-    marking the integration point where PIL/librosa/ffmpeg plug in on a
-    production image. ``fake-raw`` payloads decode deterministically
-    from the payload bytes (md5-seeded), giving tests a stable
-    pseudo-media source.
+    ``tiff``/``png``/``jpg``/``wav`` decode for real through the
+    dependency-free baseline codecs (sources/pycodecs.py,
+    sources/pyjpeg.py). Video codecs are NOT available in this
+    environment — those formats raise, exactly marking the integration
+    point where ffmpeg plugs in on a production image. ``fake-raw``
+    payloads decode deterministically from the payload bytes
+    (md5-seeded), giving tests a stable pseudo-media source.
     """
     if fmt in ("tiff", "tif"):
         from deepcell_data_engineering_spark.sources.pycodecs import decode_tiff
@@ -68,6 +68,10 @@ def decode_media(fmt: str, payload: bytes, meta) -> np.ndarray:
         from deepcell_data_engineering_spark.sources.pycodecs import decode_png
 
         return np.atleast_3d(decode_png(payload))[None, ...].astype(np.float32)
+    if fmt in ("jpg", "jpeg"):
+        from deepcell_data_engineering_spark.sources.pyjpeg import decode_jpeg
+
+        return np.atleast_3d(decode_jpeg(payload))[None, ...].astype(np.float32)
     if fmt == "wav":
         from deepcell_data_engineering_spark.sources.pycodecs import decode_wav
 

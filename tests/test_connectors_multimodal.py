@@ -115,15 +115,20 @@ def media(spark):
 
 def test_decode_stub_contract():
     meta = {"height": 1, "width": 1, "n_channels": 1, "n_frames": 1}
-    # tiff/png decode for REAL now (pycodecs); only jpeg/audio/video gate
+    # tiff/png/jpg decode for REAL now (pycodecs/pyjpeg); only video gates
     from deepcell_data_engineering_spark.sources.pycodecs import encode_tiff
+    from deepcell_data_engineering_spark.sources.pyjpeg import encode_jpeg
 
     img = np.arange(6, dtype=np.uint16).reshape(2, 3)
     out = decode_media("tiff", encode_tiff(img), meta)
     assert out.shape == (1, 2, 3, 1)
     np.testing.assert_array_equal(out[0, :, :, 0], img.astype(np.float32))
+    jimg = np.full((8, 8), 77, np.uint8)
+    jout = decode_media("jpg", encode_jpeg(jimg), meta)
+    assert jout.shape == (1, 8, 8, 1)
+    np.testing.assert_array_equal(jout[0, :, :, 0], jimg.astype(np.float32))
     with pytest.raises(NotImplementedError):
-        decode_media("jpg", b"x", meta)
+        decode_media("mp4", b"x", meta)
     with pytest.raises(ValueError):
         decode_media("bogus", b"x", meta)
     a = decode_media("fake-raw", b"abc", {"height": 4, "width": 3, "n_channels": 2, "n_frames": 1})

@@ -206,8 +206,9 @@ def test_decode_image_uses_pure_python_fallback():
     assert out_t.dtype == np.float32 and out_p.dtype == np.float32
     assert np.array_equal(out_t, img.astype(np.float32))
     assert np.array_equal(out_p, img.astype(np.float32))
-    with pytest.raises(NotImplementedError, match="jpg"):
-        decode_image(b"\xff\xd8\xff\xe0 not a real jpeg", fmt="jpg")
+    # jpg routes to pyjpeg now; an unknown format still names itself
+    with pytest.raises(NotImplementedError, match="webp"):
+        decode_image(b"RIFF....WEBP", fmt="webp")
 
 
 def test_binaryfile_scan_decodes_tiffs(spark, tmp_path):

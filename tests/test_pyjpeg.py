@@ -1,0 +1,159 @@
+"""Baseline JPEG codec contracts (sources/pyjpeg.py): PSNR-gated
+round-trips (JPEG is lossy — bit equality is not defined for it),
+marker-level features (4:2:0, restart intervals, multi-table segments),
+and precise rejection of non-baseline coding."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from deepcell_data_engineering_spark.sources.pyjpeg import decode_jpeg, encode_jpeg
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def _smooth_rgb(h, w):
+    x = np.linspace(0, 1, w)
+    y = np.linspace(0, 1, h)
+    return np.dstack(
+        [
+            np.outer(y, x) * 255,
+            (1 - np.outer(y, x)) * 255,
+            np.outer(y**2, np.ones_like(x)) * 255,
+        ]
+    ).astype(np.uint8)
+
+
+def test_constant_images_roundtrip_exactly():
+    """A flat image is pure DC — quantization cannot move it."""
+    for img in [np.full((16, 16), 128, np.uint8), np.full((8, 24, 3), 200, np.uint8)]:
+        out = decode_jpeg(encode_jpeg(img, quality=90))
+        assert out.shape == img.shape
+        assert np.array_equal(out, img)
+
+
+@pytest.mark.parametrize("shape", [(40, 33), (8, 8), (9, 7), (1, 1)])
+def test_grayscale_psnr(shape):
+    h, w = shape
+    img = (np.add.outer(np.linspace(0, 200, h), np.linspace(0, 50, w))).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert _psnr(img, out) > 40
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+@pytest.mark.parametrize("restart_interval", [0, 1, 3])
+def test_rgb_roundtrip_psnr(subsample, restart_interval):
+    """4:4:4 and 4:2:0 at non-multiple-of-MCU dimensions, with and
+    without restart markers."""
+    img = _smooth_rgb(29, 37)
+    out = decode_jpeg(
+        encode_jpeg(img, quality=92, subsample=subsample, restart_interval=restart_interval)
+    )
+    assert out.shape == img.shape
+    assert _psnr(img, out) > (33 if subsample else 42)
+
+
+def test_quality_monotonicity():
+    img = _smooth_rgb(32, 32)
+    errs = [
+        np.mean(
+            (decode_jpeg(encode_jpeg(img, quality=q)).astype(float) - img.astype(float)) ** 2
+        )
+        for q in (25, 75, 95)
+    ]
+    assert errs[0] >= errs[1] >= errs[2]
+
+
+def test_rejects_progressive_and_garbage():
+    img = np.zeros((8, 8), np.uint8)
+    payload = bytearray(encode_jpeg(img))
+    sof = payload.find(b"\xFF\xC0")
+    payload[sof + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(payload))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG" + bytes(payload))
+
+
+def test_rejects_12bit_precision():
+    img = np.zeros((8, 8), np.uint8)
+    payload = bytearray(encode_jpeg(img))
+    sof = payload.find(b"\xFF\xC0")
+    payload[sof + 4] = 12  # precision byte inside SOF0
+    with pytest.raises(NotImplementedError, match="precision 12"):
+        decode_jpeg(bytes(payload))
+
+
+def test_byte_stuffing_survives():
+    """High-entropy content forces 0xFF bytes into the entropy stream;
+    the stuffed 0xFF00 pairs must decode transparently."""
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (24, 24), dtype=np.uint8)
+    payload = encode_jpeg(img, quality=95)
+    assert b"\xFF\x00" in payload  # stuffing actually happened
+    out = decode_jpeg(payload)
+    assert out.shape == img.shape
+    assert _psnr(img, out) > 25
+
+
+def test_decode_media_jpeg_tensor_layout():
+    from deepcell_data_engineering_spark.sources.multimodal import decode_media
+
+    img = _smooth_rgb(16, 16)
+    out = decode_media("jpg", encode_jpeg(img, quality=95), None)
+    assert out.shape == (1, 16, 16, 3) and out.dtype == np.float32
+    assert _psnr(img, out[0]) > 40
+
+
+def test_decode_image_jpg_fallback():
+    """S10 decode path: decode_image('jpg') works without PIL via
+    pyjpeg (matching the reference's PIL-based get_image for .jpg,
+    caliban_toolbox/utils/misc_utils.py:41-48)."""
+    from deepcell_data_engineering_spark.sources.loader import decode_image
+
+    img = (np.add.outer(np.linspace(0, 200, 12), np.linspace(0, 50, 10))).astype(np.uint8)
+    out = decode_image(encode_jpeg(img, quality=95), fmt="jpg")
+    assert out.dtype == np.float32 and out.shape == (12, 10)
+    assert _psnr(img, np.clip(out, 0, 255).astype(np.uint8)) > 40
+
+
+def test_dri_segment_roundtrips_marker_level():
+    """The DRI segment parses and every RSTn boundary resets the DC
+    predictors — checked by equality with the no-restart decode."""
+    img = _smooth_rgb(48, 48)
+    base = decode_jpeg(encode_jpeg(img, quality=90))
+    with_rst = decode_jpeg(encode_jpeg(img, quality=90, restart_interval=2))
+    assert np.array_equal(base, with_rst)
+
+
+def test_multiple_tables_single_dqt_segment():
+    """Both quant tables packed into ONE DQT segment (legal, common)
+    still decode: splice the two DQT payloads together."""
+    img = _smooth_rgb(16, 16)
+    payload = encode_jpeg(img, quality=90)
+    # locate the two DQT segments
+    p, dqts, rest = 2, [], bytearray(b"\xFF\xD8")
+    while p + 4 <= len(payload):
+        marker, ln = struct.unpack(">HH", payload[p : p + 4])
+        if marker == 0xFFDA:
+            rest += payload[p:]
+            break
+        seg = payload[p : p + 2 + ln]
+        if marker == 0xFFDB:
+            dqts.append(seg[4:])
+        else:
+            rest += seg
+        p += 2 + ln
+    combined = b"".join(dqts)
+    merged = (
+        rest[:2]
+        + struct.pack(">HH", 0xFFDB, len(combined) + 2)
+        + combined
+        + rest[2:]
+    )
+    assert np.array_equal(decode_jpeg(bytes(merged)), decode_jpeg(payload))
