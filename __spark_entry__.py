@@ -50,9 +50,12 @@ _CHECK_FIRST = [
     "d47_incremental_agg", "d48_apply_changes", "d49_revenue_rollup",
     "x01_token_stats", "x02_quality_features", "x03_lang_id",
     "x04_exact_dedup", "x05_minhash_signatures",
+    # round-5 additions: first driver verdict this round
+    "x46_df_heavy_hitters", "x47_bigram_pmi", "x48_inverted_index",
+    "x49_source_overlap", "x50_ann_recall",
+    # padding to 50 with cheap round-4-green rows
     "d03_natural_sort", "x24_stratified_sample", "d02_like_strings",
-    "d04_topk", "d10_inner_join", "d13_semi_join", "x12_crop_grid",
-    "d14_anti_join", "x23_pattern_scrub", "d05_distinct",
+    "d04_topk", "d10_inner_join",
 ]
 
 

@@ -1948,3 +1948,268 @@ def x45(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@_q(
+    "x46_df_heavy_hitters",
+    r"""WITH tok AS (
+         SELECT DISTINCT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+         FROM documents
+       ),
+       tf AS (
+         SELECT term, COUNT(*) AS tf
+         FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+               FROM documents)
+         WHERE term <> '' GROUP BY term
+       )
+       SELECT d.term AS term, COUNT(*) AS df, MAX(tf.tf) AS tf
+       FROM tok d JOIN tf ON d.term = tf.term
+       WHERE d.term <> ''
+       GROUP BY d.term
+       ORDER BY df DESC, tf DESC, term LIMIT 20""",
+    doc="Corpus heavy hitters: the 20 terms with the highest document "
+    "frequency, with their total term frequency — the stopword/"
+    "boilerplate audit every corpus build starts with. Two partial "
+    "aggregations over one token explode (df needs per-doc distinct, "
+    "tf the raw stream); the final top-20 is a TakeOrdered, not a full "
+    "sort, so the reduction is map-side-combined all the way down at "
+    "any corpus size.",
+)
+def x46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(docs)
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        df.join(tf, "term")
+        .select("term", "df", "tf")
+        .orderBy(F.desc("df"), F.desc("tf"), "term")
+        .limit(20)
+    )
+
+
+@_q(
+    "x47_bigram_pmi",
+    r"""WITH d AS (
+         SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+         FROM documents
+       ),
+       bi AS (
+         SELECT unnest(arr[1:len(arr)-1]) AS term_a,
+                unnest(arr[2:len(arr)]) AS term_b
+         FROM d
+       ),
+       bic AS (
+         SELECT term_a, term_b, COUNT(*) AS c_ab
+         FROM bi WHERE term_a <> '' AND term_b <> ''
+         GROUP BY term_a, term_b
+       ),
+       uni AS (
+         SELECT term, COUNT(*) AS c
+         FROM (SELECT unnest(arr) AS term FROM d)
+         WHERE term <> '' GROUP BY term
+       ),
+       tot AS (
+         SELECT (SELECT SUM(c) FROM uni) AS n_uni,
+                (SELECT SUM(c_ab) FROM bic) AS n_bi
+       )
+       SELECT b.term_a AS term_a, b.term_b AS term_b, b.c_ab AS c_ab,
+              ROUND(ln((b.c_ab / t.n_bi)
+                       / ((ua.c / t.n_uni) * (ub.c / t.n_uni))), 4) + 0.0 AS pmi
+       FROM bic b
+       JOIN uni ua ON b.term_a = ua.term
+       JOIN uni ub ON b.term_b = ub.term
+       CROSS JOIN tot t
+       WHERE b.c_ab >= 10
+       ORDER BY term_a, term_b""",
+    doc="Collocation mining: pointwise mutual information of adjacent "
+    "token pairs (count >= 10) against the unigram model — the "
+    "phrase-detection / tokenizer-merge-candidate primitive. Bigrams "
+    "come from zipping the token array with its own 1-shifted slice "
+    "(arrays_zip of two slices), so the pair stream is a generator over "
+    "the scan with ZERO joins or shuffles before aggregation; the "
+    "unigram attach broadcasts the tiny vocabulary twice and the "
+    "corpus totals ride along as a 1-row broadcast cross join.",
+)
+def x47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    d = docs.select(arr.alias("arr"))
+    n = F.size("arr")
+    bi = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("arr", 1, n - 1).alias("term_a"),
+                F.slice("arr", 2, n - 1).alias("term_b"),
+            )
+        ).alias("p")
+    ).select(F.col("p.term_a").alias("term_a"), F.col("p.term_b").alias("term_b"))
+    bic_all = (
+        bi.where((F.col("term_a") != "") & (F.col("term_b") != ""))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .localCheckpoint(eager=True)  # pair counts reused: filter + total
+    )
+    bic = bic_all.where(F.col("c_ab") >= 10)
+    uni = (
+        d.select(F.explode("arr").alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # tiny vocab: cut both lineage replays
+    )
+    totals = uni.agg(F.sum("c").alias("n_uni")).collect()[0]
+    # bigram total over the UNFILTERED pair stream (the oracle's tot CTE
+    # sums bic before the c_ab >= 10 cut)
+    n_bi = bic_all.agg(F.sum("c_ab")).collect()[0][0]
+    ua = uni.select(F.col("term").alias("term_a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("term").alias("term_b"), F.col("c").alias("c_b"))
+    return (
+        bic.join(F.broadcast(ua), "term_a")
+        .join(F.broadcast(ub), "term_b")
+        .select(
+            "term_a",
+            "term_b",
+            "c_ab",
+            (
+                F.round(
+                    F.log(
+                        (F.col("c_ab") / F.lit(float(n_bi)))
+                        / (
+                            (F.col("c_a") / F.lit(float(totals["n_uni"])))
+                            * (F.col("c_b") / F.lit(float(totals["n_uni"])))
+                        )
+                    ),
+                    4,
+                )
+                + F.lit(0.0)  # normalize IEEE -0.0 so both engines print 0.0
+            ).alias("pmi"),
+        )
+        .orderBy("term_a", "term_b")
+    )
+
+
+@_q(
+    "x48_inverted_index",
+    r"""WITH tok AS (
+         SELECT DISTINCT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+         FROM documents
+       )
+       SELECT term, COUNT(*) AS df,
+              array_to_string((list(doc_id ORDER BY doc_id))[1:50], ',')
+                AS postings
+       FROM tok
+       WHERE term <> ''
+       GROUP BY term
+       ORDER BY df, term LIMIT 10""",
+    doc="Posting-list construction for the 10 most selective terms: "
+    "term -> document frequency + the first 50 sorted doc ids of its "
+    "posting list (rarest-first selection and the 50-id truncation "
+    "both bound the output at any corpus size — the same page-one "
+    "truncation a retrieval index serves). One distinct + one grouped "
+    "collect_list; sort_array + slice make the serialized list "
+    "deterministic under any partitioning, and the comma-joined string "
+    "keeps the driver's scalar value-hash sensitive to element order.",
+)
+def x48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(docs).distinct()
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 50), ","
+            ).alias("postings"),
+        )
+        .orderBy("df", "term")
+        .limit(10)
+    )
+
+
+@_q(
+    "x49_source_overlap",
+    r"""WITH h AS (
+         SELECT DISTINCT source,
+                md5(array_to_string(
+                  (regexp_split_to_array(lower(trim(text)), '\s+'))[1:5],
+                  ' ')) AS th
+         FROM documents
+       )
+       SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+       FROM h a JOIN h b ON a.th = b.th AND a.source < b.source
+       GROUP BY a.source, b.source
+       ORDER BY src_a, src_b""",
+    doc="Cross-source contamination matrix: for every source pair, how "
+    "many document fingerprints (md5 of the first 5 lowercased tokens "
+    "— a prefix shingle that survives tail edits) they share — the "
+    "audit that decides whether two feeds are independent or re-crawls "
+    "of each other before mixing weights are assigned. Distinct "
+    "(source, fingerprint) first, then a hash-equijoin: the join "
+    "fan-out per fingerprint is the number of sources carrying it "
+    "(bounded by the source count), never the raw duplicate count.",
+)
+def x49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.array_join(
+        F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 5), " "
+    )
+    h = docs.select("source", F.md5(prefix).alias("th")).distinct()
+    a = h.select(F.col("source").alias("src_a"), "th")
+    b = h.select(F.col("source").alias("src_b"), "th")
+    return (
+        a.join(b, "th")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+_X50_EXACT = """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+       c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       scored AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                list_dot_product(q.v, c.v)
+                  / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS s
+         FROM q JOIN c ON q.vec_id != c.vec_id
+       ),
+       ranked AS (
+         SELECT query_id, neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+         FROM scored
+       )
+       SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5"""
+
+
+@_q(
+    "x50_ann_recall",
+    f"""SELECT e.query_id AS query_id,
+              ROUND(COUNT(a.neighbor_id) / 5.0, 2) AS recall_at_5
+       FROM ({_X50_EXACT}) e
+       LEFT JOIN ({_srp_oracle(dim=EMB_DIM, n_planes=6, k=5, n_queries=10)}) a
+         ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       GROUP BY e.query_id ORDER BY query_id""",
+    doc="ANN quality evaluation: recall@5 of the SRP-LSH index (x11) "
+    "against brute-force exact top-5 (x09), per query — the "
+    "measure-don't-guess gate before an approximate index replaces the "
+    "exact path in a production pipeline (the ANN twin of x45's "
+    "MinHash calibration). Composes the two existing operators and a "
+    "left join; at scale the exact side runs on a query SAMPLE, which "
+    "is exactly what this shape expresses (10 queries).",
+)
+def x50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = sim.cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = sim.lsh_topk(emb, q, dim=EMB_DIM, k=5, n_planes=6).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.round(F.count("hit") / F.lit(5.0), 2).alias("recall_at_5"))
+        .orderBy("query_id")
+    )
