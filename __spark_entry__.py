@@ -53,9 +53,9 @@ _CHECK_FIRST = [
     # round-5 additions: first driver verdict this round
     "x46_df_heavy_hitters", "x47_bigram_pmi", "x48_inverted_index",
     "x49_source_overlap", "x50_ann_recall",
+    "x51_cluster_representatives", "x52_mixture_plan",
     # padding to 50 with cheap round-4-green rows
     "d03_natural_sort", "x24_stratified_sample", "d02_like_strings",
-    "d04_topk", "d10_inner_join",
 ]
 
 

@@ -2213,3 +2213,128 @@ def x50(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.count("hit") / F.lit(5.0), 2).alias("recall_at_5"))
         .orderBy("query_id")
     )
+
+
+_X51_ORACLE = (
+    _X21_ORACLE[: _X21_ORACLE.rindex("SELECT d.doc_id")].rstrip().rstrip()
+    + """,
+       members AS (
+         SELECT d.doc_id,
+                COALESCE(c.component, d.doc_id) AS cluster_id,
+                length(d.text) AS n_chars
+         FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+       ),
+       sized AS (
+         SELECT cluster_id, COUNT(*) AS cluster_size
+         FROM members GROUP BY cluster_id HAVING COUNT(*) >= 2
+       ),
+       ranked AS (
+         SELECT m.cluster_id, m.doc_id, m.n_chars,
+                ROW_NUMBER() OVER (PARTITION BY m.cluster_id
+                                   ORDER BY m.n_chars DESC, m.doc_id) AS rn
+         FROM members m JOIN sized s ON m.cluster_id = s.cluster_id
+       )
+       SELECT r.cluster_id AS cluster_id, r.doc_id AS rep_doc_id,
+              r.n_chars AS rep_n_chars, s.cluster_size AS cluster_size
+       FROM ranked r JOIN sized s ON r.cluster_id = s.cluster_id
+       WHERE r.rn = 1 ORDER BY cluster_id"""
+)
+
+
+@_q(
+    "x51_cluster_representatives",
+    _X51_ORACLE.format(terms=_minhash_oracle_terms(6)),
+    doc="Duplicate-cluster survivor selection by QUALITY, not identity: "
+    "for every near-dup cluster (x21's connected components) of size "
+    ">= 2, keep the longest member (ties to the lowest doc_id) as the "
+    "canonical representative — what a dedup pipeline actually ships "
+    "(x21's min-id canonical is a label; the kept document should be "
+    "the best one). One row_number window over cluster members joined "
+    "with the per-cluster size; clusters are tiny relative to the "
+    "corpus, so the window partitions stay bounded at any scale.",
+)
+def x51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions import graph as gr
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs, num_hashes=6, k=5)
+    edges = dd.lsh_band_star_edges(
+        sigs, bands=[["h0", "h1", "h2"], ["h3", "h4", "h5"]]
+    )
+    members = gr.dup_clusters(docs, edges).join(
+        docs.select("doc_id", F.length("text").alias("n_chars")), "doc_id"
+    )
+    sized = (
+        members.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .where(F.col("cluster_size") >= 2)
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        members.join(sized, "cluster_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars").alias("rep_n_chars"),
+            "cluster_size",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@_q(
+    "x52_mixture_plan",
+    """WITH counts AS (
+         SELECT lang, COUNT(*) AS n_docs,
+                SUM(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT
+                  AS n_tokens
+         FROM documents GROUP BY lang
+       ),
+       tot AS (SELECT SUM(n_tokens) AS t FROM counts),
+       temp AS (
+         SELECT lang, n_docs, n_tokens,
+                POW(n_tokens / tot.t, 0.3) AS w_raw
+         FROM counts CROSS JOIN tot
+       ),
+       norm AS (SELECT SUM(w_raw) AS z FROM temp)
+       SELECT t.lang AS lang, t.n_docs AS n_docs, t.n_tokens AS n_tokens,
+              ROUND(t.n_tokens / tot.t, 6) AS p_raw,
+              ROUND(t.w_raw / norm.z, 6) AS p_sample,
+              ROUND((t.w_raw / norm.z) / (t.n_tokens / tot.t), 4) AS upweight
+       FROM temp t CROSS JOIN tot CROSS JOIN norm
+       ORDER BY lang""",
+    doc="Temperature-scaled mixture planning (T = 0.3, the multilingual "
+    "rebalancing rule from the XLM-R / mT5 line of work): per language, "
+    "raw token share p_raw, the T-tempered sampling probability "
+    "p_sample ~ p_raw^T renormalized, and the implied up/down-weight "
+    "factor — the table a 100 TB pre-training mix is planned from. "
+    "Pure two-level aggregation (per-lang token counts, then two scalar "
+    "totals broadcast back); output is one row per language.",
+)
+def x52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tx.token_count(F.col("text"))).alias("n_tokens"),
+    )
+    tot = counts.agg(F.sum("n_tokens").alias("t"))
+    temp = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "w_raw", F.pow(F.col("n_tokens") / F.col("t"), 0.3)
+    )
+    norm = temp.agg(F.sum("w_raw").alias("z"))
+    return (
+        temp.crossJoin(F.broadcast(norm))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("t"), 6).alias("p_raw"),
+            F.round(F.col("w_raw") / F.col("z"), 6).alias("p_sample"),
+            F.round(
+                (F.col("w_raw") / F.col("z")) / (F.col("n_tokens") / F.col("t")), 4
+            ).alias("upweight"),
+        )
+        .orderBy("lang")
+    )
