@@ -254,3 +254,43 @@ def test_pack_sequences_property(spark, budget, n_docs, seed):
             assert r["pack_id"] == cum // budget >= prev_pack
             prev_pack = r["pack_id"]
             cum += r["n_tokens"]
+
+
+@given(data=st.binary(max_size=4096))
+@settings(max_examples=60, deadline=None)
+def test_lzw_roundtrip_property(data):
+    """TIFF-variant LZW is lossless for arbitrary byte strings (the
+    codec underneath LZW-compressed microscope TIFFs)."""
+    from deepcell_data_engineering_spark.sources.pycodecs import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    assert _lzw_decode(_lzw_encode(data)) == data
+
+
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=1000),
+    comp=st.sampled_from([1, 5, 8, 32773]),
+    interlace=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_codec_roundtrip_property(h, w, seed, comp, interlace):
+    """PNG (optionally Adam7) and TIFF (any compression) round-trip
+    bit-exactly for arbitrary image shapes."""
+    from deepcell_data_engineering_spark.sources.pycodecs import (
+        decode_png,
+        decode_tiff,
+        encode_png,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img, interlace=interlace)), img)
+    assert np.array_equal(
+        decode_tiff(encode_tiff(img, compression=comp, predictor=2 if comp != 1 else 1)),
+        img,
+    )

@@ -157,3 +157,51 @@ def test_multiple_tables_single_dqt_segment():
         + rest[2:]
     )
     assert np.array_equal(decode_jpeg(bytes(merged)), decode_jpeg(payload))
+
+
+def test_binaryfile_scan_decodes_jpegs(spark, tmp_path):
+    """End-to-end S10 shape for JPEG: write real .jpg files, scan with
+    binaryFile, decode in an Arrow-batched mapInPandas pass — the same
+    plumbing the reference's PIL-based loader feeds
+    (pre_annotation/data_loader.py:429), dependency-free."""
+    import pandas as pd
+
+    rng = np.random.RandomState(5)
+    imgs = {}
+    for i in range(3):
+        base = np.add.outer(np.linspace(0, 200, 24), np.linspace(0, 55, 17))
+        imgs[f"fov{i}.jpg"] = (base + i * 10).clip(0, 255).astype(np.uint8)
+    for name, arr in imgs.items():
+        (tmp_path / name).write_bytes(encode_jpeg(arr, quality=95))
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(str(tmp_path))
+    )
+
+    def decode(batches):
+        from deepcell_data_engineering_spark.sources.pyjpeg import decode_jpeg
+
+        for pdf in batches:
+            out = []
+            for path, payload in zip(pdf["path"], pdf["content"]):
+                arr = decode_jpeg(bytes(payload))
+                out.append(
+                    {
+                        "name": path.rsplit("/", 1)[-1],
+                        "height": arr.shape[0],
+                        "width": arr.shape[1],
+                        "mean": float(arr.mean()),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    rows = df.select("path", "content").mapInPandas(
+        decode, schema="name string, height int, width int, mean double"
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        arr = imgs[r["name"]]
+        assert (r["height"], r["width"]) == arr.shape
+        # lossy codec: mean within 1 gray level of the original
+        assert abs(r["mean"] - float(arr.mean())) < 1.0
