@@ -547,3 +547,71 @@ def decontaminate(
             F.coalesce("__hit", F.lit(False)).alias("contaminated"),
         )
     )
+
+
+def lsh_band_index(
+    signatures: DataFrame,
+    bands: list[list[str]] | None = None,
+    id_col: str = "doc_id",
+    portable: bool = True,
+) -> DataFrame:
+    """Materializable LSH index: one (band, id) row per band membership
+    — the persisted form of a corpus's dedup state. Write it bucketed
+    on ``band`` (plans/layout.write_bucketed) and every future
+    incremental batch joins against it without re-hashing or
+    re-shuffling the corpus. Same band keys as lsh_candidate_pairs
+    (md5 when ``portable``), so index-based and from-scratch candidate
+    generation agree byte-for-byte."""
+    hash_cols = [c for c in signatures.columns if c != id_col]
+    if bands is None:
+        bands = [[c] for c in hash_cols]
+
+    def _band_key(i: int, band_cols: list[str]) -> Column:
+        joined = F.concat_ws("-", *[F.col(c).cast("string") for c in band_cols])
+        if portable:
+            return F.md5(joined)
+        return F.xxhash64(F.lit(i), joined).cast("string")
+
+    band_exprs = F.array(*[_band_key(i, cols) for i, cols in enumerate(bands)])
+    return signatures.select(F.col(id_col), F.explode(band_exprs).alias("band"))
+
+
+def incremental_lsh_candidates(
+    index: DataFrame,
+    new_signatures: DataFrame,
+    bands: list[list[str]] | None = None,
+    id_col: str = "doc_id",
+    portable: bool = True,
+) -> DataFrame:
+    """Candidate pairs introduced by a NEW batch against an existing
+    corpus: new-vs-old plus new-vs-new, never old-vs-old — the
+    incremental form of lsh_candidate_pairs for a growing corpus.
+
+    ``index`` is the corpus's (band, id) table (lsh_band_index, ideally
+    read back bucketed on band); ``new_signatures`` is the fresh
+    batch's MinHash signature table. The equivalence contract — pinned
+    in tests — is::
+
+        pairs(old ∪ new) == pairs(old) ∪ incremental(index(old), new)
+
+    Scale: the join probe side is the new batch's band table (a day's
+    arrivals vs a 100 TB corpus); Spark broadcasts it when small, and
+    the corpus side streams through partition-local lookups instead of
+    the full self-join a recompute would pay. Output ids are normalized
+    to (least, greatest) so they match the from-scratch convention.
+    """
+    new_banded = lsh_band_index(
+        new_signatures, bands=bands, id_col=id_col, portable=portable
+    )
+    all_banded = index.select(id_col, "band").unionByName(new_banded)
+    n = new_banded.select(F.col(id_col).alias("__new_id"), "band")
+    pairs = (
+        all_banded.join(n, "band")
+        .where(F.col(id_col) != F.col("__new_id"))
+        .select(
+            F.least(id_col, "__new_id").alias("id_a"),
+            F.greatest(id_col, "__new_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs

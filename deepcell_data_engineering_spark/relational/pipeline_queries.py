@@ -2338,3 +2338,49 @@ def x52(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@_q(
+    "x53_incremental_lsh",
+    f"""{_MINHASH_CHUNKS},
+       sig AS (
+         SELECT doc_id,
+              {_minhash_oracle_terms(6)}
+         FROM chunks GROUP BY doc_id
+       ),
+       banded AS (
+         SELECT doc_id,
+                md5(h0::VARCHAR || '-' || h1::VARCHAR || '-' || h2::VARCHAR) AS band
+         FROM sig
+         UNION ALL
+         SELECT doc_id,
+                md5(h3::VARCHAR || '-' || h4::VARCHAR || '-' || h5::VARCHAR) AS band
+         FROM sig
+       )
+       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+       WHERE a.doc_id % 4 = 0 OR b.doc_id % 4 = 0
+       ORDER BY id_a, id_b""",
+    doc="Incremental dedup against a persisted index: docs with "
+    "doc_id % 4 == 0 arrive as the NEW batch, the rest are the existing "
+    "corpus whose LSH band index (lsh_band_index — the materialized "
+    "dedup state, written bucketed on band in production) is probed by "
+    "the batch. Emits new-vs-old and new-vs-new candidates, never "
+    "old-vs-old — at 100 TB this replaces a full-corpus self-join with "
+    "a batch-vs-index lookup join (probe side = one day's arrivals, "
+    "broadcast when small). Equivalence with the from-scratch "
+    "recompute is pinned in tests/test_text_dedup.py; the oracle is "
+    "the full-corpus pair set filtered to new-involving pairs — the "
+    "same set by construction.",
+)
+def x53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 4 != 0)
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    bands = [["h0", "h1", "h2"], ["h3", "h4", "h5"]]
+    index = dd.lsh_band_index(
+        dd.minhash_signatures(old, num_hashes=6, k=5), bands=bands
+    )
+    return dd.incremental_lsh_candidates(
+        index, dd.minhash_signatures(new, num_hashes=6, k=5), bands=bands
+    ).orderBy("id_a", "id_b")

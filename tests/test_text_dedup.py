@@ -450,3 +450,43 @@ def test_star_edges_same_components(spark):
         for r in gr.dup_clusters(docs, edges).collect()
     }
     assert via_edges == via_pairs
+
+
+def test_incremental_lsh_equivalence(spark):
+    """The incremental-index contract: candidates(old UNION new) equals
+    candidates(old) UNION incremental(index(old), new) — so a daily
+    batch probed against the persisted band index yields exactly the
+    pairs a full recompute would add, without the old-vs-old self-join."""
+    from deepcell_data_engineering_spark.catalog import load_table
+    from deepcell_data_engineering_spark.functions.dedup import (
+        incremental_lsh_candidates,
+        lsh_band_index,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    old = docs.where(F.col("doc_id") % 4 != 0)
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    bands = [["h0", "h1", "h2"], ["h3", "h4", "h5"]]
+    sig = lambda d: minhash_signatures(d, num_hashes=6, k=5)
+
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sig(docs), bands=bands).collect()
+    }
+    old_only = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sig(old), bands=bands).collect()
+    }
+    index = lsh_band_index(sig(old), bands=bands)
+    incr = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_lsh_candidates(index, sig(new), bands=bands).collect()
+    }
+    assert old_only | incr == full
+    assert not (incr & old_only) or all(
+        a % 4 == 0 or b % 4 == 0 for a, b in incr
+    )
+    # every incremental pair involves a new doc
+    assert all(a % 4 == 0 or b % 4 == 0 for a, b in incr)
