@@ -615,3 +615,87 @@ def incremental_lsh_candidates(
         .distinct()
     )
     return pairs
+
+
+def minhash_signatures_rowwise(
+    df: DataFrame,
+    num_hashes: int = 4,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = True,
+) -> DataFrame:
+    """MinHash signatures computed entirely WITHIN each row — the
+    shingle set becomes an array column and each h_j is an
+    array_min(transform(...)) — no explode, no aggregation, no shuffle.
+
+    Values are identical to minhash_signatures (same md5 chunking and
+    2-universal coefficients; min over the same shingle multiset —
+    pinned by a parity test). Two uses: (1) STREAMING — a row-local
+    projection is stateless, so signatures can be attached to an
+    unbounded stream without watermarks or aggregation state;
+    (2) wide-row batch pipelines that want the signature as just
+    another column. The per-shingle md5 is evaluated once (the chunk
+    array is a separate projection, so the j hash functions reuse it).
+    Trade-off vs the exploded form: the whole doc's shingle hashing
+    happens in one task, so a single giant document cannot be spread
+    across the cluster — use the aggregated form for pathological row
+    sizes."""
+    n = F.greatest(F.length(F.col(text_col)) - F.lit(k - 1), F.lit(1))
+    sh_arr = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda p: F.col(text_col).substr(p, F.lit(k)),
+    )
+
+    def chunk_struct(s: Column) -> Column:
+        x1, x2 = _digest_chunks(s, portable)
+        return F.struct(x1.alias("x1"), x2.alias("x2"))
+
+    chunked = df.select(
+        "*", F.transform(sh_arr, chunk_struct).alias("__chunks")
+    )
+    def h_j(a: int, b: int, c: int):
+        def inner(st: Column) -> Column:
+            return F.pmod(
+                F.lit(a) * st["x1"] + F.lit(b) * st["x2"] + F.lit(c),
+                F.lit(MINHASH_P),
+            )
+
+        return inner
+
+    cols = []
+    for j in range(num_hashes):
+        a, b, c = minhash_params(j)
+        cols.append(
+            F.array_min(F.transform(F.col("__chunks"), h_j(a, b, c))).alias(f"h{j}")
+        )
+    return chunked.select(id_col, *cols)
+
+
+def stream_index_collisions(
+    docs: DataFrame,
+    index: DataFrame,
+    bands: list[list[str]] | None = None,
+    num_hashes: int = 6,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = True,
+) -> DataFrame:
+    """Flag arriving documents whose LSH band collides with a persisted
+    corpus index — the STREAMING twin of incremental_lsh_candidates:
+    an unbounded stream of new documents is screened against the
+    corpus's dedup state in-flight, before it is ever written.
+
+    Per-row signatures (minhash_signatures_rowwise: no aggregation
+    state) -> band explode -> LEFT SEMI stream-static equi-join against
+    the index's distinct bands. Output is one (id, band) row per
+    colliding band membership; downstream either routes suspects to a
+    quarantine sink or joins back for exact verification. Works
+    identically on a batch DataFrame (the parity test runs both)."""
+    sigs = minhash_signatures_rowwise(
+        docs, num_hashes=num_hashes, k=k, text_col=text_col,
+        id_col=id_col, portable=portable,
+    )
+    banded = lsh_band_index(sigs, bands=bands, id_col=id_col, portable=portable)
+    return banded.join(index.select("band").distinct(), "band", "left_semi")

@@ -1953,37 +1953,33 @@ def x45(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "x46_df_heavy_hitters",
     r"""WITH tok AS (
-         SELECT DISTINCT doc_id,
+         SELECT doc_id,
                 unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
          FROM documents
-       ),
-       tf AS (
-         SELECT term, COUNT(*) AS tf
-         FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
-               FROM documents)
-         WHERE term <> '' GROUP BY term
        )
-       SELECT d.term AS term, COUNT(*) AS df, MAX(tf.tf) AS tf
-       FROM tok d JOIN tf ON d.term = tf.term
-       WHERE d.term <> ''
-       GROUP BY d.term
+       SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
+       FROM tok
+       WHERE term <> ''
+       GROUP BY term
        ORDER BY df DESC, tf DESC, term LIMIT 20""",
     doc="Corpus heavy hitters: the 20 terms with the highest document "
     "frequency, with their total term frequency — the stopword/"
-    "boilerplate audit every corpus build starts with. Two partial "
-    "aggregations over one token explode (df needs per-doc distinct, "
-    "tf the raw stream); the final top-20 is a TakeOrdered, not a full "
+    "boilerplate audit every corpus build starts with. ONE token "
+    "explode feeding one grouped aggregation (count + count-distinct "
+    "share the scan; Spark plans the distinct as an expand over the "
+    "same shuffle); the final top-20 is a TakeOrdered, not a full "
     "sort, so the reduction is map-side-combined all the way down at "
     "any corpus size.",
 )
 def x46(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tx.tokens(docs)
-    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return (
-        df.join(tf, "term")
-        .select("term", "df", "tf")
+        toks.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf"),
+        )
         .orderBy(F.desc("df"), F.desc("tf"), "term")
         .limit(20)
     )

@@ -414,3 +414,51 @@ def test_stateful_user_stats_tws_parity(spark, tmp_path):
         ).collect()
     }
     assert got == twin
+
+
+def test_stream_index_collisions_batch_stream_parity(spark, tmp_path):
+    """Streaming near-dup screening: documents replayed as a file stream
+    are flagged against a static LSH band index identically to the
+    batch run of the same function (source-agnostic contract). The
+    plan is stateless — per-row signatures + a stream-static left-semi
+    join — so no watermark is required and state stays empty."""
+    from deepcell_data_engineering_spark.functions.dedup import (
+        lsh_band_index,
+        minhash_signatures,
+        stream_index_collisions,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    old = docs.where(F.col("doc_id") % 4 != 0)
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    bands = [["h0", "h1", "h2"], ["h3", "h4", "h5"]]
+    index = lsh_band_index(
+        minhash_signatures(old, num_hashes=6, k=5), bands=bands
+    ).cache()
+
+    batch_hits = {
+        (r["doc_id"], r["band"])
+        for r in stream_index_collisions(new, index, bands=bands).collect()
+    }
+    assert batch_hits  # the planted duplicates guarantee collisions
+
+    new_dir = tmp_path / "newdocs"
+    new.write.parquet(str(new_dir))
+    stream = (
+        spark.readStream.schema(new.schema).format("parquet").load(str(new_dir))
+    )
+    flagged = stream_index_collisions(stream, index, bands=bands)
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("neardup_flags")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_hits = {
+        (r["doc_id"], r["band"])
+        for r in spark.sql("SELECT * FROM neardup_flags").collect()
+    }
+    assert stream_hits == batch_hits

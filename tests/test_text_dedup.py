@@ -490,3 +490,26 @@ def test_incremental_lsh_equivalence(spark):
     )
     # every incremental pair involves a new doc
     assert all(a % 4 == 0 or b % 4 == 0 for a, b in incr)
+
+
+def test_minhash_rowwise_matches_aggregated(spark):
+    """minhash_signatures_rowwise (stateless per-row array HOFs — the
+    streaming-safe form) produces bit-identical signatures to the
+    exploded + aggregated form."""
+    from deepcell_data_engineering_spark.catalog import load_table
+    from deepcell_data_engineering_spark.functions.dedup import (
+        minhash_signatures,
+        minhash_signatures_rowwise,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    agg = minhash_signatures(docs, num_hashes=6, k=5).orderBy("doc_id").collect()
+    row = minhash_signatures_rowwise(docs, num_hashes=6, k=5).orderBy("doc_id").collect()
+    assert [tuple(r) for r in agg] == [tuple(r) for r in row]
+    # short-document edge: len(text) < k still yields a signature
+    from pyspark.sql import Row
+
+    tiny = spark.createDataFrame([Row(doc_id=1, text="ab")])
+    a = minhash_signatures(tiny, num_hashes=2, k=5).collect()
+    b = minhash_signatures_rowwise(tiny, num_hashes=2, k=5).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
