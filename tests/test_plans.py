@@ -343,3 +343,66 @@ def test_round4_iterative_queries_have_no_cartesian(spark):
     x44 = QUERIES["x44_unigram_logprob"].build(spark, SF)
     assert pi.join_strategies(x44)["broadcast_hash"] == 1
     assert pi.count_exchanges(x44) <= 3
+
+
+def test_round5_queries_have_no_cartesian(spark):
+    """The round-5 family keeps the no-cartesian contract: every join is
+    keyed (bigram-PMI vocab attach, overlap fingerprint equi-join,
+    incremental index probe, recall-eval composition)."""
+    for name in (
+        "x46_df_heavy_hitters",
+        "x47_bigram_pmi",
+        "x48_inverted_index",
+        "x49_source_overlap",
+        "x51_cluster_representatives",
+        "x52_mixture_plan",
+        "x53_incremental_lsh",
+    ):
+        plan = pi.executed_plan(QUERIES[name].build(spark, SF))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_bigram_pmi_pair_stream_is_generator_only(spark):
+    """x47's bigram extraction is arrays_zip-of-slices + explode — the
+    pair stream must reach its first aggregation without ANY join or
+    exchange above the scan (the whole point of the zip-slice shape vs
+    a positional self-join)."""
+    df = QUERIES["x47_bigram_pmi"].build(spark, SF)
+    s = pi.join_strategies(df)
+    # the only joins are the two broadcast vocab attaches
+    assert s["sort_merge"] == 0 and s["shuffled_hash"] == 0
+    assert s["broadcast_hash"] == 2
+
+
+def test_incremental_lsh_probe_is_single_equi_join(spark):
+    """x53: one keyed join (batch bands vs index bands) and no
+    old-vs-old self-join of the corpus."""
+    df = QUERIES["x53_incremental_lsh"].build(spark, SF)
+    plan = pi.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    total_joins = sum(pi.join_strategies(df).values())
+    assert total_joins == 1
+
+
+def test_stream_index_collisions_plan_is_stateless(spark):
+    """The streaming screen compiles to a semi join with NO aggregation
+    above the stream side — the property that makes it watermark-free."""
+    from deepcell_data_engineering_spark.functions.dedup import (
+        lsh_band_index,
+        minhash_signatures,
+        stream_index_collisions,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    old = docs.where(F.col("doc_id") % 4 != 0)
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    bands = [["h0", "h1", "h2"], ["h3", "h4", "h5"]]
+    index = lsh_band_index(minhash_signatures(old, num_hashes=6, k=5), bands=bands)
+    flagged = stream_index_collisions(new, index, bands=bands)
+    plan = pi.executed_plan(flagged)
+    assert "LeftSemi" in plan
+    # the probe side (rowwise signatures + band explode) aggregates nothing:
+    # every HashAggregate in the plan belongs to the index's distinct-bands
+    # build side, which is static
+    left = plan.split("LeftSemi")[0]
+    assert "HashAggregate" not in left.split("Generate")[0]
