@@ -1,14 +1,20 @@
-"""Dependency-free baseline JPEG (JFIF) codec: sequential DCT, Huffman
-entropy coding, grayscale + YCbCr 4:4:4 / 4:2:0, restart markers.
+"""Dependency-free JPEG (JFIF) codec: baseline sequential AND full
+progressive (SOF2) decode, Huffman entropy coding, grayscale + YCbCr
+4:4:4 / 4:2:0, restart markers; encoders for both modes.
 
 The reference decodes `.jpg` annotation uploads through PIL
 (caliban_toolbox/utils/misc_utils.py:41-48, pre_annotation/
 data_loader.py:429); PIL is absent from this environment, so this
-module implements the baseline process (ITU-T T.81 Annex F) directly on
-numpy: standard Annex-K quantization and Huffman tables, IJG quality
-scaling, per-component sampling factors up to 2x2 with nearest-neighbor
-chroma upsampling. Progressive (SOF2), arithmetic coding, and 12-bit
-precision raise NotImplementedError by name.
+module implements the T.81 processes directly on numpy: standard
+Annex-K quantization and Huffman tables, IJG quality scaling,
+per-component sampling factors up to 2x2 with nearest-neighbor chroma
+upsampling. The decoder accumulates every scan into per-component
+coefficient planes and reconstructs once at EOI, so baseline is just
+the one-scan special case of the progressive machinery (spectral
+selection, successive approximation with AC refinement and EOB runs,
+interleaved DC / non-interleaved AC scans). Arithmetic coding,
+hierarchical mode, and 12-bit precision raise NotImplementedError by
+name.
 
 JPEG is lossy: round-trips are validated by PSNR, not bit equality
 (decoder-vs-decoder bit equality is not even guaranteed between libjpeg
@@ -230,14 +236,14 @@ def _pad_to(img: np.ndarray, mh: int, mw: int) -> np.ndarray:
     return np.pad(img, ((0, (-h) % mh), (0, (-w) % mw)), mode="edge")
 
 
-def encode_jpeg(
-    img: np.ndarray, quality: int = 85, subsample: bool = False, restart_interval: int = 0
-) -> bytes:
-    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as baseline JFIF.
-
-    ``subsample`` selects 4:2:0 chroma (2x2 luma sampling, averaged
-    chroma) instead of the default 4:4:4; ``restart_interval`` > 0
-    emits a DRI segment and RSTn markers every that many MCUs."""
+def _prep_components(
+    img: np.ndarray, quality: int, subsample: bool
+) -> tuple[int, int, int, list[tuple[int, int]], list[np.ndarray], np.ndarray, np.ndarray]:
+    """Shared encoder front half: color conversion, chroma subsampling,
+    MCU-grid padding, quant-table scaling. Both the baseline and
+    progressive encoders run THIS, so the quantized coefficients they
+    emit are identical — the cross-encoder bit-equality test depends on
+    it."""
     a = np.asarray(img)
     if a.dtype != np.uint8:
         raise ValueError(f"JPEG encode expects uint8, got {a.dtype}")
@@ -256,26 +262,39 @@ def encode_jpeg(
     q_lum = _scale_quant(_QUANT_LUM, quality)
     q_chrom = _scale_quant(_QUANT_CHROM, quality)
     sub = subsample and n_comp == 3
-    # sampling factors per component
     samp = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * n_comp
-
-    dc_lum = _huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
-    ac_lum = _huff_codes(_AC_LUM_BITS, _AC_LUM_VALS)
-    dc_chrom = _huff_codes(_DC_CHROM_BITS, _DC_CHROM_VALS)
-    ac_chrom = _huff_codes(_AC_CHROM_BITS, _AC_CHROM_VALS)
-
-    # per-component planes padded to the MCU grid
-    mcu_h = 16 if sub else 8
-    mcu_w = 16 if sub else 8
+    mcu = 16 if sub else 8
     planes = []
     for ci, c in enumerate(comps):
         if ci == 0 or not sub:
-            p = _pad_to(np.clip(c, 0, 255), mcu_h, mcu_w)
+            p = _pad_to(np.clip(c, 0, 255), mcu, mcu)
         else:  # chroma: average 2x2 then pad to the chroma-block grid
             p = _pad_to(np.clip(c, 0, 255), 2, 2)
             p = p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
             p = _pad_to(p, 8, 8)
         planes.append(p)
+    return h, w, n_comp, samp, planes, q_lum, q_chrom
+
+
+def encode_jpeg(
+    img: np.ndarray, quality: int = 85, subsample: bool = False, restart_interval: int = 0
+) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as baseline JFIF.
+
+    ``subsample`` selects 4:2:0 chroma (2x2 luma sampling, averaged
+    chroma) instead of the default 4:4:4; ``restart_interval`` > 0
+    emits a DRI segment and RSTn markers every that many MCUs."""
+    h, w, n_comp, samp, planes, q_lum, q_chrom = _prep_components(
+        img, quality, subsample
+    )
+    sub = samp[0] == (2, 2)
+    mcu_h = 16 if sub else 8
+    mcu_w = 16 if sub else 8
+
+    dc_lum = _huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_lum = _huff_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    dc_chrom = _huff_codes(_DC_CHROM_BITS, _DC_CHROM_VALS)
+    ac_chrom = _huff_codes(_AC_CHROM_BITS, _AC_CHROM_VALS)
 
     writer = _BitWriter()
     preds = [0] * n_comp
@@ -379,20 +398,119 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
+def _decode_dc(reader: _BitReader, dc_t: dict, pred: int, al: int, coeff: np.ndarray) -> int:
+    """DC coefficient (baseline, or progressive first DC scan at point
+    transform ``al``); returns the updated predictor."""
+    size = reader.read_symbol(dc_t)
+    pred += _extend(reader.read_bits(size), size)
+    coeff[0] = pred << al
+    return pred
+
+
+def _decode_ac_first(
+    reader: _BitReader, ac_t: dict, coeff: np.ndarray, ss: int, se: int, al: int, eobrun: int
+) -> int:
+    """AC band (baseline scans use ss=1, se=63, al=0 — the EOB symbol is
+    the r=0 case of the progressive EOBRUN); returns the remaining
+    EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.read_symbol(ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC coefficient index overflow")
+        coeff[_ZIGZAG[k]] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _decode_ac_refine(
+    reader: _BitReader, ac_t: dict, coeff: np.ndarray, ss: int, se: int, al: int, eobrun: int
+) -> int:
+    """Successive-approximation AC refinement (T.81 G.1.2.3): newly
+    significant coefficients arrive as ±2^al; already-significant ones
+    receive one correction bit each."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(z: int) -> None:
+        if reader.read_bit() and (coeff[z] & p1) == 0:
+            coeff[z] += p1 if coeff[z] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.read_symbol(ac_t)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid JPEG AC refinement size")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                z = _ZIGZAG[k]
+                if coeff[z] != 0:
+                    correct(z)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coeff[_ZIGZAG[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = _ZIGZAG[k]
+            if coeff[z] != 0:
+                correct(z)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline sequential JFIF JPEG to (h, w) uint8 grayscale
-    or (h, w, 3) uint8 RGB. Supports per-component sampling factors up
-    to 2x2 (4:4:4, 4:2:2, 4:2:0), restart intervals, and multiple
-    DQT/DHT segments; progressive (SOF2) and arithmetic coding (SOF9+)
-    raise NotImplementedError."""
+    """Decode a baseline OR progressive JFIF JPEG to (h, w) uint8
+    grayscale or (h, w, 3) uint8 RGB. Supports per-component sampling
+    factors up to 2x2 (4:4:4, 4:2:2, 4:2:0), restart intervals,
+    multiple DQT/DHT segments, and the full progressive feature set
+    (spectral selection + successive approximation, interleaved DC and
+    non-interleaved AC scans, EOB runs); arithmetic coding, hierarchical
+    mode, and 12-bit precision raise NotImplementedError.
+
+    Every scan accumulates into per-component coefficient planes; one
+    vectorized dequantize + IDCT pass reconstructs at EOI — so the
+    baseline path is just the one-scan special case of the progressive
+    machinery."""
     if payload[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
-    frame = None  # (h, w, [(cid, sh, sv, tq)])
+    frame = None  # (h, w, comps, progressive)
     restart_interval = 0
-    scan = None
+    coeffs: list[np.ndarray] = []  # (pbh, pbw, 64) per component
+    preds: list[int] = []
+    geom = None  # (max_h, max_v, mcus_x, mcus_y, spec block grids)
+    any_scan = False
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -400,10 +518,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         pos += 2
         if marker == 0xD9:  # EOI
             break
+        if 0xD0 <= marker <= 0xD7:  # stray RST
+            continue
         (length,) = struct.unpack(">H", payload[pos : pos + 2])
         body = payload[pos + 2 : pos + length]
         pos += length
-        if marker == 0xDB:  # DQT (possibly several tables per segment)
+        if marker == 0xDB:  # DQT
             i = 0
             while i < len(body):
                 prec = body[i] >> 4
@@ -428,7 +548,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[i + 17 : i + 17 + n])
                 huff[(cls, tid)] = _huff_decoder(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} not supported")
@@ -436,19 +556,46 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            kind = "progressive" if marker == 0xC2 else f"SOF{marker - 0xC0}"
-            raise NotImplementedError(f"JPEG {kind} coding not supported (baseline only)")
+            frame = (fh, fw, comps, marker == 0xC2)
+            max_h = max(c[1] for c in comps)
+            max_v = max(c[2] for c in comps)
+            if max_h > 2 or max_v > 2:
+                raise NotImplementedError("JPEG sampling factors beyond 2x2 not supported")
+            mcus_x = (fw + 8 * max_h - 1) // (8 * max_h)
+            mcus_y = (fh + 8 * max_v - 1) // (8 * max_v)
+            grids = []
+            for cid, sh, sv, tq in comps:
+                cw = (fw * sh + max_h - 1) // max_h
+                ch = (fh * sv + max_v - 1) // max_v
+                grids.append(((ch + 7) // 8, (cw + 7) // 8, ch, cw))
+            geom = (max_h, max_v, mcus_x, mcus_y, grids)
+            coeffs = [
+                np.zeros((mcus_y * sv, mcus_x * sh, 64), dtype=np.int32)
+                for cid, sh, sv, tq in comps
+            ]
+            preds = [0] * nc
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} coding not supported (baseline/progressive only)"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            fh, fw, comps, progressive = frame
+            max_h, max_v, mcus_x, mcus_y, grids = geom
             ns = body[0]
-            scan_tables = {}
+            scan_comps = []  # (comp_index, dc_tid, ac_tid)
             for si in range(ns):
                 cid, tt = body[1 + 2 * si : 3 + 2 * si]
-                scan_tables[cid] = (tt >> 4, tt & 0x0F)
-            # find the end of the entropy segment, unstuffing as we go
+                idx = next(i for i, c in enumerate(comps) if c[0] == cid)
+                scan_comps.append((idx, tt >> 4, tt & 0x0F))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            # split the entropy data into restart segments, unstuffing
             segments: list[bytes] = []
             cur = bytearray()
             p = pos
@@ -462,89 +609,39 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 if nxt == 0x00:
                     cur.append(0xFF)
                     p += 2
-                elif 0xD0 <= nxt <= 0xD7:  # RSTn: new segment
+                elif 0xD0 <= nxt <= 0xD7:
                     segments.append(bytes(cur))
                     cur = bytearray()
                     p += 2
-                else:  # next real marker ends the scan
+                else:
                     break
             segments.append(bytes(cur))
             pos = p
-            scan = (scan_tables, segments)
-        elif marker in (0xD0, 0xD1, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7):
-            continue  # stray RST outside scan
-        # APPn / COM / others: skipped via the generic length field
-    if frame is None or scan is None:
+            any_scan = True
+            _decode_scan(
+                segments, scan_comps, comps, coeffs, geom, huff,
+                ss, se, ah, al, restart_interval,
+            )
+        # APPn / COM / others skipped
+    if frame is None or not any_scan:
         raise ValueError("JPEG missing SOF/SOS")
-    fh, fw, comps = frame
-    scan_tables, segments = scan
-    max_h = max(c[1] for c in comps)
-    max_v = max(c[2] for c in comps)
-    if max_h > 2 or max_v > 2:
-        raise NotImplementedError("JPEG sampling factors beyond 2x2 not supported")
-    mcu_w, mcu_h = 8 * max_h, 8 * max_v
-    mcus_x = (fw + mcu_w - 1) // mcu_w
-    mcus_y = (fh + mcu_h - 1) // mcu_h
-    planes = [
-        np.zeros((mcus_y * c[2] * 8, mcus_x * c[1] * 8), dtype=np.float64) for c in comps
-    ]
+    fh, fw, comps, progressive = frame
+    max_h, max_v, mcus_x, mcus_y, grids = geom
 
-    n_mcus = mcus_x * mcus_y
-    mcu_i = 0
-    seg_i = 0
-    reader = _BitReader(segments[0])
-    preds = [0] * len(comps)
-    coeffs = np.zeros(64, dtype=np.float64)
-    while mcu_i < n_mcus:
-        if restart_interval and mcu_i and mcu_i % restart_interval == 0 and seg_i + 1 < len(segments):
-            seg_i += 1
-            reader = _BitReader(segments[seg_i])
-            preds = [0] * len(comps)
-        my, mx = divmod(mcu_i, mcus_x)
-        for ci, (cid, sh, sv, tq) in enumerate(comps):
-            dc_t = huff.get((0, scan_tables[cid][0]))
-            ac_t = huff.get((1, scan_tables[cid][1]))
-            if dc_t is None or ac_t is None:
-                raise ValueError("JPEG scan references a missing Huffman table")
-            qt = quant.get(tq)
-            if qt is None:
-                raise ValueError("JPEG scan references a missing quantization table")
-            for by in range(sv):
-                for bx in range(sh):
-                    coeffs[:] = 0.0
-                    size = reader.read_symbol(dc_t)
-                    preds[ci] += _extend(reader.read_bits(size), size)
-                    coeffs[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        rs = reader.read_symbol(ac_t)
-                        if rs == 0x00:  # EOB
-                            break
-                        run, size = rs >> 4, rs & 0x0F
-                        if size == 0:
-                            if run != 15:
-                                raise ValueError("invalid JPEG AC run length")
-                            k += 16  # ZRL
-                            continue
-                        k += run
-                        if k >= 64:
-                            raise ValueError("JPEG AC coefficient index overflow")
-                        coeffs[_ZIGZAG[k]] = _extend(reader.read_bits(size), size)
-                        k += 1
-                    blk = coeffs.reshape(8, 8) * qt
-                    px = _DCT_M.T @ blk @ _DCT_M + 128.0
-                    y0 = (my * sv + by) * 8
-                    x0 = (mx * sh + bx) * 8
-                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
-        mcu_i += 1
-
-    # upsample each component to the frame grid and crop
     full = []
     for ci, (cid, sh, sv, tq) in enumerate(comps):
-        p = planes[ci]
+        qt = quant.get(tq)
+        if qt is None:
+            raise ValueError("JPEG frame references a missing quantization table")
+        pbh, pbw, _ = coeffs[ci].shape
+        c = coeffs[ci].reshape(pbh, pbw, 8, 8).astype(np.float64) * qt[None, None]
+        px = np.einsum("ij,xyjk,kl->xyil", _DCT_M.T, c, _DCT_M) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(pbh * 8, pbw * 8)
+        bh, bw, ch, cw = grids[ci]
+        plane = plane[:ch, :cw]
         if sh != max_h or sv != max_v:
-            p = np.repeat(np.repeat(p, max_v // sv, axis=0), max_h // sh, axis=1)
-        full.append(p[:fh, :fw])
+            plane = np.repeat(np.repeat(plane, max_v // sv, axis=0), max_h // sh, axis=1)
+        full.append(plane[:fh, :fw])
     if len(full) == 1:
         return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
     if len(full) != 3:
@@ -554,3 +651,328 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.round(np.dstack([r, g, b])), 0, 255).astype(np.uint8)
+
+
+def _decode_scan(
+    segments: list[bytes],
+    scan_comps: list[tuple[int, int, int]],
+    comps: list[tuple[int, int, int, int]],
+    coeffs: list[np.ndarray],
+    geom,
+    huff: dict,
+    ss: int, se: int, ah: int, al: int,
+    restart_interval: int,
+) -> None:
+    """Decode one scan's entropy data into the coefficient planes."""
+    max_h, max_v, mcus_x, mcus_y, grids = geom
+    preds = [0] * len(comps)
+    eobrun = 0
+    reader = _BitReader(segments[0])
+    seg_i = 0
+
+    def tables(idx: int, dc_tid: int, ac_tid: int):
+        dc_t = huff.get((0, dc_tid))
+        ac_t = huff.get((1, ac_tid))
+        if ss == 0 and dc_t is None:
+            raise ValueError("JPEG scan references a missing Huffman table")
+        if se > 0 and ss > 0 and ac_t is None:
+            raise ValueError("JPEG scan references a missing Huffman table")
+        return dc_t, ac_t
+
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        n_units = mcus_x * mcus_y
+    else:
+        idx0 = scan_comps[0][0]
+        bh, bw, _, _ = grids[idx0]
+        n_units = bh * bw
+
+    for unit in range(n_units):
+        if restart_interval and unit and unit % restart_interval == 0 and seg_i + 1 < len(segments):
+            seg_i += 1
+            reader = _BitReader(segments[seg_i])
+            preds = [0] * len(comps)
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(unit, mcus_x)
+            for idx, dc_tid, ac_tid in scan_comps:
+                cid, sh, sv, tq = comps[idx]
+                dc_t, ac_t = tables(idx, dc_tid, ac_tid)
+                for by in range(sv):
+                    for bx in range(sh):
+                        blk = coeffs[idx][my * sv + by, mx * sh + bx]
+                        if ss == 0:
+                            if ah == 0:
+                                preds[idx] = _decode_dc(reader, dc_t, preds[idx], al, blk)
+                            elif reader.read_bit():
+                                blk[0] |= 1 << al
+                        if se > 0 and ss == 0 and ah == 0 and se == 63:
+                            # baseline scan: AC follows DC in the same block
+                            eobrun = _decode_ac_first(reader, ac_t, blk, 1, 63, 0, eobrun)
+        else:
+            idx, dc_tid, ac_tid = scan_comps[0]
+            bh, bw, _, _ = grids[idx]
+            by, bx = divmod(unit, bw)
+            blk = coeffs[idx][by, bx]
+            dc_t, ac_t = tables(idx, dc_tid, ac_tid)
+            if ss == 0:
+                if ah == 0:
+                    preds[idx] = _decode_dc(reader, dc_t, preds[idx], al, blk)
+                elif reader.read_bit():
+                    blk[0] |= 1 << al
+                if se == 63 and ah == 0:  # single-component baseline scan
+                    eobrun = _decode_ac_first(reader, ac_t, blk, 1, 63, 0, eobrun)
+            elif ah == 0:
+                eobrun = _decode_ac_first(reader, ac_t, blk, ss, se, al, eobrun)
+            else:
+                eobrun = _decode_ac_refine(reader, ac_t, blk, ss, se, al, eobrun)
+
+
+def _flat_prog_ac_table() -> tuple[list[int], list[int]]:
+    """A fixed all-8-bit Huffman table carrying every symbol a
+    progressive AC scan can emit: EOBn (r<<4, r=0..14), ZRL (0xF0) and
+    (run, size) pairs for size 1..10. The standard Annex-K AC tables
+    lack the EOBn codes (baseline has no EOB runs), so progressive
+    scans carry their own table. 176 symbols, all length 8 — a legal
+    (incomplete) Huffman code, zero assignment logic to get wrong."""
+    vals = [r << 4 for r in range(15)]
+    vals.append(0xF0)
+    vals += [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    bits = [0] * 16
+    bits[7] = len(vals)
+    return bits, vals
+
+
+def _enc_ac_first_scan(writer: _BitWriter, actbl: dict, blocks, al: int) -> None:
+    """Progressive AC first scan (Ah=0): point-transformed magnitudes
+    with EOB-run accumulation."""
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            rr = eobrun.bit_length() - 1
+            code, ln = actbl[rr << 4]
+            writer.write(code, ln)
+            if rr:
+                writer.write(eobrun - (1 << rr), rr)
+            eobrun = 0
+
+    for zzb in blocks:
+        vals = [
+            (abs(int(v)) >> al) * (1 if v > 0 else -1) for v in zzb[1:64]
+        ]
+        nz = [i for i, v in enumerate(vals) if v != 0]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        last = nz[-1]
+        r = 0
+        for i in range(last + 1):
+            v = vals[i]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                code, ln = actbl[0xF0]
+                writer.write(code, ln)
+                r -= 16
+            size, bits = _magnitude(v)
+            code, ln = actbl[(r << 4) | size]
+            writer.write(code, ln)
+            writer.write(bits, size)
+            r = 0
+        if last < 62:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _enc_ac_refine_scan(writer: _BitWriter, actbl: dict, blocks, al: int) -> None:
+    """Progressive AC refinement scan (Ah=Al+1): newly significant
+    coefficients as (run, 1) symbols + sign bit; correction bits for
+    already-significant coefficients buffered and appended after the
+    next emitted symbol (T.81 G.1.2.3, mirroring the decoder)."""
+    eobrun = 0
+    be_bits: list[int] = []
+
+    def flush() -> None:
+        nonlocal eobrun, be_bits
+        if eobrun:
+            rr = eobrun.bit_length() - 1
+            code, ln = actbl[rr << 4]
+            writer.write(code, ln)
+            if rr:
+                writer.write(eobrun - (1 << rr), rr)
+            eobrun = 0
+            for b in be_bits:
+                writer.write(b, 1)
+            be_bits = []
+
+    for zzb in blocks:
+        band = [int(v) for v in zzb[1:64]]
+        absv = [abs(v) >> al for v in band]
+        # EOB = past the last NEWLY-significant coefficient; runs beyond
+        # it fold into the EOB run instead of ZRLs
+        eobpos = -1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eobpos = i
+        r = 0
+        br: list[int] = []
+        for i, v in enumerate(band):
+            t = absv[i]
+            if t == 0:
+                r += 1
+                continue
+            # pending ZRLs flush at EVERY nonzero coefficient (old or
+            # new) so buffered correction bits never span a ZRL window
+            while r > 15 and i <= eobpos:
+                flush()
+                code, ln = actbl[0xF0]
+                writer.write(code, ln)
+                r -= 16
+                for b in br:
+                    writer.write(b, 1)
+                br = []
+            if t > 1:  # already significant: one correction bit
+                br.append(t & 1)
+                continue
+            # newly significant (|v| >> al == 1)
+            flush()
+            code, ln = actbl[(r << 4) | 1]
+            writer.write(code, ln)
+            writer.write(1 if v > 0 else 0, 1)
+            for b in br:
+                writer.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            be_bits.extend(br)
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 85, subsample: bool = False
+) -> bytes:
+    """Encode as PROGRESSIVE JFIF (SOF2) with a libjpeg-style scan
+    script: DC first at Al=1 (interleaved), per-component AC first at
+    Al=1 with EOB runs, per-component AC refinement to Al=0, and a
+    final interleaved DC refinement — exercising spectral selection AND
+    successive approximation. Quantized coefficients are identical to
+    encode_jpeg's (shared _prep_components + FDCT), so decoding either
+    stream yields bit-identical pixels (pinned in tests)."""
+    h, w, n_comp, samp, planes, q_lum, q_chrom = _prep_components(
+        img, quality, subsample
+    )
+    max_h = max(s for s, _ in samp)
+    max_v = max(v for _, v in samp)
+    mcus_x = (w + 8 * max_h - 1) // (8 * max_h)
+    mcus_y = (h + 8 * max_v - 1) // (8 * max_v)
+    zzplanes = []
+    grids = []
+    for ci, p in enumerate(planes):
+        quant = q_lum if ci == 0 else q_chrom
+        blocks = _plane_blocks(p).astype(np.float64)
+        d = _DCT_M @ (blocks - 128.0) @ _DCT_M.T
+        q = np.round(d / quant).astype(np.int32)
+        pbh, pbw = p.shape[0] // 8, p.shape[1] // 8
+        zzplanes.append(q.reshape(-1, 64)[:, _ZIGZAG].reshape(pbh, pbw, 64))
+        sh, sv = samp[ci]
+        cw = (w * sh + max_h - 1) // max_h
+        ch = (h * sv + max_v - 1) // max_v
+        grids.append(((ch + 7) // 8, (cw + 7) // 8))
+
+    dc_lum = _huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    dc_chrom = _huff_codes(_DC_CHROM_BITS, _DC_CHROM_VALS)
+    ac_bits, ac_vals = _flat_prog_ac_table()
+    ac_prog = _huff_codes(ac_bits, ac_vals)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xFF\xD8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(q_lum.reshape(-1)[_ZIGZAG].astype(np.uint8)))
+    if n_comp == 3:
+        out += seg(0xFFDB, b"\x01" + bytes(q_chrom.reshape(-1)[_ZIGZAG].astype(np.uint8)))
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, n_comp))
+    for ci in range(n_comp):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += seg(0xFFC2, bytes(sof))  # SOF2: progressive
+
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, _DC_LUM_BITS, _DC_LUM_VALS)
+    if n_comp == 3:
+        out += dht(0, 1, _DC_CHROM_BITS, _DC_CHROM_VALS)
+    out += dht(1, 0, ac_bits, ac_vals)
+
+    def sos(scan_comps: list[tuple[int, int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytearray([len(scan_comps)])
+        for cid, td, ta in scan_comps:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xFFDA, bytes(body))
+
+    def dc_blocks_interleaved():
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(n_comp):
+                    sh, sv = samp[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            yield ci, zzplanes[ci][my * sv + by, mx * sh + bx]
+
+    # scan 1: DC first, Al=1, interleaved across all components
+    out += sos([(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(n_comp)], 0, 0, 0, 1)
+    writer = _BitWriter()
+    preds = [0] * n_comp
+    for ci, zzb in dc_blocks_interleaved():
+        dcv = int(zzb[0]) >> 1  # DC point transform is an arithmetic shift
+        diff = dcv - preds[ci]
+        preds[ci] = dcv
+        size, bits = _magnitude(diff)
+        tbl = dc_lum if ci == 0 else dc_chrom
+        code, ln = tbl[size]
+        writer.write(code, ln)
+        if size:
+            writer.write(bits, size)
+    out += writer.flush()
+
+    # scans 2..: per-component AC first at Al=1, then refine to Al=0
+    def comp_blocks(ci: int):
+        bh, bw = grids[ci]
+        for by in range(bh):
+            for bx in range(bw):
+                yield zzplanes[ci][by, bx]
+
+    for ci in range(n_comp):
+        out += sos([(ci + 1, 0, 0)], 1, 63, 0, 1)
+        writer = _BitWriter()
+        _enc_ac_first_scan(writer, ac_prog, comp_blocks(ci), 1)
+        out += writer.flush()
+    for ci in range(n_comp):
+        out += sos([(ci + 1, 0, 0)], 1, 63, 1, 0)  # Ah = previous Al
+        writer = _BitWriter()
+        _enc_ac_refine_scan(writer, ac_prog, comp_blocks(ci), 0)
+        out += writer.flush()
+
+    # final scan: DC refinement to full precision, interleaved
+    out += sos([(ci + 1, 0, 0) for ci in range(n_comp)], 0, 0, 1, 0)
+    writer = _BitWriter()
+    for ci, zzb in dc_blocks_interleaved():
+        writer.write(int(zzb[0]) & 1, 1)
+    out += writer.flush()
+
+    out += b"\xFF\xD9"
+    return bytes(out)

@@ -1,4 +1,4 @@
-"""Baseline JPEG codec contracts (sources/pyjpeg.py): PSNR-gated
+"""JPEG codec contracts (sources/pyjpeg.py), baseline + progressive: PSNR-gated
 round-trips (JPEG is lossy — bit equality is not defined for it),
 marker-level features (4:2:0, restart intervals, multi-table segments),
 and precise rejection of non-baseline coding."""
@@ -69,12 +69,12 @@ def test_quality_monotonicity():
     assert errs[0] >= errs[1] >= errs[2]
 
 
-def test_rejects_progressive_and_garbage():
+def test_rejects_arithmetic_and_garbage():
     img = np.zeros((8, 8), np.uint8)
     payload = bytearray(encode_jpeg(img))
     sof = payload.find(b"\xFF\xC0")
-    payload[sof + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    payload[sof + 1] = 0xC9  # flip SOF0 -> SOF9 (arithmetic sequential)
+    with pytest.raises(NotImplementedError, match="SOF9"):
         decode_jpeg(bytes(payload))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG" + bytes(payload))
@@ -205,3 +205,59 @@ def test_binaryfile_scan_decodes_jpegs(spark, tmp_path):
         assert (r["height"], r["width"]) == arr.shape
         # lossy codec: mean within 1 gray level of the original
         assert abs(r["mean"] - float(arr.mean())) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+def test_progressive_decodes_identically_to_baseline(subsample):
+    """The progressive scan script (DC Al=1 -> per-component AC first
+    Al=1 -> AC refine Al=0 -> DC refine) carries exactly the same
+    quantized coefficients as the baseline stream, so the decoded
+    pixels must be BIT-IDENTICAL — a two-sided proof: any bug in the
+    refinement encoder or decoder breaks the equality."""
+    from deepcell_data_engineering_spark.sources.pyjpeg import encode_jpeg_progressive
+
+    img = _smooth_rgb(29, 37)
+    base = decode_jpeg(encode_jpeg(img, quality=92, subsample=subsample))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=92, subsample=subsample))
+    assert np.array_equal(base, prog)
+
+
+@pytest.mark.parametrize("quality", [40, 85, 97])
+def test_progressive_noise_exercises_eob_and_refinement(quality):
+    """High-entropy content at several qualities drives EOB runs,
+    ZRL-inside-refinement, and buffered correction bits."""
+    from deepcell_data_engineering_spark.sources.pyjpeg import encode_jpeg_progressive
+
+    rng = np.random.RandomState(quality)
+    img = rng.randint(0, 256, (41, 26, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=quality))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=quality))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_grayscale_and_edges():
+    from deepcell_data_engineering_spark.sources.pyjpeg import encode_jpeg_progressive
+
+    for img in [
+        np.full((8, 8), 128, np.uint8),                      # pure DC
+        (np.add.outer(np.linspace(0, 200, 31), np.linspace(0, 50, 22))).astype(np.uint8),
+        np.zeros((1, 1), np.uint8),                          # single pixel
+        np.eye(16, dtype=np.uint8) * 255,                    # sparse AC
+    ]:
+        base = decode_jpeg(encode_jpeg(img, quality=90))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=90))
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_marker_is_sof2():
+    from deepcell_data_engineering_spark.sources.pyjpeg import encode_jpeg_progressive
+
+    payload = encode_jpeg_progressive(np.zeros((8, 8), np.uint8))
+    assert b"\xFF\xC2" in payload and b"\xFF\xC0" not in payload
+    # multiple SOS segments (DC first, AC first, AC refine, DC refine)
+    assert payload.count(b"\xFF\xDA") == 4
