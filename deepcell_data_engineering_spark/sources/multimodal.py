@@ -61,9 +61,14 @@ def decode_media(fmt: str, payload: bytes, meta) -> np.ndarray:
     (md5-seeded), giving tests a stable pseudo-media source.
     """
     if fmt in ("tiff", "tif"):
-        from deepcell_data_engineering_spark.sources.pycodecs import decode_tiff
+        # stack decode: multi-page payloads (the microscope z/t layout)
+        # map pages to the frame axis; single-page files yield 1 frame
+        from deepcell_data_engineering_spark.sources.pycodecs import decode_tiff_stack
 
-        return np.atleast_3d(decode_tiff(payload))[None, ...].astype(np.float32)
+        arr = decode_tiff_stack(payload)
+        if arr.ndim == 3:
+            arr = arr[..., None]
+        return arr.astype(np.float32)
     if fmt == "png":
         from deepcell_data_engineering_spark.sources.pycodecs import decode_png
 

@@ -239,3 +239,15 @@ def test_partitioned_corpus_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and "lang" in plan
     n_en = docs.where(docs.lang == "en").count()
     assert one.count() == n_en
+
+
+def test_decode_media_multipage_tiff_maps_pages_to_frames():
+    """A multi-page TIFF payload (microscope z/t stack) decodes to one
+    frame per page — previously only page 1 survived."""
+    from deepcell_data_engineering_spark.sources.multimodal import decode_media
+    from deepcell_data_engineering_spark.sources.pycodecs import encode_tiff_stack
+
+    stack = np.arange(3 * 4 * 5, dtype=np.uint16).reshape(3, 4, 5)
+    out = decode_media("tiff", encode_tiff_stack(stack), None)
+    assert out.shape == (3, 4, 5, 1) and out.dtype == np.float32
+    np.testing.assert_array_equal(out[..., 0], stack.astype(np.float32))
