@@ -2380,3 +2380,52 @@ def x53(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.incremental_lsh_candidates(
         index, dd.minhash_signatures(new, num_hashes=6, k=5), bands=bands
     ).orderBy("id_a", "id_b")
+
+
+@_q(
+    "x54_stream_screen",
+    f"""{_MINHASH_CHUNKS},
+       sig AS (
+         SELECT doc_id,
+              {_minhash_oracle_terms(6)}
+         FROM chunks GROUP BY doc_id
+       ),
+       banded AS (
+         SELECT doc_id,
+                md5(h0::VARCHAR || '-' || h1::VARCHAR || '-' || h2::VARCHAR) AS band
+         FROM sig
+         UNION ALL
+         SELECT doc_id,
+                md5(h3::VARCHAR || '-' || h4::VARCHAR || '-' || h5::VARCHAR) AS band
+         FROM sig
+       ),
+       old_bands AS (
+         SELECT DISTINCT band FROM banded WHERE doc_id % 4 <> 0
+       )
+       SELECT DISTINCT b.doc_id AS doc_id, b.band AS band
+       FROM banded b JOIN old_bands o ON b.band = o.band
+       WHERE b.doc_id % 4 = 0
+       ORDER BY doc_id, band""",
+    doc="Batch form of the streaming near-dup screen "
+    "(dedup.stream_index_collisions): arriving documents (doc_id % 4 "
+    "== 0) whose LSH band collides with the persisted corpus index — "
+    "one (doc, band) row per colliding membership. The EXACT code path "
+    "the stream runs (row-local signatures, band explode, left-semi "
+    "probe) is source-agnostic, so the driver-verified batch result "
+    "certifies the streaming semantics too (batch/stream parity is "
+    "additionally pinned under availableNow replay in "
+    "tests/test_streaming.py).",
+)
+def x54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 4 != 0)
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    bands = [["h0", "h1", "h2"], ["h3", "h4", "h5"]]
+    index = dd.lsh_band_index(
+        dd.minhash_signatures(old, num_hashes=6, k=5), bands=bands
+    )
+    return (
+        dd.stream_index_collisions(new, index, bands=bands)
+        .distinct()
+        .orderBy("doc_id", "band")
+    )

@@ -31,6 +31,10 @@ QUERIES = [
     "x18_winnow_fingerprint",
     "x33_decontaminate",
     "x06_minhash_lsh_pairs",
+    # round-5 additions with nontrivial tails
+    "x51_cluster_representatives",
+    "x53_incremental_lsh",
+    "x47_bigram_pmi",
 ]
 
 SF01 = "/root/testdata/sf0.1"
@@ -69,6 +73,10 @@ def main() -> None:
             rec[label] = round(median(ts), 3)
             rec[f"{label}_rows"] = n
         rec["ratio"] = round(rec["sf1"] / rec["sf0.1"], 2)
+        # a big ratio with an even bigger output-row blow-up is the
+        # answer growing, not the plan degrading - surface the per-row cost
+        if rec["sf1_rows"] >= 1000:
+            rec["sf1_ms_per_1k_rows"] = round(rec["sf1"] * 1e6 / rec["sf1_rows"], 3)
         out[name] = rec
         print(f"{name:28s} sf0.1={rec['sf0.1']:7.2f}s  sf1={rec['sf1']:7.2f}s  "
               f"ratio={rec['ratio']:5.1f}x  rows {rec['sf0.1_rows']} -> {rec['sf1_rows']}")
