@@ -641,6 +641,10 @@ def minhash_signatures_rowwise(
     happens in one task, so a single giant document cannot be spread
     across the cluster — use the aggregated form for pathological row
     sizes."""
+    if not df.isStreaming:
+        from deepcell_data_engineering_spark.plans.layout import spread
+
+        df = spread(df)  # narrow scans otherwise hash on one core
     n = F.greatest(F.length(F.col(text_col)) - F.lit(k - 1), F.lit(1))
     sh_arr = F.transform(
         F.sequence(F.lit(1), n),
