@@ -2,7 +2,7 @@
 gray+alpha / RGB / RGBA at 8/16-bit, palette color type 3 at bit depth
 1/2/4/8 expanded to RGB(A), progressive/Adam7 interlace) and TIFF
 (uncompressed / Deflate / LZW / PackBits, horizontal-differencing
-predictor, strip or tile layout, both byte orders, uint8/16/32 +
+predictor, strip or tile layout, both byte orders, uint8/16/32 + int8/16/32 +
 float32, single or multi page).
 
 The reference decodes microscope TIFF/PNG eagerly with tifffile/PIL
@@ -496,6 +496,8 @@ def _decode_ifd(payload: bytes, endian: str, ifd_off: int) -> tuple[np.ndarray, 
         if bits != 32:
             raise NotImplementedError("TIFF float requires 32-bit samples")
         dtype = np.dtype(endian + "f4")
+    elif sample_format == 2:  # signed integer (the reference's MIBI crops)
+        dtype = np.dtype(endian + {8: "i1", 16: "i2", 32: "i4"}[bits])
     elif sample_format in (1, 4):
         dtype = np.dtype(endian + {8: "u1", 16: "u2", 32: "u4"}[bits])
     else:
@@ -571,8 +573,8 @@ def decode_tiff_stack(payload: bytes) -> np.ndarray:
 
 
 def encode_tiff(img: np.ndarray, compression: int = 1, predictor: int = 1) -> bytes:
-    """Encode (h, w) or (h, w, samples) uint8/uint16/uint32/float32 as a
-    single-strip little-endian TIFF. ``compression``: 1 (none),
+    """Encode (h, w) or (h, w, samples) uint8/16/32, int8/16/32, or
+    float32 as a single-strip little-endian TIFF. ``compression``: 1 (none),
     5 (LZW), 8 (Deflate), 32773 (PackBits); ``predictor``: 1 (none) or
     2 (horizontal differencing, integer dtypes only)."""
     a = np.ascontiguousarray(img)
@@ -588,6 +590,12 @@ def encode_tiff(img: np.ndarray, compression: int = 1, predictor: int = 1) -> by
         bits, fmt = 16, 1
     elif a.dtype == np.uint32:
         bits, fmt = 32, 1
+    elif a.dtype == np.int8:
+        bits, fmt = 8, 2
+    elif a.dtype == np.int16:  # the reference's MIBI crop dtype
+        bits, fmt = 16, 2
+    elif a.dtype == np.int32:
+        bits, fmt = 32, 2
     elif a.dtype == np.float32:
         bits, fmt = 32, 3
     else:

@@ -598,3 +598,48 @@ def test_codecs_fail_cleanly_on_fuzzed_bytes():
                 decoder(bytes(mutated))
             except allowed:
                 pass
+
+
+def test_reference_microscope_tiffs_decode():
+    """Wild-file validation: the reference repo's OWN MIBI crops
+    (512x512 signed-int16 TIFFs — the exact files its tifffile-based
+    loader reads, caliban_toolbox/utils/misc_utils.py:41-48) decode
+    through pycodecs, and survive a round-trip through our encoder."""
+    ref = glob.glob(
+        "/root/reference/data/raw_data/static/2d/mibi/DCIS/*/*/*.tif"
+    )
+    if not ref:
+        pytest.skip("reference image fixtures not present")
+    from deepcell_data_engineering_spark.sources.pycodecs import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    for f in sorted(ref):
+        a = decode_tiff(open(f, "rb").read())
+        assert a.shape == (512, 512) and a.dtype.base == np.dtype("int16")
+        assert 0 <= int(a.min()) and int(a.max()) < 100  # photon counts
+        back = decode_tiff(encode_tiff(a))  # int16 sample format 2
+        assert back.dtype.base == np.dtype("int16")
+        assert np.array_equal(back, a)
+
+
+def test_wild_system_pngs_decode():
+    """Any real-world PNGs present on the system (palette, RGBA, 16-bit)
+    decode without error — breadth beyond our own encoder's output."""
+    import os
+
+    candidates = [
+        "/root/reference/docs/flowchart.png",
+        "/usr/share/pixmaps/debian-logo.png",
+        "/usr/share/info/gnupg-module-overview.png",
+    ]
+    present = [p for p in candidates if os.path.exists(p)]
+    if not present:
+        pytest.skip("no wild PNGs on this system")
+    from deepcell_data_engineering_spark.sources.pycodecs import decode_png
+
+    for p in present:
+        a = decode_png(open(p, "rb").read())
+        assert a.ndim in (2, 3) and a.size > 0
+        assert a.dtype in (np.uint8, np.uint16)
