@@ -564,6 +564,10 @@ def test_codecs_fail_cleanly_on_fuzzed_bytes():
     )
     from deepcell_data_engineering_spark.sources.pyjpeg import encode_jpeg
 
+    from deepcell_data_engineering_spark.sources.pyjpeg import (
+        encode_jpeg_progressive,
+    )
+
     rng = np.random.RandomState(99)
     img = rng.randint(0, 255, (9, 7), dtype=np.uint8)
     valids = {
@@ -572,6 +576,7 @@ def test_codecs_fail_cleanly_on_fuzzed_bytes():
         dts: encode_tiff(img),
         dw: encode_wav(img.astype(np.int16).reshape(-1), 8000),
         dj: encode_jpeg(img),
+        (lambda b: dj(b)): encode_jpeg_progressive(img),  # progressive stream
     }
     allowed = (ValueError, NotImplementedError, KeyError, IndexError, struct.error)
     # zlib.error escapes for corrupt deflate streams — acceptable but
