@@ -136,8 +136,18 @@ def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
 
 
 def _huff_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, the decode-side inverse of _huff_codes."""
-    return {(ln, code): sym for sym, (code, ln) in _huff_codes(bits, vals).items()}
+    """(length, code) -> symbol, plus a flat 16-bit peek table under the
+    ``"lut"`` key: lut[peeked_16_bits] = (symbol, code_length), built by
+    replicating each code across its don't-care suffix bits — one list
+    index replaces up to 16 dict probes per symbol in the decode loop."""
+    table = {(ln, code): sym for sym, (code, ln) in _huff_codes(bits, vals).items()}
+    lut: list[tuple[int, int] | None] = [None] * (1 << 16)
+    for (ln, code), sym in table.items():
+        base = code << (16 - ln)
+        span = 1 << (16 - ln)
+        lut[base : base + span] = [(sym, ln)] * span
+    table["lut"] = lut  # type: ignore[assignment]
+    return table
 
 
 def _scale_quant(base: np.ndarray, quality: int) -> np.ndarray:
@@ -376,13 +386,31 @@ class _BitReader:
         return bit
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        byte = self.pos >> 3
+        if ((self.pos + n - 1) >> 3) >= len(self.data):
+            v = 0  # slow path near stream end keeps the precise error
+            for _ in range(n):
+                v = (v << 1) | self.read_bit()
+            return v
+        window = int.from_bytes(self.data[byte : byte + 4].ljust(4, b"\0"), "big")
+        v = (window >> (32 - (self.pos & 7) - n)) & ((1 << n) - 1)
+        self.pos += n
         return v
 
-    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
+    def read_symbol(self, table: dict) -> int:
+        # fast path: peek 16 bits, one flat-table lookup
+        byte = self.pos >> 3
+        if byte + 3 < len(self.data):
+            window = int.from_bytes(self.data[byte : byte + 4], "big")
+            peek = (window >> (16 - (self.pos & 7))) & 0xFFFF
+            hit = table["lut"][peek]
+            if hit is not None:
+                self.pos += hit[1]
+                return hit[0]
+            raise ValueError("invalid JPEG Huffman code")
+        code = 0  # stream-end path: bit-by-bit with truncation checks
         for length in range(1, 17):
             code = (code << 1) | self.read_bit()
             sym = table.get((length, code))
