@@ -324,3 +324,38 @@ def resolve_saved_files(df: DataFrame, key_cols: list[str], name_col: str = "pat
     if dupes:
         raise ValueError(f"multiple save versions for unit key {dupes[0].asDict()}")
     return counts.drop("n")
+
+
+def read_images_native(spark: SparkSession, path: str) -> DataFrame:
+    """JVM-native image scan: Spark's built-in ``image`` source decodes
+    PNG/JPEG/GIF/BMP through javax.imageio INSIDE the executors — zero
+    Python in the decode path, the fastest fleet-wide option for the
+    formats it covers (microscope TIFFs still go through binaryFile +
+    pycodecs). Returns one row per file with (origin, height, width,
+    n_channels, data) where ``data`` is the raw pixel buffer in
+    ImageSchema's layout: 8-bit, row-major, BGR(A) channel order — use
+    image_rgb_array to get an RGB numpy array back.
+
+    Doubles as an independent cross-check of our encoders: javax.imageio
+    accepts pycodecs/pyjpeg streams byte-for-byte (pinned in
+    tests/test_pycodecs.py)."""
+    df = spark.read.format("image").load(path)
+    return df.select(
+        F.col("image.origin").alias("origin"),
+        F.col("image.height").alias("height"),
+        F.col("image.width").alias("width"),
+        F.col("image.nChannels").alias("n_channels"),
+        F.col("image.mode").alias("mode"),
+        F.col("image.data").alias("data"),
+    )
+
+
+def image_rgb_array(row) -> np.ndarray:
+    """Convert one read_images_native row to an (h, w, c) uint8 RGB(A)
+    array (ImageSchema stores BGR(A))."""
+    a = np.frombuffer(bytes(row["data"]), dtype=np.uint8).reshape(
+        row["height"], row["width"], row["n_channels"]
+    )
+    if row["n_channels"] >= 3:  # BGR(A) -> RGB(A)
+        a = np.concatenate([a[..., 2::-1], a[..., 3:]], axis=2)
+    return a

@@ -648,3 +648,49 @@ def test_wild_system_pngs_decode():
         a = decode_png(open(p, "rb").read())
         assert a.ndim in (2, 3) and a.size > 0
         assert a.dtype in (np.uint8, np.uint16)
+
+
+def test_spark_native_image_source_cross_validates_codecs(spark, tmp_path):
+    """Independent third-party validation: Spark's JVM image source
+    (javax.imageio) decodes OUR PNG and JPEG streams. PNG must match
+    bit-exactly; JPEG within +-2 per sample (IDCT rounding differs
+    between independent decoders, never more). Also the S10 fast path
+    at scale: a JVM-side decode with zero Python."""
+    from deepcell_data_engineering_spark.sources.loader import (
+        image_rgb_array,
+        read_images_native,
+    )
+    from deepcell_data_engineering_spark.sources.pyjpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(21)
+    img = np.dstack(
+        [
+            np.add.outer(np.arange(24) * 3, np.arange(18) * 2) % 256,
+            rng.randint(0, 256, (24, 18)),
+            np.linspace(0, 255, 24 * 18).reshape(24, 18),
+        ]
+    ).astype(np.uint8)
+    (tmp_path / "x.png").write_bytes(encode_png(img))
+    (tmp_path / "y.jpg").write_bytes(encode_jpeg(img, quality=92))
+    (tmp_path / "z.jpg").write_bytes(encode_jpeg_progressive(img, quality=92))
+
+    rows = {
+        r["origin"].rsplit("/", 1)[-1]: r
+        for r in read_images_native(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {"x.png", "y.jpg", "z.jpg"}
+    # PNG: lossless, must be identical
+    assert np.array_equal(image_rgb_array(rows["x.png"]), img)
+    # JPEG: compare javax.imageio's view with OUR decoder's view of the
+    # same stream - independent decoders of one stream stay within IDCT
+    # rounding of each other
+    for name, payload in (("y.jpg", encode_jpeg(img, quality=92)),
+                          ("z.jpg", encode_jpeg_progressive(img, quality=92))):
+        ours = decode_jpeg(payload).astype(np.int16)
+        theirs = image_rgb_array(rows[name]).astype(np.int16)
+        assert ours.shape == theirs.shape
+        assert int(np.max(np.abs(ours - theirs))) <= 2, name
