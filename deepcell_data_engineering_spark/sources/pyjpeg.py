@@ -7,8 +7,8 @@ The reference decodes `.jpg` annotation uploads through PIL
 data_loader.py:429); PIL is absent from this environment, so this
 module implements the T.81 processes directly on numpy: standard
 Annex-K quantization and Huffman tables, IJG quality scaling,
-per-component sampling factors up to 2x2 with nearest-neighbor chroma
-upsampling. The decoder accumulates every scan into per-component
+per-component sampling factors up to 2x2 with libjpeg-style triangle
+('fancy') chroma upsampling. The decoder accumulates every scan into per-component
 coefficient planes and reconstructs once at EOI, so baseline is just
 the one-scan special case of the progressive machinery (spectral
 selection, successive approximation with AC refinement and EOB runs,
@@ -515,6 +515,47 @@ def _decode_ac_refine(
     return eobrun
 
 
+def _upsample_triangle(p: np.ndarray, fx: int, fy: int) -> np.ndarray:
+    """Chroma upsampling with the libjpeg-family triangle filter
+    (weights 3:1 per axis, 9:3:3:1 for 2x2, rounding (sum+half)>>bits),
+    in the clamped integer sample domain — the 'fancy upsampling' every
+    mainstream decoder applies; plain pixel replication leaves visible
+    chroma blocking and diverges from other decoders' output."""
+    if fx == 1 and fy == 1:
+        return p
+    a = np.clip(np.round(p), 0, 255).astype(np.int32)
+    if fx == 2 and fy == 2:
+        pad = np.pad(a, 1, mode="edge")
+        c = pad[1:-1, 1:-1]
+        up, dn = pad[:-2, 1:-1], pad[2:, 1:-1]
+        lf, rt = pad[1:-1, :-2], pad[1:-1, 2:]
+        ul, ur = pad[:-2, :-2], pad[:-2, 2:]
+        dl, dr = pad[2:, :-2], pad[2:, 2:]
+        h, w = a.shape
+        out = np.zeros((h * 2, w * 2), dtype=np.float64)
+        out[0::2, 0::2] = (9 * c + 3 * up + 3 * lf + ul + 8) >> 4
+        out[0::2, 1::2] = (9 * c + 3 * up + 3 * rt + ur + 8) >> 4
+        out[1::2, 0::2] = (9 * c + 3 * dn + 3 * lf + dl + 8) >> 4
+        out[1::2, 1::2] = (9 * c + 3 * dn + 3 * rt + dr + 8) >> 4
+        return out
+    if fx == 2:  # horizontal-only (4:2:2)
+        pad = np.pad(a, ((0, 0), (1, 1)), mode="edge")
+        c, lf, rt = pad[:, 1:-1], pad[:, :-2], pad[:, 2:]
+        h, w = a.shape
+        out = np.zeros((h, w * 2), dtype=np.float64)
+        out[:, 0::2] = (3 * c + lf + 2) >> 2
+        out[:, 1::2] = (3 * c + rt + 2) >> 2
+        return out
+    # vertical-only (4:4:0)
+    pad = np.pad(a, ((1, 1), (0, 0)), mode="edge")
+    c, up, dn = pad[1:-1, :], pad[:-2, :], pad[2:, :]
+    h, w = a.shape
+    out = np.zeros((h * 2, w), dtype=np.float64)
+    out[0::2, :] = (3 * c + up + 2) >> 2
+    out[1::2, :] = (3 * c + dn + 2) >> 2
+    return out
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline OR progressive JFIF JPEG to (h, w) uint8
     grayscale or (h, w, 3) uint8 RGB. Supports per-component sampling
@@ -668,7 +709,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         bh, bw, ch, cw = grids[ci]
         plane = plane[:ch, :cw]
         if sh != max_h or sv != max_v:
-            plane = np.repeat(np.repeat(plane, max_v // sv, axis=0), max_h // sh, axis=1)
+            plane = _upsample_triangle(plane, max_h // sh, max_v // sv)
         full.append(plane[:fh, :fw])
     if len(full) == 1:
         return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)

@@ -737,13 +737,15 @@ def test_third_party_encoded_streams_decode(spark):
     jpg = their_encode(to_buffered(np.dstack([g, g, g])), "jpg")
     assert np.array_equal(decode_jpeg(jpg).astype(np.int16), their_decode(jpg))
 
-    # JPEG, chroma content: divergence bounded by the upsampling policy
+    # JPEG, chroma content: both sides run triangle ('fancy') chroma
+    # upsampling, so independent decoders agree within a few counts
     x = np.linspace(0, 1, 30)
     y = np.linspace(0, 1, 40)
     sm = np.dstack(
         [np.outer(y, x) * 255, (1 - np.outer(y, x)) * 255,
          np.outer(y**2, np.ones_like(x)) * 255]
     ).astype(np.uint8)
-    jpg = their_encode(to_buffered(sm), "jpg")
-    d = np.abs(decode_jpeg(jpg).astype(np.int16) - their_decode(jpg))
-    assert int(d.max()) <= 16 and float(d.mean()) <= 4.0
+    for content in (sm, img):
+        jpg = their_encode(to_buffered(content), "jpg")
+        d = np.abs(decode_jpeg(jpg).astype(np.int16) - their_decode(jpg))
+        assert int(d.max()) <= 4 and float(d.mean()) <= 1.0
