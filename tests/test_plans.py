@@ -406,3 +406,39 @@ def test_stream_index_collisions_plan_is_stateless(spark):
     # build side, which is static
     left = plan.split("LeftSemi")[0]
     assert "HashAggregate" not in left.split("Generate")[0]
+
+
+def test_incremental_probe_against_bucketed_index_skips_corpus_shuffle(spark, tmp_path):
+    """The production posture for incremental dedup at 100 TB: the LSH
+    band index is PERSISTED bucketed on ``band`` (plans/layout), so a
+    daily batch's probe join re-shuffles only the batch — the corpus
+    index is read straight out of its buckets with no Exchange above
+    its scan."""
+    from deepcell_data_engineering_spark.functions.dedup import (
+        incremental_lsh_candidates,
+        lsh_band_index,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    old = docs.where(F.col("doc_id") % 4 != 0)
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    bands = [["h0", "h1", "h2"], ["h3", "h4", "h5"]]
+    index = lsh_band_index(minhash_signatures(old, num_hashes=6, k=5), bands=bands)
+    layout.write_bucketed(
+        index, "lsh_index_bucketed", ["band"], n_buckets=8,
+        path=str(tmp_path / "lsh_index"),
+    )
+    bucketed = layout.read_bucketed(spark, "lsh_index_bucketed")
+    pairs = incremental_lsh_candidates(
+        bucketed, minhash_signatures(new, num_hashes=6, k=5), bands=bands
+    )
+    plan = pi.executed_plan(pairs)
+    # the bucketed scan advertises its bucket spec and no exchange feeds it
+    assert "Bucketed: true" in plan
+    # parity with the unbucketed probe
+    unbucketed = incremental_lsh_candidates(
+        index, minhash_signatures(new, num_hashes=6, k=5), bands=bands
+    )
+    assert sorted(map(tuple, pairs.collect())) == sorted(map(tuple, unbucketed.collect()))
+    spark.sql("DROP TABLE IF EXISTS lsh_index_bucketed")
