@@ -93,3 +93,20 @@ def write_corpus_partitioned(
 
 def read_corpus_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "doc") -> None:
+    """Spark 4's built-in XML sink (one <rowTag> element per row) — the
+    interchange format crawl dumps and legacy feeds actually arrive in.
+    Files per task, same as the other writers."""
+    df.write.mode("overwrite").format("xml").option("rowTag", row_tag).save(path)
+
+
+def read_xml(
+    spark: SparkSession, path: str, row_tag: str = "doc", schema=None
+) -> DataFrame:
+    """Read XML with the documents schema by default; Spark's native XML
+    reader (4.0+) parses inside the executors — no driver-side DOM."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    r = r.schema(schema if schema is not None else DOCUMENTS_SCHEMA)
+    return r.load(path)

@@ -251,3 +251,15 @@ def test_decode_media_multipage_tiff_maps_pages_to_frames():
     out = decode_media("tiff", encode_tiff_stack(stack), None)
     assert out.shape == (3, 4, 5, 1) and out.dtype == np.float32
     np.testing.assert_array_equal(out[..., 0], stack.astype(np.float32))
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """Spark 4 native XML interchange: documents round-trip through one
+    <doc> element per row with the declared schema."""
+    from deepcell_data_engineering_spark.sources.corpus import read_xml, write_xml
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    p = str(tmp_path / "docs_xml")
+    write_xml(docs, p)
+    back = read_xml(spark, p)
+    assert sorted(map(tuple, docs.collect())) == sorted(map(tuple, back.collect()))
