@@ -54,9 +54,7 @@ _CHECK_FIRST = [
     "x46_df_heavy_hitters", "x47_bigram_pmi", "x48_inverted_index",
     "x49_source_overlap", "x50_ann_recall",
     "x51_cluster_representatives", "x52_mixture_plan",
-    "x53_incremental_lsh", "x54_stream_screen",
-    # padding to 50 with a cheap round-4-green row
-    "d03_natural_sort",
+    "x53_incremental_lsh", "x54_stream_screen", "x55_variant_extract",
 ]
 
 

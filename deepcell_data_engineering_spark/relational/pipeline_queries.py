@@ -2429,3 +2429,37 @@ def x54(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_id", "band")
     )
+
+
+@_q(
+    "x55_variant_extract",
+    """SELECT event_type,
+              COUNT(*) AS n,
+              MIN(json_extract_string(props, '$.k')::BIGINT) AS k_min,
+              MAX(json_extract_string(props, '$.k')::BIGINT) AS k_max,
+              ROUND(AVG(json_extract_string(props, '$.k')::BIGINT), 4) AS k_avg
+       FROM events
+       GROUP BY event_type
+       ORDER BY event_type""",
+    doc="Semi-structured VARIANT path (Spark 4): events.props parses "
+    "ONCE into the binary variant encoding (parse_json) and typed "
+    "fields come out with try_variant_get — the engine-native "
+    "replacement for re-parsing JSON text per get_json_object call "
+    "(x15's pattern); at 100 TB the parse-once encoding is the "
+    "difference between one scan-side decode and N of them. Oracle "
+    "reads the same values through DuckDB's JSON extraction.",
+)
+def x55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.round(F.avg("k"), 4).alias("k_avg"),
+        )
+        .orderBy("event_type")
+    )
