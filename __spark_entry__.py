@@ -48,13 +48,14 @@ _CHECK_FIRST = [
     "d41_moment_stats", "d42_snapshot_diff", "d43_quantiles",
     "d44_null_semantics", "d45_share_of_total", "d46_try_cast",
     "d47_incremental_agg", "d48_apply_changes", "d49_revenue_rollup",
-    "x01_token_stats", "x02_quality_features", "x03_lang_id",
+    "x02_quality_features", "x03_lang_id",
     "x04_exact_dedup", "x05_minhash_signatures",
     # round-5 additions: first driver verdict this round
     "x46_df_heavy_hitters", "x47_bigram_pmi", "x48_inverted_index",
     "x49_source_overlap", "x50_ann_recall",
     "x51_cluster_representatives", "x52_mixture_plan",
     "x53_incremental_lsh", "x54_stream_screen", "x55_variant_extract",
+    "x56_dup_ngram_coverage",
 ]
 
 

@@ -2463,3 +2463,69 @@ def x55(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _x56_oracle(n: int = 13) -> str:
+    parts = " || ' ' || ".join(
+        f"unnest(arr[{k}:len(arr)-{n - k}])" for k in range(1, n + 1)
+    )
+    return f"""WITH d AS (
+         SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+         FROM documents
+       ),
+       w AS (SELECT doc_id, {parts} AS win FROM d WHERE len(arr) >= {n}),
+       df AS (SELECT win, COUNT(DISTINCT doc_id) AS ndocs FROM w GROUP BY win),
+       per AS (
+         SELECT w.doc_id,
+                COUNT(*) AS n_windows,
+                SUM((df.ndocs > 1)::INT)::BIGINT AS n_dup
+         FROM w JOIN df ON w.win = df.win GROUP BY w.doc_id
+       )
+       SELECT doc_id, n_windows, n_dup,
+              ROUND(n_dup / n_windows, 4) AS dup_frac
+       FROM per ORDER BY doc_id"""
+
+
+@_q(
+    "x56_dup_ngram_coverage",
+    _x56_oracle(13),
+    doc="Cross-document duplicated-substring coverage (the Lee et al. "
+    "2022 'Deduplicating Training Data Makes Language Models Better' "
+    "memorization-risk metric at fixed n): per document, the fraction "
+    "of its 13-token windows that appear verbatim in ANY other "
+    "document. Windows come from a per-row generator (transform over "
+    "sequence + slice + array_join — no self-join to build them); the "
+    "per-window distinct-doc count is a collect_set size over ONE "
+    "window partition by the n-gram, so the whole metric costs two "
+    "shuffles (window key, then doc rollup) regardless of corpus size. "
+    "Documents scoring high here are what x53's incremental dedup "
+    "quarantines.",
+)
+def x56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = 13
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(arr, i, n), " "),
+    )
+    w = (
+        docs.where(F.size(arr) >= n)
+        .select("doc_id", F.explode(wins).alias("win"))
+    )
+    ndocs = F.size(F.collect_set("doc_id").over(Window.partitionBy("win")))
+    per = (
+        w.withColumn("ndocs", ndocs)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("ndocs") > 1).cast("long")).alias("n_dup"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_windows",
+        "n_dup",
+        F.round(F.col("n_dup") / F.col("n_windows"), 4).alias("dup_frac"),
+    ).orderBy("doc_id")
