@@ -2529,3 +2529,36 @@ def x56(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dup",
         F.round(F.col("n_dup") / F.col("n_windows"), 4).alias("dup_frac"),
     ).orderBy("doc_id")
+
+
+@_q(
+    "x57_sketch_topk",
+    r"""WITH tok AS (
+         SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+         FROM documents
+       ),
+       c AS (
+         SELECT term, COUNT(*) AS count_min FROM tok
+         WHERE term <> '' GROUP BY term
+       ),
+       ranked AS (
+         SELECT term, count_min, count_min AS count_max,
+                ROW_NUMBER() OVER (ORDER BY count_min DESC, term) AS rank
+         FROM c
+       )
+       SELECT term, count_min, count_max, rank
+       FROM ranked WHERE rank <= 15 ORDER BY rank""",
+    doc="Bounded-memory heavy hitters (functions/sketch.py): Misra-"
+    "Gries summaries folded per partition in one Arrow pass, merged "
+    "with an explicit global error bound D (count_max - count_min) — "
+    "the open-vocabulary answer where x46's exact aggregation state "
+    "would be unbounded. Registered with capacity >= the vocabulary so "
+    "the sketch provably never decrements (D = 0, exact, hash-"
+    "checkable); the tight-capacity bounds and heavy-hitter guarantee "
+    "are pinned in tests/test_sketch.py.",
+)
+def x57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.sketch import misra_gries_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return misra_gries_topk(tx.tokens(docs), k=15, capacity=100_000).orderBy("rank")
