@@ -104,3 +104,109 @@ def misra_gries_topk(
             F.row_number().over(Window.orderBy(F.desc("count_min"), "term")),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: mergeable distinct-count registers
+# ---------------------------------------------------------------------------
+#
+# approx_count_distinct answers "how many distinct NOW" but its sketch
+# lives and dies inside one aggregation — it cannot be persisted, merged
+# with last week's run, or updated incrementally. These helpers expose
+# the HLL REGISTER TABLE itself as a first-class DataFrame:
+#
+#   registers = hll_registers(tokens, "term", ["lang"])     # the state
+#   hll_merge(registers_old, registers_new, ["lang"])       # union corpora
+#   hll_estimate(registers, ["lang"])                       # the answer
+#
+# (group, bucket) -> max(rho) is a plain grouped max — deterministic,
+# idempotent, and associative, so the register table composes exactly
+# like the LSH band index (x53): persist it per ingest batch, merge by
+# grouped max, estimate any time. m = 2^p registers per group bound the
+# state (p=12 -> 4 KiB/group) no matter how many distinct values exist.
+#
+# The hash is the engine-portable md5-60bit used by the MinHash family
+# (identical in Spark and DuckDB — the property that lets x59 be oracle-
+# checked end-to-end): bucket = top p bits, rho = leading-zero count of
+# the remaining 60-p bits + 1, computed EXACTLY via length(bin(w)) — no
+# float log2 at the rounding boundary. The estimator is the classic
+# bias-corrected alpha_m * m^2 / sum(2^-rho) with the linear-counting
+# small-range correction; the 2^-rho sum is carried as an exact integer
+# (scaled by 2^(61-p), which cannot overflow: m * 2^(61-p) = 2^61) so
+# the estimate is partition-order independent — one float division at
+# the end instead of a float sum per register.
+
+
+def hll_registers(
+    df: DataFrame, value_col: str, group_cols: list[str] | tuple[str, ...] = (),
+    p: int = 12,
+) -> DataFrame:
+    """Per-group HLL register table: (group..., bucket, r) with one row
+    per non-empty register. Mergeable by grouped max (hll_merge)."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    wbits = 60 - p
+    h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    w = h.bitwiseAND(F.lit((1 << wbits) - 1))
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits) - F.length(F.bin(w)) + 1
+    )
+    return (
+        df.groupBy(*group_cols, F.shiftright(h, wbits).alias("bucket"))
+        .agg(F.max(rho).alias("r"))
+    )
+
+
+def hll_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str] | tuple[str, ...] = ()
+) -> DataFrame:
+    """Union two register tables: register-wise max. hll_merge(A, B) is
+    exactly hll_registers(A_rows UNION B_rows) — pinned in tests — so
+    incremental maintenance never re-reads old data."""
+    return (
+        a.unionByName(b).groupBy(*group_cols, "bucket").agg(F.max("r").alias("r"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str] | tuple[str, ...] = (),
+    p: int = 12,
+) -> DataFrame:
+    """Distinct-count estimate per group from a register table:
+    (group..., present, zeros, est). ``est`` is the raw double (callers
+    round); typical error ~1.04/sqrt(2^p) (~1.6% at p=12)."""
+    m = 1 << p
+    s = 60 - p + 1  # max rho; scaled terms 2^(s-r) stay integral
+    md = f"{float(m)!r}D"
+    pow2s_d = f"{float(1 << s)!r}D"
+    est_raw = (
+        f"0.7213D / (1.0D + 1.079D / {md}) * {md} * {md} * {pow2s_d} "
+        f"/ CAST(sum_total AS DOUBLE)"
+    )
+    return (
+        registers.groupBy(*group_cols)
+        .agg(
+            F.expr(f"sum(shiftleft(1L, {s} - r))").alias("sum_scaled"),
+            F.count(F.lit(1)).alias("present"),
+        )
+        .withColumn(
+            "sum_total",
+            F.expr(
+                f"sum_scaled + (CAST({m} AS BIGINT) - present) "
+                f"* CAST({1 << s} AS BIGINT)"
+            ),
+        )
+        .withColumn("zeros", F.expr(f"{m} - present"))
+        .withColumn("est_raw", F.expr(est_raw))
+        .withColumn(
+            "est",
+            F.expr(
+                f"CASE WHEN est_raw <= 2.5D * {md} AND zeros > 0 "
+                f"THEN {md} * ln({md} / CAST(zeros AS DOUBLE)) "
+                f"ELSE est_raw END"
+            ),
+        )
+        .drop("sum_scaled", "sum_total", "est_raw")
+    )

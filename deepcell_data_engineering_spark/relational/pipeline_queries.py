@@ -2562,3 +2562,150 @@ def x57(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return misra_gries_topk(tx.tokens(docs), k=15, capacity=100_000).orderBy("rank")
+
+
+@_q(
+    "x59_hll_distinct",
+    r"""WITH tok AS (
+         SELECT lang,
+                unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+         FROM documents
+       ),
+       h AS (
+         SELECT lang, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+         FROM tok WHERE term <> ''
+       ),
+       br AS (
+         SELECT lang, h >> 48 AS bucket,
+                CASE WHEN (h & 281474976710655) = 0 THEN 49
+                     ELSE 48 - length(bin(h & 281474976710655)) + 1 END AS r0
+         FROM h
+       ),
+       reg AS (SELECT lang, bucket, MAX(r0) AS r FROM br GROUP BY lang, bucket),
+       agg AS (
+         SELECT lang,
+                CAST(SUM(1::BIGINT << (49 - r)) AS BIGINT) AS sum_scaled,
+                COUNT(*) AS present
+         FROM reg GROUP BY lang
+       ),
+       e2 AS (
+         SELECT lang, present,
+                sum_scaled + (CAST(4096 AS BIGINT) - present)
+                    * CAST(562949953421312 AS BIGINT) AS sum_total,
+                4096 - present AS zeros
+         FROM agg
+       ),
+       e3 AS (
+         SELECT lang, zeros,
+                0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 4096.0::DOUBLE)
+                    * 4096.0::DOUBLE * 4096.0::DOUBLE
+                    * 562949953421312.0::DOUBLE
+                    / sum_total::DOUBLE AS est_raw
+         FROM e2
+       ),
+       fin AS (
+         SELECT lang,
+                CASE WHEN est_raw <= 2.5::DOUBLE * 4096.0::DOUBLE AND zeros > 0
+                     THEN 4096.0::DOUBLE * ln(4096.0::DOUBLE / zeros::DOUBLE)
+                     ELSE est_raw END AS est
+         FROM e3
+       ),
+       ex AS (
+         SELECT lang, COUNT(DISTINCT term) AS exact_distinct
+         FROM tok WHERE term <> '' GROUP BY lang
+       )
+       SELECT f.lang,
+              ROUND(f.est + 0.0, 2) AS est_distinct,
+              ex.exact_distinct,
+              ROUND(ABS(f.est - exact_distinct) / exact_distinct * 100 + 0.0, 2)
+                  AS rel_err_pct
+       FROM fin f JOIN ex USING (lang) ORDER BY f.lang""",
+    doc="Mergeable HyperLogLog registers (functions/sketch.py): per-"
+    "language distinct-token estimate from a PERSISTABLE (group, bucket, "
+    "max-rho) register table — the incremental complement of d35's "
+    "approx_count_distinct, whose sketch cannot outlive its aggregation. "
+    "md5-60bit hashing makes registers engine-portable (the oracle "
+    "rebuilds them in SQL and the hash check certifies bucket/rho/"
+    "estimator parity); the 2^-rho sum is carried as an exact scaled "
+    "integer so the estimate is partition-order independent. Exact "
+    "distinct + relative error reported alongside — the estimator's own "
+    "calibration row, the x45 pattern.",
+)
+def x59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    est = hll_estimate(hll_registers(toks, "term", ["lang"], p=12), ["lang"], p=12)
+    exact = toks.groupBy("lang").agg(
+        F.count_distinct("term").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "lang")
+        .select(
+            "lang",
+            F.round(F.col("est") + F.lit(0.0), 2).alias("est_distinct"),
+            "exact_distinct",
+            F.round(
+                F.abs(F.col("est") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+                * 100
+                + F.lit(0.0),
+                2,
+            ).alias("rel_err_pct"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_q(
+    "x58_bloom_pruned_join",
+    """SELECT l_returnflag,
+              COUNT(*) AS n_items,
+              CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS qty_c2,
+              CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+                   AS BIGINT) AS rev_c4
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       WHERE o_orderpriority = '1-URGENT'
+       GROUP BY l_returnflag
+       ORDER BY l_returnflag""",
+    doc="Bloom-pruned fact⋈dim join (plans/bloom.py): the urgent-order "
+    "key set becomes a broadcast bitset and lineitem rows that cannot "
+    "match drop BEFORE the join's exchange — the shuffled volume is the "
+    "survivors, not the fact table. False positives are removed by the "
+    "exact join that follows, so the oracle is the PLAIN join: the "
+    "pruning must be semantically invisible, which is exactly what the "
+    "hash check certifies. Revenue/quantity carried as exact integer "
+    "cents (the d49 convention) for partitioning-independent sums.",
+)
+def x58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.plans.bloom import bloom_pruned_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    joined = bloom_pruned_join(
+        li, urgent, "l_orderkey", "o_orderkey", n_bits=1 << 17, n_hashes=5
+    )
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.round(F.col("l_quantity") * 100, 0).cast("bigint")).alias("qty_c2"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("bigint"))
+            ).alias("rev_c4"),
+        )
+        .orderBy("l_returnflag")
+    )

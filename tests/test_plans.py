@@ -442,3 +442,53 @@ def test_incremental_probe_against_bucketed_index_skips_corpus_shuffle(spark, tm
     )
     assert sorted(map(tuple, pairs.collect())) == sorted(map(tuple, unbucketed.collect()))
     spark.sql("DROP TABLE IF EXISTS lsh_index_bucketed")
+
+
+def test_bloom_prune_equals_plain_join_and_sits_under_exchange(spark):
+    from deepcell_data_engineering_spark.plans import bloom
+
+    li = load_table(spark, SF, "lineitem")
+    urgent = load_table(spark, SF, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    joined = bloom.bloom_pruned_join(
+        li, urgent, "l_orderkey", "o_orderkey", n_bits=1 << 14, n_hashes=5
+    )
+    plain = li.join(urgent, li.l_orderkey == urgent.o_orderkey)
+    # semantic invisibility: pruning + exact join == plain join
+    assert joined.count() == plain.count()
+    # the probe is row-local: the bitset arrives by broadcast (1-row
+    # nested-loop), and the membership forall appears as a Filter in the
+    # plan — not a UDF, not a shuffle
+    plan = pi.executed_plan(joined)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "forall" in plan and "pythonUDF" not in plan.lower()
+
+
+def test_bloom_has_no_false_negatives_and_bounded_false_positives(spark):
+    from deepcell_data_engineering_spark.plans import bloom
+
+    li = load_table(spark, SF, "lineitem")
+    keys = load_table(spark, SF, "orders").where(F.col("o_orderkey") % 10 == 3)
+    bitset = bloom.bloom_build(keys.select("o_orderkey"), "o_orderkey", 1 << 13, 5)
+    kept = bloom.bloom_prune(li, "l_orderkey", bitset, 1 << 13, 5)
+    true_matches = li.join(
+        keys, li.l_orderkey == keys.o_orderkey, "left_semi"
+    )
+    n_kept, n_true, n_total = kept.count(), true_matches.count(), li.count()
+    # no false negative: every true match survives the prune
+    assert n_kept >= n_true
+    assert kept.join(keys, kept.l_orderkey == keys.o_orderkey, "left_semi").count() == n_true
+    # the prune actually prunes (selectivity << 1) with bounded slack
+    assert n_kept < n_total * 0.5
+
+
+def test_bloom_build_rejects_unaligned_and_bad_join_type(spark):
+    from deepcell_data_engineering_spark.plans import bloom
+
+    keys = load_table(spark, SF, "orders").select("o_orderkey")
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom.bloom_build(keys, "o_orderkey", n_bits=100)
+    li = load_table(spark, SF, "lineitem")
+    with pytest.raises(ValueError, match="inner/semi"):
+        bloom.bloom_pruned_join(li, keys, "l_orderkey", "o_orderkey", how="left")

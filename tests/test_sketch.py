@@ -66,3 +66,63 @@ def test_fixed_state_per_partition(spark):
     ).repartition(4)
     out = misra_gries_topk(df, k=5, capacity=16)
     assert len(out.collect()) == 5
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers
+# ---------------------------------------------------------------------------
+
+from deepcell_data_engineering_spark.functions.sketch import (  # noqa: E402
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+
+def _vals(spark, lo, hi, group="g"):
+    return spark.range(lo, hi).select(
+        F.lit(group).alias("g"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+
+
+def test_hll_estimate_within_expected_error(spark):
+    n = 20_000
+    df = _vals(spark, 0, n).repartition(8)
+    est = hll_estimate(hll_registers(df, "v", ["g"], p=12), ["g"], p=12).collect()[0]
+    # p=12 -> sigma ~1.6%; 5 sigma guard band
+    assert abs(est["est"] - n) / n < 0.08
+    assert est["present"] + est["zeros"] == 4096
+
+
+def test_hll_merge_equals_rebuild_and_is_idempotent(spark):
+    a = _vals(spark, 0, 5_000)
+    b = _vals(spark, 3_000, 9_000)  # overlapping ranges
+    ra = hll_registers(a, "v", ["g"], p=10)
+    rb = hll_registers(b, "v", ["g"], p=10)
+    merged = hll_merge(ra, rb, ["g"])
+    rebuilt = hll_registers(a.unionByName(b), "v", ["g"], p=10)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, rebuilt.collect()))
+    # idempotent: merging a table with itself is a no-op
+    twice = hll_merge(ra, ra, ["g"])
+    assert sorted(map(tuple, twice.collect())) == sorted(map(tuple, ra.collect()))
+
+
+def test_hll_registers_are_partition_invariant(spark):
+    df = _vals(spark, 0, 4_000)
+    r1 = hll_registers(df.repartition(1), "v", ["g"], p=11)
+    r8 = hll_registers(df.repartition(8), "v", ["g"], p=11)
+    assert sorted(map(tuple, r1.collect())) == sorted(map(tuple, r8.collect()))
+
+
+def test_hll_linear_counting_branch_small_cardinality(spark):
+    df = _vals(spark, 0, 50)
+    est = hll_estimate(hll_registers(df, "v", ["g"], p=12), ["g"], p=12).collect()[0]
+    # 50 distinct over 4096 buckets: linear counting, very tight
+    assert abs(est["est"] - 50) < 5
+    assert est["zeros"] > 0
+
+
+def test_hll_rejects_bad_precision(spark):
+    df = _vals(spark, 0, 10)
+    with pytest.raises(ValueError, match=r"p must be in"):
+        hll_registers(df, "v", ["g"], p=3)
