@@ -60,3 +60,41 @@ def stratified_hash_sample(
             F.col(strata_col) == stratum, F.lit(threshold(frac))
         ).otherwise(thr)
     return df.where(hash_bucket(F.col(key_col), seed) < thr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: Column,
+    weight_col: str,
+    k: int,
+    strata: list[str] | tuple[str, ...] = (),
+    seed: str = "w0",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Weighted sampling without replacement, k rows per stratum
+    (Efraimidis–Spirakis A-ES): each row draws u = deterministic
+    uniform(0,1] from (seed, key) and the k largest u^(1/weight) win —
+    inclusion probability proportional to weight, exactly the
+    reservoir-free formulation that distributes as a plain top-k window.
+
+    The same determinism contract as hash_sample: the draw is a pure
+    function of (seed, key), so a document keeps its fate across runs,
+    engines, and corpus growth — and the oracle can replay the draw in
+    SQL (x61). Typical use: sample documents proportional to token
+    count when planning a training mix (a 10k-token doc should be 10x
+    likelier than a 1k-token one), per language.
+
+    Rows with weight <= 0 are excluded (their inclusion probability is
+    zero, and pow(u, 1/w) is undefined at w = 0)."""
+    from pyspark.sql import Window
+
+    u = (hash_bucket(key, seed) + F.lit(1).cast("double")) / F.lit(HASH_SPACE).cast(
+        "double"
+    )
+    skey = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    w = Window.partitionBy(*strata).orderBy(skey.desc(), key)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+    )

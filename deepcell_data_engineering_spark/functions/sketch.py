@@ -210,3 +210,178 @@ def hll_estimate(
         )
         .drop("sum_scaled", "sum_total", "est_raw")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable point-frequency counters
+# ---------------------------------------------------------------------------
+#
+# The third leg of the mergeable-sketch triad: Misra-Gries answers
+# "what are the top terms" under fixed memory, HLL answers "how many
+# distinct", Count-Min answers "how often does THIS key occur" for any
+# key, from depth x width counters regardless of vocabulary size.
+# est(key) = min_j counter[j][h_j(key)] >= true count always (hash
+# collisions only ADD), and exceeds it by more than 2N/width with
+# probability < (1/2)^depth.
+#
+# Like the HLL registers, the counter table is a plain DataFrame
+# ((j, bucket, c), at most depth*width rows) maintained by grouped SUM —
+# deterministic, associative, mergeable across ingest batches without
+# re-reading old data, and engine-portable through the md5-28bit bucket
+# hash (cms_merge == rebuild and the x62 oracle dual pin both).
+
+
+def _cms_bucket(value: F.Column, j: F.Column, width: int) -> F.Column:
+    digest = F.md5(F.concat(F.lit("cms"), j.cast("string"), F.lit(":"), value))
+    return F.pmod(F.conv(F.substring(digest, 1, 7), 16, 10).cast("long"), width)
+
+
+def cms_build(
+    df: DataFrame, value_col: str, width: int = 4096, depth: int = 4
+) -> DataFrame:
+    """Count-Min counter table (j, bucket, c) of df[value_col]: one
+    explode(depth) fan-out + one grouped count. At most depth*width
+    rows whatever the cardinality."""
+    if width < 2 or depth < 1:
+        raise ValueError(f"need width >= 2 and depth >= 1, got {width}x{depth}")
+    j = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+    return (
+        df.select(F.col(value_col).alias("_v"), j)
+        .groupBy("j", _cms_bucket(F.col("_v"), F.col("j"), width).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Counter-wise sum: cms_merge(build(A), build(B)) == build(A u B)
+    exactly (pinned in tests) — incremental frequency state."""
+    return a.unionByName(b).groupBy("j", "bucket").agg(F.sum("c").alias("c"))
+
+
+def cms_lookup(
+    cms: DataFrame,
+    keys: DataFrame,
+    value_col: str,
+    width: int = 4096,
+    depth: int = 4,
+    est_col: str = "est_count",
+) -> DataFrame:
+    """Point-frequency estimates for every row of ``keys``: joins each
+    key's depth buckets against the counter table and takes the min.
+    The counter table is depth*width rows — always broadcastable — so
+    the lookup costs one broadcast hash join + one grouped min, no
+    shuffle of the counter state."""
+    j = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+    probes = keys.select("*", j).withColumn(
+        "bucket", _cms_bucket(F.col(value_col), F.col("j"), width)
+    )
+    hit = probes.join(F.broadcast(cms), ["j", "bucket"], "left")
+    return (
+        hit.groupBy(*keys.columns)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias(est_col))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log-histogram: mergeable quantile registers with guaranteed bounds
+# ---------------------------------------------------------------------------
+#
+# The quantile leg of the sketch family (top-k: Misra-Gries, distinct:
+# HLL, frequency: CMS). Exact percentiles (d43) buffer a group's values;
+# this sketch keeps one counter per LOG-SCALE BIN — bins split each
+# octave [2^k, 2^(k+1)) into 4 sub-ranges, so ~4*log2(max) counters
+# cover any non-negative integer domain (~250 rows for the full bigint
+# range) and the state merges by grouped SUM across batches.
+#
+# Everything is EXACT integer arithmetic (bin id from length(bin(x)) and
+# two bits below the leading bit — no float log), so registers are
+# deterministic, partition-invariant, and engine-portable; the x63
+# oracle rebuilds binning, cumulation, and bounds in SQL. The quantile
+# answer is an INTERVAL [lo, hi] with the hard guarantee that the exact
+# q-quantile value lies inside (the q-th smallest value is in the first
+# bin whose cumulative count reaches ceil(q*n)); the bin's relative
+# width is 2^(ceil(log2 x) - 2), i.e. the answer is tight to ~+-12%,
+# and values < 4 get exact singleton bins.
+
+
+def _hist_bin_expr(x: str) -> str:
+    """Spark/portable SQL for the log-histogram bin id of non-negative
+    bigint column ``x``: x itself below 4, else (nbits << 2) | (the two
+    bits after the leading bit). Monotone in x."""
+    nb = f"length(bin({x}))"
+    return (
+        f"CASE WHEN {x} < 4 THEN {x} "
+        f"ELSE shiftleft({nb}, 2) | (shiftright({x}, {nb} - 3) & 3) END"
+    )
+
+
+_HIST_LO = (
+    "CASE WHEN bin_id < 4 THEN bin_id "
+    "ELSE shiftleft(cast(4 + (bin_id & 3) as bigint), "
+    "cast(shiftright(bin_id, 2) as int) - 3) END"
+)
+_HIST_HI = (
+    "CASE WHEN bin_id < 4 THEN bin_id "
+    "ELSE shiftleft(cast(4 + (bin_id & 3) as bigint), "
+    "cast(shiftright(bin_id, 2) as int) - 3) "
+    "+ shiftleft(1L, cast(shiftright(bin_id, 2) as int) - 3) - 1 END"
+)
+
+
+def hist_registers(
+    df: DataFrame, value_col: str, group_cols: list[str] | tuple[str, ...] = ()
+) -> DataFrame:
+    """Per-group log-histogram register table (group..., bin_id, c) for
+    a non-negative integer column. Mergeable by grouped sum."""
+    return (
+        df.where(F.col(value_col) >= 0)
+        .groupBy(*group_cols, F.expr(_hist_bin_expr(value_col)).alias("bin_id"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def hist_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str] | tuple[str, ...] = ()
+) -> DataFrame:
+    """Counter-wise sum: merge == rebuild exactly (pinned in tests)."""
+    return a.unionByName(b).groupBy(*group_cols, "bin_id").agg(
+        F.sum("c").alias("c")
+    )
+
+
+def hist_quantiles(
+    registers: DataFrame,
+    group_cols: list[str] | tuple[str, ...],
+    qs: list[float],
+) -> DataFrame:
+    """Quantile INTERVALS from a register table: for each group and q,
+    (group..., q, lo, hi, n) where [lo, hi] is the bin containing the
+    exact q-th smallest value (percentile_disc semantics: the value at
+    row ceil(q*n)). The containment lo <= exact <= hi is a hard
+    guarantee, not an expectation. Register tables are tiny (< 4 *
+    log2(max) rows per group), so the cumulative window and the
+    range join below cost nothing at any data scale."""
+    gc = list(group_cols)
+    cum_w = Window.partitionBy(*gc).orderBy("bin_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = registers.withColumn("cum", F.sum("c").over(cum_w))
+    tot = registers.groupBy(*gc).agg(F.sum("c").alias("n"))
+    ks = tot.select(
+        *gc,
+        "n",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    ).withColumn("k", F.ceil(F.col("q") * F.col("n")).cast("bigint"))
+    pick = (
+        ks.join(cum, gc)
+        .where(F.col("cum") >= F.col("k"))
+        .groupBy(*gc, "q", "n")
+        .agg(F.min("bin_id").alias("bin_id"))
+    )
+    return pick.select(
+        *gc,
+        "q",
+        F.expr(_HIST_LO).alias("lo"),
+        F.expr(_HIST_HI).alias("hi"),
+        "n",
+    )

@@ -2565,6 +2565,418 @@ def x57(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "x64_hll_set_algebra",
+    r"""WITH tok AS (
+         SELECT source,
+                unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+         FROM documents
+       ),
+       h AS (
+         SELECT source, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+         FROM tok WHERE term <> ''
+       ),
+       br AS (
+         SELECT source, h >> 48 AS bucket,
+                CASE WHEN (h & 281474976710655) = 0 THEN 49
+                     ELSE 48 - length(bin(h & 281474976710655)) + 1 END AS r0
+         FROM h
+       ),
+       reg AS (SELECT source, bucket, MAX(r0) AS r FROM br
+               GROUP BY source, bucket),
+       pairs AS (
+         SELECT a.source AS src_a, b.source AS src_b
+         FROM (SELECT DISTINCT source FROM reg) a
+         JOIN (SELECT DISTINCT source FROM reg) b ON a.source < b.source
+       ),
+       ureg AS (
+         SELECT p.src_a, p.src_b, reg.bucket, MAX(reg.r) AS r
+         FROM pairs p
+         JOIN reg ON reg.source = p.src_a OR reg.source = p.src_b
+         GROUP BY p.src_a, p.src_b, reg.bucket
+       ),
+       est_one AS (
+         SELECT source, zeros,
+                CASE WHEN est_raw <= 2.5::DOUBLE * 4096.0::DOUBLE AND zeros > 0
+                     THEN 4096.0::DOUBLE * ln(4096.0::DOUBLE / zeros::DOUBLE)
+                     ELSE est_raw END AS est
+         FROM (
+           SELECT source, 4096 - COUNT(*) AS zeros,
+                  0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 4096.0::DOUBLE)
+                      * 4096.0::DOUBLE * 4096.0::DOUBLE
+                      * 562949953421312.0::DOUBLE
+                      / (CAST(SUM(1::BIGINT << (49 - r)) AS BIGINT)
+                         + (CAST(4096 AS BIGINT) - COUNT(*))
+                           * CAST(562949953421312 AS BIGINT))::DOUBLE AS est_raw
+           FROM reg GROUP BY source
+         )
+       ),
+       est_u AS (
+         SELECT src_a, src_b, zeros,
+                CASE WHEN est_raw <= 2.5::DOUBLE * 4096.0::DOUBLE AND zeros > 0
+                     THEN 4096.0::DOUBLE * ln(4096.0::DOUBLE / zeros::DOUBLE)
+                     ELSE est_raw END AS est_union
+         FROM (
+           SELECT src_a, src_b, 4096 - COUNT(*) AS zeros,
+                  0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 4096.0::DOUBLE)
+                      * 4096.0::DOUBLE * 4096.0::DOUBLE
+                      * 562949953421312.0::DOUBLE
+                      / (CAST(SUM(1::BIGINT << (49 - r)) AS BIGINT)
+                         + (CAST(4096 AS BIGINT) - COUNT(*))
+                           * CAST(562949953421312 AS BIGINT))::DOUBLE AS est_raw
+           FROM ureg GROUP BY src_a, src_b
+         )
+       )
+       SELECT u.src_a, u.src_b,
+              ROUND(ea.est + 0.0, 2) AS est_a,
+              ROUND(eb.est + 0.0, 2) AS est_b,
+              ROUND(u.est_union + 0.0, 2) AS est_union,
+              ROUND(ea.est + eb.est - u.est_union + 0.0, 2) AS est_intersection
+       FROM est_u u
+       JOIN est_one ea ON ea.source = u.src_a
+       JOIN est_one eb ON eb.source = u.src_b
+       ORDER BY u.src_a, u.src_b""",
+    doc="Set algebra on persisted HLL state (functions/sketch.py): for "
+    "every source pair, |A|, |B|, |A∪B| from hll_merge of the two "
+    "sources' register tables, and |A∩B| by inclusion–exclusion — "
+    "distinct-vocabulary overlap between corpus sources WITHOUT ever "
+    "joining the corpora (the registers are 4 KiB/source; the corpora "
+    "are the 100 TB). This is the payoff of registers being data, not "
+    "an opaque aggregate: union is a grouped max, so any lattice of "
+    "sources/batches composes. The oracle rebuilds registers, merge, "
+    "and both estimators in SQL.",
+)
+def x64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    reg = hll_registers(toks, "term", ["source"], p=12)
+    srcs = reg.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+    )
+    # union registers per pair: attach each source's registers to every
+    # pair it belongs to, then grouped max — hll_merge generalized to a
+    # pair lattice. The join fan-out is bounded by the source count.
+    ureg = (
+        pairs.join(
+            reg,
+            (F.col("source") == F.col("src_a")) | (F.col("source") == F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    one = hll_estimate(reg, ["source"], p=12).select("source", "est")
+    uni = hll_estimate(ureg, ["src_a", "src_b"], p=12).select(
+        "src_a", "src_b", F.col("est").alias("est_union")
+    )
+    return (
+        uni.join(one.select(F.col("source").alias("src_a"), F.col("est").alias("ea")), "src_a")
+        .join(one.select(F.col("source").alias("src_b"), F.col("est").alias("eb")), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.round(F.col("ea") + F.lit(0.0), 2).alias("est_a"),
+            F.round(F.col("eb") + F.lit(0.0), 2).alias("est_b"),
+            F.round(F.col("est_union") + F.lit(0.0), 2).alias("est_union"),
+            F.round(
+                F.col("ea") + F.col("eb") - F.col("est_union") + F.lit(0.0), 2
+            ).alias("est_intersection"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+@_q(
+    "x63_hist_quantiles",
+    """WITH v AS (
+         SELECT l_returnflag AS g,
+                CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS x
+         FROM lineitem
+       ),
+       b AS (
+         SELECT g, x,
+                CASE WHEN x < 4 THEN x
+                     ELSE (length(bin(x)) << 2)
+                          | ((x >> (length(bin(x)) - 3)) & 3) END AS bin_id
+         FROM v
+       ),
+       reg AS (SELECT g, bin_id, COUNT(*) AS c FROM b GROUP BY g, bin_id),
+       tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM reg GROUP BY g),
+       cum AS (
+         SELECT g, bin_id,
+                CAST(SUM(c) OVER (PARTITION BY g ORDER BY bin_id) AS BIGINT)
+                    AS cum
+         FROM reg
+       ),
+       qq AS (SELECT CAST(q AS DOUBLE) AS q
+              FROM (VALUES (0.5), (0.9), (0.99)) AS t(q)),
+       ks AS (
+         SELECT g, n, q, CAST(ceil(q * n) AS BIGINT) AS k
+         FROM tot CROSS JOIN qq
+       ),
+       pick AS (
+         SELECT ks.g, ks.q, ks.n, MIN(cum.bin_id) AS bin_id
+         FROM ks JOIN cum ON cum.g = ks.g AND cum.cum >= ks.k
+         GROUP BY ks.g, ks.q, ks.n
+       ),
+       bounds AS (
+         SELECT g, q, n, bin_id,
+                CASE WHEN bin_id < 4 THEN bin_id
+                     ELSE (4 + (bin_id & 3))::BIGINT << ((bin_id >> 2) - 3)
+                END AS sketch_lo,
+                CASE WHEN bin_id < 4 THEN bin_id
+                     ELSE ((4 + (bin_id & 3))::BIGINT << ((bin_id >> 2) - 3))
+                          + (1::BIGINT << ((bin_id >> 2) - 3)) - 1
+                END AS sketch_hi
+         FROM pick
+       ),
+       ranked AS (
+         SELECT g, x, ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn
+         FROM v
+       ),
+       exact AS (
+         SELECT ks.g, ks.q, ranked.x AS exact_cents
+         FROM ks JOIN ranked ON ranked.g = ks.g AND ranked.rn = ks.k
+       )
+       SELECT b2.g AS l_returnflag, b2.q, b2.sketch_lo, b2.sketch_hi,
+              e.exact_cents, b2.n
+       FROM bounds b2 JOIN exact e ON e.g = b2.g AND e.q = b2.q
+       ORDER BY l_returnflag, b2.q""",
+    doc="Mergeable log-histogram quantile registers (functions/sketch."
+    "py: hist_registers / hist_merge / hist_quantiles) — the quantile "
+    "leg of the sketch family, and the bounded-state alternative to "
+    "d43's exact per-group percentile buffers: one counter per quarter-"
+    "octave bin (~4*log2(max) rows per group, ever), maintained by "
+    "grouped SUM across ingest batches. Binning is exact integer "
+    "arithmetic (leading-bit position + two sub-bits — no float log), "
+    "so registers are partition-invariant and the oracle rebuilds the "
+    "whole pipeline in SQL. The answer is the interval [sketch_lo, "
+    "sketch_hi] GUARANTEED to contain the exact q-quantile — certified "
+    "here by computing the exact percentile_disc value alongside "
+    "(containment additionally pinned in tests).",
+)
+def x63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.sketch import (
+        hist_quantiles,
+        hist_registers,
+    )
+
+    qs = [0.5, 0.9, 0.99]
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("x"),
+    )
+    sk = hist_quantiles(hist_registers(v, "x", ["g"]), ["g"], qs).select(
+        "g", "q", F.col("lo").alias("sketch_lo"), F.col("hi").alias("sketch_hi"), "n"
+    )
+    ranked = v.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("g").orderBy("x"))
+    )
+    ks = (
+        v.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_ex"))
+        .select(
+            "g",
+            "n_ex",
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+        )
+        .withColumn("k", F.ceil(F.col("q") * F.col("n_ex")).cast("bigint"))
+    )
+    exact = (
+        ks.join(ranked, "g")
+        .where(F.col("rn") == F.col("k"))
+        .select("g", "q", F.col("x").alias("exact_cents"))
+    )
+    return (
+        sk.join(exact, ["g", "q"])
+        .select(
+            F.col("g").alias("l_returnflag"),
+            "q",
+            "sketch_lo",
+            "sketch_hi",
+            "exact_cents",
+            "n",
+        )
+        .orderBy("l_returnflag", "q")
+    )
+
+
+@_q(
+    "x62_cms_frequencies",
+    r"""WITH tok AS (
+         SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+         FROM documents
+       ),
+       t AS (SELECT term FROM tok WHERE term <> ''),
+       jj AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS v(j)),
+       cms AS (
+         SELECT j,
+                ('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':' || term),
+                                1, 7))::BIGINT % 4096 AS bucket,
+                COUNT(*) AS c
+         FROM t CROSS JOIN jj GROUP BY j, bucket
+       ),
+       exact AS (SELECT term, COUNT(*) AS exact_count FROM t GROUP BY term),
+       top AS (
+         SELECT term, exact_count,
+                ROW_NUMBER() OVER (ORDER BY exact_count DESC, term) AS rank
+         FROM exact
+       ),
+       est AS (
+         SELECT top.term, top.exact_count, top.rank,
+                MIN(COALESCE(cms.c, 0)) AS est_count
+         FROM top
+         CROSS JOIN jj
+         LEFT JOIN cms
+           ON cms.j = jj.j
+          AND cms.bucket = ('0x' || substr(
+                md5('cms' || CAST(jj.j AS VARCHAR) || ':' || top.term),
+                1, 7))::BIGINT % 4096
+         WHERE top.rank <= 15
+         GROUP BY top.term, top.exact_count, top.rank
+       )
+       SELECT term, rank, exact_count, est_count,
+              est_count - exact_count AS overestimate
+       FROM est ORDER BY rank""",
+    doc="Count-Min sketch (functions/sketch.py: cms_build / cms_merge / "
+    "cms_lookup): point-frequency estimates from a 4x4096 counter table "
+    "maintained by grouped SUM — the mergeable frequency complement of "
+    "x57's Misra-Gries top-k and x59's HLL distinct registers. The "
+    "top-15 exact terms are probed back against the sketch; est >= "
+    "exact always (collisions only add) and the overestimate column is "
+    "the observed error. md5-28bit bucket hashing keeps the counter "
+    "table engine-portable — the oracle rebuilds counters, probes, and "
+    "min-reduction in SQL. merge == rebuild pinned in tests.",
+)
+def x62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.sketch import cms_build, cms_lookup
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
+    ).where(F.col("term") != "")
+    cms = cms_build(t, "term", width=4096, depth=4)
+    top = (
+        t.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("exact_count"), "term")),
+        )
+        .where(F.col("rank") <= 15)
+    )
+    est = cms_lookup(cms, top, "term", width=4096, depth=4)
+    return est.select(
+        "term",
+        "rank",
+        "exact_count",
+        "est_count",
+        (F.col("est_count") - F.col("exact_count")).alias("overestimate"),
+    ).orderBy("rank")
+
+
+def _zorder_oracle_expr(cols: list[str], bits: int) -> str:
+    """DuckDB bit-interleave mirroring plans/layout.zvalue exactly:
+    bit b of cols[i] lands at position b*len(cols)+i."""
+    n = len(cols)
+    terms = [
+        f"((({c} >> {b}) & 1)::BIGINT << {b * n + i})"
+        for b in range(bits)
+        for i, c in enumerate(cols)
+    ]
+    return " | ".join(terms)
+
+
+@_q(
+    "x60_zorder_key",
+    f"""WITH t AS (
+         SELECT l_orderkey, l_linenumber,
+                l_orderkey % 256 AS a, l_partkey % 256 AS b
+         FROM lineitem
+       )
+       SELECT l_orderkey, l_linenumber, a, b,
+              {_zorder_oracle_expr(['a', 'b'], 8)} AS zkey
+       FROM t ORDER BY zkey, l_orderkey, l_linenumber LIMIT 100""",
+    doc="Morton (Z-order) clustering key (plans/layout.py:zvalue): the "
+    "bit-interleaved index behind zorder_write, the multi-dimensional "
+    "file-clustering move (Delta/Iceberg OPTIMIZE ZORDER) that makes "
+    "parquet min/max stats prune filters on EVERY interleaved column "
+    "instead of just the leading sort key (pruning pinned in tests/"
+    "test_plans.py:test_zorder_layout_tightens_both_dims). The oracle "
+    "recomputes the interleave bit-for-bit in SQL, certifying the key "
+    "math is engine-portable pure arithmetic — codegen'd, no UDF.",
+)
+def x60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.plans import layout
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.pmod(F.col("l_orderkey"), F.lit(256)).alias("a"),
+            F.pmod(F.col("l_partkey"), F.lit(256)).alias("b"),
+        )
+    )
+    return (
+        li.withColumn("zkey", layout.zvalue(["a", "b"], bits=8))
+        .orderBy("zkey", "l_orderkey", "l_linenumber")
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "a", "b", "zkey")
+    )
+
+
+@_q(
+    "x61_weighted_sample",
+    """WITH u AS (
+         SELECT lang, doc_id, n_chars,
+                (('0x' || substr(md5('w0:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                 + 1.0) / 268435456.0 AS u
+         FROM documents WHERE n_chars > 0
+       ),
+       r AS (
+         SELECT lang, doc_id, n_chars,
+                ROW_NUMBER() OVER (
+                  PARTITION BY lang
+                  ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id
+                ) AS sample_rank
+         FROM u
+       )
+       SELECT lang, sample_rank, doc_id, n_chars
+       FROM r WHERE sample_rank <= 5
+       ORDER BY lang, sample_rank""",
+    doc="Weighted sampling without replacement (functions/sampling.py:"
+    "weighted_sample, Efraimidis–Spirakis A-ES): per language the 5 "
+    "documents with the largest u^(1/n_chars) where u is a "
+    "deterministic md5 uniform of the doc id — inclusion probability "
+    "proportional to length, the draw a pure function of the data. "
+    "Replayable by the oracle, stable under repartitioning and corpus "
+    "growth (a doc keeps its fate when new data arrives — the property "
+    "RNG-based sampleBy cannot give). One window, no shuffle beyond "
+    "the per-stratum top-k.",
+)
+def x61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        weighted_sample(docs, F.col("doc_id"), "n_chars", 5, ["lang"])
+        .select("lang", "sample_rank", "doc_id", "n_chars")
+        .orderBy("lang", "sample_rank")
+    )
+
+
+@_q(
     "x59_hll_distinct",
     r"""WITH tok AS (
          SELECT lang,

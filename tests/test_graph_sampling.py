@@ -398,3 +398,45 @@ def test_pagerank_empty_graph_schema_matches_nonempty(spark):
     out = pagerank(empty, iters=3)
     assert out.columns == ["node", "rank", "d"]
     assert out.count() == 0
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    from deepcell_data_engineering_spark.functions.sampling import weighted_sample
+
+    # two weight classes: 20 heavy (w=100) vs 180 light (w=1) rows.
+    # P(heavy row in top-k) >> P(light); with k=20 the sample should be
+    # dominated by heavy rows (each heavy is 100x likelier per draw).
+    rows = [(i, "h", 100) for i in range(20)] + [
+        (i, "l", 1) for i in range(20, 200)
+    ]
+    df = spark.createDataFrame(rows, "id long, cls string, w long")
+    got = weighted_sample(df, F.col("id"), "w", 20, seed="bias")
+    heavy = got.where(F.col("cls") == "h").count()
+    assert heavy >= 12  # expectation ~18; md5 draw is fixed, so stable
+
+
+def test_weighted_sample_deterministic_and_partition_invariant(spark):
+    from deepcell_data_engineering_spark.functions.sampling import weighted_sample
+
+    df = spark.range(0, 500).select(
+        F.col("id"),
+        (F.pmod(F.col("id"), 7)).alias("g"),
+        (F.pmod(F.col("id"), 13) + 1).alias("w"),
+    )
+    a = weighted_sample(df.repartition(1), F.col("id"), "w", 3, ["g"])
+    b = weighted_sample(df.repartition(16), F.col("id"), "w", 3, ["g"])
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # exactly k per stratum
+    per = a.groupBy("g").count().collect()
+    assert all(r["count"] == 3 for r in per)
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from deepcell_data_engineering_spark.functions.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -2), (4, 1)], "id long, w long"
+    )
+    got = weighted_sample(df, F.col("id"), "w", 10)
+    ids = {r["id"] for r in got.collect()}
+    assert ids == {1, 4}

@@ -126,3 +126,106 @@ def test_hll_rejects_bad_precision(spark):
     df = _vals(spark, 0, 10)
     with pytest.raises(ValueError, match=r"p must be in"):
         hll_registers(df, "v", ["g"], p=3)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+from deepcell_data_engineering_spark.functions.sketch import (  # noqa: E402
+    cms_build,
+    cms_lookup,
+    cms_merge,
+)
+
+
+def test_cms_never_underestimates_and_is_tight_on_sparse_input(spark):
+    rng = np.random.RandomState(7)
+    terms = [f"t{i}" for i in rng.zipf(1.5, 3_000) if i < 500]
+    df = spark.createDataFrame([Row(term=t) for t in terms]).repartition(8)
+    exact = df.groupBy("term").agg(F.count(F.lit(1)).alias("exact"))
+    cms = cms_build(df, "term", width=1024, depth=4)
+    est = cms_lookup(cms, exact, "term", width=1024, depth=4)
+    rows = est.collect()
+    assert rows and all(r["est_count"] >= r["exact"] for r in rows)
+    # depth=4, width >> distinct: most keys should be collision-free
+    tight = sum(1 for r in rows if r["est_count"] == r["exact"])
+    assert tight / len(rows) > 0.8
+
+
+def test_cms_merge_equals_rebuild(spark):
+    a = spark.createDataFrame([Row(term=f"a{i % 17}") for i in range(300)])
+    b = spark.createDataFrame([Row(term=f"a{i % 23}") for i in range(200)])
+    merged = cms_merge(cms_build(a, "term", 256, 3), cms_build(b, "term", 256, 3))
+    rebuilt = cms_build(a.unionByName(b), "term", 256, 3)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, rebuilt.collect()))
+
+
+def test_cms_state_is_bounded_and_partition_invariant(spark):
+    df = spark.createDataFrame([Row(term=f"t{i}") for i in range(5_000)])
+    c1 = cms_build(df.repartition(1), "term", width=64, depth=2)
+    c8 = cms_build(df.repartition(8), "term", width=64, depth=2)
+    rows = c1.collect()
+    assert len(rows) <= 64 * 2  # counter table bounded by width*depth
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, c8.collect()))
+
+
+def test_cms_rejects_bad_shape(spark):
+    df = spark.createDataFrame([Row(term="x")])
+    with pytest.raises(ValueError, match="width"):
+        cms_build(df, "term", width=1, depth=0)
+
+
+# ---------------------------------------------------------------------------
+# Log-histogram quantile registers
+# ---------------------------------------------------------------------------
+
+from deepcell_data_engineering_spark.functions.sketch import (  # noqa: E402
+    hist_merge,
+    hist_quantiles,
+    hist_registers,
+)
+
+
+def test_hist_quantile_interval_always_contains_exact(spark):
+    rng = np.random.RandomState(11)
+    vals = np.concatenate(
+        [rng.lognormal(8, 2, 2_000).astype(int), rng.randint(0, 4, 50)]
+    )
+    df = spark.createDataFrame([Row(g="a", x=int(v)) for v in vals])
+    qs = [0.1, 0.5, 0.9, 0.99]
+    got = {
+        r["q"]: r
+        for r in hist_quantiles(hist_registers(df, "x", ["g"]), ["g"], qs).collect()
+    }
+    srt = np.sort(vals)
+    for q in qs:
+        k = int(np.ceil(q * len(vals)))
+        exact = int(srt[k - 1])
+        assert got[q]["lo"] <= exact <= got[q]["hi"], (q, exact, got[q])
+        # quarter-octave bins: interval is relatively tight
+        assert got[q]["hi"] <= max(2 * got[q]["lo"], got[q]["lo"] + 3)
+
+
+def test_hist_merge_equals_rebuild_and_partition_invariant(spark):
+    a = spark.range(0, 3_000).select(F.lit("g").alias("g"), (F.col("id") * 7 % 5_000).alias("x"))
+    b = spark.range(0, 2_000).select(F.lit("g").alias("g"), (F.col("id") * 13 % 9_000).alias("x"))
+    merged = hist_merge(hist_registers(a, "x", ["g"]), hist_registers(b, "x", ["g"]), ["g"])
+    rebuilt = hist_registers(a.unionByName(b), "x", ["g"])
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, rebuilt.collect()))
+    r1 = hist_registers(a.repartition(1), "x", ["g"])
+    r8 = hist_registers(a.repartition(8), "x", ["g"])
+    assert sorted(map(tuple, r1.collect())) == sorted(map(tuple, r8.collect()))
+
+
+def test_hist_small_values_get_exact_singleton_bins(spark):
+    df = spark.createDataFrame([Row(g="g", x=v) for v in [0, 1, 2, 3] * 10])
+    got = hist_quantiles(hist_registers(df, "x", ["g"]), ["g"], [0.5]).collect()[0]
+    assert got["lo"] == got["hi"]  # singleton bin below 4
+
+
+def test_hist_state_is_logarithmically_bounded(spark):
+    df = spark.range(1, 1_000_000).select(F.lit("g").alias("g"), F.col("id").alias("x"))
+    n_bins = hist_registers(df, "x", ["g"]).count()
+    # ~4 bins/octave * 20 octaves — two orders below the value count
+    assert n_bins <= 4 * 21 + 4

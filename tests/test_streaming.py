@@ -462,3 +462,53 @@ def test_stream_index_collisions_batch_stream_parity(spark, tmp_path):
         for r in spark.sql("SELECT * FROM neardup_flags").collect()
     }
     assert stream_hits == batch_hits
+
+
+def test_streaming_hll_register_maintenance_equals_batch(spark, tmp_path):
+    """Sketch state maintained BY a stream: each micro-batch appends its
+    HLL register delta; the live estimate is a grouped max over the
+    append-only log. Because register merge is max (idempotent +
+    associative + commutative), the maintained state equals the batch
+    rebuild exactly AND replaying a batch is a no-op — exactly-once
+    semantics without a transactional sink."""
+    from deepcell_data_engineering_spark.functions.sketch import hll_registers
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    vals = ["event_type", F.col("user_id").cast("string").alias("v")]
+    batch_regs = sorted(
+        map(tuple, hll_registers(ev.select(*vals), "v", ["event_type"], p=10).collect())
+    )
+
+    state = str(tmp_path / "reg_log")
+
+    def append_delta(bdf, _bid):
+        hll_registers(bdf.select(*vals), "v", ["event_type"], p=10).write.mode(
+            "append"
+        ).parquet(state)
+
+    q = (
+        read_events_stream(spark, SF_SMOKE)
+        .writeStream.foreachBatch(append_delta)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def folded():
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(state)
+                .groupBy("event_type", "bucket")
+                .agg(F.max("r").alias("r"))
+                .collect(),
+            )
+        )
+
+    assert folded() == batch_regs
+    # replay one delta: append the whole current log again — max is
+    # idempotent, so the folded state must not move
+    spark.read.parquet(state).write.mode("append").parquet(state + "_copy")
+    spark.read.parquet(state + "_copy").write.mode("append").parquet(state)
+    assert folded() == batch_regs
