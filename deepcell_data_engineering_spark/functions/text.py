@@ -359,3 +359,69 @@ def pack_sequences(
         toks.alias("n_tokens"),
         F.floor((cum - toks) / F.lit(budget)).cast("long").alias("pack_id"),
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    rounds: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """TRAIN a byte-pair-encoding merge table on the corpus: the
+    iterative half of tokenization that x28's fixed-rule tokenizer
+    assumes already exists. Returns the learned rules
+    (round, lhs, rhs, merged, pair_count) in merge order.
+
+    The scale shape is the real-world one: the CORPUS is touched exactly
+    once (the word-frequency aggregation); every merge round then runs
+    on the (word, tf) VOCABULARY table — orders of magnitude smaller —
+    as one distributed pair-count aggregation plus a 1-row argmax
+    collect (the k-means driver-loop convention: per-round driver state
+    is one merge rule, never data). Words are character sequences
+    delimited by spaces; the winning pair merges via a single
+    non-overlapping left-to-right replace, which is exactly BPE's
+    greedy application order and is engine-portable (the x68 oracle
+    unrolls the same rounds in SQL).
+
+    Ties break deterministically by (count desc, lhs, rhs)."""
+    spark = docs.sparkSession
+    words = tokens(docs, text_col=text_col, id_col=id_col).groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    # ' a b c ' — every token flanked by spaces so a merge replace can
+    # never match inside a multi-character token
+    seqs = words.select(
+        "tf",
+        F.concat(
+            F.lit(" "), F.regexp_replace(F.col("term"), "(.)", "$1 ")
+        ).alias("seq"),
+    ).localCheckpoint()  # cut the corpus lineage: rounds iterate on vocab only
+    merges: list[tuple[int, str, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        arr = F.split(F.trim(F.col("seq")), " ")
+        zipped = F.arrays_zip(
+            F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))).alias("ca"),
+            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))).alias("cb"),
+        )
+        top = (
+            seqs.select("tf", F.explode(zipped).alias("z"))
+            .select(F.col("z.ca").alias("a"), F.col("z.cb").alias("b"), "tf")
+            .groupBy("a", "b")
+            .agg(F.sum("tf").alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+        merges.append((r, a, b, a + b, c))
+        seqs = seqs.select(
+            "tf",
+            F.replace(
+                F.col("seq"), F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+            ).alias("seq"),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "round int, lhs string, rhs string, merged string, pair_count bigint"
+    )

@@ -2564,6 +2564,274 @@ def x57(spark: SparkSession, sf_dir: str) -> DataFrame:
     return misra_gries_topk(tx.tokens(docs), k=15, capacity=100_000).orderBy("rank")
 
 
+def _x68_oracle(rounds: int = 8) -> str:
+    """Unrolled BPE training rounds in DuckDB SQL (the x43 unrolled-CTE
+    convention for iterative algorithms). MATERIALIZED pins each round's
+    state so the multi-referenced CTE chain cannot inline into an
+    exponentially duplicated expression tree."""
+    parts = [
+        r"""WITH tok AS MATERIALIZED (
+      SELECT t AS term FROM (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        FROM documents) WHERE t <> ''),
+    s0 AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS tf,
+             ' ' || regexp_replace(term, '(.)', '\1 ', 'g') AS seq
+      FROM tok GROUP BY term)"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f""",
+    p{r} AS (
+      SELECT l[i] AS a, l[i + 1] AS b, CAST(SUM(tf) AS BIGINT) AS c
+      FROM (SELECT tf, str_split(trim(seq), ' ') AS l FROM {prev}),
+           UNNEST(range(1, len(l))) AS rr(i)
+      GROUP BY a, b
+    ),
+    t{r} AS MATERIALIZED (SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1),
+    s{r} AS MATERIALIZED (
+      SELECT tf, replace(seq,
+        ' ' || (SELECT a FROM t{r}) || ' ' || (SELECT b FROM t{r}) || ' ',
+        ' ' || (SELECT a || b FROM t{r}) || ' ') AS seq
+      FROM {prev}
+    )"""
+        )
+    unions = "\n       UNION ALL ".join(
+        f"SELECT {r} AS round, a AS lhs, b AS rhs, a || b AS merged, "
+        f"c AS pair_count FROM t{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append(f"\n       {unions} ORDER BY round")
+    return "".join(parts)
+
+
+@_q(
+    "x68_bpe_train",
+    _x68_oracle(8),
+    doc="BPE tokenizer TRAINING (functions/text.py:bpe_train) — the "
+    "iterative merge-learning half of tokenization that x28's fixed-"
+    "rule tokenizer presupposes, and the engine's fourth iterative-"
+    "algorithm class (k-means, CC, PageRank, now BPE). The corpus is "
+    "scanned exactly once (word-frequency aggregation); each of the 8 "
+    "merge rounds is one distributed pair-count over the VOCABULARY "
+    "table plus a 1-row argmax collect (driver state = one rule, never "
+    "data), and the merge applies as a single non-overlapping left-to-"
+    "right replace — BPE's own greedy order, identical in both engines. "
+    "Oracle = the same 8 rounds unrolled as materialized CTEs; ties "
+    "break by (count desc, lhs, rhs).",
+)
+def x68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.bpe_train(docs, rounds=8).orderBy("round")
+
+
+def _x67_oracle() -> str:
+    """Triangle counting over the SAME candidate graph x06 certifies —
+    the edge CTE is x06's oracle verbatim, so the two queries cannot
+    drift apart."""
+    from deepcell_data_engineering_spark.relational.queries import QUERIES as _REG
+
+    edges_sql = _REG["x06_minhash_lsh_pairs"].oracle
+    return f"""WITH e AS (SELECT id_a AS u, id_b AS v FROM ({edges_sql})),
+       tri AS (
+         SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         FROM e e1
+         JOIN e e2 ON e2.u = e1.v
+         JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+       ),
+       cnt AS (
+         SELECT node, COUNT(*) AS n_triangles FROM (
+           SELECT a AS node FROM tri
+           UNION ALL SELECT b FROM tri
+           UNION ALL SELECT c FROM tri
+         ) GROUP BY node
+       ),
+       ranked AS (
+         SELECT node, n_triangles,
+                ROW_NUMBER() OVER (ORDER BY n_triangles DESC, node) AS rank
+         FROM cnt
+       )
+       SELECT node, n_triangles, rank FROM ranked
+       WHERE rank <= 10 ORDER BY rank"""
+
+
+@_q(
+    "x67_triangle_hubs",
+    _x67_oracle(),
+    doc="Triangle counting on the LSH candidate graph (functions/graph."
+    "py:triangle_counts) — the engine's third graph-analytics operator "
+    "beside connected components (x21) and PageRank (x43). Ordered "
+    "enumeration (a<b<c via two equi-joins on u<v-normalized edges) "
+    "finds each triangle exactly once with work bounded by the sparse "
+    "candidate graph, never the corpus. Dense triangle neighborhoods "
+    "flag template/boilerplate families before CC merges them. The "
+    "oracle embeds x06's pair SQL verbatim as the edge CTE, so the "
+    "certified graph is identical by construction.",
+)
+def x67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.graph import triangle_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs, num_hashes=6, k=5)
+    edges = dd.lsh_candidate_pairs(
+        sigs, bands=[["h0", "h1", "h2"], ["h3", "h4", "h5"]]
+    )
+    counts = triangle_counts(edges, "id_a", "id_b")
+    return (
+        counts.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("n_triangles"), "node")),
+        )
+        .where(F.col("rank") <= 10)
+        .orderBy("rank")
+    )
+
+
+@_q(
+    "x66_similarity_join_exact",
+    r"""WITH tok AS (
+         SELECT DISTINCT doc_id, term FROM (
+           SELECT doc_id,
+                  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+           FROM documents WHERE doc_id % 20 = 0
+         ) WHERE term <> ''
+       ),
+       sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+       ov AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+         FROM tok a JOIN tok b ON a.term = b.term AND a.doc_id < b.doc_id
+         GROUP BY doc_a, doc_b
+       ),
+       j AS (
+         SELECT ov.doc_a, ov.doc_b, ov.c / (sa.n + sb.n - ov.c) AS jac
+         FROM ov
+         JOIN sz sa ON sa.doc_id = ov.doc_a
+         JOIN sz sb ON sb.doc_id = ov.doc_b
+       )
+       SELECT doc_a, doc_b, ROUND(jac + 0.0, 4) AS jaccard
+       FROM j WHERE jac >= 0.9
+       ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""",
+    doc="EXACT set-similarity self-join via prefix filtering (functions/"
+    "dedup.py:similarity_join_prefix, the PPJoin family): doc pairs "
+    "with token-set Jaccard >= 0.9, NO false negatives — the "
+    "completeness-guaranteed complement of the MinHash/LSH path (x06), "
+    "for contractual dedup and contamination audits where recall must "
+    "be 1.0. Tokens sort by a rarest-first global order; two qualifying "
+    "sets MUST share one of their |s|-ceil(t|s|)+1 prefix tokens, so "
+    "candidates come from one selective equi-join (+ length filter) "
+    "and the exact verify is a row-local array_intersect. The oracle "
+    "is the brute-force all-shared-token join — the hash match "
+    "certifies the pruning lost nothing. The synthetic corpus is "
+    "heavily templated — most pairs ARE near-dups, so the TRUE answer "
+    "is quadratic in the corpus by construction; the certified query "
+    "therefore runs on a deterministic 1-in-20 doc subset (the x45 "
+    "bounded-subset convention, pushed to the scan) and reports the "
+    "top-50 — the pair set within the subset stays the exact, complete "
+    "join. On a real corpus the match set is sparse and the operator "
+    "runs unsubsetted.",
+)
+def x66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.pmod(F.col("doc_id"), F.lit(20)) == 0
+    )
+    return (
+        dd.similarity_join_prefix(docs, threshold=0.9)
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(50)
+    )
+
+
+@_q(
+    "x65_quality_gate",
+    """WITH checks AS (
+         SELECT 'doc_id_not_null' AS check_name,
+                CAST(COUNT(*) FILTER (WHERE doc_id IS NULL) AS BIGINT)
+                    AS violations
+         FROM documents
+         UNION ALL
+         SELECT 'doc_id_unique',
+                CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT)
+         FROM documents
+         UNION ALL
+         SELECT 'lang_wellformed',
+                CAST(COUNT(*) FILTER (
+                  WHERE lang IS NULL OR NOT regexp_matches(lang, '^[a-z]{2}$')
+                ) AS BIGINT)
+         FROM documents
+         UNION ALL
+         SELECT 'n_chars_consistent',
+                CAST(COUNT(*) FILTER (
+                  WHERE n_chars IS NULL OR text IS NULL
+                     OR n_chars <> length(text)
+                ) AS BIGINT)
+         FROM documents
+         UNION ALL
+         SELECT 'source_not_null',
+                CAST(COUNT(*) FILTER (
+                  WHERE source IS NULL OR source = ''
+                ) AS BIGINT)
+         FROM documents
+         UNION ALL
+         SELECT 'text_nonempty',
+                CAST(COUNT(*) FILTER (
+                  WHERE text IS NULL OR length(trim(text)) = 0
+                ) AS BIGINT)
+         FROM documents
+         UNION ALL
+         SELECT 'lineitem_orderkey_resolves',
+                CAST((SELECT COUNT(*) FROM lineitem l
+                      WHERE NOT EXISTS (
+                        SELECT 1 FROM orders o
+                        WHERE o.o_orderkey IS NOT DISTINCT FROM l.l_orderkey
+                      )) AS BIGINT)
+       )
+       SELECT check_name, violations,
+              CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+       FROM checks ORDER BY check_name""",
+    doc="Declarative data-quality gate (functions/validate.py): a named "
+    "constraint suite — null/unique/format/consistency checks plus "
+    "lineitem→orders referential integrity — evaluated as ONE "
+    "aggregation pass per table (every check is a conditional-sum "
+    "aggregate fused into a single whole-stage-codegen scan; no per-"
+    "check jobs). The report is itself a DataFrame with a stable "
+    "schema, so gates persist per ingest batch and union across days. "
+    "NULL-evaluating predicates count as violations by design (a check "
+    "that cannot evaluate fails loudly).",
+)
+def x65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.validate import (
+        check_constraints,
+        check_reference,
+        unique,
+        violations,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    report = check_constraints(
+        docs,
+        {
+            "doc_id_not_null": violations(F.col("doc_id").isNull()),
+            "doc_id_unique": unique("doc_id"),
+            "lang_wellformed": violations(~F.col("lang").rlike("^[a-z]{2}$")),
+            "n_chars_consistent": violations(
+                F.col("n_chars") != F.length(F.col("text"))
+            ),
+            "source_not_null": violations(
+                F.col("source").isNull() | (F.col("source") == "")
+            ),
+            "text_nonempty": violations(F.length(F.trim(F.col("text"))) == 0),
+        },
+    ).unionByName(
+        check_reference(
+            li, orders, "l_orderkey", "o_orderkey", "lineitem_orderkey_resolves"
+        )
+    )
+    return report.orderBy("check_name")
+
+
 @_q(
     "x64_hll_set_algebra",
     r"""WITH tok AS (

@@ -440,3 +440,58 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     got = weighted_sample(df, F.col("id"), "w", 10)
     ids = {r["id"] for r in got.collect()}
     assert ids == {1, 4}
+
+
+def test_quality_gate_counts_and_null_predicates_fail_loudly(spark):
+    from deepcell_data_engineering_spark.functions.validate import (
+        check_constraints,
+        check_reference,
+        unique,
+        violations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ok"), (1, "dup-id"), (2, None), (None, "null-id")],
+        "id long, txt string",
+    )
+    rep = check_constraints(
+        df,
+        {
+            "id_not_null": violations(F.col("id").isNull()),
+            "id_unique": unique("id"),
+            # NULL txt makes the predicate NULL -> must count as violation
+            "txt_short": violations(F.length("txt") > 3),
+        },
+    )
+    got = {r["check_name"]: (r["violations"], r["status"]) for r in rep.collect()}
+    assert got["id_not_null"] == (1, "fail")
+    # count(*) - count(distinct id): the duplicate id=1 AND the NULL id
+    # (a NULL key is never unique) each count
+    assert got["id_unique"] == (2, "fail")
+    assert got["txt_short"] == (3, "fail")  # 'dup-id', 'null-id', and the NULL
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    child = spark.createDataFrame([(1,), (3,), (None,)], "fk long")
+    ref = check_reference(child, parent, "fk", "pk").collect()[0]
+    assert (ref["violations"], ref["status"]) == (2, "fail")  # 3 and NULL
+
+    ok = check_reference(parent, parent, "pk", "pk").collect()[0]
+    assert (ok["violations"], ok["status"]) == (0, "pass")
+
+    with pytest.raises(ValueError, match="empty"):
+        check_constraints(df, {})
+
+
+def test_triangle_counts_known_graph(spark):
+    from deepcell_data_engineering_spark.functions.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (every node in C(3,2)=3 triangles) plus a pendant
+    # edge 4-5 and a disconnected edge 6-7; edges deliberately given in
+    # mixed orientation and with a duplicate.
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (4, 2), (3, 4),
+        (4, 5), (7, 6), (2, 1),
+    ]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}

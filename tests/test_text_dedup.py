@@ -513,3 +513,94 @@ def test_minhash_rowwise_matches_aggregated(spark):
     a = minhash_signatures(tiny, num_hashes=2, k=5).collect()
     b = minhash_signatures_rowwise(tiny, num_hashes=2, k=5).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_prefix_similarity_join_equals_brute_force(spark):
+    """Prefix filtering must lose NOTHING: compare against the all-pairs
+    brute force on a corpus with planted near-duplicates."""
+    from deepcell_data_engineering_spark.functions.dedup import (
+        similarity_join_prefix,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = []
+    for i in range(30):
+        words = base.split()
+        words[i % len(words)] = f"w{i}"  # near-dups of the base sentence
+        rows.append((i, " ".join(words)))
+    rows += [(100 + i, f"totally different text number {i} about topic{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in similarity_join_prefix(df, threshold=0.5).collect()
+    }
+
+    # brute force in python
+    import itertools
+
+    toks = {r[0]: set(r[1].lower().split()) for r in rows}
+    expect = {}
+    for a, b in itertools.combinations(sorted(toks), 2):
+        inter = len(toks[a] & toks[b])
+        jac = inter / (len(toks[a]) + len(toks[b]) - inter)
+        if jac >= 0.5:
+            expect[(a, b)] = round(jac, 4)
+    assert set(got) == set(expect)
+    for k in expect:
+        assert abs(got[k] - expect[k]) < 1e-9
+
+
+def test_prefix_similarity_join_partition_invariant(spark):
+    from deepcell_data_engineering_spark.functions.dedup import (
+        similarity_join_prefix,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {'x' if i % 2 else 'y'}{i % 5}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = similarity_join_prefix(df.repartition(1), 0.6)
+    b = similarity_join_prefix(df.repartition(8), 0.6)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from deepcell_data_engineering_spark.functions.text import bpe_train
+
+    corpus = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new lower"),
+        (3, "wide wider widest low new"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+
+    # pure-python reference: same greedy BPE on the word-frequency table
+    from collections import Counter
+
+    words = Counter(w for _, t in corpus for w in t.lower().split())
+    seqs = {w: list(w) for w in words}
+    expect = []
+    for r in range(1, 7):
+        pc = Counter()
+        for w, toks_ in seqs.items():
+            for x, y in zip(toks_, toks_[1:]):
+                pc[(x, y)] += words[w]
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((r, a, b, a + b, c))
+        for w, toks_ in seqs.items():
+            out, i = [], 0
+            while i < len(toks_):
+                if i + 1 < len(toks_) and toks_[i] == a and toks_[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks_[i])
+                    i += 1
+            seqs[w] = out
+    got = [tuple(r) for r in bpe_train(df, rounds=6).orderBy("round").collect()]
+    assert got == expect
+    # learned rules are real merges: every merged token is lhs+rhs
+    assert all(m == a + b for _, a, b, m, _ in got)

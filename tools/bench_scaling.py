@@ -35,6 +35,10 @@ QUERIES = [
     "x51_cluster_representatives",
     "x53_incremental_lsh",
     "x47_bigram_pmi",
+    "x56_dup_ngram_coverage",
+    "x59_hll_distinct",
+    "x62_cms_frequencies",
+    "x64_hll_set_algebra",
 ]
 
 SF01 = "/root/testdata/sf0.1"
