@@ -154,7 +154,10 @@ def hll_registers(
         F.lit(wbits) - F.length(F.bin(w)) + 1
     )
     return (
-        df.groupBy(*group_cols, F.shiftright(h, wbits).alias("bucket"))
+        # NULL values carry no identity — dropping them keeps the
+        # register table free of a poisoned NULL bucket (all-NULL rho)
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, F.shiftright(h, wbits).alias("bucket"))
         .agg(F.max(rho).alias("r"))
     )
 
@@ -246,7 +249,8 @@ def cms_build(
         raise ValueError(f"need width >= 2 and depth >= 1, got {width}x{depth}")
     j = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
     return (
-        df.select(F.col(value_col).alias("_v"), j)
+        df.where(F.col(value_col).isNotNull())  # NULL keys carry no identity
+        .select(F.col(value_col).alias("_v"), j)
         .groupBy("j", _cms_bucket(F.col("_v"), F.col("j"), width).alias("bucket"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -385,3 +389,44 @@ def hist_quantiles(
         F.expr(_HIST_HI).alias("hi"),
         "n",
     )
+
+
+def hll_rollup_estimates(
+    registers: DataFrame,
+    group_cols: list[str],
+    p: int = 12,
+    fill: str = "(all)",
+) -> DataFrame:
+    """GROUP BY ROLLUP on sketch state: estimates at every prefix level
+    of ``group_cols`` — (lvl, group_cols..., present, zeros, est) with
+    rolled-up dimensions shown as ``fill`` — from ONE register build.
+    lvl = number of rolled-up trailing dimensions (0 = finest).
+
+    This is the lattice property of max-merge registers: the (source,
+    lang) register table aggregates UP to (source) and to the grand
+    total by plain grouped max, so one corpus pass answers distinct
+    counts at every granularity — the sketch-state analog of d20's
+    ROLLUP over additive counts. ``fill`` must not collide with a real
+    dimension value (it replaces NULL markers to keep ordering
+    engine-portable)."""
+    n = len(group_cols)
+    frames = []
+    for k in range(n, -1, -1):
+        keep = list(group_cols[:k])
+        reg_k = (
+            registers
+            if k == n
+            else registers.groupBy(*keep, "bucket").agg(F.max("r").alias("r"))
+        )
+        est = hll_estimate(reg_k, keep, p)
+        cols = [F.lit(n - k).alias("lvl")]
+        cols += [
+            (F.col(c) if c in keep else F.lit(fill).alias(c)).alias(c)
+            for c in group_cols
+        ]
+        cols += [F.col("present"), F.col("zeros"), F.col("est")]
+        frames.append(est.select(*cols))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -2564,6 +2564,97 @@ def x57(spark: SparkSession, sf_dir: str) -> DataFrame:
     return misra_gries_topk(tx.tokens(docs), k=15, capacity=100_000).orderBy("rank")
 
 
+def _hll_est_block(reg: str, groups: list[str]) -> str:
+    """DuckDB estimator over a register CTE ``reg`` grouped by
+    ``groups`` — the x59 formula parameterized by grouping level."""
+    gsel = (", ".join(groups) + ",") if groups else ""
+    gby = ("GROUP BY " + ", ".join(groups)) if groups else ""
+    return f"""SELECT {gsel} zeros,
+           CASE WHEN est_raw <= 2.5::DOUBLE * 4096.0::DOUBLE AND zeros > 0
+                THEN 4096.0::DOUBLE * ln(4096.0::DOUBLE / zeros::DOUBLE)
+                ELSE est_raw END AS est
+    FROM (
+      SELECT {gsel} 4096 - COUNT(*) AS zeros,
+             0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 4096.0::DOUBLE)
+                 * 4096.0::DOUBLE * 4096.0::DOUBLE * 562949953421312.0::DOUBLE
+                 / (CAST(SUM(1::BIGINT << (49 - r)) AS BIGINT)
+                    + (CAST(4096 AS BIGINT) - COUNT(*))
+                      * CAST(562949953421312 AS BIGINT))::DOUBLE AS est_raw
+      FROM {reg} {gby}
+    )"""
+
+
+def _x69_oracle() -> str:
+    return rf"""WITH tok AS (
+      SELECT source, lang,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ),
+    h AS (
+      SELECT source, lang, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+      FROM tok WHERE term <> ''
+    ),
+    br AS (
+      SELECT source, lang, h >> 48 AS bucket,
+             CASE WHEN (h & 281474976710655) = 0 THEN 49
+                  ELSE 48 - length(bin(h & 281474976710655)) + 1 END AS r0
+      FROM h
+    ),
+    reg2 AS (SELECT source, lang, bucket, MAX(r0) AS r FROM br
+             GROUP BY source, lang, bucket),
+    reg1 AS (SELECT source, bucket, MAX(r) AS r FROM reg2
+             GROUP BY source, bucket),
+    reg0 AS (SELECT bucket, MAX(r) AS r FROM reg2 GROUP BY bucket),
+    e2 AS ({_hll_est_block("reg2", ["source", "lang"])}),
+    e1 AS ({_hll_est_block("reg1", ["source"])}),
+    e0 AS ({_hll_est_block("reg0", [])})
+    SELECT 0 AS lvl, source, lang, ROUND(est + 0.0, 2) AS est_distinct FROM e2
+    UNION ALL
+    SELECT 1, source, '(all)', ROUND(est + 0.0, 2) FROM e1
+    UNION ALL
+    SELECT 2, '(all)', '(all)', ROUND(est + 0.0, 2) FROM e0
+    ORDER BY lvl, source, lang"""
+
+
+@_q(
+    "x69_hll_rollup",
+    _x69_oracle(),
+    doc="ROLLUP on sketch state (functions/sketch.py:"
+    "hll_rollup_estimates): distinct-token estimates at (source, lang), "
+    "(source), and grand-total granularity from ONE register build — "
+    "the lattice property of max-merge registers (the sketch-state "
+    "analog of d20's additive ROLLUP). A 100 TB corpus is scanned once; "
+    "every coarser distinct count is a grouped max over the 4 KiB-per-"
+    "group register table, never a rescan — the reason registers beat "
+    "one-shot approx_count_distinct for reporting stacks. Rolled-up "
+    "dimensions print '(all)' (not NULL) so row ordering is engine-"
+    "portable.",
+)
+def x69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.sketch import (
+        hll_registers,
+        hll_rollup_estimates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    reg = hll_registers(toks, "term", ["source", "lang"], p=12)
+    return (
+        hll_rollup_estimates(reg, ["source", "lang"], p=12)
+        .select(
+            "lvl",
+            "source",
+            "lang",
+            F.round(F.col("est") + F.lit(0.0), 2).alias("est_distinct"),
+        )
+        .orderBy("lvl", "source", "lang")
+    )
+
+
 def _x68_oracle(rounds: int = 8) -> str:
     """Unrolled BPE training rounds in DuckDB SQL (the x43 unrolled-CTE
     convention for iterative algorithms). MATERIALIZED pins each round's

@@ -229,3 +229,35 @@ def test_hist_state_is_logarithmically_bounded(spark):
     n_bins = hist_registers(df, "x", ["g"]).count()
     # ~4 bins/octave * 20 octaves — two orders below the value count
     assert n_bins <= 4 * 21 + 4
+
+
+def test_hll_rollup_levels_equal_direct_builds(spark):
+    from deepcell_data_engineering_spark.functions.sketch import (
+        hll_rollup_estimates,
+    )
+
+    df = spark.range(0, 6_000).select(
+        F.concat(F.lit("s"), (F.col("id") % 3)).alias("src"),
+        F.concat(F.lit("l"), (F.col("id") % 2)).alias("lng"),
+        F.concat(F.lit("v"), (F.col("id") % 1_500)).alias("v"),
+    )
+    reg = hll_registers(df, "v", ["src", "lng"], p=10)
+    rolled = hll_rollup_estimates(reg, ["src", "lng"], p=10)
+    # lvl=1 rows must equal estimates from registers built directly at
+    # (src) granularity; lvl=2 the global build — the lattice property
+    direct1 = {
+        r["src"]: r["est"]
+        for r in hll_estimate(hll_registers(df, "v", ["src"], p=10), ["src"], p=10).collect()
+    }
+    got1 = {r["src"]: r["est"] for r in rolled.where(F.col("lvl") == 1).collect()}
+    assert got1 == direct1
+    direct0 = hll_estimate(hll_registers(df, "v", [], p=10), [], p=10).collect()[0]["est"]
+    got0 = rolled.where(F.col("lvl") == 2).collect()[0]["est"]
+    assert got0 == direct0
+    # null values are dropped, not registered
+    withnull = df.unionByName(
+        spark.createDataFrame([("s0", "l0", None)], "src string, lng string, v string")
+    )
+    assert sorted(map(tuple, hll_registers(withnull, "v", ["src", "lng"], p=10).collect())) == sorted(
+        map(tuple, reg.collect())
+    )
