@@ -2564,6 +2564,82 @@ def x57(spark: SparkSession, sf_dir: str) -> DataFrame:
     return misra_gries_topk(tx.tokens(docs), k=15, capacity=100_000).orderBy("rank")
 
 
+_X70_RECURSIVE = """WITH RECURSIVE reach(node, depth) AS (
+  SELECT id_a AS node, 0 AS depth FROM {edges} WHERE id_a % 100 = 0
+  UNION ALL
+  SELECT DISTINCT e.v AS node, r.depth + 1 AS depth
+  FROM reach r
+  JOIN (SELECT id_a AS u, id_b AS v FROM {edges}
+        UNION ALL SELECT id_b, id_a FROM {edges}) e ON e.u = r.node
+  WHERE r.depth < 3
+)
+SELECT node, CAST(MIN(depth) AS BIGINT) AS depth
+FROM reach GROUP BY node ORDER BY node"""
+
+
+def _x70_oracle() -> str:
+    from deepcell_data_engineering_spark.relational.queries import QUERIES as _REG
+
+    edges_sql = _REG["x06_minhash_lsh_pairs"].oracle
+    # RECURSIVE is a WITH-level modifier: hoist it to the front and
+    # splice the x06 edge CTE in before the recursive member
+    body = _X70_RECURSIVE.format(edges="e2").replace("WITH RECURSIVE ", "", 1)
+    return f"WITH RECURSIVE e2 AS ({edges_sql}),\n{body}"
+
+
+@_q(
+    "x70_recursive_closure",
+    _x70_oracle(),
+    doc="Bounded transitive closure via Spark 4's RECURSIVE CTE: nodes "
+    "within 3 hops of the seed docs (id % 100 = 0) in the LSH candidate "
+    "graph, with their minimum hop distance — 'everything transitively "
+    "near-duplicate of this audit set', the reachability question "
+    "between x21's full components and x06's direct pairs. Each "
+    "recursion step is DISTINCT-bounded (rows per step <= nodes, "
+    "regardless of how dense the dup cliques are) and the depth guard "
+    "makes termination structural. The SAME recursive SQL text runs on "
+    "both engines; edges come from x06's certified pair query (temp "
+    "view on the Spark side, embedded CTE in the oracle).",
+)
+def x70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs, num_hashes=6, k=5)
+    edges = dd.lsh_candidate_pairs(
+        sigs, bands=[["h0", "h1", "h2"], ["h3", "h4", "h5"]]
+    ).localCheckpoint()  # each recursion step re-reads the view: pin it
+    edges.createOrReplaceTempView("x70_edges")
+    return spark.sql(_X70_RECURSIVE.format(edges="x70_edges"))
+
+
+_X71_LATERAL = """SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+FROM {customer} c, LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM {orders}
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) l
+WHERE c.c_custkey % 10 = 0
+ORDER BY c.c_custkey, l.o_totalprice DESC, l.o_orderkey"""
+
+
+@_q(
+    "x71_lateral_topk",
+    _X71_LATERAL.format(customer="customer", orders="orders"),
+    doc="Correlated LATERAL subquery (per-customer top-2 orders by "
+    "price): the SQL-surface twin of the window top-k (d04/d23) that "
+    "Catalyst must DECORRELATE into a join — exercising the lateral-"
+    "join planner path rather than WindowGroupLimit. The identical SQL "
+    "text runs on both engines; the deterministic inner ORDER BY + "
+    "LIMIT and the outer modulo subset keep the result total-ordered "
+    "and bounded.",
+)
+def x71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("x71_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("x71_orders")
+    return spark.sql(_X71_LATERAL.format(customer="x71_customer", orders="x71_orders"))
+
+
 def _hll_est_block(reg: str, groups: list[str]) -> str:
     """DuckDB estimator over a register CTE ``reg`` grouped by
     ``groups`` — the x59 formula parameterized by grouping level."""

@@ -54,6 +54,8 @@ HEADLINERS = [
     ("x67_triangle_hubs", "triangle hubs: ordered enumeration, two equi-joins on the candidate graph only"),
     ("x68_bpe_train", "BPE training: one corpus agg, then per-round vocab-only pair counts + 1-row argmax"),
     ("x69_hll_rollup", "sketch-state ROLLUP: one register build, grouped-max lattice, no rescans"),
+    ("x70_recursive_closure", "recursive CTE: DISTINCT-bounded frontier per step, checkpointed edge view"),
+    ("x71_lateral_topk", "correlated LATERAL decorrelated by Catalyst (vs WindowGroupLimit twin)"),
 ]
 
 
