@@ -2564,6 +2564,37 @@ def x57(spark: SparkSession, sf_dir: str) -> DataFrame:
     return misra_gries_topk(tx.tokens(docs), k=15, capacity=100_000).orderBy("rank")
 
 
+def _x72_oracle() -> str:
+    """x72 must equal x34 byte-for-byte: reuse its oracle verbatim."""
+    from deepcell_data_engineering_spark.relational.queries import QUERIES as _REG
+
+    return _REG["x34_chunk_documents"].oracle
+
+
+@_q(
+    "x72_udtf_chunks",
+    _x72_oracle(),
+    doc="Python UDTF surface (Spark 4, functions/udtfs.py): the RAG "
+    "chunker re-expressed as a user-defined TABLE function invoked "
+    "through SQL LATERAL — row-at-a-time Python, the slow path BY "
+    "DESIGN (x34's codegen generator explode is the production twin). "
+    "The query certifies the UDTF plumbing itself: registration, "
+    "lateral correlation, schema projection, and UTF-8 md5 identity "
+    "hash-match the SAME oracle SQL as x34, so any drift between the "
+    "imperative and declarative chunkers goes red at the gate.",
+)
+def x72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.udtfs import register_chunk_udtf
+
+    fn = register_chunk_udtf(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("x72_docs")
+    return spark.sql(
+        f"""SELECT d.doc_id, c.chunk_idx, c.chunk_len, c.chunk_md5
+            FROM x72_docs d, LATERAL {fn}(d.text) c
+            ORDER BY d.doc_id, c.chunk_idx"""
+    )
+
+
 _X70_RECURSIVE = """WITH RECURSIVE reach(node, depth) AS (
   SELECT id_a AS node, 0 AS depth FROM {edges} WHERE id_a % 100 = 0
   UNION ALL

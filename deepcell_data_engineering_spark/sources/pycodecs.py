@@ -300,10 +300,16 @@ def encode_png(img: np.ndarray, filter_type: int = 0, interlace: bool = False) -
 _TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
 
 
-def _lzw_decode(data: bytes) -> bytes:
+def _lzw_decode(data: bytes, expected: int | None = None) -> bytes:
     """TIFF-variant LZW (compression 5): MSB-first variable-width codes
-    9->12 bits with the spec's early-change convention, ClearCode 256,
-    EOI 257."""
+    9->12 bits with the shipped early-change convention, ClearCode 256,
+    EOI 257.
+
+    ``expected`` is the strip/tile's decoded byte count: real decoders
+    stop there and never parse the trailing EOI, which real encoders
+    (javax/libtiff lineage) may emit one bit narrower than the table
+    state implies — their flush path skips the early-change widen. Cross
+    -validated both directions against javax.imageio streams."""
     CLEAR, EOI = 256, 257
     out = bytearray()
     table: list[bytes] = []
@@ -339,10 +345,14 @@ def _lzw_decode(data: bytes) -> bytes:
             raise ValueError("corrupt LZW stream: code beyond table")
         out.extend(entry)
         prev = entry
-        # early change: the writer widens when ITS next free code hits
-        # 2^n - 1; the reader's table lags one entry behind, so widen at
-        # 2^n - 2
-        if len(table) >= (1 << nbits) - 2 and nbits < 12:
+        if expected is not None and len(out) >= expected:
+            break
+        # TIFF "early change" as actually shipped (libtiff/javax, one
+        # code earlier than a classic LZW reader would need): widen as
+        # soon as the NEXT table slot to assign reaches 2^n - 1.
+        # Validated bit-exactly against javax.imageio-written streams
+        # crossing the 9->10->11->12 boundaries and table resets.
+        if len(table) >= (1 << nbits) - 1 and nbits < 12:
             nbits += 1
     return bytes(out)
 
@@ -365,26 +375,44 @@ def _lzw_encode(data: bytes) -> bytes:
     table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
     next_code = 258
     nbits = 9
+    emitted = 0  # data codes since the last CLEAR
     emit(CLEAR, nbits)
+
+    # The decoder widens by codes RECEIVED (it appends one table entry
+    # per data code, flush included), so the encoder must widen by codes
+    # EMITTED — not by table adds. The two are identical mid-stream
+    # (every in-loop emission adds an entry) but differ at the final
+    # flush emission, which adds nothing: keying on adds leaves the EOI
+    # one bit narrower than the decoder expects whenever the table-size
+    # boundary lands exactly on the flush (found by the round-trip fuzz
+    # at 253 novel bytes). The threshold mirrors the decoder's
+    # early-change point (next slot reaches 2^n - 1), the convention
+    # javax/libtiff streams follow.
+    def emit_data(code: int) -> None:
+        nonlocal emitted, nbits
+        emit(code, nbits)
+        emitted += 1
+        if 257 + emitted >= (1 << nbits) - 1 and nbits < 12:  # early change
+            nbits += 1
+
     cur = b""
     for b in data:
         cand = cur + bytes([b])
         if cand in table:
             cur = cand
             continue
-        emit(table[cur], nbits)
+        emit_data(table[cur])
         table[cand] = next_code
         next_code += 1
-        if next_code == (1 << nbits) - 1 and nbits < 12:  # early change
-            nbits += 1
-        elif next_code == (1 << 12) - 1:
+        if next_code == (1 << 12) - 1:
             emit(CLEAR, nbits)
             table = {bytes([i]): i for i in range(256)}
             next_code = 258
             nbits = 9
+            emitted = 0
         cur = bytes([b])
     if cur:
-        emit(table[cur], nbits)
+        emit_data(table[cur])
     emit(EOI, nbits)
     if acc_n:
         out_bits.append((acc << (8 - acc_n)) & 0xFF)
@@ -412,11 +440,13 @@ def _packbits_decode(data: bytes) -> bytes:
 
 
 _TIFF_DECOMPRESS = {
-    1: lambda d: d,
+    # each entry takes (data, expected_decoded_bytes); only LZW needs the
+    # expected size (see _lzw_decode's trailing-EOI note)
+    1: lambda d, n: d,
     5: _lzw_decode,
-    8: zlib.decompress,
-    32946: zlib.decompress,  # legacy Deflate tag
-    32773: _packbits_decode,
+    8: lambda d, n: zlib.decompress(d),
+    32946: lambda d, n: zlib.decompress(d),  # legacy Deflate tag
+    32773: lambda d, n: _packbits_decode(d),
 }
 
 
@@ -514,7 +544,7 @@ def _decode_ifd(payload: bytes, endian: str, ifd_off: int) -> tuple[np.ndarray, 
             dtype=dtype.newbyteorder("="),
         )
         for i, (o, c) in enumerate(zip(offsets, counts)):
-            raw = decompress(payload[o : o + c])
+            raw = decompress(payload[o : o + c], tl * tw * samples * (bits // 8))
             tile = np.frombuffer(raw, dtype=dtype)
             if tile.size != tl * tw * samples:
                 raise ValueError("TIFF tile data length mismatch")
@@ -532,9 +562,9 @@ def _decode_ifd(payload: bytes, endian: str, ifd_off: int) -> tuple[np.ndarray, 
     rows_per_strip = tags.get(278, [h])[0]
     strips = []
     for si, (o, c) in enumerate(zip(offsets, counts)):
-        raw = decompress(payload[o : o + c])
-        strip = np.frombuffer(raw, dtype=dtype)
         n_rows = min(rows_per_strip, h - si * rows_per_strip)
+        raw = decompress(payload[o : o + c], n_rows * w * samples * (bits // 8))
+        strip = np.frombuffer(raw, dtype=dtype)
         if strip.size != n_rows * w * samples:
             raise ValueError("TIFF strip data length mismatch")
         strip = strip.reshape((n_rows, w) if samples == 1 else (n_rows, w, samples))

@@ -749,3 +749,63 @@ def test_third_party_encoded_streams_decode(spark):
         jpg = their_encode(to_buffered(content), "jpg")
         d = np.abs(decode_jpeg(jpg).astype(np.int16) - their_decode(jpg))
         assert int(d.max()) <= 4 and float(d.mean()) <= 1.0
+
+
+def test_lzw_streams_interoperate_with_javax_both_directions(spark, tmp_path):
+    """The LZW early-change convention is the one real writers use:
+    javax.imageio's TIFF plugin accepts OUR LZW streams bit-exactly and
+    our decoder accepts THEIRS, across every code-width boundary
+    (9→10→11→12) and a table reset. Round-trip-only testing cannot see
+    a convention that is self-consistently off by one — this pins
+    interoperability (the bug class found by the round-trip fuzz at the
+    2^9 boundary)."""
+    from deepcell_data_engineering_spark.sources.pycodecs import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    jvm = spark._jvm
+
+    def javax_write_lzw(img):
+        h, w = img.shape
+        bi = jvm.java.awt.image.BufferedImage(
+            w, h, jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        )
+        raster = bi.getRaster()
+        for y in range(h):
+            for x in range(w):
+                raster.setSample(x, y, 0, int(img[y, x]))
+        writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+        param = writer.getDefaultWriteParam()
+        param.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionType("LZW")
+        p = str(tmp_path / "jx.tif")
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(jvm.java.io.File(p))
+        writer.setOutput(ios)
+        writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+        ios.close()
+        return open(p, "rb").read()
+
+    def javax_read(tif_bytes):
+        p = str(tmp_path / "ours.tif")
+        open(p, "wb").write(tif_bytes)
+        bi = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(p))
+        assert bi is not None
+        h, w = bi.getHeight(), bi.getWidth()
+        r = bi.getData()
+        return np.array(
+            [[r.getSample(x, y, 0) for x in range(w)] for y in range(h)],
+            dtype=np.uint8,
+        )
+
+    rng = np.random.RandomState(42)
+    # 253 novel bytes = the flush-on-boundary case; 5000 crosses 9->10;
+    # 20000 crosses 10->11->12 and includes a table reset under
+    # incompressible data
+    for n in (253, 5000, 20000):
+        img = rng.randint(0, 256, size=(1, n), dtype=np.uint8)
+        ours = encode_tiff(img, compression=5, predictor=1)
+        assert np.array_equal(javax_read(ours), img), f"ours->javax n={n}"
+        assert np.array_equal(decode_tiff(javax_write_lzw(img)), img), (
+            f"javax->ours n={n}"
+        )

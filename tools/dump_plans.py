@@ -56,6 +56,7 @@ HEADLINERS = [
     ("x69_hll_rollup", "sketch-state ROLLUP: one register build, grouped-max lattice, no rescans"),
     ("x70_recursive_closure", "recursive CTE: DISTINCT-bounded frontier per step, checkpointed edge view"),
     ("x71_lateral_topk", "correlated LATERAL decorrelated by Catalyst (vs WindowGroupLimit twin)"),
+    ("x72_udtf_chunks", "Python UDTF through SQL LATERAL — slow path certified against the x34 oracle"),
 ]
 
 
