@@ -85,7 +85,9 @@ def weighted_sample(
     likelier than a 1k-token one), per language.
 
     Rows with weight <= 0 are excluded (their inclusion probability is
-    zero, and pow(u, 1/w) is undefined at w = 0)."""
+    zero, and pow(u, 1/w) is undefined at w = 0). ``key`` must uniquely
+    identify rows within a stratum: duplicate keys draw the same u, and
+    the tie between them would be partition-order dependent."""
     from pyspark.sql import Window
 
     u = (hash_bucket(key, seed) + F.lit(1).cast("double")) / F.lit(HASH_SPACE).cast(

@@ -3131,11 +3131,17 @@ def x64(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # union registers per pair: attach each source's registers to every
     # pair it belongs to, then grouped max — hll_merge generalized to a
-    # pair lattice. The join fan-out is bounded by the source count.
+    # pair lattice. Two EQUI-joins (one per pair slot) instead of one
+    # OR-condition join: the OR form can only plan as a nested-loop
+    # (S^3 work at S sources), the equi form broadcasts the pair list
+    # into two hash joins. union-all before the grouped max is exact.
     ureg = (
-        pairs.join(
-            reg,
-            (F.col("source") == F.col("src_a")) | (F.col("source") == F.col("src_b")),
+        pairs.join(reg, F.col("src_a") == F.col("source"))
+        .select("src_a", "src_b", "bucket", "r")
+        .unionByName(
+            pairs.join(reg, F.col("src_b") == F.col("source")).select(
+                "src_a", "src_b", "bucket", "r"
+            )
         )
         .groupBy("src_a", "src_b", "bucket")
         .agg(F.max("r").alias("r"))
