@@ -31,31 +31,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver oracle-checks the first 50 registry entries per round.
-# Round-5 rotation: the 40 queries last driver-checked in round 3
-# (d15–d49 and x01–x05) lead, so every registered query's driver verdict
-# is at most one round old; the window is padded to 50 with the 10
-# cheapest round-4-green queries. Everything else (all driver-green in
-# round 4) follows.
+# Round-6 rotation: the 16 round-5 queries (x57–x72) have never been in
+# a driver window — they lead (pre-flighted 16/16 green at sf0.01 via
+# tools/check_oracle.py), followed by 34 of x06–x45 (last driver-checked
+# in round 4). The remaining six (x40–x45) lead round 7, keeping every
+# registered query's driver verdict at most two rounds old.
 _CHECK_FIRST = [
-    "d15_range_join", "d16_cross_join", "d17_grouped_agg",
-    "d18_count_distinct_having", "d19_median", "d20_rollup",
-    "d21_grouping_sets", "d22_conditional_agg", "d23_window_rank",
-    "d24_window_lag_lead", "d25_window_running_max", "d26_intersect",
-    "d27_except", "d28_date_agg", "d29_math_string", "d30_documents_agg",
-    "d31_pivot", "d32_unpivot", "d33_string_agg", "d34_cube",
-    "d35_approx_distinct", "d36_exists_subquery", "d37_scalar_subquery",
-    "d38_ntile_percent_rank", "d39_array_hof", "d40_except_all",
-    "d41_moment_stats", "d42_snapshot_diff", "d43_quantiles",
-    "d44_null_semantics", "d45_share_of_total", "d46_try_cast",
-    "d47_incremental_agg", "d48_apply_changes", "d49_revenue_rollup",
-    "x02_quality_features", "x03_lang_id",
-    "x04_exact_dedup", "x05_minhash_signatures",
-    # round-5 additions: first driver verdict this round
-    "x46_df_heavy_hitters", "x47_bigram_pmi", "x48_inverted_index",
-    "x49_source_overlap", "x50_ann_recall",
-    "x51_cluster_representatives", "x52_mixture_plan",
-    "x53_incremental_lsh", "x54_stream_screen", "x55_variant_extract",
-    "x56_dup_ngram_coverage",
+    "x57_sketch_topk", "x58_bloom_pruned_join", "x59_hll_distinct",
+    "x60_zorder_key", "x61_weighted_sample", "x62_cms_frequencies",
+    "x63_hist_quantiles", "x64_hll_set_algebra", "x65_quality_gate",
+    "x66_similarity_join_exact", "x67_triangle_hubs", "x68_bpe_train",
+    "x69_hll_rollup", "x70_recursive_closure", "x71_lateral_topk",
+    "x72_udtf_chunks",
+    # x06–x39: driver verdicts from round 4, refreshed this round
+    "x06_minhash_lsh_pairs", "x07_ngram_jaccard", "x08_simhash",
+    "x09_cosine_topk", "x10_embedding_neardup", "x11_srp_lsh_topk",
+    "x12_crop_grid", "x13_overlap_vote", "x14_ivf_topk",
+    "x15_json_extract", "x16_asof_join", "x17_sessionize",
+    "x18_winnow_fingerprint", "x19_kmeans_centroids", "x20_interval_join",
+    "x21_dup_clusters", "x22_tfidf_topk", "x23_pattern_scrub",
+    "x24_stratified_sample", "x25_vocab_topk", "x26_bm25",
+    "x27_corpus_build", "x28_bpe_tokens", "x29_semantic_neardup",
+    "x30_containment", "x31_corpus_report", "x32_repetition_signals",
+    "x33_decontaminate", "x34_chunk_documents", "x35_pack_sequences",
+    "x36_embedding_health", "x37_funnel", "x38_gapfill",
+    "x39_salted_skew_join",
 ]
 
 
