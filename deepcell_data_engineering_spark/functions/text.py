@@ -377,28 +377,36 @@ def bpe_train(
     on the (word, tf) VOCABULARY table — orders of magnitude smaller —
     as one distributed pair-count aggregation plus a 1-row argmax
     collect (the k-means driver-loop convention: per-round driver state
-    is one merge rule, never data). Words are character sequences
-    delimited by spaces; the winning pair merges via a single
-    non-overlapping left-to-right replace, which is exactly BPE's
-    greedy application order and is engine-portable (the x68 oracle
-    unrolls the same rounds in SQL).
+    is one merge rule, never data). Words are token sequences delimited
+    by TWO spaces (" a  b  c "); the winning pair merges via a single
+    non-overlapping left-to-right literal replace of " a  b " with
+    " ab ". The double delimiter is load-bearing: each match consumes
+    one space from each flanking delimiter, leaving one for the
+    adjacent match, so back-to-back occurrences of the pair all merge
+    in one pass — exactly canonical greedy BPE (scan left to right,
+    merge, skip past the merged token). A single-space convention
+    silently skips every second occurrence in runs like "hahahaha"
+    (round-5 postmortem: self-consistent deviations survive oracle
+    gates). Engine-portable: the x68 oracle unrolls the same
+    double-space replace in SQL.
 
     Ties break deterministically by (count desc, lhs, rhs)."""
     spark = docs.sparkSession
     words = tokens(docs, text_col=text_col, id_col=id_col).groupBy("term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    # ' a b c ' — every token flanked by spaces so a merge replace can
-    # never match inside a multi-character token
+    # ' a  b  c ' — tokens flanked by single boundary spaces, separated
+    # by DOUBLE spaces: a merge replace can never match inside a token,
+    # and adjacent matches never fight over a shared delimiter char
     seqs = words.select(
         "tf",
         F.concat(
-            F.lit(" "), F.regexp_replace(F.col("term"), "(.)", "$1 ")
+            F.lit(" "), F.regexp_replace(F.col("term"), "(.)", "$1  ")
         ).alias("seq"),
     ).localCheckpoint()  # cut the corpus lineage: rounds iterate on vocab only
     merges: list[tuple[int, str, str, str, int]] = []
     for r in range(1, rounds + 1):
-        arr = F.split(F.trim(F.col("seq")), " ")
+        arr = F.split(F.trim(F.col("seq")), " +")
         zipped = F.arrays_zip(
             F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))).alias("ca"),
             F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))).alias("cb"),
@@ -419,7 +427,7 @@ def bpe_train(
         seqs = seqs.select(
             "tf",
             F.replace(
-                F.col("seq"), F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+                F.col("seq"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
             ).alias("seq"),
         ).localCheckpoint()
     return spark.createDataFrame(

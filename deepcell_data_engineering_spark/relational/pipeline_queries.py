@@ -2774,7 +2774,7 @@ def _x68_oracle(rounds: int = 8) -> str:
         FROM documents) WHERE t <> ''),
     s0 AS MATERIALIZED (
       SELECT CAST(COUNT(*) AS BIGINT) AS tf,
-             ' ' || regexp_replace(term, '(.)', '\1 ', 'g') AS seq
+             ' ' || regexp_replace(term, '(.)', '\1  ', 'g') AS seq
       FROM tok GROUP BY term)"""
     ]
     for r in range(1, rounds + 1):
@@ -2783,14 +2783,14 @@ def _x68_oracle(rounds: int = 8) -> str:
             f""",
     p{r} AS (
       SELECT l[i] AS a, l[i + 1] AS b, CAST(SUM(tf) AS BIGINT) AS c
-      FROM (SELECT tf, str_split(trim(seq), ' ') AS l FROM {prev}),
+      FROM (SELECT tf, regexp_split_to_array(trim(seq), ' +') AS l FROM {prev}),
            UNNEST(range(1, len(l))) AS rr(i)
       GROUP BY a, b
     ),
     t{r} AS MATERIALIZED (SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1),
     s{r} AS MATERIALIZED (
       SELECT tf, replace(seq,
-        ' ' || (SELECT a FROM t{r}) || ' ' || (SELECT b FROM t{r}) || ' ',
+        ' ' || (SELECT a FROM t{r}) || '  ' || (SELECT b FROM t{r}) || ' ',
         ' ' || (SELECT a || b FROM t{r}) || ' ') AS seq
       FROM {prev}
     )"""
@@ -2815,7 +2815,10 @@ def _x68_oracle(rounds: int = 8) -> str:
     "merge rounds is one distributed pair-count over the VOCABULARY "
     "table plus a 1-row argmax collect (driver state = one rule, never "
     "data), and the merge applies as a single non-overlapping left-to-"
-    "right replace — BPE's own greedy order, identical in both engines. "
+    "right replace over DOUBLE-space-delimited sequences — the double "
+    "delimiter makes one literal replace equal canonical greedy BPE "
+    "even on back-to-back pair runs ('hahahaha'), identical in both "
+    "engines. "
     "Oracle = the same 8 rounds unrolled as materialized CTEs; ties "
     "break by (count desc, lhs, rhs).",
 )

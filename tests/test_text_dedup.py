@@ -568,10 +568,15 @@ def test_prefix_similarity_join_partition_invariant(spark):
 def test_bpe_train_matches_python_reference(spark):
     from deepcell_data_engineering_spark.functions.text import bpe_train
 
+    # aaaa / hahahaha / aaaaa exercise back-to-back occurrences of the
+    # winning pair — the case where a single-space replace convention
+    # silently deviates from canonical greedy BPE (round-5 verdict)
     corpus = [
         (1, "low lower lowest low low"),
         (2, "new newer newest new lower"),
         (3, "wide wider widest low new"),
+        (4, "aaaa hahahaha aaaaa banana papa"),
+        (5, "aaaa aaaa hahahaha lowlow"),
     ]
     df = spark.createDataFrame(corpus, "doc_id long, text string")
 
