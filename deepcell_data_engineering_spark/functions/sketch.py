@@ -34,24 +34,21 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _mg_fold(counts: dict[str, int], term: str, capacity: int) -> int:
-    """Fold one term into a Misra-Gries summary; returns the decrement
-    this step charged (0 or 1)."""
-    if term in counts:
-        counts[term] += 1
+def _mg_trim(counts: dict[str, int], capacity: int) -> int:
+    """Trim a Misra-Gries summary back to ``capacity`` counters by
+    subtracting the (capacity+1)-th largest count from every counter
+    and evicting the non-positive ones (the mergeable-summaries batch
+    decrement: delta single-decrement rounds at once). Returns the
+    decrement total charged."""
+    if len(counts) <= capacity:
         return 0
-    if len(counts) < capacity:
-        counts[term] = 1
-        return 0
-    # decrement round: every counter decays; zeros evicted
-    dead = []
-    for t in counts:
-        counts[t] -= 1
-        if counts[t] == 0:
-            dead.append(t)
-    for t in dead:
+    vals = sorted(counts.values(), reverse=True)
+    delta = vals[capacity]
+    for t in [t for t, c in counts.items() if c <= delta]:
         del counts[t]
-    return 1
+    for t in counts:
+        counts[t] -= delta
+    return delta
 
 
 def misra_gries_topk(
@@ -69,8 +66,15 @@ def misra_gries_topk(
         counts: dict[str, int] = {}
         dec = 0
         for pdf in batches:
-            for term in pdf[col]:
-                dec += _mg_fold(counts, term, capacity)
+            # vectorized pre-fold: collapse the Arrow batch to (term, n)
+            # with value_counts (C path), then merge the aggregate into
+            # the summary — one dict op per DISTINCT term per batch, not
+            # per row. Adding n then batch-trimming preserves the MG
+            # bound (mergeable-summaries combine), so the map stage no
+            # longer scales with per-row Python cost.
+            for term, n in pdf[col].value_counts().items():
+                counts[term] = counts.get(term, 0) + int(n)
+            dec += _mg_trim(counts, capacity)
         out = pd.DataFrame(
             {"term": list(counts), "c": list(counts.values())}
         )
@@ -81,8 +85,12 @@ def misra_gries_topk(
         )
         yield out
 
-    partial = df.select(F.col(col).alias(col)).mapInPandas(
-        summarize, schema="term string, c long"
+    # NULL terms carry no identity (matching hll_registers/cms_build) —
+    # and must not collide with the NULL decrement-carrier row below
+    partial = (
+        df.select(F.col(col).alias(col))
+        .where(F.col(col).isNotNull())
+        .mapInPandas(summarize, schema="term string, c long")
     )
     merged = partial.groupBy("term").agg(F.sum("c").alias("c"))
     # D = sum of all partitions' decrement rows (the NULL term)
@@ -184,9 +192,13 @@ def hll_estimate(
     s = 60 - p + 1  # max rho; scaled terms 2^(s-r) stay integral
     md = f"{float(m)!r}D"
     pow2s_d = f"{float(1 << s)!r}D"
+    # Flajolet et al.'s bias constant: closed-form only for m >= 128;
+    # m = 16/32/64 use the paper's tabulated values
+    alpha = {16: "0.673D", 32: "0.697D", 64: "0.709D"}.get(
+        m, f"0.7213D / (1.0D + 1.079D / {md})"
+    )
     est_raw = (
-        f"0.7213D / (1.0D + 1.079D / {md}) * {md} * {md} * {pow2s_d} "
-        f"/ CAST(sum_total AS DOUBLE)"
+        f"{alpha} * {md} * {md} * {pow2s_d} / CAST(sum_total AS DOUBLE)"
     )
     return (
         registers.groupBy(*group_cols)
@@ -420,8 +432,11 @@ def hll_rollup_estimates(
         )
         est = hll_estimate(reg_k, keep, p)
         cols = [F.lit(n - k).alias("lvl")]
+        # kept dims cast to string so every level's frame carries the
+        # same column types as the literal ``fill`` rows under ANSI
+        # union rules (non-string group columns otherwise fail)
         cols += [
-            (F.col(c) if c in keep else F.lit(fill).alias(c)).alias(c)
+            (F.col(c).cast("string") if c in keep else F.lit(fill)).alias(c)
             for c in group_cols
         ]
         cols += [F.col("present"), F.col("zeros"), F.col("est")]
