@@ -195,14 +195,19 @@ def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFra
     docs shows up as a dense triangle cluster long before connected
     components merge it into one blob.
 
-    The classic ordered enumeration: edges normalize to u < v, each
-    triangle (a < b < c) is found EXACTLY once by joining (a,b)⋈(b,c)
-    and closing with (a,c) — two equi-joins, no node ever compared to
-    a non-neighbor. Work is sum over edges of deg(u)·deg(v) on the
-    candidate graph only; the u < v orientation halves degrees and
-    kills duplicate enumeration, which is what keeps this viable on a
-    100 TB corpus's (sparse, bounded by LSH banding) candidate graph."""
-    e = (
+    The ordered enumeration with DEGREE orientation: edges orient from
+    the (degree, id)-smaller endpoint to the larger, each triangle is
+    found EXACTLY once by joining (a,b)⋈(b,c) on the oriented graph and
+    closing with (a,c) — two equi-joins, no node ever compared to a
+    non-neighbor. Degree orientation (vs plain id order) bounds every
+    node's out-degree by O(sqrt(m)) and sends all of a hub's edges
+    INWARD, so wedge work through high-degree template hubs collapses
+    from in·out to ~0 — the orientation is invisible in the result
+    (triangle counts are orientation-free; the x67 oracle keeps its
+    id-ordered SQL), it only changes the join cardinality. Residual
+    cost is the true triangle count itself, which is cubic in clique
+    size on a near-dup-heavy corpus — output-bound, not plan-bound."""
+    und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
             F.greatest(F.col(src), F.col(dst)).alias("v"),
@@ -210,6 +215,26 @@ def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFra
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ranked = (
+        und.join(deg.withColumnsRenamed({"n": "u", "d": "du"}), "u")
+        .join(deg.withColumnsRenamed({"n": "v", "d": "dv"}), "v")
+        .select(
+            "u",
+            "v",
+            F.struct(F.col("du"), F.col("u")).alias("ru"),
+            F.struct(F.col("dv"), F.col("v")).alias("rv"),
+        )
+    )
+    e = ranked.select(
+        F.when(F.col("ru") < F.col("rv"), F.col("u")).otherwise(F.col("v")).alias("u"),
+        F.when(F.col("ru") < F.col("rv"), F.col("v")).otherwise(F.col("u")).alias("v"),
+    ).localCheckpoint()  # built once, probed three times
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.u") == F.col("e1.v"))
