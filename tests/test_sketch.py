@@ -261,3 +261,41 @@ def test_hll_rollup_levels_equal_direct_builds(spark):
     assert sorted(map(tuple, hll_registers(withnull, "v", ["src", "lng"], p=10).collect())) == sorted(
         map(tuple, reg.collect())
     )
+
+
+def test_hist_quantiles_contain_duckdb_disc_on_d43_table(spark):
+    """Cross-pin the two quantile paths (round-5 verdict item): the x63
+    log-histogram interval must contain DuckDB's exact disc value —
+    computed with the SAME ceil(q*n)-th row definition hist_quantiles
+    uses — for every l_returnflag group and q, on d43's lineitem table
+    at the driver's check scale (sf0.01)."""
+    import duckdb
+
+    sf_dir = "/root/testdata/sf0.01"
+    qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+    )
+    got = {
+        (r["g"], r["q"]): r
+        for r in hist_quantiles(hist_registers(v, "x", ["g"]), ["g"], qs).collect()
+    }
+    con = duckdb.connect()
+    qvals = ", ".join(str(q) for q in qs)
+    exact = con.execute(
+        f"""WITH v AS (
+              SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+                     ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+                     COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+              FROM read_parquet('{sf_dir}/lineitem.parquet'))
+            SELECT g, q, MIN(x) AS disc
+            FROM v, UNNEST([{qvals}]) AS t(q)
+            WHERE rn = CEIL(q * n)
+            GROUP BY g, q"""
+    ).fetchall()
+    assert len(exact) == 3 * len(qs)  # return flags A/N/R x qs
+    for g, q, disc in exact:
+        r = got[(g, float(q))]
+        assert r["lo"] <= disc <= r["hi"], (g, q, disc, r)
