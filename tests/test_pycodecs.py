@@ -809,3 +809,66 @@ def test_lzw_streams_interoperate_with_javax_both_directions(spark, tmp_path):
         assert np.array_equal(decode_tiff(javax_write_lzw(img)), img), (
             f"javax->ours n={n}"
         )
+
+
+def test_palette_and_adam7_pngs_cross_validate_with_javax(spark):
+    """Third-party check for the round-5 codec branches (the LZW
+    postmortem rule: round-trips cannot catch self-consistent
+    deviations). javax.imageio decodes (a) handcrafted palette PNGs at
+    every legal depth, (b) palette+tRNS, and (c) OUR Adam7-interlaced
+    encoder's streams — each must agree with our own decoder exactly."""
+    jvm = spark._jvm
+    gateway = spark.sparkContext._gateway
+
+    def their_rgba(payload):
+        b = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(bytearray(payload))
+        )
+        h, w = b.getHeight(), b.getWidth()
+        a = np.array(b.getRGB(0, 0, w, h, None, 0, w), dtype=np.int64).reshape(h, w)
+        return np.dstack(
+            [(a >> 16) & 0xFF, (a >> 8) & 0xFF, a & 0xFF, (a >> 24) & 0xFF]
+        ).astype(np.uint8)
+
+    # (a) palette PNGs, every legal bit depth: javax's LUT expansion ==
+    # ours == the palette itself
+    for depth in (1, 2, 4, 8):
+        n = 2**depth
+        plte = bytes((i * 7 + depth) % 256 for i in range(n * 3))
+        rng = np.random.RandomState(depth)
+        idx = rng.randint(0, n, size=(11, 7))
+        payload = _palette_png(idx, depth, plte)
+        ours = decode_png(payload)
+        theirs = their_rgba(payload)
+        assert np.array_equal(theirs[..., :3], ours), f"palette depth={depth}"
+        assert np.all(theirs[..., 3] == 255)
+
+    # (b) palette + tRNS: alpha channel agrees
+    plte = bytes(range(12))
+    trns = bytes([0, 128])
+    idx = np.array([[0, 1, 2], [3, 2, 1]])
+    payload = _palette_png(idx, 8, plte, trns=trns)
+    ours = decode_png(payload)  # (2, 3, 4)
+    theirs = their_rgba(payload)
+    assert np.array_equal(theirs, ours)
+
+    # (c) our Adam7 streams: rgb8 via getRGB; gray via the raw raster
+    # (getRGB runs javax's linear-gray->sRGB color conversion and would
+    # truncate 16-bit samples)
+    def their_gray(payload):
+        b = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(bytearray(payload))
+        )
+        h, w = b.getHeight(), b.getWidth()
+        buf = gateway.new_array(jvm.int, h * w)
+        b.getRaster().getSamples(0, 0, w, h, 0, buf)
+        return np.array(list(buf), dtype=np.int64).reshape(h, w)
+
+    rng = np.random.RandomState(77)
+    g8 = rng.randint(0, 256, (13, 6)).astype(np.uint8)
+    rgb = rng.randint(0, 256, (9, 14, 3)).astype(np.uint8)
+    assert np.array_equal(their_gray(encode_png(g8, interlace=True)), g8)
+    assert np.array_equal(their_rgba(encode_png(rgb, interlace=True))[..., :3], rgb)
+
+    g16 = rng.randint(0, 65536, (7, 11)).astype(np.uint16)
+    assert np.array_equal(their_gray(encode_png(g16, interlace=True)), g16)
