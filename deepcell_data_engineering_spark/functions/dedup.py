@@ -782,3 +782,86 @@ def similarity_join_prefix(
         .where(jac >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    name_col: str,
+    block_key: Column,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Entity-resolution fuzzy join: (name_a, name_b, dist) over the
+    DISTINCT values of ``name_col`` whose edit distance is at most
+    ``max_dist``, candidate-paired only within equal ``block_key``
+    (plus a |length| band prune an edit-distance match must satisfy).
+
+    The scale discipline mirrors the dedup family: resolve distinct
+    STRINGS, never rows — the row table maps back through an equi-join
+    on the resolved name. Blocking makes the pair space per-block
+    quadratic only (never all-pairs), and the length band removes
+    pairs no levenshtein <= max_dist could ever accept before the
+    O(len^2) distance evaluates."""
+    names = df.select(
+        F.col(name_col).alias("name"), block_key.alias("bk")
+    ).where(F.col("name").isNotNull()).distinct()
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.name") < F.col("b.name"))
+            & (
+                F.abs(F.length("a.name") - F.length("b.name"))
+                <= F.lit(max_dist)
+            ),
+        )
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein("a.name", "b.name").alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+    )
+
+
+def simhash_hamming_pairs(
+    sig: DataFrame,
+    sig_col: str = "simhash",
+    n_bands: int = 4,
+    band_bits: int = 15,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Hamming-LSH candidate pairs between DISTINCT simhash values:
+    (sig_a, sig_b, hamming) where the signatures share at least one of
+    ``n_bands`` contiguous ``band_bits``-bit bands and their true
+    Hamming distance is at most ``max_hamming``.
+
+    Callers collapse identical signatures to one row with a group size
+    BEFORE this join (near-identical templated corpora put most of the
+    duplicate mass in exact-signature groups); doc-level pair counts
+    then come from n_a*n_b arithmetic, never from enumerating the
+    quadratic doc-pair set. By pigeonhole, any pair with hamming <
+    n_bands is guaranteed to share a band; larger distances are
+    best-effort recall (standard Hamming LSH)."""
+    vals = sig.select(F.col(sig_col).alias("sh")).distinct()
+    mask = (1 << band_bits) - 1
+    bands = vals.select(
+        "sh",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("b"),
+    ).select("sh", "b", F.expr(f"(sh >> ({band_bits} * b)) & {mask}").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.sh") < F.col("b.sh")),
+        )
+        .select(F.col("a.sh").alias("sig_a"), F.col("b.sh").alias("sig_b"))
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -433,3 +433,30 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "round int, lhs string, rhs string, merged string, pair_count bigint"
     )
+
+
+def bpe_encode_vocab(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ENCODE the corpus vocabulary with a learned BPE merge table
+    (the apply half of bpe_train): (term, tf, toks array<string>).
+
+    Applying n merge rules is n chained literal replaces over the
+    double-space-delimited character sequence — one projection, fully
+    whole-stage-codegen, zero Python. The corpus collapses to its
+    DISTINCT-word vocabulary first (the same orders-of-magnitude
+    reduction bpe_train exploits); per-document token streams come from
+    joining this mapping back on the word, never from re-running the
+    merges per document."""
+    words = tokens(docs, text_col=text_col, id_col=id_col).groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    seq = F.concat(F.lit(" "), F.regexp_replace(F.col("term"), "(.)", "$1  "))
+    for a, b in merges:
+        seq = F.replace(seq, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    return words.select(
+        "term", "tf", F.split(F.trim(seq), " +").alias("toks")
+    )

@@ -2762,11 +2762,10 @@ def x69(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _x68_oracle(rounds: int = 8) -> str:
-    """Unrolled BPE training rounds in DuckDB SQL (the x43 unrolled-CTE
-    convention for iterative algorithms). MATERIALIZED pins each round's
-    state so the multi-referenced CTE chain cannot inline into an
-    exponentially duplicated expression tree."""
+def _bpe_chain(rounds: int = 8) -> str:
+    """The shared unrolled BPE-training CTE chain (WITH tok..s{rounds}):
+    x68 reads the merge rules off it, x73 reads the final encoded vocab
+    s{rounds} — one definition, so train and encode cannot drift."""
     parts = [
         r"""WITH tok AS MATERIALIZED (
       SELECT t AS term FROM (
@@ -2795,13 +2794,20 @@ def _x68_oracle(rounds: int = 8) -> str:
       FROM {prev}
     )"""
         )
+    return "".join(parts)
+
+
+def _x68_oracle(rounds: int = 8) -> str:
+    """Unrolled BPE training rounds in DuckDB SQL (the x43 unrolled-CTE
+    convention for iterative algorithms). MATERIALIZED pins each round's
+    state so the multi-referenced CTE chain cannot inline into an
+    exponentially duplicated expression tree."""
     unions = "\n       UNION ALL ".join(
         f"SELECT {r} AS round, a AS lhs, b AS rhs, a || b AS merged, "
         f"c AS pair_count FROM t{r}"
         for r in range(1, rounds + 1)
     )
-    parts.append(f"\n       {unions} ORDER BY round")
-    return "".join(parts)
+    return f"{_bpe_chain(rounds)}\n       {unions} ORDER BY round"
 
 
 @_q(
@@ -3596,3 +3602,180 @@ def x58(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@_q(
+    "x73_bpe_encode",
+    _bpe_chain(8)
+    + """,
+    enc AS (
+      SELECT token, CAST(SUM(tf) AS BIGINT) AS freq
+      FROM (SELECT tf, regexp_split_to_array(trim(seq), ' +') AS l FROM s8),
+           UNNEST(l) AS t(token)
+      GROUP BY token
+    )
+    SELECT token, freq FROM enc ORDER BY freq DESC, token LIMIT 30""",
+    doc="BPE ENCODE with the learned merge table (functions/text.py:"
+    "bpe_encode_vocab) — the apply half that makes x68's training "
+    "output usable: train 8 merge rules, encode the corpus, return the "
+    "top-30 token frequencies of the ENCODED stream. Application is n "
+    "chained literal replaces over the double-space char sequence in "
+    "ONE projection (whole-stage codegen, zero Python), run on the "
+    "DISTINCT-word vocabulary — per-document token streams come from "
+    "joining the (word -> tokens) mapping back, never from re-encoding "
+    "per document; at 100 TB the encode cost is the vocab size, not "
+    "the corpus size. Oracle = the same unrolled CTE chain x68 uses "
+    "(shared _bpe_chain definition), read at its final state s8.",
+)
+def x73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in tx.bpe_train(docs, rounds=8).orderBy("round").collect()
+    ]
+    enc = tx.bpe_encode_vocab(docs, rules)
+    return (
+        enc.select(F.explode("toks").alias("token"), "tf")
+        .groupBy("token")
+        .agg(F.sum("tf").cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(30)
+    )
+
+
+@_q(
+    "x74_fuzzy_name_join",
+    """WITH names AS (
+         SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n
+         FROM part GROUP BY p_name
+       ),
+       pairs AS (
+         SELECT a.name AS name_a, b.name AS name_b,
+                CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist,
+                a.n AS n_a, b.n AS n_b
+         FROM names a JOIN names b
+           ON split_part(a.name, ' ', 2) = split_part(b.name, ' ', 2)
+          AND a.name < b.name
+          AND abs(length(a.name) - length(b.name)) <= 3
+         WHERE levenshtein(a.name, b.name) <= 3
+       )
+       SELECT name_a, name_b, dist, n_a, n_b
+       FROM pairs ORDER BY dist, name_a, name_b""",
+    doc="Entity-resolution fuzzy join (functions/dedup.py:"
+    "fuzzy_name_pairs): near-duplicate part names by Levenshtein "
+    "distance <= 3, candidate-paired only inside (last-word) blocks "
+    "with a |length| band prune, annotated with each name's row count. "
+    "The scale shape is the vocab trick again: distances evaluate over "
+    "DISTINCT name strings (64 here; bounded by the entity vocabulary "
+    "at any corpus size), never over row pairs — impact counts come "
+    "from joining the resolved names back to the row table. Blocking "
+    "keeps the pair space per-block quadratic, never all-pairs.",
+)
+def x74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    counts = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pairs = dd.fuzzy_name_pairs(
+        part, "p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)), 3
+    )
+    return (
+        pairs.join(
+            counts.withColumnsRenamed({"name": "name_a", "n": "n_a"}), "name_a"
+        )
+        .join(counts.withColumnsRenamed({"name": "name_b", "n": "n_b"}), "name_b")
+        .select(
+            "name_a", "name_b", F.col("dist").cast("int").alias("dist"),
+            "n_a", "n_b",
+        )
+        .orderBy("dist", "name_a", "name_b")
+    )
+
+
+@_q(
+    "x77_simhash_neardup",
+    r"""WITH tok AS (
+         SELECT DISTINCT doc_id,
+                unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+         FROM documents
+       ),
+       h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+       bits AS (SELECT unnest(generate_series(0, 59)) AS b),
+       per_bit AS (
+         SELECT doc_id, b,
+                SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         FROM h, bits GROUP BY doc_id, b
+       ),
+       sig AS (
+         SELECT doc_id,
+                CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh
+         FROM per_bit GROUP BY doc_id
+       ),
+       grp AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS n FROM sig GROUP BY sh),
+       bands AS (
+         SELECT sh, b, (sh >> (15 * b)) & 32767 AS key
+         FROM grp, UNNEST(generate_series(0, 3)) AS t(b)
+       ),
+       cand AS (
+         SELECT DISTINCT a.sh AS sig_a, c.sh AS sig_b
+         FROM bands a JOIN bands c
+           ON a.b = c.b AND a.key = c.key AND a.sh < c.sh
+       ),
+       verified AS (
+         SELECT sig_a, sig_b,
+                CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+         FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 6
+       ),
+       crossg AS (
+         SELECT v.hamming, CAST(COUNT(*) AS BIGINT) AS n_sig_pairs,
+                CAST(SUM(ga.n * gb.n) AS BIGINT) AS n_doc_pairs
+         FROM verified v
+         JOIN grp ga ON ga.sh = v.sig_a
+         JOIN grp gb ON gb.sh = v.sig_b
+         GROUP BY v.hamming
+       ),
+       exact AS (
+         SELECT CAST(0 AS INTEGER) AS hamming,
+                CAST(COUNT(*) AS BIGINT) AS n_sig_pairs,
+                CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS n_doc_pairs
+         FROM grp WHERE n > 1
+       )
+       SELECT * FROM exact
+       UNION ALL SELECT * FROM crossg
+       ORDER BY hamming""",
+    doc="SimHash near-dup DISCOVERY end-to-end (functions/dedup.py:"
+    "simhash + simhash_hamming_pairs): 60-bit signatures, identical-"
+    "signature groups collapse FIRST (where a templated corpus's dup "
+    "mass lives — reported as the hamming=0 row), then Hamming-LSH "
+    "(4 bands x 15 bits) pairs only the DISTINCT signatures and "
+    "verifies bit_count(xor) <= 6. Output is the Hamming histogram "
+    "with doc-pair counts computed as n_a*n_b ARITHMETIC over group "
+    "sizes — the quadratic doc-pair set is never materialized, which "
+    "is the property that keeps simhash dedup viable at 100 TB. "
+    "Pigeonhole guarantees recall for hamming < 4; beyond that "
+    "banding is best-effort (standard Hamming LSH).",
+)
+def x77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dd.simhash(docs, bits=60)
+    grp = sig.groupBy(F.col("simhash").alias("sh")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pairs = dd.simhash_hamming_pairs(grp, "sh", n_bands=4, band_bits=15, max_hamming=6)
+    crossg = (
+        pairs.join(
+            grp.select(F.col("sh").alias("sig_a"), F.col("n").alias("n_a")), "sig_a"
+        )
+        .join(grp.select(F.col("sh").alias("sig_b"), F.col("n").alias("n_b")), "sig_b")
+        .groupBy(F.col("hamming").cast("int").alias("hamming"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sig_pairs"),
+            F.sum(F.col("n_a") * F.col("n_b")).alias("n_doc_pairs"),
+        )
+    )
+    exact = grp.where(F.col("n") > 1).agg(
+        F.lit(0).cast("int").alias("hamming"),
+        F.count(F.lit(1)).alias("n_sig_pairs"),
+        F.sum(F.expr("(n * (n - 1)) div 2")).alias("n_doc_pairs"),
+    )
+    return exact.unionByName(crossg).orderBy("hamming")
