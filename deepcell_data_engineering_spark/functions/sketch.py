@@ -445,3 +445,36 @@ def hll_rollup_estimates(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def hll_sliding_registers(
+    registers: DataFrame,
+    day_col: str = "day",
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-window register tables from per-day HLL registers:
+    (wend, bucket, r) where wend ranges over the days present in the
+    input and each day's registers contribute to window ends day ..
+    day+window_days-1. The sliding merge is a bounded fan-out
+    (``window_days`` rows per register row, an EQUI-join shape — never
+    a range join) followed by the usual grouped max, so a year of
+    days x 4 KiB/group streams through one shuffle regardless of how
+    many distinct values each day saw. Window ends with no source day
+    (gaps/future) are dropped by the semi-join on the day spine."""
+    spine = registers.select(F.col(day_col).alias("wend")).distinct()
+    fan = registers.select(
+        F.col(day_col),
+        "bucket",
+        "r",
+        F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("i"),
+    ).select(
+        F.expr(f"date_add({day_col}, i)").alias("wend"),
+        F.col(day_col),
+        "bucket",
+        "r",
+    )
+    return (
+        fan.join(spine, "wend", "left_semi")
+        .groupBy("wend", "bucket")
+        .agg(F.max("r").alias("r"))
+    )

@@ -3779,3 +3779,117 @@ def x77(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("(n * (n - 1)) div 2")).alias("n_doc_pairs"),
     )
     return exact.unionByName(crossg).orderBy("hamming")
+
+
+@_q(
+    "x75_sliding_distinct",
+    r"""WITH du AS (
+         SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+       ),
+       spine AS (SELECT DISTINCT day FROM du),
+       h AS (
+         SELECT day,
+                ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         FROM du
+       ),
+       br AS (
+         SELECT day, h >> 48 AS bucket,
+                CASE WHEN (h & 281474976710655) = 0 THEN 49
+                     ELSE 48 - length(bin(h & 281474976710655)) + 1 END AS r0
+         FROM h
+       ),
+       reg AS (SELECT day, bucket, MAX(r0) AS r FROM br GROUP BY day, bucket),
+       fan AS (
+         SELECT day + CAST(i AS INTEGER) AS wend, bucket, r
+         FROM reg, UNNEST(generate_series(0, 6)) AS t(i)
+       ),
+       wreg AS (
+         SELECT wend, bucket, MAX(r) AS r
+         FROM fan WHERE wend IN (SELECT day FROM spine)
+         GROUP BY wend, bucket
+       ),
+       agg AS (
+         SELECT wend,
+                CAST(SUM(1::BIGINT << (49 - r)) AS BIGINT) AS sum_scaled,
+                COUNT(*) AS present
+         FROM wreg GROUP BY wend
+       ),
+       e2 AS (
+         SELECT wend, present,
+                sum_scaled + (CAST(4096 AS BIGINT) - present)
+                    * CAST(562949953421312 AS BIGINT) AS sum_total,
+                4096 - present AS zeros
+         FROM agg
+       ),
+       e3 AS (
+         SELECT wend, zeros,
+                0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 4096.0::DOUBLE)
+                    * 4096.0::DOUBLE * 4096.0::DOUBLE
+                    * 562949953421312.0::DOUBLE
+                    / sum_total::DOUBLE AS est_raw
+         FROM e2
+       ),
+       est AS (
+         SELECT wend,
+                CASE WHEN est_raw <= 2.5::DOUBLE * 4096.0::DOUBLE AND zeros > 0
+                     THEN 4096.0::DOUBLE * ln(4096.0::DOUBLE / zeros::DOUBLE)
+                     ELSE est_raw END AS est
+         FROM e3
+       ),
+       exact AS (
+         SELECT wend, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+                CAST(COUNT(DISTINCT day) AS INTEGER) AS n_days
+         FROM (SELECT day + CAST(i AS INTEGER) AS wend, day, user_id
+               FROM du, UNNEST(generate_series(0, 6)) AS t(i))
+         WHERE wend IN (SELECT day FROM spine)
+         GROUP BY wend
+       )
+       SELECT e.wend AS wend, x.n_days AS n_days,
+              ROUND(e.est + 0.0, 2) AS est_users, x.exact_users AS exact_users
+       FROM est e JOIN exact x ON x.wend = e.wend
+       ORDER BY wend""",
+    doc="Trailing-7-day distinct users per day from DAILY HLL register "
+    "state (functions/sketch.py:hll_sliding_registers) — the sliding-"
+    "window rollup that makes persisted registers beat re-scanning: "
+    "each day's 4 KiB register table fans out to its <= 7 window ends "
+    "(bounded fan-out EQUI-join, never a range join) and merges by "
+    "grouped max; the raw event log is read exactly once no matter how "
+    "long the trailing window or how many days are reported. The exact "
+    "trailing count_distinct runs alongside as the certification twin "
+    "(same fan-out shape over the distinct (day, user) pairs).",
+)
+def x75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.sketch import (
+        hll_estimate,
+        hll_registers,
+        hll_sliding_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    reg = hll_registers(du, "user_id", ["day"], p=12)
+    wreg = hll_sliding_registers(reg, "day", window_days=7)
+    est = hll_estimate(wreg, ["wend"], p=12).select(
+        "wend", F.round(F.col("est") + F.lit(0.0), 2).alias("est_users")
+    )
+    spine = du.select("day").distinct()
+    fan = du.select(
+        "day",
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+    ).select(F.expr("date_add(day, i)").alias("wend"), "day", "user_id")
+    exact = (
+        fan.join(spine.withColumnRenamed("day", "wend"), "wend", "left_semi")
+        .groupBy("wend")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.countDistinct("day").cast("int").alias("n_days"),
+        )
+    )
+    return (
+        est.join(exact, "wend")
+        .select("wend", "n_days", "est_users", "exact_users")
+        .orderBy("wend")
+    )
