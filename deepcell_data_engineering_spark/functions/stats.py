@@ -167,3 +167,33 @@ def merge_grouped_sums(
     return merged.groupBy(*keys).agg(
         *[F.sum(c).alias(c) for c in sum_cols]
     )
+
+
+def disc_percentile_by_histogram(
+    df: DataFrame, col: str, q: float
+) -> float:
+    """Exact percentile_disc (the value at row ceil(q*n)) computed over
+    the column's VALUE HISTOGRAM: groupBy(value).count, a cumulative
+    window over the (small) distinct-value vocabulary, pick the least
+    value whose cumulative count reaches k. Distributed end to end —
+    the only ordered window runs over distinct VALUES (thousands for a
+    rounded feature), never over rows, so no 100 TB global sort/row-
+    number. Returns a driver scalar (the k-means convention: corpus-
+    level thresholds are 1-row driver state)."""
+    from pyspark.sql import Window
+
+    vc = df.where(F.col(col).isNotNull()).groupBy(F.col(col).alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    import math
+
+    n = int(vc.agg(F.sum("c")).collect()[0][0])
+    k = math.ceil(q * n)
+    row = (
+        vc.withColumn("cum", F.sum("c").over(w))
+        .where(F.col("cum") >= F.lit(int(k)))
+        .agg(F.min("v"))
+        .collect()
+    )
+    return row[0][0]

@@ -3893,3 +3893,96 @@ def x75(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("wend", "n_days", "est_users", "exact_users")
         .orderBy("wend")
     )
+
+
+def _x76_disc(expr: str, q: str) -> str:
+    """Scalar percentile_disc over a feature's value histogram —
+    the identical definition disc_percentile_by_histogram uses."""
+    return f"""(SELECT MIN(v) FROM (
+        SELECT v, SUM(c) OVER (ORDER BY v) AS cum
+        FROM (SELECT {expr} AS v, COUNT(*) AS c FROM f GROUP BY 1)
+      ) WHERE cum >= (SELECT CEIL({q} * COUNT(*)) FROM f))"""
+
+
+@_q(
+    "x76_quality_gate_corpus",
+    r"""WITH f AS (
+         SELECT source,
+                len(regexp_split_to_array(trim(text), '\s+')) AS nt,
+                ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                      / length(text), 4) AS ar,
+                ROUND(length(text)
+                      / len(regexp_split_to_array(trim(text), '\s+')), 4) AS atl
+         FROM documents
+       ),
+       th AS (
+         SELECT """
+    + _x76_disc("ar", "0.05")
+    + """ AS th_alpha, """
+    + _x76_disc("atl", "0.05")
+    + """ AS th_atl_lo, """
+    + _x76_disc("atl", "0.95")
+    + """ AS th_atl_hi
+       )
+       SELECT source,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN nt >= 10 AND ar >= th_alpha
+                             AND atl BETWEEN th_atl_lo AND th_atl_hi
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              CAST(SUM(CASE WHEN nt < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_short,
+              CAST(SUM(CASE WHEN ar < th_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_alpha,
+              CAST(SUM(CASE WHEN atl NOT BETWEEN th_atl_lo AND th_atl_hi
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_atl,
+              ROUND(ANY_VALUE(th_alpha) + 0.0, 4) AS th_alpha,
+              ROUND(ANY_VALUE(th_atl_lo) + 0.0, 4) AS th_atl_lo,
+              ROUND(ANY_VALUE(th_atl_hi) + 0.0, 4) AS th_atl_hi
+       FROM f, th GROUP BY source ORDER BY source""",
+    doc="Corpus-RELATIVE quality gating (the Gopher-rule shape): pass 1 "
+    "computes x02's rounded quality features; corpus-level thresholds "
+    "(5th pct alpha ratio, 5th/95th pct avg token length) come from "
+    "functions/stats.py:disc_percentile_by_histogram — exact "
+    "percentile_disc over the feature VALUE HISTOGRAM, so the only "
+    "ordered window runs over distinct feature values (bounded by "
+    "rounding to 4 decimals), never a global row sort; pass 2 is one "
+    "conditional-count aggregation per source with the thresholds as "
+    "broadcast scalars. Per-rule drop counts are independent "
+    "(overlapping), keeping the report's semantics order-free.",
+)
+def x76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.stats import (
+        disc_percentile_by_histogram,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = tx.quality_features(docs).select(
+        "source",
+        F.col("q_n_tokens").alias("nt"),
+        F.col("q_alpha_ratio").alias("ar"),
+        F.col("q_avg_token_len").alias("atl"),
+    )
+    th_alpha = float(disc_percentile_by_histogram(f, "ar", 0.05))
+    th_lo = float(disc_percentile_by_histogram(f, "atl", 0.05))
+    th_hi = float(disc_percentile_by_histogram(f, "atl", 0.95))
+    keep = (
+        (F.col("nt") >= 10)
+        & (F.col("ar") >= th_alpha)
+        & F.col("atl").between(th_lo, th_hi)
+    )
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("nt") < 10, 1).otherwise(0)).alias("n_drop_short"),
+            F.sum(F.when(F.col("ar") < th_alpha, 1).otherwise(0)).alias(
+                "n_drop_alpha"
+            ),
+            F.sum(
+                F.when(~F.col("atl").between(th_lo, th_hi), 1).otherwise(0)
+            ).alias("n_drop_atl"),
+            F.round(F.lit(th_alpha) + F.lit(0.0), 4).alias("th_alpha"),
+            F.round(F.lit(th_lo) + F.lit(0.0), 4).alias("th_atl_lo"),
+            F.round(F.lit(th_hi) + F.lit(0.0), 4).alias("th_atl_hi"),
+        )
+        .orderBy("source")
+    )
