@@ -101,6 +101,13 @@ def main() -> None:
         # answer growing, not the plan degrading - surface the per-row cost
         if rec["sf1_rows"] >= 1000:
             rec["sf1_ms_per_1k_rows"] = round(rec["sf1"] * 1e6 / rec["sf1_rows"], 3)
+        if name == "x29_semantic_neardup":
+            rec["note"] = (
+                "output-bound: the templated corpus's true near-dup pair set "
+                "grows ~45,000x from sf0.1 to sf1 (394 -> 17,858,963 rows) "
+                "because duplicate groups pair quadratically; per-1k-row cost "
+                "falls (see sf1_ms_per_1k_rows)"
+            )
         if name == "x67_triangle_hubs":
             rec["note"] = (
                 "output-bound, not plan-bound: the templated corpus's LSH "
