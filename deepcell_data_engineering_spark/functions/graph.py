@@ -254,3 +254,44 @@ def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFra
         .unionAll(tri.select(F.col("c").alias("node")))
     )
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    max_peels: int = 5,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Bounded k-core peeling of an undirected graph: repeatedly drop
+    nodes of degree < k (and their edges), ``max_peels`` times. Returns
+    the surviving normalized edge set (u < v). The fixed peel count is
+    the oracle-checkable convention the iterative family uses (k-means/
+    PageRank/BPE): each round is one degree aggregation + two semi-
+    joins, with localCheckpoint cutting lineage so the plan does not
+    grow with rounds. A converged graph is a fixed point, so extra
+    rounds are no-ops; full decomposition just raises max_peels."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_peels):
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("n")
+        e = (
+            e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    return e

@@ -478,3 +478,21 @@ def hll_sliding_registers(
         .groupBy("wend", "bucket")
         .agg(F.max("r").alias("r"))
     )
+
+
+def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
+    """The CMS inner-product estimator: 1-row (est) upper bound on the
+    equi-join size  sum_k f_a(k) * f_b(k)  between the two sketched key
+    columns — min over depths of the bucket-wise counter product.
+    Always >= the true join size (hash collisions only add cross
+    terms). The query-planning primitive: join cardinality from two
+    persisted depth x width counter tables, no scan of either input —
+    at 100 TB this is how a planner prices a join before running it."""
+    aa = a.select("j", "bucket", F.col("c").alias("ca"))
+    bb = b.select("j", "bucket", F.col("c").alias("cb"))
+    per_j = (
+        aa.join(bb, ["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("s"))
+    )
+    return per_j.agg(F.min("s").alias("est"))

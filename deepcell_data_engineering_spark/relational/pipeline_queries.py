@@ -3986,3 +3986,164 @@ def x76(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _x78_oracle(k: int = 3, peels: int = 5) -> str:
+    """Unrolled k-core peels over the SAME candidate graph x06
+    certifies (the x67 convention: the edge CTE is x06's oracle
+    verbatim). MATERIALIZED pins every peel's edge set — each is
+    referenced by the next round's degree count and filter, and
+    without pinning the multi-reference chain inlines exponentially."""
+    from deepcell_data_engineering_spark.relational.queries import QUERIES as _REG
+
+    edges_sql = _REG["x06_minhash_lsh_pairs"].oracle
+    parts = [
+        f"""WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+      FROM ({edges_sql}) WHERE id_a <> id_b)"""
+    ]
+    for r in range(1, peels + 1):
+        parts.append(
+            f""",
+    d{r} AS (
+      SELECT n, COUNT(*) AS d FROM (
+        SELECT u AS n FROM e{r - 1} UNION ALL SELECT v AS n FROM e{r - 1}
+      ) GROUP BY n
+    ),
+    k{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE d >= {k}),
+    e{r} AS MATERIALIZED (
+      SELECT u, v FROM e{r - 1}
+      WHERE u IN (SELECT n FROM k{r}) AND v IN (SELECT n FROM k{r})
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS degree,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, n) AS INTEGER) AS rank
+    FROM (SELECT u AS n FROM e{peels} UNION ALL SELECT v AS n FROM e{peels})
+    GROUP BY n
+    ORDER BY degree DESC, node LIMIT 20"""
+    )
+    return "".join(parts)
+
+
+@_q(
+    "x78_kcore",
+    _x78_oracle(3, 5),
+    doc="Bounded k-core peeling (functions/graph.py:k_core) over the "
+    "LSH candidate graph — the density filter between x21's connected "
+    "components (too coarse: one bridge merges blobs) and x67's "
+    "triangles (too fine at scale): nodes surviving 5 rounds of "
+    "drop-degree<3 are the duplicate cores worth human review. Each "
+    "peel is one degree aggregation + two semi-joins with "
+    "localCheckpoint lineage cuts; the fixed peel count keeps the "
+    "oracle expressible as unrolled CTEs (k-means/PageRank/BPE "
+    "convention), and a converged graph is a fixed point so extra "
+    "peels are no-ops. Output: top-20 surviving nodes by core degree.",
+)
+def x78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.graph import k_core
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs, num_hashes=6, k=5)
+    edges = dd.lsh_candidate_pairs(
+        sigs, bands=[["h0", "h1", "h2"], ["h3", "h4", "h5"]]
+    )
+    core = k_core(edges, k=3, max_peels=5, src="id_a", dst="id_b")
+    deg = (
+        core.select(F.col("u").alias("node"))
+        .unionAll(core.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("degree"), "node")).cast("int"),
+        )
+        .where(F.col("rank") <= 20)
+        .orderBy(F.desc("degree"), "node")
+    )
+
+
+def _x79_branch(table: str, col: str) -> str:
+    """One key column's CMS self-join-size estimate + exact twin."""
+    return f"""(
+      WITH jj AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS v(j)),
+      cms AS (
+        SELECT j,
+               ('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':'
+                                   || CAST({col} AS VARCHAR)), 1, 7))::BIGINT
+                 % 4096 AS bucket,
+               COUNT(*) AS c
+        FROM {table} CROSS JOIN jj GROUP BY j, bucket
+      )
+      SELECT '{col}' AS key_col,
+             CAST((SELECT MIN(s) FROM
+                    (SELECT j, SUM(c * c) AS s FROM cms GROUP BY j)) AS BIGINT)
+               AS est_size,
+             CAST((SELECT SUM(c * c) FROM
+                    (SELECT COUNT(*) AS c FROM {table} GROUP BY {col})) AS BIGINT)
+               AS exact_size
+    )"""
+
+
+@_q(
+    "x79_join_size_estimate",
+    f"""SELECT key_col, est_size, exact_size,
+              est_size - exact_size AS overestimate,
+              est_size >= exact_size AS sound
+       FROM ({_x79_branch("lineitem", "l_partkey")}
+             UNION ALL {_x79_branch("lineitem", "l_suppkey")}
+             UNION ALL {_x79_branch("orders", "o_custkey")})
+       ORDER BY key_col""",
+    doc="Sketch-based join-cardinality estimation (functions/sketch.py:"
+    "cms_inner_product): the CMS inner-product estimator bounds the "
+    "equi-join size sum_k f_a(k)*f_b(k) by min over depths of the "
+    "bucket-wise counter product — here the SELF-join sizes of three "
+    "skewed key columns, certified in-query against the exact "
+    "sum-of-squared-frequencies (soundness column: collisions only "
+    "ADD, so est >= exact always). The planner primitive at 100 TB: "
+    "join cost is priced from two persisted 4x4096 counter tables "
+    "without scanning either input; the exact twin here is the "
+    "certification, not the production path.",
+)
+def x79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.sketch import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    frames = []
+    for table, col in [
+        ("lineitem", "l_partkey"),
+        ("lineitem", "l_suppkey"),
+        ("orders", "o_custkey"),
+    ]:
+        keys = load_table(spark, sf_dir, table).select(
+            F.col(col).cast("string").alias("k")
+        )
+        cms = cms_build(keys, "k", width=4096, depth=4)
+        est = cms_inner_product(cms, cms)
+        exact = (
+            keys.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.col("c") * F.col("c")).alias("exact_size"))
+        )
+        frames.append(
+            est.crossJoin(exact).select(
+                F.lit(col).alias("key_col"),
+                F.col("est").cast("bigint").alias("est_size"),
+                F.col("exact_size").cast("bigint").alias("exact_size"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.select(
+        "key_col",
+        "est_size",
+        "exact_size",
+        (F.col("est_size") - F.col("exact_size")).alias("overestimate"),
+        (F.col("est_size") >= F.col("exact_size")).alias("sound"),
+    ).orderBy("key_col")
