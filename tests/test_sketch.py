@@ -299,3 +299,77 @@ def test_hist_quantiles_contain_duckdb_disc_on_d43_table(spark):
     for g, q, disc in exact:
         r = got[(g, float(q))]
         assert r["lo"] <= disc <= r["hi"], (g, q, disc, r)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: sliding registers, CMS inner product
+# ---------------------------------------------------------------------------
+
+from deepcell_data_engineering_spark.functions.sketch import (  # noqa: E402
+    cms_build,
+    cms_inner_product,
+    hll_sliding_registers,
+)
+
+
+def test_sliding_registers_equal_rebuild_per_window(spark):
+    """(wend, bucket, r) from the fan-out merge must equal registers
+    built directly from each window's unioned values — merge == rebuild,
+    the property that makes per-day state a substitute for rescans."""
+    import datetime
+
+    rows = [
+        (datetime.date(2024, 1, 1) + datetime.timedelta(days=d), f"u{v}")
+        for d in range(10)
+        for v in range(d * 3, d * 3 + 40)  # overlapping value ranges
+    ]
+    df = spark.createDataFrame(rows, "day date, uid string")
+    daily = hll_registers(df, "uid", ["day"], p=8)
+    slid = {
+        (r["wend"], r["bucket"]): r["r"]
+        for r in hll_sliding_registers(daily, "day", window_days=7).collect()
+    }
+    days = sorted({d for d, _ in rows})
+    for wend in days:
+        lo = wend - datetime.timedelta(days=6)
+        win = df.where((F.col("day") >= lo) & (F.col("day") <= wend))
+        direct = {
+            r["bucket"]: r["r"] for r in hll_registers(win, "uid", [], p=8).collect()
+        }
+        got = {b: r for (w, b), r in slid.items() if w == wend}
+        assert got == direct, wend
+
+
+def test_cms_inner_product_bounds_join_size(spark):
+    """est >= true join size always; equality when no bucket collisions."""
+    a = spark.createDataFrame(
+        [(f"k{i % 7}",) for i in range(200)], "k string"
+    )
+    b = spark.createDataFrame(
+        [(f"k{i % 11}",) for i in range(330)], "k string"
+    )
+    true_size = a.join(b, "k").count()
+    est = cms_inner_product(
+        cms_build(a, "k", width=4096, depth=4), cms_build(b, "k", width=4096, depth=4)
+    ).collect()[0]["est"]
+    assert est >= true_size
+    # 7 and 11 distinct keys in 4096 buckets: collisions are possible in
+    # principle but the md5 spread makes them absent here; the estimator
+    # must then be exact
+    assert est == true_size
+
+
+def test_cms_inner_product_self_join_on_skew(spark):
+    df = spark.createDataFrame(
+        [(("hot" if i % 3 else f"cold{i}"),) for i in range(3000)], "k string"
+    )
+    exact = (
+        df.groupBy("k")
+        .count()
+        .agg(F.sum(F.col("count") * F.col("count")))
+        .collect()[0][0]
+    )
+    cms = cms_build(df, "k", width=4096, depth=4)
+    est = cms_inner_product(cms, cms).collect()[0]["est"]
+    assert est >= exact
+    assert est <= exact * 1.5  # sane overestimate at this load factor

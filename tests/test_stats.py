@@ -108,3 +108,21 @@ def test_null_keyed_groups_across_grouped_helpers(spark, helper):
         )
     )
     assert salted == plain
+
+
+def test_disc_percentile_by_histogram_matches_numpy_disc(spark):
+    """The value-histogram disc percentile equals the ceil(q*n)-th
+    smallest value, including on ties and at the q=1.0 edge."""
+    import numpy as np
+
+    from deepcell_data_engineering_spark.functions.stats import (
+        disc_percentile_by_histogram,
+    )
+
+    rng = np.random.RandomState(3)
+    vals = np.concatenate([rng.randint(0, 50, 500), np.full(100, 7)])
+    df = spark.createDataFrame([(int(v),) for v in vals], "x int")
+    srt = np.sort(vals)
+    for q in [0.05, 0.25, 0.5, 0.9, 1.0]:
+        k = int(np.ceil(q * len(vals)))
+        assert disc_percentile_by_histogram(df, "x", q) == int(srt[k - 1]), q

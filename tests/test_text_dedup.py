@@ -609,3 +609,109 @@ def test_bpe_train_matches_python_reference(spark):
     assert got == expect
     # learned rules are real merges: every merged token is lhs+rhs
     assert all(m == a + b for _, a, b, m, _ in got)
+
+
+def test_fuzzy_name_pairs_match_brute_force_within_blocks(spark):
+    from deepcell_data_engineering_spark.functions.dedup import fuzzy_name_pairs
+
+    names = [
+        "red widget", "ted widget", "red gadget", "blue widget",
+        "blue widge", "green anvil", "greon anvil", "red widget",  # dup row
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "p_name string")
+    got = sorted(
+        map(
+            tuple,
+            fuzzy_name_pairs(
+                df, "p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)), 2
+            ).collect(),
+        )
+    )
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    uniq = sorted(set(names))
+    want = sorted(
+        (a, b, lev(a, b))
+        for i, a in enumerate(uniq)
+        for b in uniq[i + 1:]
+        if a.split()[-1] == b.split()[-1] and a < b and lev(a, b) <= 2
+    )
+    assert got == want
+    assert ("green anvil", "greon anvil", 1) in got
+    assert ("red widget", "ted widget", 1) in got
+    # cross-block near names must NOT appear, even at distance 1 —
+    # blocking is a recall trade and the block key must bind
+    assert ("blue widge", "blue widget", 1) not in got
+    assert all(a.split()[-1] == b.split()[-1] for a, b, _ in got)
+
+
+def test_simhash_hamming_pairs_guarantee_below_band_count(spark):
+    """Pigeonhole: any signature pair with hamming < n_bands shares a
+    band, so every such pair MUST be found; verify against brute force
+    over all signature pairs."""
+    from deepcell_data_engineering_spark.functions.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    base = 0b101010101010101010101010101010101010101010101010101010101010
+    sigs = [
+        base,
+        base ^ 0b1,                    # hamming 1
+        base ^ 0b11000000,             # hamming 2
+        base ^ (1 << 59),              # hamming 1 (top bit)
+        base ^ 0x7,                    # hamming 3 from base
+        0b010101010101010101010101010101010101010101010101010101010101,  # far
+    ]
+    df = spark.createDataFrame([(s,) for s in sigs], "simhash long")
+    got = {
+        (r["sig_a"], r["sig_b"]): r["hamming"]
+        for r in simhash_hamming_pairs(
+            df, "simhash", n_bands=4, band_bits=15, max_hamming=6
+        ).collect()
+    }
+    for i, a in enumerate(sigs):
+        for b in sigs[i + 1:]:
+            h = bin(a ^ b).count("1")
+            lo, hi = min(a, b), max(a, b)
+            if h < 4:  # guaranteed by pigeonhole
+                assert got.get((lo, hi)) == h, (lo, hi, h)
+            if (lo, hi) in got:
+                assert got[(lo, hi)] == h  # reported distance always true
+
+
+def test_bpe_encode_vocab_roundtrips_terms(spark):
+    """Concatenating each term's encoded tokens reproduces the term,
+    every token is either a single char or a learned merge product, and
+    encoding with the trained rules leaves no adjacent learned pair
+    unmerged for the FIRST rule (canonical greedy exhaustiveness)."""
+    from deepcell_data_engineering_spark.functions.text import (
+        bpe_encode_vocab,
+        bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "banana bandana cabana"), (2, "banana banana hahahaha")],
+        "doc_id long, text string",
+    )
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train(df, rounds=4).orderBy("round").collect()
+    ]
+    enc = bpe_encode_vocab(df, rules).collect()
+    merged_tokens = {a + b for a, b in rules}
+    first = rules[0]
+    for row in enc:
+        assert "".join(row["toks"]) == row["term"]
+        for t in row["toks"]:
+            assert len(t) == 1 or t in merged_tokens, (row["term"], t)
+        # canonical greedy: no adjacent (lhs, rhs) of the first-learned
+        # rule can survive encoding
+        for x, y in zip(row["toks"], row["toks"][1:]):
+            assert (x, y) != first, (row["term"], row["toks"])
