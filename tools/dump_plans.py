@@ -57,6 +57,13 @@ HEADLINERS = [
     ("x70_recursive_closure", "recursive CTE: DISTINCT-bounded frontier per step, checkpointed edge view"),
     ("x71_lateral_topk", "correlated LATERAL decorrelated by Catalyst (vs WindowGroupLimit twin)"),
     ("x72_udtf_chunks", "Python UDTF through SQL LATERAL — slow path certified against the x34 oracle"),
+    ("x73_bpe_encode", "BPE encode: n chained literal replaces in ONE codegen projection over the vocab"),
+    ("x74_fuzzy_name_join", "fuzzy entity join: distinct names, block-key equi-join + length band before levenshtein"),
+    ("x75_sliding_distinct", "sliding HLL: bounded fan-out equi-join (never range join) + grouped max"),
+    ("x76_quality_gate_corpus", "corpus-relative gate: value-histogram disc thresholds, one conditional-count pass"),
+    ("x77_simhash_neardup", "simhash near-dup: sig groups first, band join on DISTINCT sigs, doc pairs by arithmetic"),
+    ("x78_kcore", "k-core: per-peel degree agg + two semi-joins, checkpointed lineage"),
+    ("x79_join_size_estimate", "CMS inner product: join size from two counter tables, no input scan"),
 ]
 
 
