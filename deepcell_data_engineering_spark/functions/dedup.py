@@ -789,21 +789,30 @@ def fuzzy_name_pairs(
     name_col: str,
     block_key: Column,
     max_dist: int = 3,
+    carry_cols: list[str] | tuple[str, ...] = (),
 ) -> DataFrame:
-    """Entity-resolution fuzzy join: (name_a, name_b, dist) over the
-    DISTINCT values of ``name_col`` whose edit distance is at most
-    ``max_dist``, candidate-paired only within equal ``block_key``
-    (plus a |length| band prune an edit-distance match must satisfy).
+    """Entity-resolution fuzzy join: (name_a, name_b, dist[, carry_a/b
+    ...]) over the DISTINCT values of ``name_col`` whose edit distance
+    is at most ``max_dist``, candidate-paired only within equal
+    ``block_key`` (plus a |length| band prune an edit-distance match
+    must satisfy). ``carry_cols`` (e.g. a pre-aggregated row count)
+    ride through the self-join as {col}_a/{col}_b so callers do not
+    re-join the row table — ONE scan + ONE aggregation + the self-join.
 
     The scale discipline mirrors the dedup family: resolve distinct
-    STRINGS, never rows — the row table maps back through an equi-join
-    on the resolved name. Blocking makes the pair space per-block
-    quadratic only (never all-pairs), and the length band removes
-    pairs no levenshtein <= max_dist could ever accept before the
-    O(len^2) distance evaluates."""
+    STRINGS, never rows — the entity vocabulary bounds the pair space
+    at any corpus size. Blocking makes it per-block quadratic only
+    (never all-pairs), and the length band removes pairs no
+    levenshtein <= max_dist could ever accept before the O(len^2)
+    distance evaluates."""
     names = df.select(
-        F.col(name_col).alias("name"), block_key.alias("bk")
-    ).where(F.col("name").isNotNull()).distinct()
+        F.col(name_col).alias("name"), block_key.alias("bk"), *carry_cols
+    ).where(F.col("name").isNotNull())
+    names = (
+        names.groupBy("name", "bk").agg(*[F.max(c).alias(c) for c in carry_cols])
+        if carry_cols
+        else names.distinct()
+    )
     a, b = names.alias("a"), names.alias("b")
     return (
         a.join(
@@ -819,6 +828,8 @@ def fuzzy_name_pairs(
             F.col("a.name").alias("name_a"),
             F.col("b.name").alias("name_b"),
             F.levenshtein("a.name", "b.name").alias("dist"),
+            *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry_cols],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry_cols],
         )
         .where(F.col("dist") <= max_dist)
     )

@@ -3673,23 +3673,23 @@ def x73(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x74(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
-    counts = part.groupBy(F.col("p_name").alias("name")).agg(
+    # pre-aggregate once: the (name, n) vocabulary is the ONLY thing
+    # the fuzzy join touches; n rides through as n_a/n_b (no re-join
+    # of the row table, one scan of part total)
+    counts = part.groupBy(F.col("p_name").alias("p_name")).agg(
         F.count(F.lit(1)).alias("n")
     )
     pairs = dd.fuzzy_name_pairs(
-        part, "p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)), 3
+        counts,
+        "p_name",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)),
+        3,
+        carry_cols=["n"],
     )
-    return (
-        pairs.join(
-            counts.withColumnsRenamed({"name": "name_a", "n": "n_a"}), "name_a"
-        )
-        .join(counts.withColumnsRenamed({"name": "name_b", "n": "n_b"}), "name_b")
-        .select(
-            "name_a", "name_b", F.col("dist").cast("int").alias("dist"),
-            "n_a", "n_b",
-        )
-        .orderBy("dist", "name_a", "name_b")
-    )
+    return pairs.select(
+        "name_a", "name_b", F.col("dist").cast("int").alias("dist"),
+        "n_a", "n_b",
+    ).orderBy("dist", "name_a", "name_b")
 
 
 @_q(
