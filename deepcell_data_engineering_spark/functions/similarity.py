@@ -516,3 +516,65 @@ def cluster_neardup_pairs(
         .where(F.round("_s", 6) > F.lit(threshold))
         .select("id_a", "id_b", F.round("_s", 6).alias("cosine"))
     )
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    n_clusters: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, int, list[float]]]:
+    """Product-quantization codebook training: split the vector space
+    into ``m`` contiguous subspaces and run kmeans_fit (deterministic
+    lowest-id init, fixed iterations — the x19 oracle convention)
+    independently on each slice. Returns driver-resident codebook rows
+    (subspace, code, centroid_vector) — m * n_clusters * subdim floats,
+    always tiny. PQ is the memory side of ANN at 100 TB: vectors
+    compress to m byte-sized codes (here 4 codes replacing 64 floats)
+    and similarity is answered from per-query lookup tables over the
+    codes, never from the full vectors."""
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    rows: list[tuple[int, int, list[float]]] = []
+    for s in range(m):
+        sliced = df.select(
+            id_col, F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col)
+        )
+        fit = kmeans_fit(sliced, n_clusters=n_clusters, max_iter=iters, tol=0.0)
+        for r in fit.select("centroid_id", vec_col).collect():
+            rows.append((s, int(r["centroid_id"]), [float(x) for x in r[vec_col]]))
+    return rows
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[tuple[int, int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector to its m codes: per subspace the nearest
+    codeword by the kmeans assignment rule (dot with the unit-
+    normalized centroid, ties to the smaller code). Uses ivf_assign's
+    inline-literal path, so each subspace's encoding is MAP-ONLY —
+    the union of m subspaces never shuffles. Returns (id, s, code)."""
+    spark = df.sparkSession
+    m = max(s for s, _, _ in codebooks) + 1
+    sub = len(codebooks[0][2])
+    out = None
+    for s in range(m):
+        cent = spark.createDataFrame(
+            [(j, v) for ss, j, v in codebooks if ss == s],
+            f"{id_col} long, {vec_col} array<double>",
+        )
+        sliced = df.select(
+            id_col, F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col)
+        )
+        enc = ivf_assign(sliced, cent, vec_col=vec_col, id_col=id_col).select(
+            id_col, F.lit(s).alias("s"), F.col("centroid_id").alias("code")
+        )
+        out = enc if out is None else out.unionByName(enc)
+    return out

@@ -585,6 +585,48 @@ def x17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_ctes(
+    k: int, dim: int, iters: int, src: str = "vecs", prefix: str = ""
+) -> list[str]:
+    """The unrolled Lloyd CTE chain over ``src`` (vec_id, v): final
+    centroids land in {prefix}c{iters}, last assignment counts in
+    {prefix}u{iters}. Shared by x19 (full vectors) and x80 (one chain
+    per PQ subspace slice) so the two cannot drift."""
+    guard = (
+        "CASE WHEN list_dot_product(cvec, cvec) = 0 THEN 1.0"
+        " ELSE sqrt(list_dot_product(cvec, cvec)) END"
+    )
+    avg_list = "[" + ", ".join(f"avg(v[{i + 1}])" for i in range(dim)) + "]"
+    ctes = [
+        f"""{prefix}c0 AS (
+         SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id, v AS cvec
+         FROM (SELECT vec_id, v FROM {src} ORDER BY vec_id LIMIT {k})
+       )""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""{prefix}a{i} AS (
+         SELECT vec_id, v, centroid_id FROM (
+           SELECT vec_id, v, centroid_id,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, centroid_id) AS r
+           FROM (SELECT vec_id, v, centroid_id,
+                        list_dot_product(v,
+                          list_transform(cvec, x -> x / ({guard}))) AS s
+                 FROM {src}, {prefix}c{i - 1})
+         ) WHERE r = 1
+       )""")
+        ctes.append(f"""{prefix}u{i} AS (
+         SELECT centroid_id, COUNT(*) AS n, {avg_list}::DOUBLE[] AS cvec
+         FROM {prefix}a{i} GROUP BY centroid_id
+       )""")
+        ctes.append(f"""{prefix}c{i} AS (
+         SELECT p.centroid_id, COALESCE(u.cvec, p.cvec) AS cvec
+         FROM {prefix}c{i - 1} p LEFT JOIN {prefix}u{i} u
+           ON p.centroid_id = u.centroid_id
+       )""")
+    return ctes
+
+
 def _kmeans_oracle(k: int, dim: int, iters: int) -> str:
     """DuckDB dual of kmeans_fit: the loop is unrolled into ``iters``
     assign/update CTE pairs (deterministic lowest-id init makes every
@@ -594,38 +636,9 @@ def _kmeans_oracle(k: int, dim: int, iters: int) -> str:
     previous centroid, counts reported from the LAST assignment pass.
     The final norm is rounded to 4 decimals so last-ulp differences in
     cross-engine float summation order cannot flip the hash."""
-    guard = (
-        "CASE WHEN list_dot_product(cvec, cvec) = 0 THEN 1.0"
-        " ELSE sqrt(list_dot_product(cvec, cvec)) END"
-    )
-    avg_list = "[" + ", ".join(f"avg(v[{i + 1}])" for i in range(dim)) + "]"
     ctes = [
         "vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        f"""c0 AS (
-         SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id, v AS cvec
-         FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT {k})
-       )""",
-    ]
-    for i in range(1, iters + 1):
-        ctes.append(f"""a{i} AS (
-         SELECT vec_id, v, centroid_id FROM (
-           SELECT vec_id, v, centroid_id,
-                  ROW_NUMBER() OVER (PARTITION BY vec_id
-                                     ORDER BY s DESC, centroid_id) AS r
-           FROM (SELECT vec_id, v, centroid_id,
-                        list_dot_product(v,
-                          list_transform(cvec, x -> x / ({guard}))) AS s
-                 FROM vecs, c{i - 1})
-         ) WHERE r = 1
-       )""")
-        ctes.append(f"""u{i} AS (
-         SELECT centroid_id, COUNT(*) AS n, {avg_list}::DOUBLE[] AS cvec
-         FROM a{i} GROUP BY centroid_id
-       )""")
-        ctes.append(f"""c{i} AS (
-         SELECT p.centroid_id, COALESCE(u.cvec, p.cvec) AS cvec
-         FROM c{i - 1} p LEFT JOIN u{i} u ON p.centroid_id = u.centroid_id
-       )""")
+    ] + _kmeans_ctes(k, dim, iters)
     joined = ",\n       ".join(ctes)
     return f"""WITH {joined}
        SELECT c.centroid_id,
@@ -4147,3 +4160,120 @@ def x79(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est_size") - F.col("exact_size")).alias("overestimate"),
         (F.col("est_size") >= F.col("exact_size")).alias("sound"),
     ).orderBy("key_col")
+
+
+def _x80_oracle(m: int = 4, k: int = 8, iters: int = 2, n_queries: int = 5) -> str:
+    """PQ oracle: one _kmeans_ctes chain per subspace (on the vector
+    slice), codes from the final centroids by the same assignment rule,
+    per-query lookup tables, and the ADC sum carried as ROUND(dot*1e9)
+    BIGINT partials so the 4-way sum is partition-order independent."""
+    sub = EMB_DIM // m
+    guard = (
+        "CASE WHEN list_dot_product(cvec, cvec) = 0 THEN 1.0"
+        " ELSE sqrt(list_dot_product(cvec, cvec)) END"
+    )
+    ctes = ["vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    enc_parts, lut_parts = [], []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        ctes.append(
+            f"sv{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM vecs)"
+        )
+        ctes += _kmeans_ctes(k, sub, iters, src=f"sv{s}", prefix=f"s{s}")
+        ctes.append(f"""enc{s} AS (
+         SELECT vec_id, {s} AS s, centroid_id AS code FROM (
+           SELECT vec_id, centroid_id,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY sc DESC, centroid_id) AS r
+           FROM (SELECT t.vec_id, c.centroid_id,
+                        list_dot_product(t.v,
+                          list_transform(c.cvec, x -> x / ({guard}))) AS sc
+                 FROM sv{s} t, s{s}c{iters} c)
+         ) WHERE r = 1
+       )""")
+        ctes.append(f"""lut{s} AS (
+         SELECT q.vec_id AS qid, {s} AS s, c.centroid_id AS code,
+                CAST(ROUND(list_dot_product(q.v, c.cvec) * 1e9) AS BIGINT) AS part
+         FROM (SELECT vec_id, v FROM sv{s} WHERE vec_id < {n_queries}) q,
+              s{s}c{iters} c
+       )""")
+        enc_parts.append(f"SELECT * FROM enc{s}")
+        lut_parts.append(f"SELECT * FROM lut{s}")
+    ctes.append("enc AS (" + " UNION ALL ".join(enc_parts) + ")")
+    ctes.append("lut AS (" + " UNION ALL ".join(lut_parts) + ")")
+    ctes.append("""approx AS (
+         SELECT l.qid, e.vec_id, CAST(SUM(l.part) AS BIGINT) AS apx
+         FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+         WHERE e.vec_id <> l.qid
+         GROUP BY l.qid, e.vec_id
+       )""")
+    joined = ",\n       ".join(ctes)
+    return f"""WITH {joined}
+       SELECT qid AS query_id, vec_id AS neighbor_id,
+              CAST(rank AS INTEGER) AS rank,
+              ROUND(apx / 1e9 + 0.0, 6) AS approx_score
+       FROM (SELECT qid, vec_id, apx,
+                    ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY apx DESC, vec_id) AS rank
+             FROM approx)
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+
+
+@_q(
+    "x80_pq_adc_topk",
+    _x80_oracle(m=4, k=8, iters=2, n_queries=5),
+    doc="Product quantization ANN (functions/similarity.py: pq_train / "
+    "pq_encode): vectors compress to m=4 codes (4 independent kmeans "
+    "codebooks on contiguous 16-dim slices, the x19 unrolled-Lloyd "
+    "convention per subspace) and top-5 neighbors are answered by "
+    "ASYMMETRIC DISTANCE — per-query lookup tables of "
+    "query-slice x codeword dots, joined to the codes and summed. The "
+    "100 TB memory story: 64 floats/vector become 4 bytes; the ADC "
+    "scan touches codes + a broadcast 32-row LUT per query, never the "
+    "full vectors. Partials are carried as ROUND(dot*1e9) BIGINT so "
+    "the subspace sum is partition-order independent; ranking ties "
+    "break on neighbor_id. Oracle = per-subspace _kmeans_ctes chains + "
+    "the same encode/LUT/ADC algebra in SQL.",
+)
+def x80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = sim.pq_train(emb, m=4, n_clusters=8, iters=2)
+    codes = sim.pq_encode(emb, cb)
+    sub = len(cb[0][2])
+    cent = spark.createDataFrame(
+        [(s, j, v) for s, j, v in cb], "s int, code long, cvec array<double>"
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("embedding"), F.col("s") * sub + 1, sub),
+            F.col("cvec"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    lut = queries.crossJoin(F.broadcast(cent)).select(
+        "qid", "s", "code",
+        F.round(dot * F.lit(1e9)).cast("bigint").alias("part"),
+    )
+    approx = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("part").cast("bigint").alias("apx"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("apx"), "vec_id")
+    return (
+        approx.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round(F.col("apx") / F.lit(1e9) + F.lit(0.0), 6).alias("approx_score"),
+        )
+        .orderBy("query_id", "rank")
+    )
