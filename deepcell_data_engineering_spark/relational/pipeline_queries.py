@@ -4162,7 +4162,9 @@ def x79(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key_col")
 
 
-def _x80_oracle(m: int = 4, k: int = 8, iters: int = 2, n_queries: int = 5) -> str:
+def _x80_oracle(
+    m: int = 4, k: int = 8, iters: int = 2, n_queries: int = 5, topk: int = 5
+) -> str:
     """PQ oracle: one _kmeans_ctes chain per subspace (on the vector
     slice), codes from the final centroids by the same assignment rule,
     per-query lookup tables, and the ADC sum carried as ROUND(dot*1e9)
@@ -4216,26 +4218,12 @@ def _x80_oracle(m: int = 4, k: int = 8, iters: int = 2, n_queries: int = 5) -> s
                     ROW_NUMBER() OVER (PARTITION BY qid
                                        ORDER BY apx DESC, vec_id) AS rank
              FROM approx)
-       WHERE rank <= 5 ORDER BY query_id, rank"""
+       WHERE rank <= {topk} ORDER BY query_id, rank""".replace(
+        "{topk}", str(topk)
+    )
 
 
-@_q(
-    "x80_pq_adc_topk",
-    _x80_oracle(m=4, k=8, iters=2, n_queries=5),
-    doc="Product quantization ANN (functions/similarity.py: pq_train / "
-    "pq_encode): vectors compress to m=4 codes (4 independent kmeans "
-    "codebooks on contiguous 16-dim slices, the x19 unrolled-Lloyd "
-    "convention per subspace) and top-5 neighbors are answered by "
-    "ASYMMETRIC DISTANCE — per-query lookup tables of "
-    "query-slice x codeword dots, joined to the codes and summed. The "
-    "100 TB memory story: 64 floats/vector become 4 bytes; the ADC "
-    "scan touches codes + a broadcast 32-row LUT per query, never the "
-    "full vectors. Partials are carried as ROUND(dot*1e9) BIGINT so "
-    "the subspace sum is partition-order independent; ranking ties "
-    "break on neighbor_id. Oracle = per-subspace _kmeans_ctes chains + "
-    "the same encode/LUT/ADC algebra in SQL.",
-)
-def x80(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_adc(spark: SparkSession, sf_dir: str, topk: int = 5) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cb = sim.pq_train(emb, m=4, n_clusters=8, iters=2)
     codes = sim.pq_encode(emb, cb)
@@ -4268,7 +4256,7 @@ def x80(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.desc("apx"), "vec_id")
     return (
         approx.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= 5)
+        .where(F.col("rank") <= topk)
         .select(
             F.col("qid").alias("query_id"),
             F.col("vec_id").alias("neighbor_id"),
@@ -4276,4 +4264,131 @@ def x80(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("apx") / F.lit(1e9) + F.lit(0.0), 6).alias("approx_score"),
         )
         .orderBy("query_id", "rank")
+    )
+
+
+@_q(
+    "x80_pq_adc_topk",
+    _x80_oracle(m=4, k=8, iters=2, n_queries=5),
+    doc="Product quantization ANN (functions/similarity.py: pq_train / "
+    "pq_encode): vectors compress to m=4 codes (4 independent kmeans "
+    "codebooks on contiguous 16-dim slices, the x19 unrolled-Lloyd "
+    "convention per subspace) and top-5 neighbors are answered by "
+    "ASYMMETRIC DISTANCE — per-query lookup tables of "
+    "query-slice x codeword dots, joined to the codes and summed. The "
+    "100 TB memory story: 64 floats/vector become 4 bytes; the ADC "
+    "scan touches codes + a broadcast 32-row LUT per query, never the "
+    "full vectors. Partials are carried as ROUND(dot*1e9) BIGINT so "
+    "the subspace sum is partition-order independent; ranking ties "
+    "break on neighbor_id. Oracle = per-subspace _kmeans_ctes chains + "
+    "the same encode/LUT/ADC algebra in SQL.",
+)
+def x80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pq_adc(spark, sf_dir, topk=5)
+
+
+def _x81_oracle(shortlist: int = 50) -> str:
+    """Recall of the production ANN pipeline — PQ/ADC SHORTLIST then
+    exact re-rank — against brute-force exact cosine top-5. The
+    shortlist side embeds x80's oracle at rank <= shortlist verbatim;
+    re-ranking recomputes true cosine only on the shortlisted pairs
+    (the per-query bounded join a deployed index performs)."""
+    from deepcell_data_engineering_spark.relational.queries import QUERIES as _REG  # noqa: F401
+
+    pq_sql = _x80_oracle(m=4, k=8, iters=2, n_queries=5, topk=shortlist)
+    return f"""WITH pq AS ({pq_sql}),
+       q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5),
+       c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       rerank AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT pq.query_id, pq.neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY pq.query_id
+                                     ORDER BY list_dot_product(q.v, c.v)
+                                       / (sqrt(list_dot_product(q.v, q.v))
+                                          * sqrt(list_dot_product(c.v, c.v))) DESC,
+                                     pq.neighbor_id) AS rank
+           FROM pq
+           JOIN q ON q.vec_id = pq.query_id
+           JOIN c ON c.vec_id = pq.neighbor_id
+         ) WHERE rank <= 5
+       ),
+       exact AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                     ORDER BY list_dot_product(q.v, c.v)
+                                       / (sqrt(list_dot_product(q.v, q.v))
+                                          * sqrt(list_dot_product(c.v, c.v))) DESC,
+                                     c.vec_id) AS rank
+           FROM q JOIN c ON q.vec_id != c.vec_id
+         ) WHERE rank <= 5
+       )
+       SELECT e.query_id,
+              CAST(COUNT(r.neighbor_id) AS BIGINT) AS n_hits,
+              ROUND(COUNT(r.neighbor_id) / 5.0, 2) AS recall_at_5
+       FROM exact e
+       LEFT JOIN rerank r ON r.query_id = e.query_id
+                         AND r.neighbor_id = e.neighbor_id
+       GROUP BY e.query_id ORDER BY e.query_id"""
+
+
+@_q(
+    "x81_pq_recall",
+    _x81_oracle(),
+    doc="Recall@5 of the PRODUCTION ANN pipeline: PQ/ADC shortlist@50 "
+    "(x80's machinery at a wider cut) then exact cosine RE-RANK of "
+    "only the shortlisted pairs — the two-stage design every deployed "
+    "PQ index runs, where the codes bound the candidate set and the "
+    "full vectors are touched for <= 50 rows per query. Evaluated "
+    "against brute-force exact top-5 (the x50 pattern); re-ranking "
+    "recovers what pure ADC ranking loses to quantization. Oracle "
+    "embeds x80's generated SQL at rank <= 50 plus the same re-rank/"
+    "recall algebra.",
+)
+def x81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    shortlist = _pq_adc(spark, sf_dir, topk=50).select(
+        "query_id", "neighbor_id"
+    )
+    vecs = emb.select("vec_id", "embedding")
+    scored = (
+        shortlist.join(
+            vecs.withColumnsRenamed({"vec_id": "query_id", "embedding": "vq"}),
+            "query_id",
+        )
+        .join(
+            vecs.withColumnsRenamed({"vec_id": "neighbor_id", "embedding": "vc"}),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            dd.cosine_expr(
+                F.transform("vq", lambda x: x.cast("double")),
+                F.transform("vc", lambda x: x.cast("double")),
+            ).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), "neighbor_id")
+    rerank = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", F.col("neighbor_id").alias("pq_neighbor"))
+    )
+    exact = sim.cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=5).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        exact.join(
+            rerank,
+            (rerank["query_id"] == exact["query_id"])
+            & (rerank["pq_neighbor"] == exact["neighbor_id"]),
+            "left",
+        )
+        .groupBy(exact["query_id"].alias("query_id"))
+        .agg(
+            F.count("pq_neighbor").alias("n_hits"),
+            F.round(F.count("pq_neighbor") / F.lit(5.0), 2).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
     )
