@@ -4392,3 +4392,49 @@ def x81(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@_q(
+    "x82_sql_udf",
+    """SELECT l_returnflag,
+              CAST(COUNT(*) AS BIGINT) AS n_items,
+              CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                   AS BIGINT) AS rev_c4,
+              CAST(SUM(CASE WHEN CAST(ROUND(l_discount * 100) AS BIGINT) >= 8
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_deep_discount
+       FROM lineitem
+       GROUP BY l_returnflag ORDER BY l_returnflag""",
+    doc="Spark 4 SQL UDFs (CREATE TEMPORARY FUNCTION ... RETURN expr): "
+    "the d49 exact-cents revenue convention packaged as a reusable "
+    "scalar SQL function and a discount-band predicate UDF, both "
+    "invoked from a grouped rollup. SQL UDFs inline into the plan at "
+    "analysis time — the aggregation is identical whole-stage codegen "
+    "to writing the expression by hand (no serde, no Python), which is "
+    "exactly why they are the right abstraction boundary for shared "
+    "business logic at 100 TB. Oracle = the same semantics with the "
+    "expressions inlined (the x72 convention: the UDF registration is "
+    "the Spark surface under test; the oracle pins the values).",
+)
+def x82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION x82_rev_c4(p DOUBLE, d DOUBLE) "
+        "RETURNS BIGINT "
+        "RETURN CAST(ROUND(p * 100) AS BIGINT) "
+        "* (100 - CAST(ROUND(d * 100) AS BIGINT))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION x82_deep_discount(d DOUBLE) "
+        "RETURNS BOOLEAN RETURN CAST(ROUND(d * 100) AS BIGINT) >= 8"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("x82_lineitem")
+    return spark.sql(
+        """SELECT l_returnflag,
+                  COUNT(*) AS n_items,
+                  CAST(SUM(x82_rev_c4(l_extendedprice, l_discount)) AS BIGINT)
+                    AS rev_c4,
+                  SUM(CASE WHEN x82_deep_discount(l_discount) THEN 1 ELSE 0 END)
+                    AS n_deep_discount
+           FROM x82_lineitem
+           GROUP BY l_returnflag ORDER BY l_returnflag"""
+    )

@@ -492,3 +492,25 @@ def test_bloom_build_rejects_unaligned_and_bad_join_type(spark):
     li = load_table(spark, SF, "lineitem")
     with pytest.raises(ValueError, match="inner/semi"):
         bloom.bloom_pruned_join(li, keys, "l_orderkey", "o_orderkey", how="left")
+
+
+def test_x82_sql_udfs_inline_to_codegen(spark):
+    """SQL UDFs must dissolve at analysis time: the aggregation plan
+    contains no Python evaluation node and exactly one pre-shuffle
+    partial aggregate over the scan — identical shape to writing the
+    expressions by hand."""
+    df = QUERIES["x82_sql_udf"].build(spark, SF)
+    plan = pi.executed_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+    assert pi.count_exchanges(df) <= 2  # partial agg + final sort only
+
+
+def test_x80_codes_join_is_broadcast_no_vector_shuffle(spark):
+    """The ADC join must broadcast the per-query LUT (160 rows) against
+    the code stream; the full embedding vectors appear in NO exchange
+    after encoding."""
+    df = QUERIES["x80_pq_adc_topk"].build(spark, SF)
+    s = pi.join_strategies(df)
+    assert s["broadcast_hash"] >= 1
+    assert s["sort_merge"] == 0 and s["shuffled_hash"] == 0
