@@ -512,3 +512,56 @@ def test_streaming_hll_register_maintenance_equals_batch(spark, tmp_path):
     spark.read.parquet(state).write.mode("append").parquet(state + "_copy")
     spark.read.parquet(state + "_copy").write.mode("append").parquet(state)
     assert folded() == batch_regs
+
+
+def test_streaming_daily_registers_roll_into_sliding_windows(spark, tmp_path):
+    """The x75 sliding-window rollup runs unchanged on register state
+    MAINTAINED BY a stream: micro-batches append per-day register
+    deltas, the log folds by (day, bucket) max, and
+    hll_sliding_registers over the folded state equals the batch
+    pipeline from the raw events — streaming ingest and batch rebuild
+    answer every trailing window identically."""
+    from deepcell_data_engineering_spark.functions.sketch import (
+        hll_registers,
+        hll_sliding_registers,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    du = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        F.col("user_id").cast("string").alias("v"),
+    )
+    batch = sorted(
+        map(
+            tuple,
+            hll_sliding_registers(
+                hll_registers(du, "v", ["day"], p=10), "day", 7
+            ).collect(),
+        )
+    )
+
+    state = str(tmp_path / "day_regs")
+
+    def append_delta(bdf, _bid):
+        d = bdf.select(
+            F.col("ts").cast("date").alias("day"),
+            F.col("user_id").cast("string").alias("v"),
+        )
+        hll_registers(d, "v", ["day"], p=10).write.mode("append").parquet(state)
+
+    q = (
+        read_events_stream(spark, SF_SMOKE)
+        .writeStream.foreachBatch(append_delta)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    folded = (
+        spark.read.parquet(state)
+        .groupBy("day", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    streamed = sorted(map(tuple, hll_sliding_registers(folded, "day", 7).collect()))
+    assert streamed == batch

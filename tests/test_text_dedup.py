@@ -715,3 +715,53 @@ def test_bpe_encode_vocab_roundtrips_terms(spark):
         # rule can survive encoding
         for x, y in zip(row["toks"], row["toks"][1:]):
             assert (x, y) != first, (row["term"], row["toks"])
+
+
+def test_pq_encode_is_partition_invariant_and_bounded(spark, vectors):
+    """PQ codes are pure per-row functions of the vector and the
+    (driver-resident) codebooks: repartitioning cannot change them, and
+    every vector gets exactly m codes in [0, k)."""
+    from deepcell_data_engineering_spark.functions.similarity import (
+        pq_encode,
+        pq_train,
+    )
+
+    cb = pq_train(vectors, m=4, n_clusters=4, iters=2)
+    assert len(cb) == 16 and all(len(v) == 4 for _, _, v in cb)
+    a = sorted(map(tuple, pq_encode(vectors.repartition(1), cb).collect()))
+    b = sorted(map(tuple, pq_encode(vectors.repartition(8), cb).collect()))
+    assert a == b
+    n = vectors.count()
+    assert len(a) == n * 4
+    assert all(0 <= code < 4 for _, _, code in a)
+
+
+def test_pq_reconstruction_beats_random_codes(spark, vectors):
+    """Trained codebooks must reconstruct vectors better (higher mean
+    dot with the reconstruction) than assigning every vector code 0 —
+    the sanity floor for quantization quality."""
+    import numpy as np
+
+    from deepcell_data_engineering_spark.functions.similarity import (
+        pq_encode,
+        pq_train,
+    )
+
+    cb = pq_train(vectors, m=4, n_clusters=4, iters=2)
+    cmap = {(s, j): np.array(v) for s, j, v in cb}
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in vectors.collect()}
+    codes = {}
+    for r in pq_encode(vectors, cb).collect():
+        codes.setdefault(r["vec_id"], {})[r["s"]] = r["code"]
+
+    def recon(vid, cs):
+        return np.concatenate([cmap[(s, cs[s])] for s in range(4)])
+
+    trained = np.mean(
+        [vecs[i] @ recon(i, codes[i]) for i in vecs]
+    )
+    floor = np.mean(
+        [vecs[i] @ recon(i, {s: 0 for s in range(4)}) for i in vecs]
+    )
+    assert trained > floor
+    assert trained > 0  # reconstructions correlate with their sources
