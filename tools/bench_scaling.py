@@ -51,6 +51,10 @@ QUERIES = [
     # per-triangle cost is flat. Kept in the sweep with this cap note
     # rather than excluded, so the number stays visible.
     "x67_triangle_hubs",
+    # round-6 join-heavy additions
+    "x73_bpe_encode",
+    "x77_simhash_neardup",
+    "x80_pq_adc_topk",
     # x66_similarity_join_exact is intentionally absent: its TRUE result
     # set (all pairs over a templated corpus) grows quadratically with
     # corpus size, so an sf1/sf0.1 ratio would read as a hidden

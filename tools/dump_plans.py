@@ -64,6 +64,9 @@ HEADLINERS = [
     ("x77_simhash_neardup", "simhash near-dup: sig groups first, band join on DISTINCT sigs, doc pairs by arithmetic"),
     ("x78_kcore", "k-core: per-peel degree agg + two semi-joins, checkpointed lineage"),
     ("x79_join_size_estimate", "CMS inner product: join size from two counter tables, no input scan"),
+    ("x80_pq_adc_topk", "PQ/ADC: broadcast 160-row LUT joined to the code stream, vectors never shuffled"),
+    ("x81_pq_recall", "PQ eval: shortlist@50 re-ranked exactly on <= 50 pairs/query, vs brute force"),
+    ("x82_sql_udf", "SQL UDFs dissolve at analysis: pure codegen aggregate, no Python eval nodes"),
 ]
 
 
