@@ -496,3 +496,244 @@ def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
         .agg(F.sum(F.col("ca") * F.col("cb")).alias("s"))
     )
     return per_j.agg(F.min("s").alias("est"))
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / theta) sketch: distinct counts AND direct set
+# intersections from deterministic bounded state
+# ---------------------------------------------------------------------------
+#
+# HLL registers (above) estimate |A| well, but |A intersect B| only by
+# inclusion-exclusion, whose absolute error scales with |A union B| —
+# useless for small overlaps between large sets. The KMV sketch keeps
+# the k SMALLEST distinct md5-60bit hash values per group (Beyer et
+# al., "On Synopses for Distinct-Value Estimation Under Multiset
+# Operations", SIGMOD'07 — the ancestor of the theta-sketch family).
+# Because "k smallest" is a pure order statistic of a deterministic
+# hash, the state is reproducible bit-for-bit by ANY engine — the
+# property that lets the DuckDB oracle rebuild it exactly, no
+# tolerance bands — and it supports DIRECT intersection estimates:
+# with theta = the k-th smallest hash, {h in state : h < theta} is a
+# uniform sample of the value set at rate theta / 2^60, so
+#   |A ∩ B|  ≈  |S_A ∩ S_B ∩ [0, theta_ab)| * 2^60 / theta_ab,
+#   theta_ab = min(theta_A, theta_B).
+# Groups with fewer than k distinct values are EXACT (theta = 2^60).
+#
+# Scale shape: the only full-data pass is the distinct on (group, h) —
+# the same shuffle class as hll_registers' grouped max. A naive rank
+# would then sort each group's entire distinct-hash set to find the k
+# smallest, so kmv_registers pre-filters with a per-group threshold
+# derived from approx_count_distinct (~ slack*k/nd of the hash space):
+# the sort touches O(slack*k) rows per group instead of nd. The filter
+# is semantically INVISIBLE: if >= k hashes survive it, the k smallest
+# survivors ARE the k smallest overall; groups cut below k (possible
+# only when the approx count overshoots the truth) are detected
+# exactly and re-ranked unfiltered — the rescue path, exercised in
+# tests with a deliberately tiny slack.
+
+_KMV_SPACE = 1 << 60  # md5-60bit hashes are uniform in [0, 2^60)
+
+
+def _md5_60(col: F.Column) -> F.Column:
+    """The engine-portable md5-60bit hash shared with hll_registers."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def kmv_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | tuple[str, ...] = (),
+    k: int = 256,
+    slack: float = 8.0,
+    prefilter: bool = True,
+) -> DataFrame:
+    """Per-group KMV state: (group..., rnk, h) — the k smallest
+    distinct md5-60bit hashes of ``value_col``, rnk in 1..k ascending.
+    Deterministic, engine-portable, mergeable via kmv_merge. NULL
+    values carry no identity (the hll_registers convention)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    gcols = list(group_cols)
+    # internal constant group key unifies the global (no group) case so
+    # the rescue semi-join below always has join columns
+    icols = gcols or ["__kmv_g"]
+    rows = df.where(F.col(value_col).isNotNull())
+    hashed = rows.select(*gcols, _md5_60(F.col(value_col)).alias("h")).distinct()
+    if not gcols:
+        hashed = hashed.withColumn("__kmv_g", F.lit(1))
+    w = Window.partitionBy(*icols)
+    if not prefilter:
+        return (
+            hashed.select(
+                *icols, "h", F.row_number().over(w.orderBy("h")).alias("rnk")
+            )
+            .where(F.col("rnk") <= k)
+            .select(*gcols, "rnk", "h")
+        )
+    nd = rows.groupBy(*gcols).agg(F.approx_count_distinct(value_col).alias("nd"))
+    if not gcols:
+        nd = nd.withColumn("__kmv_g", F.lit(1))
+    # threshold t ~ slack*k/nd of the hash space; t >= 2^60 means "no
+    # cut" (tiny groups where the whole set is cheaper than the guard)
+    thr = nd.select(
+        *icols,
+        F.least(
+            F.lit(float(_KMV_SPACE)),
+            F.lit(float(_KMV_SPACE))
+            * F.lit(float(slack) * k)
+            / F.greatest(F.col("nd"), F.lit(1)).cast("double"),
+        )
+        .cast("bigint")
+        .alias("t"),
+    )
+    filt = (
+        hashed.join(F.broadcast(thr), icols)
+        .where((F.col("h") < F.col("t")) | (F.col("t") >= F.lit(_KMV_SPACE)))
+        .select(
+            *icols,
+            "h",
+            "t",
+            F.row_number().over(w.orderBy("h")).alias("rnk"),
+            F.count(F.lit(1)).over(w).alias("nsurv"),
+        )
+    )
+    ok = (
+        filt.where((F.col("nsurv") >= k) | (F.col("t") >= F.lit(_KMV_SPACE)))
+        .where(F.col("rnk") <= k)
+        .select(*gcols, "rnk", "h")
+    )
+    # a group is suspect iff the filter actually cut (t < 2^60) AND
+    # fewer than k hashes survived — the only case where the k-smallest
+    # could have been lost. Derived from the THRESHOLD table, not from
+    # the surviving rows: a group cut all the way to zero survivors has
+    # no row in ``filt`` at all and must still be rescued.
+    suspects = (
+        thr.where(F.col("t") < F.lit(_KMV_SPACE))
+        .join(
+            filt.where(F.col("nsurv") >= k).select(*icols).distinct(),
+            icols,
+            "left_anti",
+        )
+        .select(*icols)
+    )
+    rescue = (
+        hashed.join(F.broadcast(suspects), icols, "left_semi")
+        .select(*icols, "h", F.row_number().over(w.orderBy("h")).alias("rnk"))
+        .where(F.col("rnk") <= k)
+        .select(*gcols, "rnk", "h")
+    )
+    return ok.unionByName(rescue)
+
+
+def kmv_merge(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: list[str] | tuple[str, ...] = (),
+    k: int = 256,
+) -> DataFrame:
+    """Union two KMV states: the k smallest of the distinct union —
+    exactly kmv_registers over the concatenated inputs (pinned in
+    tests), so persisted per-batch states compose without re-reading
+    old data. Inputs are <= k rows/group each, so the re-rank is
+    trivially bounded (no prefilter needed)."""
+    gcols = list(group_cols)
+    icols = gcols or ["__kmv_g"]
+    u = (
+        a.select(*gcols, "h")
+        .unionByName(b.select(*gcols, "h"))
+        .distinct()
+    )
+    if not gcols:
+        u = u.withColumn("__kmv_g", F.lit(1))
+    w = Window.partitionBy(*icols).orderBy("h")
+    return (
+        u.select(*icols, "h", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= k)
+        .select(*gcols, "rnk", "h")
+    )
+
+
+def kmv_estimate(
+    registers: DataFrame,
+    group_cols: list[str] | tuple[str, ...] = (),
+    k: int = 256,
+) -> DataFrame:
+    """Distinct-count estimate per group: (group..., n_state, theta,
+    est). A saturated state (n_state = k) estimates (k-1) * 2^60 /
+    theta with theta = the k-th smallest hash; an unsaturated state
+    saw every distinct value and is exact (theta = 2^60, est =
+    n_state). Relative error ~ 1/sqrt(k-2)."""
+    gcols = list(group_cols)
+    st = registers.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_state"), F.max("h").alias("hmax")
+    )
+    theta = F.when(F.col("n_state") >= k, F.col("hmax")).otherwise(
+        F.lit(_KMV_SPACE)
+    )
+    return st.select(
+        *gcols,
+        "n_state",
+        theta.alias("theta"),
+        F.when(F.col("n_state") < k, F.col("n_state").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1)) * F.lit(float(_KMV_SPACE)) / theta.cast("double")
+        )
+        .alias("est"),
+    )
+
+
+def kmv_intersect_pairs(
+    registers: DataFrame, group_col: str, k: int = 256
+) -> DataFrame:
+    """Pairwise intersection estimates across every group pair (g_a <
+    g_b): (g_a, g_b, common, theta_ab, est_inter). common counts the
+    shared hashes below theta_ab = min(theta_a, theta_b) — a uniform
+    sample of the intersection at rate theta_ab / 2^60 — and
+    est_inter scales it back up. Pairs where BOTH states are
+    unsaturated are exact. The registers are k rows/group no matter
+    how large the corpora, so every join here is sketch-sized — the
+    100 TB intersection answer without ever joining the data."""
+    st = registers.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_state"), F.max("h").alias("hmax")
+    )
+    th = st.select(
+        F.col(group_col).alias("g"),
+        F.when(F.col("n_state") >= k, F.col("hmax"))
+        .otherwise(F.lit(_KMV_SPACE))
+        .alias("theta"),
+    )
+    pairs = (
+        th.alias("ta")
+        .join(th.alias("tb"), F.col("ta.g") < F.col("tb.g"))
+        .select(
+            F.col("ta.g").alias("g_a"),
+            F.col("tb.g").alias("g_b"),
+            F.least(F.col("ta.theta"), F.col("tb.theta")).alias("theta_ab"),
+        )
+    )
+    ra = registers.select(F.col(group_col).alias("g_a"), "h")
+    rb = registers.select(F.col(group_col).alias("g_b"), "h")
+    com = (
+        ra.join(rb, "h")
+        .where(F.col("g_a") < F.col("g_b"))
+        .join(F.broadcast(pairs), ["g_a", "g_b"])
+        .where(F.col("h") < F.col("theta_ab"))
+        .groupBy("g_a", "g_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        pairs.join(com, ["g_a", "g_b"], "left")
+        .select(
+            "g_a",
+            "g_b",
+            F.coalesce(F.col("common"), F.lit(0)).cast("bigint").alias("common"),
+            "theta_ab",
+            (
+                F.coalesce(F.col("common"), F.lit(0)).cast("double")
+                * F.lit(float(_KMV_SPACE))
+                / F.col("theta_ab").cast("double")
+            ).alias("est_inter"),
+        )
+    )

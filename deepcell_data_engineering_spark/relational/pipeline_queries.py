@@ -4438,3 +4438,154 @@ def x82(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM x82_lineitem
            GROUP BY l_returnflag ORDER BY l_returnflag"""
     )
+
+
+@_q(
+    "x83_kmv_intersections",
+    r"""WITH base AS (
+         SELECT source, lower(trim(text)) AS t FROM documents
+       ),
+       sh AS (
+         SELECT source, substr(t, i, 8) AS shingle
+         FROM base,
+              LATERAL (SELECT unnest(generate_series(1, greatest(length(t) - 7, 1))) AS i)
+       ),
+       hs AS (
+         SELECT DISTINCT source,
+                ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+         FROM sh
+       ),
+       rk AS (
+         SELECT source, h,
+                row_number() OVER (PARTITION BY source ORDER BY h) AS rnk
+         FROM hs
+       ),
+       reg AS (SELECT source, h FROM rk WHERE rnk <= 256),
+       th AS (
+         SELECT source, n_state,
+                CASE WHEN n_state >= 256 THEN hmax
+                     ELSE 1152921504606846976 END AS theta
+         FROM (SELECT source, COUNT(*) AS n_state, MAX(h) AS hmax
+               FROM reg GROUP BY source)
+       ),
+       est1 AS (
+         SELECT source,
+                CASE WHEN n_state < 256 THEN n_state::DOUBLE
+                     ELSE 255.0::DOUBLE * 1152921504606846976.0::DOUBLE
+                          / theta::DOUBLE END AS est
+         FROM th
+       ),
+       pairs AS (
+         SELECT a.source AS src_a, b.source AS src_b,
+                LEAST(a.theta, b.theta) AS theta_ab
+         FROM th a JOIN th b ON a.source < b.source
+       ),
+       com AS (
+         SELECT ra.source AS src_a, rb.source AS src_b, COUNT(*) AS common
+         FROM reg ra
+         JOIN reg rb ON ra.h = rb.h AND ra.source < rb.source
+         JOIN pairs p ON p.src_a = ra.source AND p.src_b = rb.source
+         WHERE ra.h < p.theta_ab
+         GROUP BY ra.source, rb.source
+       ),
+       ds AS (SELECT DISTINCT source, shingle FROM sh),
+       ex AS (
+         SELECT a.source AS src_a, b.source AS src_b,
+                COUNT(*) AS exact_inter
+         FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.source < b.source
+         GROUP BY a.source, b.source
+       )
+       SELECT p.src_a, p.src_b,
+              ROUND(ea.est + 0.0, 2) AS est_a,
+              ROUND(eb.est + 0.0, 2) AS est_b,
+              COALESCE(c.common, 0)::BIGINT AS common,
+              p.theta_ab,
+              ROUND(COALESCE(c.common, 0)::DOUBLE
+                    * 1152921504606846976.0::DOUBLE
+                    / p.theta_ab::DOUBLE + 0.0, 2) AS est_inter,
+              COALESCE(ex.exact_inter, 0)::BIGINT AS exact_inter
+       FROM pairs p
+       JOIN est1 ea ON ea.source = p.src_a
+       JOIN est1 eb ON eb.source = p.src_b
+       LEFT JOIN com c ON c.src_a = p.src_a AND c.src_b = p.src_b
+       LEFT JOIN ex ON ex.src_a = p.src_a AND ex.src_b = p.src_b
+       ORDER BY p.src_a, p.src_b""",
+    doc="KMV / theta-sketch set intersections (functions/sketch.py:"
+    "kmv_registers): per source, the 256 smallest distinct md5-60bit "
+    "hashes of char 8-gram shingles — deterministic bounded state the "
+    "oracle rebuilds bit-for-bit — then DIRECT pairwise intersection "
+    "estimates (shared hashes below theta_ab = min(theta_a, theta_b), "
+    "scaled back by 2^60 / theta_ab). The capability HLL registers "
+    "(x64) lack: inclusion-exclusion error scales with |A∪B|, the KMV "
+    "sample error with |A∩B| itself. exact_inter is the certification "
+    "twin (the full shingle-set join the sketch avoids at 100 TB); the "
+    "distinct-on-(source, hash) pass is the only full-data scan, the "
+    "k-smallest rank runs on an approx_count_distinct-thresholded "
+    "subset (~8k/nd of the hash space) with an exact cut-below-k "
+    "rescue — sort cost O(slack*k) per source, not O(nd log nd).",
+)
+def x83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.sketch import (
+        kmv_estimate,
+        kmv_intersect_pairs,
+        kmv_registers,
+    )
+
+    k = 256
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("source", F.lower(F.trim(F.col("text"))).alias("t"))
+    sh = base.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(t) - 7, 1)),"
+                " i -> substring(t, i, 8))"
+            )
+        ).alias("shingle"),
+    )
+    reg = kmv_registers(sh, "shingle", ["source"], k=k)
+    one = kmv_estimate(reg, ["source"], k=k).select("source", "est")
+    inter = kmv_intersect_pairs(reg, "source", k=k).select(
+        F.col("g_a").alias("src_a"),
+        F.col("g_b").alias("src_b"),
+        "common",
+        "theta_ab",
+        "est_inter",
+    )
+    ds = sh.distinct()
+    ex = (
+        ds.alias("a")
+        .join(
+            ds.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    return (
+        inter.join(
+            one.select(F.col("source").alias("src_a"), F.col("est").alias("ea")),
+            "src_a",
+        )
+        .join(
+            one.select(F.col("source").alias("src_b"), F.col("est").alias("eb")),
+            "src_b",
+        )
+        .join(ex, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            F.round(F.col("ea") + F.lit(0.0), 2).alias("est_a"),
+            F.round(F.col("eb") + F.lit(0.0), 2).alias("est_b"),
+            "common",
+            "theta_ab",
+            F.round(F.col("est_inter") + F.lit(0.0), 2).alias("est_inter"),
+            F.coalesce(F.col("exact_inter"), F.lit(0))
+            .cast("bigint")
+            .alias("exact_inter"),
+        )
+        .orderBy("src_a", "src_b")
+    )

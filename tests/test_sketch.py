@@ -373,3 +373,111 @@ def test_cms_inner_product_self_join_on_skew(spark):
     est = cms_inner_product(cms, cms).collect()[0]["est"]
     assert est >= exact
     assert est <= exact * 1.5  # sane overestimate at this load factor
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch
+# ---------------------------------------------------------------------------
+
+
+def _kmv_rows(df):
+    return sorted((tuple(r) for r in df.collect()))
+
+
+def test_kmv_exact_when_unsaturated(spark):
+    """Fewer than k distinct values: the state is every distinct hash
+    and the estimate is exactly the distinct count."""
+    from deepcell_data_engineering_spark.functions.sketch import (
+        kmv_estimate,
+        kmv_registers,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{ i % 2}", f"v{i % 30}") for i in range(500)], "g string, v string"
+    )
+    reg = kmv_registers(df, "v", ["g"], k=64)
+    got = {r["g"]: (r["n_state"], r["theta"], r["est"]) for r in
+           kmv_estimate(reg, ["g"], k=64).collect()}
+    for g in ("g0", "g1"):
+        n, theta, est = got[g]
+        assert n == 15  # 30 values split by i%2 -> 15 distinct per group
+        assert theta == 1 << 60
+        assert est == 15.0
+
+
+def test_kmv_prefilter_invisible_and_rescue(spark):
+    """The threshold prefilter (any slack, including one tiny enough to
+    force the rescue path) must produce the identical state as the
+    unfiltered rank."""
+    from deepcell_data_engineering_spark.functions.sketch import kmv_registers
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", f"value-{i}") for i in range(3000)], "g string, v string"
+    )
+    base = _kmv_rows(kmv_registers(df, "v", ["g"], k=32, prefilter=False))
+    assert base == _kmv_rows(kmv_registers(df, "v", ["g"], k=32, slack=8.0))
+    # slack 0.005 -> threshold ~ 0.16/nd of the space: expected survivors
+    # ~ 0.16 < k, so the cut-below-k rescue re-ranks every group
+    assert base == _kmv_rows(kmv_registers(df, "v", ["g"], k=32, slack=0.005))
+    # global (no group columns) sketch, both paths
+    gb = _kmv_rows(kmv_registers(df, "v", k=32, prefilter=False))
+    assert gb == _kmv_rows(kmv_registers(df, "v", k=32))
+    assert gb == _kmv_rows(kmv_registers(df, "v", k=32, slack=0.005))
+
+
+def test_kmv_merge_equals_rebuild_and_partition_invariance(spark):
+    from deepcell_data_engineering_spark.functions.sketch import (
+        kmv_merge,
+        kmv_registers,
+    )
+
+    rows = [(f"g{i % 2}", f"value-{i % 700}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    a = df.where(F.crc32(F.col("v")) % 2 == 0)
+    b = df.where(F.crc32(F.col("v")) % 2 == 1)
+    merged = kmv_merge(
+        kmv_registers(a, "v", ["g"], k=48), kmv_registers(b, "v", ["g"], k=48),
+        ["g"], k=48,
+    )
+    rebuilt = kmv_registers(df, "v", ["g"], k=48)
+    assert _kmv_rows(merged) == _kmv_rows(rebuilt)
+    assert _kmv_rows(rebuilt) == _kmv_rows(
+        kmv_registers(df.repartition(7), "v", ["g"], k=48)
+    )
+
+
+def test_kmv_estimate_accuracy_and_intersection(spark):
+    """Saturated estimates land within ~5 standard errors of truth, and
+    the pairwise intersection estimator tracks a constructed overlap
+    (sets of 3000/3000 sharing exactly 1500 values)."""
+    from deepcell_data_engineering_spark.functions.sketch import (
+        kmv_estimate,
+        kmv_intersect_pairs,
+        kmv_registers,
+    )
+
+    rows = [("a", f"v{i}") for i in range(3000)] + [
+        ("b", f"v{i}") for i in range(1500, 4500)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    k = 256
+    reg = kmv_registers(df, "v", ["g"], k=k)
+    est = {r["g"]: r["est"] for r in kmv_estimate(reg, ["g"], k=k).collect()}
+    se = 3000 / (k - 2) ** 0.5
+    assert abs(est["a"] - 3000) < 5 * se
+    assert abs(est["b"] - 3000) < 5 * se
+    inter = kmv_intersect_pairs(reg, "g", k=k).collect()
+    assert len(inter) == 1
+    r = inter[0]
+    assert (r["g_a"], r["g_b"]) == ("a", "b")
+    # sample-of-intersection error ~ sqrt(common)/rate; 1500 +- wide band
+    assert 500 < r["est_inter"] < 2500
+    # unsaturated pair is exact
+    small = spark.createDataFrame(
+        [("a", f"v{i}") for i in range(100)]
+        + [("b", f"v{i}") for i in range(60, 160)],
+        "g string, v string",
+    )
+    sreg = kmv_registers(small, "v", ["g"], k=k)
+    sr = kmv_intersect_pairs(sreg, "g", k=k).collect()[0]
+    assert sr["common"] == 40 and sr["est_inter"] == 40.0
