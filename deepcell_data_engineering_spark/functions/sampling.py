@@ -100,3 +100,26 @@ def weighted_sample(
         .withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= k)
     )
+
+
+def deterministic_split(
+    df: DataFrame,
+    key_col: str,
+    val_one_in: int = 10,
+    seed: str = "s0",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/val assignment as a pure function of the key: 'val' iff
+    hash_bucket(key) % val_one_in == 0. Splitting by hash (not by
+    position or RNG) keeps a row's fate stable as the corpus grows and
+    — the property x84 audits — lets the key be a CLUSTER id rather
+    than a row id, so every member of a near-duplicate cluster lands
+    in the same split and the held-out set can't leak training
+    near-copies."""
+    b = hash_bucket(F.col(key_col), seed)
+    return df.withColumn(
+        split_col,
+        F.when(F.pmod(b, val_one_in) == 0, F.lit("val")).otherwise(
+            F.lit("train")
+        ),
+    )

@@ -4589,3 +4589,158 @@ def x83(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+_X84_ORACLE = (
+    _MINHASH_CHUNKS.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+       sig AS (
+         SELECT doc_id,
+              {_minhash_oracle_terms(6)}
+         FROM chunks GROUP BY doc_id
+       ),
+       banded AS (
+         SELECT doc_id,
+                md5(h0::VARCHAR || '-' || h1::VARCHAR || '-' || h2::VARCHAR) AS band
+         FROM sig
+         UNION ALL
+         SELECT doc_id,
+                md5(h3::VARCHAR || '-' || h4::VARCHAR || '-' || h5::VARCHAR) AS band
+         FROM sig
+       ),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+       ),
+       und AS (SELECT id_a AS u, id_b AS v FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+       reach(a, b) AS (
+         SELECT u, v FROM und
+         UNION
+         SELECT r.a, e.v FROM reach r JOIN und e ON r.b = e.u
+       ),
+       comp AS (
+         SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+       ),
+       labeled AS (
+         SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+         FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+       ),
+       assign AS (
+         SELECT doc_id, cluster_id,
+                CASE WHEN ('0x' || substr(md5('s0:' || doc_id::VARCHAR), 1, 7))::BIGINT
+                          % 10 = 0
+                     THEN 'val' ELSE 'train' END AS split_naive,
+                CASE WHEN ('0x' || substr(md5('s0:' || cluster_id::VARCHAR), 1, 7))::BIGINT
+                          % 10 = 0
+                     THEN 'val' ELSE 'train' END AS split_aware
+         FROM labeled
+       ),
+       leak AS (
+         SELECT
+           CAST(COUNT(*) FILTER (WHERE a.split_naive <> b.split_naive) AS BIGINT)
+             AS leak_naive,
+           CAST(COUNT(*) FILTER (WHERE a.split_aware <> b.split_aware) AS BIGINT)
+             AS leak_aware
+         FROM pairs p
+         JOIN assign a ON a.doc_id = p.id_a
+         JOIN assign b ON b.doc_id = p.id_b
+       ),
+       sizes AS (
+         SELECT split,
+                CAST(SUM(n_naive) AS BIGINT) AS n_docs_naive,
+                CAST(SUM(n_aware) AS BIGINT) AS n_docs_aware
+         FROM (
+           SELECT split_naive AS split, 1 AS n_naive, 0 AS n_aware FROM assign
+           UNION ALL
+           SELECT split_aware, 0, 1 FROM assign
+         ) GROUP BY split
+       )
+       SELECT s.split, s.n_docs_naive, s.n_docs_aware,
+              l.leak_naive, l.leak_aware
+       FROM sizes s CROSS JOIN leak l
+       ORDER BY s.split"""
+)
+
+
+@_q(
+    "x84_split_leakage",
+    _X84_ORACLE,
+    doc="Train/val split-leakage audit (functions/sampling.py:"
+    "deterministic_split): assign splits two ways — naively by doc_id "
+    "hash, and cluster-aware by the x21 connected-component id — then "
+    "count LSH candidate pairs (x06) whose endpoints land in different "
+    "splits. Naive splitting leaks near-duplicates of training docs "
+    "into the held-out set (leak_naive > 0: eval contamination that "
+    "inflates benchmark scores); keying the SAME hash split by "
+    "cluster_id is leakage-free BY CONSTRUCTION (every candidate pair "
+    "is intra-component, so leak_aware = 0 — the query certifies it). "
+    "Cost on top of x21 is one map for the assignment and one "
+    "sketch-sized join of the candidate pairs against it.",
+)
+def x84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions import graph as gr
+    from deepcell_data_engineering_spark.functions.sampling import (
+        deterministic_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs, num_hashes=6, k=5)
+    bands = [["h0", "h1", "h2"], ["h3", "h4", "h5"]]
+    edges = dd.lsh_band_star_edges(sigs, bands=bands)
+    pairs = dd.lsh_candidate_pairs(sigs, bands=bands)
+    assign = deterministic_split(
+        deterministic_split(
+            gr.dup_clusters(docs, edges).select("doc_id", "cluster_id"),
+            "doc_id",
+            split_col="split_naive",
+        ),
+        "cluster_id",
+        split_col="split_aware",
+    )
+    leak = (
+        pairs.join(
+            assign.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("split_naive").alias("na"),
+                F.col("split_aware").alias("aa"),
+            ),
+            "id_a",
+        )
+        .join(
+            assign.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("split_naive").alias("nb"),
+                F.col("split_aware").alias("ab"),
+            ),
+            "id_b",
+        )
+        .agg(
+            F.sum(F.when(F.col("na") != F.col("nb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("leak_naive"),
+            F.sum(F.when(F.col("aa") != F.col("ab"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("leak_aware"),
+        )
+    )
+    sizes = (
+        assign.select(
+            F.col("split_naive").alias("split"),
+            F.lit(1).alias("n_naive"),
+            F.lit(0).alias("n_aware"),
+        )
+        .unionByName(
+            assign.select(
+                F.col("split_aware").alias("split"),
+                F.lit(0).alias("n_naive"),
+                F.lit(1).alias("n_aware"),
+            )
+        )
+        .groupBy("split")
+        .agg(
+            F.sum("n_naive").cast("bigint").alias("n_docs_naive"),
+            F.sum("n_aware").cast("bigint").alias("n_docs_aware"),
+        )
+    )
+    return sizes.crossJoin(F.broadcast(leak)).orderBy("split")

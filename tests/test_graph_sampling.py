@@ -495,3 +495,37 @@ def test_triangle_counts_known_graph(spark):
     df = spark.createDataFrame(edges, "u long, v long")
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_deterministic_split_stable_and_cluster_safe(spark):
+    from deepcell_data_engineering_spark.functions.sampling import (
+        deterministic_split,
+    )
+
+    rows = [(i, i // 3) for i in range(3000)]  # clusters of 3
+    df = spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    s1 = deterministic_split(df, "doc_id")
+    # pure function of the key: same assignment on rerun and under
+    # repartitioning, and a row keeps its fate when the corpus grows
+    a1 = {r["doc_id"]: r["split"] for r in s1.collect()}
+    a2 = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(df.repartition(7), "doc_id").collect()
+    }
+    assert a1 == a2
+    grown = deterministic_split(
+        spark.createDataFrame(
+            [(i, i // 3) for i in range(6000)], "doc_id long, cluster_id long"
+        ),
+        "doc_id",
+    )
+    ga = {r["doc_id"]: r["split"] for r in grown.collect()}
+    assert all(ga[d] == s for d, s in a1.items())
+    # ~1/10 val rate
+    nval = sum(1 for s in a1.values() if s == "val")
+    assert 200 < nval < 400
+    # keyed by cluster_id, every cluster is split-homogeneous
+    bycluster = deterministic_split(df, "cluster_id").collect()
+    seen: dict[int, str] = {}
+    for r in bycluster:
+        assert seen.setdefault(r["cluster_id"], r["split"]) == r["split"]
