@@ -197,3 +197,91 @@ def disc_percentile_by_histogram(
         .collect()
     )
     return row[0][0]
+
+
+def key_skew_report(df: DataFrame, key_col: str, label: str) -> DataFrame:
+    """One-row skew diagnostic for a prospective shuffle key: (key_col,
+    n_rows, n_keys, avg_count, p50_count, p99_count, top1_count,
+    top1_share, recommended_salts). The planner-facing companion to
+    x39's salted join: a key whose top1_share dwarfs 1/shuffle-
+    partitions stalls every groupBy/join on its straggler partition,
+    and this report prices that BEFORE running the shuffle.
+
+    Fully declarative: one grouped count over the key, then the disc
+    percentiles run over the histogram of COUNT VALUES (distinct
+    per-key counts — thousands at most), never a row-level sort. The
+    ordered window is over that tiny histogram, so the single-
+    partition window stage is bounded at any corpus size.
+    recommended_salts = ceil(top1_count / (n_rows / 32)) clamped to
+    [1, 64] — integer arithmetic, engine-exact: how many ways the
+    hottest key must split so its shards match an average partition
+    of a 32-partition shuffle."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = counts.agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("c").cast("bigint").alias("top1_count"),
+    )
+    hist = counts.groupBy(F.col("c").alias("v")).agg(
+        F.count(F.lit(1)).alias("f")
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pq = (
+        hist.withColumn("cum", F.sum("f").over(w))
+        .crossJoin(F.broadcast(agg.select("n_keys")))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(0.5) * F.col("n_keys")),
+                    F.col("v"),
+                )
+            )
+            .cast("bigint")
+            .alias("p50_count"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(0.99) * F.col("n_keys")),
+                    F.col("v"),
+                )
+            )
+            .cast("bigint")
+            .alias("p99_count"),
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(pq))
+        .select(
+            F.lit(label).alias("key_col"),
+            "n_rows",
+            "n_keys",
+            F.round(
+                F.col("n_rows").cast("double") / F.col("n_keys").cast("double")
+                + F.lit(0.0),
+                2,
+            ).alias("avg_count"),
+            "p50_count",
+            "p99_count",
+            "top1_count",
+            F.round(
+                F.col("top1_count").cast("double")
+                / F.col("n_rows").cast("double")
+                + F.lit(0.0),
+                4,
+            ).alias("top1_share"),
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.least(
+                    F.lit(64).cast("bigint"),
+                    F.expr("(top1_count * 32 + n_rows - 1) div n_rows"),
+                ),
+            ).alias("recommended_salts"),
+        )
+    )

@@ -4744,3 +4744,98 @@ def x84(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sizes.crossJoin(F.broadcast(leak)).orderBy("split")
+
+
+def _x85_cte(name: str, src: str, key: str, label: str) -> str:
+    """One skew-report branch: grouped key counts, the disc percentiles
+    over the histogram of count VALUES (the key_skew_report plan,
+    rebuilt in SQL), and the integer ceil-div salt recommendation."""
+    return f"""
+       {name}_cnt AS (
+         SELECT {key} AS k, COUNT(*) AS c FROM {src}
+         WHERE {key} IS NOT NULL GROUP BY 1
+       ),
+       {name}_agg AS (
+         SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+                CAST(COUNT(*) AS BIGINT) AS n_keys,
+                CAST(MAX(c) AS BIGINT) AS top1_count
+         FROM {name}_cnt
+       ),
+       {name}_hist AS (SELECT c AS v, COUNT(*) AS f FROM {name}_cnt GROUP BY c),
+       {name}_cum AS (
+         SELECT v, SUM(f) OVER (ORDER BY v) AS cum FROM {name}_hist
+       ),
+       {name}_pq AS (
+         SELECT CAST(MIN(CASE WHEN cum >= CEIL(0.5::DOUBLE * a.n_keys)
+                              THEN v END) AS BIGINT) AS p50_count,
+                CAST(MIN(CASE WHEN cum >= CEIL(0.99::DOUBLE * a.n_keys)
+                              THEN v END) AS BIGINT) AS p99_count
+         FROM {name}_cum CROSS JOIN {name}_agg a
+       ),
+       {name}_row AS (
+         SELECT '{label}' AS key_col, a.n_rows, a.n_keys,
+                ROUND(a.n_rows::DOUBLE / a.n_keys::DOUBLE + 0.0, 2) AS avg_count,
+                p.p50_count, p.p99_count, a.top1_count,
+                ROUND(a.top1_count::DOUBLE / a.n_rows::DOUBLE + 0.0, 4)
+                  AS top1_share,
+                CAST(GREATEST(1, LEAST(64,
+                  (a.top1_count * 32 + a.n_rows - 1) // a.n_rows))
+                  AS BIGINT) AS recommended_salts
+         FROM {name}_agg a CROSS JOIN {name}_pq p
+       )"""
+
+
+_X85_ORACLE = (
+    r"""WITH tok AS (
+         SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+         FROM documents
+       ),
+       tokf AS (SELECT term FROM tok WHERE term <> ''),"""
+    + ",".join(
+        [
+            _x85_cte("t", "tokf", "term", "documents.term"),
+            _x85_cte("e", "events", "user_id", "events.user_id"),
+            _x85_cte("l", "lineitem", "l_suppkey", "lineitem.l_suppkey"),
+            _x85_cte("o", "orders", "o_custkey", "orders.o_custkey"),
+        ]
+    )
+    + """
+       SELECT * FROM (
+         SELECT * FROM t_row UNION ALL SELECT * FROM e_row
+         UNION ALL SELECT * FROM l_row UNION ALL SELECT * FROM o_row
+       ) ORDER BY key_col"""
+)
+
+
+@_q(
+    "x85_skew_report",
+    _X85_ORACLE,
+    doc="Shuffle-key skew diagnostics (functions/stats.py:"
+    "key_skew_report): for each prospective join/groupBy key, the key-"
+    "count distribution (n_keys, avg/p50/p99/top1 counts, top1_share) "
+    "and an integer salt recommendation — ceil(top1_count / (n_rows / "
+    "32)) clamped to [1, 64] — the planning input x39's salted join "
+    "consumes. Disc percentiles run over the histogram of count "
+    "VALUES (distinct per-key counts), so the only ordered window is "
+    "sketch-sized at any corpus scale; everything else is two grouped "
+    "aggregations per key. The token key's Zipf head (top1_share ~ "
+    "1/vocab on this corpus) vs the uniform synthetic user/customer "
+    "keys shows the report separating salt-worthy keys from safe ones.",
+)
+def x85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.stats import key_skew_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
+    ).where(F.col("term") != "")
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    od = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        key_skew_report(tok, "term", "documents.term")
+        .unionByName(key_skew_report(ev, "user_id", "events.user_id"))
+        .unionByName(key_skew_report(li, "l_suppkey", "lineitem.l_suppkey"))
+        .unionByName(key_skew_report(od, "o_custkey", "orders.o_custkey"))
+        .orderBy("key_col")
+    )

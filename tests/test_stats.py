@@ -126,3 +126,28 @@ def test_disc_percentile_by_histogram_matches_numpy_disc(spark):
     for q in [0.05, 0.25, 0.5, 0.9, 1.0]:
         k = int(np.ceil(q * len(vals)))
         assert disc_percentile_by_histogram(df, "x", q) == int(srt[k - 1]), q
+
+
+def test_key_skew_report_constructed_distribution(spark):
+    from deepcell_data_engineering_spark.functions.stats import key_skew_report
+
+    # 1 hot key with 6400 rows + 99 cold keys with 10 rows each + NULLs
+    rows = (
+        [("hot",)] * 6400
+        + [(f"cold{i}",) for i in range(99) for _ in range(10)]
+        + [(None,)] * 7
+    )
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_report(df, "k", "t.k").collect()[0]
+    assert r["key_col"] == "t.k"
+    assert r["n_rows"] == 6400 + 990  # NULL keys carry no identity
+    assert r["n_keys"] == 100
+    assert r["top1_count"] == 6400
+    assert r["p50_count"] == 10 and r["p99_count"] == 10
+    # ceil(6400 / (7390/32)) = ceil(27.7) = 28
+    assert r["recommended_salts"] == 28
+    # uniform key: no salting recommended
+    u = spark.createDataFrame([(i % 50,) for i in range(5000)], "k long")
+    ru = key_skew_report(u, "k", "u.k").collect()[0]
+    assert ru["recommended_salts"] == 1
+    assert ru["p50_count"] == 100 and ru["top1_count"] == 100
