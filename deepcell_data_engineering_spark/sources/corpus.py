@@ -110,3 +110,89 @@ def read_xml(
     r = spark.read.format("xml").option("rowTag", row_tag)
     r = r.schema(schema if schema is not None else DOCUMENTS_SCHEMA)
     return r.load(path)
+
+
+def layout_report(
+    spark: SparkSession,
+    path: str,
+    partition_cols: tuple[str, ...] = ("lang",),
+    small_file_bytes: int = 32 << 20,
+) -> DataFrame:
+    """Per-partition physical-layout accounting: (partition..., n_files,
+    n_rows, total_bytes, n_small_files). Built from the scan's hidden
+    ``_metadata`` columns — computed BY the executors reading footers,
+    never a driver-side recursive listing (at 100 TB the listing itself
+    is a distributed job). The small-file count is the compaction
+    trigger: thousands of KB-sized files per partition turn scan
+    scheduling and footer I/O into the bottleneck long before data
+    volume does."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    per_file = df.groupBy(
+        *partition_cols, F.col("_metadata.file_path").alias("__fp")
+    ).agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.first(F.col("_metadata.file_size")).alias("bytes"),
+    )
+    return per_file.groupBy(*partition_cols).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("rows").alias("n_rows"),
+        F.sum("bytes").alias("total_bytes"),
+        F.sum((F.col("bytes") < small_file_bytes).cast("int")).alias(
+            "n_small_files"
+        ),
+    )
+
+
+def compact_corpus(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    partition_cols: tuple[str, ...] = ("lang",),
+    target_file_bytes: int = 128 << 20,
+    slot_col: str = "doc_id",
+) -> DataFrame:
+    """Rewrite a hive-partitioned corpus with right-sized files: per
+    partition, ceil(bytes / target_file_bytes) output files. Two
+    passes: a footer-only sizing pass (the layout_report plan) builds
+    a per-partition file-count plan, then the data pass broadcast-
+    joins the plan, assigns each row a deterministic slot hash in
+    [0, n_files), and repartitions on (partition_cols..., slot) so
+    each partition's rows spread across exactly its planned task
+    count (hash collisions between slots can only MERGE two planned
+    files — never fragment).
+
+    Writes to ``out_path``, NOT in place: Spark cannot overwrite a
+    path it is lazily reading, and object-store "rename" is a copy —
+    the atomic swap (pointer flip / directory rename) belongs to the
+    catalog layer above. Returns the sizing plan for inspection."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    sizes = (
+        df.groupBy(*partition_cols, F.col("_metadata.file_path").alias("__fp"))
+        .agg(F.first(F.col("_metadata.file_size")).alias("bytes"))
+        .groupBy(*partition_cols)
+        .agg(F.sum("bytes").alias("bytes"))
+    )
+    plan = sizes.withColumn(
+        "n_files",
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.col("bytes") / F.lit(float(target_file_bytes))),
+        ).cast("int"),
+    )
+    out = (
+        df.join(
+            F.broadcast(plan.select(*partition_cols, "n_files")),
+            list(partition_cols),
+        )
+        .withColumn(
+            "__slot", F.pmod(F.xxhash64(F.col(slot_col)), F.col("n_files"))
+        )
+        .repartition(*[F.col(c) for c in partition_cols], F.col("__slot"))
+        .drop("n_files", "__slot")
+    )
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(out_path)
+    return plan
