@@ -35,8 +35,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # a driver window — they lead (pre-flighted 16/16 green at sf0.01 via
 # tools/check_oracle.py), followed by 34 of x06–x45 (last driver-checked
 # in round 4). Round 7 should lead with x40–x45 plus the round-6
-# additions (x73+ — local sf0.01 record in PREFLIGHT_r06.json), keeping
-# every registered query's driver verdict at most two rounds old.
+# additions (x73–x85 — local sf0.01 record in PREFLIGHT_r06.json),
+# keeping every registered query's driver verdict at most two rounds
+# old.
 _CHECK_FIRST = [
     "x57_sketch_topk", "x58_bloom_pruned_join", "x59_hll_distinct",
     "x60_zorder_key", "x61_weighted_sample", "x62_cms_frequencies",

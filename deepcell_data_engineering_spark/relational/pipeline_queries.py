@@ -4839,3 +4839,119 @@ def x85(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(key_skew_report(od, "o_custkey", "orders.o_custkey"))
         .orderBy("key_col")
     )
+
+
+def _x86_branch(label: str, ta: str, ka: str, tb: str, kb: str) -> str:
+    """One candidate first-join: CMS cross-inner-product estimate of
+    |ta JOIN tb ON ka = kb| plus the exact twin."""
+    return f"""(
+      WITH jj AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS v(j)),
+      ca AS (
+        SELECT j,
+               ('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':'
+                                   || CAST({ka} AS VARCHAR)), 1, 7))::BIGINT
+                 % 4096 AS bucket,
+               COUNT(*) AS c
+        FROM {ta} CROSS JOIN jj GROUP BY j, bucket
+      ),
+      cb AS (
+        SELECT j,
+               ('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':'
+                                   || CAST({kb} AS VARCHAR)), 1, 7))::BIGINT
+                 % 4096 AS bucket,
+               COUNT(*) AS c
+        FROM {tb} CROSS JOIN jj GROUP BY j, bucket
+      ),
+      est AS (
+        SELECT MIN(s) AS e FROM (
+          SELECT ca.j, SUM(ca.c * cb.c) AS s
+          FROM ca JOIN cb ON ca.j = cb.j AND ca.bucket = cb.bucket
+          GROUP BY ca.j
+        )
+      ),
+      ex AS (
+        SELECT SUM(a.c * b.c) AS x
+        FROM (SELECT {ka} AS k, COUNT(*) AS c FROM {ta} GROUP BY 1) a
+        JOIN (SELECT {kb} AS k, COUNT(*) AS c FROM {tb} GROUP BY 1) b
+          ON a.k = b.k
+      )
+      SELECT '{label}' AS first_join,
+             CAST(est.e AS BIGINT) AS est_rows,
+             CAST(COALESCE(ex.x, 0) AS BIGINT) AS exact_rows
+      FROM est CROSS JOIN ex
+    )"""
+
+
+@_q(
+    "x86_join_order_plan",
+    f"""SELECT first_join, est_rows, exact_rows,
+              est_rows >= exact_rows AS sound,
+              est_rows = MIN(est_rows) OVER () AS picked
+       FROM ({_x86_branch("lineitem*orders", "lineitem", "l_orderkey",
+                          "orders", "o_orderkey")}
+             UNION ALL
+             {_x86_branch("orders*customer", "orders", "o_custkey",
+                          "customer", "c_custkey")})
+       ORDER BY first_join""",
+    doc="Sketch-driven join ORDERING (the step above x79's single-join "
+    "pricing): for the customer-orders-lineitem chain, price both "
+    "legal first joins from persisted per-(table, key) CMS counter "
+    "tables — cross inner product sum_k f_a(k)*f_b(k), min over "
+    "depths — and pick the smaller intermediate, certified in-query "
+    "against the exact join sizes (soundness: collisions only ADD, "
+    "so est >= exact and the pick can only err between candidates "
+    "whose true sizes are within the collision noise). The cost-"
+    "based-optimizer primitive at 100 TB: join order from 4x4096 "
+    "counters per input, no data scanned at planning time.",
+)
+def x86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.sketch import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    frames = []
+    for label, (ta, ka), (tb, kb) in [
+        ("lineitem*orders", ("lineitem", "l_orderkey"), ("orders", "o_orderkey")),
+        ("orders*customer", ("orders", "o_custkey"), ("customer", "c_custkey")),
+    ]:
+        keys_a = load_table(spark, sf_dir, ta).select(
+            F.col(ka).cast("string").alias("k")
+        )
+        keys_b = load_table(spark, sf_dir, tb).select(
+            F.col(kb).cast("string").alias("k")
+        )
+        est = cms_inner_product(
+            cms_build(keys_a, "k", width=4096, depth=4),
+            cms_build(keys_b, "k", width=4096, depth=4),
+        )
+        exact = (
+            keys_a.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("ca"))
+            .join(
+                keys_b.groupBy("k").agg(F.count(F.lit(1)).alias("cb")), "k"
+            )
+            .agg(
+                F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+                .cast("bigint")
+                .alias("exact_rows")
+            )
+        )
+        frames.append(
+            est.crossJoin(exact).select(
+                F.lit(label).alias("first_join"),
+                F.col("est").cast("bigint").alias("est_rows"),
+                "exact_rows",
+            )
+        )
+    out = frames[0].unionByName(frames[1])
+    return out.select(
+        "first_join",
+        "est_rows",
+        "exact_rows",
+        (F.col("est_rows") >= F.col("exact_rows")).alias("sound"),
+        (
+            F.col("est_rows")
+            == F.min("est_rows").over(Window.partitionBy())
+        ).alias("picked"),
+    ).orderBy("first_join")

@@ -67,6 +67,9 @@ HEADLINERS = [
     ("x80_pq_adc_topk", "PQ/ADC: broadcast 160-row LUT joined to the code stream, vectors never shuffled"),
     ("x81_pq_recall", "PQ eval: shortlist@50 re-ranked exactly on <= 50 pairs/query, vs brute force"),
     ("x82_sql_udf", "SQL UDFs dissolve at analysis: pure codegen aggregate, no Python eval nodes"),
+    ("x83_kmv_intersections", "KMV sketch: thresholded k-smallest rank, sketch-sized pair joins, exact twin"),
+    ("x84_split_leakage", "split-leakage audit: cluster-keyed hash split + candidate-pair cross-split count"),
+    ("x85_skew_report", "skew report: grouped key counts, disc percentiles over the count histogram"),
 ]
 
 
