@@ -565,3 +565,56 @@ def test_streaming_daily_registers_roll_into_sliding_windows(spark, tmp_path):
     )
     streamed = sorted(map(tuple, hll_sliding_registers(folded, "day", 7).collect()))
     assert streamed == batch
+
+
+def test_streaming_kmv_state_maintenance_equals_batch(spark, tmp_path):
+    """KMV state maintained BY a stream: each micro-batch appends its
+    per-group k-smallest-hash delta; the live state is a re-rank over
+    the append-only log (min-k is idempotent + associative +
+    commutative, like the HLL max), so the maintained sketch equals
+    the batch rebuild exactly and replaying a batch is a no-op."""
+    from deepcell_data_engineering_spark.functions.sketch import (
+        kmv_merge,
+        kmv_registers,
+    )
+
+    k = 64
+    ev = load_table(spark, SF_SMOKE, "events")
+    vals = ["event_type", F.col("user_id").cast("string").alias("v")]
+    batch_state = sorted(
+        map(
+            tuple,
+            kmv_registers(ev.select(*vals), "v", ["event_type"], k=k).collect(),
+        )
+    )
+
+    state = str(tmp_path / "kmv_log")
+
+    def append_delta(bdf, _bid):
+        kmv_registers(bdf.select(*vals), "v", ["event_type"], k=k).write.mode(
+            "append"
+        ).parquet(state)
+
+    q = (
+        read_events_stream(spark, SF_SMOKE)
+        .writeStream.foreachBatch(append_delta)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def folded():
+        log = spark.read.parquet(state)
+        # fold the whole log with kmv_merge's re-rank (merge with an
+        # empty right side = re-rank of the union of all deltas)
+        empty = log.limit(0)
+        return sorted(
+            map(tuple, kmv_merge(log, empty, ["event_type"], k=k).collect())
+        )
+
+    assert folded() == batch_state
+    # replay: append the entire current log again — state must not move
+    spark.read.parquet(state).write.mode("append").parquet(state + "_copy")
+    spark.read.parquet(state + "_copy").write.mode("append").parquet(state)
+    assert folded() == batch_state
