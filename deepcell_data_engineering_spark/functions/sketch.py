@@ -552,7 +552,21 @@ def kmv_registers(
     """Per-group KMV state: (group..., rnk, h) — the k smallest
     distinct md5-60bit hashes of ``value_col``, rnk in 1..k ascending.
     Deterministic, engine-portable, mergeable via kmv_merge. NULL
-    values carry no identity (the hll_registers convention)."""
+    values carry no identity (the hll_registers convention).
+
+    Plan shape (pinned in tests/test_plans.py): the per-group hash
+    threshold (~ slack*k/nd of the hash space, from a map-side-partial
+    approx_count_distinct pass) is applied to the RAW hashed rows,
+    BELOW the distinct — so the distinct's shuffle carries only the
+    ~slack*k survivors per group instead of every distinct hash; and
+    the k-smallest filter is a bare ``row_number() <= k``, which Spark
+    rewrites to WindowGroupLimit (a partial per-partition top-k before
+    the window exchange). Survivor counts come from a separate tiny
+    aggregation rather than a count-window so the rank predicate stays
+    rewritable. Groups the filter cut below k survivors (possible only
+    when the approx count overshoots) are detected exactly from the
+    threshold table and re-ranked unfiltered — the rescue path,
+    exercised in tests with a deliberately tiny slack."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     gcols = list(group_cols)
@@ -560,18 +574,20 @@ def kmv_registers(
     # the rescue semi-join below always has join columns
     icols = gcols or ["__kmv_g"]
     rows = df.where(F.col(value_col).isNotNull())
-    hashed = rows.select(*gcols, _md5_60(F.col(value_col)).alias("h")).distinct()
+    raw = rows.select(*gcols, _md5_60(F.col(value_col)).alias("h"))
     if not gcols:
-        hashed = hashed.withColumn("__kmv_g", F.lit(1))
-    w = Window.partitionBy(*icols)
-    if not prefilter:
+        raw = raw.withColumn("__kmv_g", F.lit(1))
+    w = Window.partitionBy(*icols).orderBy("h")
+
+    def rank_topk(hashes: DataFrame) -> DataFrame:
         return (
-            hashed.select(
-                *icols, "h", F.row_number().over(w.orderBy("h")).alias("rnk")
-            )
+            hashes.select(*icols, "h", F.row_number().over(w).alias("rnk"))
             .where(F.col("rnk") <= k)
             .select(*gcols, "rnk", "h")
         )
+
+    if not prefilter:
+        return rank_topk(raw.distinct())
     nd = rows.groupBy(*gcols).agg(F.approx_count_distinct(value_col).alias("nd"))
     if not gcols:
         nd = nd.withColumn("__kmv_g", F.lit(1))
@@ -588,41 +604,36 @@ def kmv_registers(
         .cast("bigint")
         .alias("t"),
     )
+    # pre-distinct cut: the filter commutes with distinct (it is a pure
+    # row predicate on (group, h)), so only survivors reach the
+    # distinct's exchange — the actual 100 TB saving
     filt = (
-        hashed.join(F.broadcast(thr), icols)
+        raw.join(F.broadcast(thr), icols)
         .where((F.col("h") < F.col("t")) | (F.col("t") >= F.lit(_KMV_SPACE)))
-        .select(
-            *icols,
-            "h",
-            "t",
-            F.row_number().over(w.orderBy("h")).alias("rnk"),
-            F.count(F.lit(1)).over(w).alias("nsurv"),
+        .select(*icols, "h")
+        .distinct()
+    )
+    nsurv = filt.groupBy(*icols).agg(F.count(F.lit(1)).alias("nsurv"))
+    ok_groups = (
+        nsurv.join(thr, icols)
+        .where(
+            (F.col("nsurv") >= k) | (F.col("t") >= F.lit(_KMV_SPACE))
         )
+        .select(*icols)
     )
-    ok = (
-        filt.where((F.col("nsurv") >= k) | (F.col("t") >= F.lit(_KMV_SPACE)))
-        .where(F.col("rnk") <= k)
-        .select(*gcols, "rnk", "h")
-    )
+    ok = rank_topk(filt.join(F.broadcast(ok_groups), icols, "left_semi"))
     # a group is suspect iff the filter actually cut (t < 2^60) AND
     # fewer than k hashes survived — the only case where the k-smallest
     # could have been lost. Derived from the THRESHOLD table, not from
     # the surviving rows: a group cut all the way to zero survivors has
-    # no row in ``filt`` at all and must still be rescued.
+    # no surviving row to flag itself.
     suspects = (
         thr.where(F.col("t") < F.lit(_KMV_SPACE))
-        .join(
-            filt.where(F.col("nsurv") >= k).select(*icols).distinct(),
-            icols,
-            "left_anti",
-        )
+        .join(F.broadcast(ok_groups), icols, "left_anti")
         .select(*icols)
     )
-    rescue = (
-        hashed.join(F.broadcast(suspects), icols, "left_semi")
-        .select(*icols, "h", F.row_number().over(w.orderBy("h")).alias("rnk"))
-        .where(F.col("rnk") <= k)
-        .select(*gcols, "rnk", "h")
+    rescue = rank_topk(
+        raw.join(F.broadcast(suspects), icols, "left_semi").distinct()
     )
     return ok.unionByName(rescue)
 

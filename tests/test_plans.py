@@ -514,3 +514,46 @@ def test_x80_codes_join_is_broadcast_no_vector_shuffle(spark):
     s = pi.join_strategies(df)
     assert s["broadcast_hash"] >= 1
     assert s["sort_merge"] == 0 and s["shuffled_hash"] == 0
+
+
+def test_round6_session2_queries_have_no_cartesian(spark):
+    """x83-x86 keep the no-cartesian contract: every data-sized join is
+    keyed (KMV register/threshold joins, leakage pair attach, skew
+    histogram branches, CMS bucket products); the only nested-loop
+    joins are 1-row broadcast composition attaches."""
+    for name in (
+        "x83_kmv_intersections",
+        "x84_split_leakage",
+        "x85_skew_report",
+        "x86_join_order_plan",
+    ):
+        plan = pi.executed_plan(QUERIES[name].build(spark, SF))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_kmv_prefilter_cuts_below_distinct_with_window_group_limit(spark):
+    """The x83 scale contract, both halves:
+
+    - the per-group hash threshold is applied to the RAW hashed rows as
+      the residual of a broadcast join (``h < t OR t >= 2^60``) BELOW
+      the distinct, so the distinct's exchange carries only the
+      ~slack*k survivors per group, never the full distinct-hash set;
+    - the k-smallest predicate stays a bare ``row_number() <= k``, so
+      Spark rewrites it to WindowGroupLimit (Partial before the window
+      exchange + Final after) on BOTH the filtered and the rescue
+      branch — a distributed min-k, not a full per-group sort."""
+    from deepcell_data_engineering_spark.functions.sketch import kmv_registers
+
+    docs = load_table(spark, SF, "documents")
+    reg = kmv_registers(
+        docs.select("source", F.col("text").alias("v")), "v", ["source"], k=8
+    )
+    plan = pi.executed_plan(reg)
+    assert "CartesianProduct" not in plan
+    thresh_joins = [
+        ln
+        for ln in plan.splitlines()
+        if "BroadcastHashJoin" in ln and "< t#" in ln
+    ]
+    assert thresh_joins, plan
+    assert plan.count("WindowGroupLimit") >= 4, plan
