@@ -55,6 +55,11 @@ QUERIES = [
     "x73_bpe_encode",
     "x77_simhash_neardup",
     "x80_pq_adc_topk",
+    # round-6 session 2: KMV sketch (distinct + thresholded rank +
+    # sketch-sized pair joins + the exact-intersection twin) and the
+    # split-leakage audit (x21's closure + candidate-pair attach)
+    "x83_kmv_intersections",
+    "x84_split_leakage",
     # x66_similarity_join_exact is intentionally absent: its TRUE result
     # set (all pairs over a templated corpus) grows quadratically with
     # corpus size, so an sf1/sf0.1 ratio would read as a hidden
