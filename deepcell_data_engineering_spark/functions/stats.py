@@ -285,3 +285,60 @@ def key_skew_report(df: DataFrame, key_col: str, label: str) -> DataFrame:
             ).alias("recommended_salts"),
         )
     )
+
+
+def table_profile(df: DataFrame, kinds: dict[str, str]) -> DataFrame:
+    """ANALYZE-style column profile in ONE pass: (col_name, n_rows,
+    n_null, null_frac, ndv, min_str, max_str, avg_len) per profiled
+    column. ``kinds`` maps column -> 'int' | 'str' | 'dbl' | 'ts' and
+    gates which stats are portable: min/max render as strings only for
+    types whose string form is engine-canonical (integers, strings,
+    timestamps truncated to DATE); doubles profile counts/ndv only
+    (their string form is formatter-dependent); avg_len is for
+    strings.
+
+    Plan shape: ONE scan feeding ONE aggregation (the multiple
+    COUNT(DISTINCT) resolve via Spark's Expand — still a single pass
+    over the data), then a 1-row ``stack`` generate pivots the wide
+    aggregate into the long report. Never one scan per column — at
+    100 TB the naive per-column UNION rescans the table once per
+    column."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c, kd in kinds.items():
+        aggs.append(F.count(F.col(c)).alias(f"__cnt_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__ndv_{c}"))
+        if kd in ("int", "str"):
+            aggs.append(F.min(F.col(c)).cast("string").alias(f"__min_{c}"))
+            aggs.append(F.max(F.col(c)).cast("string").alias(f"__max_{c}"))
+        elif kd == "ts":
+            aggs.append(
+                F.min(F.col(c).cast("date")).cast("string").alias(f"__min_{c}")
+            )
+            aggs.append(
+                F.max(F.col(c).cast("date")).cast("string").alias(f"__max_{c}")
+            )
+        if kd == "str":
+            aggs.append(F.avg(F.length(F.col(c))).alias(f"__len_{c}"))
+    row = df.agg(*aggs)
+    parts = []
+    for c, kd in kinds.items():
+        parts += [
+            f"'{c}'",
+            "__n",
+            f"(__n - __cnt_{c})",
+            f"round(cast(__n - __cnt_{c} as double)"
+            f" / cast(__n as double) + 0.0D, 4)",
+            f"__ndv_{c}",
+            f"__min_{c}" if kd != "dbl" else "cast(null as string)",
+            f"__max_{c}" if kd != "dbl" else "cast(null as string)",
+            f"round(__len_{c} + 0.0D, 2)"
+            if kd == "str"
+            else "cast(null as double)",
+        ]
+    expr = (
+        f"stack({len(kinds)}, "
+        + ", ".join(parts)
+        + ") AS (col_name, n_rows, n_null, null_frac, ndv,"
+        " min_str, max_str, avg_len)"
+    )
+    return row.select(F.expr(expr))

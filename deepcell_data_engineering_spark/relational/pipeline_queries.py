@@ -4955,3 +4955,98 @@ def x86(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.min("est_rows").over(Window.partitionBy())
         ).alias("picked"),
     ).orderBy("first_join")
+
+
+_X87_KINDS = {
+    "orders": [
+        ("o_orderkey", "int"), ("o_custkey", "int"),
+        ("o_orderstatus", "str"), ("o_totalprice", "dbl"),
+        ("o_orderdate", "ts"), ("o_orderpriority", "str"),
+    ],
+    "documents": [
+        ("doc_id", "int"), ("text", "str"), ("lang", "str"),
+        ("source", "str"), ("n_chars", "int"),
+    ],
+}
+
+
+def _x87_table_sql(table: str, kinds: list[tuple[str, str]]) -> tuple[str, str]:
+    """(agg CTE, union branches) for one table's single-pass profile."""
+    aggs = ["COUNT(*) AS n"]
+    rows = []
+    for c, kd in kinds:
+        aggs.append(f"COUNT({c}) AS cnt_{c}")
+        aggs.append(f"COUNT(DISTINCT {c}) AS ndv_{c}")
+        if kd in ("int", "str"):
+            aggs.append(f"CAST(MIN({c}) AS VARCHAR) AS min_{c}")
+            aggs.append(f"CAST(MAX({c}) AS VARCHAR) AS max_{c}")
+        elif kd == "ts":
+            aggs.append(f"CAST(CAST(MIN({c}) AS DATE) AS VARCHAR) AS min_{c}")
+            aggs.append(f"CAST(CAST(MAX({c}) AS DATE) AS VARCHAR) AS max_{c}")
+        if kd == "str":
+            aggs.append(f"AVG(LENGTH({c})) AS len_{c}")
+        min_e = f"min_{c}" if kd != "dbl" else "CAST(NULL AS VARCHAR)"
+        max_e = f"max_{c}" if kd != "dbl" else "CAST(NULL AS VARCHAR)"
+        len_e = (
+            f"ROUND(len_{c} + 0.0, 2)" if kd == "str" else "CAST(NULL AS DOUBLE)"
+        )
+        rows.append(
+            f"""SELECT '{table}.{c}' AS col_name,
+                  CAST(n AS BIGINT) AS n_rows,
+                  CAST(n - cnt_{c} AS BIGINT) AS n_null,
+                  ROUND((n - cnt_{c})::DOUBLE / n::DOUBLE + 0.0, 4) AS null_frac,
+                  CAST(ndv_{c} AS BIGINT) AS ndv,
+                  {min_e} AS min_str, {max_e} AS max_str,
+                  {len_e} AS avg_len
+           FROM {table}_p"""
+        )
+    cte = f"{table}_p AS (SELECT {', '.join(aggs)} FROM {table})"
+    return cte, " UNION ALL ".join(rows)
+
+
+_X87_PARTS = [
+    _x87_table_sql(t, ks) for t, ks in _X87_KINDS.items()
+]
+
+
+@_q(
+    "x87_table_profile",
+    "WITH "
+    + ", ".join(cte for cte, _ in _X87_PARTS)
+    + " SELECT * FROM ("
+    + " UNION ALL ".join(rows for _, rows in _X87_PARTS)
+    + ") ORDER BY col_name",
+    doc="ANALYZE-style table profiling (functions/stats.py:"
+    "table_profile): per column — row/null counts, null fraction, "
+    "exact NDV, engine-canonical min/max strings (integers, strings, "
+    "timestamps truncated to DATE; doubles profile counts only — "
+    "their string form is formatter-dependent), and avg string "
+    "length. ONE scan + ONE aggregation per table (the multiple "
+    "COUNT(DISTINCT)s resolve through Spark's Expand in the same "
+    "pass), then a 1-row stack() pivots wide aggregates into the "
+    "long report — never the naive per-column UNION that rescans "
+    "the table once per column. These are the statistics the x86 "
+    "join-order planner and the catalog's CBO consume.",
+)
+def x87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.stats import table_profile
+
+    parts = []
+    for table, kinds in _X87_KINDS.items():
+        prof = table_profile(
+            load_table(spark, sf_dir, table), dict(kinds)
+        ).select(
+            F.concat(F.lit(table + "."), F.col("col_name")).alias("col_name"),
+            "n_rows",
+            "n_null",
+            "null_frac",
+            "ndv",
+            "min_str",
+            "max_str",
+            "avg_len",
+        )
+        parts.append(prof)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col_name")

@@ -557,3 +557,15 @@ def test_kmv_prefilter_cuts_below_distinct_with_window_group_limit(spark):
     ]
     assert thresh_joins, plan
     assert plan.count("WindowGroupLimit") >= 4, plan
+
+
+def test_table_profile_is_one_scan_per_table(spark):
+    """x87's contract: profiling N columns of a table costs ONE scan +
+    ONE aggregation (COUNT DISTINCTs via Expand), never a per-column
+    rescan — the plan must show exactly one FileScan per profiled
+    table (orders, documents) and an Expand feeding the aggregate."""
+    plan = pi.executed_plan(QUERIES["x87_table_profile"].build(spark, SF))
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert len(scans) == 2, plan
+    assert "Expand" in plan
+    assert "CartesianProduct" not in plan
