@@ -154,9 +154,7 @@ def hll_registers(
     if not 4 <= p <= 18:
         raise ValueError(f"p must be in [4, 18], got {p}")
     wbits = 60 - p
-    h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10).cast(
-        "bigint"
-    )
+    h = _md5_60(F.col(value_col))
     w = h.bitwiseAND(F.lit((1 << wbits) - 1))
     rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
         F.lit(wbits) - F.length(F.bin(w)) + 1

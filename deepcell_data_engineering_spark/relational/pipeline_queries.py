@@ -4716,10 +4716,18 @@ def x84(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
         )
         .agg(
-            F.sum(F.when(F.col("na") != F.col("nb"), 1).otherwise(0))
+            # coalesce: zero candidate pairs must report 0, not a NULL
+            # sum (the oracle's COUNT(*) FILTER is 0 on empty input)
+            F.coalesce(
+                F.sum(F.when(F.col("na") != F.col("nb"), 1).otherwise(0)),
+                F.lit(0),
+            )
             .cast("bigint")
             .alias("leak_naive"),
-            F.sum(F.when(F.col("aa") != F.col("ab"), 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col("aa") != F.col("ab"), 1).otherwise(0)),
+                F.lit(0),
+            )
             .cast("bigint")
             .alias("leak_aware"),
         )

@@ -183,11 +183,22 @@ def compact_corpus(
             F.ceil(F.col("bytes") / F.lit(float(target_file_bytes))),
         ).cast("int"),
     )
-    out = (
-        df.join(
-            F.broadcast(plan.select(*partition_cols, "n_files")),
-            list(partition_cols),
+    # null-safe plan attach: a NULL partition value round-trips through
+    # the hive layout (__HIVE_DEFAULT_PARTITION__ -> NULL on read) and
+    # MUST match its own plan row — a plain equi-join would silently
+    # drop every NULL-partition document from the rewrite
+    right = F.broadcast(
+        plan.select(
+            *[F.col(c).alias(f"__pk_{c}") for c in partition_cols], "n_files"
         )
+    )
+    cond = None
+    for c in partition_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"__pk_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    out = (
+        df.join(right, cond)
+        .drop(*[f"__pk_{c}" for c in partition_cols])
         .withColumn(
             "__slot", F.pmod(F.xxhash64(F.col(slot_col)), F.col("n_files"))
         )

@@ -86,3 +86,22 @@ def test_compact_plans_multiple_files_for_big_partitions(spark, tmp_path):
     }
     for lang, n in got.items():
         assert 1 <= n <= plan[lang]
+
+
+def test_compact_preserves_null_partition_rows(spark, tmp_path):
+    """NULL partition values round-trip the hive layout as
+    __HIVE_DEFAULT_PARTITION__ -> NULL; the compaction's plan attach is
+    null-safe, so those rows must survive the rewrite."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    docs = _docs(spark).withColumn(
+        "lang", F.when(F.col("doc_id") % 5 == 0, None).otherwise(F.col("lang"))
+    )
+    write_corpus_partitioned(docs.repartition(4), src)
+    compact_corpus(spark, src, dst, ("lang",), target_file_bytes=1 << 30)
+    back = spark.read.parquet(dst)
+    assert back.count() == docs.count()
+    assert (
+        back.where(F.col("lang").isNull()).count()
+        == docs.where(F.col("lang").isNull()).count()
+    )
