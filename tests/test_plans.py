@@ -545,10 +545,18 @@ def test_kmv_prefilter_cuts_below_distinct_with_window_group_limit(spark):
     from deepcell_data_engineering_spark.functions.sketch import kmv_registers
 
     docs = load_table(spark, SF, "documents")
-    reg = kmv_registers(
-        docs.select("source", F.col("text").alias("v")), "v", ["source"], k=8
+    src = docs.select("source", F.col("text").alias("v"))
+    # default path: ONE scan -> distinct -> WindowGroupLimit min-k
+    dplan = pi.executed_plan(kmv_registers(src, "v", ["source"], k=8))
+    assert "CartesianProduct" not in dplan
+    assert (
+        sum("FileScan parquet" in ln for ln in dplan.splitlines()) == 1
+    ), dplan
+    assert dplan.count("WindowGroupLimit") >= 2, dplan
+    # prefilter path: threshold residual below the distinct + rescue
+    plan = pi.executed_plan(
+        kmv_registers(src, "v", ["source"], k=8, prefilter=True)
     )
-    plan = pi.executed_plan(reg)
     assert "CartesianProduct" not in plan
     thresh_joins = [
         ln

@@ -415,14 +415,20 @@ def test_kmv_prefilter_invisible_and_rescue(spark):
         [(f"g{i % 3}", f"value-{i}") for i in range(3000)], "g string, v string"
     )
     base = _kmv_rows(kmv_registers(df, "v", ["g"], k=32, prefilter=False))
-    assert base == _kmv_rows(kmv_registers(df, "v", ["g"], k=32, slack=8.0))
+    assert base == _kmv_rows(
+        kmv_registers(df, "v", ["g"], k=32, prefilter=True, slack=8.0)
+    )
     # slack 0.005 -> threshold ~ 0.16/nd of the space: expected survivors
     # ~ 0.16 < k, so the cut-below-k rescue re-ranks every group
-    assert base == _kmv_rows(kmv_registers(df, "v", ["g"], k=32, slack=0.005))
+    assert base == _kmv_rows(
+        kmv_registers(df, "v", ["g"], k=32, prefilter=True, slack=0.005)
+    )
     # global (no group columns) sketch, both paths
     gb = _kmv_rows(kmv_registers(df, "v", k=32, prefilter=False))
-    assert gb == _kmv_rows(kmv_registers(df, "v", k=32))
-    assert gb == _kmv_rows(kmv_registers(df, "v", k=32, slack=0.005))
+    assert gb == _kmv_rows(kmv_registers(df, "v", k=32, prefilter=True))
+    assert gb == _kmv_rows(
+        kmv_registers(df, "v", k=32, prefilter=True, slack=0.005)
+    )
 
 
 def test_kmv_merge_equals_rebuild_and_partition_invariance(spark):
