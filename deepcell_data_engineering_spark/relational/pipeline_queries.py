@@ -5077,3 +5077,88 @@ def x87(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("col_name")
+
+
+@_q(
+    "x88_kmv_incremental",
+    r"""WITH base AS (
+         SELECT source, lower(trim(text)) AS t FROM documents
+       ),
+       sh AS (
+         SELECT source, substr(t, i, 8) AS shingle
+         FROM base,
+              LATERAL (SELECT unnest(generate_series(1, greatest(length(t) - 7, 1))) AS i)
+       ),
+       hs AS (
+         SELECT DISTINCT source,
+                ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+         FROM sh
+       ),
+       rk AS (
+         SELECT source, h,
+                row_number() OVER (PARTITION BY source ORDER BY h) AS rnk
+         FROM hs
+       ),
+       reg AS (SELECT source, h FROM rk WHERE rnk <= 128),
+       th AS (
+         SELECT source, n_state,
+                CASE WHEN n_state >= 128 THEN hmax
+                     ELSE 1152921504606846976 END AS theta
+         FROM (SELECT source, COUNT(*) AS n_state, MAX(h) AS hmax
+               FROM reg GROUP BY source)
+       )
+       SELECT source, n_state, theta,
+              ROUND(CASE WHEN n_state < 128 THEN n_state::DOUBLE
+                         ELSE 127.0::DOUBLE * 1152921504606846976.0::DOUBLE
+                              / theta::DOUBLE END + 0.0, 2) AS est
+       FROM th ORDER BY source""",
+    doc="Incremental KMV maintenance certified THROUGH the oracle "
+    "gate: the engine builds per-source states from two disjoint "
+    "corpus halves (doc_id parity — yesterday's batch and today's) "
+    "and answers ONLY from kmv_merge of the persisted halves, while "
+    "the oracle rebuilds the sketch from the full corpus in one shot. "
+    "The hash match IS the merge==rebuild identity (min-k is "
+    "idempotent/associative/commutative), driver-checked rather than "
+    "only unit-tested — the property that lets 100 TB dedup state "
+    "update per ingest batch without rescanning history (the x53 band-"
+    "index story, for distinct-count/intersection state).",
+)
+def x88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.sketch import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_registers,
+    )
+
+    k = 128
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", F.lower(F.trim(F.col("text"))).alias("t")
+    )
+    sh = base.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(t) - 7, 1)),"
+                " i -> substring(t, i, 8))"
+            )
+        ).alias("shingle"),
+    )
+    reg_a = kmv_registers(
+        sh.where(F.col("doc_id") % 2 == 0), "shingle", ["source"], k=k
+    )
+    reg_b = kmv_registers(
+        sh.where(F.col("doc_id") % 2 == 1), "shingle", ["source"], k=k
+    )
+    merged = kmv_merge(reg_a, reg_b, ["source"], k=k)
+    return (
+        kmv_estimate(merged, ["source"], k=k)
+        .select(
+            "source",
+            "n_state",
+            "theta",
+            F.round(F.col("est") + F.lit(0.0), 2).alias("est"),
+        )
+        .orderBy("source")
+    )
