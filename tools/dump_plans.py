@@ -70,6 +70,9 @@ HEADLINERS = [
     ("x83_kmv_intersections", "KMV sketch: thresholded k-smallest rank, sketch-sized pair joins, exact twin"),
     ("x84_split_leakage", "split-leakage audit: cluster-keyed hash split + candidate-pair cross-split count"),
     ("x85_skew_report", "skew report: grouped key counts, disc percentiles over the count histogram"),
+    ("x86_join_order_plan", "join ordering from persisted CMS counters: no input scanned at planning"),
+    ("x87_table_profile", "table profile: one scan + one agg per table, stack() pivot, Expand distincts"),
+    ("x88_kmv_incremental", "incremental KMV: merge of persisted half-states, WindowGroupLimit re-rank"),
 ]
 
 
