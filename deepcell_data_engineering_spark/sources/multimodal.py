@@ -188,3 +188,185 @@ def resize_media(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
             yield pdf[[f.name for f in MEDIA_SCHEMA.fields]]
 
     return df.mapInPandas(go, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video container probing (metadata WITHOUT codecs)
+# ---------------------------------------------------------------------------
+#
+# Frame DECODING for mp4/avi needs ffmpeg (the NotImplementedError gate
+# above). Container METADATA does not: both formats carry duration,
+# stream layout, dimensions, and codec fourccs in plain binary
+# structures. probe_mp4/probe_avi parse those dependency-free — the
+# piece a 100 TB video-corpus pipeline runs FIRST (filter by duration/
+# resolution/codec before paying for any decode), so it must not
+# require the decode stack. References: ISO/IEC 14496-12 box grammar
+# (size u32be + fourcc, size==1 -> u64 largesize, size==0 -> to EOF;
+# full boxes add version+flags) and the AVIMAINHEADER/AVISTREAMHEADER
+# layouts of the RIFF 'AVI ' form.
+
+import struct
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    off = start
+    while off + 8 <= end:
+        size, typ = struct.unpack_from(">I4s", buf, off)
+        hdr = 8
+        if size == 1:
+            (size,) = struct.unpack_from(">Q", buf, off + 8)
+            hdr = 16
+        elif size == 0:
+            size = end - off
+        if size < hdr or off + size > end:
+            raise ValueError(f"malformed mp4 box {typ!r} at {off}")
+        yield typ, off + hdr, off + size
+        off += size
+
+
+def probe_mp4(payload: bytes) -> dict:
+    """Parse ISO BMFF structure: (duration_s, n_tracks, width, height,
+    codecs, brand). Raises ValueError on non-mp4 bytes."""
+    top = list(_mp4_boxes(payload, 0, len(payload)))
+    if not top or top[0][0] != b"ftyp":
+        raise ValueError("not an ISO BMFF stream (missing ftyp)")
+    brand = payload[top[0][1]: top[0][1] + 4].decode("latin1")
+    info = {
+        "duration_s": None, "n_tracks": 0, "width": None, "height": None,
+        "codecs": [], "brand": brand,
+    }
+
+    def walk(start: int, end: int) -> None:
+        for typ, b, e in _mp4_boxes(payload, start, end):
+            if typ == b"mvhd":
+                ver = payload[b]
+                if ver == 1:
+                    ts, = struct.unpack_from(">I", payload, b + 4 + 16)
+                    dur, = struct.unpack_from(">Q", payload, b + 4 + 20)
+                else:
+                    ts, dur = struct.unpack_from(">II", payload, b + 4 + 8)
+                info["duration_s"] = round(dur / ts, 3) if ts else None
+            elif typ == b"trak":
+                info["n_tracks"] += 1
+                walk(b, e)
+            elif typ == b"tkhd":
+                # width/height: trailing 16.16 fixed-point pair
+                w, h = struct.unpack_from(">II", payload, e - 8)
+                if w and h:
+                    info["width"] = w >> 16
+                    info["height"] = h >> 16
+            elif typ == b"stsd":
+                n, = struct.unpack_from(">I", payload, b + 4)
+                if n >= 1:
+                    fourcc = payload[b + 12: b + 16].decode("latin1")
+                    info["codecs"].append(fourcc)
+            elif typ in _MP4_CONTAINERS:
+                walk(b, e)
+
+    walk(0, len(payload))
+    return info
+
+
+def _riff_chunks(buf: bytes, start: int, end: int):
+    off = start
+    while off + 8 <= end:
+        cid, size = struct.unpack_from("<4sI", buf, off)
+        if off + 8 + size > end:
+            raise ValueError(f"malformed RIFF chunk {cid!r} at {off}")
+        yield cid, off + 8, off + 8 + size
+        off += 8 + size + (size & 1)  # chunks pad to even offsets
+
+
+def probe_avi(payload: bytes) -> dict:
+    """Parse the RIFF 'AVI ' form: (duration_s, n_streams, width,
+    height, codecs, n_frames). Raises ValueError on non-AVI bytes."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    info = {
+        "duration_s": None, "n_streams": 0, "width": None, "height": None,
+        "codecs": [], "n_frames": None,
+    }
+
+    def walk(start: int, end: int) -> None:
+        for cid, b, e in _riff_chunks(payload, start, end):
+            if cid == b"LIST":
+                walk(b + 4, e)  # skip the list-type fourcc
+            elif cid == b"avih":
+                us_pf, = struct.unpack_from("<I", payload, b)
+                frames, = struct.unpack_from("<I", payload, b + 16)
+                streams, = struct.unpack_from("<I", payload, b + 24)
+                w, h = struct.unpack_from("<II", payload, b + 32)
+                info["n_frames"] = frames
+                info["n_streams"] = streams
+                info["width"], info["height"] = w, h
+                if us_pf:
+                    info["duration_s"] = round(frames * us_pf / 1e6, 3)
+            elif cid == b"strh":
+                fcc_type = payload[b: b + 4].decode("latin1")
+                handler = payload[b + 4: b + 8].decode("latin1")
+                info["codecs"].append(f"{fcc_type}:{handler}".strip())
+
+    walk(12, len(payload))
+    return info
+
+
+PROBE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("format", StringType(), False),
+        StructField("duration_s", DoubleType(), True),
+        StructField("n_tracks", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("codecs", ArrayType(StringType()), True),
+        StructField("probe_error", StringType(), True),
+    ]
+)
+
+
+def probe_media(df: DataFrame) -> DataFrame:
+    """Container-metadata probe over a media DataFrame: one row per
+    input row, parsed executor-side in Arrow batches. Malformed
+    payloads land in ``probe_error`` instead of failing the job (the
+    quarantine posture for crawled corpora). This is the pre-decode
+    filter stage: a pipeline drops/routes by duration, resolution, or
+    codec here, BEFORE any expensive decode runs."""
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                rec = {
+                    "media_id": int(r["media_id"]),
+                    "format": r["format"],
+                    "duration_s": None, "n_tracks": None, "width": None,
+                    "height": None, "codecs": None, "probe_error": None,
+                }
+                try:
+                    payload = bytes(r["payload"])
+                    if r["format"] == "mp4":
+                        p = probe_mp4(payload)
+                        rec.update(
+                            duration_s=p["duration_s"],
+                            n_tracks=p["n_tracks"], width=p["width"],
+                            height=p["height"], codecs=p["codecs"],
+                        )
+                    elif r["format"] == "avi":
+                        p = probe_avi(payload)
+                        rec.update(
+                            duration_s=p["duration_s"],
+                            n_tracks=p["n_streams"], width=p["width"],
+                            height=p["height"], codecs=p["codecs"],
+                        )
+                    else:
+                        rec["probe_error"] = f"no prober for {r['format']!r}"
+                except Exception as e:  # malformed payload -> quarantine
+                    rec["probe_error"] = f"{type(e).__name__}: {e}"[:200]
+                rows.append(rec)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PROBE_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(go, schema=PROBE_SCHEMA)

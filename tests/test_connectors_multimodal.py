@@ -263,3 +263,106 @@ def test_xml_roundtrip(spark, tmp_path):
     write_xml(docs, p)
     back = read_xml(spark, p)
     assert sorted(map(tuple, docs.collect())) == sorted(map(tuple, back.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Video container probing (metadata without codecs)
+# ---------------------------------------------------------------------------
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _full(version: int, payload: bytes) -> bytes:
+    return bytes([version, 0, 0, 0]) + payload
+
+
+def _minimal_mp4(timescale=1000, duration=4500, w=640, h=360, version=0):
+    import struct
+
+    if version == 0:
+        mvhd = _full(0, struct.pack(">IIII", 0, 0, timescale, duration) + b"\0" * 80)
+    else:
+        mvhd = _full(1, struct.pack(">QQIQ", 0, 0, timescale, duration) + b"\0" * 80)
+    tkhd = _full(
+        0,
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\0" * 52
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    stsd = _full(0, struct.pack(">I", 1) + struct.pack(">I4s", 16, b"avc1") + b"\0" * 8)
+    stbl = _box(b"stbl", _box(b"stsd", stsd))
+    minf = _box(b"minf", stbl)
+    hdlr = _full(0, struct.pack(">I4s", 0, b"vide") + b"\0" * 12)
+    mdia = _box(b"mdia", _box(b"hdlr", hdlr) + minf)
+    trak = _box(b"trak", _box(b"tkhd", tkhd) + mdia)
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + trak)
+    return _box(b"ftyp", b"isom" + b"\0" * 8) + moov
+
+
+def _minimal_avi(us_per_frame=40000, frames=250, streams=1, w=320, h=240):
+    import struct
+
+    avih = struct.pack(
+        "<IIIIIIIIII", us_per_frame, 0, 0, 0, frames, 0, streams, 0, w, h
+    ) + b"\0" * 16
+    strh = b"vids" + b"MJPG" + b"\0" * 48
+    strl = b"LIST" + struct.pack("<I", 4 + 8 + len(strh)) + b"strl" + b"strh" + struct.pack("<I", len(strh)) + strh
+    hdrl_body = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih + strl
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    body = b"AVI " + hdrl
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_probe_mp4_versions_and_fields():
+    from deepcell_data_engineering_spark.sources.multimodal import probe_mp4
+
+    p = probe_mp4(_minimal_mp4())
+    assert p["brand"] == "isom"
+    assert p["duration_s"] == 4.5
+    assert p["n_tracks"] == 1
+    assert (p["width"], p["height"]) == (640, 360)
+    assert p["codecs"] == ["avc1"]
+    # version-1 (64-bit) mvhd parses identically
+    p1 = probe_mp4(_minimal_mp4(version=1, duration=9000, timescale=600))
+    assert p1["duration_s"] == 15.0
+    with pytest.raises(ValueError):
+        probe_mp4(b"\x00\x00\x00\x08mdat" + b"junk")
+
+
+def test_probe_avi_fields():
+    from deepcell_data_engineering_spark.sources.multimodal import probe_avi
+
+    p = probe_avi(_minimal_avi())
+    assert p["duration_s"] == 10.0  # 250 frames * 40ms
+    assert p["n_streams"] == 1
+    assert (p["width"], p["height"]) == (320, 240)
+    assert p["codecs"] == ["vids:MJPG"]
+    assert p["n_frames"] == 250
+    with pytest.raises(ValueError):
+        probe_avi(b"RIFX" + b"\0" * 20)
+
+
+def test_probe_media_dataframe_quarantines_malformed(spark):
+    from deepcell_data_engineering_spark.sources.multimodal import probe_media
+
+    rows = [
+        (1, "video", "mp4", None, bytearray(_minimal_mp4())),
+        (2, "video", "avi", None, bytearray(_minimal_avi())),
+        (3, "video", "mp4", None, bytearray(b"not a video")),
+        (4, "video", "mkv", None, bytearray(b"\x1a\x45\xdf\xa3")),
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in probe_media(df).collect()}
+    assert got[1]["duration_s"] == 4.5 and got[1]["codecs"] == ["avc1"]
+    assert got[2]["n_tracks"] == 1 and got[2]["width"] == 320
+    assert got[3]["probe_error"] and got[3]["duration_s"] is None
+    assert "no prober" in got[4]["probe_error"]
+    # decode remains honestly gated: probing works, decoding raises
+    from deepcell_data_engineering_spark.sources.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media("mp4", _minimal_mp4(), None)
