@@ -742,9 +742,10 @@ def encode_tiff_stack(imgs: np.ndarray) -> bytes:
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode a PCM RIFF/WAVE payload to ((frames, channels) array,
-    sample_rate). Integer PCM 8 (unsigned) / 16 / 32-bit and IEEE
-    float32 are supported — everything a lab microphone or telemetry
-    recorder emits; compressed codecs (ADPCM, mp3-in-wav) raise."""
+    sample_rate). Integer PCM 8 (unsigned) / 16 / 24 (packed, returned
+    as int32) / 32-bit and IEEE float32 are supported — everything a
+    lab microphone, studio recorder, or telemetry logger emits;
+    compressed codecs (ADPCM, mp3-in-wav) raise."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV: bad RIFF/WAVE header")
     pos = 12
@@ -766,6 +767,19 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(f"malformed WAV fmt chunk: {channels} channels")
     if bits < 1 or bits % 8 != 0:
         raise ValueError(f"malformed WAV fmt chunk: {bits} bits per sample")
+    if audio_format == 1 and bits == 24:
+        # packed 3-byte little-endian signed ints (the studio-recorder
+        # depth): assemble into int32 with the top byte sign-extended
+        raw = np.frombuffer(data, dtype=np.uint8)
+        n = raw.size // 3
+        raw = raw[: n * 3].reshape(n, 3)
+        arr = (
+            raw[:, 0].astype(np.int32)
+            | (raw[:, 1].astype(np.int32) << 8)
+            | (raw[:, 2].astype(np.int8).astype(np.int32) << 16)
+        )
+        n_frames = arr.size // channels
+        return arr[: n_frames * channels].reshape(n_frames, channels), rate
     if audio_format == 1:  # integer PCM
         try:
             dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]

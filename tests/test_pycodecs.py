@@ -872,3 +872,48 @@ def test_palette_and_adam7_pngs_cross_validate_with_javax(spark):
 
     g16 = rng.randint(0, 65536, (7, 11)).astype(np.uint16)
     assert np.array_equal(their_gray(encode_png(g16, interlace=True)), g16)
+
+
+def test_wav_24bit_decodes_and_matches_javax(spark):
+    """24-bit packed PCM (the studio-recorder depth): our 3-byte
+    little-endian assembly must reproduce the exact sample values, and
+    javax.sound.sampled must accept the SAME payload and deliver the
+    identical raw frame bytes — the third-party cross-check the LZW
+    postmortem mandates for every new codec branch."""
+    import struct as _struct
+
+    from deepcell_data_engineering_spark.sources.pycodecs import decode_wav
+
+    vals = np.array(
+        [0, 1, -1, 8388607, -8388608, 123456, -654321], dtype=np.int32
+    )
+    body = b"".join(
+        int(v).to_bytes(3, "little", signed=True) for v in vals
+    )
+    fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(body)) + body
+    )
+    payload = b"RIFF" + _struct.pack("<I", len(chunks)) + chunks
+    out, rate = decode_wav(payload)
+    assert rate == 8000 and out.shape == (7, 1)
+    assert np.array_equal(out[:, 0], vals)
+    # javax cross-validation: same payload, same raw frames
+    jvm = spark._jvm
+    ais = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(
+        jvm.java.io.ByteArrayInputStream(payload)
+    )
+    jfmt = ais.getFormat()
+    assert jfmt.getSampleSizeInBits() == 24
+    assert not jfmt.isBigEndian()
+    jbytes = bytes(ais.readAllBytes())
+    assert jbytes == body
+    raw = np.frombuffer(jbytes, dtype=np.uint8).reshape(-1, 3)
+    jvals = (
+        raw[:, 0].astype(np.int32)
+        | (raw[:, 1].astype(np.int32) << 8)
+        | (raw[:, 2].astype(np.int8).astype(np.int32) << 16)
+    )
+    assert np.array_equal(jvals, out[:, 0])
