@@ -796,13 +796,32 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return arr[: n_frames * channels].reshape(n_frames, channels), rate
 
 
-def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+def encode_wav(samples: np.ndarray, sample_rate: int, bits24: bool = False) -> bytes:
     """Encode (frames,) or (frames, channels) uint8/int16/int32/float32
-    as a PCM RIFF/WAVE payload."""
+    as a PCM RIFF/WAVE payload; pass ``bits24=True`` with int32 input
+    to emit packed 24-bit PCM (values must fit in 24 bits)."""
     a = np.asarray(samples)
     if a.ndim == 1:
         a = a[:, None]
     frames, channels = a.shape
+    if bits24:
+        if a.dtype != np.int32:
+            raise ValueError("24-bit encode requires int32 samples")
+        if a.min() < -(1 << 23) or a.max() > (1 << 23) - 1:
+            raise ValueError("sample out of 24-bit range")
+        le = a.astype("<i4").tobytes()
+        body = b"".join(
+            le[i: i + 3] for i in range(0, len(le), 4)
+        )
+        block = channels * 3
+        fmt = struct.pack(
+            "<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, 24
+        )
+        chunks = (
+            b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body
+        )
+        return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
     if a.dtype == np.uint8:
         bits, afmt = 8, 1
     elif a.dtype == np.int16:

@@ -917,3 +917,20 @@ def test_wav_24bit_decodes_and_matches_javax(spark):
         | (raw[:, 2].astype(np.int8).astype(np.int32) << 16)
     )
     assert np.array_equal(jvals, out[:, 0])
+
+
+def test_wav_24bit_roundtrip():
+    from deepcell_data_engineering_spark.sources.pycodecs import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(11)
+    samples = rng.randint(-(1 << 23), (1 << 23) - 1, size=(500, 2)).astype(
+        np.int32
+    )
+    out, rate = decode_wav(encode_wav(samples, 48000, bits24=True))
+    assert rate == 48000
+    assert out.dtype == np.int32 and np.array_equal(out, samples)
+    with pytest.raises(ValueError, match="24-bit range"):
+        encode_wav(np.array([1 << 23], dtype=np.int32), 8000, bits24=True)
