@@ -527,27 +527,70 @@ def pq_train(
     id_col: str = "vec_id",
 ) -> list[tuple[int, int, list[float]]]:
     """Product-quantization codebook training: split the vector space
-    into ``m`` contiguous subspaces and run kmeans_fit (deterministic
-    lowest-id init, fixed iterations — the x19 oracle convention)
+    into ``m`` contiguous subspaces and run the kmeans_fit Lloyd
+    convention (deterministic lowest-id init, fixed iterations, tol=0,
+    empty clusters keep their centroid — the x19 oracle convention)
     independently on each slice. Returns driver-resident codebook rows
     (subspace, code, centroid_vector) — m * n_clusters * subdim floats,
-    always tiny. PQ is the memory side of ANN at 100 TB: vectors
-    compress to m byte-sized codes (here 4 codes replacing 64 floats)
-    and similarity is answered from per-query lookup tables over the
-    codes, never from the full vectors."""
-    dim = len(df.select(vec_col).first()[0])
+    always tiny.
+
+    All m subspaces train in the SAME distributed jobs: one init
+    collect (the n_clusters lowest-id vectors, sliced driver-side),
+    then per Lloyd iteration ONE pass — a union of m map-only
+    assignment branches over the persisted working set feeding a
+    single groupBy(s, code) mean shuffle — instead of m independent
+    kmeans_fit runs (m x iters jobs). Same arithmetic expression tree
+    per subspace as kmeans_fit's inline path, so the centroids are
+    bit-identical to the per-subspace runs the DuckDB oracles chain
+    (tol=0 makes kmeans_fit's early-break unobservable: an unmoved
+    codebook reproduces itself). PQ is the memory side of ANN at
+    100 TB: vectors compress to m byte-sized codes (here 4 codes
+    replacing 64 floats) and similarity is answered from per-query
+    lookup tables over the codes, never from the full vectors."""
+    from pyspark import StorageLevel
+
+    init = [
+        list(r[0])
+        for r in df.orderBy(id_col).limit(n_clusters).select(vec_col).collect()
+    ]
+    if not init:
+        raise ValueError("pq_train: empty input")
+    dim = len(init[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
-    rows: list[tuple[int, int, list[float]]] = []
-    for s in range(m):
-        sliced = df.select(
-            id_col, F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col)
+    cent = [
+        [[float(x) for x in vec[s * sub: (s + 1) * sub]] for vec in init]
+        for s in range(m)
+    ]
+    v = df.select(id_col, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    mean_arr = "array(" + ",".join(f"avg(sl[{i}])" for i in range(sub)) + ")"
+    for _ in range(iters):
+        branches = None
+        for s in range(m):
+            cmat = _unit_rows_literal(cent[s])
+            b = (
+                v.selectExpr(f"slice({vec_col}, {s * sub + 1}, {sub}) AS sl")
+                .selectExpr("sl", f"{_dot_scores_expr('sl', cmat)} AS _scores")
+                .selectExpr(
+                    f"int({s}) AS s",
+                    "sl",
+                    "cast(array_position(_scores, array_max(_scores)) - 1"
+                    " as int) AS code",
+                )
+            )
+            branches = b if branches is None else branches.unionByName(b)
+        stats = (
+            branches.groupBy("s", "code")
+            .agg(F.expr(mean_arr).alias("mean_vec"))
+            .collect()
         )
-        fit = kmeans_fit(sliced, n_clusters=n_clusters, max_iter=iters, tol=0.0)
-        for r in fit.select("centroid_id", vec_col).collect():
-            rows.append((s, int(r["centroid_id"]), [float(x) for x in r[vec_col]]))
-    return rows
+        for r in stats:  # empty clusters keep their previous centroid
+            cent[r["s"]][r["code"]] = [float(x) for x in r["mean_vec"]]
+    v.unpersist()
+    return [
+        (s, j, cent[s][j]) for s in range(m) for j in range(n_clusters)
+    ]
 
 
 def pq_encode(
