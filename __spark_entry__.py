@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # a driver window — they lead (pre-flighted 16/16 green at sf0.01 via
 # tools/check_oracle.py), followed by 34 of x06–x45 (last driver-checked
 # in round 4). Round 7 should lead with x40–x45 plus the round-6
-# additions (x73–x88 — local sf0.01 record in PREFLIGHT_r06.json),
+# additions (x73–x89 — local sf0.01 record in PREFLIGHT_r06.json),
 # keeping every registered query's driver verdict at most two rounds
 # old.
 _CHECK_FIRST = [

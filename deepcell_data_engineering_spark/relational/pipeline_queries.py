@@ -5162,3 +5162,76 @@ def x88(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@_q(
+    "x89_retention_cohorts",
+    """WITH f AS (
+         SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+         FROM events GROUP BY user_id
+       ),
+       act AS (
+         SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+       ),
+       sz AS (
+         SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+         FROM f GROUP BY cohort_day
+       ),
+       r AS (
+         SELECT f.cohort_day,
+                CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT)
+                  AS offset_days,
+                CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS retained
+         FROM act a JOIN f USING (user_id)
+         GROUP BY 1, 2
+       )
+       SELECT CAST(r.cohort_day AS VARCHAR) AS cohort_day,
+              r.offset_days, s.cohort_size, r.retained,
+              ROUND(r.retained::DOUBLE / s.cohort_size::DOUBLE + 0.0, 4)
+                AS retention
+       FROM r JOIN sz s ON s.cohort_day = r.cohort_day
+       ORDER BY cohort_day, offset_days""",
+    doc="Retention cohort matrix — the product-analytics staple "
+    "alongside x37's funnel and x17's sessions: users cohorted by "
+    "first-seen day, retention = distinct active users at each day "
+    "offset over the cohort size. Plan: one user-keyed aggregation "
+    "for first-seen, one distinct on (user, day), a user-keyed "
+    "equi-join (both sides already hash-partitioned on user_id — "
+    "the exchange is reused, not repeated), then a grouped distinct "
+    "count; the cohort-size attach is a broadcast of day-cardinality "
+    "rows. Offsets carried as exact integer day diffs, rates rounded "
+    "with the +0.0 convention.",
+)
+def x89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    f = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("cohort_day"))
+    act = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    r = (
+        act.join(f, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("bigint")
+            .alias("offset_days"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("retained"))
+    )
+    sz = f.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    return (
+        r.join(F.broadcast(sz), "cohort_day")
+        .select(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            "offset_days",
+            "cohort_size",
+            "retained",
+            F.round(
+                F.col("retained").cast("double")
+                / F.col("cohort_size").cast("double")
+                + F.lit(0.0),
+                4,
+            ).alias("retention"),
+        )
+        .orderBy("cohort_day", "offset_days")
+    )
