@@ -817,9 +817,12 @@ def encode_wav(samples: np.ndarray, sample_rate: int, bits24: bool = False) -> b
         fmt = struct.pack(
             "<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, 24
         )
+        # RIFF chunks are word-aligned: odd-length data bodies carry a
+        # trailing pad byte (the size field stays the unpadded length)
+        pad = b"\x00" if len(body) % 2 else b""
         chunks = (
             b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-            + b"data" + struct.pack("<I", len(body)) + body
+            + b"data" + struct.pack("<I", len(body)) + body + pad
         )
         return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
     if a.dtype == np.uint8:
@@ -835,5 +838,6 @@ def encode_wav(samples: np.ndarray, sample_rate: int, bits24: bool = False) -> b
     body = a.astype(a.dtype.newbyteorder("<")).tobytes()
     block = channels * bits // 8
     fmt = struct.pack("<HHIIHH", afmt, channels, sample_rate, sample_rate * block, block, bits)
-    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(body)) + body
+    pad = b"\x00" if len(body) % 2 else b""
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(body)) + body + pad
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks

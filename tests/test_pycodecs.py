@@ -934,3 +934,33 @@ def test_wav_24bit_roundtrip():
     assert out.dtype == np.int32 and np.array_equal(out, samples)
     with pytest.raises(ValueError, match="24-bit range"):
         encode_wav(np.array([1 << 23], dtype=np.int32), 8000, bits24=True)
+
+
+def test_wav_odd_data_chunk_gets_pad_byte():
+    """RIFF chunks are word-aligned: an odd-length data body must carry
+    a trailing pad byte (outside the declared chunk size) so the RIFF
+    size and any following chunk stay aligned for strict readers."""
+    from deepcell_data_engineering_spark.sources.pycodecs import (
+        decode_wav,
+        encode_wav,
+    )
+
+    # 24-bit mono, odd frame count -> data body 3*7 = 21 bytes (odd)
+    s24 = np.arange(-3, 4, dtype=np.int32) * 1000
+    payload = encode_wav(s24, 8000, bits24=True)
+    assert len(payload) % 2 == 0
+    assert len(payload) == 8 + struct.unpack("<I", payload[4:8])[0]
+    data_off = payload.index(b"data")
+    declared = struct.unpack("<I", payload[data_off + 4: data_off + 8])[0]
+    assert declared == 21  # size field stays the unpadded length
+    assert payload[-1] == 0  # the pad byte
+    out, _ = decode_wav(payload)
+    assert np.array_equal(out[:, 0], s24)
+
+    # 8-bit mono, odd frame count -> body 9 bytes (odd)
+    s8 = np.arange(9, dtype=np.uint8)
+    payload8 = encode_wav(s8, 8000)
+    assert len(payload8) % 2 == 0
+    assert len(payload8) == 8 + struct.unpack("<I", payload8[4:8])[0]
+    out8, _ = decode_wav(payload8)
+    assert np.array_equal(out8[:, 0], s8)

@@ -151,3 +151,16 @@ def test_key_skew_report_constructed_distribution(spark):
     ru = key_skew_report(u, "k", "u.k").collect()[0]
     assert ru["recommended_salts"] == 1
     assert ru["p50_count"] == 100 and ru["top1_count"] == 100
+
+
+def test_disc_percentile_rejects_empty_and_all_null_columns(spark):
+    from deepcell_data_engineering_spark.functions.stats import (
+        disc_percentile_by_histogram,
+    )
+
+    empty = spark.createDataFrame([], "x int")
+    with pytest.raises(ValueError, match="empty"):
+        disc_percentile_by_histogram(empty, "x", 0.5)
+    nulls = spark.createDataFrame([(None,), (None,)], "x int")
+    with pytest.raises(ValueError, match="empty"):
+        disc_percentile_by_histogram(nulls, "x", 0.5)
