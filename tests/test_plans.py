@@ -577,3 +577,43 @@ def test_table_profile_is_one_scan_per_table(spark):
     assert len(scans) == 2, plan
     assert "Expand" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_table_profile_approx_mode_drops_expand(spark):
+    """table_profile(approx=True) must resolve NDV via
+    approx_count_distinct — no Expand node, so the pre-aggregation row
+    stream is NOT multiplied by (#profiled columns + 1). Exact stays
+    the oracle-checked configuration; approx is the 100 TB mode, and
+    its NDVs must land within the HLL++ rsd of exact."""
+    from deepcell_data_engineering_spark.functions.stats import table_profile
+
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders")
+    kinds = {
+        "o_orderkey": "int",
+        "o_custkey": "int",
+        "o_orderstatus": "str",
+        "o_totalprice": "dbl",
+    }
+    approx_df = table_profile(orders, kinds, approx=True)
+    plan = pi.executed_plan(approx_df)
+    assert "Expand" not in plan, plan
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert len(scans) == 1, plan
+    exact = {
+        r["col_name"]: r["ndv"]
+        for r in table_profile(orders, kinds).collect()
+    }
+    approx = {r["col_name"]: r["ndv"] for r in approx_df.collect()}
+    for c in kinds:
+        rel = abs(approx[c] - exact[c]) / max(exact[c], 1)
+        assert rel <= 0.10, (c, exact[c], approx[c])
+    # non-NDV stats are estimator-independent: identical in both modes
+    ex_rows = {
+        r["col_name"]: (r["n_rows"], r["n_null"], r["min_str"], r["max_str"])
+        for r in table_profile(orders, kinds).collect()
+    }
+    ap_rows = {
+        r["col_name"]: (r["n_rows"], r["n_null"], r["min_str"], r["max_str"])
+        for r in approx_df.collect()
+    }
+    assert ex_rows == ap_rows
