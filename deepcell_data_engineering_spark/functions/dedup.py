@@ -787,37 +787,71 @@ def similarity_join_prefix(
 def fuzzy_name_pairs(
     df: DataFrame,
     name_col: str,
-    block_key: Column,
+    block_key: Column | list[Column] | tuple[Column, ...],
     max_dist: int = 3,
     carry_cols: list[str] | tuple[str, ...] = (),
 ) -> DataFrame:
     """Entity-resolution fuzzy join: (name_a, name_b, dist[, carry_a/b
     ...]) over the DISTINCT values of ``name_col`` whose edit distance
     is at most ``max_dist``, candidate-paired only within equal
-    ``block_key`` (plus a |length| band prune an edit-distance match
+    blocking keys (plus a |length| band prune an edit-distance match
     must satisfy). ``carry_cols`` (e.g. a pre-aggregated row count)
     ride through the self-join as {col}_a/{col}_b so callers do not
     re-join the row table — ONE scan + ONE aggregation + the self-join.
 
+    ``block_key`` takes one Column or a list for MULTI-PASS blocking
+    (standard ER practice): each key is an independent pass, a pair is
+    a candidate if it agrees on ANY pass's key, and cross-pass
+    duplicates collapse before the distance evaluates. Recall is
+    bounded by the union of the passes — with a single key, two names
+    differing in that key are invisible regardless of edit distance
+    (e.g. last-word blocking alone misses last-word variants), so
+    callers pair a head key with a tail key (first word + last word)
+    unless the key is known-stable. Pairs differing in EVERY pass's
+    key remain invisible — that residual is the recall trade blocking
+    buys its scalability with.
+
     The scale discipline mirrors the dedup family: resolve distinct
     STRINGS, never rows — the entity vocabulary bounds the pair space
     at any corpus size. Blocking makes it per-block quadratic only
-    (never all-pairs), and the length band removes pairs no
-    levenshtein <= max_dist could ever accept before the O(len^2)
-    distance evaluates."""
-    names = df.select(
-        F.col(name_col).alias("name"), block_key.alias("bk"), *carry_cols
-    ).where(F.col("name").isNotNull())
-    names = (
-        names.groupBy("name", "bk").agg(*[F.max(c).alias(c) for c in carry_cols])
-        if carry_cols
-        else names.distinct()
+    (never all-pairs; P passes cost <= P x one pass, not a wider
+    cross), and the length band removes pairs no levenshtein <=
+    max_dist could ever accept before the O(len^2) distance evaluates.
+    """
+    keys = (
+        list(block_key)
+        if isinstance(block_key, (list, tuple))
+        else [block_key]
     )
-    a, b = names.alias("a"), names.alias("b")
-    return (
+    bk_names = [f"bk_{i}" for i in range(len(keys))]
+    names = df.select(
+        F.col(name_col).alias("name"),
+        *[k.cast("string").alias(bn) for k, bn in zip(keys, bk_names)],
+        *carry_cols,
+    ).where(F.col(name_col).isNotNull())
+    # the blocking keys are deterministic functions of the name, so
+    # grouping by name alone resolves the vocabulary; max() just picks
+    # the (single) key/carry value per name
+    agg_cols = bk_names + list(carry_cols)
+    names = names.groupBy("name").agg(
+        *[F.max(c).alias(c) for c in agg_cols]
+    )
+    # one (name, pass, bk) row per blocking pass: the self-join equates
+    # (pass, bk), so pass i only ever pairs against pass i — P passes
+    # cost P independent block joins inside ONE join, and a pair found
+    # by several passes collapses in the dropDuplicates below (before
+    # the quadratic-in-length distance ever evaluates for the copy)
+    exploded = names.select(
+        "name",
+        *carry_cols,
+        F.posexplode(F.array(*bk_names)).alias("pass", "bk"),
+    ).where(F.col("bk").isNotNull())
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.bk") == F.col("b.bk"))
+            (F.col("a.pass") == F.col("b.pass"))
+            & (F.col("a.bk") == F.col("b.bk"))
             & (F.col("a.name") < F.col("b.name"))
             & (
                 F.abs(F.length("a.name") - F.length("b.name"))
@@ -827,11 +861,19 @@ def fuzzy_name_pairs(
         .select(
             F.col("a.name").alias("name_a"),
             F.col("b.name").alias("name_b"),
-            F.levenshtein("a.name", "b.name").alias("dist"),
             *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry_cols],
             *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry_cols],
         )
-        .where(F.col("dist") <= max_dist)
+        .dropDuplicates(["name_a", "name_b"])
+    )
+    return cand.withColumn(
+        "dist", F.levenshtein("name_a", "name_b")
+    ).where(F.col("dist") <= max_dist).select(
+        "name_a",
+        "name_b",
+        "dist",
+        *[f"{c}_a" for c in carry_cols],
+        *[f"{c}_b" for c in carry_cols],
     )
 
 

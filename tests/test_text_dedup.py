@@ -652,6 +652,39 @@ def test_fuzzy_name_pairs_match_brute_force_within_blocks(spark):
     assert all(a.split()[-1] == b.split()[-1] for a, b, _ in got)
 
 
+def test_fuzzy_name_pairs_multipass_recovers_last_word_variants(spark):
+    """Multi-pass blocking (first word + last word) must catch the
+    class single-key blocking misses: pairs whose names differ in the
+    blocking word itself. Pairs caught by BOTH passes appear once, and
+    pairs differing at both ends stay invisible (the documented
+    residual)."""
+    from deepcell_data_engineering_spark.functions.dedup import fuzzy_name_pairs
+
+    names = [
+        "blue widget", "blue widgat",   # last-word variant: only the
+                                        # first-word pass can see it
+        "red gadget", "ted gadget",     # first-word variant: only the
+                                        # last-word pass can see it
+        "green anvil", "green anvil x", # length/len-band play
+        "grain anvol",                  # differs from green anvil at
+                                        # BOTH ends -> invisible even
+                                        # though lev()==2
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "p_name string")
+    keys = [
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(-1)),
+    ]
+    rows = fuzzy_name_pairs(df, "p_name", keys, 2).collect()
+    got = sorted((r.name_a, r.name_b, r.dist) for r in rows)
+    assert ("blue widgat", "blue widget", 1) in got       # pass 1 only
+    assert ("red gadget", "ted gadget", 1) in got         # pass 2 only
+    # both-ends variant is the documented recall residual
+    assert not any("grain anvol" in (a, b) for a, b, _ in got)
+    # no pair appears twice even when both passes find it
+    assert len(got) == len({(a, b) for a, b, _ in got})
+
+
 def test_simhash_hamming_pairs_guarantee_below_band_count(spark):
     """Pigeonhole: any signature pair with hamming < n_bands shares a
     band, so every such pair MUST be found; verify against brute force
