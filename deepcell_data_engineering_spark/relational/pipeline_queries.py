@@ -3662,27 +3662,43 @@ def x73(spark: SparkSession, sf_dir: str) -> DataFrame:
          SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n
          FROM part GROUP BY p_name
        ),
-       pairs AS (
-         SELECT a.name AS name_a, b.name AS name_b,
-                CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist,
+       keyed AS (
+         SELECT name, n, 0 AS pass, split_part(name, ' ', 1) AS bk
+         FROM names
+         UNION ALL
+         SELECT name, n, 1 AS pass, split_part(name, ' ', -1) AS bk
+         FROM names
+       ),
+       cand AS (
+         SELECT DISTINCT a.name AS name_a, b.name AS name_b,
                 a.n AS n_a, b.n AS n_b
-         FROM names a JOIN names b
-           ON split_part(a.name, ' ', 2) = split_part(b.name, ' ', 2)
+         FROM keyed a JOIN keyed b
+           ON a.pass = b.pass AND a.bk = b.bk
           AND a.name < b.name
           AND abs(length(a.name) - length(b.name)) <= 3
-         WHERE levenshtein(a.name, b.name) <= 3
+       ),
+       pairs AS (
+         SELECT name_a, name_b,
+                CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist,
+                n_a, n_b
+         FROM cand WHERE levenshtein(name_a, name_b) <= 3
        )
        SELECT name_a, name_b, dist, n_a, n_b
        FROM pairs ORDER BY dist, name_a, name_b""",
     doc="Entity-resolution fuzzy join (functions/dedup.py:"
     "fuzzy_name_pairs): near-duplicate part names by Levenshtein "
-    "distance <= 3, candidate-paired only inside (last-word) blocks "
-    "with a |length| band prune, annotated with each name's row count. "
-    "The scale shape is the vocab trick again: distances evaluate over "
-    "DISTINCT name strings (64 here; bounded by the entity vocabulary "
-    "at any corpus size), never over row pairs — impact counts come "
-    "from joining the resolved names back to the row table. Blocking "
-    "keeps the pair space per-block quadratic, never all-pairs.",
+    "distance <= 3, candidate-paired by MULTI-PASS blocking — a pair "
+    "is a candidate if it agrees on the FIRST word OR the LAST word "
+    "(two independent block passes, cross-pass duplicates collapsed "
+    "before the distance evaluates) — with a |length| band prune, "
+    "annotated with each name's row count. Single-key blocking misses "
+    "every pair that varies in that key; head+tail passes only miss "
+    "pairs differing at BOTH ends, the documented recall residual. "
+    "The scale shape is the vocab trick again: distances evaluate "
+    "over DISTINCT name strings (bounded by the entity vocabulary at "
+    "any corpus size), never over row pairs — impact counts come from "
+    "joining the resolved names back to the row table. Blocking keeps "
+    "the pair space per-block quadratic, never all-pairs.",
 )
 def x74(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
@@ -3695,7 +3711,10 @@ def x74(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.fuzzy_name_pairs(
         counts,
         "p_name",
-        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)),
+        [
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)),
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(-1)),
+        ],
         3,
         carry_cols=["n"],
     )
@@ -4218,9 +4237,7 @@ def _x80_oracle(
                     ROW_NUMBER() OVER (PARTITION BY qid
                                        ORDER BY apx DESC, vec_id) AS rank
              FROM approx)
-       WHERE rank <= {topk} ORDER BY query_id, rank""".replace(
-        "{topk}", str(topk)
-    )
+       WHERE rank <= {topk} ORDER BY query_id, rank"""
 
 
 def _pq_adc(spark: SparkSession, sf_dir: str, topk: int = 5) -> DataFrame:
@@ -4519,10 +4536,14 @@ def x82(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(x64) lack: inclusion-exclusion error scales with |A∪B|, the KMV "
     "sample error with |A∩B| itself. exact_inter is the certification "
     "twin (the full shingle-set join the sketch avoids at 100 TB); the "
-    "distinct-on-(source, hash) pass is the only full-data scan, the "
-    "k-smallest rank runs on an approx_count_distinct-thresholded "
-    "subset (~8k/nd of the hash space) with an exact cut-below-k "
-    "rescue — sort cost O(slack*k) per source, not O(nd log nd).",
+    "distinct-on-(source, hash) pass is the only full-data scan; the "
+    "k-smallest rank is a bare row_number()<=k that Spark rewrites to "
+    "WindowGroupLimit (partial per-partition top-k before the final "
+    "per-source sort — never a full per-group sort). kmv_registers "
+    "also offers prefilter=True, an approx_count_distinct-thresholded "
+    "pre-cut (~8k/nd of the hash space) with an exact cut-below-k "
+    "rescue: OFF here because its 2 extra corpus scans only pay off "
+    "on persisted hashed columns (measured 3x slower on this shape).",
 )
 def x83(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepcell_data_engineering_spark.functions.sketch import (
@@ -5235,3 +5256,144 @@ def x89(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "offset_days")
     )
+
+
+def _x90_branch(label: str, ta: str, ka: str, tb: str, kb: str) -> str:
+    """One candidate first-join priced by BOTH estimators + exact."""
+    return f"""(
+      WITH jj AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS v(j)),
+      ca AS (
+        SELECT j,
+               ('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':'
+                                   || CAST({ka} AS VARCHAR)), 1, 7))::BIGINT
+                 % 4096 AS bucket,
+               COUNT(*) AS c
+        FROM {ta} CROSS JOIN jj GROUP BY j, bucket
+      ),
+      cb AS (
+        SELECT j,
+               ('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':'
+                                   || CAST({kb} AS VARCHAR)), 1, 7))::BIGINT
+                 % 4096 AS bucket,
+               COUNT(*) AS c
+        FROM {tb} CROSS JOIN jj GROUP BY j, bucket
+      ),
+      est AS (
+        SELECT MIN(s) AS e FROM (
+          SELECT ca.j, SUM(ca.c * cb.c) AS s
+          FROM ca JOIN cb ON ca.j = cb.j AND ca.bucket = cb.bucket
+          GROUP BY ca.j
+        )
+      ),
+      sa AS (SELECT COUNT(*) AS n, COUNT(DISTINCT {ka}) AS ndv FROM {ta}),
+      sb AS (SELECT COUNT(*) AS n, COUNT(DISTINCT {kb}) AS ndv FROM {tb}),
+      ex AS (
+        SELECT SUM(a.c * b.c) AS x
+        FROM (SELECT {ka} AS k, COUNT(*) AS c FROM {ta} GROUP BY 1) a
+        JOIN (SELECT {kb} AS k, COUNT(*) AS c FROM {tb} GROUP BY 1) b
+          ON a.k = b.k
+      )
+      SELECT '{label}' AS first_join,
+             CAST(est.e AS BIGINT) AS est_cms,
+             CAST((sa.n * sb.n) // GREATEST(sa.ndv, sb.ndv) AS BIGINT)
+               AS est_stats,
+             CAST(COALESCE(ex.x, 0) AS BIGINT) AS exact_rows
+      FROM est CROSS JOIN sa CROSS JOIN sb CROSS JOIN ex
+    )"""
+
+
+@_q(
+    "x90_cbo_estimates",
+    f"""SELECT first_join, est_cms, est_stats, exact_rows,
+              est_cms >= exact_rows AS cms_sound,
+              est_cms = MIN(est_cms) OVER () AS cms_pick,
+              est_stats = MIN(est_stats) OVER () AS stats_pick,
+              exact_rows = MIN(exact_rows) OVER () AS truly_smaller
+       FROM ({_x90_branch("lineitem*orders", "lineitem", "l_orderkey",
+                          "orders", "o_orderkey")}
+             UNION ALL
+             {_x90_branch("orders*customer", "orders", "o_custkey",
+                          "customer", "c_custkey")})
+       ORDER BY first_join""",
+    doc="CBO loop CLOSED end-to-end: the x86 join-order pick derived "
+    "from TWO independent estimators and certified against exact in "
+    "one query. Estimator 1 = the persisted CMS cross inner product "
+    "(x86's pricing; sound — collisions only ADD, est_cms >= exact "
+    "certified per branch). Estimator 2 = the classic System R "
+    "|A JOIN B| ~ |A|*|B| / max(ndv_A, ndv_B) from x87-style profile "
+    "statistics (row count + NDV per key — the stats tier composing; "
+    "exact under the containment assumption that the smaller key set "
+    "is contained in the larger, TPC-H's FK shape, but NOT sound in "
+    "general). Per candidate: both estimates, exact, soundness, and "
+    "each estimator's pick vs the true smaller intermediate — a "
+    "planner cross-checking two estimators before committing a join "
+    "order, the way a real CBO consumes ANALYZE stats at 100 TB "
+    "(4x4096 counters + 2 scalars per input; nothing scanned at "
+    "planning time).",
+)
+def x90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.sketch import (
+        cms_build,
+        cms_inner_product,
+    )
+    from deepcell_data_engineering_spark.functions.stats import table_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    # profile stats: ONE scan per table; orders' two keys share a pass.
+    # The 4-row profile is driver planner state (the x85/x86 pricing
+    # convention: statistics are k-row, the data is not re-scanned).
+    prof = (
+        table_profile(li, {"l_orderkey": "int"})
+        .unionByName(table_profile(od, {"o_orderkey": "int", "o_custkey": "int"}))
+        .unionByName(table_profile(cu, {"c_custkey": "int"}))
+        .select("col_name", "n_rows", "ndv")
+    )
+    stats = {r["col_name"]: (int(r["n_rows"]), int(r["ndv"])) for r in prof.collect()}
+
+    frames = []
+    for label, (ta, ka), (tb, kb) in [
+        ("lineitem*orders", (li, "l_orderkey"), (od, "o_orderkey")),
+        ("orders*customer", (od, "o_custkey"), (cu, "c_custkey")),
+    ]:
+        keys_a = ta.select(F.col(ka).cast("string").alias("k"))
+        keys_b = tb.select(F.col(kb).cast("string").alias("k"))
+        est_cms = cms_inner_product(
+            cms_build(keys_a, "k", width=4096, depth=4),
+            cms_build(keys_b, "k", width=4096, depth=4),
+        )
+        (n_a, ndv_a), (n_b, ndv_b) = stats[ka], stats[kb]
+        est_stats = (n_a * n_b) // max(ndv_a, ndv_b)
+        exact = (
+            keys_a.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("ca"))
+            .join(keys_b.groupBy("k").agg(F.count(F.lit(1)).alias("cb")), "k")
+            .agg(
+                F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+                .cast("bigint")
+                .alias("exact_rows")
+            )
+        )
+        frames.append(
+            est_cms.crossJoin(exact).select(
+                F.lit(label).alias("first_join"),
+                F.col("est").cast("bigint").alias("est_cms"),
+                F.lit(est_stats).cast("bigint").alias("est_stats"),
+                "exact_rows",
+            )
+        )
+    out = frames[0].unionByName(frames[1])
+    w = Window.partitionBy()
+    return out.select(
+        "first_join",
+        "est_cms",
+        "est_stats",
+        "exact_rows",
+        (F.col("est_cms") >= F.col("exact_rows")).alias("cms_sound"),
+        (F.col("est_cms") == F.min("est_cms").over(w)).alias("cms_pick"),
+        (F.col("est_stats") == F.min("est_stats").over(w)).alias("stats_pick"),
+        (F.col("exact_rows") == F.min("exact_rows").over(w)).alias(
+            "truly_smaller"
+        ),
+    ).orderBy("first_join")
