@@ -31,33 +31,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver oracle-checks the first 50 registry entries per round.
-# Round-6 rotation: the 16 round-5 queries (x57–x72) have never been in
-# a driver window — they lead (pre-flighted 16/16 green at sf0.01 via
-# tools/check_oracle.py), followed by 34 of x06–x45 (last driver-checked
-# in round 4). Round 7 should lead with x40–x45 plus the round-6
-# additions (x73–x89 — local sf0.01 record in PREFLIGHT_r06.json),
-# keeping every registered query's driver verdict at most two rounds
-# old.
+# Round-7 rotation: the 17 round-6 queries (x73–x89) have never been in
+# a driver window — they lead (pre-flighted 17/17 green at sf0.01 via
+# tools/check_oracle.py, recorded in PREFLIGHT_r06.json), followed by
+# x40–x45, d01–d14 and x01 (driver verdicts from round 4), then the
+# stalest round-5 d-rows (d15–d30). After this window every registered
+# query's driver verdict is at most two rounds old. Round 8 should
+# rotate in the remaining round-5 rows (d31–d49, x02–x05, x46–x56) plus
+# any new queries.
 _CHECK_FIRST = [
-    "x57_sketch_topk", "x58_bloom_pruned_join", "x59_hll_distinct",
-    "x60_zorder_key", "x61_weighted_sample", "x62_cms_frequencies",
-    "x63_hist_quantiles", "x64_hll_set_algebra", "x65_quality_gate",
-    "x66_similarity_join_exact", "x67_triangle_hubs", "x68_bpe_train",
-    "x69_hll_rollup", "x70_recursive_closure", "x71_lateral_topk",
-    "x72_udtf_chunks",
-    # x06–x39: driver verdicts from round 4, refreshed this round
-    "x06_minhash_lsh_pairs", "x07_ngram_jaccard", "x08_simhash",
-    "x09_cosine_topk", "x10_embedding_neardup", "x11_srp_lsh_topk",
-    "x12_crop_grid", "x13_overlap_vote", "x14_ivf_topk",
-    "x15_json_extract", "x16_asof_join", "x17_sessionize",
-    "x18_winnow_fingerprint", "x19_kmeans_centroids", "x20_interval_join",
-    "x21_dup_clusters", "x22_tfidf_topk", "x23_pattern_scrub",
-    "x24_stratified_sample", "x25_vocab_topk", "x26_bm25",
-    "x27_corpus_build", "x28_bpe_tokens", "x29_semantic_neardup",
-    "x30_containment", "x31_corpus_report", "x32_repetition_signals",
-    "x33_decontaminate", "x34_chunk_documents", "x35_pack_sequences",
-    "x36_embedding_health", "x37_funnel", "x38_gapfill",
-    "x39_salted_skew_join",
+    # x73–x89: round-6 additions, never driver-checked
+    "x73_bpe_encode", "x74_fuzzy_name_join", "x75_sliding_distinct",
+    "x76_quality_gate_corpus", "x77_simhash_neardup", "x78_kcore",
+    "x79_join_size_estimate", "x80_pq_adc_topk", "x81_pq_recall",
+    "x82_sql_udf", "x83_kmv_intersections", "x84_split_leakage",
+    "x85_skew_report", "x86_join_order_plan", "x87_table_profile",
+    "x88_kmv_incremental", "x89_retention_cohorts",
+    # round-7 addition, never driver-checked
+    "x90_cbo_estimates",
+    # x40–x45 + d01–d14 + x01: driver verdicts from round 4
+    "x40_length_trim", "x41_tumbling_rollup", "x42_sliding_rollup",
+    "x43_pagerank", "x44_unigram_logprob", "x45_minhash_calibration",
+    "d01_scan_filter", "d02_like_strings", "d03_natural_sort",
+    "d04_topk", "d05_distinct", "d10_inner_join", "d11_star_join_agg",
+    "d12_left_join", "d13_semi_join", "d14_anti_join",
+    "x01_token_stats",
+    # d15–d30: stalest round-5 rows
+    "d15_range_join", "d16_cross_join", "d17_grouped_agg",
+    "d18_count_distinct_having", "d19_median", "d20_rollup",
+    "d21_grouping_sets", "d22_conditional_agg", "d23_window_rank",
+    "d24_window_lag_lead", "d25_window_running_max", "d26_intersect",
+    "d27_except", "d28_date_agg", "d29_math_string",
 ]
 
 
