@@ -54,11 +54,13 @@ def decode_media(fmt: str, payload: bytes, meta) -> np.ndarray:
 
     ``tiff``/``png``/``jpg``/``wav`` decode for real through the
     dependency-free baseline codecs (sources/pycodecs.py,
-    sources/pyjpeg.py). Video codecs are NOT available in this
-    environment — those formats raise, exactly marking the integration
-    point where ffmpeg plugs in on a production image. ``fake-raw``
-    payloads decode deterministically from the payload bytes
-    (md5-seeded), giving tests a stable pseudo-media source.
+    sources/pyjpeg.py). ``mp4``/``avi`` frame decode routes through an
+    optional ffmpeg subprocess (_decode_video_ffmpeg): real where the
+    binary exists on the executor image, a NotImplementedError naming
+    the gate elsewhere — container METADATA always parses dependency-
+    free via probe_media. ``fake-raw`` payloads decode
+    deterministically from the payload bytes (md5-seeded), giving
+    tests a stable pseudo-media source.
     """
     if fmt in ("tiff", "tif"):
         # stack decode: multi-page payloads (the microscope z/t layout)
@@ -85,10 +87,7 @@ def decode_media(fmt: str, payload: bytes, meta) -> np.ndarray:
         # to the frame axis, channels to the channel axis
         return samples.astype(np.float32)[:, None, None, :]
     if fmt in _REAL_FORMATS:
-        raise NotImplementedError(
-            f"codec for {fmt!r} requires an image/audio library not present "
-            "in this environment (PIL/librosa/ffmpeg integration point)"
-        )
+        return _decode_video_ffmpeg(fmt, payload)
     h = int(meta["height"] or 1)
     w = int(meta["width"] or 1)
     c = int(meta["n_channels"] or 1)
@@ -100,6 +99,74 @@ def decode_media(fmt: str, payload: bytes, meta) -> np.ndarray:
     seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "big")
     rng = np.random.RandomState(seed)
     return rng.rand(f, h, w, c).astype(np.float32)
+
+
+def _ffmpeg_binary() -> str | None:
+    import shutil
+
+    return shutil.which("ffmpeg")
+
+
+def _decode_video_ffmpeg(fmt: str, payload: bytes) -> np.ndarray:
+    """mp4/avi frame decode through an OPTIONAL ffmpeg subprocess —
+    the same honest-gate pattern as the protobuf-gated
+    transformWithState runtime (streaming/stateful.py): real where
+    the binary exists on the executor image, a NotImplementedError
+    naming the gate elsewhere. Routing metadata (dimensions) comes
+    from the dependency-free container probe, so a payload that fails
+    the probe never reaches the subprocess — probe_media remains the
+    pre-decode quarantine stage at any scale.
+
+    Returns float32 [n_frames, h, w, 3] (rgb24). The subprocess reads
+    from a temp file, not a stdin pipe: non-faststart mp4 (moov after
+    mdat — most camera output) needs seekable input."""
+    # probe FIRST: malformed containers fail here with the quarantine
+    # ValueError, with or without ffmpeg present
+    probe = probe_mp4(payload) if fmt == "mp4" else probe_avi(payload)
+    w, h = probe["width"], probe["height"]
+    ffmpeg = _ffmpeg_binary()
+    if ffmpeg is None:
+        raise NotImplementedError(
+            f"decoding {fmt!r} frames requires the ffmpeg binary, which is "
+            "not on PATH in this environment; container metadata still "
+            "parses dependency-free (probe_media — the pre-decode filter "
+            "stage)"
+        )
+    if not w or not h:
+        raise ValueError(f"{fmt} probe found no video dimensions")
+    import os
+    import subprocess
+    import tempfile
+
+    fd, path = tempfile.mkstemp(suffix=f".{fmt}")
+    try:
+        with os.fdopen(fd, "wb") as tf:
+            tf.write(payload)
+        proc = subprocess.run(
+            [
+                ffmpeg, "-v", "error", "-i", path,
+                "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1",
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+    finally:
+        os.unlink(path)
+    if proc.returncode != 0:
+        err = proc.stderr.decode("utf-8", "replace")[:200]
+        raise ValueError(f"ffmpeg failed on {fmt} payload: {err}")
+    frame_bytes = w * h * 3
+    if not proc.stdout or len(proc.stdout) % frame_bytes:
+        raise ValueError(
+            f"ffmpeg produced {len(proc.stdout)} bytes, not a multiple of "
+            f"the probed {w}x{h} rgb24 frame size"
+        )
+    n = len(proc.stdout) // frame_bytes
+    return (
+        np.frombuffer(proc.stdout, dtype=np.uint8)
+        .reshape(n, h, w, 3)
+        .astype(np.float32)
+    )
 
 
 FEATURES_SCHEMA = StructType(

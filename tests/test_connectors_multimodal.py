@@ -127,8 +127,17 @@ def test_decode_stub_contract():
     jout = decode_media("jpg", encode_jpeg(jimg), meta)
     assert jout.shape == (1, 8, 8, 1)
     np.testing.assert_array_equal(jout[0, :, :, 0], jimg.astype(np.float32))
-    with pytest.raises(NotImplementedError):
+    # malformed video payloads fail the PROBE (quarantine ValueError)
+    # before the ffmpeg gate is consulted
+    with pytest.raises(ValueError):
         decode_media("mp4", b"x", meta)
+    from deepcell_data_engineering_spark.sources.multimodal import (
+        _ffmpeg_binary,
+    )
+
+    if _ffmpeg_binary() is None:  # well-formed container hits the gate
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            decode_media("mp4", _minimal_mp4(), meta)
     with pytest.raises(ValueError):
         decode_media("bogus", b"x", meta)
     a = decode_media("fake-raw", b"abc", {"height": 4, "width": 3, "n_channels": 2, "n_frames": 1})
@@ -361,8 +370,60 @@ def test_probe_media_dataframe_quarantines_malformed(spark):
     assert got[2]["n_tracks"] == 1 and got[2]["width"] == 320
     assert got[3]["probe_error"] and got[3]["duration_s"] is None
     assert "no prober" in got[4]["probe_error"]
-    # decode remains honestly gated: probing works, decoding raises
+    # decode remains honestly gated where ffmpeg is absent: probing
+    # works, decoding raises the named gate
+    from deepcell_data_engineering_spark.sources.multimodal import (
+        _ffmpeg_binary,
+        decode_media,
+    )
+
+    if _ffmpeg_binary() is None:
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            decode_media("mp4", _minimal_mp4(), None)
+
+
+def test_video_decode_probe_quarantine_precedes_ffmpeg_gate():
+    """Malformed containers must fail the PROBE (ValueError — the
+    quarantine class probe_media catches) before the ffmpeg gate is
+    even consulted, so quarantine behavior is identical with and
+    without the binary; well-formed containers hit the gate only when
+    ffmpeg is absent."""
+    from deepcell_data_engineering_spark.sources.multimodal import (
+        _ffmpeg_binary,
+        decode_media,
+    )
+
+    with pytest.raises(ValueError):
+        decode_media("mp4", b"not a video at all", None)
+    with pytest.raises(ValueError):
+        decode_media("avi", b"RIFX" + b"\0" * 20, None)
+    if _ffmpeg_binary() is None:
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            decode_media("avi", _minimal_avi(), None)
+
+
+@pytest.mark.skipif(
+    __import__("shutil").which("ffmpeg") is None,
+    reason="ffmpeg binary not on PATH",
+)
+def test_video_decode_real_frames_via_ffmpeg(tmp_path):
+    """Where ffmpeg exists: synthesize a tiny mp4 with it, then decode
+    through the engine path and check the [n, h, w, 3] float32 tensor
+    contract."""
+    import subprocess
+
     from deepcell_data_engineering_spark.sources.multimodal import decode_media
 
-    with pytest.raises(NotImplementedError):
-        decode_media("mp4", _minimal_mp4(), None)
+    out = tmp_path / "clip.mp4"
+    subprocess.run(
+        [
+            "ffmpeg", "-v", "error", "-f", "lavfi",
+            "-i", "testsrc=duration=0.5:size=64x48:rate=10",
+            "-pix_fmt", "yuv420p", str(out),
+        ],
+        check=True,
+    )
+    arr = decode_media("mp4", out.read_bytes(), None)
+    assert arr.dtype == np.float32
+    assert arr.shape[0] == 5 and arr.shape[1:] == (48, 64, 3)
+    assert 0.0 <= arr.min() and arr.max() <= 255.0
