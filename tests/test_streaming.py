@@ -618,3 +618,87 @@ def test_streaming_kmv_state_maintenance_equals_batch(spark, tmp_path):
     spark.read.parquet(state).write.mode("append").parquet(state + "_copy")
     spark.read.parquet(state + "_copy").write.mode("append").parquet(state)
     assert folded() == batch_state
+
+
+def test_streaming_retention_state_maintenance_equals_batch(spark, tmp_path):
+    """x89's retention cohort matrix maintained BY a stream: the state
+    is (a) per-user first-seen — a grouped MIN, mergeable by min-fold
+    over micro-batch deltas — and (b) the distinct (user, day)
+    activity set — idempotent under append+distinct. Each micro-batch
+    appends both deltas; the cohort matrix computed from the folded
+    state equals the batch x89 rebuild exactly, and replaying a batch
+    is a no-op (exactly-once without a transactional sink, like the
+    HLL/KMV state stories)."""
+    from deepcell_data_engineering_spark.relational import QUERIES
+
+    batch = sorted(
+        map(tuple, QUERIES["x89_retention_cohorts"].build(spark, SF_SMOKE).collect())
+    )
+
+    seen_log = str(tmp_path / "first_seen")
+    act_log = str(tmp_path / "activity")
+
+    def append_delta(bdf, _bid):
+        bdf.groupBy("user_id").agg(F.min("ts").alias("min_ts")).write.mode(
+            "append"
+        ).parquet(seen_log)
+        bdf.select(
+            "user_id", F.col("ts").cast("date").alias("day")
+        ).distinct().write.mode("append").parquet(act_log)
+
+    q = (
+        read_events_stream(spark, SF_SMOKE)
+        .writeStream.foreachBatch(append_delta)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def matrix_from_state():
+        f = (
+            spark.read.parquet(seen_log)
+            .groupBy("user_id")
+            .agg(F.min("min_ts").cast("date").alias("cohort_day"))
+        )
+        act = spark.read.parquet(act_log).distinct()
+        r = (
+            act.join(f, "user_id")
+            .groupBy(
+                "cohort_day",
+                F.datediff(F.col("day"), F.col("cohort_day"))
+                .cast("bigint")
+                .alias("offset_days"),
+            )
+            .agg(F.countDistinct("user_id").cast("bigint").alias("retained"))
+        )
+        sz = f.groupBy("cohort_day").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+        )
+        return sorted(
+            map(
+                tuple,
+                r.join(F.broadcast(sz), "cohort_day")
+                .select(
+                    F.col("cohort_day").cast("string").alias("cohort_day"),
+                    "offset_days",
+                    "cohort_size",
+                    "retained",
+                    F.round(
+                        F.col("retained").cast("double")
+                        / F.col("cohort_size").cast("double")
+                        + F.lit(0.0),
+                        4,
+                    ).alias("retention"),
+                )
+                .collect(),
+            )
+        )
+
+    assert matrix_from_state() == batch
+    # replay: append both logs to themselves — min-fold and distinct
+    # are idempotent, the matrix must not move
+    for log in (seen_log, act_log):
+        spark.read.parquet(log).write.mode("append").parquet(log + "_copy")
+        spark.read.parquet(log + "_copy").write.mode("append").parquet(log)
+    assert matrix_from_state() == batch
