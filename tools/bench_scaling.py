@@ -60,6 +60,18 @@ QUERIES = [
     # split-leakage audit (x21's closure + candidate-pair attach)
     "x83_kmv_intersections",
     "x84_split_leakage",
+    # round-7: the planner/eval tier. x79/x86 are CMS builds (linear
+    # scans into fixed 4x4096 counter tables) + an exact certification
+    # twin (grouped counts / a key equi-join); x87 is one scan + one
+    # agg per profiled table (exact-NDV Expand multiplies the row
+    # stream ~(cols+1)x — the documented exact-mode cost); x88 is two
+    # half-corpus KMV builds + a k-row merge. All should read
+    # near-linear. These need the TPC-H tables, which gen_scale_data
+    # now emits at 10x sf0.1 rows.
+    "x79_join_size_estimate",
+    "x86_join_order_plan",
+    "x87_table_profile",
+    "x88_kmv_incremental",
     # x66_similarity_join_exact is intentionally absent: its TRUE result
     # set (all pairs over a templated corpus) grows quadratically with
     # corpus size, so an sf1/sf0.1 ratio would read as a hidden
@@ -78,7 +90,9 @@ def main() -> None:
     if "--only" in sys.argv:
         keep = set(sys.argv[sys.argv.index("--only") + 1].split(","))
         queries = [q for q in QUERIES if q in keep]
-    if not os.path.exists(os.path.join(SF1, "documents.parquet")):
+    if not os.path.exists(os.path.join(SF1, "documents.parquet")) or (
+        not os.path.exists(os.path.join(SF1, "lineitem.parquet"))
+    ):
         subprocess.check_call(
             [sys.executable, os.path.join(os.path.dirname(__file__), "gen_scale_data.py"), SF1]
         )

@@ -83,6 +83,116 @@ def gen_embeddings(n_vecs: int, rng: np.random.RandomState) -> pa.Table:
     )
 
 
+def gen_tpch(out_dir: str, scale: int, rng: np.random.RandomState) -> None:
+    """customer/orders/lineitem at ``scale``x the sf0.1 row counts,
+    mirroring sf0.1's measured fingerprints (keys dense from 0,
+    o_custkey uniform over customers at ~10 orders/customer,
+    l_orderkey uniform over orders at ~4 lines/order, same enum
+    domains and value ranges) — enough for the CMS join-size /
+    profile queries (x79/x86/x87), which consume key multiplicity
+    distributions and column NDVs, not TPC-H business semantics."""
+    n_cust, n_ord, n_li = 15_000 * scale, 150_000 * scale, 600_000 * scale
+    n_part, n_supp = 20_000 * scale, 1_000 * scale
+    segs = ["AUTOMOBILE", "MACHINERY", "FURNITURE", "HOUSEHOLD", "BUILDING"]
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(n_cust), pa.int64()),
+                "c_name": pa.array(
+                    [f"Customer#{i:09d}" for i in range(n_cust)], pa.string()
+                ),
+                "c_nationkey": pa.array(
+                    rng.randint(0, 25, n_cust), pa.int32()
+                ),
+                "c_acctbal": pa.array(
+                    np.round(rng.uniform(-1000, 10000, n_cust), 2),
+                    pa.float64(),
+                ),
+                "c_mktsegment": pa.array(
+                    [segs[j] for j in rng.randint(0, len(segs), n_cust)],
+                    pa.string(),
+                ),
+            }
+        ),
+        os.path.join(out_dir, "customer.parquet"),
+    )
+    day_us = 86_400_000_000
+    t0 = np.datetime64("1995-01-01", "us").astype(np.int64)
+    odate = t0 + rng.randint(0, 2404, n_ord).astype(np.int64) * day_us
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(n_ord), pa.int64()),
+                "o_custkey": pa.array(
+                    rng.randint(0, n_cust, n_ord), pa.int64()
+                ),
+                "o_orderstatus": pa.array(
+                    [("O", "F", "P")[j] for j in
+                     rng.choice(3, n_ord, p=[0.49, 0.49, 0.02])],
+                    pa.string(),
+                ),
+                "o_totalprice": pa.array(
+                    np.round(rng.uniform(1000, 500000, n_ord), 2),
+                    pa.float64(),
+                ),
+                "o_orderdate": pa.array(
+                    odate.astype("datetime64[us]"), pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(
+                    [prios[j] for j in rng.randint(0, len(prios), n_ord)],
+                    pa.string(),
+                ),
+            }
+        ),
+        os.path.join(out_dir, "orders.parquet"),
+    )
+    lkey = rng.randint(0, n_ord, n_li).astype(np.int64)
+    sdate = t0 + rng.randint(1, 2500, n_li).astype(np.int64) * day_us
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(lkey, pa.int64()),
+                "l_partkey": pa.array(
+                    rng.randint(0, n_part, n_li), pa.int64()
+                ),
+                "l_suppkey": pa.array(
+                    rng.randint(0, n_supp, n_li), pa.int64()
+                ),
+                "l_linenumber": pa.array(
+                    rng.randint(1, 8, n_li), pa.int32()
+                ),
+                "l_quantity": pa.array(
+                    rng.randint(1, 51, n_li).astype(np.float64), pa.float64()
+                ),
+                "l_extendedprice": pa.array(
+                    np.round(rng.uniform(900, 105000, n_li), 2), pa.float64()
+                ),
+                "l_discount": pa.array(
+                    np.round(rng.randint(0, 11, n_li) / 100.0, 2),
+                    pa.float64(),
+                ),
+                "l_tax": pa.array(
+                    np.round(rng.randint(0, 9, n_li) / 100.0, 2),
+                    pa.float64(),
+                ),
+                "l_returnflag": pa.array(
+                    [("N", "A", "R")[j] for j in rng.randint(0, 3, n_li)],
+                    pa.string(),
+                ),
+                "l_linestatus": pa.array(
+                    [("O", "F")[j] for j in rng.randint(0, 2, n_li)],
+                    pa.string(),
+                ),
+                "l_shipdate": pa.array(
+                    sdate.astype("datetime64[us]"), pa.timestamp("us")
+                ),
+            }
+        ),
+        os.path.join(out_dir, "lineitem.parquet"),
+    )
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else ".scaledata/sf1"
     os.makedirs(out_dir, exist_ok=True)
@@ -91,7 +201,9 @@ def main() -> None:
     emb = gen_embeddings(20_000, rng)
     pq.write_table(docs, os.path.join(out_dir, "documents.parquet"))
     pq.write_table(emb, os.path.join(out_dir, "embeddings.parquet"))
-    print(f"wrote {docs.num_rows} documents, {emb.num_rows} embeddings -> {out_dir}")
+    gen_tpch(out_dir, 10, np.random.RandomState(43))
+    print(f"wrote {docs.num_rows} documents, {emb.num_rows} embeddings, "
+          f"customer/orders/lineitem x10 -> {out_dir}")
 
 
 if __name__ == "__main__":
