@@ -47,8 +47,9 @@ _CHECK_FIRST = [
     "x82_sql_udf", "x83_kmv_intersections", "x84_split_leakage",
     "x85_skew_report", "x86_join_order_plan", "x87_table_profile",
     "x88_kmv_incremental", "x89_retention_cohorts",
-    # round-7 addition, never driver-checked
-    "x90_cbo_estimates",
+    # round-7 additions, never driver-checked
+    "x90_cbo_estimates", "x91_profile_approx_certified",
+    "x92_ivfpq_topk",
     # x40–x45 + d01–d14 + x01: driver verdicts from round 4
     "x40_length_trim", "x41_tumbling_rollup", "x42_sliding_rollup",
     "x43_pagerank", "x44_unigram_logprob", "x45_minhash_calibration",
@@ -61,7 +62,7 @@ _CHECK_FIRST = [
     "d18_count_distinct_having", "d19_median", "d20_rollup",
     "d21_grouping_sets", "d22_conditional_agg", "d23_window_rank",
     "d24_window_lag_lead", "d25_window_running_max", "d26_intersect",
-    "d27_except", "d28_date_agg", "d29_math_string",
+    "d27_except",
 ]
 
 

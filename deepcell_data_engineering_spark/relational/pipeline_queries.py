@@ -5397,3 +5397,250 @@ def x90(spark: SparkSession, sf_dir: str) -> DataFrame:
             "truly_smaller"
         ),
     ).orderBy("first_join")
+
+
+_X91_COLS = [
+    ("orders", "o_orderkey"), ("orders", "o_custkey"),
+    ("orders", "o_orderstatus"), ("customer", "c_custkey"),
+    ("documents", "source"), ("documents", "lang"),
+    ("documents", "doc_id"),
+]
+
+
+@_q(
+    "x91_profile_approx_certified",
+    "WITH cols AS ("
+    + " UNION ALL ".join(
+        f"SELECT '{t}.{c}' AS col_name,"
+        f" CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv_exact FROM {t}"
+        for t, c in _X91_COLS
+    )
+    + """)
+       SELECT col_name, ndv_exact, TRUE AS approx_within_10pct
+       FROM cols ORDER BY col_name""",
+    doc="The approx profile mode (functions/stats.py:table_profile "
+    "approx=True) certified through the driver gate itself, the x88 "
+    "pattern: the engine computes BOTH profiles — exact NDV via "
+    "COUNT(DISTINCT) (the Expand path) and approx via "
+    "approx_count_distinct (HLL++, no Expand, the single unmultiplied "
+    "pass that is the right mode at 100 TB) — and emits the exact "
+    "NDVs plus an in-query certification that every approx estimate "
+    "lands within 10% (or +-1 for tiny vocabularies, where HLL++'s "
+    "sparse mode is exact). The oracle rebuilds the exact NDVs and "
+    "states the invariant; the hash match holds only if the approx "
+    "path is actually that accurate. Deterministic because HLL++ "
+    "register merge is a max — same data, any partition layout, same "
+    "estimate.",
+)
+def x91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.stats import table_profile
+
+    by_table: dict[str, list[str]] = {}
+    for t, c in _X91_COLS:
+        by_table.setdefault(t, []).append(c)
+
+    def prof(approx: bool) -> DataFrame:
+        parts = []
+        for t, cols in by_table.items():
+            p = table_profile(
+                load_table(spark, sf_dir, t),
+                {c: "int" for c in cols},
+                approx=approx,
+            ).select(
+                F.concat(F.lit(t + "."), F.col("col_name")).alias("col_name"),
+                F.col("ndv"),
+            )
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    exact = prof(False).withColumnRenamed("ndv", "ndv_exact")
+    approx = prof(True).withColumnRenamed("ndv", "ndv_approx")
+    err = F.abs(F.col("ndv_approx") - F.col("ndv_exact"))
+    return (
+        exact.join(approx, "col_name")
+        .select(
+            "col_name",
+            F.col("ndv_exact").cast("bigint").alias("ndv_exact"),
+            ((err * 10 <= F.col("ndv_exact")) | (err <= 1)).alias(
+                "approx_within_10pct"
+            ),
+        )
+        .orderBy("col_name")
+    )
+
+
+def _x92_oracle(
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    n_queries: int = 5,
+    topk: int = 5,
+    n_lists: int = 8,
+    nprobe: int = 2,
+) -> str:
+    """IVF-PQ oracle: the x14 coarse-assignment CTEs (lowest-id
+    centroids, cosine via unit-normalized dot, ties to smaller id)
+    restrict which (query, neighbor) pairs exist, then the x80
+    per-subspace Lloyd chains + ADC lookup tables score only those
+    candidates. Partials carried as ROUND(dot*1e9) BIGINT (partition-
+    order-independent sums)."""
+    sub = EMB_DIM // m
+    guard = (
+        "CASE WHEN list_dot_product(cvec, cvec) = 0 THEN 1.0"
+        " ELSE sqrt(list_dot_product(cvec, cvec)) END"
+    )
+    cguard = (
+        "CASE WHEN sqrt(list_dot_product(vcent, vcent)) = 0 THEN 1.0"
+        " ELSE sqrt(list_dot_product(vcent, vcent)) END"
+    )
+    ctes = [
+        "vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""coarse AS (
+         SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS vcent
+         FROM embeddings ORDER BY vec_id LIMIT {n_lists}
+       )""",
+        f"""cassign AS (
+         SELECT vec_id, centroid_id,
+                ROW_NUMBER() OVER (
+                  PARTITION BY vec_id
+                  ORDER BY list_dot_product(v,
+                    list_transform(vcent, x -> x / ({cguard}))) DESC,
+                    centroid_id) AS r
+         FROM vecs, coarse
+       )""",
+        "inv AS (SELECT vec_id AS neighbor_id, centroid_id"
+        " FROM cassign WHERE r = 1)",
+        f"probes AS (SELECT vec_id AS qid, centroid_id FROM cassign"
+        f" WHERE r <= {nprobe} AND vec_id < {n_queries})",
+        """cand AS (
+         SELECT p.qid, i.neighbor_id
+         FROM inv i JOIN probes p USING (centroid_id)
+         WHERE i.neighbor_id <> p.qid
+         GROUP BY p.qid, i.neighbor_id
+       )""",
+    ]
+    enc_parts, lut_parts = [], []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        ctes.append(f"sv{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM vecs)")
+        ctes += _kmeans_ctes(k, sub, iters, src=f"sv{s}", prefix=f"s{s}")
+        ctes.append(f"""enc{s} AS (
+         SELECT vec_id, {s} AS s, centroid_id AS code FROM (
+           SELECT vec_id, centroid_id,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY sc DESC, centroid_id) AS r
+           FROM (SELECT t.vec_id, c.centroid_id,
+                        list_dot_product(t.v,
+                          list_transform(c.cvec, x -> x / ({guard}))) AS sc
+                 FROM sv{s} t, s{s}c{iters} c)
+         ) WHERE r = 1
+       )""")
+        ctes.append(f"""lut{s} AS (
+         SELECT q.vec_id AS qid, {s} AS s, c.centroid_id AS code,
+                CAST(ROUND(list_dot_product(q.v, c.cvec) * 1e9) AS BIGINT)
+                  AS part
+         FROM (SELECT vec_id, v FROM sv{s} WHERE vec_id < {n_queries}) q,
+              s{s}c{iters} c
+       )""")
+        enc_parts.append(f"SELECT * FROM enc{s}")
+        lut_parts.append(f"SELECT * FROM lut{s}")
+    ctes.append("enc AS (" + " UNION ALL ".join(enc_parts) + ")")
+    ctes.append("lut AS (" + " UNION ALL ".join(lut_parts) + ")")
+    ctes.append("""approx AS (
+         SELECT c.qid, c.neighbor_id, CAST(SUM(l.part) AS BIGINT) AS apx
+         FROM cand c
+         JOIN enc e ON e.vec_id = c.neighbor_id
+         JOIN lut l ON l.qid = c.qid AND l.s = e.s AND l.code = e.code
+         GROUP BY c.qid, c.neighbor_id
+       )""")
+    joined = ",\n       ".join(ctes)
+    return f"""WITH {joined}
+       SELECT qid AS query_id, neighbor_id,
+              CAST(rank AS INTEGER) AS rank,
+              ROUND(apx / 1e9 + 0.0, 6) AS approx_score
+       FROM (SELECT qid, neighbor_id, apx,
+                    ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY apx DESC, neighbor_id) AS rank
+             FROM approx)
+       WHERE rank <= {topk} ORDER BY query_id, rank"""
+
+
+@_q(
+    "x92_ivfpq_topk",
+    _x92_oracle(m=4, k=8, iters=2, n_queries=5, topk=5, n_lists=8, nprobe=2),
+    doc="IVF-PQ — the FAISS-architecture composition of x14's coarse "
+    "inverted lists with x80's product-quantization ADC, and the shape "
+    "ANN actually takes at 100 TB: the coarse quantizer prunes the "
+    "candidate set to the query's nprobe=2 lists (an equi-join on "
+    "centroid_id, never a corpus scan per query), then asymmetric "
+    "distance scores ONLY those candidates from 4-byte PQ codes and a "
+    "broadcast 32-row-per-query LUT — full vectors are touched at "
+    "neither stage. Candidate pruning composes multiplicatively with "
+    "the 16x PQ memory compression: probe fraction x code bytes is "
+    "what a 1000-executor cluster reads. Codes join candidates on "
+    "vec_id, LUT parts attach by broadcast, partials are scaled-BIGINT "
+    "(partition-order-independent). Oracle = x14's coarse CTEs + "
+    "x80's per-subspace Lloyd chains, spliced.",
+)
+def x92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    cents = emb.orderBy("vec_id").limit(8)
+    inv = sim.ivf_assign(emb, cents, nprobe=1).select(
+        F.col("vec_id").alias("neighbor_id"), "centroid_id"
+    )
+    probes = sim.ivf_assign(queries, cents, nprobe=2).select(
+        F.col("vec_id").alias("qid"), "centroid_id"
+    )
+    cand = (
+        inv.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("neighbor_id") != F.col("qid"))
+        .select("qid", "neighbor_id")
+        .distinct()
+    )
+    cb = sim.pq_train(emb, m=4, n_clusters=8, iters=2)
+    codes = sim.pq_encode(emb, cb).withColumnRenamed("vec_id", "neighbor_id")
+    sub = len(cb[0][2])
+    cent = spark.createDataFrame(
+        [(s, j, v) for s, j, v in cb], "s int, code long, cvec array<double>"
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("embedding"), F.col("s") * sub + 1, sub),
+            F.col("cvec"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    lut = (
+        queries.select(F.col("vec_id").alias("qid"), "embedding")
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "qid", "s", "code",
+            F.round(dot * F.lit(1e9)).cast("bigint").alias("part"),
+        )
+    )
+    scored = (
+        codes.join(cand, "neighbor_id")
+        .join(F.broadcast(lut), ["qid", "s", "code"])
+        .groupBy("qid", "neighbor_id")
+        .agg(F.sum("part").cast("bigint").alias("apx"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("apx"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+        .select(
+            F.col("qid").alias("query_id"),
+            "neighbor_id",
+            "rank",
+            F.round(F.col("apx") / F.lit(1e9) + F.lit(0.0), 6).alias(
+                "approx_score"
+            ),
+        )
+        .orderBy("query_id", "rank")
+    )
