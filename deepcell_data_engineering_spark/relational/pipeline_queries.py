@@ -5644,3 +5644,91 @@ def x92(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+@_q(
+    "x93_approx_quantile_certified",
+    """WITH t AS (
+         SELECT l_returnflag, CAST(l_extendedprice * 100 AS BIGINT) AS cents
+         FROM lineitem
+       ),
+       ex AS ("""
+    + " UNION ALL ".join(
+        f"""SELECT l_returnflag, CAST({q} AS DOUBLE) AS q,
+                CAST(quantile_disc(cents, {q}) AS BIGINT) AS exact_disc
+         FROM t GROUP BY l_returnflag"""
+        for q in (0.25, 0.5, 0.9, 0.99)
+    )
+    + """)
+       SELECT l_returnflag, q, exact_disc, TRUE AS approx_rank_ok
+       FROM ex ORDER BY l_returnflag, q""",
+    doc="Approximate quantiles certified through the driver gate (the "
+    "x91 pattern for percentiles): the engine computes per-group "
+    "approx_percentile (Greenwald-Khanna sketch, accuracy=10000 - the "
+    "mergeable bounded-state path that replaces a global sort at "
+    "100 TB) AND the exact disc percentile from the d43/x63 value-"
+    "histogram, then certifies IN-QUERY that each approx value's true "
+    "rank lands within the sketch's +-n/accuracy guarantee (rank "
+    "bounds computed by counting values at-or-below the approx pick - "
+    "one conditional-count pass, no sort). The emitted exact values "
+    "hash-match the oracle; the certification boolean holds under ANY "
+    "partition layout even though GK merge order can move the picked "
+    "value inside the guarantee band. Money carried as integer cents "
+    "(the d49 convention).",
+)
+def x93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    qs = [0.25, 0.5, 0.9, 0.99]
+    acc = 10000
+    # one grouped pass computes ALL approx quantiles + n per group
+    apx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("cents", qs, acc).alias("apx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    apx = apx.select(
+        "l_returnflag",
+        "n",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(q) for q in qs]).alias("q"),
+                F.col("apx").alias("apx_val"),
+            )
+        ).alias("z"),
+    ).select("l_returnflag", "n", F.col("z.q").alias("q"), F.col("z.apx_val").alias("apx_val"))
+    # exact disc percentile over the value histogram (x63's shape: the
+    # ordered window runs over distinct VALUES, never rows)
+    vc = li.groupBy("l_returnflag", F.col("cents").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vc.withColumn("cum", F.sum("c").over(w))
+    qdf = apx
+    # exact pick: least v whose cumulative count reaches ceil(q*n);
+    # true rank bounds of the approx pick: [count(< apx), count(<= apx)]
+    joined = (
+        qdf.join(cum, "l_returnflag")
+        .groupBy("l_returnflag", "q", "n", "apx_val")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.col("q") * F.col("n")), F.col("v")
+                )
+            ).alias("exact_disc"),
+            F.sum(F.when(F.col("v") < F.col("apx_val"), F.col("c")).otherwise(0)).alias("rank_lo"),
+            F.sum(F.when(F.col("v") <= F.col("apx_val"), F.col("c")).otherwise(0)).alias("rank_hi"),
+        )
+    )
+    target = F.ceil(F.col("q") * F.col("n"))
+    tol = (F.col("n") + F.lit(acc) - 1) / F.lit(acc)  # ceil(n/acc) guarantee
+    ok = (F.col("rank_hi") >= target - tol) & (F.col("rank_lo") <= target + tol)
+    return joined.select(
+        "l_returnflag",
+        "q",
+        F.col("exact_disc").cast("bigint").alias("exact_disc"),
+        ok.alias("approx_rank_ok"),
+    ).orderBy("l_returnflag", "q")
