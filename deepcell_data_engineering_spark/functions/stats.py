@@ -202,13 +202,26 @@ def disc_percentile_by_histogram(
     return row[0][0]
 
 
-def key_skew_report(df: DataFrame, key_col: str, label: str) -> DataFrame:
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    label: str,
+    counts: DataFrame | None = None,
+    count_col: str = "c",
+) -> DataFrame:
     """One-row skew diagnostic for a prospective shuffle key: (key_col,
     n_rows, n_keys, avg_count, p50_count, p99_count, top1_count,
     top1_share, recommended_salts). The planner-facing companion to
     x39's salted join: a key whose top1_share dwarfs 1/shuffle-
     partitions stalls every groupBy/join on its straggler partition,
     and this report prices that BEFORE running the shuffle.
+
+    Pass ``counts`` (a per-key count table, count column named
+    ``count_col``) to derive the report WITHOUT re-aggregating ``df``:
+    when the caller already built the key's frequency table for its
+    own purposes (a vocabulary, a dimension), the report reuses it —
+    at 100 TB that removes a second full scan+shuffle of the input.
+    ``df``/``key_col`` are ignored in that case.
 
     Fully declarative: one grouped count over the key, then the disc
     percentiles run over the histogram of COUNT VALUES (distinct
@@ -221,11 +234,14 @@ def key_skew_report(df: DataFrame, key_col: str, label: str) -> DataFrame:
     of a 32-partition shuffle."""
     from pyspark.sql import Window
 
-    counts = (
-        df.where(F.col(key_col).isNotNull())
-        .groupBy(F.col(key_col).alias("k"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    if counts is not None:
+        counts = counts.select(F.col(count_col).alias("c"))
+    else:
+        counts = (
+            df.where(F.col(key_col).isNotNull())
+            .groupBy(F.col(key_col).alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
     agg = counts.agg(
         F.sum("c").cast("bigint").alias("n_rows"),
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),

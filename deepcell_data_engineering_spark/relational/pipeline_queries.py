@@ -5732,3 +5732,90 @@ def x93(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_disc").cast("bigint").alias("exact_disc"),
         ok.alias("approx_rank_ok"),
     ).orderBy("l_returnflag", "q")
+
+
+_X94_ORACLE = (
+    r"""WITH tokraw AS (
+         SELECT doc_id, source,
+                unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+         FROM documents
+       ),
+       tok AS (SELECT doc_id, source, term FROM tokraw WHERE term <> ''),
+       vocab AS (
+         SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY term
+       ),"""
+    + _x85_cte("t", "tok", "term", "documents.term")
+    + """,
+       j AS (
+         SELECT tok.source, v.df FROM tok JOIN vocab v USING (term)
+       )
+       SELECT j.source,
+              CAST(COUNT(*) AS BIGINT) AS n_tok,
+              CAST(SUM(j.df) AS BIGINT) AS sum_df,
+              ROUND(SUM(j.df)::DOUBLE / COUNT(*)::DOUBLE + 0.0, 4) AS avg_df,
+              r.recommended_salts AS salts_used
+       FROM j CROSS JOIN t_row r
+       GROUP BY j.source, r.recommended_salts
+       ORDER BY j.source"""
+)
+
+
+@_q(
+    "x94_adaptive_salted_join",
+    _X94_ORACLE,
+    doc="The skew loop CLOSED: x85's key_skew_report prices the token "
+    "key's Zipf head and recommends a salt count; x39's salted_join "
+    "runs with EXACTLY that recommendation (not a hand-picked "
+    "constant); the plain-join oracle certifies the salted plan is "
+    "row-for-row identical AND that the engine applied the same salt "
+    "count the report's SQL twin derives. This is how the diagnose -> "
+    "apply -> verify cycle runs at 100 TB: the report reads one "
+    "grouped count (the only ordered window is over the count-value "
+    "histogram), the recommendation is k-row planner state, and the "
+    "hot term's rows spread across salt sub-keys so no task owns a "
+    "Zipf head alone. Integer token/df sums keep the division exact "
+    "to the rounding precision on both engines.",
+)
+def x94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.stats import key_skew_report
+    from deepcell_data_engineering_spark.plans.layout import salted_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "term"
+        ),
+    ).where(F.col("term") != "")
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # planner state: the 1-row skew report picks the salt count (the
+    # x90/x92 convention - statistics are k-row, the data is not
+    # re-scanned to plan). The report derives from the vocabulary the
+    # join needs anyway (counts=), so the corpus explode aggregates
+    # ONCE, not twice.
+    rep = key_skew_report(
+        tok, "term", "documents.term", counts=vocab, count_col="df"
+    ).collect()[0]
+    n_salts = int(rep["recommended_salts"])
+    j = salted_join(tok, vocab, key="term", salt_source="doc_id", n_salts=n_salts)
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("df").cast("bigint").alias("sum_df"),
+            F.round(
+                F.sum("df").cast("double") / F.count(F.lit(1)).cast("double")
+                + F.lit(0.0),
+                4,
+            ).alias("avg_df"),
+        )
+        .select(
+            "source",
+            F.col("n_tok").cast("bigint").alias("n_tok"),
+            "sum_df",
+            "avg_df",
+            F.lit(n_salts).cast("bigint").alias("salts_used"),
+        )
+        .orderBy("source")
+    )

@@ -164,3 +164,16 @@ def test_disc_percentile_rejects_empty_and_all_null_columns(spark):
     nulls = spark.createDataFrame([(None,), (None,)], "x int")
     with pytest.raises(ValueError, match="empty"):
         disc_percentile_by_histogram(nulls, "x", 0.5)
+
+
+def test_key_skew_report_from_precomputed_counts_matches(spark):
+    """counts= reuses a caller-built frequency table: the report must
+    be identical to the direct-aggregation path."""
+    from deepcell_data_engineering_spark.functions.stats import key_skew_report
+
+    rows = [("k%d" % (i % 7),) for i in range(200)] + [("hot",)] * 300
+    df = spark.createDataFrame(rows, "k string")
+    direct = key_skew_report(df, "k", "t").collect()
+    counts = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    reused = key_skew_report(df, "k", "t", counts=counts, count_col="n").collect()
+    assert [tuple(r) for r in direct] == [tuple(r) for r in reused]
