@@ -617,3 +617,39 @@ def test_table_profile_approx_mode_drops_expand(spark):
         for r in approx_df.collect()
     }
     assert ex_rows == ap_rows
+
+
+def test_round7_queries_have_no_cartesian(spark):
+    """x90-x94 keep the no-cartesian contract: CMS bucket products,
+    candidate joins, LUT attaches and the salted join are all keyed;
+    the only nested-loop joins are 1-row composition attaches."""
+    for name in (
+        "x90_cbo_estimates",
+        "x91_profile_approx_certified",
+        "x92_ivfpq_topk",
+        "x93_approx_quantile_certified",
+        "x94_adaptive_salted_join",
+    ):
+        plan = pi.executed_plan(QUERIES[name].build(spark, SF))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_x92_ivfpq_vectors_never_shuffle_after_encoding(spark):
+    """The x80 memory contract extended to IVF-PQ: after the map-only
+    coarse assignment and PQ encoding, only 4-byte codes, candidate id
+    pairs, and the broadcast LUT move - the full embedding vectors
+    appear in no sort-merge/shuffled-hash exchange."""
+    df = QUERIES["x92_ivfpq_topk"].build(spark, SF)
+    s = pi.join_strategies(df)
+    assert s["broadcast_hash"] >= 2, s  # probes attach + LUT attach
+    assert s["sort_merge"] == 0 and s["shuffled_hash"] == 0, s
+
+
+def test_x94_salted_join_shape(spark):
+    """x94 must execute the SALTED join (join keys include the salt
+    column) with the dimension exploded across salts - pinned the same
+    way x39's plan is."""
+    df = QUERIES["x94_adaptive_salted_join"].build(spark, SF)
+    plan = pi.executed_plan(df)
+    assert "_salt" in plan, plan
+    assert "CartesianProduct" not in plan
