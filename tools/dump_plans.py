@@ -73,6 +73,12 @@ HEADLINERS = [
     ("x86_join_order_plan", "join ordering from persisted CMS counters: no input scanned at planning"),
     ("x87_table_profile", "table profile: one scan + one agg per table, stack() pivot, Expand distincts"),
     ("x88_kmv_incremental", "incremental KMV: merge of persisted half-states, WindowGroupLimit re-rank"),
+    ("x89_retention_cohorts", "retention matrix: first-seen agg and activity join share one user-hash partitioning"),
+    ("x90_cbo_estimates", "CBO cross-check: CMS + System R stats estimates priced per join order, certified vs exact"),
+    ("x91_profile_approx_certified", "approx NDV certified: exact Expand path vs HLL++ single pass, 10% bound in-query"),
+    ("x92_ivfpq_topk", "IVF-PQ: coarse lists prune candidates, ADC scores codes only, vectors never shuffle"),
+    ("x93_approx_quantile_certified", "GK approx quantiles vs exact value-histogram disc, rank-error bound certified"),
+    ("x94_adaptive_salted_join", "skew loop closed: report-driven salt count, salted join row-identical to plain"),
 ]
 
 
