@@ -50,7 +50,7 @@ _CHECK_FIRST = [
     # round-7 additions, never driver-checked
     "x90_cbo_estimates", "x91_profile_approx_certified",
     "x92_ivfpq_topk", "x93_approx_quantile_certified",
-    "x94_adaptive_salted_join",
+    "x94_adaptive_salted_join", "x95_adaptive_lsh",
     # x40–x45 + d01–d14 + x01: driver verdicts from round 4
     "x40_length_trim", "x41_tumbling_rollup", "x42_sliding_rollup",
     "x43_pagerank", "x44_unigram_logprob", "x45_minhash_calibration",
@@ -62,7 +62,7 @@ _CHECK_FIRST = [
     "d15_range_join", "d16_cross_join", "d17_grouped_agg",
     "d18_count_distinct_having", "d19_median", "d20_rollup",
     "d21_grouping_sets", "d22_conditional_agg", "d23_window_rank",
-    "d24_window_lag_lead", "d25_window_running_max",
+    "d24_window_lag_lead",
 ]
 
 

@@ -5819,3 +5819,161 @@ def x94(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_X95_CONFIGS = [(1, 6), (2, 3), (3, 2), (6, 1)]
+
+
+def _x95_oracle(t: float = 0.5) -> str:
+    """Adaptive-LSH oracle: x45's exact-Jaccard machinery defines the
+    truth set, one banded/pairs/stat CTE chain per (bands, rows)
+    config, implied thresholds via POWER, argmin pick via window."""
+    head = _MINHASH_CHUNKS.replace(
+        "FROM documents,",
+        "FROM (SELECT * FROM documents WHERE doc_id < 200) documents,",
+        1,
+    )
+    ctes = [
+        f"""sig AS (
+         SELECT doc_id,
+              {_minhash_oracle_terms(6)}
+         FROM chunks GROUP BY doc_id
+       )""",
+        "dsh AS (SELECT DISTINCT doc_id, shingle FROM sh)",
+        "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id)",
+        """inter AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+         FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id
+       )""",
+        f"""truth AS (
+         SELECT i.id_a, i.id_b
+         FROM inter i
+         JOIN sizes za ON i.id_a = za.doc_id
+         JOIN sizes zb ON i.id_b = zb.doc_id
+         WHERE ROUND(i.n_inter / (za.n_sh + zb.n_sh - i.n_inter), 6)
+               >= {t}
+       )""",
+        "nt AS (SELECT COUNT(*) AS n_true FROM truth)",
+    ]
+    stat_parts = []
+    for b, r in _X95_CONFIGS:
+        groups = [[f"h{g * r + j}" for j in range(r)] for g in range(b)]
+        branches = " UNION ALL ".join(
+            "SELECT doc_id, md5("
+            + " || '-' || ".join(f"{c}::VARCHAR" for c in grp)
+            + ") AS band FROM sig"
+            for grp in groups
+        )
+        ctes.append(f"banded{b} AS ({branches})")
+        ctes.append(
+            f"""pairs{b} AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded{b} a JOIN banded{b} b
+           ON a.band = b.band AND a.doc_id < b.doc_id
+       )"""
+        )
+        stat_parts.append(
+            f"""SELECT {b} AS bands, {r} AS rows_per_band,
+                (SELECT COUNT(*) FROM pairs{b}) AS n_candidates,
+                (SELECT COUNT(*) FROM pairs{b} p
+                 JOIN truth USING (id_a, id_b)) AS n_found"""
+        )
+    ctes.append("allstats AS (" + " UNION ALL ".join(stat_parts) + ")")
+    joined = ",\n       ".join(ctes)
+    return f"""{head},
+       {joined}
+       SELECT CAST(bands AS BIGINT) AS bands,
+              CAST(rows_per_band AS BIGINT) AS rows_per_band,
+              ROUND(POWER(1.0 / bands, 1.0 / rows_per_band) + 0.0, 4)
+                AS implied_threshold,
+              CAST(n_candidates AS BIGINT) AS n_candidates,
+              CAST(n_found AS BIGINT) AS n_found,
+              CAST(nt.n_true AS BIGINT) AS n_true,
+              ROUND(COALESCE(n_found::DOUBLE / NULLIF(nt.n_true, 0)::DOUBLE,
+                             0.0) + 0.0, 4) AS recall,
+              ROUND(COALESCE(n_found::DOUBLE / NULLIF(n_candidates, 0)::DOUBLE,
+                             0.0) + 0.0, 4) AS prec,
+              ABS(POWER(1.0 / bands, 1.0 / rows_per_band) - {t})
+                = MIN(ABS(POWER(1.0 / bands, 1.0 / rows_per_band) - {t}))
+                  OVER () AS chosen
+       FROM allstats CROSS JOIN nt
+       ORDER BY bands"""
+
+
+@_q(
+    "x95_adaptive_lsh",
+    _x95_oracle(t=0.5),
+    doc="The dedup loop CLOSED (the x94 pattern for LSH): for a target "
+    "Jaccard threshold 0.5 and a 6-hash MinHash signature, ALL four "
+    "legal (bands x rows) configurations are measured on a bounded "
+    "corpus sample from ONE signature table — candidates generated, "
+    "recall and precision against the exact-Jaccard truth set "
+    "computed, the S-curve implied threshold (1/b)^(1/r) derived, and "
+    "the config whose implied threshold is closest to the target "
+    "marked chosen (here 3x2, implied 0.5774). This is how LSH "
+    "parameters are actually committed before a 100 TB dedup pass: "
+    "measure on a sample, pick by the S-curve, certify the recall the "
+    "choice buys. The four configs share one signature build and one "
+    "truth set; candidate stats are counts over vocab-bounded pair "
+    "sets, never materialized row-pair scans.",
+)
+def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = 0.5
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    sigs = dd.minhash_signatures(docs, num_hashes=6, k=5).localCheckpoint()
+    truth = (
+        dd.ngram_jaccard_pairs(docs, k=5)
+        .where(F.col("jaccard") >= t)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    n_true = truth.count()
+    cand_all = None
+    for b, r in _X95_CONFIGS:
+        groups = [[f"h{g * r + j}" for j in range(r)] for g in range(b)]
+        cand = dd.lsh_candidate_pairs(sigs, bands=groups).select(
+            F.lit(b).alias("bands"),
+            F.lit(r).alias("rows_per_band"),
+            "id_a",
+            "id_b",
+        )
+        cand_all = cand if cand_all is None else cand_all.unionByName(cand)
+    marked = cand_all.join(
+        truth.withColumn("__t", F.lit(1)), ["id_a", "id_b"], "left"
+    )
+    stats = marked.groupBy("bands", "rows_per_band").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.coalesce(F.col("__t"), F.lit(0))).alias("n_found"),
+    )
+    # a config can legitimately produce zero candidates - keep its row
+    cfg = spark.createDataFrame(_X95_CONFIGS, "bands int, rows_per_band int")
+    full = cfg.join(stats, ["bands", "rows_per_band"], "left").select(
+        "bands",
+        "rows_per_band",
+        F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+        F.coalesce("n_found", F.lit(0)).alias("n_found"),
+    )
+    implied = F.pow(F.lit(1.0) / F.col("bands"), F.lit(1.0) / F.col("rows_per_band"))
+    w = Window.partitionBy()
+    rec = F.when(
+        F.lit(n_true) > 0, F.col("n_found").cast("double") / F.lit(float(n_true))
+    ).otherwise(F.lit(0.0))
+    prc = F.when(
+        F.col("n_candidates") > 0,
+        F.col("n_found").cast("double") / F.col("n_candidates").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return full.select(
+        F.col("bands").cast("bigint").alias("bands"),
+        F.col("rows_per_band").cast("bigint").alias("rows_per_band"),
+        F.round(implied + F.lit(0.0), 4).alias("implied_threshold"),
+        F.col("n_candidates").cast("bigint").alias("n_candidates"),
+        F.col("n_found").cast("bigint").alias("n_found"),
+        F.lit(n_true).cast("bigint").alias("n_true"),
+        F.round(rec + F.lit(0.0), 4).alias("recall"),
+        F.round(prc + F.lit(0.0), 4).alias("prec"),
+        (
+            F.abs(implied - F.lit(t))
+            == F.min(F.abs(implied - F.lit(t))).over(w)
+        ).alias("chosen"),
+    ).orderBy("bands")
