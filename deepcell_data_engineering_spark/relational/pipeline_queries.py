@@ -5977,3 +5977,205 @@ def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.min(F.abs(implied - F.lit(t))).over(w)
         ).alias("chosen"),
     ).orderBy("bands")
+
+
+def _x96_oracle(
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    n_queries: int = 5,
+    topk: int = 5,
+    n_lists: int = 8,
+    nprobe: int = 2,
+) -> str:
+    """Residual IVF-PQ oracle: x92's coarse CTEs, then the Lloyd
+    chains/codes/LUTs run over RESIDUAL vectors (v - coarse centroid,
+    element-wise via DuckDB's indexed list_transform), with one lookup
+    table per (query, probed list) because the query residual differs
+    per list."""
+    sub = EMB_DIM // m
+    guard = (
+        "CASE WHEN list_dot_product(cvec, cvec) = 0 THEN 1.0"
+        " ELSE sqrt(list_dot_product(cvec, cvec)) END"
+    )
+    cguard = (
+        "CASE WHEN sqrt(list_dot_product(vcent, vcent)) = 0 THEN 1.0"
+        " ELSE sqrt(list_dot_product(vcent, vcent)) END"
+    )
+    ctes = [
+        "vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""coarse AS (
+         SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS vcent
+         FROM embeddings ORDER BY vec_id LIMIT {n_lists}
+       )""",
+        f"""cassign AS (
+         SELECT vec_id, centroid_id,
+                ROW_NUMBER() OVER (
+                  PARTITION BY vec_id
+                  ORDER BY list_dot_product(v,
+                    list_transform(vcent, x -> x / ({cguard}))) DESC,
+                    centroid_id) AS r
+         FROM vecs, coarse
+       )""",
+        """rv AS (
+         SELECT a.vec_id, a.centroid_id,
+                list_transform(t.v, (x, i) -> x - c.vcent[i]) AS v
+         FROM cassign a
+         JOIN vecs t ON t.vec_id = a.vec_id
+         JOIN coarse c ON c.centroid_id = a.centroid_id
+         WHERE a.r = 1
+       )""",
+        f"""qrv AS (
+         SELECT a.vec_id AS qid, a.centroid_id,
+                list_transform(t.v, (x, i) -> x - c.vcent[i]) AS v
+         FROM cassign a
+         JOIN vecs t ON t.vec_id = a.vec_id
+         JOIN coarse c ON c.centroid_id = a.centroid_id
+         WHERE a.r <= {nprobe} AND a.vec_id < {n_queries}
+       )""",
+    ]
+    enc_parts, lut_parts = [], []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        ctes.append(f"rsv{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM rv)")
+        ctes += _kmeans_ctes(k, sub, iters, src=f"rsv{s}", prefix=f"r{s}")
+        ctes.append(f"""enc{s} AS (
+         SELECT vec_id, {s} AS s, centroid_id AS code FROM (
+           SELECT vec_id, centroid_id,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY sc DESC, centroid_id) AS r
+           FROM (SELECT t.vec_id, c.centroid_id,
+                        list_dot_product(t.v,
+                          list_transform(c.cvec, x -> x / ({guard}))) AS sc
+                 FROM rsv{s} t, r{s}c{iters} c)
+         ) WHERE r = 1
+       )""")
+        ctes.append(f"""lut{s} AS (
+         SELECT q.qid, q.centroid_id, {s} AS s, c.centroid_id AS code,
+                CAST(ROUND(list_dot_product(q.v[{lo}:{hi}], c.cvec) * 1e9)
+                     AS BIGINT) AS part
+         FROM qrv q, r{s}c{iters} c
+       )""")
+        enc_parts.append(f"SELECT * FROM enc{s}")
+        lut_parts.append(f"SELECT * FROM lut{s}")
+    ctes.append("enc AS (" + " UNION ALL ".join(enc_parts) + ")")
+    ctes.append("lut AS (" + " UNION ALL ".join(lut_parts) + ")")
+    ctes.append("""vmap AS (SELECT vec_id AS neighbor_id, centroid_id
+                 FROM rv)""")
+    ctes.append("""approx AS (
+         SELECT l.qid, e.vec_id AS neighbor_id,
+                CAST(SUM(l.part) AS BIGINT) AS apx
+         FROM enc e
+         JOIN vmap v ON v.neighbor_id = e.vec_id
+         JOIN lut l ON l.centroid_id = v.centroid_id
+                   AND l.s = e.s AND l.code = e.code
+         WHERE e.vec_id <> l.qid
+         GROUP BY l.qid, e.vec_id
+       )""")
+    joined = ",\n       ".join(ctes)
+    return f"""WITH {joined}
+       SELECT qid AS query_id, neighbor_id,
+              CAST(rank AS INTEGER) AS rank,
+              ROUND(apx / 1e9 + 0.0, 6) AS approx_score
+       FROM (SELECT qid, neighbor_id, apx,
+                    ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY apx DESC, neighbor_id) AS rank
+             FROM approx)
+       WHERE rank <= {topk} ORDER BY query_id, rank"""
+
+
+@_q(
+    "x96_ivfpq_residual_topk",
+    _x96_oracle(),
+    doc="RESIDUAL IVF-PQ — x92 upgraded to the full FAISS by_residual "
+    "architecture: PQ codebooks train on v - coarse_centroid instead "
+    "of raw vectors, so the quantizer spends its 4x8 codewords on the "
+    "WITHIN-list displacement (small, centered) rather than re-"
+    "encoding the between-list structure the coarse quantizer already "
+    "captured — the standard accuracy upgrade at the same 4-byte "
+    "memory cost. The asymmetric-distance table becomes per (query, "
+    "probed list): the query residual differs per list, so 2 probed "
+    "lists x 32 codeword dots per query broadcast (320 rows total); "
+    "codes join candidates through the vec->list map and score by "
+    "scaled-BIGINT partials. Oracle = x92's coarse CTEs + residual "
+    "construction via DuckDB's indexed list_transform + the Lloyd "
+    "chains over residual slices.",
+)
+def x96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents_src = emb.orderBy("vec_id").limit(8)
+    cents = cents_src.select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vcent"),
+    )
+    inv = sim.ivf_assign(emb, cents_src, nprobe=1)
+    # the residual table feeds pq_train (persisted internally), the 4
+    # pq_encode subspace branches, and the vec->list map - checkpoint
+    # the shared lineage once (the x83 serial-deep-consumers pattern)
+    res = (
+        inv.join(F.broadcast(cents), "centroid_id")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.zip_with("embedding", "vcent", lambda x, y: x - y).alias("rv"),
+        )
+        .localCheckpoint()
+    )
+    cb = sim.pq_train(
+        res.select("vec_id", "rv"), m=4, n_clusters=8, iters=2,
+        vec_col="rv", id_col="vec_id",
+    )
+    codes = sim.pq_encode(
+        res.select("vec_id", "rv"), cb, vec_col="rv", id_col="vec_id"
+    ).withColumnRenamed("vec_id", "neighbor_id")
+    vmap = res.select(F.col("vec_id").alias("neighbor_id"), "centroid_id")
+    probes = sim.ivf_assign(
+        emb.where(F.col("vec_id") < 5), cents_src, nprobe=2
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        "centroid_id",
+    )
+    qres = probes.join(F.broadcast(cents), "centroid_id").select(
+        "qid",
+        "centroid_id",
+        F.zip_with("qv", "vcent", lambda x, y: x - y).alias("qrv"),
+    )
+    sub = len(cb[0][2])
+    cent_rows = spark.createDataFrame(
+        [(s, j, v) for s, j, v in cb], "s int, code long, cvec array<double>"
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("qrv"), F.col("s") * sub + 1, sub),
+            F.col("cvec"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    lut = qres.crossJoin(F.broadcast(cent_rows)).select(
+        "qid", "centroid_id", "s", "code",
+        F.round(dot * F.lit(1e9)).cast("bigint").alias("part"),
+    )
+    scored = (
+        codes.join(vmap, "neighbor_id")
+        .join(F.broadcast(lut), ["centroid_id", "s", "code"])
+        .where(F.col("neighbor_id") != F.col("qid"))
+        .groupBy("qid", "neighbor_id")
+        .agg(F.sum("part").cast("bigint").alias("apx"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("apx"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+        .select(
+            F.col("qid").alias("query_id"),
+            "neighbor_id",
+            "rank",
+            F.round(F.col("apx") / F.lit(1e9) + F.lit(0.0), 6).alias(
+                "approx_score"
+            ),
+        )
+        .orderBy("query_id", "rank")
+    )
