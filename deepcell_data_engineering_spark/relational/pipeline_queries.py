@@ -6179,3 +6179,54 @@ def x96(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+@_q(
+    "x97_python_datasource",
+    """WITH g AS (SELECT unnest(generate_series(0, 999)) AS i),
+       s AS (
+         SELECT i AS doc_id,
+                ['en','de','es','fr','zh'][
+                  1 + (('0x' || substr(md5(i::VARCHAR || 'L'), 1, 7))::BIGINT
+                       % 5)] AS lang,
+                ('0x' || substr(md5(i::VARCHAR), 1, 7))::BIGINT AS value
+         FROM g
+       )
+       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(value) AS BIGINT) AS sum_value,
+              CAST(MIN(doc_id) AS BIGINT) AS min_id,
+              CAST(MAX(doc_id) AS BIGINT) AS max_id
+       FROM s GROUP BY lang ORDER BY lang""",
+    doc="Custom Python DataSource (Spark 4 DataSource V2 Python API, "
+    "sources/pydatasource.py): a registered, PARTITIONED synthetic-"
+    "corpus generator — partitions() plans equal-width id ranges, each "
+    "read() generates only its slice, so the source scales to any row "
+    "count by adding partitions with zero storage and zero skew (the "
+    "TPC-dbgen shape as a first-class source). Rows are pure md5 "
+    "functions of the row index, so the DuckDB oracle rebuilds the "
+    "identical table from generate_series — the driver hash gate "
+    "certifies the custom-source machinery itself (schema, partition "
+    "planning, per-partition iteration), not just downstream "
+    "operators. Aggregation collapses the generated table to 5 rows; "
+    "content is partition-count invariant by construction.",
+)
+def x97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    s = (
+        spark.read.format("synthetic_docs")
+        .option("n", "1000")
+        .option("partitions", "8")
+        .load()
+    )
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("value").cast("bigint").alias("sum_value"),
+            F.min("doc_id").cast("bigint").alias("min_id"),
+            F.max("doc_id").cast("bigint").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
