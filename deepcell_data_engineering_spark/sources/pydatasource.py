@@ -27,7 +27,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 LANGS: Sequence[str] = ("en", "de", "es", "fr", "zh")
 
@@ -70,10 +75,41 @@ class SyntheticDocsReader(DataSourceReader):
             yield gen_row(i)
 
 
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Bounded synthetic STREAM: each micro-batch emits the next
+    ``rate`` rows of the same pure row function, tracked by a row-index
+    offset — so streaming ingest and the batch source produce the SAME
+    table once the stream drains (the batch/stream parity contract the
+    windows/stateful family tests). Offsets are plain dicts
+    ({"index": i}); replaying any [start, end) slice regenerates
+    identical rows (readBetweenOffsets), which is exactly the
+    exactly-once recovery contract Structured Streaming requires of a
+    source after a checkpoint restore."""
+
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("n", "1000"))
+        self.rate = max(1, int(options.get("rate", "100")))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        lo = int(start["index"])
+        hi = min(lo + self.rate, self.n)
+        return iter([gen_row(i) for i in range(lo, hi)]), {"index": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return iter(
+            [gen_row(i) for i in range(int(start["index"]), int(end["index"]))]
+        )
+
+
 class SyntheticDocsDataSource(DataSource):
     """spark.read.format("synthetic_docs").option("n", N) — rows are a
     pure function of the row index; `partitions` controls parallelism
-    without changing content."""
+    without changing content. Also readable as a stream
+    (spark.readStream.format("synthetic_docs")): micro-batches of
+    `rate` rows until `n` is reached."""
 
     @classmethod
     def name(cls) -> str:
@@ -84,6 +120,9 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticDocsReader:
         return SyntheticDocsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticDocsStreamReader:
+        return SyntheticDocsStreamReader(self.options)
 
 
 def register(spark) -> None:
