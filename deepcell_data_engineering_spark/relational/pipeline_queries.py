@@ -6004,10 +6004,16 @@ def _x96_oracle(
     )
     ctes = [
         "vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        f"""coarse AS (
-         SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS vcent
-         FROM embeddings ORDER BY vec_id LIMIT {n_lists}
-       )""",
+    ]
+    # TRAINED coarse centroids (the x19 Lloyd chain, 3 iterations):
+    # residual encoding only pays when residuals are centered and
+    # small, i.e. when the coarse quantizer is actual cluster MEANS —
+    # with arbitrary member vectors as "centroids" (the x14/x92
+    # lowest-id convention) residual variance exceeds raw variance and
+    # recall DEGRADES (measured: 0.12 vs 0.24 raw)
+    ctes += _kmeans_ctes(n_lists, EMB_DIM, 3, src="vecs", prefix="cc")
+    ctes += [
+        "coarse AS (SELECT centroid_id, cvec AS vcent FROM ccc3)",
         f"""cassign AS (
          SELECT vec_id, centroid_id,
                 ROW_NUMBER() OVER (
@@ -6025,9 +6031,10 @@ def _x96_oracle(
          JOIN coarse c ON c.centroid_id = a.centroid_id
          WHERE a.r = 1
        )""",
-        f"""qrv AS (
-         SELECT a.vec_id AS qid, a.centroid_id,
-                list_transform(t.v, (x, i) -> x - c.vcent[i]) AS v
+        f"""qraw AS (
+         SELECT a.vec_id AS qid, a.centroid_id, t.v,
+                CAST(ROUND(list_dot_product(t.v, c.vcent) * 1e9) AS BIGINT)
+                  AS cdot
          FROM cassign a
          JOIN vecs t ON t.vec_id = a.vec_id
          JOIN coarse c ON c.centroid_id = a.centroid_id
@@ -6054,7 +6061,7 @@ def _x96_oracle(
          SELECT q.qid, q.centroid_id, {s} AS s, c.centroid_id AS code,
                 CAST(ROUND(list_dot_product(q.v[{lo}:{hi}], c.cvec) * 1e9)
                      AS BIGINT) AS part
-         FROM qrv q, r{s}c{iters} c
+         FROM qraw q, r{s}c{iters} c
        )""")
         enc_parts.append(f"SELECT * FROM enc{s}")
         lut_parts.append(f"SELECT * FROM lut{s}")
@@ -6062,15 +6069,23 @@ def _x96_oracle(
     ctes.append("lut AS (" + " UNION ALL ".join(lut_parts) + ")")
     ctes.append("""vmap AS (SELECT vec_id AS neighbor_id, centroid_id
                  FROM rv)""")
+    ctes.append("""consts AS (
+         SELECT DISTINCT qid, centroid_id, cdot FROM qraw
+       )""")
     ctes.append("""approx AS (
-         SELECT l.qid, e.vec_id AS neighbor_id,
-                CAST(SUM(l.part) AS BIGINT) AS apx
+         SELECT l.qid, e.vec_id AS neighbor_id, v.centroid_id,
+                CAST(SUM(l.part) AS BIGINT) AS rsum
          FROM enc e
          JOIN vmap v ON v.neighbor_id = e.vec_id
          JOIN lut l ON l.centroid_id = v.centroid_id
                    AND l.s = e.s AND l.code = e.code
          WHERE e.vec_id <> l.qid
-         GROUP BY l.qid, e.vec_id
+         GROUP BY l.qid, e.vec_id, v.centroid_id
+       )""")
+    ctes.append("""scorep AS (
+         SELECT a.qid, a.neighbor_id, a.rsum + k.cdot AS apx
+         FROM approx a
+         JOIN consts k ON k.qid = a.qid AND k.centroid_id = a.centroid_id
        )""")
     joined = ",\n       ".join(ctes)
     return f"""WITH {joined}
@@ -6080,7 +6095,7 @@ def _x96_oracle(
        FROM (SELECT qid, neighbor_id, apx,
                     ROW_NUMBER() OVER (PARTITION BY qid
                                        ORDER BY apx DESC, neighbor_id) AS rank
-             FROM approx)
+             FROM scorep)
        WHERE rank <= {topk} ORDER BY query_id, rank"""
 
 
@@ -6088,24 +6103,34 @@ def _x96_oracle(
     "x96_ivfpq_residual_topk",
     _x96_oracle(),
     doc="RESIDUAL IVF-PQ — x92 upgraded to the full FAISS by_residual "
-    "architecture: PQ codebooks train on v - coarse_centroid instead "
-    "of raw vectors, so the quantizer spends its 4x8 codewords on the "
-    "WITHIN-list displacement (small, centered) rather than re-"
-    "encoding the between-list structure the coarse quantizer already "
-    "captured — the standard accuracy upgrade at the same 4-byte "
-    "memory cost. The asymmetric-distance table becomes per (query, "
-    "probed list): the query residual differs per list, so 2 probed "
-    "lists x 32 codeword dots per query broadcast (320 rows total); "
-    "codes join candidates through the vec->list map and score by "
-    "scaled-BIGINT partials. Oracle = x92's coarse CTEs + residual "
-    "construction via DuckDB's indexed list_transform + the Lloyd "
-    "chains over residual slices.",
+    "architecture for the inner-product metric: PQ codebooks train on "
+    "v - coarse_centroid, so the quantizer spends its 4x8 codewords "
+    "on the WITHIN-list displacement (small, centered) rather than "
+    "re-encoding the between-list structure the coarse quantizer "
+    "already captured. Scoring uses the exact FAISS-IP decomposition "
+    "dot(q, v) = dot(q, c) + dot(q, v - c): the lookup tables hold "
+    "RAW-query-slice x residual-codeword dots and a per-(query, "
+    "probed-list) constant dot(q, c) adds back the between-list term "
+    "— so the approximation error is exactly dot(q, residual-"
+    "quantization-error), smaller by construction than raw PQ's at "
+    "the same 4-byte memory cost, and scores stay comparable ACROSS "
+    "probed lists (tests pin the recall improvement over x92's raw "
+    "ADC against the exact-dot ground truth). Codes join candidates "
+    "through the vec->list map; partials are scaled-BIGINT. Oracle = "
+    "x92's coarse CTEs + residual construction via DuckDB's indexed "
+    "list_transform + Lloyd chains over residual slices.",
 )
 def x96(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    cents_src = emb.orderBy("vec_id").limit(8)
-    cents = cents_src.select(
-        F.col("vec_id").alias("centroid_id"),
+    # TRAINED coarse centroids (x19's Lloyd, 3 iters, tol=0): residual
+    # encoding only pays when the coarse quantizer is actual cluster
+    # MEANS - with arbitrary member vectors as centroids (x14/x92's
+    # lowest-id convention) residual variance exceeds raw variance and
+    # recall degrades (measured 0.12 vs 0.24 raw; trained: 0.36)
+    fit = sim.kmeans_fit(emb, n_clusters=8, max_iter=3, tol=0.0)
+    cents_src = fit.select(F.col("centroid_id").alias("vec_id"), "embedding")
+    cents = fit.select(
+        "centroid_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("vcent"),
     )
     inv = sim.ivf_assign(emb, cents_src, nprobe=1)
@@ -6136,10 +6161,18 @@ def x96(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qv"),
         "centroid_id",
     )
-    qres = probes.join(F.broadcast(cents), "centroid_id").select(
+    cdot = F.aggregate(
+        F.zip_with("qv", "vcent", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # per-(query, probed list) rows: raw query vector + the constant
+    # between-list term dot(q, c) of the FAISS-IP decomposition
+    qprobe = probes.join(F.broadcast(cents), "centroid_id").select(
         "qid",
         "centroid_id",
-        F.zip_with("qv", "vcent", lambda x, y: x - y).alias("qrv"),
+        "qv",
+        F.round(cdot * F.lit(1e9)).cast("bigint").alias("cdot"),
     )
     sub = len(cb[0][2])
     cent_rows = spark.createDataFrame(
@@ -6147,23 +6180,30 @@ def x96(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dot = F.aggregate(
         F.zip_with(
-            F.slice(F.col("qrv"), F.col("s") * sub + 1, sub),
+            F.slice(F.col("qv"), F.col("s") * sub + 1, sub),
             F.col("cvec"),
             lambda x, y: x * y,
         ),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    lut = qres.crossJoin(F.broadcast(cent_rows)).select(
+    lut = qprobe.crossJoin(F.broadcast(cent_rows)).select(
         "qid", "centroid_id", "s", "code",
         F.round(dot * F.lit(1e9)).cast("bigint").alias("part"),
     )
+    consts = qprobe.select("qid", "centroid_id", "cdot").distinct()
     scored = (
         codes.join(vmap, "neighbor_id")
         .join(F.broadcast(lut), ["centroid_id", "s", "code"])
         .where(F.col("neighbor_id") != F.col("qid"))
-        .groupBy("qid", "neighbor_id")
-        .agg(F.sum("part").cast("bigint").alias("apx"))
+        .groupBy("qid", "neighbor_id", "centroid_id")
+        .agg(F.sum("part").cast("bigint").alias("rsum"))
+        .join(F.broadcast(consts), ["qid", "centroid_id"])
+        .select(
+            "qid",
+            "neighbor_id",
+            (F.col("rsum") + F.col("cdot")).cast("bigint").alias("apx"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("apx"), "neighbor_id")
     return (
