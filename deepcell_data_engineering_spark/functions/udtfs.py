@@ -45,3 +45,49 @@ def register_chunk_udtf(spark) -> str:
     """Register ChunkUDTF for SQL use; returns the function name."""
     spark.udtf.register("chunk_udtf", ChunkUDTF)
     return "chunk_udtf"
+
+
+class JsonFieldsUDTF:
+    """POLYMORPHIC UDTF (Spark 4 ``analyze()`` protocol): the output
+    schema is derived at ANALYSIS time from the constant ``fields``
+    argument — ``json_fields(props, 'k,m')`` produces columns (k, m),
+    ``'a,b,c'`` produces (a, b, c) — the schema-from-argument
+    capability a static ``returnType`` (ChunkUDTF above) cannot
+    express. Catalyst sees the resolved schema before planning, so
+    downstream projection/pruning work as if the columns were real.
+    Extraction itself is schema-on-read over a JSON payload; missing
+    fields yield NULL columns (never errors - quarantine semantics).
+    """
+
+    @staticmethod
+    def analyze(payload, fields):
+        from pyspark.sql.types import StringType, StructField, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if fields.value is None:
+            raise ValueError("json_fields: 'fields' must be a constant string")
+        names = [f.strip() for f in str(fields.value).split(",") if f.strip()]
+        if not names:
+            raise ValueError("json_fields: no field names given")
+        return AnalyzeResult(
+            StructType([StructField(n, StringType()) for n in names])
+        )
+
+    def eval(self, payload, fields):  # noqa: D102 — UDTF protocol method
+        import json
+
+        names = [f.strip() for f in str(fields).split(",") if f.strip()]
+        try:
+            obj = json.loads(payload) if payload else {}
+        except (ValueError, TypeError):
+            obj = {}
+        yield tuple(
+            None if obj.get(n) is None else str(obj[n]) for n in names
+        )
+
+
+def register_json_fields_udtf(spark) -> str:
+    from pyspark.sql.functions import udtf as _udtf
+
+    spark.udtf.register("json_fields_udtf", _udtf(JsonFieldsUDTF))
+    return "json_fields_udtf"

@@ -6270,3 +6270,43 @@ def x97(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@_q(
+    "x98_polymorphic_udtf",
+    """SELECT event_type,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(json_extract_string(props, '$.k')::BIGINT) AS BIGINT)
+                AS sum_k,
+              CAST(COUNT(*) FILTER (
+                WHERE json_extract_string(props, '$.m') IS NULL
+              ) AS BIGINT) AS n_null_m
+       FROM events
+       GROUP BY event_type ORDER BY event_type""",
+    doc="Polymorphic Python UDTF (Spark 4 analyze() protocol, "
+    "functions/udtfs.py:JsonFieldsUDTF): the output SCHEMA is computed "
+    "at analysis time from the constant fields argument - "
+    "json_fields_udtf(props, 'k,m') resolves to columns (k, m) before "
+    "planning, so Catalyst projects/prunes them like real columns - "
+    "the capability x72's static-returnType UDTF cannot express. The "
+    "query extracts a present field (k, summed after cast) and an "
+    "absent one (m, certified all-NULL - schema-on-read quarantine "
+    "semantics) through SQL LATERAL, and the oracle rebuilds both "
+    "from json_extract, so the hash gate certifies the dynamic-schema "
+    "resolution end to end.",
+)
+def x98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.udtfs import (
+        register_json_fields_udtf,
+    )
+
+    fn = register_json_fields_udtf(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("x98_events")
+    return spark.sql(
+        f"""SELECT e.event_type,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(j.k AS BIGINT)) AS BIGINT) AS sum_k,
+                  CAST(COUNT_IF(j.m IS NULL) AS BIGINT) AS n_null_m
+            FROM x98_events e, LATERAL {fn}(e.props, 'k,m') j
+            GROUP BY e.event_type ORDER BY e.event_type"""
+    )
