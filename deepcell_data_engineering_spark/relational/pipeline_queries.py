@@ -6310,3 +6310,53 @@ def x98(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM x98_events e, LATERAL {fn}(e.props, 'k,m') j
             GROUP BY e.event_type ORDER BY e.event_type"""
     )
+
+
+@_q(
+    "x99_ewma_user_value",
+    """WITH seqs AS (
+         SELECT user_id,
+                list(value ORDER BY ts, event_id) AS xs
+         FROM events WHERE value IS NOT NULL
+         GROUP BY user_id
+       )
+       SELECT user_id,
+              CAST(len(xs) AS BIGINT) AS n_events,
+              ROUND(list_reduce(xs, (acc, x) -> 0.3 * x + 0.7 * acc)
+                    + 0.0, 6) AS ewma
+       FROM seqs ORDER BY user_id""",
+    doc="Exponential weighted moving average per user — the ordered-"
+    "RECURRENCE class (e_t = a*x_t + (1-a)*e_{t-1}) that no single "
+    "window frame can express because each step depends on the "
+    "previous OUTPUT, not a fixed frame of inputs. Spark-first "
+    "solution: one grouped collect of (ts, event_id, value) structs, "
+    "array_sort for the total event order (ties broken by the unique "
+    "event_id), then a codegen aggregate-HOF fold seeded with the "
+    "first element — per-KEY arrays, so state is bounded by a user's "
+    "event count at any corpus size (never a corpus-wide sequence), "
+    "and the shuffle is the same single user-hash exchange every "
+    "grouped agg takes. Floats fold in the identical order in both "
+    "engines (DuckDB list(ORDER BY)+list_reduce), so the recurrence "
+    "is bit-reproducible — the property that makes the result "
+    "hashable at all.",
+)
+def x99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    seqs = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ),
+            lambda s: s["value"],
+        ).alias("xs")
+    )
+    fold = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.element_at(F.col("xs"), 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return seqs.select(
+        "user_id",
+        F.size("xs").cast("bigint").alias("n_events"),
+        F.round(fold + F.lit(0.0), 6).alias("ewma"),
+    ).orderBy("user_id")
