@@ -79,6 +79,10 @@ HEADLINERS = [
     ("x92_ivfpq_topk", "IVF-PQ: coarse lists prune candidates, ADC scores codes only, vectors never shuffle"),
     ("x93_approx_quantile_certified", "GK approx quantiles vs exact value-histogram disc, rank-error bound certified"),
     ("x94_adaptive_salted_join", "skew loop closed: report-driven salt count, salted join row-identical to plain"),
+    ("x95_adaptive_lsh", "LSH banding by the S-curve: 4 configs measured from one signature table"),
+    ("x96_ivfpq_residual_topk", "residual IVF-PQ: FAISS-IP decomposition, trained coarse lists, codes-only scoring"),
+    ("x97_python_datasource", "custom Python data source: partition-planned generator, no storage"),
+    ("x99_ewma_user_value", "ordered recurrence: per-key array fold, one user-hash exchange"),
 ]
 
 
