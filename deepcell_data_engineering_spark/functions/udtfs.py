@@ -87,7 +87,16 @@ class JsonFieldsUDTF:
 
 
 def register_json_fields_udtf(spark) -> str:
+    """``analyze()`` runs in a separate Python process that may not
+    have this package on sys.path (a vanilla session adds the repo to
+    the DRIVER's path only), so register the module for by-value
+    pickling — the class rides inside the pickle instead of being
+    imported by name on the analyzer side."""
+    import sys
+
+    from pyspark import cloudpickle
     from pyspark.sql.functions import udtf as _udtf
 
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.udtf.register("json_fields_udtf", _udtf(JsonFieldsUDTF))
     return "json_fields_udtf"

@@ -127,5 +127,17 @@ class SyntheticDocsDataSource(DataSource):
 
 def register(spark) -> None:
     """Idempotent registration (re-registering the same name is fine —
-    latest wins in the session's data-source registry)."""
+    latest wins in the session's data-source registry).
+
+    The data-source instance is created in a SEPARATE Python process
+    (not the driver), which may not have this package on sys.path —
+    e.g. a vanilla session whose driver added the repo to sys.path at
+    runtime. Registering the module for by-value pickling makes the
+    class ride inside the pickle instead of being looked up by module
+    name on the other side."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(SyntheticDocsDataSource)
