@@ -6360,3 +6360,95 @@ def x99(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("xs").cast("bigint").alias("n_events"),
         F.round(fold + F.lit(0.0), 6).alias("ewma"),
     ).orderBy("user_id")
+
+
+@_q(
+    "x100_cms_incremental",
+    r"""WITH t AS (
+         SELECT CAST(user_id AS VARCHAR) AS k, user_id FROM events
+         WHERE user_id IS NOT NULL
+       ),
+       jj AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS v(j)),
+       cms AS (
+         SELECT j,
+                ('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':' || k),
+                                1, 7))::BIGINT % 4096 AS bucket,
+                COUNT(*) AS c
+         FROM t CROSS JOIN jj GROUP BY j, bucket
+       ),
+       exact AS (
+         SELECT user_id, k, CAST(COUNT(*) AS BIGINT) AS exact_count
+         FROM t GROUP BY user_id, k
+       ),
+       top AS (
+         SELECT user_id, k, exact_count,
+                ROW_NUMBER() OVER (ORDER BY exact_count DESC, user_id)
+                  AS rank
+         FROM exact
+       ),
+       est AS (
+         SELECT top.user_id, top.exact_count, top.rank,
+                MIN(COALESCE(cms.c, 0)) AS est_count
+         FROM top
+         CROSS JOIN jj
+         LEFT JOIN cms
+           ON cms.j = jj.j
+          AND cms.bucket = ('0x' || substr(
+                md5('cms' || CAST(jj.j AS VARCHAR) || ':' || top.k),
+                1, 7))::BIGINT % 4096
+         WHERE top.rank <= 15
+         GROUP BY top.user_id, top.exact_count, top.rank
+       )
+       SELECT user_id, CAST(rank AS BIGINT) AS rank, exact_count,
+              CAST(est_count AS BIGINT) AS est_count,
+              CAST(est_count - exact_count AS BIGINT) AS overestimate
+       FROM est ORDER BY rank""",
+    doc="Incremental CMS maintenance certified through the driver gate "
+    "— the x88 merge==rebuild pattern for the FREQUENCY sketch, "
+    "completing the incremental family (HLL max-merge: streaming "
+    "tests; KMV min-k re-rank: x88; CMS counter SUM: here). The "
+    "engine answers the top-15 user-activity probes ONLY from "
+    "cms_merge of two counter tables built over DISJOINT event halves "
+    "(event_id parity); the oracle rebuilds one sketch from the full "
+    "stream. Counters are linear, so merge == rebuild EXACTLY and the "
+    "hash match IS the certification — the property that lets 1000 "
+    "executors maintain per-partition/per-day counter states and fold "
+    "them without ever re-scanning history. est >= exact rides along "
+    "(collisions only add).",
+)
+def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.sketch import (
+        cms_build,
+        cms_lookup,
+        cms_merge,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    t = ev.select(
+        "event_id", "user_id", F.col("user_id").cast("string").alias("k")
+    )
+    # the engine's sketch state comes ONLY from the two half-stream
+    # builds - the full stream is never sketched directly
+    cms = cms_merge(
+        cms_build(t.where(F.col("event_id") % 2 == 0), "k"),
+        cms_build(t.where(F.col("event_id") % 2 == 1), "k"),
+    )
+    top = (
+        t.groupBy("user_id", "k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("exact_count"), "user_id")),
+        )
+        .where(F.col("rank") <= 15)
+    )
+    est = cms_lookup(cms, top, "k")
+    return est.select(
+        "user_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        "exact_count",
+        F.col("est_count").cast("bigint").alias("est_count"),
+        (F.col("est_count") - F.col("exact_count"))
+        .cast("bigint")
+        .alias("overestimate"),
+    ).orderBy("rank")
