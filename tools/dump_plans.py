@@ -83,6 +83,7 @@ HEADLINERS = [
     ("x96_ivfpq_residual_topk", "residual IVF-PQ: FAISS-IP decomposition, trained coarse lists, codes-only scoring"),
     ("x97_python_datasource", "custom Python data source: partition-planned generator, no storage"),
     ("x99_ewma_user_value", "ordered recurrence: per-key array fold, one user-hash exchange"),
+    ("x100_cms_incremental", "incremental CMS: merge of half-stream counter tables == full rebuild"),
 ]
 
 
