@@ -53,7 +53,8 @@ _CHECK_FIRST = [
     "x94_adaptive_salted_join", "x95_adaptive_lsh",
     "x96_ivfpq_residual_topk", "x97_python_datasource",
     "x98_polymorphic_udtf", "x99_ewma_user_value",
-    "x100_cms_incremental",
+    "x100_cms_incremental", "x101_scd2_build",
+    "x102_point_in_time_join",
     # x40–x45 + d01–d14 + x01: driver verdicts from round 4
     "x40_length_trim", "x41_tumbling_rollup", "x42_sliding_rollup",
     "x43_pagerank", "x44_unigram_logprob", "x45_minhash_calibration",
@@ -61,9 +62,8 @@ _CHECK_FIRST = [
     "d04_topk", "d05_distinct", "d10_inner_join", "d11_star_join_agg",
     "d12_left_join", "d13_semi_join", "d14_anti_join",
     "x01_token_stats",
-    # d15–d19: stalest round-5 rows
+    # d15–d17: stalest round-5 rows
     "d15_range_join", "d16_cross_join", "d17_grouped_agg",
-    "d18_count_distinct_having", "d19_median",
 ]
 
 
