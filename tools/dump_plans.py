@@ -84,6 +84,7 @@ HEADLINERS = [
     ("x97_python_datasource", "custom Python data source: partition-planned generator, no storage"),
     ("x99_ewma_user_value", "ordered recurrence: per-key array fold, one user-hash exchange"),
     ("x100_cms_incremental", "incremental CMS: merge of half-stream counter tables == full rebuild"),
+    ("x102_point_in_time_join", "point-in-time feature join: union + window carry-forward, no range join"),
 ]
 
 
