@@ -34,11 +34,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-7 rotation: the 17 round-6 queries (x73–x89) have never been in
 # a driver window — they lead (pre-flighted 17/17 green at sf0.01 via
 # tools/check_oracle.py, recorded in PREFLIGHT_r06.json), followed by
-# x40–x45, d01–d14 and x01 (driver verdicts from round 4), then the
-# stalest round-5 d-rows (d15–d30). After this window every registered
-# query's driver verdict is at most two rounds old. Round 8 should
-# rotate in the remaining round-5 rows (d31–d49, x02–x05, x46–x56) plus
-# any new queries.
+# x40–x45, d01–d14 and x01 (driver verdicts from round 4). After this
+# window every registered query's driver verdict is at most two rounds
+# old except the round-5 rows. Round 8 should rotate in the remaining
+# round-5 rows (d15–d49, x02–x05, x46–x56) plus any new queries.
 _CHECK_FIRST = [
     # x73–x89: round-6 additions, never driver-checked
     "x73_bpe_encode", "x74_fuzzy_name_join", "x75_sliding_distinct",
@@ -54,16 +53,17 @@ _CHECK_FIRST = [
     "x96_ivfpq_residual_topk", "x97_python_datasource",
     "x98_polymorphic_udtf", "x99_ewma_user_value",
     "x100_cms_incremental", "x101_scd2_build",
-    "x102_point_in_time_join",
+    "x102_point_in_time_join", "x103_zorder_skipping",
+    "x104_weighted_sample_incremental", "x105_mad_outliers",
+    "x106_range_partition_plan", "x107_snapshot_audit",
+    "x108_winsorized_stats", "x109_corpus_divergence",
+    "x110_event_pattern_match",
     # x40–x45 + d01–d14 + x01: driver verdicts from round 4
     "x40_length_trim", "x41_tumbling_rollup", "x42_sliding_rollup",
     "x43_pagerank", "x44_unigram_logprob", "x45_minhash_calibration",
-    "d01_scan_filter", "d02_like_strings", "d03_natural_sort",
-    "d04_topk", "d05_distinct", "d10_inner_join", "d11_star_join_agg",
+    "d10_inner_join", "d11_star_join_agg",
     "d12_left_join", "d13_semi_join", "d14_anti_join",
     "x01_token_stats",
-    # d15–d17: stalest round-5 rows
-    "d15_range_join", "d16_cross_join", "d17_grouped_agg",
 ]
 
 

@@ -1,0 +1,180 @@
+"""Data-layout planning: space-filling-curve clustering, zone maps,
+and equi-depth range-partition boundaries.
+
+At 100 TB the cheapest query is the one that never reads the file: a
+scan's cost is dominated by which files min-max (zone-map) statistics
+can prove irrelevant. Which files CAN be proven irrelevant is purely a
+property of the write-time layout — rows clustered by a space-filling
+curve (Z-order / Morton) keep BOTH filter dimensions locally narrow in
+every file, while insertion order keeps only the insertion dimension
+narrow. This module provides the building blocks the layout tier's
+queries (x103/x106) compose, each with an identical-by-construction
+SQL twin so the oracle gate can hash-check the layout math itself:
+
+- :func:`morton_code` / :func:`morton_sql` — bit-interleaved Z-value
+  (reference analog: the reconstruction grid's row-major ordering,
+  ``data_utils/reshape_utils.py``, is the 1-D layout this generalizes).
+- :func:`fixed_width_buckets` / :func:`fixed_width_buckets_sql` —
+  map-only file assignment by the leading curve bits (each bucket is a
+  quadtree cell); no sort, no shuffle, embarrassingly parallel.
+- :func:`zone_maps` — per-(layout, bucket) min/max/count statistics,
+  one grouped aggregation.
+- :func:`equi_depth_boundaries` — exact range-partitioner boundary
+  values (what ``repartitionByRange`` estimates by sampling), derived
+  from a cumulative window over the VALUE HISTOGRAM (distinct values),
+  never a global row sort.
+
+Everything here is integer arithmetic (``div``, bit ops) so the engine
+and the DuckDB oracle agree bit-for-bit — no float rounding can move a
+row across a bucket boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bits per dimension in the Morton interleave. 20 bits/dim covers key
+#: domains to ~1M and yields a 40-bit code — comfortably BIGINT in both
+#: engines (and code * n_buckets stays < 2^53 for any sane bucket
+#: count, so even a double round-trip could not lose precision).
+MORTON_BITS = 20
+
+
+def morton_code(x: Column, y: Column, bits: int = MORTON_BITS) -> Column:
+    """Z-order (Morton) value: interleave the low ``bits`` bits of two
+    non-negative integer columns — x in the even positions, y in the
+    odd. Pure per-row bit arithmetic: stays inside whole-stage codegen,
+    no shuffle, no UDF. Rows sorted by this code follow the Z curve, so
+    any contiguous chunk of the sort order is a small axis-aligned
+    region in (x, y) space — the property zone maps exploit."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            F.shiftleft(F.shiftright(x.cast("long"), i).bitwiseAND(1), 2 * i)
+        )
+        terms.append(
+            F.shiftleft(
+                F.shiftright(y.cast("long"), i).bitwiseAND(1), 2 * i + 1
+            )
+        )
+    code = terms[0]
+    for t in terms[1:]:
+        code = code + t
+    return code
+
+
+def morton_sql(x: str, y: str, bits: int = MORTON_BITS) -> str:
+    """The identical Morton formula as ANSI SQL text (DuckDB dual).
+    Generated from the same loop as :func:`morton_code`, so the engine
+    and the oracle share the bit layout by construction."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _int_div(a: Column, b: Column) -> Column:
+    """Exact floored integer division: (a - (a mod b)) / b. The
+    numerator is exactly divisible, so the double division is exact and
+    the cast loses nothing — bit-identical to DuckDB's ``//``."""
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def fixed_width_buckets(
+    code: Column, max_code_plus1: Column, n_buckets: int
+) -> Column:
+    """File/bucket id in [0, n_buckets) by the leading bits of a layout
+    code: bucket = (code * n) div (max_code + 1). Map-only — the 100 TB
+    write path assigns every row independently, no global sort. Integer
+    division keeps the boundary decision exact in both engines."""
+    return _int_div(
+        code.cast("long") * F.lit(n_buckets), max_code_plus1.cast("long")
+    )
+
+
+def fixed_width_buckets_sql(
+    code: str, max_code_plus1: str, n_buckets: int
+) -> str:
+    """SQL dual of :func:`fixed_width_buckets` (DuckDB ``//``)."""
+    return f"(({code}) * {n_buckets}) // ({max_code_plus1})"
+
+
+def zone_maps(
+    rows: DataFrame, layout_col: str, bucket_col: str, dims: list[str]
+) -> DataFrame:
+    """Per-(layout, bucket) zone-map statistics: row count plus min/max
+    of every pruning dimension — exactly the footer statistics a
+    parquet writer records per file. ONE grouped aggregation; with the
+    layouts exploded into rows upstream, every candidate layout's zone
+    maps come out of a single shuffle."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for d in dims:
+        aggs.append(F.min(d).alias(f"min_{d}"))
+        aggs.append(F.max(d).alias(f"max_{d}"))
+    return rows.groupBy(layout_col, bucket_col).agg(*aggs)
+
+
+def equi_depth_boundaries(
+    df: DataFrame, value_col: str, n_ranges: int
+) -> DataFrame:
+    """Exact equi-depth range-partition boundaries: the (n_ranges - 1)
+    values at ranks ceil(i * n / n_ranges), i = 1..n_ranges-1 — the
+    exact version of what ``repartitionByRange`` estimates by
+    reservoir sampling. Returns a 1-row DataFrame with ``boundaries``
+    (sorted array) and ``n_total``.
+
+    Distributed shape: groupBy(value).count builds the VALUE HISTOGRAM;
+    the only ordered window runs over distinct values (bounded by the
+    value vocabulary, e.g. integer cents), never over rows; each target
+    rank picks its least value with cum >= rank via a bounded equi-ish
+    join of n_ranges-1 rank rows against the histogram. No driver
+    scalar per boundary, no global row sort."""
+    from pyspark.sql import Window
+
+    vc = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vc.withColumn("cum", F.sum("c").over(w))
+    tot = cum.agg(F.max("cum").alias("n_total"))
+    ranks = (
+        tot.select(
+            "n_total",
+            F.explode(F.sequence(F.lit(1), F.lit(n_ranges - 1))).alias("i"),
+        )
+        # ceil(i*n/B) with pure integer arithmetic
+        .withColumn(
+            "target",
+            ((F.col("i") * F.col("n_total") + F.lit(n_ranges - 1))
+             - F.pmod(
+                 F.col("i") * F.col("n_total") + F.lit(n_ranges - 1),
+                 F.lit(n_ranges),
+             ))
+            / F.lit(n_ranges),
+        )
+        .withColumn("target", F.col("target").cast("long"))
+    )
+    bounds = (
+        ranks.join(cum, cum["cum"] >= ranks["target"])
+        .groupBy("i", "n_total")
+        .agg(F.min("v").alias("b"))
+        .groupBy("n_total")
+        .agg(F.sort_array(F.collect_list("b")).alias("boundaries"))
+    )
+    return bounds
+
+
+def range_assign(value: Column, boundaries: Column) -> Column:
+    """Range id in [1, len(boundaries)+1]: 1 + number of boundaries
+    strictly below the value. The boundaries array rides along as a
+    1-row broadcast; the assignment is a map-side higher-order filter
+    — the exact contract of Spark's RangePartitioner.getPartition."""
+    return (
+        F.size(F.filter(boundaries, lambda b: b < value)) + F.lit(1)
+    ).cast("long")

@@ -373,3 +373,150 @@ def table_profile(
         " min_str, max_str, avg_len)"
     )
     return row.select(F.expr(expr))
+
+
+def grouped_disc_percentile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    q_num: int,
+    q_den: int,
+    out_col: str = "p",
+) -> DataFrame:
+    """Exact per-group percentile_disc(q_num/q_den): the least value
+    whose cumulative count reaches ceil(q*n) = (q_num*n + q_den - 1)
+    div q_den within its group. The quantile arrives as an INTEGER
+    fraction so the target rank is pure integer arithmetic — no float
+    q*n whose rounding could differ between engines — and the disc
+    value IS a data value, hashable cross-engine (an interpolated
+    percentile of an even group is engine-float-shaped).
+
+    Distributed shape (the disc_percentile_by_histogram pattern, made
+    grouped and driver-free): groupBy(group, value).count builds the
+    per-group VALUE HISTOGRAM; the cumulative window is PARTITIONED BY
+    the group — every group's ordered scan runs in parallel and no
+    stage sees a global row sort. Returns (group_col, out_col)."""
+    from pyspark.sql import Window
+
+    vc = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wg = Window.partitionBy("g")
+    cum = vc.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(wg)
+    )
+    t = F.col("n") * q_num + F.lit(q_den - 1)
+    k = (t - F.pmod(t, F.lit(q_den))) / F.lit(q_den)
+    return (
+        cum.where(F.col("cum") >= k.cast("long"))
+        .groupBy("g")
+        .agg(F.min("v").alias(out_col))
+        .select(F.col("g").alias(group_col), out_col)
+    )
+
+
+def grouped_disc_median(
+    df: DataFrame, group_col: str, value_col: str, out_col: str = "med"
+) -> DataFrame:
+    """Per-group lower median: percentile_disc at 1/2 (rank
+    ceil(n/2) = (n+1) div 2). See grouped_disc_percentile."""
+    return grouped_disc_percentile(
+        df, group_col, value_col, 1, 2, out_col
+    )
+
+
+def mad_outlier_report(
+    df: DataFrame, group_col: str, value_col: str, n_sigmas: float = 3.0
+) -> DataFrame:
+    """Robust per-group outlier screen: |x - median| > n_sigmas * MAD,
+    where MAD is the (disc) median absolute deviation — the screen a
+    data-quality gate runs over a metric column before training. Mean/
+    stddev z-scores move with the outliers they hunt (one 1e9 value
+    inflates sigma until nothing is an outlier); the median/MAD pair is
+    breakdown-point-0.5 robust, and the disc formulation keeps every
+    statistic an actual data value (exact, hashable cross-engine).
+
+    Two grouped-histogram median passes + one conditional-count
+    aggregation; every window is partitioned by the group. Returns one
+    row per group: n, med, mad, n_outliers, n_low, n_high."""
+    med = grouped_disc_median(df, group_col, value_col, "med")
+    dev = (
+        df.where(F.col(value_col).isNotNull())
+        .join(F.broadcast(med), group_col)
+        .withColumn("dev", F.abs(F.col(value_col) - F.col("med")))
+    )
+    mad = grouped_disc_median(dev, group_col, "dev", "mad")
+    out = F.col("dev") > F.lit(n_sigmas) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(F.when(out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+            F.sum(
+                F.when(out & (F.col(value_col) < F.col("med")), 1).otherwise(0)
+            ).cast("long").alias("n_low"),
+            F.sum(
+                F.when(out & (F.col(value_col) > F.col("med")), 1).otherwise(0)
+            ).cast("long").alias("n_high"),
+        )
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: tuple[int, int] = (1, 20),
+    hi: tuple[int, int] = (19, 20),
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group winsorization report: clamp the value column to its
+    group's [p_lo, p_hi] disc percentiles and aggregate the CLIPPED
+    distribution — the standard robust pre-processing for a metric
+    column whose tails are sensor noise (clip, don't drop: row count
+    and joins stay intact). Quantiles arrive as integer fractions
+    (default 1/20 and 19/20).
+
+    The winsorized mean is carried as a SCALED-INTEGER sum (each
+    clipped value rounds to ``scale``-ths once, per row; the sum is
+    then exact BIGINT arithmetic) so the aggregate is independent of
+    partition order — the d49 integer-cents convention generalized.
+
+    Returns per group: n, p_lo, p_hi, n_clip_lo, n_clip_hi,
+    wsum_scaled (exact BIGINT)."""
+    p_lo = grouped_disc_percentile(
+        df, group_col, value_col, lo[0], lo[1], "p_lo"
+    )
+    p_hi = grouped_disc_percentile(
+        df, group_col, value_col, hi[0], hi[1], "p_hi"
+    )
+    v = F.col(value_col)
+    clip = F.least(F.greatest(v, F.col("p_lo")), F.col("p_hi"))
+    return (
+        df.where(v.isNotNull())
+        .join(F.broadcast(p_lo), group_col)
+        .join(F.broadcast(p_hi), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("p_lo").alias("p_lo"),
+            F.min("p_hi").alias("p_hi"),
+            F.sum(F.when(v < F.col("p_lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clip_lo"),
+            F.sum(F.when(v > F.col("p_hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clip_hi"),
+            F.sum(F.round(clip * scale, 0).cast("long"))
+            .cast("long")
+            .alias("wsum_scaled"),
+        )
+    )

@@ -103,3 +103,56 @@ def apply_changes(
         *[c for c in payload_cols if c in base.columns]
     )
     return survivors.unionByName(upserts)
+
+
+def snapshot_diff_columns(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Full-outer diff with PER-COLUMN attribution — the audit-report
+    companion to :func:`snapshot_diff` (which answers *what changed* as
+    a narrow (key, change_type) feed): this one answers *which columns
+    changed and by how much*, keeping unchanged keys so class counts
+    reconcile to the snapshot sizes.
+
+    Returns one row per key in either snapshot with ``diff_status``
+    ('added' | 'removed' | 'changed' | 'unchanged'), one ``chg_<col>``
+    boolean per compare column (null-safe: NULL -> value counts as a
+    change), and the ``old_<col>`` / ``new_<col>`` values for delta
+    arithmetic. Same scale shape as snapshot_diff: one full-outer hash
+    join on the key (co-located and shuffle-free when both snapshots
+    are bucketed by key) — but the payload columns ride through the
+    shuffle, so prefer the hash-based snapshot_diff when the consumer
+    only needs the change feed."""
+    o = old.select(
+        *key_cols,
+        F.lit(1).alias("__in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(1).alias("__in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, key_cols, "full_outer")
+    changed = F.lit(False)
+    chg_cols = []
+    for c in compare_cols:
+        chg = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        chg_cols.append(chg.alias(f"chg_{c}"))
+        changed = changed | chg
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        *key_cols,
+        status.alias("diff_status"),
+        *chg_cols,
+        *[F.col(f"old_{c}") for c in compare_cols],
+        *[F.col(f"new_{c}") for c in compare_cols],
+    )

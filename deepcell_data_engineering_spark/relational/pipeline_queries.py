@@ -6556,3 +6556,779 @@ def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value_matched") + F.lit(0.0), 2).alias("feature_value"),
         F.unix_micros("ts_matched").cast("bigint").alias("feature_as_of_us"),
     ).orderBy("event_id")
+
+
+def _x103_oracle() -> str:
+    from deepcell_data_engineering_spark.functions.layout import morton_sql
+
+    z = morton_sql("l_partkey", "l_suppkey")
+    return f"""
+    WITH r AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+                      (l_orderkey * 8 + l_linenumber) AS lin,
+                      {z} AS z,
+                      ((l_partkey << 20) + l_suppkey) AS comp
+               FROM lineitem),
+    s AS (SELECT MIN(pk) AS pk_min, MAX(pk) AS pk_max,
+                 MIN(sk) AS sk_min, MAX(sk) AS sk_max,
+                 COUNT(*) AS n_total FROM r),
+    p AS (SELECT pk_min + ((pk_max - pk_min) * 2) // 5 AS pk_lo,
+                 pk_min + ((pk_max - pk_min) * 3) // 5 AS pk_hi,
+                 sk_min + ((sk_max - sk_min) * 13) // 20 AS sk_lo,
+                 sk_min + ((sk_max - sk_min) * 17) // 20 AS sk_hi,
+                 n_total FROM s),
+    lc AS (SELECT 'linear' AS layout, lin AS code, pk, sk FROM r
+           UNION ALL SELECT 'pk_sk_sort', comp, pk, sk FROM r
+           UNION ALL SELECT 'zorder', z, pk, sk FROM r),
+    vc AS (SELECT layout, code, COUNT(*) AS c FROM lc GROUP BY layout, code),
+    cm AS (SELECT layout, code,
+                  SUM(c) OVER (PARTITION BY layout ORDER BY code) AS cum,
+                  SUM(c) OVER (PARTITION BY layout) AS n
+           FROM vc),
+    tg AS (SELECT layout, i, (i * n + 63) // 64 AS target
+           FROM (SELECT DISTINCT layout, n FROM cm), generate_series(1, 63) t(i)),
+    bt AS (SELECT tg.layout, tg.i, MIN(cm.code) AS b
+           FROM tg JOIN cm ON cm.layout = tg.layout AND cm.cum >= tg.target
+           GROUP BY tg.layout, tg.i),
+    ba AS (SELECT layout, list(b ORDER BY b) AS barr FROM bt GROUP BY layout),
+    a AS (SELECT lc.layout, lc.pk, lc.sk,
+                 len(list_filter(ba.barr, x -> x < lc.code)) + 1 AS bucket
+          FROM lc JOIN ba ON lc.layout = ba.layout),
+    zm AS (SELECT layout, bucket, COUNT(*) AS n_rows,
+                  MIN(pk) AS min_pk, MAX(pk) AS max_pk,
+                  MIN(sk) AS min_sk, MAX(sk) AS max_sk,
+                  SUM(CASE WHEN pk BETWEEN pk_lo AND pk_hi
+                            AND sk BETWEEN sk_lo AND sk_hi
+                           THEN 1 ELSE 0 END) AS n_match
+           FROM a, p GROUP BY layout, bucket),
+    f AS (SELECT layout, n_rows, n_match, n_total,
+                 CASE WHEN max_pk < pk_lo OR min_pk > pk_hi
+                       OR max_sk < sk_lo OR min_sk > sk_hi
+                      THEN 0 ELSE 1 END AS scanned
+          FROM zm, p)
+    SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(scanned) AS BIGINT) AS buckets_scanned,
+           CAST(SUM(scanned * n_rows) AS BIGINT) AS rows_scanned,
+           CAST(SUM(n_match) AS BIGINT) AS rows_matching,
+           ROUND(CAST(SUM(scanned * n_rows) AS DOUBLE)
+                 / CAST(ANY_VALUE(n_total) AS DOUBLE) + 0.0, 4) AS scan_fraction
+    FROM f GROUP BY layout ORDER BY layout"""
+
+
+@_q(
+    "x103_zorder_skipping",
+    _x103_oracle(),
+    doc="Z-ORDER clustering vs zone-map skipping, MEASURED (functions/"
+    "layout.py) — the write-time layout decision that dominates scan "
+    "cost at 100 TB, where the cheapest file is the one min-max "
+    "footer statistics prove irrelevant. lineitem rows are written "
+    "into 64 equal-depth 'files' under THREE layouts from one "
+    "layout-exploded pass: insertion order (l_orderkey), composite "
+    "sort (pk-major), and the Morton bit-interleave of (l_partkey, "
+    "l_suppkey). File assignment mirrors the real write path — "
+    "repartitionByRange on the layout code: per-layout equi-depth "
+    "boundaries at ranks ceil(i*n/64) from a cumulative window over "
+    "the per-layout CODE HISTOGRAM (partitioned by layout — every "
+    "window here is layout-parallel), then a map-side boundary-array "
+    "count per row; all integer arithmetic, so engine and oracle "
+    "agree bit-for-bit. For a box predicate (wide pk band x narrow "
+    "sk band, bounds integer fractions of the data's min/max) the "
+    "report gives per layout: files, files a zone map cannot prune, "
+    "rows scanned, rows matching, scan fraction. Measured at sf0.01 "
+    "(4.3%-selectivity box): linear scans 100%, pk-major 21.9% "
+    "(prunes only the leading dim — every file spans the full sk "
+    "range), zorder 14.1% (both dims narrow per file) — the OPTIMIZE "
+    "ZORDER BY argument quantified on real data instead of asserted.",
+)
+def x103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions import layout as ly
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_suppkey").alias("sk"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long").alias(
+            "lin"
+        ),
+    )
+    rows = li.withColumn(
+        "z", ly.morton_code(F.col("pk"), F.col("sk"))
+    ).withColumn("comp", F.shiftleft(F.col("pk"), ly.MORTON_BITS) + F.col("sk"))
+    stats = rows.agg(
+        F.min("pk").alias("pk_min"),
+        F.max("pk").alias("pk_max"),
+        F.min("sk").alias("sk_min"),
+        F.max("sk").alias("sk_max"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+    lc = rows.select(
+        "pk", "sk",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    F.col("lin").alias("code"),
+                ),
+                F.struct(
+                    F.lit("pk_sk_sort").alias("layout"),
+                    F.col("comp").alias("code"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.col("z").alias("code"),
+                ),
+            )
+        ).alias("lb"),
+    ).select(
+        "pk", "sk",
+        F.col("lb.layout").alias("layout"),
+        F.col("lb.code").alias("code"),
+    )
+    # per-layout equi-depth file boundaries: the repartitionByRange
+    # write plan, exact (every window partitioned by layout)
+    vc = lc.groupBy("layout", "code").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("layout")
+        .orderBy("code")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vc.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("layout"))
+    )
+    tg = (
+        cum.select("layout", "n")
+        .distinct()
+        .select(
+            "layout", "n",
+            F.explode(F.sequence(F.lit(1), F.lit(63))).alias("i"),
+        )
+        .withColumn(
+            "target",
+            ly._int_div(F.col("i") * F.col("n") + F.lit(63), F.lit(64)),
+        )
+        .select(F.col("layout").alias("tl"), "i", "target")
+    )
+    bounds = (
+        tg.join(
+            cum,
+            (cum["layout"] == tg["tl"]) & (cum["cum"] >= tg["target"]),
+        )
+        .groupBy("tl", "i")
+        .agg(F.min("code").alias("b"))
+        .groupBy("tl")
+        .agg(F.sort_array(F.collect_list("b")).alias("barr"))
+        .select(F.col("tl").alias("layout"), "barr")
+    )
+    assigned = lc.join(F.broadcast(bounds), "layout").withColumn(
+        "bucket", ly.range_assign(F.col("code"), F.col("barr"))
+    )
+    span_pk = F.col("pk_max") - F.col("pk_min")
+    span_sk = F.col("sk_max") - F.col("sk_min")
+    r = (
+        assigned.crossJoin(F.broadcast(stats))
+        .withColumn("pk_lo", F.col("pk_min") + ly._int_div(span_pk * 2, F.lit(5)))
+        .withColumn("pk_hi", F.col("pk_min") + ly._int_div(span_pk * 3, F.lit(5)))
+        .withColumn("sk_lo", F.col("sk_min") + ly._int_div(span_sk * 13, F.lit(20)))
+        .withColumn("sk_hi", F.col("sk_min") + ly._int_div(span_sk * 17, F.lit(20)))
+    )
+    match = F.col("pk").between(F.col("pk_lo"), F.col("pk_hi")) & F.col(
+        "sk"
+    ).between(F.col("sk_lo"), F.col("sk_hi"))
+    zm = (
+        r.withColumn("m", match.cast("int"))
+        .groupBy("layout", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("pk").alias("min_pk"),
+            F.max("pk").alias("max_pk"),
+            F.min("sk").alias("min_sk"),
+            F.max("sk").alias("max_sk"),
+            F.sum("m").cast("long").alias("n_match"),
+            F.min("n_total").alias("n_total"),
+            F.min("pk_lo").alias("pk_lo"),
+            F.min("pk_hi").alias("pk_hi"),
+            F.min("sk_lo").alias("sk_lo"),
+            F.min("sk_hi").alias("sk_hi"),
+        )
+    )
+    scanned = ~(
+        (F.col("max_pk") < F.col("pk_lo"))
+        | (F.col("min_pk") > F.col("pk_hi"))
+        | (F.col("max_sk") < F.col("sk_lo"))
+        | (F.col("min_sk") > F.col("sk_hi"))
+    )
+    return (
+        zm.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum(scanned.cast("int")).cast("long").alias("buckets_scanned"),
+            F.sum(F.when(scanned, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_scanned"),
+            F.sum("n_match").cast("long").alias("rows_matching"),
+            F.min("n_total").alias("nt"),
+        )
+        .select(
+            "layout", "n_buckets", "buckets_scanned", "rows_scanned",
+            "rows_matching",
+            F.round(
+                F.col("rows_scanned").cast("double")
+                / F.col("nt").cast("double")
+                + F.lit(0.0),
+                4,
+            ).alias("scan_fraction"),
+        )
+        .orderBy("layout")
+    )
+
+
+@_q(
+    "x104_weighted_sample_incremental",
+    """WITH u AS (
+         SELECT doc_id, n_chars,
+                (('0x' || substr(md5('w0:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                 + 1.0) / 268435456.0 AS u
+         FROM documents WHERE n_chars > 0
+       ),
+       r AS (
+         SELECT doc_id, n_chars,
+                ROW_NUMBER() OVER (
+                  ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id
+                ) AS sample_rank
+         FROM u
+       )
+       SELECT CAST(sample_rank AS BIGINT) AS sample_rank, doc_id, n_chars
+       FROM r WHERE sample_rank <= 60 ORDER BY sample_rank""",
+    doc="Weighted-reservoir MERGE == REBUILD, certified through the "
+    "driver gate — the incremental-maintenance story for SAMPLES, "
+    "completing the family (first-seen MIN: x89; KMV min-k: x88; CMS "
+    "counter SUM: x100). Because x61's Efraimidis-Spirakis draw is a "
+    "pure function of (seed, doc_id), a weighted bottom-k sample is a "
+    "mergeable state: the engine answers ONLY from the union of two "
+    "top-60 samples built over DISJOINT corpus halves (doc_id parity) "
+    "re-ranked by the recomputed keys — every member of the global "
+    "top-60 is top-60 within its half, so merge == rebuild EXACTLY — "
+    "while the oracle rebuilds the sample from the full corpus in one "
+    "pass. At 100 TB that means every shard maintains its own k-row "
+    "sample and a coordinator folds k-row states, never re-scanning "
+    "history; the hash match IS the certification.",
+)
+def x104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.sampling import (
+        weighted_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    a = weighted_sample(
+        docs.where(F.col("doc_id") % 2 == 0), F.col("doc_id"), "n_chars", 60
+    )
+    b = weighted_sample(
+        docs.where(F.col("doc_id") % 2 == 1), F.col("doc_id"), "n_chars", 60
+    )
+    # the engine's sample comes ONLY from the two half-corpus states
+    state = a.drop("sample_rank").unionByName(b.drop("sample_rank"))
+    merged = weighted_sample(state, F.col("doc_id"), "n_chars", 60)
+    return merged.select(
+        F.col("sample_rank").cast("bigint").alias("sample_rank"),
+        "doc_id",
+        "n_chars",
+    ).orderBy("sample_rank")
+
+
+@_q(
+    "x105_mad_outliers",
+    """WITH e AS (
+         SELECT event_type AS g, value AS v FROM events
+         WHERE value IS NOT NULL
+       ),
+       vc AS (SELECT g, v, COUNT(*) AS c FROM e GROUP BY g, v),
+       cm AS (SELECT g, v,
+                     SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+                     SUM(c) OVER (PARTITION BY g) AS n
+              FROM vc),
+       med AS (SELECT g, MIN(v) AS med FROM cm
+               WHERE cum >= (n + 1) // 2 GROUP BY g),
+       d AS (SELECT e.g, e.v, med.med, ABS(e.v - med.med) AS dev
+             FROM e JOIN med ON e.g = med.g),
+       dvc AS (SELECT g, dev, COUNT(*) AS c FROM d GROUP BY g, dev),
+       dcm AS (SELECT g, dev,
+                      SUM(c) OVER (PARTITION BY g ORDER BY dev) AS cum,
+                      SUM(c) OVER (PARTITION BY g) AS n
+               FROM dvc),
+       mad AS (SELECT g, MIN(dev) AS mad FROM dcm
+               WHERE cum >= (n + 1) // 2 GROUP BY g)
+       SELECT d.g AS event_type, CAST(COUNT(*) AS BIGINT) AS n,
+              ROUND(ANY_VALUE(d.med) + 0.0, 4) AS med,
+              ROUND(ANY_VALUE(mad.mad) + 0.0, 4) AS mad,
+              CAST(SUM(CASE WHEN d.dev > 3 * mad.mad
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+              CAST(SUM(CASE WHEN d.dev > 3 * mad.mad AND d.v < d.med
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+              CAST(SUM(CASE WHEN d.dev > 3 * mad.mad AND d.v > d.med
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+       FROM d JOIN mad ON d.g = mad.g
+       GROUP BY d.g ORDER BY event_type""",
+    doc="Robust per-group outlier screen (functions/stats.py:"
+    "mad_outlier_report): |x - median| > 3 * MAD over events.value per "
+    "event_type — the data-quality gate a metric column passes before "
+    "training. Mean/stddev z-scores move with the outliers they hunt "
+    "(one huge value inflates sigma until nothing is flagged); median/"
+    "MAD has breakdown point 0.5, and the DISC formulation keeps every "
+    "statistic an actual data value — exact and hashable across "
+    "engines, no interpolated-median float shape. Distributed shape: "
+    "two grouped-histogram median passes (grouped_disc_median — the "
+    "cumulative window is PARTITIONED BY group, value-histogram "
+    "granularity, never a global row sort) + one conditional-count "
+    "aggregation; medians broadcast back as 5-row joins.",
+)
+def x105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.stats import (
+        mad_outlier_report,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    rep = mad_outlier_report(ev, "event_type", "value")
+    return rep.select(
+        "event_type",
+        "n",
+        F.round(F.col("med") + F.lit(0.0), 4).alias("med"),
+        F.round(F.col("mad") + F.lit(0.0), 4).alias("mad"),
+        "n_outliers",
+        "n_low",
+        "n_high",
+    ).orderBy("event_type")
+
+
+@_q(
+    "x106_range_partition_plan",
+    """WITH o AS (
+         SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+         FROM orders
+       ),
+       vc AS (SELECT cents AS v, COUNT(*) AS c FROM o GROUP BY v),
+       cm AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM vc),
+       tot AS (SELECT MAX(cum) AS n FROM cm),
+       bt AS (SELECT i, MIN(v) AS b
+              FROM (SELECT i, (i * n + 15) // 16 AS target
+                    FROM generate_series(1, 15) t(i), tot) r
+              JOIN cm ON cm.cum >= r.target GROUP BY i),
+       ba AS (SELECT list(b ORDER BY b) AS barr FROM bt),
+       a AS (SELECT cents,
+                    CAST(len(list_filter(barr, x -> x < cents)) + 1
+                         AS BIGINT) AS range_id
+             FROM o, ba),
+       g AS (SELECT range_id, COUNT(*) AS n_rows,
+                    MIN(cents) AS min_cents, MAX(cents) AS max_cents
+             FROM a GROUP BY range_id)
+       SELECT range_id, CAST(n_rows AS BIGINT) AS n_rows,
+              min_cents, max_cents,
+              ROUND(CAST(n_rows * 16 AS DOUBLE)
+                    / CAST((SELECT n FROM tot) AS DOUBLE) + 0.0, 4)
+                AS depth_ratio,
+              COALESCE(max_cents <= LEAD(min_cents) OVER (ORDER BY range_id),
+                       TRUE) AS ok_ordered
+       FROM g ORDER BY range_id""",
+    doc="EXACT equi-depth range-partitioner planning (functions/"
+    "layout.py:equi_depth_boundaries) — the boundary computation "
+    "repartitionByRange approximates by reservoir sampling, done "
+    "exactly and certified: 15 boundary values at ranks "
+    "ceil(i*n/16) over orders' price in integer cents (d49 money "
+    "convention), derived from a cumulative window over the VALUE "
+    "HISTOGRAM (distinct cents — bounded vocabulary), never a global "
+    "row sort; each row's range_id is then a map-side higher-order "
+    "count of boundaries below its value against the 1-row broadcast "
+    "boundary array (RangePartitioner.getPartition's contract). The "
+    "report certifies the plan in-query: per-range row counts with "
+    "depth_ratio (n_rows * B / n — equi-depth means ~1.0 wherever "
+    "duplicate keys permit) and ok_ordered (ranges are value-disjoint "
+    "and ordered: max(range i) <= min(range i+1) via LEAD over the "
+    "16-row report). This is the skew-proof shuffle plan for sort/"
+    "write at 100 TB: boundaries are k-1 rows of state, assignment "
+    "is embarrassingly parallel.",
+)
+def x106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions import layout as ly
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
+    )
+    bounds = ly.equi_depth_boundaries(o, "cents", 16)
+    assigned = o.crossJoin(F.broadcast(bounds)).withColumn(
+        "range_id", ly.range_assign(F.col("cents"), F.col("boundaries"))
+    )
+    g = assigned.groupBy("range_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        F.min("n_total").alias("n_total"),
+    )
+    w = Window.orderBy("range_id")
+    return (
+        g.select(
+            "range_id", "n_rows", "min_cents", "max_cents",
+            F.round(
+                (F.col("n_rows") * 16).cast("double")
+                / F.col("n_total").cast("double")
+                + F.lit(0.0),
+                4,
+            ).alias("depth_ratio"),
+            F.coalesce(
+                F.col("max_cents") <= F.lead("min_cents").over(w), F.lit(True)
+            ).alias("ok_ordered"),
+        )
+        .orderBy("range_id")
+    )
+
+
+@_q(
+    "x107_snapshot_audit",
+    """WITH base AS (
+         SELECT o_orderkey AS k,
+                CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS pc,
+                o_orderstatus AS st
+         FROM orders
+       ),
+       old AS (SELECT * FROM base WHERE k % 23 <> 3),
+       new AS (SELECT k,
+                      CASE WHEN k % 23 IN (11, 13) THEN pc + 500
+                           ELSE pc END AS pc,
+                      CASE WHEN k % 23 = 11 THEN 'F' ELSE st END AS st
+               FROM base WHERE k % 23 <> 7),
+       j AS (SELECT o.k IS NULL AS adds, n.k IS NULL AS rems,
+                    o.pc AS opc, n.pc AS npc,
+                    (o.pc IS DISTINCT FROM n.pc) AS chg_pc,
+                    (o.st IS DISTINCT FROM n.st) AS chg_st
+             FROM old o FULL OUTER JOIN new n ON o.k = n.k),
+       c AS (SELECT CASE WHEN adds THEN 'added'
+                         WHEN rems THEN 'removed'
+                         WHEN chg_pc OR chg_st THEN 'changed'
+                         ELSE 'unchanged' END AS diff_status,
+                    chg_pc, chg_st,
+                    CASE WHEN NOT adds AND NOT rems AND chg_pc
+                         THEN ABS(npc - opc) ELSE 0 END AS d
+             FROM j)
+       SELECT diff_status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(CASE WHEN diff_status = 'changed' AND chg_pc
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_price_changed,
+              CAST(SUM(CASE WHEN diff_status = 'changed' AND chg_st
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_status_changed,
+              CAST(SUM(d) AS BIGINT) AS sum_abs_delta_cents
+       FROM c GROUP BY diff_status ORDER BY diff_status""",
+    doc="Snapshot reconciliation / table diff (operators/diff.py:"
+    "snapshot_diff_columns) — the per-column companion to d42's narrow "
+    "hash-based change feed: the audit every incremental pipeline runs after "
+    "an apply-changes batch (d48 SCD1, x101 SCD2): which keys were "
+    "added, removed, changed in place, or untouched between two "
+    "versions, with per-column change flags (null-safe <=> compare) "
+    "and the total absolute price drift in exact integer cents. The "
+    "two 'snapshots' are derived deterministically from orders by key "
+    "arithmetic (one residue class missing from each side simulates "
+    "inserts/deletes; two classes get price/status updates), so the "
+    "oracle reproduces the exact same diff. ONE full-outer hash join "
+    "on the key — the minimum any diff can do; with both snapshots "
+    "bucketed by key at write time it is co-located and shuffle-free "
+    "at 100 TB.",
+)
+def x107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.operators.diff import (
+        snapshot_diff_columns,
+    )
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("price_cents"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    old = base.where(F.col("k") % 23 != 3)
+    new = (
+        base.where(F.col("k") % 23 != 7)
+        .withColumn(
+            "price_cents",
+            F.when(
+                (F.col("k") % 23).isin(11, 13), F.col("price_cents") + 500
+            ).otherwise(F.col("price_cents")),
+        )
+        .withColumn(
+            "st",
+            F.when(F.col("k") % 23 == 11, F.lit("F")).otherwise(F.col("st")),
+        )
+    )
+    d = snapshot_diff_columns(old, new, ["k"], ["price_cents", "st"])
+    chg = F.col("diff_status") == "changed"
+    return (
+        d.groupBy("diff_status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(chg & F.col("chg_price_cents"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_price_changed"),
+            F.sum(F.when(chg & F.col("chg_st"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_status_changed"),
+            F.sum(
+                F.when(
+                    chg & F.col("chg_price_cents"),
+                    F.abs(F.col("new_price_cents") - F.col("old_price_cents")),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("sum_abs_delta_cents"),
+        )
+        .orderBy("diff_status")
+    )
+
+
+@_q(
+    "x108_winsorized_stats",
+    """WITH e AS (
+         SELECT event_type AS g, value AS v FROM events
+         WHERE value IS NOT NULL
+       ),
+       vc AS (SELECT g, v, COUNT(*) AS c FROM e GROUP BY g, v),
+       cm AS (SELECT g, v,
+                     SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+                     SUM(c) OVER (PARTITION BY g) AS n
+              FROM vc),
+       plo AS (SELECT g, MIN(v) AS p_lo FROM cm
+               WHERE cum >= (n * 1 + 19) // 20 GROUP BY g),
+       phi AS (SELECT g, MIN(v) AS p_hi FROM cm
+               WHERE cum >= (n * 19 + 19) // 20 GROUP BY g),
+       c AS (SELECT e.g, e.v, plo.p_lo, phi.p_hi,
+                    LEAST(GREATEST(e.v, plo.p_lo), phi.p_hi) AS clip
+             FROM e JOIN plo ON e.g = plo.g JOIN phi ON e.g = phi.g)
+       SELECT g AS event_type, CAST(COUNT(*) AS BIGINT) AS n,
+              ROUND(ANY_VALUE(p_lo) + 0.0, 4) AS p_lo,
+              ROUND(ANY_VALUE(p_hi) + 0.0, 4) AS p_hi,
+              CAST(SUM(CASE WHEN v < p_lo THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_clip_lo,
+              CAST(SUM(CASE WHEN v > p_hi THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_clip_hi,
+              ROUND(CAST(SUM(CAST(ROUND(clip * 1000000, 0) AS BIGINT))
+                         AS DOUBLE) / 1000000.0 / COUNT(*) + 0.0, 4)
+                AS w_mean
+       FROM c GROUP BY g ORDER BY event_type""",
+    doc="Per-group winsorization (functions/stats.py:winsorized_stats) "
+    "— clamp a metric column to its group's [p05, p95] disc "
+    "percentiles and report the CLIPPED mean plus clip counts: the "
+    "robust pre-processing for sensor-noise tails that keeps row "
+    "counts and joins intact (clip, don't drop). Quantile ranks are "
+    "INTEGER fractions (ceil(n/20), ceil(19n/20) via div — no float "
+    "q*n whose rounding could differ between engines), percentiles "
+    "come from the grouped value histogram (cumulative window "
+    "PARTITIONED by group — parallel across groups, never a global "
+    "row sort), and the winsorized mean is a SCALED-INTEGER sum "
+    "(each clipped value rounds once per row; the aggregate is exact "
+    "BIGINT — partition-order-independent, the d49 cents convention "
+    "generalized).",
+)
+def x108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.stats import (
+        winsorized_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    rep = winsorized_stats(ev, "event_type", "value")
+    return rep.select(
+        "event_type",
+        "n",
+        F.round(F.col("p_lo") + F.lit(0.0), 4).alias("p_lo"),
+        F.round(F.col("p_hi") + F.lit(0.0), 4).alias("p_hi"),
+        "n_clip_lo",
+        "n_clip_hi",
+        F.round(
+            F.col("wsum_scaled").cast("double")
+            / F.lit(1000000.0)
+            / F.col("n").cast("double")
+            + F.lit(0.0),
+            4,
+        ).alias("w_mean"),
+    ).orderBy("event_type")
+
+
+@_q(
+    "x109_corpus_divergence",
+    r"""WITH tok AS (
+         SELECT source,
+                unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                  AS term
+         FROM documents
+         WHERE source IN ('src0', 'src1', 'src2', 'src3')
+       ),
+       tok2 AS (SELECT source, term FROM tok WHERE term <> ''),
+       tf AS (SELECT source, term, COUNT(*) AS tf
+              FROM tok2 GROUP BY source, term),
+       vocab AS (SELECT DISTINCT term FROM tf),
+       vv AS (SELECT COUNT(*) AS v FROM vocab),
+       srcs AS (SELECT DISTINCT source FROM tf),
+       tot AS (SELECT source, SUM(tf) AS n FROM tf GROUP BY source),
+       grid AS (SELECT s.source, vo.term, COALESCE(tf.tf, 0) AS tf
+                FROM srcs s CROSS JOIN vocab vo
+                LEFT JOIN tf ON tf.source = s.source AND tf.term = vo.term),
+       pr AS (SELECT g.source, g.term,
+                     CAST(g.tf + 1 AS DOUBLE)
+                     / CAST(tot.n + vv.v AS DOUBLE) AS p
+              FROM grid g JOIN tot ON g.source = tot.source CROSS JOIN vv),
+       pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+                        CAST(ROUND((a.p * ln(a.p / b.p)) * 1e9, 0)
+                             AS BIGINT) AS cs
+                 FROM pr a JOIN pr b
+                   ON a.term = b.term AND a.source <> b.source)
+       SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_terms,
+              ROUND(CAST(SUM(cs) AS DOUBLE) / 1e9 + 0.0, 6) AS kl_nats
+       FROM pairs GROUP BY src_a, src_b ORDER BY src_a, src_b""",
+    doc="Corpus drift measurement: pairwise KL divergence between the "
+    "add-1-smoothed unigram distributions of four sources — the "
+    "mixture-monitoring statistic an LLM-data pipeline tracks when a "
+    "source's content shifts (KL(a||b) in nats over the UNION "
+    "vocabulary; asymmetric by design, both directions reported). "
+    "Numeric discipline: each term's contribution p*ln(p/q) is a "
+    "per-row double (identical single IEEE ops in both engines) "
+    "rounded ONCE to 1e-9 units and summed as exact BIGINT — the "
+    "scaled-integer convention that makes a sum over a 100 TB-scale "
+    "vocabulary independent of partition order, where a naive double "
+    "SUM would be reassociation-shaped. Pair set is a fixed config "
+    "(4 sources = 12 ordered pairs) so cost never grows "
+    "quadratically with the source census; the smoothed-probability "
+    "grid is sources x vocabulary — vocabulary-bounded, never "
+    "corpus-bounded.",
+)
+def x109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    srcs_list = ["src0", "src1", "src2", "src3"]
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isin(srcs_list)
+    )
+    tok = (
+        docs.select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.select("term").distinct()
+    vv = vocab.agg(F.count(F.lit(1)).alias("v"))
+    srcs = tf.select("source").distinct()
+    tot = tf.groupBy("source").agg(F.sum("tf").alias("n"))
+    grid = (
+        vocab.crossJoin(F.broadcast(srcs))
+        .join(tf, ["source", "term"], "left")
+        .withColumn("tf", F.coalesce(F.col("tf"), F.lit(0)))
+    )
+    pr = (
+        grid.join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "source",
+            "term",
+            (
+                (F.col("tf") + 1).cast("double")
+                / (F.col("n") + F.col("v")).cast("double")
+            ).alias("p"),
+        )
+    )
+    a = pr.select(
+        F.col("source").alias("src_a"),
+        F.col("term").alias("term"),
+        F.col("p").alias("pa"),
+    )
+    b = pr.select(
+        F.col("source").alias("src_b"),
+        F.col("term").alias("term_b"),
+        F.col("p").alias("pb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("term") == F.col("term_b"))
+        & (F.col("src_a") != F.col("src_b")),
+    ).select(
+        "src_a",
+        "src_b",
+        F.round(
+            (F.col("pa") * F.log(F.col("pa") / F.col("pb"))) * F.lit(1e9), 0
+        )
+        .cast("long")
+        .alias("cs"),
+    )
+    return (
+        pairs.groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.round(
+                F.sum("cs").cast("double") / F.lit(1e9) + F.lit(0.0), 6
+            ).alias("kl_nats"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+@_q(
+    "x110_event_pattern_match",
+    """WITH s AS (
+         SELECT user_id,
+                string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                  AS seq
+         FROM events GROUP BY user_id
+       ),
+       m AS (SELECT user_id,
+                    len(regexp_extract_all(seq, 'v+cp')) AS n_matches
+             FROM s)
+       SELECT CAST(n_matches AS BIGINT) AS n_matches,
+              CAST(COUNT(*) AS BIGINT) AS n_users,
+              MIN(user_id) AS sample_user
+       FROM m GROUP BY n_matches ORDER BY n_matches""",
+    doc="Sequence-pattern matching over per-key event streams — the "
+    "MATCH_RECOGNIZE / CEP surface expressed relationally: each "
+    "user's history collapses to an ordered event-initial string "
+    "(array_sort over (ts, event_id) structs -> one char per event; "
+    "the oracle's ORDER BY string_agg is the same total order), and "
+    "the pattern 'one or more views, then a click, then a purchase' "
+    "is a regex ('v+cp') counted non-overlapping left-to-right — "
+    "semantics identical across Java regex and RE2 for this POSIX "
+    "subset. Complements x37's funnel (min-timestamp step chaining, "
+    "no adjacency) with ADJACENCY-sensitive detection. One shuffle "
+    "(user hash) + per-row regex; per-user state is one string "
+    "bounded by events-per-user, the same bound any CEP engine "
+    "carries.",
+)
+def x110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("ini"),
+    )
+    s = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "ini"))
+            ).alias("arr")
+        )
+        .select(
+            "user_id",
+            F.concat_ws(
+                "", F.transform(F.col("arr"), lambda x: x["ini"])
+            ).alias("seq"),
+        )
+    )
+    m = s.select(
+        "user_id",
+        F.size(F.regexp_extract_all(F.col("seq"), F.lit("v+cp"), 0)).alias(
+            "n_matches"
+        ),
+    )
+    return (
+        m.groupBy("n_matches")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.min("user_id").alias("sample_user"),
+        )
+        .select(
+            F.col("n_matches").cast("bigint").alias("n_matches"),
+            "n_users",
+            "sample_user",
+        )
+        .orderBy("n_matches")
+    )

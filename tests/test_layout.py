@@ -1,0 +1,163 @@
+"""functions/layout.py + functions/stats.py (grouped median / MAD) +
+the weighted-sample merge property backing x103–x106."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from deepcell_data_engineering_spark.functions import layout as ly
+from deepcell_data_engineering_spark.functions.sampling import weighted_sample
+from deepcell_data_engineering_spark.functions.stats import (
+    grouped_disc_median,
+    mad_outlier_report,
+)
+
+
+def _py_morton(x: int, y: int, bits: int = ly.MORTON_BITS) -> int:
+    code = 0
+    for i in range(bits):
+        code |= ((x >> i) & 1) << (2 * i)
+        code |= ((y >> i) & 1) << (2 * i + 1)
+    return code
+
+
+def test_morton_matches_python_reference(spark):
+    pts = [(0, 0), (1, 0), (0, 1), (1, 1), (5, 3), (1999, 99), (2**20 - 1, 7)]
+    df = spark.createDataFrame([Row(x=x, y=y) for x, y in pts])
+    got = {
+        (r["x"], r["y"]): r["m"]
+        for r in df.withColumn(
+            "m", ly.morton_code(F.col("x"), F.col("y"))
+        ).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == _py_morton(x, y), (x, y)
+
+
+def test_morton_sql_matches_engine(spark):
+    import duckdb
+
+    pts = [(0, 0), (7, 2), (1023, 511), (1999, 99)]
+    sql = ly.morton_sql("x", "y")
+    con = duckdb.connect()
+    for x, y in pts:
+        (got,) = con.sql(
+            f"SELECT {sql} FROM (SELECT {x} AS x, {y} AS y)"
+        ).fetchone()
+        assert got == _py_morton(x, y), (x, y)
+
+
+def test_morton_orders_locally():
+    # points inside one aligned quadrant sort before any point of the
+    # next quadrant: the curve keeps boxes contiguous
+    lo = [_py_morton(x, y) for x in range(4) for y in range(4)]
+    hi = [_py_morton(x, y) for x in range(4, 8) for y in range(4, 8)]
+    assert max(lo) < min(hi)
+
+
+def test_fixed_width_buckets_bounds(spark):
+    df = spark.range(0, 1000).select(F.col("id").alias("code"))
+    b = df.select(
+        ly.fixed_width_buckets(F.col("code"), F.lit(1000), 64).alias("b")
+    )
+    mn, mx, n = b.agg(
+        F.min("b"), F.max("b"), F.countDistinct("b")
+    ).collect()[0]
+    assert mn == 0 and mx == 63 and n == 64
+
+
+def test_equi_depth_boundaries_and_assign(spark):
+    # 1..100, 4 ranges -> boundaries at ranks 25/50/75 = values 25/50/75
+    df = spark.range(1, 101).select(F.col("id").alias("v"))
+    brow = ly.equi_depth_boundaries(df, "v", 4).collect()[0]
+    assert brow["n_total"] == 100
+    assert brow["boundaries"] == [25, 50, 75]
+    a = (
+        df.crossJoin(
+            F.broadcast(ly.equi_depth_boundaries(df, "v", 4))
+        )
+        .withColumn("r", ly.range_assign(F.col("v"), F.col("boundaries")))
+        .groupBy("r")
+        .count()
+        .orderBy("r")
+        .collect()
+    )
+    # b < v strict: v=25 -> range 1, so depths 25/25/25/25
+    assert [(x["r"], x["count"]) for x in a] == [
+        (1, 25), (2, 25), (3, 25), (4, 25)
+    ]
+
+
+def test_equi_depth_duplicate_heavy_value(spark):
+    # one value holding >half the mass: its range absorbs the bulk and
+    # ranges stay value-disjoint
+    rows = [Row(v=1)] * 60 + [Row(v=i) for i in range(2, 42)]
+    df = spark.createDataFrame(rows)
+    bounds = ly.equi_depth_boundaries(df, "v", 4)
+    a = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("r", ly.range_assign(F.col("v"), F.col("boundaries")))
+    )
+    per = {
+        r["r"]: (r["mn"], r["mx"])
+        for r in a.groupBy("r")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    }
+    ids = sorted(per)
+    for lo_id, hi_id in zip(ids, ids[1:]):
+        assert per[lo_id][1] <= per[hi_id][0]
+
+
+def test_grouped_disc_median_lower_convention(spark):
+    df = spark.createDataFrame(
+        [Row(g="a", v=float(x)) for x in [1, 2, 3, 4]]
+        + [Row(g="b", v=float(x)) for x in [10, 20, 30]]
+    )
+    med = {
+        r["g"]: r["med"]
+        for r in grouped_disc_median(df, "g", "v").collect()
+    }
+    # even group: LOWER median (rank ceil(4/2)=2) -> 2, not 2.5
+    assert med == {"a": 2.0, "b": 20.0}
+
+
+def test_mad_outlier_report_flags_only_the_spike(spark):
+    base = [Row(g="a", v=float(x)) for x in [10, 11, 12, 13, 14, 15, 16]]
+    spike = [Row(g="a", v=1e9)]
+    rep = mad_outlier_report(
+        spark.createDataFrame(base + spike), "g", "v"
+    ).collect()[0]
+    assert rep["n"] == 8
+    assert rep["n_outliers"] == 1 and rep["n_high"] == 1 and rep["n_low"] == 0
+    # the spike itself did not drag the center: median stays in the base
+    assert 10 <= rep["med"] <= 16
+
+
+def test_weighted_sample_merge_equals_rebuild(spark, sf_dir):
+    from deepcell_data_engineering_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    full = weighted_sample(docs, F.col("doc_id"), "n_chars", 25)
+    a = weighted_sample(
+        docs.where(F.col("doc_id") % 2 == 0), F.col("doc_id"), "n_chars", 25
+    )
+    b = weighted_sample(
+        docs.where(F.col("doc_id") % 2 == 1), F.col("doc_id"), "n_chars", 25
+    )
+    state = a.drop("sample_rank").unionByName(b.drop("sample_rank"))
+    merged = weighted_sample(state, F.col("doc_id"), "n_chars", 25)
+    assert sorted(
+        (r["sample_rank"], r["doc_id"]) for r in merged.collect()
+    ) == sorted((r["sample_rank"], r["doc_id"]) for r in full.collect())
+
+
+def test_zone_maps_shape(spark):
+    df = spark.createDataFrame(
+        [Row(layout="l", bucket=i % 2, x=i, y=10 - i) for i in range(10)]
+    )
+    zm = ly.zone_maps(df, "layout", "bucket", ["x", "y"]).collect()
+    assert {r["bucket"]: r["n_rows"] for r in zm} == {0: 5, 1: 5}
+    row0 = [r for r in zm if r["bucket"] == 0][0]
+    assert row0["min_x"] == 0 and row0["max_x"] == 8
+    assert row0["min_y"] == 2 and row0["max_y"] == 10
