@@ -702,3 +702,63 @@ def test_streaming_retention_state_maintenance_equals_batch(spark, tmp_path):
         spark.read.parquet(log).write.mode("append").parquet(log + "_copy")
         spark.read.parquet(log + "_copy").write.mode("append").parquet(log)
     assert matrix_from_state() == batch
+
+
+def test_streaming_scd2_maintenance_equals_batch(spark, tmp_path):
+    """x101's SCD2 dimension maintained BY a stream: each micro-batch
+    folds into the version table via scd2_apply — touched keys rebuild
+    their own chain (state rows replay + batch union + one partitioned
+    window), untouched keys pass through. The batches here slice the
+    click stream by event_id residue (NOT chronologically), so the fold
+    also proves out-of-order absorption; the final state projected to
+    x101's columns equals the batch rebuild exactly."""
+    from deepcell_data_engineering_spark.operators.diff import scd2_apply
+    from deepcell_data_engineering_spark.relational import QUERIES
+
+    batch = sorted(
+        map(tuple, QUERIES["x101_scd2_build"].build(spark, SF_SMOKE).collect())
+    )
+    clicks = load_table(spark, SF_SMOKE, "events").where(
+        F.col("event_type") == "click"
+    )
+    src = str(tmp_path / "src")
+    for i in range(3):
+        clicks.where(F.pmod(F.col("event_id"), F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    state_paths = []
+
+    def apply_batch(bdf, bid):
+        prev = spark.read.parquet(state_paths[-1]) if state_paths else None
+        out = str(tmp_path / f"state_{bid}")
+        scd2_apply(prev, bdf).write.mode("overwrite").parquet(out)
+        state_paths.append(out)
+
+    q = (
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(state_paths) >= 2  # the fold actually iterated
+
+    final = spark.read.parquet(state_paths[-1])
+    got = sorted(
+        map(
+            tuple,
+            final.select(
+                "user_id",
+                "version",
+                F.round(F.col("value") + F.lit(0.0), 2).alias("value"),
+                "valid_from_us",
+                "valid_to_us",
+                "is_current",
+            ).collect(),
+        )
+    )
+    assert got == batch
