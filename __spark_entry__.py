@@ -57,13 +57,13 @@ _CHECK_FIRST = [
     "x104_weighted_sample_incremental", "x105_mad_outliers",
     "x106_range_partition_plan", "x107_snapshot_audit",
     "x108_winsorized_stats", "x109_corpus_divergence",
-    "x110_event_pattern_match",
+    "x110_event_pattern_match", "x111_trend_slope",
+    "x112_welch_ttest", "x113_retraction_certified",
+    "x114_gram_matrix",
     # x40–x45 + d01–d14 + x01: driver verdicts from round 4
     "x40_length_trim", "x41_tumbling_rollup", "x42_sliding_rollup",
     "x43_pagerank", "x44_unigram_logprob", "x45_minhash_calibration",
-    "d10_inner_join", "d11_star_join_agg",
-    "d12_left_join", "d13_semi_join", "d14_anti_join",
-    "x01_token_stats",
+    "d11_star_join_agg", "d14_anti_join",
 ]
 
 

@@ -621,3 +621,64 @@ def pq_encode(
         )
         out = enc if out is None else out.unionByName(enc)
     return out
+
+
+def gram_partials(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1_000_000,
+    chunk: int = 256,
+) -> DataFrame:
+    """Per-partition partial Gram matrix (sum of per-vector outer
+    products) as EXACT scaled integers — the covariance/Gram building
+    block for PCA/whitening over an embedding corpus, implemented the
+    way a 100 TB run must: each Arrow batch folds into a d x d int64
+    accumulator inside one vectorized numpy kernel (mapInPandas), and
+    only P partitions x d^2 partial rows ever shuffle — never
+    n x d^2 element rows.
+
+    Exactness contract (what lets x114's oracle certify a NUMPY kernel
+    against pure SQL): every per-vector product v_i * v_j is computed
+    in float64, scaled once, and rounded HALF-AWAY-FROM-ZERO to an
+    integer BEFORE summation — integer addition is associative, so the
+    result is independent of partitioning and row order. np.rint would
+    be wrong here (banker's rounding, half-to-EVEN, disagrees with SQL
+    ROUND at exact .5 products — reachable since float32 inputs are
+    dyadic); the sign-split floor(|x| + 0.5) replicates SQL exactly.
+
+    Returns (i, j, g) rows, i/j 1-based, one d x d block per input
+    partition; sum g over (i, j) to finish."""
+    import numpy as np
+    import pandas as pd
+
+    def part(batches):
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            vals = pdf[vec_col].to_numpy()
+            for lo in range(0, len(vals), chunk):
+                sub = vals[lo : lo + chunk]
+                if len(sub) == 0:
+                    continue
+                V = np.stack(sub).astype(np.float64)
+                P = V[:, :, None] * V[:, None, :] * float(scale)
+                acc += (
+                    np.where(
+                        P >= 0,
+                        np.floor(P + 0.5),
+                        -np.floor(-P + 0.5),
+                    )
+                    .astype(np.int64)
+                    .sum(axis=0)
+                )
+                seen = True
+        if seen:
+            ii, jj = np.meshgrid(
+                np.arange(1, dim + 1), np.arange(1, dim + 1), indexing="ij"
+            )
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "g": acc.ravel()}
+            )
+
+    return df.select(vec_col).mapInPandas(part, "i int, j int, g long")

@@ -7332,3 +7332,311 @@ def x110(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_matches")
     )
+
+
+@_q(
+    "x111_trend_slope",
+    """WITH e AS (
+         SELECT event_type,
+                CAST(ts AS DATE) AS day,
+                CAST(ROUND(value * 100, 0) AS BIGINT) AS y
+         FROM events WHERE value IS NOT NULL
+       ),
+       d0 AS (SELECT MIN(day) AS d0 FROM e),
+       p AS (SELECT event_type,
+                    CAST(date_diff('day', d0.d0, e.day) AS BIGINT) AS x,
+                    y
+             FROM e, d0),
+       m AS (SELECT event_type, COUNT(*) AS n,
+                    SUM(x) AS sx, SUM(y) AS sy,
+                    SUM(x * x) AS sxx, SUM(x * y) AS sxy
+             FROM p GROUP BY event_type)
+       SELECT event_type, CAST(n AS BIGINT) AS n,
+              ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) + 0.0, 6)
+                AS slope_cents_per_day,
+              ROUND((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) + 0.0, 4)
+                AS intercept_cents
+       FROM m ORDER BY event_type""",
+    doc="Metric drift detection: exact-moment OLS trend per event type "
+    "— value (integer cents, d49 convention) regressed on day offset "
+    "from the corpus's first day. The d41 discipline applied to "
+    "regression: the five power sums aggregate as EXACT BIGINTs (one "
+    "shuffle, map-side partials, partition-order-independent), then "
+    "slope and intercept come from fixed closed-form IEEE double "
+    "expressions (b1 = (n*sxy - sx*sy)/(n*sxx - sx^2), b0 = (sy*sxx "
+    "- sx*sxy)/same denom) — bit-identical from laptop to 1000 "
+    "executors where Spark's float-partial regr_slope is not. Day "
+    "offsets keep x small (n * max(x)^2 and the cross moment stay "
+    "inside BIGINT at warehouse row counts; the docstring bound d41 "
+    "states applies).",
+)
+def x111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("y"),
+        )
+    )
+    d0 = ev.agg(F.min("day").alias("d0"))
+    p = ev.crossJoin(F.broadcast(d0)).select(
+        "event_type",
+        F.datediff("day", "d0").cast("bigint").alias("x"),
+        "y",
+    )
+    m = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    denom = n * sxx - sx * sx
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round((n * sxy - sx * sy) / denom + F.lit(0.0), 6).alias(
+            "slope_cents_per_day"
+        ),
+        F.round((sy * sxx - sx * sxy) / denom + F.lit(0.0), 4).alias(
+            "intercept_cents"
+        ),
+    ).orderBy("event_type")
+
+
+@_q(
+    "x112_welch_ttest",
+    """WITH e AS (
+         SELECT event_type,
+                CAST(ROUND(value * 100, 0) AS BIGINT) AS y
+         FROM events
+         WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+       ),
+       m AS (SELECT
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1,
+               SUM(CASE WHEN event_type = 'click' THEN y ELSE 0 END) AS s1,
+               SUM(CASE WHEN event_type = 'click' THEN y * y ELSE 0 END) AS ss1,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n2,
+               SUM(CASE WHEN event_type = 'view' THEN y ELSE 0 END) AS s2,
+               SUM(CASE WHEN event_type = 'view' THEN y * y ELSE 0 END) AS ss2
+             FROM e),
+       d AS (SELECT CAST(n1 AS DOUBLE) AS n1, CAST(s1 AS DOUBLE) AS s1,
+                    CAST(ss1 AS DOUBLE) AS ss1,
+                    CAST(n2 AS DOUBLE) AS n2, CAST(s2 AS DOUBLE) AS s2,
+                    CAST(ss2 AS DOUBLE) AS ss2
+             FROM m),
+       v AS (SELECT n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
+                    (n1 * ss1 - s1 * s1) / (n1 * (n1 - 1.0)) / n1 AS se1,
+                    (n2 * ss2 - s2 * s2) / (n2 * (n2 - 1.0)) / n2 AS se2
+             FROM d)
+       SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+              ROUND(m1 + 0.0, 4) AS mean1_cents,
+              ROUND(m2 + 0.0, 4) AS mean2_cents,
+              ROUND((m1 - m2) / sqrt(se1 + se2) + 0.0, 4) AS t_stat,
+              ROUND((se1 + se2) * (se1 + se2)
+                    / (se1 * se1 / (n1 - 1.0) + se2 * se2 / (n2 - 1.0))
+                    + 0.0, 2) AS df_welch
+       FROM v""",
+    doc="Two-sample experimentation statistic: Welch's unequal-variance "
+    "t between 'click' and 'view' value distributions (integer cents), "
+    "with the Welch-Satterthwaite degrees of freedom — the A/B-test "
+    "readout an experimentation platform computes per metric. Both "
+    "groups' moments come from ONE conditional-sum aggregation over "
+    "one scan (exact BIGINT power sums, partition-order-independent); "
+    "mean/variance/t/df derive from a fixed IEEE double expression "
+    "tree spelled identically in the oracle — the d41/x111 "
+    "reproducibility discipline applied to inference, where float-"
+    "partial variance would make the t statistic's low bits depend on "
+    "partitioning.",
+)
+def x112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("click", "view")
+        )
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("y"),
+        )
+    )
+    g1 = F.col("event_type") == "click"
+    g2 = F.col("event_type") == "view"
+    m = ev.agg(
+        F.sum(F.when(g1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(g1, F.col("y")).otherwise(0)).alias("s1"),
+        F.sum(F.when(g1, F.col("y") * F.col("y")).otherwise(0)).alias("ss1"),
+        F.sum(F.when(g2, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(g2, F.col("y")).otherwise(0)).alias("s2"),
+        F.sum(F.when(g2, F.col("y") * F.col("y")).otherwise(0)).alias("ss2"),
+    )
+    n1 = F.col("n1").cast("double")
+    s1 = F.col("s1").cast("double")
+    ss1 = F.col("ss1").cast("double")
+    n2 = F.col("n2").cast("double")
+    s2 = F.col("s2").cast("double")
+    ss2 = F.col("ss2").cast("double")
+    m1 = s1 / n1
+    m2 = s2 / n2
+    se1 = (n1 * ss1 - s1 * s1) / (n1 * (n1 - F.lit(1.0))) / n1
+    se2 = (n2 * ss2 - s2 * s2) / (n2 * (n2 - F.lit(1.0))) / n2
+    return m.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(m1 + F.lit(0.0), 4).alias("mean1_cents"),
+        F.round(m2 + F.lit(0.0), 4).alias("mean2_cents"),
+        F.round((m1 - m2) / F.sqrt(se1 + se2) + F.lit(0.0), 4).alias(
+            "t_stat"
+        ),
+        F.round(
+            (se1 + se2) * (se1 + se2)
+            / (
+                se1 * se1 / (n1 - F.lit(1.0))
+                + se2 * se2 / (n2 - F.lit(1.0))
+            )
+            + F.lit(0.0),
+            2,
+        ).alias("df_welch"),
+    )
+
+
+@_q(
+    "x113_retraction_certified",
+    """WITH e AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+         FROM events
+         WHERE value IS NOT NULL AND user_id % 37 <> 5
+       )
+       SELECT event_type, day,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(cents) AS BIGINT) AS sum_cents
+       FROM e GROUP BY event_type, day
+       ORDER BY event_type, day""",
+    doc="Algebraic RETRACTION certified through the driver gate — the "
+    "deletion-propagation story (GDPR erasure, bad-source rollback) "
+    "that completes the incremental family with DELETES: x88/x100/"
+    "x104 fold INSERT deltas; here the engine answers a per-(type, "
+    "day) count/sum report ONLY as maintained-state MINUS the deleted "
+    "cohort's delta (users with id % 37 = 5): the full-stream "
+    "aggregate and the NEGATED aggregate of just the deleted users' "
+    "rows fold through merge_grouped_sums, zero-count cells dropped. "
+    "The oracle rebuilds from the filtered stream; the hash match "
+    "certifies retraction == rebuild — the property that lets a "
+    "1000-executor warehouse erase a user by scanning only that "
+    "user's rows (a key-pruned read) instead of recomputing history. "
+    "Exact because count/sum are abelian-group aggregates over "
+    "INTEGER cents; a float sum would leave reassociation residue "
+    "exactly where the certification must be exact.",
+)
+def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.stats import (
+        merge_grouped_sums,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+    state = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    retract = (
+        ev.where(F.col("user_id") % 37 == 5)
+        .groupBy("event_type", "day")
+        .agg(
+            (-F.count(F.lit(1))).cast("long").alias("n"),
+            (-F.sum("cents")).cast("long").alias("sum_cents"),
+        )
+    )
+    merged = merge_grouped_sums(
+        [state, retract], ["event_type", "day"], ["n", "sum_cents"]
+    )
+    return (
+        merged.where(F.col("n") > 0)
+        .select(
+            "event_type",
+            "day",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("sum_cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@_q(
+    "x114_gram_matrix",
+    """WITH u AS (
+         SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS a
+         FROM embeddings, generate_series(1, 64) t(i)
+       ),
+       p AS (SELECT a.i AS i, b.i AS j,
+                    CAST(ROUND(a.a * b.a * 1000000, 0) AS BIGINT) AS cs
+             FROM u a JOIN u b ON a.vec_id = b.vec_id)
+       SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+              CAST(SUM(cs) AS BIGINT) AS g_scaled,
+              ROUND(CAST(SUM(cs) AS DOUBLE) / 1000000.0 + 0.0, 6) AS g
+       FROM p GROUP BY i, j ORDER BY i, j""",
+    doc="Distributed Gram matrix G = sum of v v^T over the embedding "
+    "corpus (functions/similarity.py:gram_partials) — the covariance "
+    "primitive PCA/whitening/linear-probe training consumes. The "
+    "engine runs the VECTORIZED path a 100 TB corpus requires: one "
+    "Arrow-batched numpy kernel per partition folds every vector's "
+    "outer product into a d x d int64 accumulator (per-element "
+    "products rounded ONCE to 1e-6 units, half-away-from-zero via a "
+    "sign-split floor — np.rint's half-even would diverge from SQL "
+    "ROUND at dyadic .5 products), so the shuffle carries partitions "
+    "x d^2 partial rows (32 KB each), never corpus x d^2 element "
+    "rows. The oracle states the same sum in pure SQL (unnest self-"
+    "join); the hash match certifies the numpy kernel implements the "
+    "relational definition EXACTLY — integer addition makes the fold "
+    "associative, so laptop and 1000-executor runs agree to the bit. "
+    "The UDF-done-right showcase: Python only in the embarrassingly "
+    "parallel kernel, exact algebra in the aggregate.",
+)
+def x114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.similarity import (
+        gram_partials,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    partials = gram_partials(emb, "embedding", 64)
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum("g").cast("long").alias("g_scaled"))
+        .select(
+            F.col("i").cast("bigint").alias("i"),
+            F.col("j").cast("bigint").alias("j"),
+            "g_scaled",
+            # 6 decimals: the true value g_scaled/1e6 sits ON the 1e-6
+            # grid, so no half-way case can expose Spark's HALF_UP vs
+            # DuckDB's half-even (ROUND(,4) did: ...05 midpoints)
+            F.round(
+                F.col("g_scaled").cast("double") / F.lit(1000000.0)
+                + F.lit(0.0),
+                6,
+            ).alias("g"),
+        )
+        .orderBy("i", "j")
+    )

@@ -161,3 +161,32 @@ def test_zone_maps_shape(spark):
     row0 = [r for r in zm if r["bucket"] == 0][0]
     assert row0["min_x"] == 0 and row0["max_x"] == 8
     assert row0["min_y"] == 2 and row0["max_y"] == 10
+
+
+def test_gram_partials_partition_invariant(spark, sf_dir):
+    """The scaled-integer Gram fold is exact: any repartitioning gives
+    the identical matrix (the certification x114 rides on)."""
+    from deepcell_data_engineering_spark.catalog import load_table
+    from deepcell_data_engineering_spark.functions.similarity import (
+        gram_partials,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def full(df):
+        return sorted(
+            map(
+                tuple,
+                gram_partials(df, "embedding", 64)
+                .groupBy("i", "j")
+                .agg(F.sum("g").alias("g"))
+                .collect(),
+            )
+        )
+
+    a = full(emb.repartition(1))
+    b = full(emb.repartition(7, "vec_id"))
+    assert a == b
+    # and symmetric by construction
+    m = {(i, j): g for i, j, g in a}
+    assert all(m[(i, j)] == m[(j, i)] for (i, j) in m)
