@@ -72,6 +72,21 @@ QUERIES = [
     "x86_join_order_plan",
     "x87_table_profile",
     "x88_kmv_incremental",
+    # round-7 session 3: layout/reconciliation/inference tier. x103 is
+    # 3 layout-exploded histogram windows + 2 grouped aggs over
+    # lineitem (linear); x107 one full-outer join on orders keys;
+    # x109 a sources x vocab grid self-join (vocabulary-bounded);
+    # x110 one user-hash shuffle + per-row regex; x111/x113 single
+    # grouped integer-moment scans of events; x114 the Arrow numpy
+    # Gram fold (partitions x d^2 partials). All should read
+    # near-linear.
+    "x103_zorder_skipping",
+    "x107_snapshot_audit",
+    "x109_corpus_divergence",
+    "x110_event_pattern_match",
+    "x111_trend_slope",
+    "x113_retraction_certified",
+    "x114_gram_matrix",
     # x66_similarity_join_exact is intentionally absent: its TRUE result
     # set (all pairs over a templated corpus) grows quadratically with
     # corpus size, so an sf1/sf0.1 ratio would read as a hidden
@@ -92,7 +107,7 @@ def main() -> None:
         queries = [q for q in QUERIES if q in keep]
     if not os.path.exists(os.path.join(SF1, "documents.parquet")) or (
         not os.path.exists(os.path.join(SF1, "lineitem.parquet"))
-    ):
+    ) or not os.path.exists(os.path.join(SF1, "events.parquet")):
         subprocess.check_call(
             [sys.executable, os.path.join(os.path.dirname(__file__), "gen_scale_data.py"), SF1]
         )

@@ -83,6 +83,33 @@ def gen_embeddings(n_vecs: int, rng: np.random.RandomState) -> pa.Table:
     )
 
 
+def gen_events(n_events: int, rng: np.random.RandomState) -> pa.Table:
+    """events at 10x sf0.1 rows, same shape as the driver testdata:
+    30-day window, ~10x users at the same events/user, 5-type enum,
+    value ~ the same right-skewed magnitude (x105/x108/x111/x113
+    exercise per-type medians, clips, trends and day rollups)."""
+    types = np.array(["click", "view", "purchase", "signup", "error"])
+    base_us = 1_704_067_200_000_000  # 2024-01-01 UTC in micros
+    ts_us = base_us + rng.randint(0, 30 * 86_400_000_000, n_events)
+    return pa.table(
+        {
+            "event_id": pa.array(range(n_events), pa.int64()),
+            "ts": pa.array(ts_us, pa.timestamp("us")),
+            "user_id": pa.array(rng.randint(0, 15_000, n_events), pa.int64()),
+            "event_type": pa.array(
+                types[rng.randint(0, 5, n_events)], pa.string()
+            ),
+            "value": pa.array(
+                np.round(rng.exponential(50.0, n_events), 2), pa.float64()
+            ),
+            "props": pa.array(
+                ['{"k": %d}' % k for k in rng.randint(0, 100, n_events)],
+                pa.string(),
+            ),
+        }
+    )
+
+
 def gen_tpch(out_dir: str, scale: int, rng: np.random.RandomState) -> None:
     """customer/orders/lineitem at ``scale``x the sf0.1 row counts,
     mirroring sf0.1's measured fingerprints (keys dense from 0,
@@ -201,6 +228,9 @@ def main() -> None:
     emb = gen_embeddings(20_000, rng)
     pq.write_table(docs, os.path.join(out_dir, "documents.parquet"))
     pq.write_table(emb, os.path.join(out_dir, "embeddings.parquet"))
+    pq.write_table(
+        gen_events(1_000_000, rng), os.path.join(out_dir, "events.parquet")
+    )
     gen_tpch(out_dir, 10, np.random.RandomState(43))
     print(f"wrote {docs.num_rows} documents, {emb.num_rows} embeddings, "
           f"customer/orders/lineitem x10 -> {out_dir}")
