@@ -42,37 +42,37 @@ MORTON_BITS = 20
 
 
 def morton_code(x: Column, y: Column, bits: int = MORTON_BITS) -> Column:
-    """Z-order (Morton) value: interleave the low ``bits`` bits of two
-    non-negative integer columns — x in the even positions, y in the
-    odd. Pure per-row bit arithmetic: stays inside whole-stage codegen,
-    no shuffle, no UDF. Rows sorted by this code follow the Z curve, so
-    any contiguous chunk of the sort order is a small axis-aligned
-    region in (x, y) space — the property zone maps exploit."""
-    terms = []
-    for i in range(bits):
-        terms.append(
-            F.shiftleft(F.shiftright(x.cast("long"), i).bitwiseAND(1), 2 * i)
-        )
-        terms.append(
-            F.shiftleft(
-                F.shiftright(y.cast("long"), i).bitwiseAND(1), 2 * i + 1
-            )
-        )
-    code = terms[0]
-    for t in terms[1:]:
-        code = code + t
-    return code
+    """Two-dimensional Z-order value — x in the even bit positions, y
+    in the odd. Thin wrapper over the engine's one Morton kernel,
+    plans/layout.py:zvalue (bit b of cols[i] at position b*n+i; for
+    n=2 that IS the classic interleave). Rows sorted by this code
+    follow the Z curve, so any contiguous chunk of the sort order is a
+    small axis-aligned region in (x, y) space — the property zone maps
+    exploit. Values must fit in ``bits`` bits (higher bits are
+    ignored, exactly like the SQL dual)."""
+    from deepcell_data_engineering_spark.plans.layout import zvalue
+
+    return zvalue([x, y], bits=bits)
+
+
+def zorder_sql(cols: list[str], bits: int) -> str:
+    """The zvalue bit-interleave as ANSI SQL text (DuckDB dual):
+    bit b of cols[i] lands at position b*len(cols)+i — generated from
+    the same loop shape as plans/layout.py:zvalue, so engine and
+    oracle share the bit layout by construction. One generator serves
+    every z-order oracle (x60, x103)."""
+    n = len(cols)
+    terms = [
+        f"((({c} >> {b}) & 1)::BIGINT << {b * n + i})"
+        for b in range(bits)
+        for i, c in enumerate(cols)
+    ]
+    return "(" + " | ".join(terms) + ")"
 
 
 def morton_sql(x: str, y: str, bits: int = MORTON_BITS) -> str:
-    """The identical Morton formula as ANSI SQL text (DuckDB dual).
-    Generated from the same loop as :func:`morton_code`, so the engine
-    and the oracle share the bit layout by construction."""
-    terms = []
-    for i in range(bits):
-        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
-    return "(" + " + ".join(terms) + ")"
+    """Two-column convenience form of :func:`zorder_sql`."""
+    return zorder_sql([x, y], bits)
 
 
 def _int_div(a: Column, b: Column) -> Column:

@@ -110,16 +110,20 @@ def salted_join(
     )
 
 
-def zvalue(cols: list[str], bits: int = 16) -> F.Column:
-    """Morton (Z-order) index of up to ~4 integer columns: each value is
-    rank-agnostically clamped into ``bits`` bits and the bits of all
-    columns are interleaved, so rows close in EVERY dimension get close
-    z-values. Pure bit arithmetic — codegen'd, no UDF."""
+def zvalue(cols: list, bits: int = 16) -> F.Column:
+    """Morton (Z-order) index of up to ~4 integer columns (names or
+    Columns): each value is rank-agnostically clamped into ``bits``
+    bits and the bits of all columns are interleaved (bit b of cols[i]
+    lands at position b*len(cols)+i), so rows close in EVERY dimension
+    get close z-values. Pure bit arithmetic — codegen'd, no UDF. The
+    SQL dual lives in functions/layout.py:zorder_sql (one generator
+    shared by the x60 and x103 oracles)."""
     z = F.lit(0).cast("long")
     n = len(cols)
     for b in range(bits):
         for i, c in enumerate(cols):
-            bit = F.shiftright(F.col(c).cast("long"), b).bitwiseAND(F.lit(1))
+            col = c if not isinstance(c, str) else F.col(c)
+            bit = F.shiftright(col.cast("long"), b).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, b * n + i).cast("long"))
     return z
 

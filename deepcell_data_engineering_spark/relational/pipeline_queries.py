@@ -3380,15 +3380,11 @@ def x62(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _zorder_oracle_expr(cols: list[str], bits: int) -> str:
-    """DuckDB bit-interleave mirroring plans/layout.zvalue exactly:
-    bit b of cols[i] lands at position b*len(cols)+i."""
-    n = len(cols)
-    terms = [
-        f"((({c} >> {b}) & 1)::BIGINT << {b * n + i})"
-        for b in range(bits)
-        for i, c in enumerate(cols)
-    ]
-    return " | ".join(terms)
+    """DuckDB bit-interleave mirroring plans/layout.zvalue exactly —
+    delegates to the one shared generator (functions/layout.py)."""
+    from deepcell_data_engineering_spark.functions.layout import zorder_sql
+
+    return zorder_sql(cols, bits)
 
 
 @_q(
@@ -7639,4 +7635,306 @@ def x114(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
         .orderBy("i", "j")
+    )
+
+
+@_q(
+    "x115_markov_transitions",
+    """WITH s AS (
+         SELECT user_id, event_type AS cur,
+                LEAD(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS nxt
+         FROM events
+       ),
+       p AS (SELECT cur, nxt FROM s WHERE nxt IS NOT NULL),
+       c AS (SELECT cur, nxt, COUNT(*) AS n FROM p GROUP BY cur, nxt),
+       t AS (SELECT cur, SUM(n) AS n_cur FROM c GROUP BY cur)
+       SELECT c.cur, c.nxt, CAST(c.n AS BIGINT) AS n,
+              ROUND(CAST(c.n AS DOUBLE) / CAST(t.n_cur AS DOUBLE) + 0.0, 4)
+                AS p
+       FROM c JOIN t ON c.cur = t.cur
+       ORDER BY c.cur, c.nxt""",
+    doc="First-order Markov transition matrix over per-user event "
+    "streams: P(next = b | current = a) from adjacent event pairs in "
+    "(ts, event_id) order — the behavioral-model summary (and anomaly "
+    "baseline: a session whose transitions are improbable under this "
+    "matrix is bot-shaped) that complements x110's pattern COUNTS "
+    "with the full transition DISTRIBUTION. One user-hash window "
+    "produces the adjacency (lead over each user's ordered stream — "
+    "state bounded by events-per-user), then two tiny grouped counts; "
+    "probabilities are single exact-integer divisions. 25-row output "
+    "at any corpus size.",
+)
+def x115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .where(F.col("nxt").isNotNull())
+    )
+    c = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("cur").agg(F.sum("n").alias("n_cur"))
+    return (
+        c.join(F.broadcast(t), "cur")
+        .select(
+            "cur",
+            "nxt",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                F.col("n").cast("double") / F.col("n_cur").cast("double")
+                + F.lit(0.0),
+                4,
+            ).alias("p"),
+        )
+        .orderBy("cur", "nxt")
+    )
+
+
+@_q(
+    "x116_cusum_changepoint",
+    """WITH d AS (
+         SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+         FROM events GROUP BY day
+       ),
+       t AS (SELECT SUM(c) AS total, COUNT(*) AS n_days FROM d),
+       s AS (SELECT day, c,
+                    SUM(c * t.n_days - t.total)
+                      OVER (ORDER BY day) AS cusum_scaled,
+                    t.n_days, t.total
+             FROM d, t),
+       m AS (SELECT MAX(ABS(cusum_scaled)) AS peak FROM s)
+       SELECT day, CAST(c AS BIGINT) AS c,
+              CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+              (ABS(cusum_scaled) = m.peak) AS is_peak
+       FROM s, m ORDER BY day""",
+    doc="CUSUM changepoint scan over the daily event-count series — "
+    "the monitoring primitive that flags WHEN a level shift happened "
+    "(the day where the cumulative deviation from the global mean "
+    "peaks splits the series into maximally different halves). "
+    "Numeric discipline: the deviation is carried as the INTEGER "
+    "c_t * n_days - total (= n_days * (c_t - mean), the mean cleared "
+    "of its division) so the cumulative sum is exact BIGINT "
+    "arithmetic end to end — no float mean, no reassociation residue, "
+    "engine-exact at any scale. The only ordered window runs over "
+    "DAYS (bounded by the calendar, not the corpus); peak detection "
+    "is one 1-row max attach.",
+)
+def x116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    t = d.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = (
+        d.crossJoin(F.broadcast(t))
+        .withColumn(
+            "cusum_scaled",
+            F.sum(
+                F.col("c") * F.col("n_days") - F.col("total")
+            ).over(w),
+        )
+    )
+    m = s.agg(F.max(F.abs(F.col("cusum_scaled"))).alias("peak"))
+    return (
+        s.crossJoin(F.broadcast(m))
+        .select(
+            "day",
+            F.col("c").cast("bigint").alias("c"),
+            F.col("cusum_scaled").cast("bigint").alias("cusum_scaled"),
+            (F.abs(F.col("cusum_scaled")) == F.col("peak")).alias("is_peak"),
+        )
+        .orderBy("day")
+    )
+
+
+def _x117_oracle() -> str:
+    from deepcell_data_engineering_spark.relational.queries import (
+        QUERIES as _REG,
+    )
+
+    edges_sql = _REG["x06_minhash_lsh_pairs"].oracle
+    return f"""
+    WITH e AS ({edges_sql}),
+    sym AS (SELECT id_a AS u, id_b AS v FROM e
+            UNION ALL SELECT id_b, id_a FROM e),
+    deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+    inter AS (SELECT e1.u AS a, e2.v AS c, COUNT(*) AS inter
+              FROM sym e1 JOIN sym e2 ON e1.v = e2.u AND e1.u < e2.v
+              GROUP BY a, c),
+    cand AS (SELECT i.a, i.c, i.inter
+             FROM inter i LEFT JOIN e ON e.id_a = i.a AND e.id_b = i.c
+             WHERE e.id_a IS NULL)
+    SELECT cand.a, cand.c, CAST(cand.inter AS BIGINT) AS inter,
+           CAST(da.deg AS BIGINT) AS deg_a, CAST(dc.deg AS BIGINT) AS deg_c,
+           ROUND(CAST(cand.inter AS DOUBLE)
+                 / CAST(da.deg + dc.deg - cand.inter AS DOUBLE) + 0.0, 6)
+             AS jaccard
+    FROM cand JOIN deg da ON da.u = cand.a JOIN deg dc ON dc.u = cand.c
+    ORDER BY jaccard DESC, a, c LIMIT 20"""
+
+
+@_q(
+    "x117_link_prediction",
+    _x117_oracle(),
+    doc="Common-neighbor link prediction over the LSH candidate graph "
+    "— the graph-ML primitive behind 'you probably also duplicate "
+    "THIS doc': for every distance-2 pair (a, c) NOT already an edge, "
+    "the neighbor-Jaccard |N(a) n N(c)| / |N(a) u N(c)|, top-20 by "
+    "score. Near-dup clusters are transitively closed in truth, so "
+    "high-scoring non-edges are candidates LSH banding missed "
+    "(recall repair without re-hashing — complements x70's "
+    "reachability and x21's components with a RANKED frontier). "
+    "Scale shape: one wedge self-join of the symmetrized edge list "
+    "(bounded by sum of squared degrees — the x67 triangle bound; "
+    "hub caps in functions/graph.py apply upstream), per-pair "
+    "arithmetic after two broadcast degree attaches, and the LIMIT "
+    "rides the ROUNDED score with (a, c) tie-breaks so the float "
+    "sort is selection-stable cross-engine. Edges come from x06's "
+    "certified pair query (engine composition; embedded CTE in the "
+    "oracle).",
+)
+def x117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs, num_hashes=6, k=5)
+    edges = dd.lsh_candidate_pairs(
+        sigs, bands=[["h0", "h1", "h2"], ["h3", "h4", "h5"]]
+    )
+    sym = edges.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionByName(
+        edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    e1 = sym.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = sym.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    inter = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .where(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cand = inter.join(
+        edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("c")),
+        ["a", "c"],
+        "left_anti",
+    )
+    j = cand.join(
+        F.broadcast(deg.select(F.col("u").alias("a"), F.col("deg").alias("deg_a"))),
+        "a",
+    ).join(
+        F.broadcast(deg.select(F.col("u").alias("c"), F.col("deg").alias("deg_c"))),
+        "c",
+    )
+    return (
+        j.select(
+            "a",
+            "c",
+            F.col("inter").cast("bigint").alias("inter"),
+            F.col("deg_a").cast("bigint").alias("deg_a"),
+            F.col("deg_c").cast("bigint").alias("deg_c"),
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("deg_a") + F.col("deg_c") - F.col("inter")).cast(
+                    "double"
+                )
+                + F.lit(0.0),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "a", "c")
+        .limit(20)
+    )
+
+
+def _x118_oracle() -> str:
+    srp = _srp_oracle(dim=EMB_DIM, n_planes=6, k=10, n_queries=10)
+    return f"""
+    WITH qv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                WHERE vec_id < 10),
+    cv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT qv.vec_id AS query_id, cv.vec_id AS neighbor_id,
+             list_dot_product(qv.v, cv.v)
+               / (sqrt(list_dot_product(qv.v, qv.v))
+                  * sqrt(list_dot_product(cv.v, cv.v))) AS s
+      FROM qv JOIN cv ON qv.vec_id != cv.vec_id
+    ),
+    ex AS (SELECT query_id, neighbor_id, rank AS re FROM (
+             SELECT query_id, neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, neighbor_id) AS rank
+             FROM scored) WHERE rank <= 10),
+    ap AS (SELECT query_id, neighbor_id, rank AS rs FROM ({srp})),
+    f AS (SELECT query_id, neighbor_id,
+                 COALESCE(1e0 / (60 + ex.re), 0e0)
+                 + COALESCE(1e0 / (60 + ap.rs), 0e0) AS score
+          FROM ex FULL JOIN ap USING (query_id, neighbor_id)),
+    r AS (SELECT query_id, neighbor_id, ROUND(score + 0.0, 6) AS rrf,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY ROUND(score + 0.0, 6) DESC,
+                                             neighbor_id) AS fused_rank
+          FROM f)
+    SELECT query_id, CAST(fused_rank AS BIGINT) AS fused_rank,
+           neighbor_id, rrf
+    FROM r WHERE fused_rank <= 3 ORDER BY query_id, fused_rank"""
+
+
+@_q(
+    "x118_rrf_fusion",
+    _x118_oracle(),
+    doc="Reciprocal-rank fusion of two retrieval lists — the hybrid-"
+    "search combiner (exact/dense + SRP-LSH here; BM25 + dense in a "
+    "text stack): per (query, candidate), score = sum over lists of "
+    "1/(60 + rank), full-outer so a candidate surfaced by EITHER "
+    "ranker competes, top-3 per query by the ROUNDED fused score "
+    "with neighbor-id tie-breaks (selection-stable float sort under "
+    "LIMIT). RRF needs only RANKS — no score calibration between "
+    "heterogeneous rankers — which is exactly why it is the default "
+    "fusion in production hybrid retrieval. Composes x09's exact "
+    "top-10 and x11's SRP top-10 (both already certified); each "
+    "1/(60+r) is a single exact IEEE division, so the fused score "
+    "is engine-reproducible. At scale both inputs are k-row-per-"
+    "query relations — fusion cost is rank-bounded, independent of "
+    "corpus size.",
+)
+def x118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = sim.cosine_topk(emb, q, k=10).select(
+        "query_id", "neighbor_id", F.col("rank").alias("re")
+    )
+    approx = sim.lsh_topk(emb, q, dim=EMB_DIM, k=10, n_planes=6).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rs")
+    )
+    f = exact.join(
+        approx, ["query_id", "neighbor_id"], "full_outer"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("re")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rs")), F.lit(0.0))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score") + F.lit(0.0), 6).desc(), "neighbor_id"
+    )
+    return (
+        f.withColumn("fused_rank", F.row_number().over(w))
+        .where(F.col("fused_rank") <= 3)
+        .select(
+            "query_id",
+            F.col("fused_rank").cast("bigint").alias("fused_rank"),
+            "neighbor_id",
+            F.round(F.col("score") + F.lit(0.0), 6).alias("rrf"),
+        )
+        .orderBy("query_id", "fused_rank")
     )
