@@ -111,3 +111,73 @@ def asof_join(
             *[F.when(keep, F.col(c)).alias(c) for c in carried],
         )
     return out
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket: int,
+    extra_on=None,
+) -> DataFrame:
+    """All (left, right) pairs whose CLOSED integer intervals
+    [l_start, l_end] and [r_start, r_end] overlap — the
+    interval-interval generalization of the as-of join above, via
+    BUCKET DECOMPOSITION instead of a range join.
+
+    Why not ``l.join(r, overlap_predicate)``: a pure inequality join
+    has no equi-key, so Spark plans BroadcastNestedLoopJoin /
+    cartesian — O(|L| x |R|) at 100 TB. Here each interval explodes to
+    the fixed-width buckets it covers (``sequence`` of integer bucket
+    ids — a generator over the scan, fan-out = interval_len/bucket +
+    1), the join is a plain hash EQUI-join on bucket id, and the true
+    overlap predicate re-checks inside the bucket-matched candidates.
+    Duplicate pairs (intervals sharing several buckets) are eliminated
+    WITHOUT a distinct shuffle: a pair is kept only in the FIRST
+    bucket where both intervals are live (bucket ==
+    max(bucket_of(l_start), bucket_of(r_start))). Cost: one equi-join
+    shuffle whose key cardinality the caller tunes via ``bucket``
+    (bucket ~ typical interval length keeps fan-out ~2).
+
+    Bounds are integer columns in the same unit (e.g. epoch micros);
+    ``bucket`` is the width in that unit. ``extra_on``: optional list
+    of column names to ALSO equi-join on (e.g. a tenant key), tagged
+    onto the shuffle key for free.
+    """
+    from deepcell_data_engineering_spark.functions.layout import _int_div
+
+    extra_on = list(extra_on or [])
+    lb = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                _int_div(F.col(l_start), F.lit(bucket)),
+                _int_div(F.col(l_end), F.lit(bucket)),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                _int_div(F.col(r_start), F.lit(bucket)),
+                _int_div(F.col(r_end), F.lit(bucket)),
+            )
+        ),
+    )
+    first_shared = F.greatest(
+        _int_div(F.col(l_start), F.lit(bucket)),
+        _int_div(F.col(r_start), F.lit(bucket)),
+    )
+    return (
+        lb.join(rb, ["__bucket"] + extra_on)
+        .where(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (F.col("__bucket") == first_shared)
+        )
+        .drop("__bucket")
+    )

@@ -7938,3 +7938,483 @@ def x118(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "fused_rank")
     )
+
+
+@_q(
+    "x119_ivm_join_delta",
+    """WITH o AS (SELECT o_orderkey, o_orderpriority FROM orders),
+       l AS (SELECT l_orderkey,
+                    CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+             FROM lineitem)
+       SELECT o_orderpriority,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(cents) AS BIGINT) AS sum_cents
+       FROM o JOIN l ON l.l_orderkey = o.o_orderkey
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    doc="Incremental view maintenance of an aggregated JOIN — the "
+    "materialized-view delta rule Delta(A JOIN B) = dA JOIN B_new "
+    "UNION A_old JOIN dB, certified through the driver gate. The "
+    "engine answers the per-priority revenue view ONLY as state + "
+    "deltas: base state over (orders_old JOIN lineitem_old), plus the "
+    "aggregate of dO JOIN lineitem_full, plus O_old JOIN dL (dO = "
+    "orderkeys = 3 mod 13, dL = suppkeys = 4 mod 11 — independent "
+    "splits so every factor-pair term appears exactly once), folded "
+    "through merge_grouped_sums over integer cents. The oracle "
+    "rebuilds from the full join; the hash match proves maintenance "
+    "== rebuild, extending the incremental family (x88 KMV, x100 CMS, "
+    "x104 reservoir, x113 retraction) from single-table aggregates to "
+    "JOINS — the property that lets a 100 TB warehouse refresh a join "
+    "view by joining only the micro-batch against the base (delta "
+    "sides broadcast — micro-batch-sized by contract), never "
+    "re-joining old against old. Exact because count/sum over BIGINT "
+    "cents are abelian-group states.",
+)
+def x119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.stats import (
+        merge_grouped_sums,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_suppkey"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    is_do = F.col("o_orderkey") % 13 == 3
+    is_dl = F.col("l_suppkey") % 11 == 4
+    o_old, d_o = o.where(~is_do), o.where(is_do)
+    l_old, d_l = li.where(~is_dl), li.where(is_dl)
+
+    def _agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+
+    state = _agg(
+        o_old.join(l_old, o_old.o_orderkey == l_old.l_orderkey)
+    )
+    d1 = _agg(
+        F.broadcast(d_o).join(li, d_o.o_orderkey == li.l_orderkey)
+    )
+    d2 = _agg(
+        o_old.join(F.broadcast(d_l), o_old.o_orderkey == d_l.l_orderkey)
+    )
+    return (
+        merge_grouped_sums(
+            [state, d1, d2], ["o_orderpriority"], ["n", "sum_cents"]
+        )
+        .select(
+            "o_orderpriority",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("sum_cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "x120_session_incident_overlap",
+    """WITH flagged AS (
+         SELECT user_id, ts,
+                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events
+       ),
+       sess0 AS (
+         SELECT user_id, ts,
+                SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+         FROM flagged
+       ),
+       sess AS (
+         SELECT user_id, epoch_us(MIN(ts)) AS s_start,
+                epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS s_end
+         FROM sess0 GROUP BY user_id, sid
+       ),
+       inc AS (
+         SELECT event_id, epoch_us(ts) - 300000000 AS i_start,
+                epoch_us(ts) + 300000000 AS i_end
+         FROM events WHERE event_type = 'error'
+       )
+       SELECT user_id,
+              CAST(COUNT(DISTINCT s_start) AS BIGINT) AS n_sessions_hit,
+              CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_incidents
+       FROM sess JOIN inc ON s_start <= i_end AND i_start <= s_end
+       GROUP BY user_id ORDER BY user_id""",
+    doc="Interval-interval overlap join at warehouse scale: which user "
+    "sessions (x17's session_window intervals, [first event, last + "
+    "30 min]) overlapped platform incident windows (error events +/- "
+    "5 min) — the blast-radius report an SRE pipeline runs after an "
+    "outage. The engine uses operators/joins.py:interval_overlap_join "
+    "— BUCKET DECOMPOSITION: both interval sets explode to 30-min "
+    "epoch buckets (integer fan-out ~ interval/bucket + 1), a plain "
+    "hash EQUI-join on bucket id replaces the range join (a pure "
+    "inequality join plans BroadcastNestedLoopJoin — O(|L| x |R|) at "
+    "100 TB), the true overlap predicate re-checks candidates, and "
+    "pairs sharing several buckets are kept only in the FIRST shared "
+    "bucket — deduplication by arithmetic, no distinct shuffle. The "
+    "oracle states the direct inequality join; the hash match "
+    "certifies the decomposition loses and invents nothing.",
+)
+def x120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("s_start"),
+            F.unix_micros(F.col("w.end")).alias("s_end"),
+        )
+    )
+    inc = (
+        ev.where(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            (F.unix_micros(F.col("ts")) - F.lit(300_000_000)).alias(
+                "i_start"
+            ),
+            (F.unix_micros(F.col("ts")) + F.lit(300_000_000)).alias(
+                "i_end"
+            ),
+        )
+    )
+    pairs = interval_overlap_join(
+        sess, inc, "s_start", "s_end", "i_start", "i_end",
+        bucket=1_800_000_000,
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.countDistinct("s_start").cast("bigint").alias(
+                "n_sessions_hit"
+            ),
+            F.countDistinct("event_id").cast("bigint").alias(
+                "n_incidents"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_q(
+    "x121_cube_report",
+    """SELECT COALESCE(event_type, 'ALL') AS etype,
+              COALESCE(CAST(isodow(CAST(ts AS DATE)) AS VARCHAR), 'ALL')
+                AS dow,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))::BIGINT
+                   AS BIGINT) AS sum_cents
+       FROM events
+       GROUP BY CUBE (event_type, isodow(CAST(ts AS DATE)))
+       ORDER BY etype, dow""",
+    doc="CUBE over (event_type, ISO day-of-week) — all four grouping "
+    "sets (full, by-type, by-dow, grand total) in ONE pass, completing "
+    "the multi-granularity family (d20 ROLLUP, d21 GROUPING SETS, x69 "
+    "sketch rollup). Spark expands the cube map-side (Expand node: 4 "
+    "copies of each row, partial-aggregated before the shuffle), so "
+    "the shuffled volume is 4 x |groups|, not 4 x |rows| — the "
+    "dashboard-materialization shape at 100 TB. Cross-engine traps "
+    "pinned: DuckDB dayofweek is Sunday=0 while Spark's is Sunday=1, "
+    "so both sides use ISO (Spark weekday()+1 == DuckDB isodow); "
+    "integer cents rounded once per row before the sum.",
+)
+def x121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.weekday(F.col("ts").cast("date")) + 1).alias("dow_i"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    return (
+        ev.cube("event_type", "dow_i")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("etype"),
+            F.coalesce(
+                F.col("dow_i").cast("string"), F.lit("ALL")
+            ).alias("dow"),
+            "n",
+            "sum_cents",
+        )
+        .orderBy("etype", "dow")
+    )
+
+
+@_q(
+    "x122_ntile_deciles",
+    """WITH t AS (
+         SELECT o_custkey,
+                CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                     ::BIGINT AS BIGINT) AS cents
+         FROM orders GROUP BY o_custkey
+       ),
+       d AS (
+         SELECT o_custkey, cents,
+                NTILE(10) OVER (ORDER BY cents, o_custkey) AS decile
+         FROM t
+       )
+       SELECT CAST(decile AS BIGINT) AS decile,
+              CAST(COUNT(*) AS BIGINT) AS n_customers,
+              CAST(MIN(cents) AS BIGINT) AS min_cents,
+              CAST(MAX(cents) AS BIGINT) AS max_cents,
+              CAST(SUM(cents)::BIGINT AS BIGINT) AS sum_cents
+       FROM d GROUP BY decile ORDER BY decile""",
+    doc="Customer-spend decile report via NTILE(10) — the "
+    "segmentation primitive (equal-population bands, remainder to the "
+    "first buckets per ANSI, identical in Spark and DuckDB) behind "
+    "'top decile drives X% of revenue'. Deterministic under ties by "
+    "the (cents, custkey) sort. Scale shape: the only global window "
+    "runs over the per-CUSTOMER aggregate — customers are orders of "
+    "magnitude fewer than orders, and the heavy lifting (the spend "
+    "sum) is a plain hash aggregate; for a window over raw fact rows "
+    "use x63's histogram quantiles instead.",
+)
+def x122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    d = t.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy("cents", "o_custkey")),
+    )
+    return (
+        d.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.min("cents").cast("bigint").alias("min_cents"),
+            F.max("cents").cast("bigint").alias("max_cents"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "n_customers", "min_cents", "max_cents", "sum_cents",
+        )
+        .orderBy("decile")
+    )
+
+
+@_q(
+    "x123_expectations_report",
+    """WITH ri AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS rows_checked,
+                CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0
+                         END)::BIGINT AS BIGINT) AS violations
+         FROM lineitem l LEFT JOIN orders o
+           ON l.l_orderkey = o.o_orderkey
+       ),
+       ord AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST((COUNT(*) - COUNT(DISTINCT o_orderkey)) AS BIGINT)
+                  AS dup_pk,
+                CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                              THEN 1 ELSE 0 END)::BIGINT AS BIGINT)
+                  AS bad_status,
+                CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0
+                         END)::BIGINT AS BIGINT) AS null_date
+         FROM orders
+       ),
+       li AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                              THEN 1 ELSE 0 END)::BIGINT AS BIGINT)
+                  AS bad_qty,
+                CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                              THEN 1 ELSE 0 END)::BIGINT AS BIGINT)
+                  AS bad_disc
+         FROM lineitem
+       ),
+       doc AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN text IS NULL
+                                   OR length(trim(text)) = 0
+                              THEN 1 ELSE 0 END)::BIGINT AS BIGINT)
+                  AS empty_text
+         FROM documents
+       ),
+       u AS (
+         SELECT 'orders' AS tbl, 'pk_unique' AS check_name,
+                n AS rows_checked, dup_pk AS violations FROM ord
+         UNION ALL
+         SELECT 'orders', 'status_in_domain', n, bad_status FROM ord
+         UNION ALL
+         SELECT 'orders', 'orderdate_complete', n, null_date FROM ord
+         UNION ALL
+         SELECT 'lineitem', 'quantity_in_range', n, bad_qty FROM li
+         UNION ALL
+         SELECT 'lineitem', 'discount_in_range', n, bad_disc FROM li
+         UNION ALL
+         SELECT 'lineitem', 'orderkey_ri', rows_checked, violations
+         FROM ri
+         UNION ALL
+         SELECT 'documents', 'text_nonempty', n, empty_text FROM doc
+       )
+       SELECT tbl, check_name, rows_checked, violations,
+              (violations = 0) AS pass
+       FROM u ORDER BY tbl, check_name""",
+    doc="Data-quality expectation suite (the Deequ/Great-Expectations "
+    "surface): per-constraint rows-checked / violation counts / "
+    "pass over three tables — primary-key uniqueness, domain "
+    "membership, completeness, numeric range, referential integrity, "
+    "non-empty text. Every single-table constraint family resolves in "
+    "ONE conditional-sum aggregation per table (no per-constraint "
+    "rescans — the 100 TB requirement); the RI check is the one "
+    "necessary join, a plain hash left-join on the key whose null "
+    "side counts orphans. The report is certified, not assumed: "
+    "violation counts hash-match the oracle whether or not the data "
+    "is clean.",
+)
+def x123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    docs = load_table(spark, sf_dir, "documents")
+
+    ord_agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "dup_pk"
+        ),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+            .otherwise(0)
+        ).alias("bad_status"),
+        F.sum(
+            F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)
+        ).alias("null_date"),
+    )
+    li_agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+            ).otherwise(0)
+        ).alias("bad_qty"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+                1,
+            ).otherwise(0)
+        ).alias("bad_disc"),
+    )
+    ri = (
+        li.select("l_orderkey")
+        .join(
+            o.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("rows_checked"),
+            F.sum(
+                F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+            ).alias("violations"),
+        )
+    )
+    doc_agg = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.col("text").isNull()
+                | (F.length(F.trim(F.col("text"))) == 0),
+                1,
+            ).otherwise(0)
+        ).alias("empty_text"),
+    )
+
+    def _row(src: DataFrame, tbl: str, name: str, n_col: str,
+             v_col: str) -> DataFrame:
+        return src.select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(name).alias("check_name"),
+            F.col(n_col).cast("bigint").alias("rows_checked"),
+            F.col(v_col).cast("bigint").alias("violations"),
+        )
+
+    report = (
+        _row(ord_agg, "orders", "pk_unique", "n", "dup_pk")
+        .unionByName(_row(ord_agg, "orders", "status_in_domain", "n",
+                          "bad_status"))
+        .unionByName(_row(ord_agg, "orders", "orderdate_complete", "n",
+                          "null_date"))
+        .unionByName(_row(li_agg, "lineitem", "quantity_in_range", "n",
+                          "bad_qty"))
+        .unionByName(_row(li_agg, "lineitem", "discount_in_range", "n",
+                          "bad_disc"))
+        .unionByName(_row(ri, "lineitem", "orderkey_ri", "rows_checked",
+                          "violations"))
+        .unionByName(_row(doc_agg, "documents", "text_nonempty", "n",
+                          "empty_text"))
+    )
+    return report.withColumn(
+        "pass", F.col("violations") == 0
+    ).orderBy("tbl", "check_name")
+
+
+@_q(
+    "x124_unpivot_metrics",
+    """WITH wide AS (
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(COALESCE(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)),
+                              0)::BIGINT AS BIGINT) AS sum_cents,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events GROUP BY event_type
+       )
+       SELECT event_type, metric, val
+       FROM (UNPIVOT wide ON n, sum_cents, n_users
+             INTO NAME metric VALUE val)
+       ORDER BY event_type, metric""",
+    doc="UNPIVOT (wide-to-long melt) of a per-type metrics block — the "
+    "reshape inverse of d31's PIVOT, closing the reshape pair: metric "
+    "registries, feature stores and plotting layers all consume the "
+    "long form. Engine side is Spark's native DataFrame.unpivot "
+    "(Expand node — per-row fan-out of metric columns, map-side only, "
+    "no shuffle beyond the upstream aggregate); values are cast to "
+    "one BIGINT type first, the unpivot contract. The melt happens "
+    "AFTER aggregation, so the long relation is metrics x types "
+    "rows regardless of corpus size.",
+)
+def x124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.coalesce(
+                F.sum(
+                    F.round(F.col("value") * 100, 0).cast("bigint")
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("sum_cents"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+    return (
+        wide.unpivot(
+            ["event_type"], ["n", "sum_cents", "n_users"], "metric", "val"
+        )
+        .orderBy("event_type", "metric")
+    )

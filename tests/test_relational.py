@@ -116,3 +116,80 @@ def test_canonicalizer_array_guard_scans_all_rows(spark, con):
         "SELECT 1 AS k, NULL AS mixed UNION ALL SELECT 2, [1, 2]",
     )
     assert not res.ok and "array-typed" in res.detail
+
+
+def test_interval_overlap_join_matches_direct_predicate(spark):
+    """Bucket decomposition == the direct inequality join, on a fixture
+    exercising every edge: touching endpoints (closed-interval
+    inclusive), multi-bucket spans (pair must appear ONCE, not per
+    shared bucket), zero-length intervals, disjoint-but-same-bucket
+    pairs, and a pair whose only shared bucket is far from either
+    start."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from deepcell_data_engineering_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    hand_l = [(0, 0, 10), (1, 95, 105), (2, 200, 500), (3, 42, 42)]
+    hand_r = [(10, 10, 20), (11, 105, 110), (12, 450, 900), (13, 43, 44),
+              (14, 0, 1000)]
+    rng = random.Random(7)
+    rand_l = [
+        (100 + i, s, s + rng.randint(0, 250))
+        for i, s in enumerate(rng.randint(0, 1000) for _ in range(40))
+    ]
+    rand_r = [
+        (200 + i, s, s + rng.randint(0, 250))
+        for i, s in enumerate(rng.randint(0, 1000) for _ in range(40))
+    ]
+    left = spark.createDataFrame(
+        hand_l + rand_l, "lid long, ls long, le long"
+    )
+    right = spark.createDataFrame(
+        hand_r + rand_r, "rid long, rs long, re long"
+    )
+    for bucket in (7, 100, 5000):
+        got = sorted(
+            (r["lid"], r["rid"])
+            for r in interval_overlap_join(
+                left, right, "ls", "le", "rs", "re", bucket=bucket
+            ).collect()
+        )
+        want = sorted(
+            (r["lid"], r["rid"])
+            for r in left.join(
+                right,
+                (F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le")),
+            ).collect()
+        )
+        assert got == want, f"bucket={bucket}"
+        assert len(got) == len(set(got))  # no duplicated pairs
+    # the hand-built edges are actually in the answer
+    pairs = set(want)
+    assert (0, 10) in pairs and (1, 11) in pairs  # touching endpoints
+    assert (3, 14) in pairs and (0, 14) in pairs  # zero-length + spanning
+    assert (3, 13) not in pairs  # adjacent but disjoint (43 > 42)
+
+
+def test_interval_overlap_join_extra_on_key(spark):
+    """extra_on tenant key: pairs only form within the same tenant."""
+    from deepcell_data_engineering_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [("a", 1, 0, 100), ("b", 2, 0, 100)], "t string, lid long, ls long, le long"
+    )
+    right = spark.createDataFrame(
+        [("a", 10, 50, 60), ("b", 11, 50, 60)], "t string, rid long, rs long, re long"
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket=30, extra_on=["t"]
+        ).collect()
+    )
+    assert got == [(1, 10), (2, 11)]
