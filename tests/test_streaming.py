@@ -762,3 +762,112 @@ def test_streaming_scd2_maintenance_equals_batch(spark, tmp_path):
         )
     )
     assert got == batch
+
+
+def test_streaming_ivm_join_maintenance_equals_batch(spark, tmp_path):
+    """x119's aggregated-join view maintained BY a CDC stream carrying
+    BOTH tables: each micro-batch holds an uncorrelated slice of
+    orders (by orderkey residue) and lineitem (by suppkey residue),
+    and the view state folds through the delta rule
+    Delta(O JOIN L) = dO JOIN L_new  UNION  O_old JOIN dL
+    — the maintenance path joins each delta against the other side's
+    accumulated log, NEVER old against old. The final folded state
+    equals x119's output (itself hash-certified against the straight
+    rebuild), proving a 100 TB join view refreshes at micro-batch
+    cost."""
+    from deepcell_data_engineering_spark.functions.stats import (
+        merge_grouped_sums,
+    )
+    from deepcell_data_engineering_spark.relational import QUERIES
+
+    batch = sorted(
+        map(tuple, QUERIES["x119_ivm_join_delta"].build(spark, SF_SMOKE).collect())
+    )
+
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        F.lit("o").alias("side"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("priority"),
+        F.lit(None).cast("long").alias("cents"),
+        F.pmod(F.col("o_orderkey"), F.lit(3)).alias("slice"),
+    )
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        F.lit("l").alias("side"),
+        F.col("l_orderkey").alias("k"),
+        F.lit(None).cast("string").alias("priority"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+        F.pmod(F.col("l_suppkey"), F.lit(3)).alias("slice"),
+    )
+    cdc = o.unionByName(li)
+    src = str(tmp_path / "src")
+    for i in range(3):
+        cdc.where(F.col("slice") == i).drop("slice").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    o_log = str(tmp_path / "o_log")
+    l_log = str(tmp_path / "l_log")
+    state_paths: list[str] = []
+
+    def _agg(joined):
+        return joined.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+
+    def apply_batch(bdf, bid):
+        d_o = bdf.where(F.col("side") == "o").select(
+            F.col("k").alias("o_orderkey"),
+            F.col("priority").alias("o_orderpriority"),
+        )
+        d_l = bdf.where(F.col("side") == "l").select(
+            F.col("k").alias("l_orderkey"), "cents"
+        )
+        import os
+
+        empty_o = d_o.limit(0)
+        empty_l = d_l.limit(0)
+        o_old = spark.read.parquet(o_log) if os.path.exists(o_log) else empty_o
+        l_old = spark.read.parquet(l_log) if os.path.exists(l_log) else empty_l
+        l_new = l_old.unionByName(d_l)
+        parts = [
+            _agg(d_o.join(l_new, d_o.o_orderkey == l_new.l_orderkey)),
+            _agg(o_old.join(d_l, o_old.o_orderkey == d_l.l_orderkey)),
+        ]
+        if state_paths:
+            parts.insert(0, spark.read.parquet(state_paths[-1]))
+        out = str(tmp_path / f"state_{bid}")
+        merge_grouped_sums(
+            parts, ["o_orderpriority"], ["n", "sum_cents"]
+        ).write.mode("overwrite").parquet(out)
+        state_paths.append(out)
+        d_o.write.mode("append").parquet(o_log)
+        d_l.write.mode("append").parquet(l_log)
+
+    q = (
+        spark.readStream.schema(cdc.drop("slice").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(state_paths) >= 2  # the fold actually iterated
+
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(state_paths[-1])
+            .select(
+                "o_orderpriority",
+                F.col("n").cast("bigint").alias("n"),
+                F.col("sum_cents").cast("bigint").alias("sum_cents"),
+            )
+            .collect(),
+        )
+    )
+    assert got == batch
