@@ -8418,3 +8418,140 @@ def x124(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "metric")
     )
+
+
+@_q(
+    "x125_trailing_zscore",
+    """WITH d AS (
+         SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+         FROM events GROUP BY day
+       ),
+       w AS (
+         SELECT day, c,
+                COUNT(*) OVER tw AS n7,
+                SUM(c) OVER tw AS s7,
+                SUM(c * c) OVER tw AS ss7
+         FROM d
+         WINDOW tw AS (ORDER BY day ROWS BETWEEN 7 PRECEDING
+                                          AND 1 PRECEDING)
+       ),
+       z AS (
+         SELECT day, c,
+                CAST(s7 AS DOUBLE) / CAST(n7 AS DOUBLE) AS mean7,
+                (CAST(n7 AS DOUBLE) * CAST(ss7 AS DOUBLE)
+                 - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE))
+                / (CAST(n7 AS DOUBLE) * (CAST(n7 AS DOUBLE) - 1.0))
+                  AS var7
+         FROM w WHERE n7 = 7
+       )
+       SELECT day, CAST(c AS BIGINT) AS c,
+              ROUND(mean7 + 0.0, 4) AS mean7,
+              ROUND(CASE WHEN var7 > 0
+                         THEN (CAST(c AS DOUBLE) - mean7) / sqrt(var7)
+                         END + 0.0, 4) AS z,
+              (var7 > 0 AND
+               ABS((CAST(c AS DOUBLE) - mean7) / sqrt(var7)) >= 2.0)
+                AS is_anomaly
+       FROM z ORDER BY day""",
+    doc="Trailing-window anomaly monitor: each day's event count "
+    "scored as a z-statistic against the PRECEDING 7 days' mean and "
+    "sample variance (the current day excluded from its own baseline "
+    "— the leakage mistake naive monitors make), |z| >= 2 flagged. "
+    "Complements x116: CUSUM locates the single level shift in "
+    "retrospect; this is the per-day online alarm. Numeric "
+    "discipline: the rolling state is integer (count, sum, sum-of-"
+    "squares) window sums — exact BIGINT — and mean/var/z derive "
+    "through one fixed IEEE expression tree spelled identically in "
+    "the oracle (x111/x112's d41 discipline); zero-variance windows "
+    "yield NULL z, never a division blow-up. The ordered window runs "
+    "over DAYS — calendar-bounded state at any corpus size.",
+)
+def x125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tw = Window.orderBy("day").rowsBetween(-7, -1)
+    w = d.select(
+        "day",
+        "c",
+        F.count(F.lit(1)).over(tw).alias("n7"),
+        F.sum("c").over(tw).alias("s7"),
+        F.sum(F.col("c") * F.col("c")).over(tw).alias("ss7"),
+    ).where(F.col("n7") == 7)
+    n7 = F.col("n7").cast("double")
+    s7 = F.col("s7").cast("double")
+    ss7 = F.col("ss7").cast("double")
+    cd = F.col("c").cast("double")
+    mean7 = s7 / n7
+    var7 = (n7 * ss7 - s7 * s7) / (n7 * (n7 - F.lit(1.0)))
+    zexpr = F.when(var7 > 0, (cd - mean7) / F.sqrt(var7))
+    return w.select(
+        "day",
+        F.col("c").cast("bigint").alias("c"),
+        F.round(mean7 + F.lit(0.0), 4).alias("mean7"),
+        F.round(zexpr + F.lit(0.0), 4).alias("z"),
+        ((var7 > 0) & (F.abs(zexpr) >= 2.0)).alias("is_anomaly"),
+    ).orderBy("day")
+
+
+@_q(
+    "x126_bag_set_ops",
+    """WITH a AS (SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem
+                  WHERE l_returnflag = 'R'),
+       b AS (SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem
+             WHERE l_returnflag = 'A'),
+       i AS (SELECT q, COUNT(*) AS n_intersect
+             FROM (SELECT q FROM a INTERSECT ALL SELECT q FROM b)
+             GROUP BY q),
+       e AS (SELECT q, COUNT(*) AS n_except
+             FROM (SELECT q FROM a EXCEPT ALL SELECT q FROM b)
+             GROUP BY q)
+       SELECT COALESCE(i.q, e.q) AS q,
+              CAST(COALESCE(n_intersect, 0) AS BIGINT) AS n_intersect,
+              CAST(COALESCE(n_except, 0) AS BIGINT) AS n_except
+       FROM i FULL JOIN e ON i.q = e.q ORDER BY q""",
+    doc="Bag-semantics set operations — INTERSECT ALL (per-value "
+    "multiplicity = min of the two sides) and EXCEPT ALL "
+    "(multiplicity = max(0, a - b)) between the returned and "
+    "annulled quantity multisets, completing the set-op family "
+    "(d26/d27 cover the DISTINCT forms, whose dedup loses exactly "
+    "the multiplicity information bag analytics needs). Spark plans "
+    "both as a grouped count + generate (replicate rows) — two hash "
+    "aggregates, no sort, no join of the raw sides; the verification "
+    "invariant n_intersect = least(count_a, count_b) per value is "
+    "what the oracle's identical formulation certifies.",
+)
+def x126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_quantity").cast("bigint").alias("q")
+    )
+    b = li.where(F.col("l_returnflag") == "A").select(
+        F.col("l_quantity").cast("bigint").alias("q")
+    )
+    i = (
+        a.intersectAll(b)
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).alias("n_intersect"))
+    )
+    e = (
+        a.exceptAll(b)
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).alias("n_except"))
+    )
+    return (
+        i.withColumnRenamed("q", "qi")
+        .join(e.withColumnRenamed("q", "qe"),
+              F.col("qi") == F.col("qe"), "full_outer")
+        .select(
+            F.coalesce(F.col("qi"), F.col("qe")).alias("q"),
+            F.coalesce(F.col("n_intersect"), F.lit(0))
+            .cast("bigint")
+            .alias("n_intersect"),
+            F.coalesce(F.col("n_except"), F.lit(0))
+            .cast("bigint")
+            .alias("n_except"),
+        )
+        .orderBy("q")
+    )
