@@ -31,13 +31,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver oracle-checks the first 50 registry entries per round.
-# Round-7 rotation: the 17 round-6 queries (x73–x89) have never been in
-# a driver window — they lead (pre-flighted 17/17 green at sf0.01 via
-# tools/check_oracle.py, recorded in PREFLIGHT_r06.json), followed by
-# x40–x45, d01–d14 and x01 (driver verdicts from round 4). After this
-# window every registered query's driver verdict is at most two rounds
-# old except the round-5 rows. Round 8 should rotate in the remaining
-# round-5 rows (d15–d49, x02–x05, x46–x56) plus any new queries.
+# Round-7 rotation: 54 queries have never been in a driver window
+# (x73–x89 from round 6, x90–x126 from round 7) — more than the window
+# holds. The 50 slots go to x73–x114 (42) plus the 8 highest-risk new
+# queries (composition/join/kernel shapes: x115–x120, x123, x125); the
+# 4 deferred are the simplest single-surface forms (x121 CUBE, x122
+# NTILE, x124 UNPIVOT, x126 bag set-ops), all green at sf0.01 via
+# tools/check_oracle.py (PREFLIGHT_r07.json). Round 8 should lead with
+# those 4, then the round-4/5-stale rows (x40–x45, d01–d49, x01–x05,
+# x46–x56).
 _CHECK_FIRST = [
     # x73–x89: round-6 additions, never driver-checked
     "x73_bpe_encode", "x74_fuzzy_name_join", "x75_sliding_distinct",
@@ -60,10 +62,11 @@ _CHECK_FIRST = [
     "x110_event_pattern_match", "x111_trend_slope",
     "x112_welch_ttest", "x113_retraction_certified",
     "x114_gram_matrix",
-    # x40–x45 + d01–d14 + x01: driver verdicts from round 4
-    "x40_length_trim", "x41_tumbling_rollup", "x42_sliding_rollup",
-    "x43_pagerank", "x44_unigram_logprob", "x45_minhash_calibration",
-    "d11_star_join_agg", "d14_anti_join",
+    # round-7 session-4 additions, highest-risk shapes first
+    "x115_markov_transitions", "x116_cusum_changepoint",
+    "x117_link_prediction", "x118_rrf_fusion",
+    "x119_ivm_join_delta", "x120_session_incident_overlap",
+    "x123_expectations_report", "x125_trailing_zscore",
 ]
 
 

@@ -87,6 +87,15 @@ QUERIES = [
     "x111_trend_slope",
     "x113_retraction_certified",
     "x114_gram_matrix",
+    # round-7 session 4: x117 is the wedge self-join over the LSH
+    # candidate graph (bounded by sum of squared degrees — same family
+    # as x67, expect output-bound growth on the templated corpus);
+    # x119 joins lineitem three ways (state + two broadcast delta
+    # joins — linear); x120 explodes sessions/incidents to 30-min
+    # buckets then one equi-join (linear in events + pair output).
+    "x117_link_prediction",
+    "x119_ivm_join_delta",
+    "x120_session_incident_overlap",
     # x66_similarity_join_exact is intentionally absent: its TRUE result
     # set (all pairs over a templated corpus) grows quadratically with
     # corpus size, so an sf1/sf0.1 ratio would read as a hidden
@@ -145,6 +154,14 @@ def main() -> None:
                 "grows ~45,000x from sf0.1 to sf1 (394 -> 17,858,963 rows) "
                 "because duplicate groups pair quadratically; per-1k-row cost "
                 "falls (see sf1_ms_per_1k_rows)"
+            )
+        if name == "x117_link_prediction":
+            rec["note"] = (
+                "graph-bound, not plan-bound: same 75x edge growth as x67 "
+                "(the templated corpus's near-dup groups are cliques), and "
+                "wedge count grows with sum of squared degrees; time grows "
+                "37x while edges grow 75x, so per-edge cost FALLS; output "
+                "stays top-20 by construction"
             )
         if name == "x67_triangle_hubs":
             rec["note"] = (

@@ -85,6 +85,14 @@ HEADLINERS = [
     ("x99_ewma_user_value", "ordered recurrence: per-key array fold, one user-hash exchange"),
     ("x100_cms_incremental", "incremental CMS: merge of half-stream counter tables == full rebuild"),
     ("x102_point_in_time_join", "point-in-time feature join: union + window carry-forward, no range join"),
+    ("x103_zorder_skipping", "z-order layout lab: 3 layouts from one exploded pass, zone-map pruning measured"),
+    ("x110_event_pattern_match", "CEP regex over per-user ordered event strings: one user-hash shuffle"),
+    ("x114_gram_matrix", "vectorized Gram kernel: partitions x d^2 int64 partials, certified vs pure SQL"),
+    ("x117_link_prediction", "common-neighbor scores: one wedge self-join + anti-join, rounded-score top-k"),
+    ("x119_ivm_join_delta", "join-view IVM: state + broadcast delta joins, never old-against-old"),
+    ("x120_session_incident_overlap", "interval overlap via bucket decomposition: equi-join, no nested loop"),
+    ("x121_cube_report", "CUBE: 4 grouping sets in one Expand, partial agg before the shuffle"),
+    ("x123_expectations_report", "expectation suite: one conditional-sum pass per table + the one RI join"),
 ]
 
 
