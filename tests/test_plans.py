@@ -653,3 +653,46 @@ def test_x94_salted_join_shape(spark):
     plan = pi.executed_plan(df)
     assert "_salt" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_prunes_fact_scan(spark, tmp_path):
+    """Dynamic partition pruning — THE partitioned-lakehouse join
+    optimization at 100 TB: a selective filter on the dim side turns
+    into a runtime IN-subquery on the fact side's PARTITION column, so
+    the fact scan opens only the matching partition directories
+    instead of all of them. Evidence required in-plan (a
+    dynamicpruning expression on the fact scan's partition filters)
+    and in-result (identical rows to the unpartitioned join)."""
+    ev = load_table(spark, SF, "events").withColumn(
+        "day", F.col("ts").cast("date").cast("string")
+    )
+    fact_path = str(tmp_path / "events_by_day")
+    ev.write.partitionBy("day").parquet(fact_path)
+    days = (
+        ev.select("day").distinct().orderBy("day").limit(3)
+        .withColumn("tag", F.lit("picked"))
+    )
+    dim_path = str(tmp_path / "picked_days")
+    days.write.parquet(dim_path)
+
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).where(F.col("tag") == "picked")
+    joined = fact.join(dim, "day").groupBy("day").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = pi.executed_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+    expect = sorted(
+        (str(r["day"]), r["n"])
+        for r in ev.join(days.select("day"), "day")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    # partition-dir values re-infer as DATE on read; compare as strings
+    got = sorted((str(r["day"]), r["n"]) for r in joined.collect())
+    assert got == expect
+    # the pruned scan must read fewer partition dirs than exist
+    n_days = ev.select("day").distinct().count()
+    assert n_days > 3  # the filter is actually selective on this data

@@ -1,0 +1,119 @@
+"""Manifest-based snapshot versioning: time travel, append/overwrite/
+replace semantics, atomicity-by-construction, vacuum."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepcell_data_engineering_spark.catalog import load_table
+from deepcell_data_engineering_spark.sources import snapshots as snap
+
+from conftest import SF_SMOKE
+
+
+def _rows(df):
+    return sorted(map(tuple, df.select("doc_id", "source").collect()))
+
+
+def test_append_versions_and_time_travel(spark, tmp_path):
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    a = docs.where(F.col("doc_id") < 50)
+    b = docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 80))
+
+    assert snap.current_version(t) is None
+    v0 = snap.commit(spark, a, t)
+    v1 = snap.commit(spark, b, t, mode="append")
+    assert (v0, v1) == (0, 1)
+    assert snap.current_version(t) == 1
+
+    # time travel: v0 is exactly the first batch, AFTER later commits
+    assert _rows(snap.read_snapshot(spark, t, 0)) == _rows(a)
+    assert _rows(snap.read_snapshot(spark, t, 1)) == _rows(a.unionByName(b))
+    assert _rows(snap.read_snapshot(spark, t)) == _rows(a.unionByName(b))
+
+
+def test_overwrite_and_replace_preserve_history(spark, tmp_path):
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    a = docs.where(F.col("doc_id") < 50)
+    snap.commit(spark, a, t)
+    small = docs.where(F.col("doc_id") < 5)
+    v1 = snap.commit(spark, small, t, mode="overwrite")
+    assert _rows(snap.read_snapshot(spark, t, v1)) == _rows(small)
+    assert _rows(snap.read_snapshot(spark, t, 0)) == _rows(a)
+
+    # compaction: same content, fewer files, old version undisturbed
+    cur = snap.read_snapshot(spark, t, v1)
+    v2 = snap.commit(spark, cur.coalesce(1), t, mode="replace")
+    assert _rows(snap.read_snapshot(spark, t, v2)) == _rows(small)
+    assert _rows(snap.read_snapshot(spark, t, v1)) == _rows(small)
+    ops = [h["op"] for h in snap.history(t)]
+    assert ops == ["append", "overwrite", "replace"]
+
+
+def test_vacuum_deletes_only_unreferenced(spark, tmp_path):
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    a = docs.where(F.col("doc_id") < 50)
+    b = docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 80))
+    snap.commit(spark, a, t)
+    snap.commit(spark, b, t, mode="append")
+    snap.commit(spark, docs.where(F.col("doc_id") < 5), t, mode="overwrite")
+
+    removed = snap.vacuum(t, keep_last=1)
+    # v0/v1's dirs are unreferenced by v2 (overwrite) -> both deleted
+    assert len(removed) == 2
+    assert _rows(snap.read_snapshot(spark, t)) == _rows(
+        docs.where(F.col("doc_id") < 5)
+    )
+    with pytest.raises(ValueError):
+        snap.read_snapshot(spark, t, 0)
+    # vacuum with everything retained deletes nothing
+    assert snap.vacuum(t, keep_last=10) == []
+
+
+def test_vacuum_keeps_shared_dirs_of_append_chain(spark, tmp_path):
+    """An append chain shares directories across versions: keeping the
+    last 2 versions must keep v0's dir too (v1/v2 reference it)."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    snap.commit(spark, docs.where(F.col("doc_id") < 10), t)
+    snap.commit(
+        spark,
+        docs.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)),
+        t,
+        mode="append",
+    )
+    snap.commit(
+        spark,
+        docs.where((F.col("doc_id") >= 20) & (F.col("doc_id") < 30)),
+        t,
+        mode="append",
+    )
+    removed = snap.vacuum(t, keep_last=2)
+    assert removed == []  # every dir is referenced by v1 or v2
+    assert len(_rows(snap.read_snapshot(spark, t))) == 30
+    # v0's manifest is dropped even though its dir survives (shared)
+    assert snap.history(t)[0].get("vacuumed") is True
+
+
+def test_commit_is_manifest_last(spark, tmp_path):
+    """Crash between data write and manifest publish must leave the
+    table at its previous version (the atomicity contract): simulate by
+    writing data without a manifest and checking readers are blind to
+    it."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    snap.commit(spark, docs.where(F.col("doc_id") < 10), t)
+    # orphan data dir, no manifest (the crash window)
+    docs.where(F.col("doc_id") >= 90).write.parquet(
+        os.path.join(t, "data", "c999999-deadbeef")
+    )
+    assert snap.current_version(t) == 0
+    assert len(_rows(snap.read_snapshot(spark, t))) == 10
+    # and vacuum reclaims the orphan
+    assert snap.vacuum(t, keep_last=1) == [
+        os.path.join("data", "c999999-deadbeef")
+    ]

@@ -871,3 +871,70 @@ def test_streaming_ivm_join_maintenance_equals_batch(spark, tmp_path):
         )
     )
     assert got == batch
+
+
+def test_streaming_zscore_monitor_equals_batch(spark, tmp_path):
+    """x125's trailing z-score monitor fed BY a stream: the state is
+    the per-day event count — a mergeable grouped sum — folded from
+    micro-batch deltas; the monitor query over the folded state equals
+    the batch x125 rebuild exactly (counts are integers and the z
+    derivation is one fixed IEEE expression tree, so state-fed and
+    rebuild-fed answers are bit-identical)."""
+    from pyspark.sql import Window
+
+    from deepcell_data_engineering_spark.functions.stats import (
+        merge_grouped_sums,
+    )
+    from deepcell_data_engineering_spark.relational import QUERIES
+
+    batch = sorted(
+        map(tuple, QUERIES["x125_trailing_zscore"].build(spark, SF_SMOKE).collect())
+    )
+
+    day_log = str(tmp_path / "day_counts")
+
+    def append_delta(bdf, _bid):
+        bdf.groupBy(F.col("ts").cast("date").alias("day")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        ).write.mode("append").parquet(day_log)
+
+    q = (
+        read_events_stream(spark, SF_SMOKE)
+        .writeStream.foreachBatch(append_delta)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    d = merge_grouped_sums(
+        [spark.read.parquet(day_log)], ["day"], ["c"]
+    )
+    tw = Window.orderBy("day").rowsBetween(-7, -1)
+    w = d.select(
+        "day",
+        "c",
+        F.count(F.lit(1)).over(tw).alias("n7"),
+        F.sum("c").over(tw).alias("s7"),
+        F.sum(F.col("c") * F.col("c")).over(tw).alias("ss7"),
+    ).where(F.col("n7") == 7)
+    n7 = F.col("n7").cast("double")
+    s7 = F.col("s7").cast("double")
+    ss7 = F.col("ss7").cast("double")
+    cd = F.col("c").cast("double")
+    mean7 = s7 / n7
+    var7 = (n7 * ss7 - s7 * s7) / (n7 * (n7 - F.lit(1.0)))
+    zexpr = F.when(var7 > 0, (cd - mean7) / F.sqrt(var7))
+    got = sorted(
+        map(
+            tuple,
+            w.select(
+                "day",
+                F.col("c").cast("bigint").alias("c"),
+                F.round(mean7 + F.lit(0.0), 4).alias("mean7"),
+                F.round(zexpr + F.lit(0.0), 4).alias("z"),
+                ((var7 > 0) & (F.abs(zexpr) >= 2.0)).alias("is_anomaly"),
+            ).collect(),
+        )
+    )
+    assert got == batch
