@@ -6689,29 +6689,38 @@ def x103(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = vc.withColumn("cum", F.sum("c").over(wcum)).withColumn(
         "n", F.sum("c").over(Window.partitionBy("layout"))
     )
-    tg = (
-        cum.select("layout", "n")
-        .distinct()
-        .select(
-            "layout", "n",
-            F.explode(F.sequence(F.lit(1), F.lit(63))).alias("i"),
+    # boundary extraction WITHOUT joining the 63 targets against the
+    # code histogram (that join is equi only on 3 layout keys; its
+    # per-key inequality fan-out is 63 x |histogram| — measured
+    # dominant at sf0.1): code c is the boundary (min code with
+    # cum >= t_i) for target t_i = ceil(i*n/64) exactly when t_i lands
+    # in (cum_prev, cum], i.e. i in [floor(cum_prev*64/n) + 1,
+    # floor(cum*64/n)] — pure integer arithmetic on a lag over the
+    # same (layout, code) sort the cumulative window already pays for
+    wlag = Window.partitionBy("layout").orderBy("code")
+    bounds = (
+        cum.withColumn(
+            "cum_prev", F.coalesce(F.lag("cum").over(wlag), F.lit(0))
         )
         .withColumn(
-            "target",
-            ly._int_div(F.col("i") * F.col("n") + F.lit(63), F.lit(64)),
+            "i_lo",
+            F.greatest(
+                F.lit(1),
+                ly._int_div(F.col("cum_prev") * 64, F.col("n")) + F.lit(1),
+            ),
         )
-        .select(F.col("layout").alias("tl"), "i", "target")
-    )
-    bounds = (
-        tg.join(
-            cum,
-            (cum["layout"] == tg["tl"]) & (cum["cum"] >= tg["target"]),
+        .withColumn(
+            "i_hi",
+            F.least(F.lit(63), ly._int_div(F.col("cum") * 64, F.col("n"))),
         )
-        .groupBy("tl", "i")
-        .agg(F.min("code").alias("b"))
-        .groupBy("tl")
+        .where(F.col("i_hi") >= F.col("i_lo"))
+        .select(
+            "layout",
+            F.col("code").alias("b"),
+            F.explode(F.sequence(F.col("i_lo"), F.col("i_hi"))).alias("i"),
+        )
+        .groupBy("layout")
         .agg(F.sort_array(F.collect_list("b")).alias("barr"))
-        .select(F.col("tl").alias("layout"), "barr")
     )
     assigned = lc.join(F.broadcast(bounds), "layout").withColumn(
         "bucket", ly.range_assign(F.col("code"), F.col("barr"))
