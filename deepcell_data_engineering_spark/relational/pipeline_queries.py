@@ -8564,3 +8564,78 @@ def x126(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+@_q(
+    "x127_time_travel_audit",
+    """WITH m AS (SELECT doc_id % 3 AS m3, source, n_chars
+                  FROM documents)
+       SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+              CAST(SUM(n_chars)::BIGINT AS BIGINT) AS sum_chars
+       FROM m WHERE m3 = 0
+       UNION ALL
+       SELECT 1, CAST(COUNT(*) AS BIGINT),
+              CAST(COUNT(DISTINCT source) AS BIGINT),
+              CAST(SUM(n_chars)::BIGINT AS BIGINT)
+       FROM m WHERE m3 IN (0, 1)
+       UNION ALL
+       SELECT 2, CAST(COUNT(*) AS BIGINT),
+              CAST(COUNT(DISTINCT source) AS BIGINT),
+              CAST(SUM(n_chars)::BIGINT AS BIGINT)
+       FROM m WHERE m3 = 2
+       ORDER BY version""",
+    doc="Time travel certified through the driver gate: the corpus is "
+    "committed to a manifest-logged snapshot table (sources/"
+    "snapshots.py) as three versions — v0 append (residue-0 docs), v1 "
+    "append (residue-1), v2 OVERWRITE (residue-2) — and the report "
+    "reads every HISTORICAL version back through read_snapshot, "
+    "auditing (n_docs, n_sources, sum_chars) per version. The oracle "
+    "recomputes each version from its logical definition, so the hash "
+    "match certifies the whole commit/manifest/time-travel round trip "
+    "on real data: v0's answer must survive both the later append and "
+    "the overwrite (immutable history), v1 must be the union, v2 only "
+    "its own commit. Scale shape: commits and per-version scans are "
+    "ordinary distributed parquet jobs; only the 3-row audit report "
+    "and the KB-sized manifests are driver state (the catalog-layer "
+    "convention) — the versioned data lives in a private temp table "
+    "removed after the scans complete.",
+)
+def x127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from deepcell_data_engineering_spark.sources import snapshots as snap
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    t = tempfile.mkdtemp(prefix="dde_snapshot_audit_")
+    try:
+        snap.commit(spark, docs.where(F.col("doc_id") % 3 == 0), t)
+        snap.commit(
+            spark, docs.where(F.col("doc_id") % 3 == 1), t, mode="append"
+        )
+        snap.commit(
+            spark, docs.where(F.col("doc_id") % 3 == 2), t, mode="overwrite"
+        )
+        rows = []
+        for v in range(3):
+            r = (
+                snap.read_snapshot(spark, t, v)
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_docs"),
+                    F.countDistinct("source").cast("long").alias(
+                        "n_sources"
+                    ),
+                    F.sum("n_chars").cast("long").alias("sum_chars"),
+                )
+                .collect()[0]
+            )
+            rows.append((v, r["n_docs"], r["n_sources"], r["sum_chars"]))
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "version BIGINT, n_docs BIGINT, n_sources BIGINT, sum_chars BIGINT",
+    ).orderBy("version")
