@@ -31,16 +31,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver oracle-checks the first 50 registry entries per round.
-# Round-7 rotation: 55 queries have never been in a driver window
-# (x73–x89 from round 6, x90–x127 from round 7) — more than the window
+# Round-7 rotation: 57 queries have never been in a driver window
+# (x73–x89 from round 6, x90–x129 from round 7) — more than the window
 # holds. The 50 slots go to x73–x114 (42) plus the 8 highest-risk new
-# queries (snapshot-log round trip, join/kernel compositions,
-# monitors: x116–x120, x123, x125, x127); the 5 deferred are the
-# simplest single-surface forms (x115 Markov, x121 CUBE, x122 NTILE,
-# x124 UNPIVOT, x126 bag set-ops), all green at sf0.01 via
-# tools/check_oracle.py (PREFLIGHT_r07.json). Round 8 should lead with
-# those 5, then the round-4/5-stale rows (x40–x45, d01–d49, x01–x05,
-# x46–x56).
+# queries (filesystem round trips, join/kernel/graph compositions,
+# the cross-engine regex): x117–x120, x123, x127–x129. The 7 deferred
+# are the simplest single-surface forms (x115 Markov, x116 CUSUM,
+# x121 CUBE, x122 NTILE, x124 UNPIVOT, x125 z-score, x126 bag
+# set-ops), all green at sf0.01 via tools/check_oracle.py
+# (PREFLIGHT_r07.json). Round 8 should lead with those 7, then the
+# round-4/5-stale rows (x40–x45, d01–d49, x01–x05, x46–x56).
 _CHECK_FIRST = [
     # x73–x89: round-6 additions, never driver-checked
     "x73_bpe_encode", "x74_fuzzy_name_join", "x75_sliding_distinct",
@@ -63,14 +63,11 @@ _CHECK_FIRST = [
     "x110_event_pattern_match", "x111_trend_slope",
     "x112_welch_ttest", "x113_retraction_certified",
     "x114_gram_matrix",
-    # round-7 session-4 additions, highest-risk shapes first (x127's
-    # snapshot-log filesystem round trip, the three join/kernel
-    # compositions, then the monitors; x115/x121/x122/x124/x126 are
-    # the deferred low-risk single-surface forms)
-    "x127_time_travel_audit", "x116_cusum_changepoint",
-    "x117_link_prediction", "x118_rrf_fusion",
-    "x119_ivm_join_delta", "x120_session_incident_overlap",
-    "x123_expectations_report", "x125_trailing_zscore",
+    # round-7 session-4 additions, highest-risk shapes first
+    "x127_time_travel_audit", "x128_format_interop",
+    "x129_pretokenize_vocab", "x117_link_prediction",
+    "x118_rrf_fusion", "x119_ivm_join_delta",
+    "x120_session_incident_overlap", "x123_expectations_report",
 ]
 
 

@@ -16,6 +16,28 @@ def token_count(text: Column) -> Column:
     return F.size(F.split(F.trim(text), r"\s+"))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to the Java-regex ∩ RE2
+# intersection so Spark (java.util.regex) and DuckDB (RE2) produce the
+# IDENTICAL token stream: English contraction suffixes, space-prefixed
+# letter runs, space-prefixed digit runs, space-prefixed punctuation
+# runs, whitespace runs. Deviation from the exact GPT-2 pattern: the
+# trailing `\s+(?!\S)` lookahead is dropped (RE2 has no lookahead), so
+# a whitespace run before a token stays one run instead of splitting
+# its last space onto the next token.
+PRETOKENIZE_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}']+|\s+"
+)
+
+
+def pretokenize(text: Column, pattern: str = PRETOKENIZE_PATTERN) -> Column:
+    """BPE-style pre-tokenization: the array of pattern matches, in
+    order — the segmentation step every byte-pair tokenizer runs BEFORE
+    merges (merges never cross pre-token boundaries). Pure codegen
+    (regexp_extract_all with group 0 — Spark's default idx=1 wants a
+    capture group), no UDF; one generator over the scan."""
+    return F.regexp_extract_all(text, F.lit(pattern), 0)
+
+
 def char_class_count(text: Column, char_class: str) -> Column:
     """Number of characters matching a regex class, via global removal of
     the complement — dialect-portable (no regexp_count in DuckDB 1.0)."""

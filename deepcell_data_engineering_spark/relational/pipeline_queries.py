@@ -8639,3 +8639,145 @@ def x127(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "version BIGINT, n_docs BIGINT, n_sources BIGINT, sum_chars BIGINT",
     ).orderBy("version")
+
+
+@_q(
+    "x128_format_interop",
+    """WITH base AS (
+         SELECT event_id, user_id, event_type,
+                CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+         FROM events WHERE value IS NOT NULL
+       ),
+       agg AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                CAST(SUM(cents)::BIGINT AS BIGINT) AS sum_cents,
+                CAST(MIN(event_id) AS BIGINT) AS min_id,
+                CAST(MAX(event_id) AS BIGINT) AS max_id
+         FROM base
+       )
+       SELECT fmt, n, n_users, sum_cents, min_id, max_id
+       FROM (VALUES ('csv'), ('jsonl'), ('orc'), ('parquet')) f(fmt),
+            agg
+       ORDER BY fmt""",
+    doc="Interchange-format round trip certified through the driver "
+    "gate: the event stream (integer-cents projection) is written "
+    "through every corpus connector (sources/corpus.py write_jsonl / "
+    "write_csv / write_orc and native parquet) into a private temp "
+    "table, read back through the matching schema-pinned reader, and "
+    "re-aggregated per format. The oracle computes the SAME five "
+    "metrics once from the source table and asserts them for every "
+    "format row — so any value mangled in transit (CSV quoting, JSON "
+    "number formatting, a type widened by inference) breaks the hash. "
+    "Scale notes baked into the connectors and re-checked here: "
+    "explicit schemas (no inference pass), no coalesce(1) (files per "
+    "task), line formats kept splittable. Catalog convention: the "
+    "four 1-row aggregates are driver state; writes and scans are "
+    "ordinary distributed jobs on a temp table removed afterwards.",
+)
+def x128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from deepcell_data_engineering_spark.sources import corpus as cps
+
+    schema = (
+        "event_id BIGINT, user_id BIGINT, event_type STRING, cents BIGINT"
+    )
+    base = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+    t = tempfile.mkdtemp(prefix="dde_interop_")
+    rows = []
+    try:
+        cps.write_jsonl(base, os.path.join(t, "jsonl"))
+        cps.write_csv(base, os.path.join(t, "csv"))
+        cps.write_orc(base, os.path.join(t, "orc"))
+        base.write.mode("overwrite").parquet(os.path.join(t, "parquet"))
+        readers = {
+            "jsonl": lambda: cps.read_jsonl(
+                spark, os.path.join(t, "jsonl"), schema
+            ).drop("_corrupt"),
+            "csv": lambda: cps.read_csv(
+                spark, os.path.join(t, "csv"), schema
+            ),
+            "orc": lambda: cps.read_orc(spark, os.path.join(t, "orc")),
+            "parquet": lambda: spark.read.schema(schema).parquet(
+                os.path.join(t, "parquet")
+            ),
+        }
+        for fmt in sorted(readers):
+            r = (
+                readers[fmt]()
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.countDistinct("user_id").cast("long").alias(
+                        "n_users"
+                    ),
+                    F.sum("cents").cast("long").alias("sum_cents"),
+                    F.min("event_id").cast("long").alias("min_id"),
+                    F.max("event_id").cast("long").alias("max_id"),
+                )
+                .collect()[0]
+            )
+            rows.append(
+                (fmt, r["n"], r["n_users"], r["sum_cents"], r["min_id"],
+                 r["max_id"])
+            )
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "fmt STRING, n BIGINT, n_users BIGINT, sum_cents BIGINT, "
+        "min_id BIGINT, max_id BIGINT",
+    ).orderBy("fmt")
+
+
+@_q(
+    "x129_pretokenize_vocab",
+    r"""WITH tok AS (
+         SELECT doc_id, unnest(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}'']+|\s+'
+         )) AS tok
+         FROM documents
+       )
+       SELECT tok, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tok GROUP BY tok
+       ORDER BY n DESC, tok LIMIT 25""",
+    doc="BPE-style PRE-tokenization vocabulary (functions/text.py:"
+    "pretokenize): the corpus segmented by the GPT-2-shaped pattern "
+    "(contraction suffixes, space-prefixed letter/digit/punctuation "
+    "runs, whitespace runs), top-25 pre-tokens by frequency with "
+    "document frequency — the segmentation stage that feeds x68's BPE "
+    "merge training (merges never cross pre-token boundaries; "
+    "space-prefixed tokens are why GPT-2 vocabularies contain ' the'). "
+    "The pattern is pinned to the Java-regex ∩ RE2 intersection (no "
+    "lookahead) so Spark and DuckDB segment IDENTICALLY — certified "
+    "here token-for-token, count-for-count. Plan: one regexp "
+    "generator over the scan into a grouped count — the x46 "
+    "heavy-hitter shape, two partial aggs + TakeOrdered, no sort of "
+    "the token stream.",
+)
+def x129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.explode(tx.pretokenize(F.col("text"))).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("doc_id").cast("bigint").alias("df"),
+        )
+        .orderBy(F.desc("n"), "tok")
+        .limit(25)
+    )
