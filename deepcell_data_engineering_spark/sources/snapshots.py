@@ -74,6 +74,7 @@ def commit(
     df: DataFrame,
     table_path: str,
     mode: str = "append",
+    batch_id: int | None = None,
 ) -> int:
     """Write ``df`` as a new table version and return its number.
 
@@ -88,10 +89,24 @@ def commit(
     Data lands under a fresh uuid directory, the manifest is written
     to a temp name and atomically renamed into the log — readers never
     observe a version whose data is incomplete.
+
+    ``batch_id``: the exactly-once hook for streaming foreachBatch
+    sinks. A commit whose batch_id already appears in a retained
+    manifest is a NO-OP returning that manifest's version — replaying
+    a micro-batch after a failed epoch cannot double its rows. (The
+    dedup window is the retained manifest log; production systems keep
+    the txn log's retention independent of data vacuuming.)
     """
     if mode not in ("append", "overwrite", "replace"):
         raise ValueError(f"mode must be append|overwrite|replace, got {mode!r}")
     parent = current_version(table_path)
+    if batch_id is not None and parent is not None:
+        for v in range(parent + 1):
+            path = _manifest_path(table_path, v)
+            if os.path.exists(path):
+                m = _load_manifest(table_path, v)
+                if m.get("batch_id") == batch_id:
+                    return v
     version = 0 if parent is None else parent + 1
     commit_dir = os.path.join(
         table_path, _DATA_DIR, f"c{version:06d}-{uuid.uuid4().hex[:8]}"
@@ -107,6 +122,8 @@ def commit(
         "op": mode,
         "dirs": dirs,
     }
+    if batch_id is not None:
+        manifest["batch_id"] = batch_id
     os.makedirs(os.path.join(table_path, _MANIFEST_DIR), exist_ok=True)
     tmp = _manifest_path(table_path, version) + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
@@ -116,12 +133,20 @@ def commit(
 
 
 def read_snapshot(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """The table as of ``version`` (default: latest). One distributed
     parquet scan over exactly the directories that version's manifest
     names — partition pruning, pushdown and column pruning all apply
-    as on any parquet read."""
+    as on any parquet read.
+
+    ``merge_schema=True``: reconcile schema EVOLUTION across commits
+    (a column added in a later append reads as NULL for older
+    directories) — the footer-union pass costs one footer read per
+    file, so leave it off for tables whose schema is known stable."""
     if version is None:
         version = current_version(table_path)
         if version is None:
@@ -129,7 +154,10 @@ def read_snapshot(
     m = _load_manifest(table_path, version)
     if not m["dirs"]:
         raise ValueError(f"version {version} references no data")
-    return spark.read.parquet(
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(
         *[os.path.join(table_path, d) for d in m["dirs"]]
     )
 

@@ -117,3 +117,62 @@ def test_commit_is_manifest_last(spark, tmp_path):
     assert snap.vacuum(t, keep_last=1) == [
         os.path.join("data", "c999999-deadbeef")
     ]
+
+
+def test_streaming_commit_sink_is_exactly_once(spark, tmp_path):
+    """foreachBatch committing micro-batches into the snapshot log with
+    batch_id dedup: the stream lands every batch exactly once, and
+    REPLAYING a batch (the failed-epoch retry) is a no-op returning
+    the original version — the table never double-counts."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    src = str(tmp_path / "src")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    t = str(tmp_path / "tbl")
+
+    def sink(bdf, bid):
+        snap.commit(spark, bdf, t, mode="append", batch_id=bid)
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    latest = snap.current_version(t)
+    n = snap.read_snapshot(spark, t).count()
+    assert n == docs.count()
+    # replay batch 0: same batch_id -> no new version, no new rows
+    replay = docs.where(F.col("doc_id") % 3 == 0)
+    v = snap.commit(spark, replay, t, mode="append", batch_id=0)
+    assert v == 0 and snap.current_version(t) == latest
+    assert snap.read_snapshot(spark, t).count() == n
+    # a genuinely new batch id still lands
+    v2 = snap.commit(spark, replay.limit(1), t, mode="append", batch_id=99)
+    assert v2 == latest + 1
+    assert snap.read_snapshot(spark, t).count() == n + 1
+
+
+def test_read_snapshot_merges_evolved_schema(spark, tmp_path):
+    """Schema evolution: a column added in a later append reads as NULL
+    for the older commits under merge_schema=True."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    t = str(tmp_path / "tbl")
+    snap.commit(spark, docs.select("doc_id", "source").limit(10), t)
+    snap.commit(
+        spark,
+        docs.select("doc_id", "source", "lang").where(F.col("doc_id") >= 90),
+        t,
+        mode="append",
+    )
+    merged = snap.read_snapshot(spark, t, merge_schema=True)
+    assert set(merged.columns) == {"doc_id", "source", "lang"}
+    assert merged.where(F.col("lang").isNull()).count() == 10
+    assert merged.where(F.col("lang").isNotNull()).count() > 0
