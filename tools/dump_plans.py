@@ -93,6 +93,7 @@ HEADLINERS = [
     ("x120_session_incident_overlap", "interval overlap via bucket decomposition: equi-join, no nested loop"),
     ("x121_cube_report", "CUBE: 4 grouping sets in one Expand, partial agg before the shuffle"),
     ("x123_expectations_report", "expectation suite: one conditional-sum pass per table + the one RI join"),
+    ("x129_pretokenize_vocab", "BPE pre-tokenizer: regexp generator over the scan + partial-agg TakeOrdered"),
 ]
 
 
