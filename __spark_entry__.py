@@ -31,15 +31,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver oracle-checks the first 50 registry entries per round.
-# Round-7 rotation: 57 queries have never been in a driver window
-# (x73–x89 from round 6, x90–x129 from round 7) — more than the window
-# holds. The 50 slots go to x73–x114 (42) plus the 8 highest-risk new
-# queries (filesystem round trips, join/kernel/graph compositions,
-# the cross-engine regex): x117–x120, x123, x127–x129. The 7 deferred
-# are the simplest single-surface forms (x115 Markov, x116 CUSUM,
-# x121 CUBE, x122 NTILE, x124 UNPIVOT, x125 z-score, x126 bag
+# Round-7 rotation: 59 queries have never been in a driver window
+# (x73–x89 from round 6, x90–x131 from round 7) — more than the window
+# holds. The 50 slots go to x73–x114 (42) plus the 8 new queries with
+# the most NOVEL failure modes (filesystem round trips, cross-engine
+# regex and ln-ranking, graph/IVM/interval compositions, the hash
+# fold): x117, x119, x120, x127–x131. The 9 deferred are simple or
+# compositions of already-certified operators (x115 Markov, x116
+# CUSUM, x118 RRF of certified x09/x11, x121 CUBE, x122 NTILE, x123
+# conditional-sum expectations, x124 UNPIVOT, x125 z-score, x126 bag
 # set-ops), all green at sf0.01 via tools/check_oracle.py
-# (PREFLIGHT_r07.json). Round 8 should lead with those 7, then the
+# (PREFLIGHT_r07.json). Round 8 should lead with those 9, then the
 # round-4/5-stale rows (x40–x45, d01–d49, x01–x05, x46–x56).
 _CHECK_FIRST = [
     # x73–x89: round-6 additions, never driver-checked
@@ -65,9 +67,9 @@ _CHECK_FIRST = [
     "x114_gram_matrix",
     # round-7 session-4 additions, highest-risk shapes first
     "x127_time_travel_audit", "x128_format_interop",
-    "x129_pretokenize_vocab", "x117_link_prediction",
-    "x118_rrf_fusion", "x119_ivm_join_delta",
-    "x120_session_incident_overlap", "x123_expectations_report",
+    "x129_pretokenize_vocab", "x130_table_checksum",
+    "x131_markov_anomaly", "x117_link_prediction",
+    "x119_ivm_join_delta", "x120_session_incident_overlap",
 ]
 
 

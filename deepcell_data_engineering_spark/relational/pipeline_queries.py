@@ -8781,3 +8781,151 @@ def x129(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "tok")
         .limit(25)
     )
+
+
+@_q(
+    "x130_table_checksum",
+    """WITH r AS (
+         SELECT ('0x' || substr(md5(
+                  o_orderkey || '|' || o_custkey || '|' || o_orderstatus
+                  || '|' || CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                  || '|' || CAST(o_orderdate AS VARCHAR)
+                  || '|' || o_orderpriority), 1, 7))::BIGINT AS h
+         FROM orders
+       )
+       SELECT CAST(h % 64 AS BIGINT) AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(h)::BIGINT AS BIGINT) AS checksum
+       FROM r GROUP BY bucket ORDER BY bucket""",
+    doc="Anti-entropy table fingerprint — the replica-reconciliation "
+    "primitive: every row canonicalized to a string, md5-28bit hashed, "
+    "and folded into 64 per-bucket (row-count, hash-sum) cells. Two "
+    "replicas (or a table before/after a migration) compare the "
+    "64-row summaries; a divergent cell pinpoints 1/64th of the hash "
+    "space to re-scan — at 100 TB you find the drifted rows by "
+    "exchanging KILOBYTES, not by a full-table join (the Merkle/"
+    "anti-entropy idea from Dynamo-style replication, flattened to "
+    "one level). Exactness: integer hash SUM is an abelian fold "
+    "(partition-order invariant, no float residue) and 28-bit hashes "
+    "over any realistic bucket count stay far below int64 overflow; "
+    "md5 makes the cell values engine-portable (certified here "
+    "against DuckDB computing the same fingerprint). One scan, one "
+    "64-group aggregate, no joins.",
+)
+def x130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+        F.col("o_orderdate").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 7), 16, 10).cast("long")
+    return (
+        o.select(h.alias("h"))
+        .groupBy(F.pmod(F.col("h"), F.lit(64)).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("h").cast("bigint").alias("checksum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@_q(
+    "x131_markov_anomaly",
+    """WITH s AS (
+         SELECT user_id, event_type AS cur,
+                LEAD(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS nxt
+         FROM events
+       ),
+       p AS (SELECT user_id, cur, nxt FROM s WHERE nxt IS NOT NULL),
+       c AS (SELECT cur, nxt, COUNT(*) AS n FROM p GROUP BY cur, nxt),
+       t AS (SELECT cur, SUM(n) AS n_cur FROM c GROUP BY cur),
+       m AS (SELECT c.cur, c.nxt,
+                    CAST(ROUND(-ln(CAST(c.n AS DOUBLE)
+                                   / CAST(t.n_cur AS DOUBLE)) * 1000000000,
+                               0) AS BIGINT) AS nlp
+             FROM c JOIN t ON c.cur = t.cur),
+       u AS (SELECT p.user_id,
+                    CAST(COUNT(*) AS BIGINT) AS n_trans,
+                    CAST(SUM(m.nlp)::BIGINT AS BIGINT) AS sum_nlp
+             FROM p JOIN m ON p.cur = m.cur AND p.nxt = m.nxt
+             GROUP BY p.user_id)
+       SELECT user_id, n_trans,
+              ROUND(CAST(sum_nlp AS DOUBLE) / CAST(n_trans AS DOUBLE)
+                    / 1000000000 + 0.0, 6) AS avg_nlp
+       FROM u WHERE n_trans >= 20
+       ORDER BY avg_nlp DESC, user_id LIMIT 20""",
+    doc="Behavioral anomaly scoring by the Markov baseline — the "
+    "consumer x115's doc promises: each user's event stream scored as "
+    "mean transition surprisal (-ln P(next|cur) under the corpus-wide "
+    "matrix), top-20 most improbable users with >= 20 transitions — "
+    "the bot/abuse shortlist. Numeric discipline: each transition's "
+    "surprisal is ONE ln of ONE exact division (x44 proved ln(div) "
+    "bit-identical across engines), rounded ONCE to 1e-9 units and "
+    "summed as BIGINT (x109's order-free discipline — a raw double "
+    "SUM over a user's transitions would be reassociation-shaped "
+    "exactly where ranking needs exactness); the LIMIT rides the "
+    "ROUNDED average with a user_id tie-break. Plan: one user-hash "
+    "window for adjacency, two tiny grouped counts, the 25-cell "
+    "matrix broadcast back onto the pair stream — per-user state "
+    "bounded by events-per-user at any corpus size.",
+)
+def x131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .where(F.col("nxt").isNotNull())
+    )
+    c = p.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("cur").agg(F.sum("n").alias("n_cur"))
+    m = (
+        c.join(t, "cur")
+        .select(
+            "cur",
+            "nxt",
+            F.round(
+                -F.log(
+                    F.col("n").cast("double") / F.col("n_cur").cast("double")
+                )
+                * F.lit(1_000_000_000),
+                0,
+            )
+            .cast("bigint")
+            .alias("nlp"),
+        )
+    )
+    u = (
+        p.join(F.broadcast(m), ["cur", "nxt"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trans"),
+            F.sum("nlp").cast("bigint").alias("sum_nlp"),
+        )
+    )
+    return (
+        u.where(F.col("n_trans") >= 20)
+        .select(
+            "user_id",
+            "n_trans",
+            F.round(
+                F.col("sum_nlp").cast("double")
+                / F.col("n_trans").cast("double")
+                / F.lit(1_000_000_000.0)
+                + F.lit(0.0),
+                6,
+            ).alias("avg_nlp"),
+        )
+        .orderBy(F.desc("avg_nlp"), "user_id")
+        .limit(20)
+    )
