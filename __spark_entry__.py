@@ -31,45 +31,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver oracle-checks the first 50 registry entries per round.
-# Round-7 rotation: 59 queries have never been in a driver window
-# (x73–x89 from round 6, x90–x131 from round 7) — more than the window
-# holds. The 50 slots go to x73–x114 (42) plus the 8 new queries with
-# the most NOVEL failure modes (filesystem round trips, cross-engine
-# regex and ln-ranking, graph/IVM/interval compositions, the hash
-# fold): x117, x119, x120, x127–x131. The 9 deferred are simple or
-# compositions of already-certified operators (x115 Markov, x116
-# CUSUM, x118 RRF of certified x09/x11, x121 CUBE, x122 NTILE, x123
-# conditional-sum expectations, x124 UNPIVOT, x125 z-score, x126 bag
-# set-ops), all green at sf0.01 via tools/check_oracle.py
-# (PREFLIGHT_r07.json). Round 8 should lead with those 9, then the
-# round-4/5-stale rows (x40–x45, d01–d49, x01–x05, x46–x56).
+# Round-8 rotation (executes the plan the round-7 verdict ordered):
+# lead with the 9 queries that have NEVER been in a driver window
+# (x115/x116/x118/x121–x126, preflight-green only), then the stalest
+# driver-checked rows — x01 (last checked round 3), d01–d14 and
+# x40–x45 (round 4) — and fill the remaining slots with the oldest
+# round-5 rows (d15–d38). After this round no query's driver verdict
+# is older than round 5. x73–x131 were all certified green in
+# CORRECTNESS_r07 and rotate out. Round 9 should continue the rotation
+# with d39–d49, x02–x05, x46–x56 (round-5-stale) and anything new.
 _CHECK_FIRST = [
-    # x73–x89: round-6 additions, never driver-checked
-    "x73_bpe_encode", "x74_fuzzy_name_join", "x75_sliding_distinct",
-    "x76_quality_gate_corpus", "x77_simhash_neardup", "x78_kcore",
-    "x79_join_size_estimate", "x80_pq_adc_topk", "x81_pq_recall",
-    "x82_sql_udf", "x83_kmv_intersections", "x84_split_leakage",
-    "x85_skew_report", "x86_join_order_plan", "x87_table_profile",
-    "x88_kmv_incremental", "x89_retention_cohorts",
-    # round-7 additions, never driver-checked
-    "x90_cbo_estimates", "x91_profile_approx_certified",
-    "x92_ivfpq_topk", "x93_approx_quantile_certified",
-    "x94_adaptive_salted_join", "x95_adaptive_lsh",
-    "x96_ivfpq_residual_topk", "x97_python_datasource",
-    "x98_polymorphic_udtf", "x99_ewma_user_value",
-    "x100_cms_incremental", "x101_scd2_build",
-    "x102_point_in_time_join", "x103_zorder_skipping",
-    "x104_weighted_sample_incremental", "x105_mad_outliers",
-    "x106_range_partition_plan", "x107_snapshot_audit",
-    "x108_winsorized_stats", "x109_corpus_divergence",
-    "x110_event_pattern_match", "x111_trend_slope",
-    "x112_welch_ttest", "x113_retraction_certified",
-    "x114_gram_matrix",
-    # round-7 session-4 additions, highest-risk shapes first
-    "x127_time_travel_audit", "x128_format_interop",
-    "x129_pretokenize_vocab", "x130_table_checksum",
-    "x131_markov_anomaly", "x117_link_prediction",
-    "x119_ivm_join_delta", "x120_session_incident_overlap",
+    # never driver-checked (deferred from the round-7 window)
+    "x115_markov_transitions", "x116_cusum_changepoint",
+    "x118_rrf_fusion", "x121_cube_report", "x122_ntile_deciles",
+    "x123_expectations_report", "x124_unpivot_metrics",
+    "x125_trailing_zscore", "x126_bag_set_ops",
+    # round-3-stale
+    "x01_token_stats",
+    # round-4-stale: d01–d14
+    "d01_scan_filter", "d02_like_strings", "d03_natural_sort",
+    "d04_topk", "d05_distinct", "d10_inner_join", "d11_star_join_agg",
+    "d12_left_join", "d13_semi_join", "d14_anti_join",
+    # round-4-stale: x40–x45
+    "x40_length_trim", "x41_tumbling_rollup", "x42_sliding_rollup",
+    "x43_pagerank", "x44_unigram_logprob", "x45_minhash_calibration",
+    # oldest round-5 rows, filling the window to 50
+    "d15_range_join", "d16_cross_join", "d17_grouped_agg",
+    "d18_count_distinct_having", "d19_median", "d20_rollup",
+    "d21_grouping_sets", "d22_conditional_agg", "d23_window_rank",
+    "d24_window_lag_lead", "d25_window_running_max", "d26_intersect",
+    "d27_except", "d28_date_agg", "d29_math_string",
+    "d30_documents_agg", "d31_pivot", "d32_unpivot", "d33_string_agg",
+    "d34_cube", "d35_approx_distinct", "d36_exists_subquery",
+    "d37_scalar_subquery", "d38_ntile_percent_rank",
 ]
 
 
