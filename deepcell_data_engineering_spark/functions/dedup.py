@@ -811,6 +811,15 @@ def fuzzy_name_pairs(
     key remain invisible — that residual is the recall trade blocking
     buys its scalability with.
 
+    CONTRACT: every ``block_key`` must be a DETERMINISTIC function of
+    ``name_col`` alone (soundex of the name, its first/last word, a
+    length bucket...). The vocabulary resolve groups by name and keeps
+    ONE key value per pass via max(); a key derived from any other
+    column can take several values per name, and all but the max are
+    silently dropped — losing candidate pairs. Block on another
+    column's value by concatenating it into ``name_col`` (making it
+    part of the entity identity) instead.
+
     The scale discipline mirrors the dedup family: resolve distinct
     STRINGS, never rows — the entity vocabulary bounds the pair space
     at any corpus size. Blocking makes it per-block quadratic only

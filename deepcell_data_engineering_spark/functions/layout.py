@@ -19,10 +19,14 @@ SQL twin so the oracle gate can hash-check the layout math itself:
   quadtree cell); no sort, no shuffle, embarrassingly parallel.
 - :func:`zone_maps` — per-(layout, bucket) min/max/count statistics,
   one grouped aggregation.
+- :func:`grouped_cumsum` — DISTRIBUTED prefix sum: range-repartition,
+  per-partition partial cumsums, broadcast the k partition offsets.
+  The 100×-safe replacement for an ordered window whose partition key
+  has few values (or none) over a near-unique ordering column.
 - :func:`equi_depth_boundaries` — exact range-partitioner boundary
   values (what ``repartitionByRange`` estimates by sampling), derived
-  from a cumulative window over the VALUE HISTOGRAM (distinct values),
-  never a global row sort.
+  from a distributed prefix sum over the VALUE HISTOGRAM (distinct
+  values), never a global row sort and never a single-task window.
 
 Everything here is integer arithmetic (``div``, bit ops) so the engine
 and the DuckDB oracle agree bit-for-bit — no float rounding can move a
@@ -116,6 +120,105 @@ def zone_maps(
     return rows.groupBy(layout_col, bucket_col).agg(*aggs)
 
 
+def grouped_cumsum(
+    hist: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    count_col: str,
+    n_parts: int = 32,
+) -> DataFrame:
+    """Distributed inclusive prefix sum of ``count_col`` over
+    ``order_col`` within each group: the classic two-phase scan.
+
+    The naive ``Window.partitionBy(*group_cols).orderBy(order_col)``
+    funnels each group through ONE task — a scale-killer when the
+    group count is small (or zero) while the ordering column is
+    near-unique (r7 verdict, x103/x106). Here instead:
+
+    1. ``repartitionByRange(n_parts, *group_cols, order_col)`` — rows
+       land range-partitioned in lexicographic order, so within a
+       group every row in partition p sorts before every row in
+       partition p+1.
+    2. Per-partition partial cumsums — the window's partition key is
+       the PHYSICAL partition id, so all n_parts tasks sort and scan
+       in parallel.
+    3. Per-(partition, group) totals are a tiny aggregate (≤ n_parts ×
+       |groups| rows); their exclusive running sum per group gives
+       each partition's offset, broadcast back and added.
+
+    The result is independent of where the range partitioner split
+    (any split of a sorted sequence yields the same prefix sums), so
+    its sampling nondeterminism cannot move a result. Returns ``hist``
+    plus a long ``cum`` column."""
+    from pyspark.sql import Window
+
+    parts = hist.repartitionByRange(
+        n_parts, *group_cols, order_col
+    ).withColumn("_pid", F.spark_partition_id())
+    wpart = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    partial = parts.withColumn("_pcum", F.sum(count_col).over(wpart))
+    woff = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        parts.groupBy("_pid", *group_cols)
+        .agg(F.sum(count_col).alias("_ptot"))
+        .withColumn("_off", F.coalesce(F.sum("_ptot").over(woff), F.lit(0)))
+        .drop("_ptot")
+    )
+    return (
+        partial.join(F.broadcast(offsets), ["_pid", *group_cols])
+        .withColumn(
+            "cum", (F.col("_pcum") + F.col("_off")).cast("long")
+        )
+        .drop("_pid", "_pcum", "_off")
+    )
+
+
+def boundary_ranges(
+    cum_df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    count_col: str,
+    total_col: str,
+    n_ranges: int,
+) -> DataFrame:
+    """Equi-depth boundary extraction from a cumulative histogram by
+    pure integer arithmetic — no target join, no lag window. Value v
+    (inclusive cum ``cum``, previous cum = cum - count) is the
+    boundary for target rank t_i = ceil(i*n/B) exactly when i lies in
+    [floor((cum-count)*B/n) + 1, floor(cum*B/n)] clamped to [1, B-1].
+    Emits one (group..., i, b) row per boundary."""
+    B = n_ranges
+    cum_prev = F.col("cum") - F.col(count_col)
+    return (
+        cum_df.withColumn(
+            "i_lo",
+            F.greatest(
+                F.lit(1), _int_div(cum_prev * B, F.col(total_col)) + F.lit(1)
+            ),
+        )
+        .withColumn(
+            "i_hi",
+            F.least(
+                F.lit(B - 1), _int_div(F.col("cum") * B, F.col(total_col))
+            ),
+        )
+        .where(F.col("i_hi") >= F.col("i_lo"))
+        .select(
+            *group_cols,
+            F.col(value_col).alias("b"),
+            F.explode(F.sequence(F.col("i_lo"), F.col("i_hi"))).alias("i"),
+        )
+    )
+
+
 def equi_depth_boundaries(
     df: DataFrame, value_col: str, n_ranges: int
 ) -> DataFrame:
@@ -126,44 +229,21 @@ def equi_depth_boundaries(
     (sorted array) and ``n_total``.
 
     Distributed shape: groupBy(value).count builds the VALUE HISTOGRAM;
-    the only ordered window runs over distinct values (bounded by the
-    value vocabulary, e.g. integer cents), never over rows; each target
-    rank picks its least value with cum >= rank via a bounded equi-ish
-    join of n_ranges-1 rank rows against the histogram. No driver
-    scalar per boundary, no global row sort."""
-    from pyspark.sql import Window
-
+    the prefix sum over it is the two-phase :func:`grouped_cumsum`
+    (range-repartition + per-partition scans + broadcast offsets), so
+    no single task ever sorts the whole histogram even when the value
+    is near-unique; boundaries then fall out of per-row integer
+    arithmetic (:func:`boundary_ranges`) — no driver scalar per
+    boundary, no global row sort, no target join."""
     vc = (
         df.where(F.col(value_col).isNotNull())
         .groupBy(F.col(value_col).alias("v"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = vc.withColumn("cum", F.sum("c").over(w))
-    tot = cum.agg(F.max("cum").alias("n_total"))
-    ranks = (
-        tot.select(
-            "n_total",
-            F.explode(F.sequence(F.lit(1), F.lit(n_ranges - 1))).alias("i"),
-        )
-        # ceil(i*n/B) with pure integer arithmetic
-        .withColumn(
-            "target",
-            ((F.col("i") * F.col("n_total") + F.lit(n_ranges - 1))
-             - F.pmod(
-                 F.col("i") * F.col("n_total") + F.lit(n_ranges - 1),
-                 F.lit(n_ranges),
-             ))
-            / F.lit(n_ranges),
-        )
-        .withColumn("target", F.col("target").cast("long"))
-    )
+    tot = vc.agg(F.sum("c").cast("long").alias("n_total"))
+    cum = grouped_cumsum(vc, [], "v", "c").crossJoin(F.broadcast(tot))
     bounds = (
-        ranks.join(cum, cum["cum"] >= ranks["target"])
-        .groupBy("i", "n_total")
-        .agg(F.min("v").alias("b"))
+        boundary_ranges(cum, ["n_total"], "v", "c", "n_total", n_ranges)
         .groupBy("n_total")
         .agg(F.sort_array(F.collect_list("b")).alias("boundaries"))
     )

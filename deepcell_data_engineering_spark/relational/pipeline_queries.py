@@ -6679,46 +6679,23 @@ def x103(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lb.code").alias("code"),
     )
     # per-layout equi-depth file boundaries: the repartitionByRange
-    # write plan, exact (every window partitioned by layout)
+    # write plan, exact. The prefix sum over the (layout, code)
+    # histogram is DISTRIBUTED (layout.grouped_cumsum: range-
+    # repartition + per-partition scans + broadcast offsets) — a
+    # Window.partitionBy("layout") would funnel the near-unique
+    # 'linear' histogram (code unique per row) through ONE task, the
+    # r7-verdict scale-killer. Boundary extraction needs no lag and no
+    # target join: cum_prev = cum - c, and code c is the boundary for
+    # target t_i = ceil(i*n/64) exactly when i lands in
+    # [floor(cum_prev*64/n) + 1, floor(cum*64/n)] — pure integer
+    # arithmetic per histogram row (layout.boundary_ranges).
     vc = lc.groupBy("layout", "code").agg(F.count(F.lit(1)).alias("c"))
-    wcum = (
-        Window.partitionBy("layout")
-        .orderBy("code")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totals = vc.groupBy("layout").agg(F.sum("c").cast("long").alias("n"))
+    cum = ly.grouped_cumsum(vc, ["layout"], "code", "c").join(
+        F.broadcast(totals), "layout"
     )
-    cum = vc.withColumn("cum", F.sum("c").over(wcum)).withColumn(
-        "n", F.sum("c").over(Window.partitionBy("layout"))
-    )
-    # boundary extraction WITHOUT joining the 63 targets against the
-    # code histogram (that join is equi only on 3 layout keys; its
-    # per-key inequality fan-out is 63 x |histogram| — measured
-    # dominant at sf0.1): code c is the boundary (min code with
-    # cum >= t_i) for target t_i = ceil(i*n/64) exactly when t_i lands
-    # in (cum_prev, cum], i.e. i in [floor(cum_prev*64/n) + 1,
-    # floor(cum*64/n)] — pure integer arithmetic on a lag over the
-    # same (layout, code) sort the cumulative window already pays for
-    wlag = Window.partitionBy("layout").orderBy("code")
     bounds = (
-        cum.withColumn(
-            "cum_prev", F.coalesce(F.lag("cum").over(wlag), F.lit(0))
-        )
-        .withColumn(
-            "i_lo",
-            F.greatest(
-                F.lit(1),
-                ly._int_div(F.col("cum_prev") * 64, F.col("n")) + F.lit(1),
-            ),
-        )
-        .withColumn(
-            "i_hi",
-            F.least(F.lit(63), ly._int_div(F.col("cum") * 64, F.col("n"))),
-        )
-        .where(F.col("i_hi") >= F.col("i_lo"))
-        .select(
-            "layout",
-            F.col("code").alias("b"),
-            F.explode(F.sequence(F.col("i_lo"), F.col("i_hi"))).alias("i"),
-        )
+        ly.boundary_ranges(cum, ["layout"], "code", "c", "n", 64)
         .groupBy("layout")
         .agg(F.sort_array(F.collect_list("b")).alias("barr"))
     )
@@ -8120,9 +8097,12 @@ def x120(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "x121_cube_report",
-    """SELECT COALESCE(event_type, 'ALL') AS etype,
-              COALESCE(CAST(isodow(CAST(ts AS DATE)) AS VARCHAR), 'ALL')
-                AS dow,
+    """SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL'
+                   ELSE COALESCE(event_type, '(null)') END AS etype,
+              CASE WHEN GROUPING(isodow(CAST(ts AS DATE))) = 1 THEN 'ALL'
+                   ELSE COALESCE(
+                       CAST(isodow(CAST(ts AS DATE)) AS VARCHAR),
+                       '(null)') END AS dow,
               CAST(COUNT(*) AS BIGINT) AS n,
               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))::BIGINT
                    AS BIGINT) AS sum_cents
@@ -8138,7 +8118,10 @@ def x120(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dashboard-materialization shape at 100 TB. Cross-engine traps "
     "pinned: DuckDB dayofweek is Sunday=0 while Spark's is Sunday=1, "
     "so both sides use ISO (Spark weekday()+1 == DuckDB isodow); "
-    "integer cents rounded once per row before the sum.",
+    "integer cents rounded once per row before the sum; subtotal rows "
+    "labeled via GROUPING() — not by coalescing the grouped value — "
+    "so a genuinely NULL event_type ('(null)') can never collide with "
+    "the 'ALL' subtotal (ADVICE r7).",
 )
 def x121(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
@@ -8149,14 +8132,21 @@ def x121(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.cube("event_type", "dow_i")
         .agg(
+            # grouping() is only legal inside the cube's agg list
+            F.grouping("event_type").cast("int").alias("g_et"),
+            F.grouping("dow_i").cast("int").alias("g_dow"),
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum("cents").cast("bigint").alias("sum_cents"),
         )
         .select(
-            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("etype"),
-            F.coalesce(
-                F.col("dow_i").cast("string"), F.lit("ALL")
-            ).alias("dow"),
+            F.when(F.col("g_et") == 1, F.lit("ALL"))
+            .otherwise(F.coalesce(F.col("event_type"), F.lit("(null)")))
+            .alias("etype"),
+            F.when(F.col("g_dow") == 1, F.lit("ALL"))
+            .otherwise(
+                F.coalesce(F.col("dow_i").cast("string"), F.lit("(null)"))
+            )
+            .alias("dow"),
             "n",
             "sum_cents",
         )

@@ -124,6 +124,11 @@ def _decode_video_ffmpeg(fmt: str, payload: bytes) -> np.ndarray:
     # ValueError, with or without ffmpeg present
     probe = probe_mp4(payload) if fmt == "mp4" else probe_avi(payload)
     w, h = probe["width"], probe["height"]
+    if not w or not h:
+        # quarantine classification must be environment-independent:
+        # a dimensionless container is malformed whether or not ffmpeg
+        # happens to be installed, so this check precedes the gate
+        raise ValueError(f"{fmt} probe found no video dimensions")
     ffmpeg = _ffmpeg_binary()
     if ffmpeg is None:
         raise NotImplementedError(
@@ -132,8 +137,6 @@ def _decode_video_ffmpeg(fmt: str, payload: bytes) -> np.ndarray:
             "parses dependency-free (probe_media — the pre-decode filter "
             "stage)"
         )
-    if not w or not h:
-        raise ValueError(f"{fmt} probe found no video dimensions")
     import os
     import subprocess
     import tempfile

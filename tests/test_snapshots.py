@@ -176,3 +176,90 @@ def test_read_snapshot_merges_evolved_schema(spark, tmp_path):
     assert set(merged.columns) == {"doc_id", "source", "lang"}
     assert merged.where(F.col("lang").isNull()).count() == 10
     assert merged.where(F.col("lang").isNotNull()).count() > 0
+
+
+def test_concurrent_writer_conflict_retries_not_overwrites(spark, tmp_path):
+    """A writer that loses the manifest race must RETRY against the new
+    parent, never overwrite the winner's commit (ADVICE r7: the old
+    os.replace publish was last-writer-wins)."""
+    import json
+    import uuid
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    a = docs.where(F.col("doc_id") < 30)
+    snap.commit(spark, a, t)
+
+    # Simulate a concurrent winner: hand-publish v1 the way commit()
+    # would, between our writer's parent read and its publish. Because
+    # commit() re-reads the parent inside the retry loop, pre-placing
+    # the manifest is an exact stand-in for losing the race.
+    b = docs.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 40))
+    win_dir = os.path.join(t, "data", f"c{uuid.uuid4().hex[:12]}")
+    b.write.parquet(win_dir)
+    v0_dirs = json.load(open(os.path.join(t, "_manifests", "v000000.json")))[
+        "dirs"
+    ]
+    winner = {
+        "version": 1,
+        "parent": 0,
+        "op": "append",
+        "dirs": v0_dirs + [os.path.relpath(win_dir, t)],
+    }
+    with open(os.path.join(t, "_manifests", "v000001.json"), "w") as fh:
+        json.dump(winner, fh)
+
+    c = docs.where((F.col("doc_id") >= 40) & (F.col("doc_id") < 45))
+    v = snap.commit(spark, c, t, mode="append")
+    assert v == 2  # retried past the winner, did not clobber it
+    assert _rows(snap.read_snapshot(spark, t, 1)) == _rows(a.unionByName(b))
+    assert _rows(snap.read_snapshot(spark, t, 2)) == _rows(
+        a.unionByName(b).unionByName(c)
+    )
+
+
+def test_schemed_paths_rejected(spark):
+    docs = None
+    with pytest.raises(ValueError, match="POSIX"):
+        snap.commit(spark, docs, "s3a://bucket/tbl")
+    with pytest.raises(ValueError, match="POSIX"):
+        snap.read_snapshot(spark, "hdfs://nn/tbl")
+    with pytest.raises(ValueError, match="POSIX"):
+        snap.vacuum("s3a://bucket/tbl")
+
+
+def test_checkpoint_bounds_batch_dedup_reads(spark, tmp_path, monkeypatch):
+    """After many commits the batch-id replay check reads O(interval)
+    manifests via the folded checkpoint, not the whole log."""
+    one = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "source")
+        .limit(1)
+    )
+    t = str(tmp_path / "tbl")
+    n_commits = 25
+    for i in range(n_commits):
+        snap.commit(spark, one, t, mode="append", batch_id=i)
+    # checkpoints landed every _CHECKPOINT_INTERVAL commits
+    ckpts = [
+        f
+        for f in os.listdir(os.path.join(t, "_manifests"))
+        if f.startswith("ckpt-")
+    ]
+    assert len(ckpts) == n_commits // snap._CHECKPOINT_INTERVAL
+
+    reads = {"n": 0}
+    real = snap._load_manifest
+
+    def counting(table_path, version):
+        reads["n"] += 1
+        return real(table_path, version)
+
+    monkeypatch.setattr(snap, "_load_manifest", counting)
+    # replay an OLD batch id (covered only by the checkpoint fold)
+    v = snap.commit(spark, one, t, mode="append", batch_id=3)
+    assert v == 3
+    assert reads["n"] <= snap._CHECKPOINT_INTERVAL + 2
+    # and a fresh commit still lands normally
+    monkeypatch.setattr(snap, "_load_manifest", real)
+    assert snap.commit(spark, one, t, mode="append", batch_id=999) == n_commits
