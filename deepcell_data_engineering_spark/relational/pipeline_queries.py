@@ -8919,3 +8919,88 @@ def x131(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("avg_nlp"), "user_id")
         .limit(20)
     )
+
+
+@_q(
+    "x132_optimize_equivalence",
+    """WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         CAST(COUNT(DISTINCT source) AS BIGINT)
+                           AS n_sources,
+                         CAST(SUM(n_chars)::BIGINT AS BIGINT) AS sum_chars
+                  FROM documents)
+       SELECT 0 AS version, 'append' AS op, n_docs, n_sources, sum_chars,
+              0 AS compacted
+       FROM a
+       UNION ALL
+       SELECT 1, 'replace', n_docs, n_sources, sum_chars, 1
+       FROM a
+       ORDER BY version""",
+    doc="Compaction-as-a-snapshot-commit certified through the driver "
+    "gate (OPTIMIZE): the corpus is committed deliberately fragmented "
+    "(repartition(16) -> 16 small files), snapshots.optimize_table "
+    "rewrites it right-sized and publishes the result as an atomic "
+    "'replace' commit, and the report reads BOTH versions back — "
+    "(n_docs, n_sources, sum_chars) must be identical across the "
+    "compaction (content equality), the op labels come from the "
+    "actual manifest log (history()), and 'compacted' is computed "
+    "from the MEASURED per-version file counts (_metadata.file_path), "
+    "so a rewrite that failed to reduce files breaks the hash. The "
+    "oracle recomputes the aggregates once and asserts them for both "
+    "version rows. This closes the gap compact_corpus documents: the "
+    "atomic swap belongs to the catalog layer, and the snapshot log "
+    "IS that layer — readers see pre- or post-compaction atomically, "
+    "time travel still reads the fragmented v0, vacuum later reclaims "
+    "it. Scale shape: commits/scans are ordinary distributed parquet "
+    "jobs; only the 2-row audit and KB manifests are driver state.",
+)
+def x132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from deepcell_data_engineering_spark.sources import snapshots as snap
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    t = tempfile.mkdtemp(prefix="dde_optimize_equiv_")
+    try:
+        snap.commit(spark, docs.repartition(16), t)
+        v1 = snap.optimize_table(spark, t, target_file_bytes=128 << 20)
+        ops = {h["version"]: h["op"] for h in snap.history(t)}
+        per_v = {}
+        for v in (0, v1):
+            d = snap.read_snapshot(spark, t, v)
+            r = d.agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.countDistinct("source").cast("long").alias("n_sources"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+                F.countDistinct(F.col("_metadata.file_path")).alias(
+                    "n_files"
+                ),
+            ).collect()[0]
+            per_v[v] = r
+        rows = [
+            (
+                0,
+                ops[0],
+                per_v[0]["n_docs"],
+                per_v[0]["n_sources"],
+                per_v[0]["sum_chars"],
+                0,
+            ),
+            (
+                1,
+                ops[v1],
+                per_v[v1]["n_docs"],
+                per_v[v1]["n_sources"],
+                per_v[v1]["sum_chars"],
+                int(per_v[v1]["n_files"] < per_v[0]["n_files"]),
+            ),
+        ]
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "version BIGINT, op STRING, n_docs BIGINT, n_sources BIGINT, "
+        "sum_chars BIGINT, compacted BIGINT",
+    ).orderBy("version")

@@ -263,3 +263,59 @@ def test_checkpoint_bounds_batch_dedup_reads(spark, tmp_path, monkeypatch):
     # and a fresh commit still lands normally
     monkeypatch.setattr(snap, "_load_manifest", real)
     assert snap.commit(spark, one, t, mode="append", batch_id=999) == n_commits
+
+
+def test_optimize_is_atomic_replace_commit(spark, tmp_path):
+    """OPTIMIZE publishes as a replace commit: content identical, file
+    count reduced, time travel still reads the fragmented version, and
+    vacuum reclaims the replaced directories."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    snap.commit(spark, docs.repartition(16), t)
+
+    def n_files(v):
+        return (
+            snap.read_snapshot(spark, t, v)
+            .select(F.col("_metadata.file_path"))
+            .distinct()
+            .count()
+        )
+
+    assert n_files(0) == 16
+    v1 = snap.optimize_table(spark, t, target_file_bytes=128 << 20)
+    assert v1 == 1
+    assert snap.history(t)[-1]["op"] == "replace"
+    assert _rows(snap.read_snapshot(spark, t, 1)) == _rows(docs)
+    assert n_files(1) < 16
+    # time travel: the pre-compaction version is undisturbed
+    assert _rows(snap.read_snapshot(spark, t, 0)) == _rows(docs)
+    # already-compacted table: no-op, no new version
+    assert snap.optimize_table(spark, t, target_file_bytes=128 << 20) == 1
+    # vacuum reclaims the 16-file directory once unreferenced
+    removed = snap.vacuum(t, keep_last=1)
+    assert len(removed) == 1
+    assert _rows(snap.read_snapshot(spark, t, 1)) == _rows(docs)
+    with pytest.raises(ValueError, match="vacuumed"):
+        snap.read_snapshot(spark, t, 0)
+
+
+def test_crash_window_leaves_old_version_intact(spark, tmp_path):
+    """Manifest-written-last: a writer that dies after the data write
+    but before the manifest publish leaves the table at the old
+    version; the orphan directory is invisible to readers and the next
+    vacuum removes it."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    a = docs.where(F.col("doc_id") < 30)
+    snap.commit(spark, a, t)
+
+    # simulate the crash: data lands, manifest never does
+    orphan = os.path.join(t, "data", "c_deadbeef_crashed")
+    docs.where(F.col("doc_id") >= 30).write.parquet(orphan)
+
+    assert snap.current_version(t) == 0
+    assert _rows(snap.read_snapshot(spark, t)) == _rows(a)
+    removed = snap.vacuum(t, keep_last=1)
+    assert os.path.join("data", "c_deadbeef_crashed") in removed
+    assert not os.path.exists(orphan)
+    assert _rows(snap.read_snapshot(spark, t)) == _rows(a)
