@@ -938,3 +938,63 @@ def test_streaming_zscore_monitor_equals_batch(spark, tmp_path):
         )
     )
     assert got == batch
+
+
+def test_streaming_interval_overlap_equals_batch(spark, tmp_path):
+    """The bucket-decomposition interval join (operators/joins.py:
+    interval_overlap_join) is STATELESS per bucket — explode arriving
+    intervals to bucket ids, equi-join the static side, keep a pair
+    only in the first shared bucket — so it runs unchanged as a
+    stream-static join: arriving sessions probe a static incident
+    table with no watermark and no state store, and every micro-batch
+    emits exactly its own pairs (the x54 screen pattern for joins)."""
+    from deepcell_data_engineering_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    sess = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("s_start"),
+            F.unix_micros(F.col("w.end")).alias("s_end"),
+        )
+    )
+    inc = ev.where(F.col("event_type") == "error").select(
+        "event_id",
+        (F.unix_micros(F.col("ts")) - F.lit(300_000_000)).alias("i_start"),
+        (F.unix_micros(F.col("ts")) + F.lit(300_000_000)).alias("i_end"),
+    )
+    cols = ["user_id", "s_start", "event_id"]
+    expected = {
+        tuple(r)
+        for r in interval_overlap_join(
+            sess, inc, "s_start", "s_end", "i_start", "i_end",
+            bucket=1_800_000_000,
+        )
+        .select(*cols)
+        .collect()
+    }
+    assert len(expected) > 0
+
+    sess_path = str(tmp_path / "sessions")
+    sess.write.parquet(sess_path)
+    stream = (
+        spark.readStream.schema(sess.schema)
+        .option("maxFilesPerTrigger", 4)  # several micro-batches
+        .parquet(sess_path)
+    )
+    out = interval_overlap_join(
+        stream, inc, "s_start", "s_end", "i_start", "i_end",
+        bucket=1_800_000_000,
+    ).select(*cols)
+    _run_stream(out, tmp_path, "interval_overlap", mode="append")
+    got = {
+        tuple(r)
+        for r in spark.sql("SELECT * FROM interval_overlap").collect()
+    }
+    assert got == expected
