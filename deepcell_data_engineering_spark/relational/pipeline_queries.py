@@ -9004,3 +9004,484 @@ def x132(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version BIGINT, op STRING, n_docs BIGINT, n_sources BIGINT, "
         "sum_chars BIGINT, compacted BIGINT",
     ).orderBy("version")
+
+
+@_q(
+    "x133_record_linkage_fs",
+    """WITH d AS (SELECT doc_id, lang, source, n_chars,
+                         n_chars // 50 AS lb
+                  FROM documents),
+       n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+       sl AS (SELECT CAST(SUM(c * (c - 1))::BIGINT AS BIGINT) AS s
+              FROM (SELECT COUNT(*) AS c FROM d GROUP BY lang)),
+       ss AS (SELECT CAST(SUM(c * (c - 1))::BIGINT AS BIGINT) AS s
+              FROM (SELECT COUNT(*) AS c FROM d GROUP BY source)),
+       sc AS (SELECT CAST(SUM(c * (c - 1))::BIGINT AS BIGINT) AS s
+              FROM (SELECT COUNT(*) AS c FROM d GROUP BY n_chars)),
+       pat AS (SELECT CAST(a.lang = b.lang AS BIGINT) AS g_lang,
+                      CAST(a.source = b.source AS BIGINT) AS g_source,
+                      CAST(a.n_chars = b.n_chars AS BIGINT) AS g_len,
+                      CAST(COUNT(*) AS BIGINT) AS n_pairs
+               FROM d a JOIN d b
+                 ON a.lb = b.lb AND a.doc_id < b.doc_id
+               GROUP BY 1, 2, 3),
+       w AS (SELECT g_lang, g_source, g_len, n_pairs,
+               (CASE WHEN g_lang = 1 THEN
+                  CAST(ROUND(ln(CAST(19 * n.n * (n.n - 1) AS DOUBLE)
+                                / CAST(20 * sl.s AS DOUBLE)) * 1e9, 0)
+                       AS BIGINT)
+                ELSE
+                  CAST(ROUND(ln(CAST(n.n * (n.n - 1) AS DOUBLE)
+                                / CAST(20 * (n.n * (n.n - 1) - sl.s)
+                                       AS DOUBLE)) * 1e9, 0) AS BIGINT)
+                END
+                + CASE WHEN g_source = 1 THEN
+                    CAST(ROUND(ln(CAST(19 * n.n * (n.n - 1) AS DOUBLE)
+                                  / CAST(20 * ss.s AS DOUBLE)) * 1e9, 0)
+                         AS BIGINT)
+                  ELSE
+                    CAST(ROUND(ln(CAST(n.n * (n.n - 1) AS DOUBLE)
+                                  / CAST(20 * (n.n * (n.n - 1) - ss.s)
+                                         AS DOUBLE)) * 1e9, 0) AS BIGINT)
+                  END
+                + CASE WHEN g_len = 1 THEN
+                    CAST(ROUND(ln(CAST(19 * n.n * (n.n - 1) AS DOUBLE)
+                                  / CAST(20 * sc.s AS DOUBLE)) * 1e9, 0)
+                         AS BIGINT)
+                  ELSE
+                    CAST(ROUND(ln(CAST(n.n * (n.n - 1) AS DOUBLE)
+                                  / CAST(20 * (n.n * (n.n - 1) - sc.s)
+                                         AS DOUBLE)) * 1e9, 0) AS BIGINT)
+                  END) AS ws
+             FROM pat, n, sl, ss, sc)
+       SELECT g_lang, g_source, g_len, n_pairs,
+              ROUND(CAST(ws AS DOUBLE) / 1e9 + 0.0, 6) AS weight_nats
+       FROM w ORDER BY g_lang, g_source, g_len""",
+    doc="Fellegi-Sunter probabilistic record linkage: candidate pairs "
+    "(50-char length-bucket blocking, the x74 discipline) reduce to "
+    "their AGREEMENT PATTERN over (lang, source, exact-length), and "
+    "each of the 8 patterns gets its match-evidence weight "
+    "sum_j[ln(m_j/u_j) if agree else ln((1-m_j)/(1-u_j))] — the "
+    "classic ER scoring layer ABOVE x74's distance join: weights say "
+    "how much an agreement is WORTH (agreeing on a 2-value field is "
+    "weak evidence; on exact length, strong). u_j is estimated "
+    "EXACTLY from the data as the random-pair agreement probability "
+    "sum_v c_v(c_v-1) / (N(N-1)) (one tiny grouped count per field); "
+    "m_j is the conventional 0.95 prior = 19/20, so every ln argument "
+    "is ONE exact integer/integer division (x44: bit-identical across "
+    "engines), each term rounded once to 1e-9 and summed as BIGINT "
+    "(x109 discipline). Scale shape: pattern weights depend only on "
+    "the u-statistics — computed WITHOUT touching pairs — and the "
+    "pair space is blocking-bounded; the output is 2^3 rows whatever "
+    "the corpus size.",
+)
+def x133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.layout import _int_div
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars",
+        _int_div(F.col("n_chars"), F.lit(50)).alias("lb"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pat = (
+        a.join(
+            b,
+            (F.col("a.lb") == F.col("b.lb"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            (F.col("a.lang") == F.col("b.lang")).cast("bigint").alias(
+                "g_lang"
+            ),
+            (F.col("a.source") == F.col("b.source"))
+            .cast("bigint")
+            .alias("g_source"),
+            (F.col("a.n_chars") == F.col("b.n_chars"))
+            .cast("bigint")
+            .alias("g_len"),
+        )
+        .groupBy("g_lang", "g_source", "g_len")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+    def s_of(col: str, alias: str) -> DataFrame:
+        return (
+            d.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum(F.col("c") * (F.col("c") - 1))
+                .cast("bigint")
+                .alias(alias)
+            )
+        )
+
+    stats = (
+        d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .crossJoin(s_of("lang", "sl"))
+        .crossJoin(s_of("source", "ss"))
+        .crossJoin(s_of("n_chars", "sc"))
+    )
+    p = F.col("n") * (F.col("n") - 1)
+
+    def term(g: str, s: str):
+        agree = F.log(
+            (F.lit(19) * p).cast("double") / (F.lit(20) * F.col(s)).cast("double")
+        )
+        disagree = F.log(
+            p.cast("double") / (F.lit(20) * (p - F.col(s))).cast("double")
+        )
+        return F.round(
+            F.when(F.col(g) == 1, agree).otherwise(disagree) * F.lit(1e9), 0
+        ).cast("bigint")
+
+    return (
+        pat.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "ws",
+            term("g_lang", "sl") + term("g_source", "ss") + term("g_len", "sc"),
+        )
+        .select(
+            "g_lang", "g_source", "g_len", "n_pairs",
+            F.round(F.col("ws").cast("double") / F.lit(1e9) + F.lit(0.0), 6)
+            .alias("weight_nats"),
+        )
+        .orderBy("g_lang", "g_source", "g_len")
+    )
+
+
+@_q(
+    "x134_funnel_conversion",
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tmu
+                  FROM events),
+       t1 AS (SELECT user_id, MIN(tmu) AS t1 FROM e
+              WHERE event_type = 'view' GROUP BY user_id),
+       t2 AS (SELECT e.user_id, MIN(tmu) AS t2
+              FROM e JOIN t1 USING (user_id)
+              WHERE event_type = 'click'
+                AND tmu >= t1 AND tmu <= t1 + 86400000000
+              GROUP BY e.user_id),
+       t3 AS (SELECT e.user_id, MIN(tmu) AS t3
+              FROM e JOIN t2 USING (user_id)
+              WHERE event_type = 'purchase'
+                AND tmu >= t2 AND tmu <= t2 + 86400000000
+              GROUP BY e.user_id),
+       c AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) AS n1,
+                    (SELECT CAST(COUNT(*) AS BIGINT) FROM t2) AS n2,
+                    (SELECT CAST(COUNT(*) AS BIGINT) FROM t3) AS n3)
+       SELECT 1 AS step, 'view' AS etype, n1 AS n_users,
+              ROUND(1e0 + 0.0, 6) AS pct_of_prev
+       FROM c
+       UNION ALL
+       SELECT 2, 'click', n2,
+              ROUND(CAST(n2 AS DOUBLE) / CAST(NULLIF(n1, 0) AS DOUBLE)
+                    + 0.0, 6)
+       FROM c
+       UNION ALL
+       SELECT 3, 'purchase', n3,
+              ROUND(CAST(n3 AS DOUBLE) / CAST(NULLIF(n2, 0) AS DOUBLE)
+                    + 0.0, 6)
+       FROM c
+       ORDER BY step""",
+    doc="Time-bounded funnel conversion — the event-analytics staple: "
+    "per user, the FIRST 'view', then the first 'click' within 24h of "
+    "it, then the first 'purchase' within 24h of THAT; the report is "
+    "users-remaining and step-over-step conversion per stage. Differs "
+    "from x110 (CEP regex): the funnel constrains WALL-CLOCK gaps "
+    "between anchored first-occurrences, not the symbolic order of "
+    "the whole stream, so it composes per-user aggregates and "
+    "equi-joins instead of a per-user ordered fold. Scale shape: "
+    "three conditional min-aggregations shuffled on user_id (the "
+    "natural key), each stage's state one row per surviving user — "
+    "never a per-event window; conversion ratios are single exact "
+    "divisions of BIGINT counts (deterministic IEEE), NULLIF-guarded. "
+    "Micros idiom: Spark unix_micros == DuckDB epoch_us (x120).",
+)
+def x134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = 86_400_000_000
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("tmu")
+    )
+    t1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("tmu").alias("t1"))
+    )
+    t2 = (
+        e.where(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .where(
+            (F.col("tmu") >= F.col("t1"))
+            & (F.col("tmu") <= F.col("t1") + F.lit(day))
+        )
+        .groupBy("user_id")
+        .agg(F.min("tmu").alias("t2"))
+    )
+    t3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .where(
+            (F.col("tmu") >= F.col("t2"))
+            & (F.col("tmu") <= F.col("t2") + F.lit(day))
+        )
+        .groupBy("user_id")
+        .agg(F.min("tmu").alias("t3"))
+    )
+    c = (
+        t1.agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
+        .crossJoin(t2.agg(F.count(F.lit(1)).cast("bigint").alias("n2")))
+        .crossJoin(t3.agg(F.count(F.lit(1)).cast("bigint").alias("n3")))
+    )
+
+    def ratio(num: str, den: str):
+        return F.round(
+            F.col(num).cast("double")
+            / F.when(F.col(den) == 0, F.lit(None))
+            .otherwise(F.col(den))
+            .cast("double")
+            + F.lit(0.0),
+            6,
+        )
+
+    r1 = c.select(
+        F.lit(1).cast("bigint").alias("step"),
+        F.lit("view").alias("etype"),
+        F.col("n1").alias("n_users"),
+        F.round(F.lit(1.0) + F.lit(0.0), 6).alias("pct_of_prev"),
+    )
+    r2 = c.select(
+        F.lit(2).cast("bigint").alias("step"),
+        F.lit("click").alias("etype"),
+        F.col("n2").alias("n_users"),
+        ratio("n2", "n1").alias("pct_of_prev"),
+    )
+    r3 = c.select(
+        F.lit(3).cast("bigint").alias("step"),
+        F.lit("purchase").alias("etype"),
+        F.col("n3").alias("n_users"),
+        ratio("n3", "n2").alias("pct_of_prev"),
+    )
+    return r1.unionByName(r2).unionByName(r3).orderBy("step")
+
+
+@_q(
+    "x135_aqp_hash_sample",
+    """WITH li AS (
+         SELECT l_returnflag AS flag,
+                CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+                CASE WHEN ('0x' || substr(
+                         md5(CAST(l_orderkey * 8 + l_linenumber
+                                  AS VARCHAR)), 1, 7))::BIGINT % 20 = 0
+                     THEN 1 ELSE 0 END AS s
+         FROM lineitem
+       ),
+       g AS (
+         SELECT flag,
+                CAST(COUNT(*) AS BIGINT) AS n_exact,
+                CAST(SUM(cents)::BIGINT AS BIGINT) AS sum_exact_cents,
+                CAST(20 * SUM(s)::BIGINT AS BIGINT) AS n_est,
+                CAST(20 * SUM(s * cents)::BIGINT AS BIGINT)
+                  AS sum_est_cents
+         FROM li GROUP BY flag
+       )
+       SELECT flag, n_exact, n_est,
+              CAST(abs(n_est - n_exact) * 1000000 // n_exact AS BIGINT)
+                AS n_err_ppm,
+              sum_exact_cents, sum_est_cents,
+              CAST(abs(sum_est_cents - sum_exact_cents) * 1000000
+                   // sum_exact_cents AS BIGINT) AS sum_err_ppm,
+              CAST(abs(n_est - n_exact) * 1000000 // n_exact <= 100000
+                   AND abs(sum_est_cents - sum_exact_cents) * 1000000
+                       // sum_exact_cents <= 100000 AS BIGINT)
+                AS within_10pct
+       FROM g ORDER BY flag""",
+    doc="Approximate query processing by DETERMINISTIC hash sampling, "
+    "certified in-query against the exact answer: a 5% sample is the "
+    "rows whose md5(line id) lands in residue 0 of 20 (cross-engine "
+    "identical — the x04/x130 md5 idiom), per-flag COUNT and "
+    "SUM(cents) are Horvitz-Thompson scaled by 20, and the report "
+    "carries estimate, exact, and the error in ppm (pure-integer "
+    "floored division) plus a within-10% verdict — so the driver's "
+    "hash gate certifies BOTH that the sample is reproducible and "
+    "that the estimator's error is in-bound on real data. Why it "
+    "matters at 100 TB: the estimate path reads the same scan but "
+    "aggregates 5% of the rows after a map-side hash filter that "
+    "needs no shuffle and no stored sample table — the pattern for "
+    "interactive dashboards over raw fact tables; the exact columns "
+    "exist here only as the certification twin. ONE pass, conditional "
+    "aggregation (no second scan for the sample).",
+)
+def x135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.layout import _int_div
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+        F.when(
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            (
+                                F.col("l_orderkey") * 8
+                                + F.col("l_linenumber")
+                            ).cast("string")
+                        ),
+                        1,
+                        7,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(20),
+            )
+            == 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("s"),
+    )
+    g = li.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.sum("cents").cast("bigint").alias("sum_exact_cents"),
+        (F.lit(20) * F.sum("s")).cast("bigint").alias("n_est"),
+        (F.lit(20) * F.sum(F.col("s") * F.col("cents")))
+        .cast("bigint")
+        .alias("sum_est_cents"),
+    )
+    n_ppm = _int_div(
+        F.abs(F.col("n_est") - F.col("n_exact")) * F.lit(1_000_000),
+        F.col("n_exact"),
+    )
+    s_ppm = _int_div(
+        F.abs(F.col("sum_est_cents") - F.col("sum_exact_cents"))
+        * F.lit(1_000_000),
+        F.col("sum_exact_cents"),
+    )
+    return g.select(
+        "flag", "n_exact", "n_est",
+        n_ppm.alias("n_err_ppm"),
+        "sum_exact_cents", "sum_est_cents",
+        s_ppm.alias("sum_err_ppm"),
+        ((n_ppm <= 100_000) & (s_ppm <= 100_000))
+        .cast("bigint")
+        .alias("within_10pct"),
+    ).orderBy("flag")
+
+
+@_q(
+    "x136_autocorrelation",
+    """WITH daily AS (
+         SELECT CAST(ts AS DATE) AS day,
+                CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))::BIGINT
+                     AS BIGINT) AS x
+         FROM events WHERE value IS NOT NULL GROUP BY day
+       ),
+       led AS (
+         SELECT x,
+                LEAD(x, 1) OVER (ORDER BY day) AS y1,
+                LEAD(x, 2) OVER (ORDER BY day) AS y2,
+                LEAD(x, 3) OVER (ORDER BY day) AS y3,
+                LEAD(x, 4) OVER (ORDER BY day) AS y4,
+                LEAD(x, 5) OVER (ORDER BY day) AS y5,
+                LEAD(x, 6) OVER (ORDER BY day) AS y6,
+                LEAD(x, 7) OVER (ORDER BY day) AS y7
+         FROM daily
+       ),
+       pairs AS (
+         SELECT 1 AS lag, x, y1 AS y FROM led WHERE y1 IS NOT NULL
+         UNION ALL SELECT 2, x, y2 FROM led WHERE y2 IS NOT NULL
+         UNION ALL SELECT 3, x, y3 FROM led WHERE y3 IS NOT NULL
+         UNION ALL SELECT 4, x, y4 FROM led WHERE y4 IS NOT NULL
+         UNION ALL SELECT 5, x, y5 FROM led WHERE y5 IS NOT NULL
+         UNION ALL SELECT 6, x, y6 FROM led WHERE y6 IS NOT NULL
+         UNION ALL SELECT 7, x, y7 FROM led WHERE y7 IS NOT NULL
+       ),
+       s AS (
+         SELECT lag, CAST(COUNT(*) AS BIGINT) AS m,
+                CAST(SUM(x)::BIGINT AS BIGINT) AS sx,
+                CAST(SUM(y)::BIGINT AS BIGINT) AS sy,
+                CAST(SUM(x * y)::BIGINT AS BIGINT) AS sxy,
+                CAST(SUM(x * x)::BIGINT AS BIGINT) AS sxx,
+                CAST(SUM(y * y)::BIGINT AS BIGINT) AS syy
+         FROM pairs GROUP BY lag
+       )
+       SELECT CAST(lag AS BIGINT) AS lag, m,
+              ROUND((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                    + 0.0, 6) AS acf
+       FROM s ORDER BY lag""",
+    doc="Autocorrelation function of the daily revenue series at lags "
+    "1..7 — the seasonality detector (a weekly cycle surfaces as an "
+    "acf peak at lag 7) completing the time-series inference tier "
+    "(x99 EWMA, x111 OLS trend, x116 CUSUM, x125 z-score). Per-lag "
+    "Pearson r over (x_t, x_{t+k}) pairs from exact BIGINT power sums "
+    "(d41/x111 discipline); the closed-form combination happens in "
+    "DOUBLE with the identical operation order in both engines — "
+    "every input is an exact integer, every op a single IEEE op, so "
+    "the bits agree without a scaled-integer detour (x112's Welch "
+    "pattern). Scale shape: the heavy pass is ONE grouped integer "
+    "aggregation of events into the daily series; everything ordered "
+    "(the 7 LEADs) runs over the CALENDAR-bounded series (~366 rows "
+    "regardless of corpus size), so the single-task window is bounded "
+    "by days, never by data.",
+)
+def x136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    w = Window.orderBy("day")
+    led = daily.select(
+        "x", *[F.lead("x", k).over(w).alias(f"y{k}") for k in range(1, 8)]
+    )
+    pairs = (
+        led.select(
+            "x",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast("bigint").alias("lag"),
+                            F.col(f"y{k}").alias("y"),
+                        )
+                        for k in range(1, 8)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("x", F.col("p.lag").alias("lag"), F.col("p.y").alias("y"))
+        .where(F.col("y").isNotNull())
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    md = F.col("m").cast("double")
+    num = md * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    d1 = md * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    d2 = md * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    return s.select(
+        "lag", "m",
+        F.round(num / F.sqrt(d1 * d2) + F.lit(0.0), 6).alias("acf"),
+    ).orderBy("lag")

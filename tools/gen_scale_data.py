@@ -110,6 +110,74 @@ def gen_events(n_events: int, rng: np.random.RandomState) -> pa.Table:
     )
 
 
+def _write_lineitem_chunked(
+    path: str,
+    n_li: int,
+    n_ord: int,
+    n_part: int,
+    n_supp: int,
+    t0: int,
+    day_us: int,
+    rng: np.random.RandomState,
+    chunk: int = 10_000_000,
+) -> None:
+    """Row-group-at-a-time lineitem writer for the 100x rehearsal: at
+    60M rows the single-table path would hold ~6 GB of column arrays
+    plus their Arrow copies at once; a ParquetWriter streams chunks.
+    Consumes the rng in per-chunk column order, so it is NOT draw-
+    compatible with the unchunked path (only used for scale > 10,
+    where no prior artifact exists to stay compatible with)."""
+    import pyarrow.parquet as pqw
+
+    rf = np.array(["N", "A", "R"])
+    ls = np.array(["O", "F"])
+    writer = None
+    done = 0
+    while done < n_li:
+        n = min(chunk, n_li - done)
+        tbl = pa.table(
+            {
+                "l_orderkey": pa.array(
+                    rng.randint(0, n_ord, n).astype(np.int64), pa.int64()
+                ),
+                "l_partkey": pa.array(
+                    rng.randint(0, n_part, n).astype(np.int64), pa.int64()
+                ),
+                "l_suppkey": pa.array(
+                    rng.randint(0, n_supp, n).astype(np.int64), pa.int64()
+                ),
+                "l_linenumber": pa.array(
+                    rng.randint(1, 8, n).astype(np.int32), pa.int32()
+                ),
+                "l_quantity": pa.array(
+                    rng.randint(1, 51, n).astype(np.float64), pa.float64()
+                ),
+                "l_extendedprice": pa.array(
+                    np.round(rng.uniform(900, 105000, n), 2), pa.float64()
+                ),
+                "l_discount": pa.array(
+                    np.round(rng.randint(0, 11, n) / 100.0, 2), pa.float64()
+                ),
+                "l_tax": pa.array(
+                    np.round(rng.randint(0, 9, n) / 100.0, 2), pa.float64()
+                ),
+                "l_returnflag": pa.array(rf[rng.randint(0, 3, n)]),
+                "l_linestatus": pa.array(ls[rng.randint(0, 2, n)]),
+                "l_shipdate": pa.array(
+                    (t0 + rng.randint(1, 2500, n).astype(np.int64) * day_us)
+                    .astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        if writer is None:
+            writer = pqw.ParquetWriter(path, tbl.schema)
+        writer.write_table(tbl)
+        done += n
+    if writer is not None:
+        writer.close()
+
+
 def gen_tpch(out_dir: str, scale: int, rng: np.random.RandomState) -> None:
     """customer/orders/lineitem at ``scale``x the sf0.1 row counts,
     mirroring sf0.1's measured fingerprints (keys dense from 0,
@@ -174,6 +242,12 @@ def gen_tpch(out_dir: str, scale: int, rng: np.random.RandomState) -> None:
         ),
         os.path.join(out_dir, "orders.parquet"),
     )
+    if scale > 10:
+        _write_lineitem_chunked(
+            os.path.join(out_dir, "lineitem.parquet"),
+            n_li, n_ord, n_part, n_supp, t0, day_us, rng,
+        )
+        return
     lkey = rng.randint(0, n_ord, n_li).astype(np.int64)
     sdate = t0 + rng.randint(1, 2500, n_li).astype(np.int64) * day_us
     pq.write_table(
@@ -221,19 +295,31 @@ def gen_tpch(out_dir: str, scale: int, rng: np.random.RandomState) -> None:
 
 
 def main() -> None:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else ".scaledata/sf1"
+    """Default: the sf1 (10x sf0.1) full corpus for BENCH_scaling.
+    ``--scale N`` generates an Nx-sf0.1 variant for the 100x dress
+    rehearsal (tools/bench_100x.py): documents scale with N (sf0.1 has
+    5k docs), tpch tables with N, events/embeddings are skipped unless
+    the default 10x shape is requested — the rehearsal headliners
+    (x94/x119/x103) read documents/lineitem/orders only."""
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_dir = args[0] if args else ".scaledata/sf1"
+    scale = 10
+    if "--scale" in sys.argv:
+        scale = int(sys.argv[sys.argv.index("--scale") + 1])
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.RandomState(42)
-    docs = gen_documents(50_000, rng)
-    emb = gen_embeddings(20_000, rng)
+    docs = gen_documents(5_000 * scale, rng)
     pq.write_table(docs, os.path.join(out_dir, "documents.parquet"))
-    pq.write_table(emb, os.path.join(out_dir, "embeddings.parquet"))
-    pq.write_table(
-        gen_events(1_000_000, rng), os.path.join(out_dir, "events.parquet")
-    )
-    gen_tpch(out_dir, 10, np.random.RandomState(43))
-    print(f"wrote {docs.num_rows} documents, {emb.num_rows} embeddings, "
-          f"customer/orders/lineitem x10 -> {out_dir}")
+    if scale == 10:
+        emb = gen_embeddings(20_000, rng)
+        pq.write_table(emb, os.path.join(out_dir, "embeddings.parquet"))
+        pq.write_table(
+            gen_events(1_000_000, rng),
+            os.path.join(out_dir, "events.parquet"),
+        )
+    gen_tpch(out_dir, scale, np.random.RandomState(43))
+    print(f"wrote {docs.num_rows} documents, "
+          f"customer/orders/lineitem x{scale} -> {out_dir}")
 
 
 if __name__ == "__main__":
