@@ -9485,3 +9485,286 @@ def x136(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lag", "m",
         F.round(num / F.sqrt(d1 * d2) + F.lit(0.0), 6).alias("acf"),
     ).orderBy("lag")
+
+
+@_q(
+    "x137_bloom_skipping",
+    """WITH li AS (
+         SELECT l_orderkey AS v, l_partkey FROM lineitem
+       ),
+       mx AS (SELECT MAX(l_partkey) + 1 AS mpk FROM li),
+       rows_b AS (
+         SELECT v, (l_partkey * 64) // mx.mpk AS bucket FROM li, mx
+       ),
+       hashed AS (
+         SELECT DISTINCT bucket, v,
+                ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 7))::BIGINT
+                  % 65536 AS p1,
+                ('0x' || substr(md5(CAST(v AS VARCHAR)), 9, 7))::BIGINT
+                  % 65536 AS p2
+         FROM rows_b
+       ),
+       bits AS (
+         SELECT bucket, p1 // 32 AS w, CAST(1 AS BIGINT) << (p1 % 32)
+                  AS mask FROM hashed
+         UNION ALL
+         SELECT bucket, p2 // 32, CAST(1 AS BIGINT) << (p2 % 32)
+         FROM hashed
+       ),
+       bloom AS (
+         SELECT bucket, w, CAST(bit_or(mask) AS BIGINT) AS word
+         FROM bits GROUP BY bucket, w
+       ),
+       keys AS (
+         SELECT DISTINCT v FROM hashed
+         WHERE ('0x' || substr(md5(CAST(v AS VARCHAR)), 17, 7))::BIGINT
+               % 997 = 0
+         ORDER BY v LIMIT 20
+       ),
+       probes0 AS (
+         SELECT v,
+                ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 7))::BIGINT
+                  % 65536 AS p
+         FROM keys
+         UNION ALL
+         SELECT v,
+                ('0x' || substr(md5(CAST(v AS VARCHAR)), 9, 7))::BIGINT
+                  % 65536
+         FROM keys
+       ),
+       probes AS (
+         SELECT v, p // 32 AS w,
+                CAST(bit_or(CAST(1 AS BIGINT) << (p % 32)) AS BIGINT)
+                  AS mask
+         FROM probes0 GROUP BY v, p // 32
+       ),
+       kw AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS k_words
+              FROM probes GROUP BY v),
+       hits AS (
+         SELECT pr.v, b.bucket
+         FROM probes pr JOIN bloom b
+           ON b.w = pr.w AND (b.word & pr.mask) = pr.mask
+         GROUP BY pr.v, b.bucket
+         HAVING COUNT(*) = (SELECT k_words FROM kw WHERE kw.v = pr.v)
+       ),
+       bloom_files AS (
+         SELECT v, CAST(COUNT(*) AS BIGINT) AS bloom_files
+         FROM hits GROUP BY v
+       ),
+       exact_files AS (
+         SELECT h.v, CAST(COUNT(DISTINCT h.bucket) AS BIGINT)
+                  AS exact_files
+         FROM hashed h JOIN keys k ON h.v = k.v
+         GROUP BY h.v
+       )
+       SELECT k.v AS orderkey, e.exact_files, bf.bloom_files,
+              CAST(64 AS BIGINT) AS no_index_files
+       FROM keys k
+       JOIN exact_files e ON e.v = k.v
+       JOIN bloom_files bf ON bf.v = k.v
+       ORDER BY orderkey""",
+    doc="Bloom-filter data skipping for point lookups — the "
+    "complement to x103's zone maps: the layout is partkey-range (64 "
+    "files), so an ORDERKEY point lookup gets NOTHING from min/max "
+    "stats (every file spans the full orderkey range); a per-file "
+    "65,536-bit Bloom index (2 md5-derived probes per value, 32-bit "
+    "words stored sparsely as (bucket, word_idx, word) rows — "
+    "exactly Parquet's column bloom / Delta's skipping-index "
+    "architecture, relationally) answers 'which files can contain "
+    "key v' with a handful of word lookups. The report certifies 20 "
+    "deterministically chosen keys: files a Bloom probe admits vs the "
+    "exact containing files vs the 64 a scan without the index reads "
+    "— the false-positive overhead is measured on real data, and "
+    "Bloom >= exact always (no false negatives) or the hash gate "
+    "breaks. Scale shape: index build is one distinct + one grouped "
+    "bit_or (state = set words only, ~2 per distinct value); probing "
+    "touches k_words index rows per (key, file) — never the data.",
+)
+def x137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.layout import _int_div
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("v"), "l_partkey"
+    )
+    mx = li.agg((F.max("l_partkey") + 1).alias("mpk"))
+    rows_b = li.crossJoin(F.broadcast(mx)).select(
+        "v", _int_div(F.col("l_partkey") * 64, F.col("mpk")).alias("bucket")
+    )
+
+    def hx(col, start):
+        return F.conv(
+            F.substring(F.md5(col.cast("string")), start, 7), 16, 10
+        ).cast("long")
+
+    hashed = rows_b.select(
+        "bucket", "v",
+        F.pmod(hx(F.col("v"), 1), F.lit(65536)).alias("p1"),
+        F.pmod(hx(F.col("v"), 9), F.lit(65536)).alias("p2"),
+    ).distinct()
+    def mask_of(pcol: str):
+        # shiftleft's numBits must be an expression, not a python int,
+        # when the bit position is data-dependent
+        return F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({pcol}, 32) AS INT))"
+        )
+
+    bits = hashed.select(
+        "bucket", _int_div(F.col("p1"), F.lit(32)).alias("w"),
+        mask_of("p1").alias("mask"),
+    ).unionAll(
+        hashed.select(
+            "bucket", _int_div(F.col("p2"), F.lit(32)).alias("w"),
+            mask_of("p2").alias("mask"),
+        )
+    )
+    bloom = bits.groupBy("bucket", "w").agg(
+        F.bit_or("mask").cast("bigint").alias("word")
+    )
+    keys = (
+        hashed.select("v")
+        .where(F.pmod(hx(F.col("v"), 17), F.lit(997)) == 0)
+        .distinct()
+        .orderBy("v")
+        .limit(20)
+    )
+    probes0 = keys.select(
+        "v", F.pmod(hx(F.col("v"), 1), F.lit(65536)).alias("p")
+    ).unionAll(
+        keys.select("v", F.pmod(hx(F.col("v"), 9), F.lit(65536)).alias("p"))
+    )
+    probes = (
+        probes0.groupBy("v", _int_div(F.col("p"), F.lit(32)).alias("w"))
+        .agg(F.bit_or(mask_of("p")).cast("bigint").alias("mask"))
+    )
+    kw = probes.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_words")
+    )
+    # probes and bloom share lineage through `hashed` (a self-join of
+    # derivations) — explicit string aliases keep resolution unambiguous
+    hits = (
+        probes.alias("pr")
+        .join(
+            bloom.alias("bl"),
+            (F.col("bl.w") == F.col("pr.w"))
+            & (
+                F.col("bl.word").bitwiseAND(F.col("pr.mask"))
+                == F.col("pr.mask")
+            ),
+        )
+        .groupBy(
+            F.col("pr.v").alias("v"), F.col("bl.bucket").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n_w"))
+        .join(kw, "v")
+        .where(F.col("n_w") == F.col("k_words"))
+    )
+    bloom_files = hits.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bloom_files")
+    )
+    exact_files = (
+        hashed.join(keys, "v")
+        .groupBy("v")
+        .agg(F.countDistinct("bucket").cast("bigint").alias("exact_files"))
+    )
+    return (
+        keys.join(exact_files, "v")
+        .join(bloom_files, "v")
+        .select(
+            F.col("v").alias("orderkey"), "exact_files", "bloom_files",
+            F.lit(64).cast("bigint").alias("no_index_files"),
+        )
+        .orderBy("orderkey")
+    )
+
+
+@_q(
+    "x138_last_touch_attribution",
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tmu,
+                         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+                  FROM events),
+       c AS (SELECT user_id, tmu FROM e WHERE event_type = 'click'),
+       p AS (SELECT user_id, tmu, cents FROM e
+             WHERE event_type = 'purchase'),
+       a AS (SELECT p.cents, p.tmu AS ptmu, c.tmu AS ctmu
+             FROM p ASOF LEFT JOIN c
+               ON p.user_id = c.user_id AND p.tmu >= c.tmu),
+       b AS (SELECT cents,
+                    CASE WHEN ctmu IS NULL
+                           OR ptmu - ctmu > 604800000000 THEN -1
+                         ELSE (ctmu // 3600000000) % 24 END AS hour
+             FROM a)
+       SELECT CAST(hour AS BIGINT) AS hour,
+              CAST(COUNT(*) AS BIGINT) AS n_purchases,
+              CAST(SUM(cents)::BIGINT AS BIGINT) AS cents
+       FROM b GROUP BY hour ORDER BY hour""",
+    doc="Last-touch revenue attribution — the marketing-analytics "
+    "application of the as-of join: every purchase's cents credit to "
+    "the LATEST preceding click by the same user within a 7-day "
+    "lookback (no click in window -> the unattributed -1 bucket), "
+    "rolled up by the click's UTC hour-of-day. Cross-PARADIGM "
+    "certification: the oracle uses DuckDB's native ASOF LEFT JOIN "
+    "while the engine computes the same correspondence as a "
+    "last(ignorenulls) running window over the type-tagged event "
+    "stream (clicks sorted before purchases at equal timestamps, "
+    "matching ASOF's >= bound) — two entirely different formulations "
+    "must agree bit-for-bit. Scale shape: ONE shuffle on user_id and "
+    "a per-user ordered scan carrying one word of state (the last "
+    "click time); no per-purchase probe join, no time-range "
+    "explosion; hour extraction is pure integer arithmetic on epoch "
+    "micros.",
+)
+def x138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.layout import _int_div
+
+    week = 604_800_000_000
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts")).alias("tmu"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        "user_id", "tmu",
+        F.col("tmu").alias("ctmu"),
+        F.lit(None).cast("bigint").alias("cents"),
+        F.lit(0).alias("is_p"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "tmu",
+        F.lit(None).cast("bigint").alias("ctmu"),
+        "cents",
+        F.lit(1).alias("is_p"),
+    )
+    # clicks sort before purchases at equal tmu => the running last()
+    # sees a same-instant click, matching ASOF's inclusive >= bound
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tmu", "is_p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = c.unionByName(p).withColumn(
+        "last_ctmu", F.last("ctmu", ignorenulls=True).over(w)
+    )
+    b = tagged.where(F.col("is_p") == 1).select(
+        "cents",
+        F.when(
+            F.col("last_ctmu").isNull()
+            | (F.col("tmu") - F.col("last_ctmu") > F.lit(week)),
+            F.lit(-1),
+        )
+        .otherwise(
+            F.pmod(
+                _int_div(F.col("last_ctmu"), F.lit(3_600_000_000)),
+                F.lit(24),
+            )
+        )
+        .cast("bigint")
+        .alias("hour"),
+    )
+    return (
+        b.groupBy("hour")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .orderBy("hour")
+    )
