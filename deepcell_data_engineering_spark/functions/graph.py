@@ -295,3 +295,58 @@ def k_core(
             .localCheckpoint()
         )
     return e
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Synchronous min-label propagation for a FIXED round budget:
+    every node starts labeled with its own id; each round it takes the
+    min of its label and its neighbors' labels. Returns (n, lbl).
+
+    This is the bounded-cost community pass between a single degree
+    count and :func:`connected_components`' run-to-convergence
+    alternating stars: after r rounds a node's label is the smallest
+    id within r hops, so tight near-dup communities collapse in 2-3
+    rounds while long chains (which CC would merge) stay split — and
+    the cost is EXACTLY ``rounds`` joins whatever the graph's
+    diameter, the property that makes it schedulable at 100 TB (the
+    same fixed-budget convention as pagerank/k_core here, and what
+    keeps the SQL oracle expressible as unrolled CTEs). Each round is
+    one broadcast-free equi-join per direction + a min-aggregation,
+    localCheckpoint-ed so iteration r does not recompute r-1."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("eu"),
+            F.greatest(F.col(src), F.col(dst)).alias("ev"),
+        )
+        .where(F.col("eu") != F.col("ev"))
+        .distinct()
+        .localCheckpoint()
+    )
+    lbl = (
+        e.select(F.col("eu").alias("n"))
+        .unionAll(e.select(F.col("ev").alias("n")))
+        .distinct()
+        .withColumn("lbl", F.col("n"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        from_u = e.join(lbl, lbl["n"] == e["eu"]).select(
+            e["ev"].alias("n"), lbl["lbl"].alias("lbl")
+        )
+        from_v = e.join(lbl, lbl["n"] == e["ev"]).select(
+            e["eu"].alias("n"), lbl["lbl"].alias("lbl")
+        )
+        lbl = (
+            lbl.select("n", "lbl")
+            .unionAll(from_u)
+            .unionAll(from_v)
+            .groupBy("n")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+    return lbl

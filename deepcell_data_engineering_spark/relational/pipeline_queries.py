@@ -9768,3 +9768,79 @@ def x138(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+def _x139_oracle(rounds: int = 3) -> str:
+    """Unrolled synchronous min-label propagation over the same
+    candidate graph x06 certifies (the x67/x78 edge-CTE convention)."""
+    from deepcell_data_engineering_spark.relational.queries import (
+        QUERIES as _REG,
+    )
+
+    edges_sql = _REG["x06_minhash_lsh_pairs"].oracle
+    parts = [
+        f"""WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+      FROM ({edges_sql}) WHERE id_a <> id_b),
+    l0 AS MATERIALIZED (
+      SELECT n, n AS lbl FROM (
+        SELECT u AS n FROM e0 UNION SELECT v AS n FROM e0))"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    l{r} AS MATERIALIZED (
+      SELECT n, MIN(lbl) AS lbl FROM (
+        SELECT n, lbl FROM l{r - 1}
+        UNION ALL
+        SELECT e.v AS n, l.lbl FROM e0 e JOIN l{r - 1} l ON l.n = e.u
+        UNION ALL
+        SELECT e.u AS n, l.lbl FROM e0 e JOIN l{r - 1} l ON l.n = e.v
+      ) GROUP BY n)"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(sz AS BIGINT) AS community_size,
+           CAST(COUNT(*) AS BIGINT) AS n_communities
+    FROM (SELECT lbl, COUNT(*) AS sz FROM l{rounds} GROUP BY lbl)
+    GROUP BY sz ORDER BY community_size"""
+    )
+    return "".join(parts)
+
+
+@_q(
+    "x139_label_propagation",
+    _x139_oracle(3),
+    doc="Fixed-budget community detection by synchronous min-label "
+    "propagation (functions/graph.py:label_propagation) over the LSH "
+    "candidate graph — completing the graph family's resolution "
+    "ladder: degree (x78 input), 3-round communities (THIS), "
+    "run-to-convergence components (x21), triangles (x67), k-core "
+    "(x78), link prediction (x117). After r rounds a node holds the "
+    "min id within r hops, so dense near-dup groups collapse while "
+    "bridge-chained blobs that CC would merge stay apart — and cost "
+    "is EXACTLY r joins regardless of graph diameter, the property "
+    "that makes the pass schedulable at 100 TB where convergence "
+    "loops cannot be admission-controlled. Output is the community "
+    "SIZE HISTOGRAM (size, count) — scale-stable, no per-node rows. "
+    "Oracle: the x67/x78 convention — x06's edge SQL verbatim, "
+    "rounds unrolled as MATERIALIZED CTEs.",
+)
+def x139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.graph import (
+        label_propagation,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs, num_hashes=6, k=5)
+    edges = dd.lsh_candidate_pairs(
+        sigs, bands=[["h0", "h1", "h2"], ["h3", "h4", "h5"]]
+    )
+    lbl = label_propagation(edges, rounds=3, src="id_a", dst="id_b")
+    return (
+        lbl.groupBy("lbl")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy(F.col("sz").cast("bigint").alias("community_size"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_communities"))
+        .orderBy("community_size")
+    )
