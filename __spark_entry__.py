@@ -32,14 +32,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver oracle-checks the first 50 registry entries per round.
 # Round-8 rotation (executes the plan the round-7 verdict ordered):
-# lead with the 9 queries that have NEVER been in a driver window
+# lead with the 9 queries that had NEVER been in a driver window
 # (x115/x116/x118/x121–x126, preflight-green only), then the stalest
 # driver-checked rows — x01 (last checked round 3), d01–d14 and
-# x40–x45 (round 4) — and fill the remaining slots with the oldest
-# round-5 rows (d15–d38). After this round no query's driver verdict
-# is older than round 5. x73–x131 were all certified green in
-# CORRECTNESS_r07 and rotate out. Round 9 should continue the rotation
-# with d39–d49, x02–x05, x46–x56 (round-5-stale) and anything new.
+# x40–x45 (round 4) — then the oldest round-5 rows. The final 8 slots
+# go to the round-8 additions x132–x139 (the r7 precedent: new
+# queries with novel failure modes — filesystem round trips, bit_or
+# bloom words, cross-paradigm ASOF-vs-window, ln-weight scoring —
+# get their driver verdict the round they land rather than aging
+# into the deferred backlog). After this round no driver verdict is
+# older than round 5 (d31–d49, x02–x05, x46–x56 stay r5-green and
+# lead the round-9 rotation).
 _CHECK_FIRST = [
     # never driver-checked (deferred from the round-7 window)
     "x115_markov_transitions", "x116_cusum_changepoint",
@@ -55,15 +58,18 @@ _CHECK_FIRST = [
     # round-4-stale: x40–x45
     "x40_length_trim", "x41_tumbling_rollup", "x42_sliding_rollup",
     "x43_pagerank", "x44_unigram_logprob", "x45_minhash_calibration",
-    # oldest round-5 rows, filling the window to 50
+    # oldest round-5 rows
     "d15_range_join", "d16_cross_join", "d17_grouped_agg",
     "d18_count_distinct_having", "d19_median", "d20_rollup",
     "d21_grouping_sets", "d22_conditional_agg", "d23_window_rank",
     "d24_window_lag_lead", "d25_window_running_max", "d26_intersect",
     "d27_except", "d28_date_agg", "d29_math_string",
-    "d30_documents_agg", "d31_pivot", "d32_unpivot", "d33_string_agg",
-    "d34_cube", "d35_approx_distinct", "d36_exists_subquery",
-    "d37_scalar_subquery", "d38_ntile_percent_rank",
+    "d30_documents_agg",
+    # round-8 additions — first driver verdicts
+    "x132_optimize_equivalence", "x133_record_linkage_fs",
+    "x134_funnel_conversion", "x135_aqp_hash_sample",
+    "x136_autocorrelation", "x137_bloom_skipping",
+    "x138_last_touch_attribution", "x139_label_propagation",
 ]
 
 
