@@ -9596,11 +9596,18 @@ def x137(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.md5(col.cast("string")), start, 7), 16, 10
         ).cast("long")
 
-    hashed = rows_b.select(
-        "bucket", "v",
-        F.pmod(hx(F.col("v"), 1), F.lit(65536)).alias("p1"),
-        F.pmod(hx(F.col("v"), 9), F.lit(65536)).alias("p2"),
-    ).distinct()
+    # hashed feeds the index build, the key pick, both probe branches
+    # and the exact twin (5 consumers): localCheckpoint materializes the
+    # distinct ONCE instead of re-scanning lineitem per consumer
+    hashed = (
+        rows_b.select(
+            "bucket", "v",
+            F.pmod(hx(F.col("v"), 1), F.lit(65536)).alias("p1"),
+            F.pmod(hx(F.col("v"), 9), F.lit(65536)).alias("p2"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     def mask_of(pcol: str):
         # shiftleft's numBits must be an expression, not a python int,
         # when the bit position is data-dependent
