@@ -9851,3 +9851,227 @@ def x139(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_communities"))
         .orderBy("community_size")
     )
+
+
+@_q(
+    "x140_session_stats",
+    """WITH flagged AS (
+         SELECT user_id, ts,
+                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts)
+                          >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events
+       ),
+       sess0 AS (
+         SELECT user_id, ts,
+                SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+         FROM flagged
+       ),
+       sess AS (
+         SELECT user_id, sid,
+                CAST(COUNT(*) AS BIGINT) AS n_events,
+                epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+         FROM sess0 GROUP BY user_id, sid
+       ),
+       b AS (
+         SELECT CASE WHEN n_events = 1 THEN '1_single'
+                     WHEN n_events <= 3 THEN '2_short'
+                     WHEN n_events <= 7 THEN '3_medium'
+                     ELSE '4_long' END AS bucket,
+                n_events, dur_us
+         FROM sess
+       )
+       SELECT bucket,
+              CAST(COUNT(*) AS BIGINT) AS n_sessions,
+              CAST(SUM(n_events)::BIGINT AS BIGINT) AS total_events,
+              ROUND(CAST(SUM(dur_us)::BIGINT AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE) / 1e6 + 0.0, 6)
+                AS avg_duration_sec
+       FROM b GROUP BY bucket ORDER BY bucket""",
+    doc="Session-level engagement statistics — the product-analytics "
+    "report over x17/x120's sessionization: sessions (30-min gap "
+    "rule) bucketed by event count (single/short/medium/long) with "
+    "per-bucket counts and mean duration. The engine builds sessions "
+    "with the native session_window aggregate (per-user gap-merged "
+    "state, one shuffle on user_id); the oracle derives identical "
+    "sessions from the LAG/SUM flag idiom — two formulations of the "
+    "gap rule certified equal, then the same integer duration "
+    "arithmetic (epoch micros, max - min). avg seconds is one exact "
+    "BIGINT-sum division rounded once. Session state is bounded per "
+    "user and the report is 4 rows at any corpus size.",
+)
+def x140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            .alias("dur_us"),
+        )
+    )
+    b = sess.select(
+        F.when(F.col("n_events") == 1, "1_single")
+        .when(F.col("n_events") <= 3, "2_short")
+        .when(F.col("n_events") <= 7, "3_medium")
+        .otherwise("4_long")
+        .alias("bucket"),
+        "n_events",
+        "dur_us",
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("total_events"),
+            F.round(
+                F.sum("dur_us").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1e6)
+                + F.lit(0.0),
+                6,
+            ).alias("avg_duration_sec"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@_q(
+    "x141_psi_drift",
+    """WITH e AS (SELECT epoch_us(ts) AS tmu,
+                         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+                  FROM events WHERE value IS NOT NULL),
+       span AS (SELECT MIN(tmu) AS lo, MAX(tmu) AS hi FROM e),
+       halves AS (
+         SELECT cents,
+                CASE WHEN tmu < (span.lo + span.hi) // 2 THEN 0 ELSE 1
+                  END AS half
+         FROM e, span
+       ),
+       cspan AS (SELECT MIN(cents) AS clo, MAX(cents) + 1 AS chi
+                 FROM halves WHERE half = 0),
+       binned AS (
+         SELECT half,
+                CASE WHEN cents < cspan.clo THEN 0
+                     WHEN cents >= cspan.chi THEN 9
+                     ELSE ((cents - cspan.clo) * 10)
+                          // (cspan.chi - cspan.clo) END AS bin
+         FROM halves, cspan
+       ),
+       g AS (
+         SELECT bin,
+                CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT
+                     AS BIGINT) AS n_first,
+                CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT
+                     AS BIGINT) AS n_second
+         FROM binned GROUP BY bin
+       ),
+       tot AS (SELECT CAST(SUM(n_first)::BIGINT AS BIGINT) AS t1,
+                      CAST(SUM(n_second)::BIGINT AS BIGINT) AS t2
+               FROM g)
+       SELECT CAST(bin AS BIGINT) AS bin, n_first, n_second,
+              ROUND(CAST(CAST(ROUND(
+                  (CAST(n_first + 1 AS DOUBLE) / CAST(t1 + 10 AS DOUBLE)
+                   - CAST(n_second + 1 AS DOUBLE)
+                     / CAST(t2 + 10 AS DOUBLE))
+                  * ln(CAST((n_first + 1) * (t2 + 10) AS DOUBLE)
+                       / CAST((n_second + 1) * (t1 + 10) AS DOUBLE))
+                  * 1e9, 0) AS BIGINT) AS DOUBLE) / 1e9 + 0.0, 6)
+                AS psi_contrib
+       FROM g, tot ORDER BY bin""",
+    doc="Population Stability Index between the first and second time "
+    "halves of the event value distribution — the ML-monitoring drift "
+    "gate (PSI > 0.2 = retrain trigger), completing the drift family "
+    "(x109 KL between sources, x112 Welch, x116 CUSUM): 10 equal-"
+    "width bins over the FIRST half's integer-cents range (baseline "
+    "bins, the production convention; out-of-range second-half values "
+    "clamp to edge bins), add-1 smoothed. Numeric discipline: the ln "
+    "argument is ONE division of exact BIGINT products ((n1+1)(T2+10) "
+    "/ (n2+1)(T1+10) — x44), the probability difference two exact "
+    "divisions and one subtract, each per-bin contribution one "
+    "deterministic IEEE expression rounded once to 1e-9 (x109). "
+    "Scale shape: two conditional-sum passes over events (span, then "
+    "binned counts), report = 10 rows; no window anywhere.",
+)
+def x141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.layout import _int_div
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            F.unix_micros(F.col("ts")).alias("tmu"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+    span = e.agg(F.min("tmu").alias("lo"), F.max("tmu").alias("hi"))
+    halves = e.crossJoin(F.broadcast(span)).select(
+        "cents",
+        F.when(
+            F.col("tmu")
+            < _int_div(F.col("lo") + F.col("hi"), F.lit(2)),
+            0,
+        )
+        .otherwise(1)
+        .alias("half"),
+    )
+    cspan = (
+        halves.where(F.col("half") == 0)
+        .agg(
+            F.min("cents").alias("clo"),
+            (F.max("cents") + 1).alias("chi"),
+        )
+    )
+    binned = halves.crossJoin(F.broadcast(cspan)).select(
+        "half",
+        F.when(F.col("cents") < F.col("clo"), 0)
+        .when(F.col("cents") >= F.col("chi"), 9)
+        .otherwise(
+            _int_div(
+                (F.col("cents") - F.col("clo")) * 10,
+                F.col("chi") - F.col("clo"),
+            )
+        )
+        .alias("bin"),
+    )
+    g = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_first"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_second"),
+    )
+    tot = g.agg(
+        F.sum("n_first").cast("bigint").alias("t1"),
+        F.sum("n_second").cast("bigint").alias("t2"),
+    )
+    p = (F.col("n_first") + 1).cast("double") / (F.col("t1") + 10).cast(
+        "double"
+    )
+    q = (F.col("n_second") + 1).cast("double") / (F.col("t2") + 10).cast(
+        "double"
+    )
+    lnpq = F.log(
+        ((F.col("n_first") + 1) * (F.col("t2") + 10)).cast("double")
+        / ((F.col("n_second") + 1) * (F.col("t1") + 10)).cast("double")
+    )
+    contrib = (
+        F.round((p - q) * lnpq * F.lit(1e9), 0).cast("bigint").cast("double")
+        / F.lit(1e9)
+        + F.lit(0.0)
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            "n_first",
+            "n_second",
+            F.round(contrib, 6).alias("psi_contrib"),
+        )
+        .orderBy("bin")
+    )
