@@ -998,3 +998,49 @@ def test_streaming_interval_overlap_equals_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM interval_overlap").collect()
     }
     assert got == expected
+
+
+def test_streaming_aqp_sample_maintenance_equals_batch(spark, tmp_path):
+    """x135's AQP estimator is incrementally maintainable: the md5
+    residue sample filter is STATELESS (each row decides membership
+    alone) and the Horvitz-Thompson estimate is a scaled grouped sum —
+    so folding per-epoch delta states over a micro-batched stream must
+    reproduce the batch estimator exactly."""
+    from deepcell_data_engineering_spark.streaming.sinks import (
+        maintained_agg,
+        start_incremental_agg,
+    )
+
+    def with_sample_flag(df):
+        key = (F.col("event_id") * 2 + 1).cast("string")
+        h = F.conv(F.substring(F.md5(key), 1, 7), 16, 10).cast("long")
+        return df.select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+            F.when(F.pmod(h, F.lit(20)) == 0, 1).otherwise(0).alias("s"),
+        )
+
+    ev = with_sample_flag(load_table(spark, SF_SMOKE, "events"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_exact"),
+        (F.lit(20) * F.sum(F.col("s") * F.col("cents"))).alias("sum_est"),
+    ]
+    expected = {
+        tuple(r)
+        for r in ev.groupBy("event_type").agg(*aggs).collect()
+    }
+    assert any(r[2] != 0 for r in expected)  # the sample is non-empty
+
+    out = str(tmp_path / "state")
+    stream = with_sample_flag(read_events_stream(spark, SF_SMOKE))
+    q = start_incremental_agg(
+        stream, out, str(tmp_path / "ckpt"), ["event_type"], aggs
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in maintained_agg(
+            spark, out, ["event_type"], ["n_exact", "sum_est"]
+        ).collect()
+    }
+    assert got == expected
