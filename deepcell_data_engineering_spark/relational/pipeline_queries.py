@@ -10075,3 +10075,220 @@ def x141(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@_q(
+    "x142_time_weighted_avg",
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tmu,
+                         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+                  FROM events WHERE value IS NOT NULL),
+       seg AS (
+         SELECT user_id, cents,
+                LEAD(tmu) OVER (PARTITION BY user_id
+                                ORDER BY tmu, cents) - tmu AS dur
+         FROM e
+       ),
+       u AS (
+         SELECT user_id,
+                CAST(SUM(cents * dur)::BIGINT AS BIGINT) AS wsum,
+                CAST(SUM(dur)::BIGINT AS BIGINT) AS tdur
+         FROM seg WHERE dur IS NOT NULL GROUP BY user_id
+       )
+       SELECT user_id,
+              ROUND(CAST(wsum AS DOUBLE) / CAST(tdur AS DOUBLE) / 100
+                    + 0.0, 6) AS twap
+       FROM u WHERE tdur > 0
+       ORDER BY twap DESC, user_id LIMIT 20""",
+    doc="Time-weighted average value per user (TWAP — the finance/IoT "
+    "aggregate where a value holds until the next observation): each "
+    "event's cents weighted by its holding duration (LEAD(t) - t; the "
+    "open-ended last segment excluded), one exact division of BIGINT "
+    "sums per user, top-20. Why not AVG: sparse observations bias a "
+    "plain mean toward burst periods — duration weighting is the "
+    "integral. Numeric discipline: cents x micros products and both "
+    "sums stay BIGINT (order-free), ONE division + /100 at the end, "
+    "LIMIT rides the ROUNDED column with a user tie-break; zero-"
+    "duration users filtered (division guard). Scale shape: one "
+    "user-hash window for adjacency (the x99/x131 shape), then a "
+    "plain grouped sum — state bounded per user.",
+)
+def x142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("tmu"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("tmu", "cents")
+    seg = e.select(
+        "user_id", "cents",
+        (F.lead("tmu").over(w) - F.col("tmu")).alias("dur"),
+    ).where(F.col("dur").isNotNull())
+    u = seg.groupBy("user_id").agg(
+        F.sum(F.col("cents") * F.col("dur")).cast("bigint").alias("wsum"),
+        F.sum("dur").cast("bigint").alias("tdur"),
+    )
+    return (
+        u.where(F.col("tdur") > 0)
+        .select(
+            "user_id",
+            F.round(
+                F.col("wsum").cast("double")
+                / F.col("tdur").cast("double")
+                / F.lit(100)
+                + F.lit(0.0),
+                6,
+            ).alias("twap"),
+        )
+        .orderBy(F.desc("twap"), "user_id")
+        .limit(20)
+    )
+
+
+@_q(
+    "x143_ship_latency_quantiles",
+    """WITH j AS (
+         SELECT o.o_orderpriority AS g,
+                (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                  // 86400000000 AS days
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       ),
+       vc AS (SELECT g, days AS v, COUNT(*) AS c FROM j GROUP BY g, days),
+       cm AS (SELECT g, v,
+                     SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+                     SUM(c) OVER (PARTITION BY g) AS n
+              FROM vc),
+       p50 AS (SELECT g, MIN(v) AS p FROM cm
+               WHERE cum >= (n * 1 + 1) // 2 GROUP BY g),
+       p90 AS (SELECT g, MIN(v) AS p FROM cm
+               WHERE cum >= (n * 9 + 9) // 10 GROUP BY g),
+       p99 AS (SELECT g, MIN(v) AS p FROM cm
+               WHERE cum >= (n * 99 + 99) // 100 GROUP BY g),
+       cnt AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY g)
+       SELECT cnt.g AS priority, cnt.n,
+              CAST(p50.p AS BIGINT) AS p50_days,
+              CAST(p90.p AS BIGINT) AS p90_days,
+              CAST(p99.p AS BIGINT) AS p99_days
+       FROM cnt JOIN p50 ON cnt.g = p50.g
+                JOIN p90 ON cnt.g = p90.g
+                JOIN p99 ON cnt.g = p99.g
+       ORDER BY priority""",
+    doc="Order-fulfillment latency SLO report: per order priority, "
+    "exact p50/p90/p99 of ship-minus-order days over the "
+    "lineitem-orders join — the operational-latency query every "
+    "warehouse runs, and the first percentile query here computed "
+    "over a JOIN output rather than a base table. Quantiles via "
+    "functions/stats.grouped_disc_percentile (integer-fraction ranks "
+    "ceil(q*n) = (n*q_num + q_den - 1) // q_den — no float q*n; the "
+    "cumulative window runs over the per-group VALUE histogram, "
+    "~thousands of distinct day values, never rows). The join "
+    "shuffles on orderkey once; the three percentile passes share the "
+    "one histogram shape. Days are exact integer micros division.",
+)
+def x143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.layout import _int_div
+    from deepcell_data_engineering_spark.functions.stats import (
+        grouped_disc_percentile,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("g"),
+        # parquet reads these as TIMESTAMP_NTZ; unix_micros wants TZ —
+        # the cast is offset-symmetric so the DIFFERENCE is exact
+        _int_div(
+            F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+            - F.unix_micros(F.col("o_orderdate").cast("timestamp")),
+            F.lit(86_400_000_000),
+        ).alias("days"),
+    )
+    cnt = j.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    p50 = grouped_disc_percentile(j, "g", "days", 1, 2, "p50")
+    p90 = grouped_disc_percentile(j, "g", "days", 9, 10, "p90")
+    p99 = grouped_disc_percentile(j, "g", "days", 99, 100, "p99")
+    return (
+        cnt.join(p50, "g").join(p90, "g").join(p99, "g")
+        .select(
+            F.col("g").alias("priority"), "n",
+            F.col("p50").cast("bigint").alias("p50_days"),
+            F.col("p90").cast("bigint").alias("p90_days"),
+            F.col("p99").cast("bigint").alias("p99_days"),
+        )
+        .orderBy("priority")
+    )
+
+
+@_q(
+    "x144_failure_rate_ci",
+    """WITH g AS (
+         SELECT source,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0
+                         END)::BIGINT AS BIGINT) AS failures
+         FROM documents GROUP BY source
+       ),
+       t AS (
+         SELECT source, n, failures,
+                CAST(failures AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                CAST(2401 AS DOUBLE) / CAST(625 AS DOUBLE) AS z2,
+                CAST(49 AS DOUBLE) / CAST(25 AS DOUBLE) AS z,
+                CAST(n AS DOUBLE) AS nd
+         FROM g
+       ),
+       w AS (
+         SELECT source, n, failures, p,
+                (p + z2 / (2 * nd)) AS center,
+                z * sqrt(p * (1 - p) / nd + z2 / (4 * nd * nd)) AS half,
+                (1 + z2 / nd) AS denom
+         FROM t
+       )
+       SELECT source, n, failures,
+              ROUND(p + 0.0, 6) AS rate,
+              ROUND((center - half) / denom + 0.0, 6) AS wilson_lo,
+              ROUND((center + half) / denom + 0.0, 6) AS wilson_hi
+       FROM w ORDER BY source""",
+    doc="Per-source quality-failure rate with a Wilson 95% confidence "
+    "interval — the statistical layer x123's expectations report "
+    "lacks: a source with 2 failures in 10 docs and one with 200 in "
+    "1000 have the same rate but very different evidence, and the "
+    "Wilson score (robust at small n and extreme p, unlike the Wald "
+    "interval) ranks them honestly. Failure = n_chars < 100 (the "
+    "short-doc gate). Cross-engine determinism: z = 49/25 and z^2 = "
+    "2401/625 are spelled as explicit integer-cast divisions so both "
+    "engines constant-fold identical doubles, and the interval is ONE "
+    "fixed IEEE expression tree over exact integer inputs (the "
+    "x112/x136 convention), rounded once. Scale: one conditional-sum "
+    "pass; 20 output rows.",
+)
+def x144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0))
+            .cast("bigint")
+            .alias("failures"),
+        )
+    )
+    p = F.col("failures").cast("double") / F.col("n").cast("double")
+    z2 = F.lit(2401).cast("double") / F.lit(625).cast("double")
+    z = F.lit(49).cast("double") / F.lit(25).cast("double")
+    nd = F.col("n").cast("double")
+    center = p + z2 / (F.lit(2) * nd)
+    half = z * F.sqrt(p * (F.lit(1) - p) / nd + z2 / (F.lit(4) * nd * nd))
+    denom = F.lit(1) + z2 / nd
+    return g.select(
+        "source", "n", "failures",
+        F.round(p + F.lit(0.0), 6).alias("rate"),
+        F.round((center - half) / denom + F.lit(0.0), 6).alias("wilson_lo"),
+        F.round((center + half) / denom + F.lit(0.0), 6).alias("wilson_hi"),
+    ).orderBy("source")
