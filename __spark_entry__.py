@@ -42,9 +42,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # get their driver verdict the round they land rather than aging
 # into the deferred backlog). After this round no driver verdict is
 # older than round 5 (d31–d49, x02–x05, x46–x56 stay r5-green and
-# lead the round-9 rotation, together with the two late round-8
-# additions x140/x141 — preflight-green only, compositions of the
-# certified x120 session pairing and x109 ln discipline).
+# lead the round-9 rotation, together with the five late round-8
+# additions x140–x144 — preflight-green only, compositions of
+# certified disciplines (x120 session pairing, x109 ln rounding,
+# x99 ordered adjacency, x108 integer-rank percentiles, x112
+# fixed-IEEE-tree statistics).
 _CHECK_FIRST = [
     # never driver-checked (deferred from the round-7 window)
     "x115_markov_transitions", "x116_cusum_changepoint",
