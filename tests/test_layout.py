@@ -190,3 +190,55 @@ def test_gram_partials_partition_invariant(spark, sf_dir):
     # and symmetric by construction
     m = {(i, j): g for i, j, g in a}
     assert all(m[(i, j)] == m[(j, i)] for (i, j) in m)
+
+
+def test_grouped_cumsum_matches_pandas_and_ignores_split_points(spark):
+    """The two-phase distributed prefix sum must equal a pandas
+    groupby-cumsum for every group, and the answer must be identical
+    whatever n_parts the range partitioner used (the independence-of-
+    split-points property the docstring claims)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    pdf = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 500),
+            "k": rng.randint(0, 10_000, 500),
+            "c": rng.randint(1, 9, 500),
+        }
+    )
+    # histogram contract: one row per (g, k)
+    pdf = pdf.groupby(["g", "k"], as_index=False)["c"].sum()
+    expected = pdf.sort_values(["g", "k"]).assign(
+        cum=lambda d: d.groupby("g")["c"].cumsum()
+    )
+    exp = {
+        (r.g, int(r.k)): int(r.cum) for r in expected.itertuples()
+    }
+
+    df = spark.createDataFrame(pdf)
+    for n_parts in (1, 3, 32):
+        got = {
+            (r["g"], int(r["k"])): int(r["cum"])
+            for r in ly.grouped_cumsum(
+                df, ["g"], "k", "c", n_parts=n_parts
+            ).collect()
+        }
+        assert got == exp, f"n_parts={n_parts}"
+
+    # ungrouped variant (the equi_depth_boundaries path)
+    solo = pdf.groupby("k", as_index=False)["c"].sum()
+    exp1 = {
+        int(r.k): int(r.cum)
+        for r in solo.sort_values("k")
+        .assign(cum=lambda d: d["c"].cumsum())
+        .itertuples()
+    }
+    got1 = {
+        int(r["k"]): int(r["cum"])
+        for r in ly.grouped_cumsum(
+            spark.createDataFrame(solo), [], "k", "c", n_parts=5
+        ).collect()
+    }
+    assert got1 == exp1
