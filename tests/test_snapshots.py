@@ -319,3 +319,42 @@ def test_crash_window_leaves_old_version_intact(spark, tmp_path):
     assert os.path.join("data", "c_deadbeef_crashed") in removed
     assert not os.path.exists(orphan)
     assert _rows(snap.read_snapshot(spark, t)) == _rows(a)
+
+
+def test_concurrent_writers_threaded_no_lost_commits(spark, tmp_path):
+    """Four writer threads race 3 appends each through the optimistic
+    publish loop: every commit must land (16 distinct versions incl.
+    the seed, no overwrites), and the final table must contain every
+    writer's rows exactly once."""
+    import threading
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    snap.commit(spark, docs.where(F.col("doc_id") < 0), t)  # empty seed
+
+    errors = []
+
+    def writer(wid):
+        try:
+            for j in range(3):
+                lo = wid * 30 + j * 10
+                batch = docs.where(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10)
+                )
+                snap.commit(spark, batch, t, mode="append")
+        except Exception as ex:  # pragma: no cover
+            errors.append(ex)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    assert snap.current_version(t) == 12  # seed + 4x3, none lost
+    hist = snap.history(t)
+    assert len(hist) == 13 and not any(h.get("vacuumed") for h in hist)
+    got = snap.read_snapshot(spark, t)
+    expected = docs.where(F.col("doc_id") < 120)
+    assert got.count() == expected.count()
+    assert _rows(got) == _rows(expected)
