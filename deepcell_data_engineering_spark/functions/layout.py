@@ -149,12 +149,24 @@ def grouped_cumsum(
     The result is independent of where the range partitioner split
     (any split of a sorted sequence yields the same prefix sums), so
     its sampling nondeterminism cannot move a result. Returns ``hist``
-    plus a long ``cum`` column."""
+    plus a long ``cum`` column.
+
+    ``parts`` is materialized ONCE (localCheckpoint) before the two
+    consuming branches are derived: the ``_pid`` join is only correct
+    if the partial-cumsum branch and the offsets branch see the SAME
+    range splits, and without materialization that invariant rests on
+    Spark exchange reuse — an optimizer behavior, not a contract
+    (``spark.sql.exchange.reuse=false`` or future plan divergence
+    would silently join offsets against mismatched partition ids).
+    localCheckpoint truncates lineage, so a lost block errors instead
+    of re-sampling new splits."""
     from pyspark.sql import Window
 
-    parts = hist.repartitionByRange(
-        n_parts, *group_cols, order_col
-    ).withColumn("_pid", F.spark_partition_id())
+    parts = (
+        hist.repartitionByRange(n_parts, *group_cols, order_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
     wpart = (
         Window.partitionBy("_pid", *group_cols)
         .orderBy(order_col)

@@ -27,18 +27,28 @@ combined-NPZ convention) — no history, no atomicity; this module is
 the warehouse-grade replacement for that pointer-by-filename scheme.
 
 Concurrency: manifests are published with a PUT-IF-ABSENT primitive
-(``os.link`` from a fully-written temp file — atomic and fails with
-EEXIST if the version was taken). A writer that loses the race
+(``ManifestStore.put_if_absent``). A writer that loses the race
 re-reads the new parent and retries against the next version, so no
-commit is ever silently overwritten — the Delta/Iceberg optimistic-
+MANIFEST is ever silently overwritten — the Delta/Iceberg optimistic-
 concurrency loop. ``SnapshotConflictError`` surfaces only after the
-retry budget is exhausted.
+retry budget is exhausted. Blind retry is only sound for APPENDS
+(order-independent); rewrites that derived their content FROM a
+snapshot (overwrite/replace — compaction, SCD2 rebuilds) must pass
+``expected_parent`` so a concurrent commit in the read→publish window
+raises instead of silently dropping the interloper's rows from the
+new head — the Delta OPTIMIZE conflict-detection rule. Time travel
+would still recover the rows, but the head must never lose them
+silently. ``optimize_table`` threads this automatically.
 
-Scope: the manifest LOG lives on a driver-visible POSIX filesystem
-(the data files go through Spark's Hadoop FS as usual). Schemed table
-paths (``hdfs://``, ``s3a://``) are rejected up front — porting the
-log to an object store needs a conditional-put primitive this module
-deliberately does not fake.
+Manifest substrate: all log I/O goes through a ``ManifestStore`` —
+``PosixManifestStore`` (default) publishes via ``os.link`` from a
+fully-written temp file (atomic, EEXIST on conflict) and requires a
+driver-visible POSIX path; ``InMemoryManifestStore`` models an object
+store's conditional PUT (``If-None-Match: *``) for tests and as the
+template for a real S3/GCS-conditional-put implementation. Data files
+always go through Spark's Hadoop FS as usual — only the KB-sized log
+needs the conditional-put primitive. ``vacuum``'s physical deletion of
+data directories is POSIX-only (the data plane, not the log).
 
 Log compaction: every ``_CHECKPOINT_INTERVAL`` commits a checkpoint
 file folds the batch-id dedup set, so exactly-once replay checks read
@@ -50,6 +60,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -59,19 +70,128 @@ _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 _CHECKPOINT_INTERVAL = 10
 _COMMIT_RETRIES = 64
+_UNSET = object()  # sentinel: expected_parent=None means "expect empty table"
 
 
 class SnapshotConflictError(RuntimeError):
-    """A concurrent writer kept winning the manifest publish race."""
+    """A concurrent writer invalidated this commit (or kept winning
+    the manifest publish race past the retry budget)."""
 
 
-def _check_local(table_path: str) -> None:
-    if "://" in table_path:
-        raise ValueError(
-            "snapshot tables require a driver-visible POSIX path; got "
-            f"{table_path!r} — the manifest log uses local atomic-link "
-            "publishes, not an object-store conditional put"
-        )
+class ManifestStore:
+    """Put-if-absent key-value substrate for the manifest log.
+
+    The entire lakehouse concurrency story reduces to ONE primitive:
+    publish these bytes at this key unless the key exists. POSIX gives
+    it via link(2); object stores via conditional PUT. Everything else
+    (get/list/delete) is plain catalog I/O."""
+
+    def check_path(self, table_path: str) -> None:
+        """Raise if this store cannot serve ``table_path``."""
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        """Atomically publish ``data`` at ``path``; False if taken."""
+        raise NotImplementedError
+
+    def get(self, path: str) -> bytes | None:
+        raise NotImplementedError
+
+    def listdir(self, dirpath: str) -> list[str]:
+        """Names (not paths) under ``dirpath``; [] if absent."""
+        raise NotImplementedError
+
+    def delete(self, path: str) -> None:
+        raise NotImplementedError
+
+
+class PosixManifestStore(ManifestStore):
+    """Default store: driver-visible POSIX filesystem. put-if-absent =
+    write a temp file fully, then ``os.link`` to the final name —
+    atomic, fails EEXIST if the version was taken, and a reader never
+    observes a partially-written manifest."""
+
+    def check_path(self, table_path: str) -> None:
+        if "://" in table_path:
+            raise ValueError(
+                "PosixManifestStore requires a driver-visible POSIX "
+                f"path; got {table_path!r} — for object-store logs "
+                "pass a ManifestStore with a conditional-put primitive"
+            )
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def get(self, path: str) -> bytes | None:
+        try:
+            with open(path, "rb") as fh:
+                return fh.read()
+        except FileNotFoundError:
+            return None
+
+    def listdir(self, dirpath: str) -> list[str]:
+        try:
+            return os.listdir(dirpath)
+        except FileNotFoundError:
+            return []
+
+    def delete(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
+
+class InMemoryManifestStore(ManifestStore):
+    """Object-store model for tests: a dict guarded by a lock, with
+    conditional-PUT semantics (S3 ``If-None-Match: *`` / GCS
+    ``ifGenerationMatch=0``). A real S3 implementation replaces the
+    dict operations with the corresponding conditional requests; the
+    commit protocol above needs nothing else."""
+
+    def __init__(self) -> None:
+        self._objects: dict[str, bytes] = {}
+        self._lock = threading.Lock()
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        with self._lock:
+            if path in self._objects:
+                return False
+            self._objects[path] = data
+            return True
+
+    def get(self, path: str) -> bytes | None:
+        with self._lock:
+            return self._objects.get(path)
+
+    def listdir(self, dirpath: str) -> list[str]:
+        prefix = dirpath.rstrip("/") + "/"
+        with self._lock:
+            return [
+                k[len(prefix):]
+                for k in self._objects
+                if k.startswith(prefix) and "/" not in k[len(prefix):]
+            ]
+
+    def delete(self, path: str) -> None:
+        with self._lock:
+            self._objects.pop(path, None)
+
+
+_POSIX = PosixManifestStore()
+
+
+def _store(store: ManifestStore | None) -> ManifestStore:
+    return store if store is not None else _POSIX
 
 
 def _manifest_path(table_path: str, version: int) -> str:
@@ -88,35 +208,37 @@ def _checkpoint_path(table_path: str, version: int) -> str:
     )
 
 
-def _latest_checkpoint(table_path: str, upto: int) -> dict | None:
+def _latest_checkpoint(
+    table_path: str, upto: int, store: ManifestStore
+) -> dict | None:
     """Newest checkpoint at or below ``upto``, or None."""
-    mdir = os.path.join(table_path, _MANIFEST_DIR)
-    if not os.path.isdir(mdir):
-        return None
     best = -1
-    for f in os.listdir(mdir):
+    for f in store.listdir(os.path.join(table_path, _MANIFEST_DIR)):
         if f.startswith("ckpt-v") and f.endswith(".json"):
             v = int(f[6:12])
             if best < v <= upto:
                 best = v
     if best < 0:
         return None
-    with open(_checkpoint_path(table_path, best)) as fh:
-        return json.load(fh)
+    raw = store.get(_checkpoint_path(table_path, best))
+    return json.loads(raw) if raw is not None else None
 
 
-def _batch_id_seen(table_path: str, parent: int, batch_id: int) -> int | None:
+def _batch_id_seen(
+    table_path: str, parent: int, batch_id: int, store: ManifestStore
+) -> int | None:
     """Version whose manifest carries ``batch_id``, scanning backward
     only to the nearest checkpoint (whose folded set covers the rest).
     O(checkpoint interval) manifest reads, not O(versions)."""
-    ckpt = _latest_checkpoint(table_path, parent)
+    ckpt = _latest_checkpoint(table_path, parent, store)
     floor = ckpt["version"] + 1 if ckpt else 0
     for v in range(floor, parent + 1):
-        path = _manifest_path(table_path, v)
-        if os.path.exists(path):
-            m = _load_manifest(table_path, v)
-            if m.get("batch_id") == batch_id:
-                return v
+        try:
+            m = _load_manifest(table_path, v, store)
+        except ValueError:
+            continue
+        if m.get("batch_id") == batch_id:
+            return v
     if ckpt is not None:
         hit = ckpt["batch_ids"].get(str(batch_id))
         if hit is not None:
@@ -124,56 +246,55 @@ def _batch_id_seen(table_path: str, parent: int, batch_id: int) -> int | None:
     return None
 
 
-def _write_checkpoint(table_path: str, version: int) -> None:
+def _write_checkpoint(
+    table_path: str, version: int, store: ManifestStore
+) -> None:
     """Fold the batch-id set up to ``version`` into a checkpoint file.
 
     Best-effort (a lost checkpoint only costs extra manifest reads);
-    published via the same link-if-absent primitive so concurrent
+    published via the same put-if-absent primitive so concurrent
     checkpointers of the same version are harmless."""
-    prev = _latest_checkpoint(table_path, version)
+    prev = _latest_checkpoint(table_path, version, store)
     batch_ids: dict[str, int] = dict(prev["batch_ids"]) if prev else {}
     start = prev["version"] + 1 if prev else 0
     for v in range(start, version + 1):
-        path = _manifest_path(table_path, v)
-        if os.path.exists(path):
-            m = _load_manifest(table_path, v)
-            if "batch_id" in m:
-                batch_ids[str(m["batch_id"])] = v
+        try:
+            m = _load_manifest(table_path, v, store)
+        except ValueError:
+            continue
+        if "batch_id" in m:
+            batch_ids[str(m["batch_id"])] = v
     ckpt = {"version": version, "batch_ids": batch_ids}
-    final = _checkpoint_path(table_path, version)
-    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as fh:
-        json.dump(ckpt, fh)
-    try:
-        os.link(tmp, final)
-    except FileExistsError:
-        pass
-    finally:
-        os.unlink(tmp)
+    store.put_if_absent(
+        _checkpoint_path(table_path, version),
+        json.dumps(ckpt).encode(),
+    )
 
 
-def current_version(table_path: str) -> int | None:
+def current_version(
+    table_path: str, store: ManifestStore | None = None
+) -> int | None:
     """Latest committed version, or None for an empty/absent table."""
-    mdir = os.path.join(table_path, _MANIFEST_DIR)
-    if not os.path.isdir(mdir):
-        return None
+    st = _store(store)
+    st.check_path(table_path)
     versions = [
         int(f[1:7])
-        for f in os.listdir(mdir)
+        for f in st.listdir(os.path.join(table_path, _MANIFEST_DIR))
         if f.startswith("v") and f.endswith(".json")
     ]
     return max(versions) if versions else None
 
 
-def _load_manifest(table_path: str, version: int) -> dict:
-    path = _manifest_path(table_path, version)
-    if not os.path.exists(path):
+def _load_manifest(
+    table_path: str, version: int, store: ManifestStore
+) -> dict:
+    raw = store.get(_manifest_path(table_path, version))
+    if raw is None:
         raise ValueError(
             f"version {version} does not exist (or was vacuumed) at "
             f"{table_path!r}"
         )
-    with open(path) as fh:
-        return json.load(fh)
+    return json.loads(raw)
 
 
 def commit(
@@ -182,6 +303,8 @@ def commit(
     table_path: str,
     mode: str = "append",
     batch_id: int | None = None,
+    expected_parent: int | None | object = _UNSET,
+    store: ManifestStore | None = None,
 ) -> int:
     """Write ``df`` as a new table version and return its number.
 
@@ -193,9 +316,9 @@ def commit(
     (compaction) — semantics identical, the op label documents intent
     in the log.
 
-    Data lands under a fresh uuid directory, the manifest is written
-    to a temp name and atomically renamed into the log — readers never
-    observe a version whose data is incomplete.
+    Data lands under a fresh uuid directory, the manifest is published
+    put-if-absent into the log — readers never observe a version whose
+    data is incomplete.
 
     ``batch_id``: the exactly-once hook for streaming foreachBatch
     sinks. A commit whose batch_id already appears in a retained
@@ -205,18 +328,42 @@ def commit(
     the txn log's retention independent of data vacuuming. Checkpoints
     fold the seen set, so the check reads O(interval) manifests.)
 
-    Concurrent writers: the manifest is published link-if-absent; on
-    EEXIST the loser re-reads the new parent (re-deriving the append
+    ``expected_parent``: optimistic-concurrency guard for commits whose
+    CONTENT was derived from a snapshot read. Pass the version the
+    rewrite was computed from (or None if computed against an empty
+    table); if any concurrent commit has advanced the head past it,
+    ``SnapshotConflictError`` is raised instead of publishing a result
+    that would silently drop the concurrent commit's rows from the new
+    head. Appends should leave it unset — they are order-independent
+    and blind retry is correct for them.
+
+    Concurrent writers: the manifest is published put-if-absent; on
+    conflict the loser re-reads the new parent (re-deriving the append
     dir list and re-running the batch_id dedup against the winner's
-    commits) and retries with the next version number. The data
-    directory is written once, outside the retry loop.
+    commits) and retries with the next version number — unless
+    ``expected_parent`` pins the rewrite's basis, in which case the
+    conflict raises. The data directory is written once, outside the
+    retry loop.
     """
     if mode not in ("append", "overwrite", "replace"):
         raise ValueError(f"mode must be append|overwrite|replace, got {mode!r}")
-    _check_local(table_path)
-    parent = current_version(table_path)
+    st = _store(store)
+    st.check_path(table_path)
+
+    def _check_expected(parent: int | None) -> None:
+        if expected_parent is not _UNSET and parent != expected_parent:
+            raise SnapshotConflictError(
+                f"table {table_path!r} advanced to version {parent} "
+                f"past expected_parent={expected_parent!r}; this "
+                "commit's content was derived from a stale snapshot — "
+                "re-read and re-derive instead of overwriting the "
+                "concurrent commit's rows"
+            )
+
+    parent = current_version(table_path, st)
+    _check_expected(parent)
     if batch_id is not None and parent is not None:
-        seen = _batch_id_seen(table_path, parent, batch_id)
+        seen = _batch_id_seen(table_path, parent, batch_id, st)
         if seen is not None:
             return seen
     commit_dir = os.path.join(
@@ -224,13 +371,12 @@ def commit(
     )
     df.write.parquet(commit_dir)
     rel_dir = os.path.relpath(commit_dir, table_path)
-    os.makedirs(os.path.join(table_path, _MANIFEST_DIR), exist_ok=True)
 
     for _ in range(_COMMIT_RETRIES):
         version = 0 if parent is None else parent + 1
         dirs = [rel_dir]
         if mode == "append" and parent is not None:
-            dirs = _load_manifest(table_path, parent)["dirs"] + dirs
+            dirs = _load_manifest(table_path, parent, st)["dirs"] + dirs
         manifest = {
             "version": version,
             "parent": parent,
@@ -239,25 +385,20 @@ def commit(
         }
         if batch_id is not None:
             manifest["batch_id"] = batch_id
-        final = _manifest_path(table_path, version)
-        tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        try:
-            os.link(tmp, final)
-        except FileExistsError:
-            os.unlink(tmp)
-            # Lost the race: adopt the winner's commit as parent.
-            parent = current_version(table_path)
-            if batch_id is not None and parent is not None:
-                seen = _batch_id_seen(table_path, parent, batch_id)
-                if seen is not None:
-                    return seen
-            continue
-        os.unlink(tmp)
-        if (version + 1) % _CHECKPOINT_INTERVAL == 0:
-            _write_checkpoint(table_path, version)
-        return version
+        if st.put_if_absent(
+            _manifest_path(table_path, version),
+            json.dumps(manifest).encode(),
+        ):
+            if (version + 1) % _CHECKPOINT_INTERVAL == 0:
+                _write_checkpoint(table_path, version, st)
+            return version
+        # Lost the race: adopt the winner's commit as parent.
+        parent = current_version(table_path, st)
+        _check_expected(parent)
+        if batch_id is not None and parent is not None:
+            seen = _batch_id_seen(table_path, parent, batch_id, st)
+            if seen is not None:
+                return seen
     raise SnapshotConflictError(
         f"could not publish a manifest at {table_path!r} after "
         f"{_COMMIT_RETRIES} attempts — a concurrent writer kept winning"
@@ -269,6 +410,7 @@ def read_snapshot(
     table_path: str,
     version: int | None = None,
     merge_schema: bool = False,
+    store: ManifestStore | None = None,
 ) -> DataFrame:
     """The table as of ``version`` (default: latest). One distributed
     parquet scan over exactly the directories that version's manifest
@@ -279,12 +421,13 @@ def read_snapshot(
     (a column added in a later append reads as NULL for older
     directories) — the footer-union pass costs one footer read per
     file, so leave it off for tables whose schema is known stable."""
-    _check_local(table_path)
+    st = _store(store)
+    st.check_path(table_path)
     if version is None:
-        version = current_version(table_path)
+        version = current_version(table_path, st)
         if version is None:
             raise ValueError(f"no committed versions at {table_path!r}")
-    m = _load_manifest(table_path, version)
+    m = _load_manifest(table_path, version, st)
     if not m["dirs"]:
         raise ValueError(f"version {version} references no data")
     reader = spark.read
@@ -299,11 +442,17 @@ def optimize_table(
     spark: SparkSession,
     table_path: str,
     target_file_bytes: int = 128 << 20,
+    store: ManifestStore | None = None,
 ) -> int:
     """OPTIMIZE as a snapshot operation: rewrite the current version
-    with right-sized files and publish it as a ``replace`` commit.
-    Returns the new version (or the current one if the table already
-    has no more files than the byte target warrants).
+    with right-sized files and publish it as a ``replace`` commit
+    pinned to the version it read (``expected_parent``) — a concurrent
+    append landing between the read and the publish raises
+    ``SnapshotConflictError`` rather than silently vanishing from the
+    new head (the Delta OPTIMIZE conflict-detection rule; the caller
+    re-runs against the new head). Returns the new version (or the
+    current one if the table already has no more files than the byte
+    target warrants).
 
     This is the atomic swap ``corpus.compact_corpus`` explicitly
     punts to "the catalog layer": readers resolve manifests, so they
@@ -318,10 +467,12 @@ def optimize_table(
     ``_metadata`` columns, computed by the executors) totals bytes and
     files; the rewrite repartitions to ceil(bytes / target) tasks.
     Only the two scalar totals hit the driver."""
-    _check_local(table_path)
-    if current_version(table_path) is None:
+    st = _store(store)
+    st.check_path(table_path)
+    basis = current_version(table_path, st)
+    if basis is None:
         raise ValueError(f"no committed versions at {table_path!r}")
-    df = read_snapshot(spark, table_path)
+    df = read_snapshot(spark, table_path, basis, store=st)
     n_files, total_bytes = (
         df.groupBy(F.col("_metadata.file_path").alias("fp"))
         .agg(F.first(F.col("_metadata.file_size")).alias("sz"))
@@ -333,24 +484,32 @@ def optimize_table(
     )
     n_target = max(1, -(-int(total_bytes) // int(target_file_bytes)))
     if n_target >= n_files:
-        return current_version(table_path)
+        return basis
     return commit(
-        spark, df.repartition(n_target), table_path, mode="replace"
+        spark,
+        df.repartition(n_target),
+        table_path,
+        mode="replace",
+        expected_parent=basis,
+        store=st,
     )
 
 
-def history(table_path: str) -> list[dict]:
+def history(
+    table_path: str, store: ManifestStore | None = None
+) -> list[dict]:
     """The commit log, oldest first: version, parent, op, n_dirs."""
-    latest = current_version(table_path)
+    st = _store(store)
+    latest = current_version(table_path, st)
     if latest is None:
         return []
     out = []
     for v in range(latest + 1):
-        path = _manifest_path(table_path, v)
-        if not os.path.exists(path):
+        try:
+            m = _load_manifest(table_path, v, st)
+        except ValueError:
             out.append({"version": v, "vacuumed": True})
             continue
-        m = _load_manifest(table_path, v)
         out.append(
             {
                 "version": v,
@@ -362,27 +521,39 @@ def history(table_path: str) -> list[dict]:
     return out
 
 
-def vacuum(table_path: str, keep_last: int = 1) -> list[str]:
+def vacuum(
+    table_path: str,
+    keep_last: int = 1,
+    store: ManifestStore | None = None,
+) -> list[str]:
     """Physically delete data directories unreferenced by the newest
     ``keep_last`` manifests, and drop the older manifests. Returns the
     deleted directory names. Time travel to vacuumed versions raises;
     retained versions are untouched — the deletion set is computed
     from what the RETAINED manifests reference, never from age or
-    naming conventions."""
+    naming conventions. Data deletion is the DATA plane (POSIX here;
+    Hadoop FS on a cluster) — only the manifest ops go through the
+    store."""
     import shutil
 
-    _check_local(table_path)
-    latest = current_version(table_path)
+    st = _store(store)
+    st.check_path(table_path)
+    if "://" in table_path:
+        raise ValueError(
+            "vacuum's physical data deletion requires a local data "
+            f"root; got {table_path!r}"
+        )
+    latest = current_version(table_path, st)
     if latest is None:
         return []
     keep_versions = [
         v
         for v in range(max(0, latest - keep_last + 1), latest + 1)
-        if os.path.exists(_manifest_path(table_path, v))
+        if st.get(_manifest_path(table_path, v)) is not None
     ]
     referenced: set[str] = set()
     for v in keep_versions:
-        referenced.update(_load_manifest(table_path, v)["dirs"])
+        referenced.update(_load_manifest(table_path, v, st)["dirs"])
     data_root = os.path.join(table_path, _DATA_DIR)
     removed = []
     for d in sorted(os.listdir(data_root)):
@@ -391,7 +562,5 @@ def vacuum(table_path: str, keep_last: int = 1) -> list[str]:
             shutil.rmtree(os.path.join(data_root, d))
             removed.append(rel)
     for v in range(0, keep_versions[0] if keep_versions else 0):
-        path = _manifest_path(table_path, v)
-        if os.path.exists(path):
-            os.remove(path)
+        st.delete(_manifest_path(table_path, v))
     return removed

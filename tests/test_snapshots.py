@@ -251,9 +251,9 @@ def test_checkpoint_bounds_batch_dedup_reads(spark, tmp_path, monkeypatch):
     reads = {"n": 0}
     real = snap._load_manifest
 
-    def counting(table_path, version):
+    def counting(table_path, version, *args):
         reads["n"] += 1
-        return real(table_path, version)
+        return real(table_path, version, *args)
 
     monkeypatch.setattr(snap, "_load_manifest", counting)
     # replay an OLD batch id (covered only by the checkpoint fold)
@@ -357,4 +357,146 @@ def test_concurrent_writers_threaded_no_lost_commits(spark, tmp_path):
     got = snap.read_snapshot(spark, t)
     expected = docs.where(F.col("doc_id") < 120)
     assert got.count() == expected.count()
+    assert _rows(got) == _rows(expected)
+
+
+def test_expected_parent_guards_stale_rewrites(spark, tmp_path):
+    """A rewrite pinned to the version it was derived from must raise
+    when a concurrent commit advances the head in the read->publish
+    window (ADVICE r8: blind retry silently dropped the interloper's
+    rows from replace-mode heads)."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    a = docs.where(F.col("doc_id") < 30)
+    v0 = snap.commit(spark, a, t)
+
+    # derive a rewrite from v0, then lose the race to an append
+    rewrite = snap.read_snapshot(spark, t, v0).coalesce(1)
+    interloper = docs.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 40))
+    snap.commit(spark, interloper, t, mode="append")
+
+    with pytest.raises(snap.SnapshotConflictError, match="expected_parent"):
+        snap.commit(spark, rewrite, t, mode="replace", expected_parent=v0)
+    # the interloper's rows are still at the head — nothing vanished
+    assert _rows(snap.read_snapshot(spark, t)) == _rows(
+        a.unionByName(interloper)
+    )
+    # re-derived against the new head, the rewrite lands
+    head = snap.current_version(t)
+    v2 = snap.commit(
+        spark,
+        snap.read_snapshot(spark, t, head).coalesce(1),
+        t,
+        mode="replace",
+        expected_parent=head,
+    )
+    assert v2 == head + 1
+    assert _rows(snap.read_snapshot(spark, t)) == _rows(
+        a.unionByName(interloper)
+    )
+    # expected_parent=None means "I derived from an empty table"
+    with pytest.raises(snap.SnapshotConflictError):
+        snap.commit(spark, rewrite, t, mode="overwrite", expected_parent=None)
+
+
+def test_optimize_conflicts_instead_of_dropping_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """optimize_table pins expected_parent to the version it rewrote:
+    an append landing between its read and its publish raises instead
+    of vanishing from the new head."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    snap.commit(spark, docs.where(F.col("doc_id") < 30).repartition(16), t)
+
+    late = docs.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 40))
+    real_commit = snap.commit
+    state = {"injected": False}
+
+    def racing_commit(spark_, df, table_path, **kw):
+        # first publish attempt from optimize_table: sneak an append in
+        if not state["injected"] and kw.get("mode") == "replace":
+            state["injected"] = True
+            real_commit(spark_, late, table_path, mode="append")
+        return real_commit(spark_, df, table_path, **kw)
+
+    monkeypatch.setattr(snap, "commit", racing_commit)
+    with pytest.raises(snap.SnapshotConflictError, match="expected_parent"):
+        snap.optimize_table(spark, t, target_file_bytes=128 << 20)
+    monkeypatch.setattr(snap, "commit", real_commit)
+    # the append survived; a rerun against the new head succeeds
+    assert _rows(snap.read_snapshot(spark, t)) == _rows(
+        docs.where(F.col("doc_id") < 40)
+    )
+    v = snap.optimize_table(spark, t, target_file_bytes=128 << 20)
+    assert snap.history(t)[-1]["op"] == "replace"
+    assert _rows(snap.read_snapshot(spark, t, v)) == _rows(
+        docs.where(F.col("doc_id") < 40)
+    )
+
+
+def test_in_memory_store_full_protocol(spark, tmp_path):
+    """The object-store model (conditional PUT) drives the same commit
+    protocol end-to-end: append chain, time travel, batch-id dedup,
+    expected_parent conflicts — proving the log is substrate-neutral."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    store = snap.InMemoryManifestStore()
+    a = docs.where(F.col("doc_id") < 20)
+    b = docs.where((F.col("doc_id") >= 20) & (F.col("doc_id") < 30))
+    v0 = snap.commit(spark, a, t, store=store, batch_id=0)
+    v1 = snap.commit(spark, b, t, mode="append", store=store, batch_id=1)
+    assert (v0, v1) == (0, 1)
+    # no POSIX manifest dir exists — the log lives in the store
+    assert not os.path.isdir(os.path.join(t, "_manifests"))
+    assert _rows(snap.read_snapshot(spark, t, 0, store=store)) == _rows(a)
+    assert _rows(snap.read_snapshot(spark, t, store=store)) == _rows(
+        a.unionByName(b)
+    )
+    # exactly-once replay through the store
+    assert snap.commit(spark, b, t, mode="append", store=store, batch_id=1) == 1
+    assert snap.read_snapshot(spark, t, store=store).count() == a.count() + b.count()
+    # stale-basis rewrite raises here too
+    with pytest.raises(snap.SnapshotConflictError):
+        snap.commit(
+            spark, a, t, mode="replace", expected_parent=0, store=store
+        )
+    assert [h["op"] for h in snap.history(t, store=store)] == [
+        "append", "append",
+    ]
+
+
+def test_in_memory_store_threaded_no_lost_commits(spark, tmp_path):
+    """The conditional-PUT race is exercised with real threads against
+    the in-memory store — same invariant as the POSIX stress test: no
+    version lost, every row exactly once."""
+    import threading
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    store = snap.InMemoryManifestStore()
+    snap.commit(spark, docs.where(F.col("doc_id") < 0), t, store=store)
+
+    errors = []
+
+    def writer(wid):
+        try:
+            for j in range(3):
+                lo = wid * 30 + j * 10
+                batch = docs.where(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10)
+                )
+                snap.commit(spark, batch, t, mode="append", store=store)
+        except Exception as ex:  # pragma: no cover
+            errors.append(ex)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    assert snap.current_version(t, store=store) == 12
+    got = snap.read_snapshot(spark, t, store=store)
+    expected = docs.where(F.col("doc_id") < 120)
     assert _rows(got) == _rows(expected)

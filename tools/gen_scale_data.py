@@ -22,7 +22,6 @@ Output is NOT committed (gitignored): ~15 MB parquet under
 from __future__ import annotations
 
 import os
-import sys
 
 import numpy as np
 import pyarrow as pa
@@ -301,11 +300,13 @@ def main() -> None:
     5k docs), tpch tables with N, events/embeddings are skipped unless
     the default 10x shape is requested — the rehearsal headliners
     (x94/x119/x103) read documents/lineitem/orders only."""
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    out_dir = args[0] if args else ".scaledata/sf1"
-    scale = 10
-    if "--scale" in sys.argv:
-        scale = int(sys.argv[sys.argv.index("--scale") + 1])
+    import argparse
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("out_dir", nargs="?", default=".scaledata/sf1")
+    ap.add_argument("--scale", type=int, default=10)
+    ns = ap.parse_args()
+    out_dir, scale = ns.out_dir, ns.scale
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.RandomState(42)
     docs = gen_documents(5_000 * scale, rng)
