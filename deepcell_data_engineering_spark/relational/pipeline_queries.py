@@ -9070,38 +9070,104 @@ def x132(spark: SparkSession, sf_dir: str) -> DataFrame:
     "m_j is the conventional 0.95 prior = 19/20, so every ln argument "
     "is ONE exact integer/integer division (x44: bit-identical across "
     "engines), each term rounded once to 1e-9 and summed as BIGINT "
-    "(x109 discipline). Scale shape: pattern weights depend only on "
-    "the u-statistics — computed WITHOUT touching pairs — and the "
-    "pair space is blocking-bounded; the output is 2^3 rows whatever "
-    "the corpus size.",
+    "(x109 discipline). Scale shape (r8 verdict fix): the pattern "
+    "COUNTS are derived WITHOUT materializing pairs — same-block "
+    "pairs agreeing on at least attribute-subset S number "
+    "sum over (block, S-values) cells of c(c-1)/2, so ONE GROUPING "
+    "SETS pass over the 8 subsets (a single Expand+shuffle, linear in "
+    "rows) plus inclusion-exclusion over the subset lattice recovers "
+    "the exact per-pattern counts — the x77 n_a*n_b discipline "
+    "applied to ER; the former doc-level self-join (quadratic in "
+    "block occupancy, 18.2x at 10x data) is gone, while the ORACLE "
+    "keeps the literal pair join, making the hash check a genuinely "
+    "independent derivation. Output is 2^3 rows whatever the corpus "
+    "size.",
 )
 def x133(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepcell_data_engineering_spark.functions.layout import _int_div
 
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", "n_chars",
+        "lang", "source", "n_chars",
         _int_div(F.col("n_chars"), F.lit(50)).alias("lb"),
     )
-    a, b = d.alias("a"), d.alias("b")
+    # Pairs-agreeing-on-at-least-S for all 8 subsets S of
+    # {lang, source, n_chars} from one GROUPING SETS aggregation
+    # (every set keeps lb — candidates are same-block pairs).
+    sets = []
+    for mask in range(8):
+        s = [F.col("lb")]
+        if mask & 4:
+            s.append(F.col("lang"))
+        if mask & 2:
+            s.append(F.col("source"))
+        if mask & 1:
+            s.append(F.col("n_chars"))
+        sets.append(s)
+    cells = d.groupingSets(
+        sets, F.col("lb"), F.col("lang"), F.col("source"), F.col("n_chars")
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        # F.grouping is only legal inside the grouping agg list (x121)
+        (F.lit(1) - F.grouping("lang")).cast("bigint").alias("in_lang"),
+        (F.lit(1) - F.grouping("source")).cast("bigint").alias("in_source"),
+        (F.lit(1) - F.grouping("n_chars")).cast("bigint").alias("in_len"),
+    )
+    at_least = cells.groupBy("in_lang", "in_source", "in_len").agg(
+        F.sum(F.col("c") * (F.col("c") - F.lit(1))).cast("bigint").alias("cc")
+    )
+    # one row: a_{bits} = pairs agreeing on at least S (bits=lang,source,len)
+    wide = at_least.agg(
+        *[
+            _int_div(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("in_lang") == (b >> 2) & 1)
+                            & (F.col("in_source") == (b >> 1) & 1)
+                            & (F.col("in_len") == b & 1),
+                            F.col("cc"),
+                        )
+                    ),
+                    F.lit(0),
+                ),
+                F.lit(2),
+            ).alias(f"a{b:03b}")
+            for b in range(8)
+        ]
+    )
+    # Mobius / inclusion-exclusion: exact(T) = sum_{S>=T} (-1)^|S\T| a_S
+    A = {b: F.col(f"a{b:03b}") for b in range(8)}
+    exact = {
+        7: A[7],
+        6: A[6] - A[7],
+        5: A[5] - A[7],
+        3: A[3] - A[7],
+        4: A[4] - A[6] - A[5] + A[7],
+        2: A[2] - A[6] - A[3] + A[7],
+        1: A[1] - A[5] - A[3] + A[7],
+        0: A[0] - A[4] - A[2] - A[1] + A[6] + A[5] + A[3] - A[7],
+    }
     pat = (
-        a.join(
-            b,
-            (F.col("a.lb") == F.col("b.lb"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        wide.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit((b >> 2) & 1).cast("bigint").alias("g_lang"),
+                            F.lit((b >> 1) & 1).cast("bigint").alias(
+                                "g_source"
+                            ),
+                            F.lit(b & 1).cast("bigint").alias("g_len"),
+                            exact[b].cast("bigint").alias("n_pairs"),
+                        )
+                        for b in range(8)
+                    ]
+                )
+            ).alias("p")
         )
-        .select(
-            (F.col("a.lang") == F.col("b.lang")).cast("bigint").alias(
-                "g_lang"
-            ),
-            (F.col("a.source") == F.col("b.source"))
-            .cast("bigint")
-            .alias("g_source"),
-            (F.col("a.n_chars") == F.col("b.n_chars"))
-            .cast("bigint")
-            .alias("g_len"),
-        )
-        .groupBy("g_lang", "g_source", "g_len")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select("p.*")
+        # the oracle's pair join only emits patterns that occur
+        .where(F.col("n_pairs") > 0)
     )
 
     def s_of(col: str, alias: str) -> DataFrame:
