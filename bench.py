@@ -75,12 +75,20 @@ def main() -> None:
 
     timings = {name: round(median(xs), 4) for name, xs in samples.items()}
     total = sum(timings.values())
+    # per-query min alongside the median: the min is the least
+    # session-noise-contaminated sample (page cache, GC, co-tenant
+    # jitter all only ADD time), so round-over-round comparisons use
+    # min-vs-min to separate plan regressions from environment drift —
+    # two rounds were spent proving drift that this column shows
+    # instantly (r8 verdict #8)
+    timings_min = {name: round(min(xs), 4) for name, xs in samples.items()}
 
     payload = {
         "metric": "declared_query_surface_total_runtime",
         "value": round(total, 4),
         "unit": "sec",
         "queries": timings,
+        "queries_min": timings_min,
         "sf": sf,
         # the query surface GROWS round over round; normalize
         # before comparing totals across rounds

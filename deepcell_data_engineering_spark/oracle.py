@@ -68,6 +68,7 @@ class CompareResult:
     spark_rows: int
     oracle_rows: int
     detail: str = ""
+    spark_hash: str = ""  # canonical value hash of the Spark result
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -174,5 +175,9 @@ def compare(name: str, spark_df, con, oracle_sql: str) -> CompareResult:
             if ra != rb:
                 detail = f"first diff row {i}: spark={ra} oracle={rb}"
                 break
-        return CompareResult(name, False, len(spark_pd), len(oracle_pd), detail)
-    return CompareResult(name, True, len(spark_pd), len(oracle_pd))
+        return CompareResult(
+            name, False, len(spark_pd), len(oracle_pd), detail, spark_hash=hs
+        )
+    return CompareResult(
+        name, True, len(spark_pd), len(oracle_pd), spark_hash=hs
+    )

@@ -44,7 +44,11 @@ def main() -> int:
         res = compare(name, df, con, oracles[name])
         status = "OK " if res.ok else "FAIL"
         print(f"  {name:32s} {status} rows={res.spark_rows} {time.time()-t0:.2f}s {res.detail}")
-        record[name] = {"ok": res.ok, "rows": res.spark_rows}
+        record[name] = {
+            "ok": res.ok,
+            "rows": res.spark_rows,
+            "hash": res.spark_hash,
+        }
         if not res.ok:
             failed.append(name)
     print(f"\n{len(queries) - len(failed)}/{len(queries)} passed at {sf_dir}")
