@@ -10358,3 +10358,101 @@ def x144(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom + F.lit(0.0), 6).alias("wilson_lo"),
         F.round((center + half) / denom + F.lit(0.0), 6).alias("wilson_hi"),
     ).orderBy("source")
+
+
+@_q(
+    "x145_cdc_incremental_view",
+    """SELECT lang,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_chars)::BIGINT AS BIGINT) AS sum_chars
+       FROM documents
+       WHERE n_chars >= 200
+       GROUP BY lang
+       ORDER BY lang""",
+    doc="CDC read API over the snapshot log closing the loop between "
+    "the lakehouse layer and the incremental-maintenance family: a "
+    "private snapshot table takes an append (a third of the corpus), "
+    "a second append (the rest), a content-preserving REPLACE "
+    "(compaction — must contribute NO change rows, the Delta-CDF "
+    "OPTIMIZE rule), and an OVERWRITE to the n_chars >= 200 subset "
+    "(truncate-and-load: parent rows become deletes, new rows "
+    "inserts). A per-lang (count, sum) view materialized at v0 is "
+    "then maintained PURELY from snapshots.read_changes(v0 -> head) — "
+    "signed fold (+1 insert / -1 delete) merged via the algebraic "
+    "merge_grouped_sums — and returned; the oracle computes the head "
+    "state directly from the raw table, so any change row the feed "
+    "misses, fabricates, or double-counts breaks the hash. Scale "
+    "shape: the feed scans ONLY directories that changed (append "
+    "chains ship just their delta files; manifest resolution is "
+    "KB-sized driver catalog work), and view maintenance is one "
+    "grouped aggregation of the delta plus a state-sized merge — "
+    "never a rescan of history (reference analog: the reference "
+    "rebuilds its combined NPZ artifacts from scratch on every "
+    "update, build_utils.py's overwrite-by-filename convention).",
+)
+def x145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from deepcell_data_engineering_spark.functions.stats import (
+        merge_grouped_sums,
+    )
+    from deepcell_data_engineering_spark.sources import snapshots as snap
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t = tempfile.mkdtemp(prefix="dde_cdc_view_")
+    try:
+        v0 = snap.commit(spark, docs.where(F.col("doc_id") % 3 == 0), t)
+        snap.commit(
+            spark, docs.where(F.col("doc_id") % 3 != 0), t, mode="append"
+        )
+        # compaction: replace commits are content-preserving and must
+        # contribute nothing to the change feed
+        head = snap.current_version(t)
+        snap.commit(
+            spark,
+            snap.read_snapshot(spark, t).coalesce(4),
+            t,
+            mode="replace",
+            expected_parent=head,
+        )
+        snap.commit(
+            spark,
+            docs.where(F.col("n_chars") >= 200),
+            t,
+            mode="overwrite",
+        )
+
+        state0 = (
+            snap.read_snapshot(spark, t, v0)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            )
+        )
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        delta = (
+            snap.read_changes(spark, t, from_version=v0)
+            .groupBy("lang")
+            .agg(
+                F.sum(sign).cast("bigint").alias("n_docs"),
+                F.sum(sign * F.col("n_chars")).cast("bigint").alias(
+                    "sum_chars"
+                ),
+            )
+        )
+        merged = merge_grouped_sums(
+            [state0, delta], ["lang"], ["n_docs", "sum_chars"]
+        ).where(F.col("n_docs") != 0)
+        rows = [
+            (r["lang"], r["n_docs"], r["sum_chars"])
+            for r in merged.collect()
+        ]
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "lang STRING, n_docs BIGINT, sum_chars BIGINT"
+    ).orderBy("lang")

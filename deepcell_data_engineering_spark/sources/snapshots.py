@@ -438,6 +438,88 @@ def read_snapshot(
     )
 
 
+def read_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+    store: ManifestStore | None = None,
+) -> DataFrame:
+    """Row-level change feed between two snapshot versions: the rows
+    each commit in ``(from_version, to_version]`` added or removed,
+    tagged ``_change_type`` ('insert' | 'delete') and
+    ``_commit_version`` — the Delta CDF / Iceberg incremental-read
+    surface over this log. This is what lets the incremental-
+    maintenance family (the x119 delta rule, retraction, SCD2 apply)
+    feed straight from the snapshot log instead of hand-split frames:
+    a view maintained at version F folds the feed and lands exactly at
+    version T's rebuild.
+
+    Per-op delta semantics:
+    - ``append``: the commit's NEW directories are inserts (the parent
+      dirs it references are history, not change).
+    - ``overwrite``: every parent-version row is a delete, every new-
+      version row an insert — the truncate-and-load delta.
+    - ``replace``: content-preserving rewrite (compaction) — NO logical
+      change, exactly how Delta CDF treats OPTIMIZE.
+
+    Scale shape: the feed scans ONLY the directories that changed
+    (for append chains: just the delta files — the common case at
+    100 TB), never the unchanged history; manifest resolution is
+    KB-sized driver-side catalog work."""
+    st = _store(store)
+    st.check_path(table_path)
+    if to_version is None:
+        to_version = current_version(table_path, st)
+        if to_version is None:
+            raise ValueError(f"no committed versions at {table_path!r}")
+    if not 0 <= from_version <= to_version:
+        raise ValueError(
+            f"need 0 <= from_version <= to_version, got "
+            f"({from_version}, {to_version})"
+        )
+
+    def _tagged(dirs: list[str], change: str, v: int) -> DataFrame | None:
+        if not dirs:
+            return None
+        return (
+            spark.read.parquet(*[os.path.join(table_path, d) for d in dirs])
+            .withColumn("_change_type", F.lit(change))
+            .withColumn("_commit_version", F.lit(v).cast("long"))
+        )
+
+    pieces: list[DataFrame] = []
+    parent_dirs = _load_manifest(table_path, from_version, st)["dirs"]
+    for v in range(from_version + 1, to_version + 1):
+        m = _load_manifest(table_path, v, st)
+        if m["op"] == "append":
+            new_dirs = [d for d in m["dirs"] if d not in set(parent_dirs)]
+            piece = _tagged(new_dirs, "insert", v)
+            if piece is not None:
+                pieces.append(piece)
+        elif m["op"] == "overwrite":
+            dele = _tagged(parent_dirs, "delete", v)
+            if dele is not None:
+                pieces.append(dele)
+            ins = _tagged(m["dirs"], "insert", v)
+            if ins is not None:
+                pieces.append(ins)
+        # op == 'replace': content-preserving, no logical change
+        parent_dirs = m["dirs"]
+
+    if not pieces:
+        return (
+            read_snapshot(spark, table_path, to_version, store=st)
+            .limit(0)
+            .withColumn("_change_type", F.lit("insert"))
+            .withColumn("_commit_version", F.lit(0).cast("long"))
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def optimize_table(
     spark: SparkSession,
     table_path: str,

@@ -500,3 +500,124 @@ def test_in_memory_store_threaded_no_lost_commits(spark, tmp_path):
     got = snap.read_snapshot(spark, t, store=store)
     expected = docs.where(F.col("doc_id") < 120)
     assert _rows(got) == _rows(expected)
+
+
+def test_read_changes_deltas(spark, tmp_path):
+    """Change feed semantics per op: append -> only the delta files as
+    inserts; replace -> nothing (content-preserving); overwrite ->
+    parent rows deleted + new rows inserted. Folding the feed onto the
+    from-version lands exactly at the to-version."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    snap.commit(spark, docs.where(F.col("doc_id") < 30), t)  # v0
+    snap.commit(
+        spark,
+        docs.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 40)),
+        t,
+        mode="append",
+    )  # v1
+    head = snap.current_version(t)
+    snap.commit(
+        spark,
+        snap.read_snapshot(spark, t).coalesce(1),
+        t,
+        mode="replace",
+        expected_parent=head,
+    )  # v2: compaction, no logical change
+    snap.commit(spark, docs.where(F.col("doc_id") < 10), t, mode="overwrite")  # v3
+
+    # (0 -> 1]: just v1's rows as inserts
+    ch01 = snap.read_changes(spark, t, 0, 1)
+    assert set(ch01.select("_change_type").distinct().toPandas()["_change_type"]) == {"insert"}
+    assert _rows(ch01) == _rows(
+        docs.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 40))
+    )
+
+    # (1 -> 2]: replace contributes nothing
+    assert snap.read_changes(spark, t, 1, 2).count() == 0
+
+    # (2 -> 3]: overwrite = delete the (compacted) parent + insert new
+    ch23 = snap.read_changes(spark, t, 2, 3)
+    dele = ch23.where(F.col("_change_type") == "delete")
+    ins = ch23.where(F.col("_change_type") == "insert")
+    assert _rows(dele) == _rows(docs.where(F.col("doc_id") < 40))
+    assert _rows(ins) == _rows(docs.where(F.col("doc_id") < 10))
+    assert set(
+        r._commit_version for r in ch23.select("_commit_version").collect()
+    ) == {3}
+
+    # fold: multiset(v0) + inserts - deletes == multiset(v3)
+    full = snap.read_changes(spark, t, 0)
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    folded = (
+        snap.read_snapshot(spark, t, 0)
+        .select("doc_id", "source")
+        .withColumn("_n", F.lit(1))
+        .unionByName(full.select("doc_id", "source", sign.alias("_n")))
+        .groupBy("doc_id", "source")
+        .agg(F.sum("_n").alias("n"))
+        .where(F.col("n") != 0)
+    )
+    assert sorted(map(tuple, folded.select("doc_id", "source").collect())) == _rows(
+        snap.read_snapshot(spark, t, 3)
+    )
+    # empty and degenerate ranges
+    assert snap.read_changes(spark, t, 3, 3).count() == 0
+    with pytest.raises(ValueError):
+        snap.read_changes(spark, t, 2, 1)
+
+
+def test_streaming_commits_feed_incremental_view(spark, tmp_path):
+    """End-to-end: foreachBatch commits micro-batches into the snapshot
+    log (exactly-once batch ids), a downstream incremental view
+    consumes ONLY read_changes between its checkpointed version and
+    the head — never rescanning history — and matches the rebuild."""
+    from deepcell_data_engineering_spark.functions.stats import (
+        merge_grouped_sums,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    src = str(tmp_path / "src")
+    for i in range(4):
+        docs.where(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    t = str(tmp_path / "tbl")
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            lambda bdf, bid: snap.commit(
+                spark, bdf, t, mode="append", batch_id=bid
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    head = snap.current_version(t)
+    assert head >= 1
+
+    def agg(df):
+        return df.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+
+    # view materialized at v0, advanced to head purely from the feed
+    state = agg(snap.read_snapshot(spark, t, 0))
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    delta = (
+        snap.read_changes(spark, t, 0, head)
+        .groupBy("source")
+        .agg(F.sum(sign).cast("long").alias("n"))
+    )
+    view = merge_grouped_sums([state, delta], ["source"], ["n"]).where(
+        F.col("n") != 0
+    )
+    rebuild = agg(snap.read_snapshot(spark, t, head))
+    assert sorted(map(tuple, view.collect())) == sorted(
+        map(tuple, rebuild.collect())
+    )
