@@ -1044,3 +1044,81 @@ def test_streaming_aqp_sample_maintenance_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == expected
+
+
+def test_streaming_session_window_equals_batch_sessionization(spark, tmp_path):
+    """x140 certifies session_window == the LAG/SUM flag idiom in
+    batch; session_window is Structured-Streaming-native, so the
+    parity extends to a streamed fold: a watermarked gap-session
+    aggregation in append mode (two far-future sentinel files advance
+    the watermark so every real session is closed and emitted) must
+    equal the batch LAG/SUM sessionization event-for-event."""
+    import datetime
+
+    from pyspark.sql import Window
+
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "ts")
+    src = str(tmp_path / "src")
+    ev.coalesce(1).write.parquet(src)
+    # sentinel events far past the corpus: the first advances the
+    # watermark over every real session, the second triggers the
+    # micro-batch that emits them (append mode flushes on the NEXT
+    # batch after the watermark passes)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    for days in (30, 60):
+        spark.createDataFrame(
+            [(-1, max_ts + datetime.timedelta(days=days))],
+            ev.schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    sess_agg = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            .cast("long")
+            .alias("dur_us"),
+        )
+        .select("user_id", "n_events", "dur_us")
+    )
+    _run_stream(sess_agg, tmp_path, "sessparity", mode="append")
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT * FROM sessparity WHERE user_id >= 0"
+        ).collect()
+    )
+
+    # batch twin: the LAG/SUM flag idiom (x140's oracle formulation)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+            >= 30 * 60 * 1_000_000,
+            1,
+        ).otherwise(0),
+    )
+    sess = (
+        flagged.withColumn(
+            "sid",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            .cast("long")
+            .alias("dur_us"),
+        )
+        .select("user_id", "n_events", "dur_us")
+    )
+    expected = sorted(tuple(r) for r in sess.collect())
+    assert len(got) > 0
+    assert got == expected
