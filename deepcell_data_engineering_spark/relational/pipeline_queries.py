@@ -10456,3 +10456,376 @@ def x145(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "lang STRING, n_docs BIGINT, sum_chars BIGINT"
     ).orderBy("lang")
+
+
+@_q(
+    "x146_skyline_frontier",
+    """WITH d AS (SELECT len(regexp_split_to_array(trim(text), '\\s+'))
+                         AS n_tokens,
+                         n_chars
+                  FROM documents),
+       h AS (SELECT n_tokens, n_chars,
+                    CAST(COUNT(*) AS BIGINT) AS n_docs
+             FROM d GROUP BY 1, 2),
+       best AS (SELECT n_tokens, MAX(n_chars) AS n_chars
+                FROM h GROUP BY 1),
+       sky AS (SELECT b.n_tokens, b.n_chars FROM best b
+               WHERE NOT EXISTS (
+                 SELECT 1 FROM best q
+                 WHERE q.n_tokens >= b.n_tokens
+                   AND q.n_chars >= b.n_chars
+                   AND (q.n_tokens > b.n_tokens OR q.n_chars > b.n_chars)))
+       SELECT s.n_tokens, s.n_chars, h.n_docs
+       FROM sky s JOIN h USING (n_tokens, n_chars)
+       ORDER BY s.n_tokens""",
+    doc="Skyline / Pareto-frontier query: the documents whose "
+    "(token count, char count) pair is dominated by no other — the "
+    "multi-objective 'best corpus exemplars' primitive (maximize "
+    "both dims; a point is dominated if another is >= in both and > "
+    "in one). Engine derivation is frontier-over-the-VALUE-HISTOGRAM: "
+    "group to distinct (n_tokens, n_chars) cells, keep max n_chars "
+    "per n_tokens, then one lag-window over distinct n_tokens DESC "
+    "(running max of n_chars strictly before) — the ordered window "
+    "runs over the distinct-value vocabulary, never rows (the "
+    "disc-percentile discipline), so the plan is two grouped "
+    "aggregations plus a vocabulary-sized window at any corpus size. "
+    "The oracle keeps the textbook NOT EXISTS dominance anti-join "
+    "over the reduced set — an independent quadratic derivation that "
+    "is cheap at sf0.01 — making the hash check two different "
+    "algorithms agreeing on the frontier.",
+)
+def x146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from deepcell_data_engineering_spark.functions import text as tx
+
+    d = load_table(spark, sf_dir, "documents").select(
+        tx.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        "n_chars",
+    )
+    h = d.groupBy("n_tokens", "n_chars").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    best = h.groupBy("n_tokens").agg(F.max("n_chars").alias("n_chars"))
+    w = (
+        Window.orderBy(F.col("n_tokens").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky = (
+        best.withColumn("_prev_max", F.max("n_chars").over(w))
+        .where(
+            F.col("_prev_max").isNull()
+            | (F.col("n_chars") > F.col("_prev_max"))
+        )
+        .drop("_prev_max")
+    )
+    return (
+        sky.join(h, ["n_tokens", "n_chars"])
+        .select("n_tokens", "n_chars", "n_docs")
+        .orderBy("n_tokens")
+    )
+
+
+@_q(
+    "x147_gini_concentration",
+    """WITH h AS (SELECT source, n_chars AS v,
+                         CAST(COUNT(*) AS BIGINT) AS c
+                  FROM documents GROUP BY 1, 2),
+       cum AS (SELECT source, v, c,
+                      COALESCE(CAST(SUM(c) OVER (
+                        PARTITION BY source ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING)::BIGINT AS BIGINT),
+                        0) AS cprev
+               FROM h),
+       s AS (SELECT source,
+                    CAST(SUM(c)::BIGINT AS BIGINT) AS n,
+                    CAST(SUM(v * c)::BIGINT AS BIGINT) AS sv,
+                    CAST(SUM(v * (2 * c * cprev + c * (c + 1)))::BIGINT
+                         AS BIGINT) AS two_ranksum
+             FROM cum GROUP BY source)
+       SELECT source, n AS n_docs,
+              ROUND(CAST(two_ranksum - (n + 1) * sv AS DOUBLE)
+                    / CAST(n * sv AS DOUBLE) + 0.0, 6) AS gini
+       FROM s ORDER BY source""",
+    doc="Gini coefficient of document length per source — the "
+    "concentration gate a mixture-balancing pipeline reads before "
+    "sampling (a source whose token mass sits in a few huge docs "
+    "needs different chunking than a uniform one). Exact rank "
+    "arithmetic over the VALUE HISTOGRAM: with per-(source, length) "
+    "counts c and exclusive cumulative C, the ranks of a tied block "
+    "sum to c*C + c(c+1)/2, so 2*sum(i*x_i) = sum(v*(2*c*C + "
+    "c*(c+1))) — all BIGINT — and G = (2*sum(i*x_i) - (n+1)*sum(x)) "
+    "/ (n*sum(x)) is ONE exact-integer division, rounded once "
+    "(tie-order independent by construction: equal values contribute "
+    "through their rank SUM). Scale shape: one grouped count, one "
+    "cumulative window over distinct lengths per source (vocabulary-"
+    "sized partitions, never rows), one grouped fold; 20 output rows "
+    "at any corpus size.",
+)
+def x147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    h = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = h.withColumn(
+        "cprev", F.coalesce(F.sum("c").over(w).cast("bigint"), F.lit(0))
+    )
+    s = cum.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("v") * F.col("c")).cast("bigint").alias("sv"),
+        F.sum(
+            F.col("v")
+            * (
+                F.lit(2) * F.col("c") * F.col("cprev")
+                + F.col("c") * (F.col("c") + F.lit(1))
+            )
+        )
+        .cast("bigint")
+        .alias("two_ranksum"),
+    )
+    num = F.col("two_ranksum") - (F.col("n") + F.lit(1)) * F.col("sv")
+    den = F.col("n") * F.col("sv")
+    return s.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round(
+            num.cast("double") / den.cast("double") + F.lit(0.0), 6
+        ).alias("gini"),
+    ).orderBy("source")
+
+
+@_q(
+    "x148_proration_hamilton",
+    """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey,
+                          CAST(l_quantity AS BIGINT) AS q
+                   FROM lineitem),
+       tot AS (SELECT l_orderkey, CAST(SUM(q)::BIGINT AS BIGINT) AS qt,
+                      CAST(COUNT(*) AS BIGINT) AS nl
+               FROM li GROUP BY 1),
+       b AS (SELECT li.l_orderkey, li.l_linenumber, li.l_partkey, li.q,
+                    tot.qt,
+                    (100 * li.q) // tot.qt AS base,
+                    100 * li.q - tot.qt * ((100 * li.q) // tot.qt) AS rem
+             FROM li JOIN tot USING (l_orderkey)),
+       lv AS (SELECT l_orderkey,
+                     CAST(100 - SUM(base)::BIGINT AS BIGINT) AS leftover
+              FROM b GROUP BY 1),
+       r AS (SELECT b.*, lv.leftover,
+                    ROW_NUMBER() OVER (
+                      PARTITION BY b.l_orderkey
+                      ORDER BY b.rem DESC, b.q DESC,
+                               b.l_linenumber, b.l_partkey) AS rn
+             FROM b JOIN lv USING (l_orderkey)),
+       a AS (SELECT CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0
+                                END AS BIGINT) AS alloc
+             FROM r)
+       SELECT alloc AS alloc_points,
+              CAST(COUNT(*) AS BIGINT) AS n_lineitems
+       FROM a GROUP BY 1 ORDER BY 1""",
+    doc="Largest-remainder (Hamilton) proration — the allocation "
+    "primitive behind 'split this order-level budget across its lines "
+    "so the integer parts sum EXACTLY to the total': base_i = "
+    "floor(100*q_i/Q), then the leftover 100 - sum(base) goes to the "
+    "largest scaled remainders 100*q_i - Q*base_i. Everything is "
+    "integer arithmetic (the d49 discipline — no floats anywhere), "
+    "and the ROW_NUMBER tie order (rem DESC, q DESC, linenumber, "
+    "partkey) is engine-deterministic: rows tying on BOTH rem and q "
+    "have equal base, so which of them takes the +1 cannot change "
+    "the output histogram. Output = distribution of allocated points "
+    "over all lineitems (tie-permutation invariant by construction). "
+    "Scale shape: per-order windows are bounded partitions (<= 7 "
+    "lines/order — the natural key's multiplicity, not corpus size), "
+    "shuffled once on l_orderkey shared by all three passes; the "
+    "report is <= 101 rows at any scale.",
+)
+def x148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from deepcell_data_engineering_spark.functions.layout import _int_div
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    tot = li.groupBy("l_orderkey").agg(
+        F.sum("q").cast("bigint").alias("qt")
+    )
+    base = _int_div(F.lit(100) * F.col("q"), F.col("qt"))
+    b = li.join(tot, "l_orderkey").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "q", "qt",
+        base.alias("base"),
+        (F.lit(100) * F.col("q") - F.col("qt") * base).alias("rem"),
+    )
+    lv = b.groupBy("l_orderkey").agg(
+        (F.lit(100) - F.sum("base")).cast("bigint").alias("leftover")
+    )
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("rem").desc(), F.col("q").desc(),
+        F.col("l_linenumber"), F.col("l_partkey"),
+    )
+    alloc = (
+        b.join(lv, "l_orderkey")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            (
+                F.col("base")
+                + F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc")
+        )
+    )
+    return (
+        alloc.groupBy(F.col("alloc").alias("alloc_points"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lineitems"))
+        .orderBy("alloc_points")
+    )
+
+
+@_q(
+    "x149_fuzzy_vocab_pairs",
+    """WITH w AS (SELECT DISTINCT unnest(
+                    regexp_split_to_array(trim(text), '\\s+')) AS w
+                  FROM documents)
+       SELECT a.w AS word_a, b.w AS word_b
+       FROM w a JOIN w b
+         ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
+       ORDER BY word_a, word_b""",
+    doc="Edit-distance-1 typo pairs over the corpus VOCABULARY — the "
+    "spelling-variant detector that feeds token normalization before "
+    "dedup (x74's fuzzy ER, one level down: characters instead of "
+    "fields). Engine derivation is FastSS deletion-neighborhood "
+    "blocking: each distinct word emits itself plus its |w| single-"
+    "character deletions; two words are edit-distance <= 1 ONLY IF "
+    "they share a variant (deletion: b is a deletion of a; insertion: "
+    "symmetric; substitution: deleting position i from both yields "
+    "the same string), so an equi-join on the variant column finds "
+    "every candidate — no quadratic vocab self-join — and the exact "
+    "levenshtein filter then removes the ed=2 false positives that "
+    "shared variants admit. The oracle IS the quadratic self-join "
+    "(cheap on a sf0.01 vocabulary): two different algorithms must "
+    "agree pair-for-pair. Scale shape: pairing is vocab-bounded "
+    "(distinct words, not rows — the x74 contract); the variant "
+    "table is sum(|w|+1) rows over the vocabulary; the join key "
+    "is selective (a variant bucket holds the few words one deletion "
+    "apart).",
+)
+def x149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+        )
+        .distinct()
+    )
+    variants = vocab.select(
+        "w",
+        F.explode(
+            F.expr(
+                "array_distinct(concat(array(w), "
+                "transform(sequence(1, length(w)), "
+                "i -> concat(substr(w, 1, i - 1), "
+                "substr(w, i + 1, length(w))))))"
+            )
+        ).alias("v"),
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    return (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.w") < F.col("b.w")))
+        .select(F.col("a.w").alias("word_a"), F.col("b.w").alias("word_b"))
+        .distinct()
+        .where(F.levenshtein("word_a", "word_b") <= 1)
+        .orderBy("word_a", "word_b")
+    )
+
+
+@_q(
+    "x150_benford_digits",
+    """WITH c AS (SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                         AS cents
+                  FROM orders),
+       d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                    AS digit
+             FROM c WHERE cents > 0),
+       o AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+             FROM d GROUP BY 1),
+       n AS (SELECT CAST(SUM(n_obs)::BIGINT AS BIGINT) AS n FROM o),
+       e AS (SELECT g.digit,
+                    ln(CAST(g.digit + 1 AS DOUBLE) / CAST(g.digit AS DOUBLE))
+                      / ln(CAST(10 AS DOUBLE) / CAST(1 AS DOUBLE))
+                      AS share
+             FROM (SELECT DISTINCT digit FROM d) g)
+       SELECT e.digit,
+              COALESCE(o.n_obs, 0) AS n_obs,
+              ROUND(e.share + 0.0, 6) AS benford_share,
+              ROUND(
+                (CAST(COALESCE(o.n_obs, 0) AS DOUBLE)
+                   - CAST(n.n AS DOUBLE) * e.share)
+                * (CAST(COALESCE(o.n_obs, 0) AS DOUBLE)
+                   - CAST(n.n AS DOUBLE) * e.share)
+                / (CAST(n.n AS DOUBLE) * e.share) + 0.0, 6)
+                AS chi2_term
+       FROM e LEFT JOIN o USING (digit), n
+       ORDER BY e.digit""",
+    doc="Benford first-significant-digit conformance test over order "
+    "totals — the classic fraud/synthetic-data screen a pipeline "
+    "runs on ingested numeric columns: observed leading-digit counts "
+    "vs the Benford share log10(1 + 1/d), with the per-digit "
+    "chi-square contribution. Determinism: the digit comes from the "
+    "first character of the INTEGER cents' decimal rendering (never "
+    "float log10 at a power-of-ten boundary); the share is "
+    "ln((d+1)/d)/ln(10/1) — every ln argument ONE exact integer "
+    "division (the x44 bit-identical class) — and each chi2 term is "
+    "one fixed IEEE expression tree over (exact count, that share), "
+    "rounded once (x112/x144 convention). Scale shape: one "
+    "conditional projection + a 9-group count; the digit domain is "
+    "constant, so the report is <= 9 rows at any corpus size.",
+)
+def x150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .select(cents.alias("cents"))
+        .where(F.col("cents") > 0)
+        .select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("bigint")
+            .alias("digit")
+        )
+    )
+    o = d.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    n = o.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    share = F.log(
+        (F.col("digit") + F.lit(1)).cast("double")
+        / F.col("digit").cast("double")
+    ) / F.log(F.lit(10).cast("double") / F.lit(1).cast("double"))
+    dev = F.col("n_obs").cast("double") - F.col("n").cast("double") * F.col(
+        "share"
+    )
+    return (
+        o.withColumn("share", share)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("share") + F.lit(0.0), 6).alias("benford_share"),
+            F.round(
+                dev * dev / (F.col("n").cast("double") * F.col("share"))
+                + F.lit(0.0),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
