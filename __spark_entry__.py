@@ -31,49 +31,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver oracle-checks the first 50 registry entries per round.
-# Round-8 rotation (executes the plan the round-7 verdict ordered):
-# lead with the 9 queries that had NEVER been in a driver window
-# (x115/x116/x118/x121–x126, preflight-green only), then the stalest
-# driver-checked rows — x01 (last checked round 3), d01–d14 and
-# x40–x45 (round 4) — then the oldest round-5 rows. The final 8 slots
-# go to the round-8 additions x132–x139 (the r7 precedent: new
-# queries with novel failure modes — filesystem round trips, bit_or
-# bloom words, cross-paradigm ASOF-vs-window, ln-weight scoring —
-# get their driver verdict the round they land rather than aging
-# into the deferred backlog). After this round no driver verdict is
-# older than round 5 (d31–d49, x02–x05, x46–x56 stay r5-green and
-# lead the round-9 rotation, together with the five late round-8
-# additions x140–x144 — preflight-green only, compositions of
-# certified disciplines (x120 session pairing, x109 ln rounding,
-# x99 ordered adjacency, x108 integer-rank percentiles, x112
-# fixed-IEEE-tree statistics).
+# Round-9 rotation (executes the plan the round-8 verdict ordered):
+# lead with the six round-9 additions (x145 CDC incremental view,
+# x146–x150 — the r7/r8 precedent: new shapes get their driver
+# verdict the round they land), then the five late round-8 additions
+# x140–x144 (preflight-green only, never in a driver window), then
+# the entire round-5-stale block — d31–d49, x02–x05, x46–x56 (34
+# rows, last driver-checked in round 5; shared helpers and
+# load_table churn since). The final 5 slots go to the oldest
+# round-6 rows (the x06 dedup/similarity head). After this round
+# every driver verdict is round 6 or newer; the round-10 rotation
+# should lead with the remaining r6 rows (x11–x39, x57–x72).
 _CHECK_FIRST = [
-    # never driver-checked (deferred from the round-7 window)
-    "x115_markov_transitions", "x116_cusum_changepoint",
-    "x118_rrf_fusion", "x121_cube_report", "x122_ntile_deciles",
-    "x123_expectations_report", "x124_unpivot_metrics",
-    "x125_trailing_zscore", "x126_bag_set_ops",
-    # round-3-stale
-    "x01_token_stats",
-    # round-4-stale: d01–d14
-    "d01_scan_filter", "d02_like_strings", "d03_natural_sort",
-    "d04_topk", "d05_distinct", "d10_inner_join", "d11_star_join_agg",
-    "d12_left_join", "d13_semi_join", "d14_anti_join",
-    # round-4-stale: x40–x45
-    "x40_length_trim", "x41_tumbling_rollup", "x42_sliding_rollup",
-    "x43_pagerank", "x44_unigram_logprob", "x45_minhash_calibration",
-    # oldest round-5 rows
-    "d15_range_join", "d16_cross_join", "d17_grouped_agg",
-    "d18_count_distinct_having", "d19_median", "d20_rollup",
-    "d21_grouping_sets", "d22_conditional_agg", "d23_window_rank",
-    "d24_window_lag_lead", "d25_window_running_max", "d26_intersect",
-    "d27_except", "d28_date_agg", "d29_math_string",
-    "d30_documents_agg",
-    # round-8 additions — first driver verdicts
-    "x132_optimize_equivalence", "x133_record_linkage_fs",
-    "x134_funnel_conversion", "x135_aqp_hash_sample",
-    "x136_autocorrelation", "x137_bloom_skipping",
-    "x138_last_touch_attribution", "x139_label_propagation",
+    # round-9 additions — first driver verdicts
+    "x145_cdc_incremental_view", "x146_skyline_frontier",
+    "x147_gini_concentration", "x148_proration_hamilton",
+    "x149_fuzzy_vocab_pairs", "x150_benford_digits",
+    # late round-8 additions — never driver-checked
+    "x140_session_stats", "x141_psi_drift", "x142_time_weighted_avg",
+    "x143_ship_latency_quantiles", "x144_failure_rate_ci",
+    # round-5-stale: d31–d49
+    "d31_pivot", "d32_unpivot", "d33_string_agg", "d34_cube",
+    "d35_approx_distinct", "d36_exists_subquery", "d37_scalar_subquery",
+    "d38_ntile_percent_rank", "d39_array_hof", "d40_except_all",
+    "d41_moment_stats", "d42_snapshot_diff", "d43_quantiles",
+    "d44_null_semantics", "d45_share_of_total", "d46_try_cast",
+    "d47_incremental_agg", "d48_apply_changes", "d49_revenue_rollup",
+    # round-5-stale: x02–x05
+    "x02_quality_features", "x03_lang_id", "x04_exact_dedup",
+    "x05_minhash_signatures",
+    # round-5-stale: x46–x56
+    "x46_df_heavy_hitters", "x47_bigram_pmi", "x48_inverted_index",
+    "x49_source_overlap", "x50_ann_recall",
+    "x51_cluster_representatives", "x52_mixture_plan",
+    "x53_incremental_lsh", "x54_stream_screen", "x55_variant_extract",
+    "x56_dup_ngram_coverage",
+    # oldest round-6 rows
+    "x06_minhash_lsh_pairs", "x07_ngram_jaccard", "x08_simhash",
+    "x09_cosine_topk", "x10_embedding_neardup",
 ]
 
 
