@@ -12,7 +12,15 @@ queries whose SHAPE was specifically engineered for scale —
   delta joins vs a full rebuild),
 - x103_zorder_skipping: layout explode + zone maps + the r8
   distributed-prefix-sum boundary phase (the r7 verdict's one
-  scale-shape flaw, rewritten this round).
+  scale-shape flaw, rewritten this round),
+- x06_minhash_lsh_pairs: the LLM-pipeline headliner — banded MinHash
+  LSH candidate pairs over the document corpus (r9: the dedup leg the
+  r8 verdict asked to rehearse; its OUTPUT grows with the planted
+  dup-pair set, which is quadratic in clique size, so read its ratio
+  against the rows column),
+- x53_incremental_lsh: new-docs-vs-persisted-band-index probe — the
+  operator that REPLACES rebuilds at 100 TB, so its 100x ratio is the
+  number that matters for steady-state dedup cost.
 
 Reading the numbers: data is 100x sf0.1, so a linear operator on a box
 with fixed parallelism lands around ~100x; meaningfully UNDER 100x
@@ -35,7 +43,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-QUERIES = ["x94_adaptive_salted_join", "x119_ivm_join_delta", "x103_zorder_skipping"]
+QUERIES = [
+    "x94_adaptive_salted_join",
+    "x119_ivm_join_delta",
+    "x103_zorder_skipping",
+    "x06_minhash_lsh_pairs",
+    "x53_incremental_lsh",
+]
 SF01 = "/root/testdata/sf0.1"
 SF10 = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
