@@ -10472,20 +10472,24 @@ def x145(spark: SparkSession, sf_dir: str) -> DataFrame:
        sky AS (SELECT b.n_tokens, b.n_chars FROM best b
                WHERE NOT EXISTS (
                  SELECT 1 FROM best q
-                 WHERE q.n_tokens >= b.n_tokens
+                 WHERE q.n_tokens <= b.n_tokens
                    AND q.n_chars >= b.n_chars
-                   AND (q.n_tokens > b.n_tokens OR q.n_chars > b.n_chars)))
+                   AND (q.n_tokens < b.n_tokens OR q.n_chars > b.n_chars)))
        SELECT s.n_tokens, s.n_chars, h.n_docs
        FROM sky s JOIN h USING (n_tokens, n_chars)
        ORDER BY s.n_tokens""",
     doc="Skyline / Pareto-frontier query: the documents whose "
-    "(token count, char count) pair is dominated by no other — the "
-    "multi-objective 'best corpus exemplars' primitive (maximize "
-    "both dims; a point is dominated if another is >= in both and > "
-    "in one). Engine derivation is frontier-over-the-VALUE-HISTOGRAM: "
-    "group to distinct (n_tokens, n_chars) cells, keep max n_chars "
-    "per n_tokens, then one lag-window over distinct n_tokens DESC "
-    "(running max of n_chars strictly before) — the ordered window "
+    "(token count, char count) pair is dominated by no other under "
+    "MAXIMIZE chars / MINIMIZE tokens — 'the most characters for the "
+    "fewest tokens', the long-token exemplar screen (mixed-direction "
+    "dominance keeps the frontier non-degenerate on corpora where "
+    "the two dims are positively correlated: ~65 frontier points at "
+    "sf0.01 vs 1 for maximize-both). A point is dominated if another "
+    "is <= in tokens, >= in chars, strict in one. Engine derivation "
+    "is frontier-over-the-VALUE-HISTOGRAM: group to distinct "
+    "(n_tokens, n_chars) cells, keep max n_chars per n_tokens, then "
+    "one lag-window over distinct n_tokens ASC (running max of "
+    "n_chars among strictly-fewer-token points) — the ordered window "
     "runs over the distinct-value vocabulary, never rows (the "
     "disc-percentile discipline), so the plan is two grouped "
     "aggregations plus a vocabulary-sized window at any corpus size. "
@@ -10507,8 +10511,10 @@ def x146(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
     best = h.groupBy("n_tokens").agg(F.max("n_chars").alias("n_chars"))
+    # a point survives iff its char-max strictly beats every point
+    # with FEWER tokens (ties on chars lose to the fewer-token point)
     w = (
-        Window.orderBy(F.col("n_tokens").desc())
+        Window.orderBy(F.col("n_tokens").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     sky = (
@@ -10693,40 +10699,48 @@ def x148(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "x149_fuzzy_vocab_pairs",
-    """WITH w AS (SELECT DISTINCT unnest(
-                    regexp_split_to_array(trim(text), '\\s+')) AS w
-                  FROM documents)
-       SELECT a.w AS word_a, b.w AS word_b
-       FROM w a JOIN w b
-         ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
-       ORDER BY word_a, word_b""",
-    doc="Edit-distance-1 typo pairs over the corpus VOCABULARY — the "
-    "spelling-variant detector that feeds token normalization before "
-    "dedup (x74's fuzzy ER, one level down: characters instead of "
-    "fields). Engine derivation is FastSS deletion-neighborhood "
-    "blocking: each distinct word emits itself plus its |w| single-"
-    "character deletions; two words are edit-distance <= 1 ONLY IF "
-    "they share a variant (deletion: b is a deletion of a; insertion: "
-    "symmetric; substitution: deleting position i from both yields "
-    "the same string), so an equi-join on the variant column finds "
-    "every candidate — no quadratic vocab self-join — and the exact "
-    "levenshtein filter then removes the ed=2 false positives that "
-    "shared variants admit. The oracle IS the quadratic self-join "
-    "(cheap on a sf0.01 vocabulary): two different algorithms must "
-    "agree pair-for-pair. Scale shape: pairing is vocab-bounded "
-    "(distinct words, not rows — the x74 contract); the variant "
-    "table is sum(|w|+1) rows over the vocabulary; the join key "
-    "is selective (a variant bucket holds the few words one deletion "
-    "apart).",
+    """WITH p AS (SELECT a.c_name AS na, b.c_name AS nb
+                  FROM customer a JOIN customer b
+                    ON a.c_name < b.c_name
+                       AND levenshtein(a.c_name, b.c_name) <= 1),
+       f AS (SELECT COALESCE(
+                      list_filter(range(1, least(length(na),
+                                                 length(nb)) + 1),
+                                  i -> na[i:i] <> nb[i:i])[1],
+                      least(length(na), length(nb)) + 1)
+                    AS first_diff_pos
+             FROM p)
+       SELECT CAST(first_diff_pos AS BIGINT) AS first_diff_pos,
+              CAST(COUNT(*) AS BIGINT) AS n_pairs
+       FROM f GROUP BY 1 ORDER BY 1""",
+    doc="Edit-distance-1 name pairs over the customer dimension — the "
+    "spelling-variant detector that feeds entity normalization before "
+    "linkage (x74's fuzzy ER one level down: characters instead of "
+    "fields), reported as a histogram over the FIRST DIFFERING "
+    "character position (which digit of the id-like name varies — "
+    "the 'where do near-identical entities disagree' profile; the "
+    "histogram output also makes the report tie-safe and "
+    "constant-sized while still certifying the exact pair multiset "
+    "cardinality per position). Engine derivation is FastSS "
+    "deletion-neighborhood blocking: each distinct name emits itself "
+    "plus its |w| single-character deletions; two strings are "
+    "edit-distance <= 1 ONLY IF they share a variant (deletion: b IS "
+    "a deletion of a; insertion: symmetric; substitution: deleting "
+    "position i from both yields the same string), so an equi-join "
+    "on the variant column finds every candidate — no quadratic "
+    "self-join — and the exact levenshtein filter removes the ed=2 "
+    "false positives shared variants admit. The oracle IS the "
+    "quadratic self-join (cheap at sf0.01): two different algorithms "
+    "must agree on every (position, count) cell. Scale shape: "
+    "pairing is vocab-bounded (distinct names — the x74 contract); "
+    "the variant table is sum(|w|+1) rows; a variant bucket holds "
+    "only the names one deletion apart, so candidate volume grows "
+    "with TRUE near-duplicate density, not corpus size squared.",
 )
 def x149(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vocab = (
-        load_table(spark, sf_dir, "documents")
-        .select(
-            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
-        )
-        .distinct()
-    )
+    vocab = load_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("w")
+    ).distinct()
     variants = vocab.select(
         "w",
         F.explode(
@@ -10740,12 +10754,24 @@ def x149(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = variants.alias("a")
     b = variants.alias("b")
-    return (
+    pairs = (
         a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.w") < F.col("b.w")))
-        .select(F.col("a.w").alias("word_a"), F.col("b.w").alias("word_b"))
+        .select(F.col("a.w").alias("na"), F.col("b.w").alias("nb"))
         .distinct()
-        .where(F.levenshtein("word_a", "word_b") <= 1)
-        .orderBy("word_a", "word_b")
+        .where(F.levenshtein("na", "nb") <= 1)
+    )
+    fdp = F.coalesce(
+        F.expr(
+            "filter(sequence(1, least(length(na), length(nb))), "
+            "i -> substr(na, i, 1) <> substr(nb, i, 1))[0]"
+        ),
+        F.least(F.length("na"), F.length("nb")) + F.lit(1),
+    )
+    return (
+        pairs.select(fdp.cast("bigint").alias("first_diff_pos"))
+        .groupBy("first_diff_pos")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("first_diff_pos")
     )
 
 

@@ -109,6 +109,35 @@ QUERIES = [
     "x130_table_checksum",
     "x131_markov_anomaly",
     "x132_optimize_equivalence",
+    # round-8 analytics tier: x133 is THE round-9 scale fix (pattern
+    # counts from one GROUPING SETS pass + Mobius inversion — the old
+    # doc-level pair join read 18.2x at 10x data; expect near-linear
+    # now); x134 three conditional min-agg passes on user_id; x136
+    # calendar-bounded daily ACF; x137 explode(2 probes) + bit_or agg
+    # index build + probes; x139 r rounds = r joins over the LSH graph
+    # (output-bound family, x67's cap note applies); x141 two
+    # conditional-sum passes; x142 one LEAD window on user_id; x143
+    # orders x lineitem join + integer-rank percentiles.
+    "x133_record_linkage_fs",
+    "x134_funnel_conversion",
+    "x136_autocorrelation",
+    "x137_bloom_skipping",
+    "x139_label_propagation",
+    "x141_psi_drift",
+    "x142_time_weighted_avg",
+    "x143_ship_latency_quantiles",
+    # round-9 additions: x145 snapshot commits + CDC feed fold over
+    # the documents corpus (data volume scales, manifest count fixed);
+    # x146/x147 value-histogram window shapes (vocabulary-sized
+    # windows); x148 bounded per-order windows on l_orderkey; x149
+    # FastSS deletion-variant equi-join (vocab-bounded); x150 one
+    # digit projection + 9-group count.
+    "x145_cdc_incremental_view",
+    "x146_skyline_frontier",
+    "x147_gini_concentration",
+    "x148_proration_hamilton",
+    "x149_fuzzy_vocab_pairs",
+    "x150_benford_digits",
     # x66_similarity_join_exact is intentionally absent: its TRUE result
     # set (all pairs over a templated corpus) grows quadratically with
     # corpus size, so an sf1/sf0.1 ratio would read as a hidden
