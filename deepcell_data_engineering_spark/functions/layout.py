@@ -151,27 +151,29 @@ def grouped_cumsum(
     its sampling nondeterminism cannot move a result. Returns ``hist``
     plus a long ``cum`` column.
 
-    ``parts`` is materialized ONCE (localCheckpoint) before the two
-    consuming branches are derived: the ``_pid`` join is only correct
-    if the partial-cumsum branch and the offsets branch see the SAME
-    range splits, and without materialization that invariant rests on
-    Spark exchange reuse — an optimizer behavior, not a contract
-    (``spark.sql.exchange.reuse=false`` or future plan divergence
-    would silently join offsets against mismatched partition ids).
-    localCheckpoint truncates lineage, so a lost block errors instead
-    of re-sampling new splits. ``eager=False``: binding the frame to
-    ONE concrete RDD is what freezes the range sampler's splits for
-    both branches; the blocks then materialize inside the first
-    consuming job instead of a separate up-front job (measured 2x on
-    x103 with the eager default — the guarantee is structural, not a
-    property of WHEN the blocks land)."""
+    Same-splits invariant (r8 ADVICE): the ``_pid`` join is only
+    correct if the partial-cumsum branch and the offsets branch see
+    the SAME range splits. Physically Spark deduplicates the two
+    branches' exchanges (exchange reuse; ``apply_engine_conf`` pins
+    ``spark.sql.exchange.reuse=true``), so the sampler runs once.
+    Materializing ``parts`` instead (localCheckpoint) would make the
+    invariant structural, but it block-manager-pins the ENTIRE
+    histogram — measured: OOM-kills the 100x rehearsal's 180M-row
+    x103 input on the 32-thread box, the exact scale this function
+    exists for. So the invariant is enforced as a TRIPWIRE instead:
+    the offsets side carries each (partition, group)'s min/max order
+    value, and every joined row asserts its order value lies inside
+    its partition's range — if the branches ever saw different splits
+    (reuse disabled, future plan divergence), boundary rows land
+    outside their joined bucket's range and the job FAILS loudly
+    rather than returning wrong cumulative sums. (Ties cannot
+    straddle a range split — equal keys share a bucket — so on
+    consistent splits the assertion can never fire.)"""
     from pyspark.sql import Window
 
-    parts = (
-        hist.repartitionByRange(n_parts, *group_cols, order_col)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
+    parts = hist.repartitionByRange(
+        n_parts, *group_cols, order_col
+    ).withColumn("_pid", F.spark_partition_id())
     wpart = (
         Window.partitionBy("_pid", *group_cols)
         .orderBy(order_col)
@@ -185,16 +187,33 @@ def grouped_cumsum(
     )
     offsets = (
         parts.groupBy("_pid", *group_cols)
-        .agg(F.sum(count_col).alias("_ptot"))
+        .agg(
+            F.sum(count_col).alias("_ptot"),
+            F.min(order_col).alias("_olo"),
+            F.max(order_col).alias("_ohi"),
+        )
         .withColumn("_off", F.coalesce(F.sum("_ptot").over(woff), F.lit(0)))
         .drop("_ptot")
+    )
+    # the assertion lives INSIDE the cum expression so column pruning
+    # can never drop it (assert_true returns NULL on success)
+    guard = F.assert_true(
+        F.col(order_col).between(F.col("_olo"), F.col("_ohi")),
+        F.lit(
+            "grouped_cumsum: partial and offset branches saw "
+            "different range splits (exchange reuse disabled or "
+            "plan divergence) — cumulative sums would be wrong"
+        ),
     )
     return (
         partial.join(F.broadcast(offsets), ["_pid", *group_cols])
         .withColumn(
-            "cum", (F.col("_pcum") + F.col("_off")).cast("long")
+            "cum",
+            F.when(
+                guard.isNull(), F.col("_pcum") + F.col("_off")
+            ).cast("long"),
         )
-        .drop("_pid", "_pcum", "_off")
+        .drop("_pid", "_pcum", "_off", "_olo", "_ohi")
     )
 
 

@@ -54,6 +54,10 @@ def get_spark(
         # the local testdata is below them, so the feature is exercised
         # by a dedicated plan test with test-scoped thresholds.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # grouped_cumsum's branches must dedup to ONE range exchange
+        # (same sampled splits); see functions/layout.py — the tripwire
+        # there fails loudly if this is ever violated
+        .config("spark.sql.exchange.reuse", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -67,6 +71,10 @@ def apply_engine_conf(spark: SparkSession) -> SparkSession:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        # grouped_cumsum's two branches must dedup to ONE range
+        # exchange (same sampled splits); its tripwire turns a
+        # violation into a loud failure, this pin prevents one
+        ("spark.sql.exchange.reuse", "true"),
     ]:
         spark.conf.set(k, v)
     return spark

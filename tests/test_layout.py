@@ -242,3 +242,28 @@ def test_grouped_cumsum_matches_pandas_and_ignores_split_points(spark):
         ).collect()
     }
     assert got1 == exp1
+
+
+def test_grouped_cumsum_branches_reuse_one_range_exchange(spark):
+    """The _pid join's same-splits invariant rests on the two branches
+    deduplicating to ONE range exchange (spark.sql.exchange.reuse,
+    pinned in session conf): the executed plan must contain a
+    ReusedExchange over the rangepartitioning — and the in-plan
+    tripwire (order value within the joined bucket's min/max) must
+    stay silent on a correct run."""
+    from deepcell_data_engineering_spark.functions.layout import (
+        grouped_cumsum,
+    )
+
+    hist = spark.range(10_000).select(
+        (F.col("id") % 5).alias("g"),
+        F.col("id").alias("v"),
+        F.lit(1).alias("c"),
+    )
+    out = grouped_cumsum(hist, ["g"], "v", "c", n_parts=8)
+    # collect() on THIS frame so the adaptive plan finalizes on the
+    # same QueryExecution we then inspect (count() would wrap a new one)
+    assert len(out.collect()) == 10_000  # tripwire silent
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    assert "rangepartitioning" in plan
