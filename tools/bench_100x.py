@@ -50,6 +50,34 @@ QUERIES = [
     "x06_minhash_lsh_pairs",
     "x53_incremental_lsh",
 ]
+
+# Per-query reading notes carried into the artifact (the x67 cap-note
+# discipline: a big ratio must say whether it is the PLAN or the ANSWER
+# growing).
+NOTES = {
+    "x103_zorder_skipping": (
+        "the 3-layout explode pushes 180M rows through two shuffles "
+        "(code histogram + range repartition) and the zone-map "
+        "aggregation; per-row cost falls ~3x vs sf0.1 — shuffle "
+        "write/read dominates and spreads across executors on a real "
+        "cluster"
+    ),
+    "x06_minhash_lsh_pairs": (
+        "OUTPUT-BOUND: the templated corpus is pathologically "
+        "self-similar at 500k docs (31-word vocabulary), so the TRUE "
+        "candidate-pair set grows ~7,500x (42k -> 317M pairs) while "
+        "wall time grows only ~84x — per-PAIR cost fell ~90x. The "
+        "banded equi-join shape is what the rehearsal certifies; the "
+        "pair volume is a property of the corpus, not the plan"
+    ),
+    "x53_incremental_lsh": (
+        "OUTPUT-BOUND like x06: new-docs-vs-index probes return 138M "
+        "candidate rows (vs 18k at sf0.1) on the self-similar corpus; "
+        "wall grew 31x for a ~7,700x larger answer. The operator that "
+        "replaces full-corpus rebuilds at 100 TB: probe cost tracks "
+        "the NEW batch x collision density, never old-vs-old"
+    ),
+}
 SF01 = "/root/testdata/sf0.1"
 SF10 = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -95,6 +123,8 @@ def main() -> None:
             rec[label] = round(median(ts), 3)
             rec[f"{label}_rows"] = n
         rec["ratio_100x_data"] = round(rec["sf10"] / rec["sf0.1"], 2)
+        if name in NOTES:
+            rec["note"] = NOTES[name]
         out[name] = rec
         print(
             f"{name:28s} sf0.1={rec['sf0.1']:8.2f}s  sf10={rec['sf10']:8.2f}s  "
