@@ -10699,48 +10699,49 @@ def x148(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "x149_fuzzy_vocab_pairs",
-    """WITH p AS (SELECT a.c_name AS na, b.c_name AS nb
-                  FROM customer a JOIN customer b
-                    ON a.c_name < b.c_name
-                       AND levenshtein(a.c_name, b.c_name) <= 1),
-       f AS (SELECT COALESCE(
-                      list_filter(range(1, least(length(na),
-                                                 length(nb)) + 1),
-                                  i -> na[i:i] <> nb[i:i])[1],
-                      least(length(na), length(nb)) + 1)
-                    AS first_diff_pos
-             FROM p)
-       SELECT CAST(first_diff_pos AS BIGINT) AS first_diff_pos,
-              CAST(COUNT(*) AS BIGINT) AS n_pairs
-       FROM f GROUP BY 1 ORDER BY 1""",
-    doc="Edit-distance-1 name pairs over the customer dimension — the "
-    "spelling-variant detector that feeds entity normalization before "
-    "linkage (x74's fuzzy ER one level down: characters instead of "
-    "fields), reported as a histogram over the FIRST DIFFERING "
-    "character position (which digit of the id-like name varies — "
-    "the 'where do near-identical entities disagree' profile; the "
-    "histogram output also makes the report tie-safe and "
-    "constant-sized while still certifying the exact pair multiset "
-    "cardinality per position). Engine derivation is FastSS "
-    "deletion-neighborhood blocking: each distinct name emits itself "
-    "plus its |w| single-character deletions; two strings are "
-    "edit-distance <= 1 ONLY IF they share a variant (deletion: b IS "
-    "a deletion of a; insertion: symmetric; substitution: deleting "
-    "position i from both yields the same string), so an equi-join "
-    "on the variant column finds every candidate — no quadratic "
-    "self-join — and the exact levenshtein filter removes the ed=2 "
-    "false positives shared variants admit. The oracle IS the "
-    "quadratic self-join (cheap at sf0.01): two different algorithms "
-    "must agree on every (position, count) cell. Scale shape: "
-    "pairing is vocab-bounded (distinct names — the x74 contract); "
-    "the variant table is sum(|w|+1) rows; a variant bucket holds "
-    "only the names one deletion apart, so candidate volume grows "
-    "with TRUE near-duplicate density, not corpus size squared.",
+    """WITH w AS (SELECT DISTINCT unnest(
+                    regexp_split_to_array(trim(p_name), '\\s+')) AS w
+                  FROM part)
+       SELECT a.w AS word_a, b.w AS word_b
+       FROM w a JOIN w b
+         ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
+       ORDER BY word_a, word_b""",
+    doc="Edit-distance-1 typo pairs over the part-name token "
+    "VOCABULARY — the spelling-variant detector that feeds token "
+    "normalization before matching (x74's fuzzy ER one level down: "
+    "characters instead of fields). The p_name vocabulary yields "
+    "both edit classes: a DELETION pair (cold/old — caught by the "
+    "self-variant) and a SUBSTITUTION pair (red/rod — caught by the "
+    "shared position-deletion), so the whole candidate lattice is "
+    "exercised. Engine derivation is FastSS deletion-neighborhood "
+    "blocking: each distinct word emits itself plus its |w| single-"
+    "character deletions; two words are edit-distance <= 1 ONLY IF "
+    "they share a variant (deletion: b IS a deletion of a; "
+    "insertion: symmetric; substitution: deleting position i from "
+    "both yields the same string), so an equi-join on the variant "
+    "column finds every candidate — no quadratic vocab self-join — "
+    "and the exact levenshtein filter removes the ed=2 false "
+    "positives shared variants admit. The oracle IS the quadratic "
+    "self-join: two different algorithms must agree pair-for-pair. "
+    "Scale shape: pairing is vocab-bounded (distinct words, not rows "
+    "— the x74 contract; the token vocabulary is corpus-sublinear), "
+    "the variant table is sum(|w|+1) rows over the vocabulary, and "
+    "a variant bucket holds only the words one deletion apart, so "
+    "candidate volume tracks TRUE near-duplicate density, never "
+    "corpus size squared. (First-cut data choices documented in the "
+    "round log: the documents vocab has ZERO ed1 pairs — a 0-row "
+    "certification — and id-like customer names make the TRUE answer "
+    "itself quadratic in the dimension; a generated-token vocabulary "
+    "is the shape this operator actually serves.)",
 )
 def x149(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vocab = load_table(spark, sf_dir, "customer").select(
-        F.col("c_name").alias("w")
-    ).distinct()
+    vocab = (
+        load_table(spark, sf_dir, "part")
+        .select(
+            F.explode(F.split(F.trim(F.col("p_name")), r"\s+")).alias("w")
+        )
+        .distinct()
+    )
     variants = vocab.select(
         "w",
         F.explode(
@@ -10754,24 +10755,12 @@ def x149(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = variants.alias("a")
     b = variants.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.w") < F.col("b.w")))
-        .select(F.col("a.w").alias("na"), F.col("b.w").alias("nb"))
-        .distinct()
-        .where(F.levenshtein("na", "nb") <= 1)
-    )
-    fdp = F.coalesce(
-        F.expr(
-            "filter(sequence(1, least(length(na), length(nb))), "
-            "i -> substr(na, i, 1) <> substr(nb, i, 1))[0]"
-        ),
-        F.least(F.length("na"), F.length("nb")) + F.lit(1),
-    )
     return (
-        pairs.select(fdp.cast("bigint").alias("first_diff_pos"))
-        .groupBy("first_diff_pos")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
-        .orderBy("first_diff_pos")
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.w") < F.col("b.w")))
+        .select(F.col("a.w").alias("word_a"), F.col("b.w").alias("word_b"))
+        .distinct()
+        .where(F.levenshtein("word_a", "word_b") <= 1)
+        .orderBy("word_a", "word_b")
     )
 
 

@@ -218,8 +218,25 @@ def main() -> None:
         print(f"{name:28s} sf0.1={rec['sf0.1']:7.2f}s  sf1={rec['sf1']:7.2f}s  "
               f"ratio={rec['ratio']:5.1f}x  rows {rec['sf0.1_rows']} -> {rec['sf1_rows']}")
 
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_scaling.json",
+    )
     if "--only" in sys.argv:
-        return  # subset probe: never clobber the full BENCH_scaling.json
+        # subset probe: never clobber the full artifact — but with
+        # --merge, refresh just the re-run entries in place (for
+        # queries whose definition changed after the full sweep)
+        if "--merge" in sys.argv and os.path.exists(path):
+            with open(path) as fh:
+                payload = json.load(fh)
+            payload["queries"].update(out)
+            payload["max_ratio"] = max(
+                r["ratio"] for r in payload["queries"].values()
+            )
+            with open(path, "w") as fh:
+                json.dump(payload, fh, indent=1)
+            print(f"merged {sorted(out)} into {path}")
+        return
     payload = {
         "note": "sf1 is a locally generated 10x corpus (tools/gen_scale_data.py, "
         "seed 42); ratio = sf1_median / sf0.1_median over "
@@ -227,7 +244,6 @@ def main() -> None:
         "queries": out,
         "max_ratio": max(r["ratio"] for r in out.values()),
     }
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_scaling.json")
     with open(path, "w") as fh:
         json.dump(payload, fh, indent=1)
     print(f"wrote {path}; max ratio {payload['max_ratio']}x")

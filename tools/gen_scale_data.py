@@ -210,6 +210,43 @@ def gen_tpch(out_dir: str, scale: int, rng: np.random.RandomState) -> None:
         ),
         os.path.join(out_dir, "customer.parquet"),
     )
+    # part mirrors sf0.1's shape: p_name = "adjective noun" from the
+    # 8x8 fixed vocab (64 distinct names — includes the ed1 pairs
+    # cold/old and red/rod that x149 certifies on)
+    adjs = ["blue", "old", "small", "cold", "red", "new", "large", "hot"]
+    nouns = ["gizmo", "bolt", "plate", "rod", "ring", "gear", "widget",
+             "anvil"]
+    types = ["LARGE", "STANDARD", "ECONOMY", "SMALL", "MEDIUM"]
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(range(n_part), pa.int64()),
+                "p_name": pa.array(
+                    [
+                        f"{adjs[a]} {nouns[b]}"
+                        for a, b in zip(
+                            rng.randint(0, 8, n_part),
+                            rng.randint(0, 8, n_part),
+                        )
+                    ],
+                    pa.string(),
+                ),
+                "p_brand": pa.array(
+                    [f"Brand#{j}" for j in rng.randint(1, 26, n_part)],
+                    pa.string(),
+                ),
+                "p_type": pa.array(
+                    [types[j] for j in rng.randint(0, len(types), n_part)],
+                    pa.string(),
+                ),
+                "p_size": pa.array(rng.randint(1, 51, n_part), pa.int32()),
+                "p_retailprice": pa.array(
+                    np.round(rng.uniform(900, 2100, n_part), 2), pa.float64()
+                ),
+            }
+        ),
+        os.path.join(out_dir, "part.parquet"),
+    )
     day_us = 86_400_000_000
     t0 = np.datetime64("1995-01-01", "us").astype(np.int64)
     odate = t0 + rng.randint(0, 2404, n_ord).astype(np.int64) * day_us
