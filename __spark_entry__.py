@@ -31,44 +31,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver oracle-checks the first 50 registry entries per round.
-# Round-9 rotation (executes the plan the round-8 verdict ordered):
-# lead with the six round-9 additions (x145 CDC incremental view,
-# x146–x150 — the r7/r8 precedent: new shapes get their driver
-# verdict the round they land), then the five late round-8 additions
-# x140–x144 (preflight-green only, never in a driver window), then
-# the entire round-5-stale block — d31–d49, x02–x05, x46–x56 (34
-# rows, last driver-checked in round 5; shared helpers and
-# load_table churn since). The final 5 slots go to the oldest
-# round-6 rows (the x06 dedup/similarity head). After this round
-# every driver verdict is round 6 or newer; the round-10 rotation
-# should lead with the remaining r6 rows (x11–x39, x57–x72).
+# Round-10 rotation (executes the plan the round-9 verdict ordered):
+# the 45 remaining round-6-stale rows lead — x11–x39 (29) and
+# x57–x72 (16), last driver-checked in round 6, three rounds of
+# shared-helper churn ago. The final 5 slots go to x133 (its
+# GROUPING SETS + Möbius rewrite landed in round 9 and has never
+# had a driver verdict in final form) plus the oldest round-7 rows
+# x73–x76. After this round no driver verdict in the registry is
+# older than round 7; the round-11 rotation should lead with the
+# remaining r7 rows (x77–x114, x117–x120 …) plus anything new.
 _CHECK_FIRST = [
-    # round-9 additions — first driver verdicts
-    "x145_cdc_incremental_view", "x146_skyline_frontier",
-    "x147_gini_concentration", "x148_proration_hamilton",
-    "x149_fuzzy_vocab_pairs", "x150_benford_digits",
-    # late round-8 additions — never driver-checked
-    "x140_session_stats", "x141_psi_drift", "x142_time_weighted_avg",
-    "x143_ship_latency_quantiles", "x144_failure_rate_ci",
-    # round-5-stale: d31–d49
-    "d31_pivot", "d32_unpivot", "d33_string_agg", "d34_cube",
-    "d35_approx_distinct", "d36_exists_subquery", "d37_scalar_subquery",
-    "d38_ntile_percent_rank", "d39_array_hof", "d40_except_all",
-    "d41_moment_stats", "d42_snapshot_diff", "d43_quantiles",
-    "d44_null_semantics", "d45_share_of_total", "d46_try_cast",
-    "d47_incremental_agg", "d48_apply_changes", "d49_revenue_rollup",
-    # round-5-stale: x02–x05
-    "x02_quality_features", "x03_lang_id", "x04_exact_dedup",
-    "x05_minhash_signatures",
-    # round-5-stale: x46–x56
-    "x46_df_heavy_hitters", "x47_bigram_pmi", "x48_inverted_index",
-    "x49_source_overlap", "x50_ann_recall",
-    "x51_cluster_representatives", "x52_mixture_plan",
-    "x53_incremental_lsh", "x54_stream_screen", "x55_variant_extract",
-    "x56_dup_ngram_coverage",
-    # oldest round-6 rows
-    "x06_minhash_lsh_pairs", "x07_ngram_jaccard", "x08_simhash",
-    "x09_cosine_topk", "x10_embedding_neardup",
+    # round-6-stale: x11–x39
+    "x11_srp_lsh_topk", "x12_crop_grid", "x13_overlap_vote",
+    "x14_ivf_topk", "x15_json_extract", "x16_asof_join",
+    "x17_sessionize", "x18_winnow_fingerprint", "x19_kmeans_centroids",
+    "x20_interval_join", "x21_dup_clusters", "x22_tfidf_topk",
+    "x23_pattern_scrub", "x24_stratified_sample", "x25_vocab_topk",
+    "x26_bm25", "x27_corpus_build", "x28_bpe_tokens",
+    "x29_semantic_neardup", "x30_containment", "x31_corpus_report",
+    "x32_repetition_signals", "x33_decontaminate", "x34_chunk_documents",
+    "x35_pack_sequences", "x36_embedding_health", "x37_funnel",
+    "x38_gapfill", "x39_salted_skew_join",
+    # round-6-stale: x57–x72
+    "x57_sketch_topk", "x58_bloom_pruned_join", "x59_hll_distinct",
+    "x60_zorder_key", "x61_weighted_sample", "x62_cms_frequencies",
+    "x63_hist_quantiles", "x64_hll_set_algebra", "x65_quality_gate",
+    "x66_similarity_join_exact", "x67_triangle_hubs", "x68_bpe_train",
+    "x69_hll_rollup", "x70_recursive_closure", "x71_lateral_topk",
+    "x72_udtf_chunks",
+    # x133's r9 GROUPING SETS rewrite — first driver verdict in final form
+    "x133_record_linkage_fs",
+    # oldest round-7 rows
+    "x73_bpe_encode", "x74_fuzzy_name_join", "x75_sliding_distinct",
+    "x76_quality_gate_corpus",
 ]
 
 

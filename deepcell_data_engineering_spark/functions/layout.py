@@ -196,9 +196,14 @@ def grouped_cumsum(
         .drop("_ptot")
     )
     # the assertion lives INSIDE the cum expression so column pruning
-    # can never drop it (assert_true returns NULL on success)
+    # can never drop it (assert_true returns NULL on success). NULL
+    # order values short-circuit the guard: min/max skip NULLs, so
+    # between() would be NULL and assert_true would treat a legitimate
+    # NULL-order row as a split divergence — such rows sort into one
+    # bucket (NULLS FIRST both branches) and are not boundary evidence.
     guard = F.assert_true(
-        F.col(order_col).between(F.col("_olo"), F.col("_ohi")),
+        F.col(order_col).isNull()
+        | F.col(order_col).between(F.col("_olo"), F.col("_ohi")),
         F.lit(
             "grouped_cumsum: partial and offset branches saw "
             "different range splits (exchange reuse disabled or "

@@ -9010,7 +9010,9 @@ def x132(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x133_record_linkage_fs",
     """WITH d AS (SELECT doc_id, lang, source, n_chars,
                          n_chars // 50 AS lb
-                  FROM documents),
+                  FROM documents
+                  WHERE lang IS NOT NULL AND source IS NOT NULL
+                    AND n_chars IS NOT NULL),
        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
        sl AS (SELECT CAST(SUM(c * (c - 1))::BIGINT AS BIGINT) AS s
               FROM (SELECT COUNT(*) AS c FROM d GROUP BY lang)),
@@ -9086,9 +9088,21 @@ def x132(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x133(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepcell_data_engineering_spark.functions.layout import _int_div
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "lang", "source", "n_chars",
-        _int_div(F.col("n_chars"), F.lit(50)).alias("lb"),
+    # NULL attributes are excluded up front (mirrored in the oracle's
+    # WHERE): GROUP BY treats NULLs as equal while the pair join's SQL
+    # equality never does — dropping them keeps the two independent
+    # derivations equivalent on any input.
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(
+            F.col("lang").isNotNull()
+            & F.col("source").isNotNull()
+            & F.col("n_chars").isNotNull()
+        )
+        .select(
+            "lang", "source", "n_chars",
+            _int_div(F.col("n_chars"), F.lit(50)).alias("lb"),
+        )
     )
     # Pairs-agreeing-on-at-least-S for all 8 subsets S of
     # {lang, source, n_chars} from one GROUPING SETS aggregation

@@ -235,7 +235,7 @@ def _batch_id_seen(
     for v in range(floor, parent + 1):
         try:
             m = _load_manifest(table_path, v, store)
-        except ValueError:
+        except ManifestMissingError:
             continue
         if m.get("batch_id") == batch_id:
             return v
@@ -260,7 +260,7 @@ def _write_checkpoint(
     for v in range(start, version + 1):
         try:
             m = _load_manifest(table_path, v, store)
-        except ValueError:
+        except ManifestMissingError:
             continue
         if "batch_id" in m:
             batch_ids[str(m["batch_id"])] = v
@@ -285,12 +285,21 @@ def current_version(
     return max(versions) if versions else None
 
 
+class ManifestMissingError(ValueError):
+    """The manifest for a version is absent (never committed, or
+    vacuumed). Distinct from a CORRUPT manifest: ``json.loads`` errors
+    propagate unwrapped, so a truncated/garbled manifest fails loudly
+    instead of being silently treated as vacuumed — a corrupt manifest
+    swallowed by the batch-id dedup scan would let a replayed
+    streaming batch commit twice."""
+
+
 def _load_manifest(
     table_path: str, version: int, store: ManifestStore
 ) -> dict:
     raw = store.get(_manifest_path(table_path, version))
     if raw is None:
-        raise ValueError(
+        raise ManifestMissingError(
             f"version {version} does not exist (or was vacuumed) at "
             f"{table_path!r}"
         )
@@ -443,6 +452,7 @@ def read_changes(
     table_path: str,
     from_version: int,
     to_version: int | None = None,
+    merge_schema: bool = False,
     store: ManifestStore | None = None,
 ) -> DataFrame:
     """Row-level change feed between two snapshot versions: the rows
@@ -463,6 +473,11 @@ def read_changes(
     - ``replace``: content-preserving rewrite (compaction) — NO logical
       change, exactly how Delta CDF treats OPTIMIZE.
 
+    ``merge_schema=True``: reconcile schema evolution WITHIN a commit's
+    directories (footer-union read, as in ``read_snapshot``); evolution
+    BETWEEN versions is always reconciled — pieces union with
+    ``allowMissingColumns`` so newer columns NULL-pad older deltas.
+
     Scale shape: the feed scans ONLY the directories that changed
     (for append chains: just the delta files — the common case at
     100 TB), never the unchanged history; manifest resolution is
@@ -482,8 +497,11 @@ def read_changes(
     def _tagged(dirs: list[str], change: str, v: int) -> DataFrame | None:
         if not dirs:
             return None
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
         return (
-            spark.read.parquet(*[os.path.join(table_path, d) for d in dirs])
+            reader.parquet(*[os.path.join(table_path, d) for d in dirs])
             .withColumn("_change_type", F.lit(change))
             .withColumn("_commit_version", F.lit(v).cast("long"))
         )
@@ -493,7 +511,8 @@ def read_changes(
     for v in range(from_version + 1, to_version + 1):
         m = _load_manifest(table_path, v, st)
         if m["op"] == "append":
-            new_dirs = [d for d in m["dirs"] if d not in set(parent_dirs)]
+            parent_set = set(parent_dirs)
+            new_dirs = [d for d in m["dirs"] if d not in parent_set]
             piece = _tagged(new_dirs, "insert", v)
             if piece is not None:
                 pieces.append(piece)
@@ -516,7 +535,10 @@ def read_changes(
         )
     out = pieces[0]
     for p in pieces[1:]:
-        out = out.unionByName(p)
+        # allowMissingColumns: schema EVOLUTION between versions (a
+        # column added by a later append) NULL-pads older pieces, the
+        # same reconciliation read_snapshot(merge_schema=True) applies.
+        out = out.unionByName(p, allowMissingColumns=True)
     return out
 
 
@@ -589,7 +611,7 @@ def history(
     for v in range(latest + 1):
         try:
             m = _load_manifest(table_path, v, st)
-        except ValueError:
+        except ManifestMissingError:
             out.append({"version": v, "vacuumed": True})
             continue
         out.append(

@@ -267,3 +267,22 @@ def test_grouped_cumsum_branches_reuse_one_range_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
     assert "rangepartitioning" in plan
+
+
+def test_grouped_cumsum_null_order_values_pass_the_tripwire(spark):
+    """NULL order values must not trip the split-divergence guard
+    (min/max skip NULLs so between() is NULL there — ADVICE r9); they
+    sort NULLS FIRST and accumulate at the head of their group."""
+    rows = [Row(g="a", v=None, c=5)] + [
+        Row(g="a", v=i, c=i + 1) for i in range(1, 7)
+    ]
+    hist = spark.createDataFrame(rows, "g string, v int, c int")
+    out = {
+        (r["g"], r["v"]): r["cum"]
+        for r in ly.grouped_cumsum(hist, ["g"], "v", "c", n_parts=4).collect()
+    }
+    assert out[("a", None)] == 5
+    running = 5
+    for i in range(1, 7):
+        running += i + 1
+        assert out[("a", i)] == running

@@ -621,3 +621,62 @@ def test_streaming_commits_feed_incremental_view(spark, tmp_path):
     assert sorted(map(tuple, view.collect())) == sorted(
         map(tuple, rebuild.collect())
     )
+
+
+def test_corrupt_manifest_fails_loudly_not_as_vacuumed(spark, tmp_path):
+    """A truncated/garbled manifest must PROPAGATE its parse error, not
+    be silently treated as vacuumed: if the batch-id dedup scan skipped
+    it, a replayed streaming batch could commit twice (ADVICE r9)."""
+    import json
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    snap.commit(spark, docs.where(F.col("doc_id") < 10), t, batch_id=7)
+    snap.commit(
+        spark,
+        docs.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)),
+        t,
+        mode="append",
+        batch_id=8,
+    )
+    # corrupt v0's manifest in place (bypassing the store, as a partial
+    # write on a non-atomic future store would)
+    p = snap._manifest_path(t, 0)
+    with open(p, "w") as f:
+        f.write('{"parent": null, "op": "appe')  # truncated JSON
+    with pytest.raises(json.JSONDecodeError):
+        snap.commit(
+            spark, docs.where(F.col("doc_id") < 10), t,
+            mode="append", batch_id=7,
+        )
+    # a genuinely missing manifest still reads as vacuumed
+    os.remove(p)
+    assert snap.history(t)[0] == {"version": 0, "vacuumed": True}
+
+
+def test_read_changes_handles_schema_evolution(spark, tmp_path):
+    """A column added by a later append NULL-pads earlier feed pieces
+    (allowMissingColumns), matching read_snapshot(merge_schema=True)."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    snap.commit(spark, docs.where(F.col("doc_id") < 10), t)  # v0
+    snap.commit(
+        spark,
+        docs.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 15)),
+        t,
+        mode="append",
+    )  # v1: old schema
+    snap.commit(
+        spark,
+        docs.where((F.col("doc_id") >= 15) & (F.col("doc_id") < 20))
+        .withColumn("grade", F.lit("a")),
+        t,
+        mode="append",
+    )  # v2: evolved schema
+    feed = snap.read_changes(spark, t, 0, 2)
+    assert "grade" in feed.columns
+    got = {
+        r.doc_id: r.grade for r in feed.select("doc_id", "grade").collect()
+    }
+    assert all(got[i] is None for i in range(10, 15))
+    assert all(got[i] == "a" for i in range(15, 20))
