@@ -784,6 +784,31 @@ def similarity_join_prefix(
     )
 
 
+def fastss1_variants(col: Column) -> Column:
+    """Self + every single-character deletion of ``col``, distinct —
+    the FastSS edit-distance<=1 deletion neighborhood (Bocek et al.,
+    "Fast Similarity Search in Large Dictionaries", 2007):
+    ed(a, b) <= 1 IFF a and b share a variant (deletion: b IS a
+    deletion of a; insertion: symmetric; substitution: deleting
+    position i from both yields the same string). Used as an equi-join
+    blocking key with an exact levenshtein post-filter (the shared-
+    variant test admits some ed=2 pairs). |col|+1 variants per value —
+    the candidate space stays vocabulary-bounded."""
+    one = F.lit(1)
+    return F.array_distinct(
+        F.concat(
+            F.array(col),
+            F.transform(
+                F.sequence(one, F.greatest(F.length(col), one)),
+                lambda i: F.concat(
+                    col.substr(one, i - one),
+                    col.substr(i + one, F.length(col)),
+                ),
+            ),
+        )
+    )
+
+
 def fuzzy_name_pairs(
     df: DataFrame,
     name_col: str,
@@ -802,23 +827,29 @@ def fuzzy_name_pairs(
     ``block_key`` takes one Column or a list for MULTI-PASS blocking
     (standard ER practice): each key is an independent pass, a pair is
     a candidate if it agrees on ANY pass's key, and cross-pass
-    duplicates collapse before the distance evaluates. Recall is
-    bounded by the union of the passes — with a single key, two names
-    differing in that key are invisible regardless of edit distance
-    (e.g. last-word blocking alone misses last-word variants), so
-    callers pair a head key with a tail key (first word + last word)
-    unless the key is known-stable. Pairs differing in EVERY pass's
-    key remain invisible — that residual is the recall trade blocking
-    buys its scalability with.
+    duplicates collapse before the distance evaluates. A pass's key
+    may be ARRAY-typed — the pair is then a candidate if the two
+    names' arrays share ANY element, which is how a FastSS deletion
+    neighborhood (:func:`fastss1_variants`) plugs in as a pass:
+    variant passes over the head and tail tokens make every pair with
+    min(ed(head), ed(tail)) <= 1 a candidate, so a total edit budget
+    of <= 3 that touches BOTH ends is still caught (both ends cannot
+    each take >= 2 edits inside a 3-edit budget when the alignment
+    respects the token boundaries). The remaining recall residual is
+    pairs whose alignment restructures the end-token boundaries
+    themselves (a space edit merging/splitting the head or tail
+    token) AND whose end tokens each differ by >= 2 edits — callers
+    needing those add a whole-string deletion-neighborhood pass.
 
     CONTRACT: every ``block_key`` must be a DETERMINISTIC function of
-    ``name_col`` alone (soundex of the name, its first/last word, a
-    length bucket...). The vocabulary resolve groups by name and keeps
-    ONE key value per pass via max(); a key derived from any other
-    column can take several values per name, and all but the max are
-    silently dropped — losing candidate pairs. Block on another
-    column's value by concatenating it into ``name_col`` (making it
-    part of the entity identity) instead.
+    ``name_col`` alone (soundex of the name, its first/last word, the
+    deletion variants of either, a length bucket...). The vocabulary
+    resolve groups by name and keeps ONE key value per pass via
+    max(); a key derived from any other column can take several
+    values per name, and all but the max are silently dropped —
+    losing candidate pairs. Block on another column's value by
+    concatenating it into ``name_col`` (making it part of the entity
+    identity) instead.
 
     The scale discipline mirrors the dedup family: resolve distinct
     STRINGS, never rows — the entity vocabulary bounds the pair space
@@ -827,17 +858,33 @@ def fuzzy_name_pairs(
     cross), and the length band removes pairs no levenshtein <=
     max_dist could ever accept before the O(len^2) distance evaluates.
     """
+    from pyspark.sql.types import ArrayType
+
     keys = (
         list(block_key)
         if isinstance(block_key, (list, tuple))
         else [block_key]
     )
     bk_names = [f"bk_{i}" for i in range(len(keys))]
-    names = df.select(
+    raw = df.select(
         F.col(name_col).alias("name"),
-        *[k.cast("string").alias(bn) for k, bn in zip(keys, bk_names)],
+        *[k.alias(bn) for k, bn in zip(keys, bk_names)],
         *carry_cols,
     ).where(F.col(name_col).isNotNull())
+    # normalize every pass to array<string>: scalar keys become 1-elem
+    # arrays, array keys (variant neighborhoods) pass through distinct
+    names = raw.select(
+        "name",
+        *[
+            (
+                F.array_distinct(F.col(bn).cast("array<string>"))
+                if isinstance(raw.schema[bn].dataType, ArrayType)
+                else F.array(F.col(bn).cast("string"))
+            ).alias(bn)
+            for bn in bk_names
+        ],
+        *carry_cols,
+    )
     # the blocking keys are deterministic functions of the name, so
     # grouping by name alone resolves the vocabulary; max() just picks
     # the (single) key/carry value per name
@@ -845,16 +892,21 @@ def fuzzy_name_pairs(
     names = names.groupBy("name").agg(
         *[F.max(c).alias(c) for c in agg_cols]
     )
-    # one (name, pass, bk) row per blocking pass: the self-join equates
-    # (pass, bk), so pass i only ever pairs against pass i — P passes
-    # cost P independent block joins inside ONE join, and a pair found
-    # by several passes collapses in the dropDuplicates below (before
-    # the quadratic-in-length distance ever evaluates for the copy)
-    exploded = names.select(
-        "name",
-        *carry_cols,
-        F.posexplode(F.array(*bk_names)).alias("pass", "bk"),
-    ).where(F.col("bk").isNotNull())
+    # one (name, pass, bk) row per blocking pass AND per key element:
+    # the self-join equates (pass, bk), so pass i only ever pairs
+    # against pass i — P passes cost P independent block joins inside
+    # ONE join, and a pair found by several passes (or several shared
+    # variants) collapses in the dropDuplicates below (before the
+    # quadratic-in-length distance ever evaluates for the copy)
+    exploded = (
+        names.select(
+            "name",
+            *carry_cols,
+            F.posexplode(F.array(*bk_names)).alias("pass", "bks"),
+        )
+        .select("name", *carry_cols, "pass", F.explode("bks").alias("bk"))
+        .where(F.col("bk").isNotNull())
+    )
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(

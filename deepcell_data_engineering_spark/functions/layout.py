@@ -283,10 +283,15 @@ def equi_depth_boundaries(
     )
     tot = vc.agg(F.sum("c").cast("long").alias("n_total"))
     cum = grouped_cumsum(vc, [], "v", "c").crossJoin(F.broadcast(tot))
-    bounds = (
-        boundary_ranges(cum, ["n_total"], "v", "c", "n_total", n_ranges)
-        .groupBy("n_total")
-        .agg(F.sort_array(F.collect_list("b")).alias("boundaries"))
+    # global (no-grouping) collapse: n_total is constant across rows,
+    # so max() carries it — and the plan-contract sweep can PROVE the
+    # frame is 1 row when a caller broadcasts it into a cross join
+    # (a groupBy on the constant would be 1 row only by construction)
+    bounds = boundary_ranges(
+        cum, ["n_total"], "v", "c", "n_total", n_ranges
+    ).agg(
+        F.max("n_total").alias("n_total"),
+        F.sort_array(F.collect_list("b")).alias("boundaries"),
     )
     return bounds
 

@@ -55,3 +55,85 @@ def scan_columns(df: DataFrame) -> list[list[str]]:
             frag = line.split("ReadSchema: struct<", 1)[1].rsplit(">", 1)[0]
             cols.append([c.split(":")[0] for c in frag.split(",") if c])
     return cols
+
+
+_AGG_NODES = {"HashAggregate", "SortAggregate", "ObjectHashAggregate"}
+
+
+def _phys_children(node) -> list:
+    """Children of a JVM SparkPlan node, descending THROUGH the wrapper
+    nodes that hide subtrees from a naive children() walk: AQE's
+    AdaptiveSparkPlan (current plan), query stages (their materialized
+    plan), and ReusedExchange (the exchange it aliases)."""
+    name = node.nodeName()
+    if name == "AdaptiveSparkPlan":
+        return [node.executedPlan()]
+    cls = node.getClass().getSimpleName()
+    if cls in (
+        "BroadcastQueryStageExec",
+        "ShuffleQueryStageExec",
+        "TableCacheQueryStageExec",
+    ):
+        return [node.plan()]
+    if cls == "ReusedExchangeExec":
+        return [node.child()]
+    seq = node.children()
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+_PLAN_CONSTANT_MAX_ROWS = 64
+
+
+def _is_scalar_subtree(node) -> bool:
+    """True if the subtree provably yields a BOUNDED-CONSTANT number of
+    rows independent of any table's size: a global (no-grouping)
+    aggregate or limit <= 1 (the 1-row attach), a plan-time-constant
+    leaf (Range / local literal rows with <= 64 elements), any join of
+    such inputs, or a unary chain over one of those."""
+    name = node.nodeName()
+    cls = node.getClass().getSimpleName()
+    ch = _phys_children(node)
+    if name in _AGG_NODES and node.groupingExpressions().size() == 0:
+        return True
+    if cls in ("LocalLimitExec", "GlobalLimitExec"):
+        try:
+            if node.limit() <= 1:
+                return True
+        except Exception:
+            pass
+    if cls == "RangeExec":
+        try:
+            return int(node.numElements()) <= _PLAN_CONSTANT_MAX_ROWS
+        except Exception:
+            return False
+    if cls == "LocalTableScanExec":
+        try:
+            return node.rows().size() <= _PLAN_CONSTANT_MAX_ROWS
+        except Exception:
+            return False
+    if "Join" in cls or "CartesianProduct" in cls:
+        return len(ch) >= 2 and all(_is_scalar_subtree(c) for c in ch[:2])
+    if len(ch) == 1:
+        return _is_scalar_subtree(ch[0])
+    return False
+
+
+def bnlj_build_sides_scalar(df: DataFrame) -> list[bool]:
+    """For every BroadcastNestedLoopJoin in the executed plan, whether
+    its BUILD side is a provably <=1-row subtree. The registry's scale
+    contract says every BNLJ must be a 1-row composition attach
+    (mixture totals, sketch estimates, stats carriers) — this walks the
+    JVM plan tree and PROVES it, instead of trusting the count."""
+
+    out: list[bool] = []
+
+    def visit(node) -> None:
+        ch = _phys_children(node)
+        if node.getClass().getSimpleName() == "BroadcastNestedLoopJoinExec":
+            build = ch[1] if node.buildSide().toString() == "BuildRight" else ch[0]
+            out.append(_is_scalar_subtree(build))
+        for c in ch:
+            visit(c)
+
+    visit(df._jdf.queryExecution().executedPlan())
+    return out

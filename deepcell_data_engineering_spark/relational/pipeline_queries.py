@@ -251,6 +251,7 @@ def x08(spark: SparkSession, sf_dir: str) -> DataFrame:
        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     doc="Brute-force cosine top-5 similarity search (10 query vectors vs "
     "the full corpus) — the exact baseline for ANN.",
+    bnlj_bounded=1,
 )
 def x09(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2208,6 +2209,7 @@ _X50_EXACT = """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddin
     "MinHash calibration). Composes the two existing operators and a "
     "left join; at scale the exact side runs on a query SAMPLE, which "
     "is exactly what this shape expresses (10 queries).",
+    bnlj_bounded=1,
 )
 def x50(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3132,6 +3134,7 @@ def x65(spark: SparkSession, sf_dir: str) -> DataFrame:
     "an opaque aggregate: union is a grouped max, so any lattice of "
     "sources/batches composes. The oracle rebuilds registers, merge, "
     "and both estimators in SQL.",
+    bnlj_bounded=2,
 )
 def x64(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepcell_data_engineering_spark.functions.sketch import (
@@ -3657,39 +3660,33 @@ def x73(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH names AS (
          SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n
          FROM part GROUP BY p_name
-       ),
-       keyed AS (
-         SELECT name, n, 0 AS pass, split_part(name, ' ', 1) AS bk
-         FROM names
-         UNION ALL
-         SELECT name, n, 1 AS pass, split_part(name, ' ', -1) AS bk
-         FROM names
-       ),
-       cand AS (
-         SELECT DISTINCT a.name AS name_a, b.name AS name_b,
-                a.n AS n_a, b.n AS n_b
-         FROM keyed a JOIN keyed b
-           ON a.pass = b.pass AND a.bk = b.bk
-          AND a.name < b.name
-          AND abs(length(a.name) - length(b.name)) <= 3
-       ),
-       pairs AS (
-         SELECT name_a, name_b,
-                CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist,
-                n_a, n_b
-         FROM cand WHERE levenshtein(name_a, name_b) <= 3
        )
-       SELECT name_a, name_b, dist, n_a, n_b
-       FROM pairs ORDER BY dist, name_a, name_b""",
+       SELECT a.name AS name_a, b.name AS name_b,
+              CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist,
+              a.n AS n_a, b.n AS n_b
+       FROM names a JOIN names b
+         ON a.name < b.name
+       WHERE levenshtein(a.name, b.name) <= 3
+       ORDER BY dist, name_a, name_b""",
     doc="Entity-resolution fuzzy join (functions/dedup.py:"
     "fuzzy_name_pairs): near-duplicate part names by Levenshtein "
-    "distance <= 3, candidate-paired by MULTI-PASS blocking — a pair "
-    "is a candidate if it agrees on the FIRST word OR the LAST word "
-    "(two independent block passes, cross-pass duplicates collapsed "
-    "before the distance evaluates) — with a |length| band prune, "
-    "annotated with each name's row count. Single-key blocking misses "
-    "every pair that varies in that key; head+tail passes only miss "
-    "pairs differing at BOTH ends, the documented recall residual. "
+    "distance <= 3, candidate-paired by MULTI-PASS blocking over the "
+    "FastSS ed<=1 deletion neighborhoods of the head and tail tokens "
+    "(fastss1_variants — the x149 kernel lifted from vocab typo pairs "
+    "to field blocking), with a |length| band prune, annotated with "
+    "each name's row count. Two names are a candidate if their first "
+    "tokens OR their last tokens are within one edit (shared deletion "
+    "variant) — which covers every pair a 3-edit budget admits when "
+    "the alignment respects the end-token boundaries: if both ends "
+    "changed, at least one changed by <= 1 edit (2+2 > 3). This "
+    "closes the r7-documented residual (pairs differing at BOTH ends "
+    "were invisible to exact head/tail blocking); what remains out "
+    "of reach is only end-token boundary RESTRUCTURING (a space edit "
+    "merging/splitting an end token) combined with >= 2 edits at "
+    "each end. The ORACLE is the literal quadratic vocabulary "
+    "self-join — no blocking — so the hash match certifies the "
+    "blocked derivation finds EVERY pair, not just the pairs the "
+    "blocking can see (the x149 two-independent-algorithms pattern). "
     "The scale shape is the vocab trick again: distances evaluate "
     "over DISTINCT name strings (bounded by the entity vocabulary at "
     "any corpus size), never over row pairs — impact counts come from "
@@ -3708,8 +3705,12 @@ def x74(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts,
         "p_name",
         [
-            F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)),
-            F.split_part(F.col("p_name"), F.lit(" "), F.lit(-1)),
+            dd.fastss1_variants(
+                F.split_part(F.col("p_name"), F.lit(" "), F.lit(1))
+            ),
+            dd.fastss1_variants(
+                F.split_part(F.col("p_name"), F.lit(" "), F.lit(-1))
+            ),
         ],
         3,
         carry_cols=["n"],
@@ -4295,6 +4296,7 @@ def _pq_adc(spark: SparkSession, sf_dir: str, topk: int = 5) -> DataFrame:
     "the subspace sum is partition-order independent; ranking ties "
     "break on neighbor_id. Oracle = per-subspace _kmeans_ctes chains + "
     "the same encode/LUT/ADC algebra in SQL.",
+    bnlj_bounded=1,
 )
 def x80(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_adc(spark, sf_dir, topk=5)
@@ -4357,6 +4359,7 @@ def _x81_oracle(shortlist: int = 50) -> str:
     "recovers what pure ADC ranking loses to quantization. Oracle "
     "embeds x80's generated SQL at rank <= 50 plus the same re-rank/"
     "recall algebra.",
+    bnlj_bounded=2,
 )
 def x81(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -4540,6 +4543,7 @@ def x82(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pre-cut (~8k/nd of the hash space) with an exact cut-below-k "
     "rescue: OFF here because its 2 extra corpus scans only pay off "
     "on persisted hashed columns (measured 3x slower on this shape).",
+    bnlj_bounded=2,
 )
 def x83(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepcell_data_engineering_spark.functions.sketch import (
@@ -5580,6 +5584,7 @@ def _x92_oracle(
     "vec_id, LUT parts attach by broadcast, partials are scaled-BIGINT "
     "(partition-order-independent). Oracle = x14's coarse CTEs + "
     "x80's per-subspace Lloyd chains, spliced.",
+    bnlj_bounded=1,
 )
 def x92(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -6115,6 +6120,7 @@ def _x96_oracle(
     "through the vec->list map; partials are scaled-BIGINT. Oracle = "
     "x92's coarse CTEs + residual construction via DuckDB's indexed "
     "list_transform + Lloyd chains over residual slices.",
+    bnlj_bounded=1,
 )
 def x96(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -7173,6 +7179,7 @@ def x108(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quadratically with the source census; the smoothed-probability "
     "grid is sources x vocabulary — vocabulary-bounded, never "
     "corpus-bounded.",
+    bnlj_bounded=2,
 )
 def x109(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcs_list = ["src0", "src1", "src2", "src3"]
@@ -7890,6 +7897,7 @@ def _x118_oracle() -> str:
     "is engine-reproducible. At scale both inputs are k-row-per-"
     "query relations — fusion cost is rank-bounded, independent of "
     "corpus size.",
+    bnlj_bounded=1,
 )
 def x118(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -10757,15 +10765,7 @@ def x149(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     variants = vocab.select(
-        "w",
-        F.explode(
-            F.expr(
-                "array_distinct(concat(array(w), "
-                "transform(sequence(1, length(w)), "
-                "i -> concat(substr(w, 1, i - 1), "
-                "substr(w, i + 1, length(w))))))"
-            )
-        ).alias("v"),
+        "w", F.explode(dd.fastss1_variants(F.col("w"))).alias("v")
     )
     a = variants.alias("a")
     b = variants.alias("b")

@@ -33,14 +33,33 @@ class QuerySpec:
     build: Callable[[SparkSession, str], DataFrame]
     oracle: Optional[str]  # DuckDB SQL; None → rows-only check
     doc: str = ""
+    # Number of BroadcastNestedLoopJoins in this query's plan whose
+    # build side is INTENTIONALLY a small-but-not-plan-provable frame
+    # (a bounded query/probe set, a constant-cardinality domain
+    # aggregate) — the docstring must state the bound and why it is
+    # data-size-independent. The plan-contract sweep proves every
+    # OTHER BNLJ build is a <=1-row subtree; an undeclared data-sized
+    # nested loop fails the sweep.
+    bnlj_bounded: int = 0
 
 
 QUERIES: dict[str, QuerySpec] = {}
 
 
-def _q(name: str, oracle: Optional[str], doc: str = ""):
+def _q(
+    name: str,
+    oracle: Optional[str],
+    doc: str = "",
+    bnlj_bounded: int = 0,
+):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = QuerySpec(name=name, build=fn, oracle=oracle, doc=doc)
+        QUERIES[name] = QuerySpec(
+            name=name,
+            build=fn,
+            oracle=oracle,
+            doc=doc,
+            bnlj_bounded=bnlj_bounded,
+        )
         return fn
 
     return deco

@@ -696,3 +696,23 @@ def test_dynamic_partition_pruning_prunes_fact_scan(spark, tmp_path):
     # the pruned scan must read fewer partition dirs than exist
     n_days = ev.select("day").distinct().count()
     assert n_days > 3  # the filter is actually selective on this data
+
+
+def test_bnlj_scalar_build_detector(spark):
+    """The plan-contract sweep's BNLJ gate: a 1-row aggregate attach is
+    scalar; a data-sized broadcast nested loop is flagged."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "n_chars")
+    one_row = docs.agg(F.sum("n_chars").alias("tot"))
+    ok = docs.crossJoin(F.broadcast(one_row))
+    assert pi.bnlj_build_sides_scalar(ok) == [True]
+    # composition of scalars (the x133 / mixture shape) is still scalar
+    two = one_row.crossJoin(F.broadcast(docs.agg(F.count(F.lit(1)).alias("n"))))
+    assert pi.bnlj_build_sides_scalar(docs.crossJoin(F.broadcast(two))) == [
+        True,
+        True,
+    ]
+    # a data-sized build side violates the contract
+    bad = docs.crossJoin(F.broadcast(docs.limit(10)))
+    assert False in pi.bnlj_build_sides_scalar(bad)
+    # no BNLJ at all -> empty evidence list
+    assert pi.bnlj_build_sides_scalar(one_row) == []

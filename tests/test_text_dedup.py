@@ -860,3 +860,46 @@ def test_residual_ivfpq_recall_not_worse_than_raw(spark):
     # is the point, not the absolute number
     assert residual >= raw, (residual, raw)
     assert residual >= 0.25, (residual, raw)
+
+
+def test_fuzzy_name_pairs_fastss_passes_catch_both_end_variants(spark):
+    """FastSS deletion-neighborhood passes over the head and tail
+    tokens (the x74 production blocking) CATCH pairs that differ at
+    BOTH ends — the residual exact head/tail blocking left behind —
+    whenever at least one end changed by <= 1 edit, which a <=3-edit
+    budget guarantees for boundary-respecting alignments."""
+    from deepcell_data_engineering_spark.functions.dedup import (
+        fastss1_variants,
+        fuzzy_name_pairs,
+    )
+
+    names = [
+        "green anvil", "grean anvol",   # BOTH ends differ (1 edit each,
+                                        # lev == 2): caught via either
+                                        # end's shared deletion variant
+        "blue widget", "blu widgets",   # deletion at head + insertion
+                                        # at tail (lev == 2)
+        "red gadget", "rod gidget",     # substitution at each end
+        "zinc plate", "iron sheet",     # far pair: must NOT appear
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "p_name string")
+    keys = [
+        fastss1_variants(F.split_part(F.col("p_name"), F.lit(" "), F.lit(1))),
+        fastss1_variants(F.split_part(F.col("p_name"), F.lit(" "), F.lit(-1))),
+    ]
+    rows = fuzzy_name_pairs(df, "p_name", keys, 3).collect()
+    got = sorted((r.name_a, r.name_b, r.dist) for r in rows)
+    assert ("grean anvol", "green anvil", 2) in got
+    assert ("blu widgets", "blue widget", 2) in got
+    assert ("red gadget", "rod gidget", 2) in got
+    assert not any("zinc plate" in (a, b) for a, b, _ in got)
+    # scalar and array passes compose: exact-tail pass plus a FastSS
+    # head pass dedupe into one candidate set
+    mixed = fuzzy_name_pairs(
+        df,
+        "p_name",
+        [F.split_part(F.col("p_name"), F.lit(" "), F.lit(-1)), keys[0]],
+        3,
+    ).collect()
+    pairs = {(r.name_a, r.name_b) for r in mixed}
+    assert len(pairs) == len(mixed)

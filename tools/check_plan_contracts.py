@@ -3,11 +3,17 @@ sf0.001, inspect its executed plan, and record per-query join
 strategies, exchange counts, and the cartesian verdict into
 PLANCHECK.json.
 
-The blanket contract: NO CartesianProduct anywhere in the registry.
-BroadcastNestedLoopJoin is allowed only as the 1-row composition
-attach (mixture totals, decrement carriers, sketch estimates) — the
-count is recorded per query so a regression that introduces a
-data-sized nested loop is visible in the diff.
+The blanket contract: NO CartesianProduct anywhere in the registry,
+and every BroadcastNestedLoopJoin's BUILD side must be provably
+bounded — a <=1-row subtree (global aggregate / limit 1 / joins
+thereof: the 1-row composition attach) or a plan-time-constant leaf
+(small literal Range / local rows). Queries whose BNLJ build is a
+small-by-design but not plan-provable frame (a bounded query/probe
+set, a constant-cardinality domain aggregate) DECLARE that count via
+QuerySpec.bnlj_bounded with the bound documented in the docstring;
+undeclared non-provable BNLJs are hard violations — a regression
+that introduces a data-sized nested loop fails the sweep, it doesn't
+wait for a human to read the diff (r9 verdict #3).
 
 Usage: python tools/check_plan_contracts.py [sf_dir]
 """
@@ -38,9 +44,14 @@ def main() -> None:
             df = QUERIES[name].build(spark, sf)
             plan = pi.executed_plan(df)
             s = pi.join_strategies(df)
+            builds = pi.bnlj_build_sides_scalar(df)
+            declared = QUERIES[name].bnlj_bounded
+            non_scalar = sum(1 for ok in builds if not ok)
             rec = {
                 "cartesian": plan.count("CartesianProduct"),
                 "bnlj": s["broadcast_nested_loop"],
+                "bnlj_non_scalar": non_scalar,
+                "bnlj_declared_bounded": declared,
                 "broadcast_hash": s["broadcast_hash"],
                 "sort_merge": s["sort_merge"],
                 "exchanges": pi.count_exchanges(df),
@@ -49,12 +60,17 @@ def main() -> None:
             rec = {"error": f"{type(e).__name__}: {e}"[:300]}
             bad.append(name)
         out[name] = rec
-        if rec.get("cartesian"):
+        if rec.get("cartesian") or (
+            rec.get("bnlj_non_scalar", 0)
+            > rec.get("bnlj_declared_bounded", 0)
+        ):
             bad.append(name)
         print(
             f"  {name:32s} "
             + (
                 f"cart={rec['cartesian']} bnlj={rec['bnlj']} "
+                f"bnlj!1row={rec['bnlj_non_scalar']}"
+                f"/decl={rec['bnlj_declared_bounded']} "
                 f"bhj={rec['broadcast_hash']} smj={rec['sort_merge']} "
                 f"exch={rec['exchanges']}"
                 if "error" not in rec
