@@ -10858,3 +10858,105 @@ def x150(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@_q(
+    "x151_merge_feed_view",
+    """WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS p,
+                            CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                              AS cents
+                     FROM orders),
+       fin AS (SELECT p,
+                      CASE WHEN k % 17 = 7 AND k % 2 = 1 THEN cents + 2500
+                           WHEN k % 17 = 7 THEN cents + 1000
+                           WHEN k % 17 = 11 THEN cents - 700
+                           ELSE cents END AS cents
+               FROM base)
+       SELECT p AS o_orderpriority,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              CAST(SUM(cents) AS BIGINT) AS sum_cents
+       FROM fin GROUP BY 1 ORDER BY 1""",
+    doc="Incremental view maintenance from an UPSERT change feed — the "
+    "x145 CDC certification extended to snapshots.merge_upsert: the "
+    "orders table is committed minus the k%17=3 slice, then two MERGE "
+    "commits land (merge 1 inserts the held-out slice and repatches "
+    "the k%17=7 rows +1000 cents; merge 2 re-touches the ODD k%17=7 "
+    "keys to +2500 — overwriting merge 1's update, the postimage-"
+    "chaining case — and patches k%17=11 by -700). A per-priority "
+    "(count, sum) view materialized at v0 is maintained PURELY from "
+    "read_changes' signed fold: each replaced key ships its Delta-CDF "
+    "update_preimage (-1) and update_postimage (+1), each fresh key "
+    "one insert, untouched rows NOTHING. The oracle computes the "
+    "final state directly from raw orders, so a feed that misses a "
+    "preimage, double-ships a postimage, or leaks untouched rows "
+    "breaks the hash. Scale shape: MERGE rewrites only the parent "
+    "directories containing a matched key (copy-on-write at dir "
+    "granularity — untouched dirs carried by reference), the change "
+    "set is persisted at commit time and shipped verbatim (never a "
+    "snapshot diff), and view maintenance is one grouped aggregation "
+    "of the delta plus a state-sized merge.",
+)
+def x151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from deepcell_data_engineering_spark.functions.stats import (
+        merge_grouped_sums,
+    )
+    from deepcell_data_engineering_spark.sources import snapshots as snap
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("p"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    t = tempfile.mkdtemp(prefix="dde_merge_view_")
+    try:
+        v0 = snap.commit(spark, base.where(F.col("k") % 17 != 3), t)
+        src1 = base.where(F.col("k") % 17 == 3).unionByName(
+            base.where(F.col("k") % 17 == 7).withColumn(
+                "cents", F.col("cents") + F.lit(1000)
+            )
+        )
+        snap.merge_upsert(spark, src1, t, keys=["k"])
+        src2 = (
+            base.where((F.col("k") % 17 == 7) & (F.col("k") % 2 == 1))
+            .withColumn("cents", F.col("cents") + F.lit(2500))
+            .unionByName(
+                base.where(F.col("k") % 17 == 11).withColumn(
+                    "cents", F.col("cents") - F.lit(700)
+                )
+            )
+        )
+        head = snap.merge_upsert(spark, src2, t, keys=["k"])
+
+        state0 = (
+            snap.read_snapshot(spark, t, v0)
+            .groupBy("p")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+        )
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        delta = (
+            snap.read_changes(spark, t, v0, head)
+            .groupBy("p")
+            .agg(
+                F.sum(sign).cast("bigint").alias("n_orders"),
+                F.sum(sign * F.col("cents")).cast("bigint").alias(
+                    "sum_cents"
+                ),
+            )
+        )
+        view = merge_grouped_sums(
+            [state0, delta], ["p"], ["n_orders", "sum_cents"]
+        ).where(F.col("n_orders") != 0)
+        rows = [
+            (r["p"], r["n_orders"], r["sum_cents"]) for r in view.collect()
+        ]
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderpriority STRING, n_orders BIGINT, sum_cents BIGINT"
+    ).orderBy("o_orderpriority")

@@ -187,6 +187,95 @@ class InMemoryManifestStore(ManifestStore):
             self._objects.pop(path, None)
 
 
+class S3ManifestStore(ManifestStore):
+    """Manifest log on S3 (or any S3-compatible store honoring
+    conditional writes: GCS XML API, MinIO, R2). put-if-absent =
+    ``PutObject`` with ``If-None-Match: *`` — the server rejects the
+    write with **412 PreconditionFailed** when the key already exists,
+    which is exactly the one primitive the commit protocol needs (AWS
+    S3 ships this since 2024-08; Delta's S3 "conditional-put" LogStore
+    uses the same request). A **409 ConditionalRequestConflict** (a
+    concurrent conditional write on the same key is in flight) is also
+    treated as "taken": the committer re-reads the head and retries,
+    which is correct whether or not the rival's write ultimately
+    landed.
+
+    Only the MANIFEST plane goes through this store; data directories
+    are written by Spark through whatever filesystem serves
+    ``table_path``. Keys are ``key_prefix + path.lstrip('/')`` so a
+    driver-local table path maps to a stable bucket layout.
+    """
+
+    def __init__(self, client, bucket: str, key_prefix: str = "") -> None:
+        self._c = client
+        self._bucket = bucket
+        self._prefix = key_prefix
+
+    def _key(self, path: str) -> str:
+        return self._prefix + path.lstrip("/")
+
+    @staticmethod
+    def _err_code(exc) -> str:
+        return getattr(exc, "response", {}).get("Error", {}).get("Code", "")
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        from botocore.exceptions import ClientError
+
+        try:
+            self._c.put_object(
+                Bucket=self._bucket,
+                Key=self._key(path),
+                Body=data,
+                IfNoneMatch="*",
+            )
+            return True
+        except ClientError as e:
+            if self._err_code(e) in (
+                "PreconditionFailed",
+                "ConditionalRequestConflict",
+            ):
+                return False
+            raise
+
+    def get(self, path: str) -> bytes | None:
+        from botocore.exceptions import ClientError
+
+        try:
+            resp = self._c.get_object(
+                Bucket=self._bucket, Key=self._key(path)
+            )
+            return resp["Body"].read()
+        except ClientError as e:
+            if self._err_code(e) in ("NoSuchKey", "404"):
+                return None
+            raise
+
+    def listdir(self, dirpath: str) -> list[str]:
+        prefix = self._key(dirpath).rstrip("/") + "/"
+        names: list[str] = []
+        token: str | None = None
+        while True:
+            kwargs = {
+                "Bucket": self._bucket,
+                "Prefix": prefix,
+                "Delimiter": "/",
+            }
+            if token:
+                kwargs["ContinuationToken"] = token
+            resp = self._c.list_objects_v2(**kwargs)
+            names.extend(
+                c["Key"][len(prefix):]
+                for c in resp.get("Contents", [])
+                if c["Key"] != prefix
+            )
+            if not resp.get("IsTruncated"):
+                return names
+            token = resp.get("NextContinuationToken")
+
+    def delete(self, path: str) -> None:
+        self._c.delete_object(Bucket=self._bucket, Key=self._key(path))
+
+
 _POSIX = PosixManifestStore()
 
 
@@ -308,12 +397,15 @@ def _load_manifest(
 
 def commit(
     spark: SparkSession,
-    df: DataFrame,
+    df: DataFrame | None,
     table_path: str,
     mode: str = "append",
     batch_id: int | None = None,
     expected_parent: int | None | object = _UNSET,
     store: ManifestStore | None = None,
+    _op: str | None = None,
+    _dirs: list[str] | None = None,
+    _extra_manifest: dict | None = None,
 ) -> int:
     """Write ``df`` as a new table version and return its number.
 
@@ -375,23 +467,30 @@ def commit(
         seen = _batch_id_seen(table_path, parent, batch_id, st)
         if seen is not None:
             return seen
-    commit_dir = os.path.join(
-        table_path, _DATA_DIR, f"c{uuid.uuid4().hex[:12]}"
-    )
-    df.write.parquet(commit_dir)
-    rel_dir = os.path.relpath(commit_dir, table_path)
+    if _dirs is None:
+        commit_dir = os.path.join(
+            table_path, _DATA_DIR, f"c{uuid.uuid4().hex[:12]}"
+        )
+        df.write.parquet(commit_dir)
+        rel_dir = os.path.relpath(commit_dir, table_path)
 
     for _ in range(_COMMIT_RETRIES):
         version = 0 if parent is None else parent + 1
-        dirs = [rel_dir]
-        if mode == "append" and parent is not None:
-            dirs = _load_manifest(table_path, parent, st)["dirs"] + dirs
+        if _dirs is not None:
+            # caller (merge_upsert) wrote and pinned its own dir set
+            dirs = list(_dirs)
+        else:
+            dirs = [rel_dir]
+            if mode == "append" and parent is not None:
+                dirs = _load_manifest(table_path, parent, st)["dirs"] + dirs
         manifest = {
             "version": version,
             "parent": parent,
-            "op": mode,
+            "op": _op or mode,
             "dirs": dirs,
         }
+        if _extra_manifest:
+            manifest.update(_extra_manifest)
         if batch_id is not None:
             manifest["batch_id"] = batch_id
         if st.put_if_absent(
@@ -412,6 +511,156 @@ def commit(
         f"could not publish a manifest at {table_path!r} after "
         f"{_COMMIT_RETRIES} attempts — a concurrent writer kept winning"
     )
+
+
+_CHANGES_DIR = "_changes"
+
+
+def merge_upsert(
+    spark: SparkSession,
+    source: DataFrame,
+    table_path: str,
+    keys: list[str],
+    batch_id: int | None = None,
+    store: ManifestStore | None = None,
+) -> int:
+    """MERGE (upsert) ``source`` into the table by ``keys``: rows whose
+    key exists are replaced, new keys are inserted — Delta's
+    ``MERGE WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *``.
+
+    PRECONDITION: ``source`` carries at most one row per key (the same
+    requirement Delta MERGE enforces); several source rows for one key
+    would make the surviving row order-dependent.
+
+    Scale shape (the Delta copy-on-write rule at directory granularity):
+    only the parent directories that CONTAIN a matched key are
+    rewritten — their surviving (unmatched) rows land in one new
+    directory; every untouched directory is carried by reference. One
+    key-semi-join scan finds the touched dirs, one filtered scan
+    rewrites them; a merge touching 0.1% of files rewrites 0.1% of the
+    data, never the table.
+
+    CDC: the commit writes its row-level change set — ``delete`` /
+    ``insert`` pairs for replaced keys (the two rows a fold consumer
+    needs; Delta CDF's update_pre/postimage refinement of the same
+    rows), plain ``insert`` for new keys — to a ``_changes`` file the
+    manifest references, so ``read_changes`` ships the EXACT delta
+    without diffing snapshots. Replaced keys get _change_subtype
+    'update_preimage'/'update_postimage'; new keys 'insert'.
+
+    Concurrency: the rewrite is pinned to the snapshot it read
+    (``expected_parent``) — a concurrent commit landing between the
+    read and the publish raises ``SnapshotConflictError`` instead of
+    silently resurrecting replaced rows. ``batch_id`` gives streaming
+    foreachBatch sinks the same exactly-once replay dedup as
+    ``commit``.
+    """
+    st = _store(store)
+    st.check_path(table_path)
+    basis = current_version(table_path, st)
+    if basis is not None and batch_id is not None:
+        seen = _batch_id_seen(table_path, basis, batch_id, st)
+        if seen is not None:
+            return seen
+    if basis is None:
+        # empty table: MERGE degenerates to pure insert; change set is
+        # the source itself
+        chg = source.withColumn("_change_type", F.lit("insert")).withColumn(
+            "_change_subtype", F.lit("insert")
+        )
+        chg_rel = _write_change_set(chg, table_path)
+        return commit(
+            spark,
+            source,
+            table_path,
+            mode="overwrite",
+            batch_id=batch_id,
+            expected_parent=None,
+            store=st,
+            _op="merge",
+            _extra_manifest={"change_dir": chg_rel},
+        )
+
+    manifest = _load_manifest(table_path, basis, st)
+    parent_dirs: list[str] = manifest["dirs"]
+    parent = spark.read.parquet(
+        *[os.path.join(table_path, d) for d in parent_dirs]
+    ).withColumn(
+        "_dir",
+        F.regexp_extract(
+            F.col("_metadata.file_path"), f"({_DATA_DIR}/[^/]+)/", 1
+        ),
+    )
+    src_keys = source.select(*keys).dropDuplicates(keys)
+    # catalog-sized: one dir name per touched directory
+    touched = {
+        r["_dir"]
+        for r in parent.join(src_keys, keys, "semi")
+        .select("_dir")
+        .distinct()
+        .collect()
+    }
+    touched_parent = parent.where(F.col("_dir").isin(list(touched)))
+    survivors = touched_parent.join(src_keys, keys, "anti").drop("_dir")
+    preimages = touched_parent.join(src_keys, keys, "semi").drop("_dir")
+
+    data_cols = [c for c in source.columns]
+    matched_src = source.join(
+        preimages.select(*keys).dropDuplicates(keys), keys, "semi"
+    )
+    new_src = source.join(
+        preimages.select(*keys).dropDuplicates(keys), keys, "anti"
+    )
+    chg = (
+        preimages.select(*data_cols)
+        .withColumn("_change_type", F.lit("delete"))
+        .withColumn("_change_subtype", F.lit("update_preimage"))
+        .unionByName(
+            matched_src.select(*data_cols)
+            .withColumn("_change_type", F.lit("insert"))
+            .withColumn("_change_subtype", F.lit("update_postimage"))
+        )
+        .unionByName(
+            new_src.select(*data_cols)
+            .withColumn("_change_type", F.lit("insert"))
+            .withColumn("_change_subtype", F.lit("insert"))
+        )
+    )
+    chg_rel = _write_change_set(chg, table_path)
+
+    rewrite_dir = os.path.join(table_path, _DATA_DIR, f"c{uuid.uuid4().hex[:12]}")
+    survivors.write.parquet(rewrite_dir)
+    source_dir = os.path.join(table_path, _DATA_DIR, f"c{uuid.uuid4().hex[:12]}")
+    source.write.parquet(source_dir)
+    kept = [d for d in parent_dirs if d not in touched]
+    dirs = kept + [
+        os.path.relpath(rewrite_dir, table_path),
+        os.path.relpath(source_dir, table_path),
+    ]
+    return commit(
+        spark,
+        None,
+        table_path,
+        mode="overwrite",
+        batch_id=batch_id,
+        expected_parent=basis,
+        store=st,
+        _op="merge",
+        _dirs=dirs,
+        _extra_manifest={"change_dir": chg_rel},
+    )
+
+
+def _write_change_set(chg: DataFrame, table_path: str) -> str:
+    """Persist a commit's row-level change set under ``_changes/`` —
+    OUTSIDE the data root so vacuum's unreferenced-dir sweep never
+    confuses CDC files with table data (Delta keeps _change_data the
+    same way). Returns the table-relative directory."""
+    chg_dir = os.path.join(
+        table_path, _CHANGES_DIR, f"g{uuid.uuid4().hex[:12]}"
+    )
+    chg.write.parquet(chg_dir)
+    return os.path.relpath(chg_dir, table_path)
 
 
 def read_snapshot(
@@ -472,6 +721,15 @@ def read_changes(
       version row an insert — the truncate-and-load delta.
     - ``replace``: content-preserving rewrite (compaction) — NO logical
       change, exactly how Delta CDF treats OPTIMIZE.
+    - ``merge`` (:func:`merge_upsert`): the commit's persisted change
+      set is shipped verbatim — delete/insert pairs for replaced keys
+      (``_change_subtype`` 'update_preimage'/'update_postimage') and
+      plain inserts for new keys; untouched rows contribute nothing
+      even though the commit is physically an overwrite.
+
+    Every row also carries ``_change_subtype`` (equal to
+    ``_change_type`` except for merge's update pre/postimages), the
+    Delta CDF four-value refinement.
 
     ``merge_schema=True``: reconcile schema evolution WITHIN a commit's
     directories (footer-union read, as in ``read_snapshot``); evolution
@@ -494,15 +752,20 @@ def read_changes(
             f"({from_version}, {to_version})"
         )
 
-    def _tagged(dirs: list[str], change: str, v: int) -> DataFrame | None:
-        if not dirs:
-            return None
+    def _reader():
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
+        return reader
+
+    def _tagged(dirs: list[str], change: str, v: int) -> DataFrame | None:
+        if not dirs:
+            return None
         return (
-            reader.parquet(*[os.path.join(table_path, d) for d in dirs])
+            _reader()
+            .parquet(*[os.path.join(table_path, d) for d in dirs])
             .withColumn("_change_type", F.lit(change))
+            .withColumn("_change_subtype", F.lit(change))
             .withColumn("_commit_version", F.lit(v).cast("long"))
         )
 
@@ -523,6 +786,15 @@ def read_changes(
             ins = _tagged(m["dirs"], "insert", v)
             if ins is not None:
                 pieces.append(ins)
+        elif m["op"] == "merge":
+            # the commit wrote its EXACT row-level change set (with
+            # _change_type/_change_subtype baked in) — read it, never
+            # diff snapshots
+            pieces.append(
+                _reader()
+                .parquet(os.path.join(table_path, m["change_dir"]))
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+            )
         # op == 'replace': content-preserving, no logical change
         parent_dirs = m["dirs"]
 
@@ -531,6 +803,7 @@ def read_changes(
             read_snapshot(spark, table_path, to_version, store=st)
             .limit(0)
             .withColumn("_change_type", F.lit("insert"))
+            .withColumn("_change_subtype", F.lit("insert"))
             .withColumn("_commit_version", F.lit(0).cast("long"))
         )
     out = pieces[0]
