@@ -49,6 +49,11 @@ QUERIES = [
     "x103_zorder_skipping",
     "x06_minhash_lsh_pairs",
     "x53_incremental_lsh",
+    # lakehouse leg (r9 verdict #6): snapshot-log operations at a
+    # multi-GB commit payload — optimize (rewrite-as-replace-commit)
+    # and CDC view maintenance (feed scans delta dirs only)
+    "x132_optimize_equivalence",
+    "x145_cdc_incremental_view",
 ]
 
 # Per-query reading notes carried into the artifact (the x67 cap-note
@@ -77,6 +82,22 @@ NOTES = {
         "replaces full-corpus rebuilds at 100 TB: probe cost tracks "
         "the NEW batch x collision density, never old-vs-old"
     ),
+    "x132_optimize_equivalence": (
+        "lakehouse leg: commits the corpus into a snapshot log, runs "
+        "optimize_table (compaction as an atomic replace commit pinned "
+        "to its basis) and certifies pre==post content. Wall tracks "
+        "the one-pass data rewrite — manifest resolution stays "
+        "KB-sized driver-side catalog work at any payload (the log is "
+        "version-count-sized, never data-sized)"
+    ),
+    "x145_cdc_incremental_view": (
+        "lakehouse leg: append/replace/overwrite commit chain + a view "
+        "maintained purely from read_changes. The feed ships append "
+        "commits' DELTA directories only and replace contributes "
+        "nothing, so maintenance cost tracks the changed rows; the "
+        "dominant wall cost is the commit chain's own parquet writes "
+        "(the data plane), not feed resolution"
+    ),
 }
 SF01 = "/root/testdata/sf0.1"
 SF10 = os.path.join(
@@ -89,6 +110,14 @@ def main() -> None:
     runs = 3
     if "--runs" in sys.argv:
         runs = int(sys.argv[sys.argv.index("--runs") + 1])
+    # --only NAME (repeatable): refresh just those rows, merging into
+    # the existing artifact so untouched legs keep their numbers
+    only = [
+        sys.argv[i + 1]
+        for i, a in enumerate(sys.argv)
+        if a == "--only"
+    ]
+    queries = [q for q in QUERIES if not only or q in only]
     if not os.path.exists(os.path.join(SF10, "lineitem.parquet")):
         subprocess.check_call(
             [
@@ -111,7 +140,7 @@ def main() -> None:
         return s[len(s) // 2]
 
     out: dict[str, dict] = {}
-    for name in QUERIES:
+    for name in queries:
         build = REG[name].build
         rec: dict[str, object] = {}
         for label, sf_dir in [("sf0.1", SF01), ("sf10", SF10)]:
@@ -132,6 +161,15 @@ def main() -> None:
             f"rows {rec['sf0.1_rows']} -> {rec['sf10_rows']}"
         )
 
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_scaling_100x.json",
+    )
+    if only and os.path.exists(path):
+        with open(path) as fh:
+            prior = json.load(fh).get("queries", {})
+        prior.update(out)
+        out = prior
     payload = {
         "note": (
             "sf10 is 100x the sf0.1 row counts (documents 500k, orders 15M, "
@@ -142,10 +180,6 @@ def main() -> None:
         "queries": out,
         "max_ratio": max(r["ratio_100x_data"] for r in out.values()),
     }
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "BENCH_scaling_100x.json",
-    )
     with open(path, "w") as fh:
         json.dump(payload, fh, indent=1)
     print(f"wrote {path}; max ratio {payload['max_ratio']}x")
