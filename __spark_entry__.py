@@ -34,12 +34,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-10 rotation (executes the plan the round-9 verdict ordered):
 # the 45 remaining round-6-stale rows lead — x11–x39 (29) and
 # x57–x72 (16), last driver-checked in round 6, three rounds of
-# shared-helper churn ago. The final 5 slots go to x133 (its
-# GROUPING SETS + Möbius rewrite landed in round 9 and has never
-# had a driver verdict in final form) plus the oldest round-7 rows
-# x73–x76. After this round no driver verdict in the registry is
-# older than round 7; the round-11 rotation should lead with the
-# remaining r7 rows (x77–x114, x117–x120 …) plus anything new.
+# shared-helper churn ago. The final 5 slots go to the shapes that
+# CHANGED or LANDED this round: x133 (its GROUPING SETS + Möbius
+# rewrite has never had a driver verdict in final form; judge-named),
+# x74 (rebuilt this round — FastSS end-token blocking against a new
+# LITERAL-QUADRATIC oracle), and three of the five round-10
+# additions (x151 merge-CDC view, x152 Kendall tau-b, x155
+# anti-entropy drill-down). After this round no driver verdict in
+# the registry is older than round 7. The round-11 rotation should
+# lead with the remaining new rows (x153, x154), then the oldest
+# r7 rows (x73, x75, x76, x77–…).
 _CHECK_FIRST = [
     # round-6-stale: x11–x39
     "x11_srp_lsh_topk", "x12_crop_grid", "x13_overlap_vote",
@@ -59,11 +63,11 @@ _CHECK_FIRST = [
     "x66_similarity_join_exact", "x67_triangle_hubs", "x68_bpe_train",
     "x69_hll_rollup", "x70_recursive_closure", "x71_lateral_topk",
     "x72_udtf_chunks",
-    # x133's r9 GROUPING SETS rewrite — first driver verdict in final form
-    "x133_record_linkage_fs",
-    # oldest round-7 rows
-    "x73_bpe_encode", "x74_fuzzy_name_join", "x75_sliding_distinct",
-    "x76_quality_gate_corpus",
+    # shapes changed this round — first driver verdicts in final form
+    "x133_record_linkage_fs", "x74_fuzzy_name_join",
+    # round-10 additions
+    "x151_merge_feed_view", "x152_kendall_tau",
+    "x155_anti_entropy_repair",
 ]
 
 

@@ -10960,3 +10960,430 @@ def x151(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "o_orderpriority STRING, n_orders BIGINT, sum_cents BIGINT"
     ).orderBy("o_orderpriority")
+
+
+@_q(
+    "x152_kendall_tau",
+    """WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+                          CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS d
+                   FROM lineitem),
+       cells AS (SELECT q, d, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM li GROUP BY 1, 2),
+       cd AS (SELECT
+                CAST(SUM(CASE WHEN a.q < b.q AND a.d < b.d
+                              THEN a.n * b.n ELSE 0 END)::BIGINT AS BIGINT)
+                  AS concordant,
+                CAST(SUM(CASE WHEN a.q < b.q AND a.d > b.d
+                              THEN a.n * b.n ELSE 0 END)::BIGINT AS BIGINT)
+                  AS discordant
+              FROM cells a, cells b),
+       nn AS (SELECT CAST(SUM(n)::BIGINT AS BIGINT) AS nn FROM cells),
+       tq AS (SELECT CAST(SUM(t * (t - 1) // 2)::BIGINT AS BIGINT) AS s
+              FROM (SELECT CAST(SUM(n)::BIGINT AS BIGINT) AS t
+                    FROM cells GROUP BY q)),
+       td AS (SELECT CAST(SUM(t * (t - 1) // 2)::BIGINT AS BIGINT) AS s
+              FROM (SELECT CAST(SUM(n)::BIGINT AS BIGINT) AS t
+                    FROM cells GROUP BY d))
+       SELECT nn.nn * (nn.nn - 1) // 2 AS n_pairs,
+              cd.concordant, cd.discordant,
+              tq.s AS ties_q, td.s AS ties_d,
+              ROUND(
+                CAST(cd.concordant - cd.discordant AS DOUBLE)
+                / (sqrt(CAST(nn.nn * (nn.nn - 1) // 2 - tq.s AS DOUBLE))
+                   * sqrt(CAST(nn.nn * (nn.nn - 1) // 2 - td.s AS DOUBLE)))
+                + 0.0, 6) AS tau_b
+       FROM cd, nn, tq, td""",
+    doc="Kendall tau-b rank correlation between quantity and discount "
+    "over lineitem — the ordinal-association screen (do bigger orders "
+    "get deeper discounts?) a pipeline runs on discrete feature "
+    "pairs. Both engines work the (quantity x discount) CONTINGENCY "
+    "TABLE (<= 50x11 cells at any corpus size — the x147 value-"
+    "histogram discipline), but by different algorithms: the engine "
+    "densifies the cell grid (distinct-q x distinct-d, a domain-"
+    "bounded cross declared to the BNLJ gate) and derives concordant/"
+    "discordant pair counts from two nested window cumulations — "
+    "A(q,d) = sum of counts at q'<q within d (one pass), then "
+    "S(q,d) = sum of A over d'<d (second pass), C = sum n*S — linear "
+    "in cells; the ORACLE evaluates the literal quadratic cell-pair "
+    "double sum. Ties use exact integer arithmetic (t*(t-1)//2 per "
+    "tied value, the x147 tied-rank discipline); tau_b's denominator "
+    "multiplies two IEEE sqrt's of exact BIGINT differences (never "
+    "the BIGINT product, which would overflow int64 at ~600k rows), "
+    "and the one float division is rounded once at 6 (x112 "
+    "convention). Output is ONE row of exact pair counts plus tau_b "
+    "at any corpus size; int64 pair counts cap at ~4.3e9 rows — the "
+    "per-group histogram path (x147) is the shard-then-merge escape "
+    "hatch beyond that.",
+    bnlj_bounded=1,
+)
+def x152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.layout import _int_div
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("d"),
+    )
+    cells = li.groupBy("q", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # dense domain grid so the window cumulations see every (q, d)
+    # combination — 50 x 11 cells regardless of corpus size
+    grid = (
+        cells.select("q")
+        .distinct()
+        .crossJoin(cells.select("d").distinct())
+        .join(cells, ["q", "d"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+    )
+    w_a = (
+        Window.partitionBy("d")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_lt = (
+        Window.partitionBy("q")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_gt = (
+        Window.partitionBy("q")
+        .orderBy("d")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    s = (
+        grid.withColumn("a", F.coalesce(F.sum("n").over(w_a), F.lit(0)))
+        .withColumn("s_ll", F.coalesce(F.sum("a").over(w_lt), F.lit(0)))
+        .withColumn("s_lg", F.coalesce(F.sum("a").over(w_gt), F.lit(0)))
+    )
+    cd = s.agg(
+        F.sum(F.col("n") * F.col("s_ll")).cast("long").alias("concordant"),
+        F.sum(F.col("n") * F.col("s_lg")).cast("long").alias("discordant"),
+    )
+
+    def tie_sum(col: str, alias: str) -> DataFrame:
+        return (
+            cells.groupBy(col)
+            .agg(F.sum("n").cast("long").alias("t"))
+            .agg(
+                F.sum(
+                    _int_div(F.col("t") * (F.col("t") - 1), F.lit(2))
+                )
+                .cast("long")
+                .alias(alias)
+            )
+        )
+
+    nn = cells.agg(F.sum("n").cast("long").alias("nn"))
+    stats = (
+        cd.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(tie_sum("q", "ties_q")))
+        .crossJoin(F.broadcast(tie_sum("d", "ties_d")))
+    )
+    n0 = _int_div(F.col("nn") * (F.col("nn") - 1), F.lit(2))
+    denom = F.sqrt((n0 - F.col("ties_q")).cast("double")) * F.sqrt(
+        (n0 - F.col("ties_d")).cast("double")
+    )
+    return stats.select(
+        n0.cast("long").alias("n_pairs"),
+        "concordant",
+        "discordant",
+        "ties_q",
+        "ties_d",
+        F.round(
+            (F.col("concordant") - F.col("discordant")).cast("double")
+            / denom
+            + F.lit(0.0),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+@_q(
+    "x153_mann_whitney_u",
+    """WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS q, l_returnflag AS f
+                   FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+       ha AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n
+              FROM li WHERE f = 'A' GROUP BY q),
+       hb AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n
+              FROM li WHERE f = 'R' GROUP BY q),
+       u AS (SELECT CAST(SUM(CASE WHEN a.q > b.q THEN 2 * a.n * b.n
+                                  WHEN a.q = b.q THEN a.n * b.n
+                                  ELSE 0 END)::BIGINT AS BIGINT) AS u2
+             FROM ha a, hb b),
+       na AS (SELECT CAST(SUM(n)::BIGINT AS BIGINT) AS n_a FROM ha),
+       nb AS (SELECT CAST(SUM(n)::BIGINT AS BIGINT) AS n_b FROM hb)
+       SELECT na.n_a, nb.n_b, u.u2 AS u2_a,
+              ROUND(CAST(u.u2 AS DOUBLE)
+                    / CAST(na.n_a * nb.n_b AS DOUBLE) - 1.0 + 0.0, 6)
+                AS rank_biserial
+       FROM u, na, nb""",
+    doc="Mann-Whitney U (Wilcoxon rank-sum) comparing the quantity "
+    "distributions of returned ('A') vs refused ('R') line items — "
+    "the distribution-free two-sample location test a pipeline runs "
+    "before trusting a mean difference (x112's Welch t assumes "
+    "normal-ish tails; U does not). Everything derives from the two "
+    "VALUE HISTOGRAMS over the 50-value quantity domain, never row "
+    "pairs: the engine computes the doubled statistic 2*U_A = "
+    "sum_q nA(q) * (2*cumB(<q) + nB(q)) with ONE window cumulation "
+    "over the merged histogram — exact integers throughout (ties "
+    "contribute the odd half-counts to 2U, which stays integral; "
+    "x147 discipline); the ORACLE evaluates the literal quadratic "
+    "histogram-cell double sum. The one float op is the rank-"
+    "biserial effect size r = 2U/(nA*nB) - 1, one division rounded "
+    "once at 6 (x112 convention). Output is ONE row at any corpus "
+    "size; the histogram is domain-bounded so the shuffle is ~50 "
+    "rows whatever the row count.",
+)
+def x153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    hist = li.groupBy(F.col("l_quantity").cast("long").alias("q")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    u2 = (
+        hist.withColumn(
+            "cum_b", F.coalesce(F.sum("n_b").over(w), F.lit(0))
+        )
+        .agg(
+            F.sum(
+                F.col("n_a")
+                * (F.lit(2) * F.col("cum_b") + F.col("n_b"))
+            )
+            .cast("long")
+            .alias("u2_a"),
+            F.sum("n_a").cast("long").alias("n_a"),
+            F.sum("n_b").cast("long").alias("n_b"),
+        )
+    )
+    return u2.select(
+        "n_a",
+        "n_b",
+        "u2_a",
+        F.round(
+            F.col("u2_a").cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+            - F.lit(1.0)
+            + F.lit(0.0),
+            6,
+        ).alias("rank_biserial"),
+    )
+
+
+@_q(
+    "x154_ref_integrity_audit",
+    """WITH ov AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 19 <> 5),
+       cv AS (SELECT c_custkey FROM customer WHERE c_custkey % 13 <> 2),
+       e1 AS (SELECT l_orderkey AS k FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM ov
+                                WHERE ov.o_orderkey = l.l_orderkey)),
+       e2 AS (SELECT o_custkey AS k FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM cv
+                                WHERE cv.c_custkey = o.o_custkey))
+       SELECT edge, n_child, n_orphans, n_orphan_keys,
+              ROUND(CAST(n_orphans AS DOUBLE)
+                    / CAST(n_child AS DOUBLE) + 0.0, 6) AS orphan_share
+       FROM (
+         SELECT 'lineitem->orders' AS edge,
+                CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+                CAST(COUNT(*) AS BIGINT) AS n_orphans,
+                CAST(COUNT(DISTINCT k) AS BIGINT) AS n_orphan_keys
+         FROM e1
+         UNION ALL
+         SELECT 'orders->customer',
+                CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+                CAST(COUNT(*) AS BIGINT),
+                CAST(COUNT(DISTINCT k) AS BIGINT)
+         FROM e2
+       ) ORDER BY edge""",
+    doc="Referential-integrity audit across the foreign-key chain — "
+    "the ingest governance gate (x123's expectations report, lifted "
+    "from per-column predicates to CROSS-TABLE invariants): for each "
+    "FK edge, how many child rows point at a missing parent, over "
+    "how many distinct dangling keys, at what share. Parents are "
+    "deterministically corrupted views (orders minus o_orderkey%19=5, "
+    "customer minus c_custkey%13=2 — the x107 synthetic-breakage "
+    "pattern; the raw tables are orphan-free so the un-corrupted "
+    "audit would certify nothing). The ENGINE finds orphans with "
+    "LEFT ANTI joins (one shuffle per edge, key-only projections — "
+    "at 100 TB the parent side carries just the key column and the "
+    "anti join is the same hash join any FK validation burns); the "
+    "ORACLE spells NOT EXISTS correlated subqueries. Output is one "
+    "row per audited edge regardless of corpus size.",
+)
+def x154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    ov = orders.where(F.col("o_orderkey") % 19 != 5).select(
+        F.col("o_orderkey").alias("k")
+    )
+    oc = orders.select(F.col("o_custkey").alias("k"))
+    cv = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 13 != 2)
+        .select(F.col("c_custkey").alias("k"))
+    )
+
+    def edge(child: DataFrame, parent: DataFrame, name: str) -> DataFrame:
+        orphans = child.join(parent, "k", "anti").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orphans"),
+            F.countDistinct("k").cast("long").alias("n_orphan_keys"),
+        )
+        total = child.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+        return orphans.crossJoin(F.broadcast(total)).select(
+            F.lit(name).alias("edge"),
+            "n_child",
+            "n_orphans",
+            "n_orphan_keys",
+        )
+
+    report = edge(li, ov, "lineitem->orders").unionByName(
+        edge(oc, cv, "orders->customer")
+    )
+    return report.select(
+        "edge",
+        "n_child",
+        "n_orphans",
+        "n_orphan_keys",
+        F.round(
+            F.col("n_orphans").cast("double")
+            / F.col("n_child").cast("double")
+            + F.lit(0.0),
+            6,
+        ).alias("orphan_share"),
+    ).orderBy("edge")
+
+
+@_q(
+    "x155_anti_entropy_repair",
+    """WITH a AS (SELECT o_orderkey AS k,
+                         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                           AS cents,
+                         o_orderstatus AS st
+                  FROM orders),
+       b AS (SELECT k,
+                    CASE WHEN k % 101 = 7 THEN cents + 1 ELSE cents END
+                      AS cents,
+                    st
+             FROM a WHERE k % 103 <> 5),
+       d AS (SELECT COALESCE(a.k, b.k) AS k,
+                    CASE WHEN b.k IS NULL THEN 'missing_in_b'
+                         WHEN a.k IS NULL THEN 'missing_in_a'
+                         WHEN a.cents <> b.cents OR a.st <> b.st
+                           THEN 'value_mismatch'
+                         ELSE 'equal' END AS diff_type
+             FROM a FULL OUTER JOIN b ON a.k = b.k)
+       SELECT diff_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(COUNT(DISTINCT k % 64) AS BIGINT) AS n_buckets
+       FROM d WHERE diff_type <> 'equal'
+       GROUP BY 1 ORDER BY 1""",
+    doc="Anti-entropy repair drill-down between two table replicas — "
+    "x130's bucket-checksum fingerprint taken to the REPAIR step a "
+    "replicated lakehouse actually runs: replica B is replica A with "
+    "deterministic corruption (k%101=7 rows drift +1 cent, k%103=5 "
+    "rows lost — the x107 synthetic-breakage pattern). The ENGINE "
+    "does the Merkle-style two-phase protocol: phase 1 compares "
+    "per-bucket (row count, md5-28bit hash sum) fingerprints — 64 "
+    "catalog-sized rows per replica, the only thing replicas EXCHANGE "
+    "— and phase 2 row-diffs (full outer join on the key) ONLY the "
+    "rows whose bucket diverged, so comparison cost tracks the "
+    "DIVERGENCE, not the table: at 100 TB with one hot bucket, the "
+    "row join touches 1/64th of a replica and clean buckets ship 16 "
+    "bytes each. (At sf0.01 every bucket happens to diverge, so the "
+    "drill-down saves nothing HERE — the certified property is "
+    "equivalence, the scale property is the pruning.) The ORACLE "
+    "row-diffs the ENTIRE table with one FULL OUTER JOIN and no "
+    "bucketing — two independent derivations of the same repair "
+    "manifest: per diff class, row count and distinct buckets "
+    "touched.",
+)
+def x155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    b = a.where(F.col("k") % 103 != 5).withColumn(
+        "cents",
+        F.when(F.col("k") % 101 == 7, F.col("cents") + 1).otherwise(
+            F.col("cents")
+        ),
+    )
+    bucket = F.pmod(F.col("k"), F.lit(64)).cast("bigint")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("k").cast("string"),
+                    F.col("cents").cast("string"),
+                    F.col("st"),
+                )
+            ),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+    def fingerprint(df: DataFrame, n_col: str, c_col: str) -> DataFrame:
+        return (
+            df.withColumn("bucket", bucket)
+            .withColumn("h", h)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(n_col),
+                F.sum("h").cast("long").alias(c_col),
+            )
+        )
+
+    # phase 1: replicas exchange 64 fingerprint rows, nothing else
+    diverged = (
+        fingerprint(a, "n_a", "c_a")
+        .join(fingerprint(b, "n_b", "c_b"), "bucket", "full")
+        .where(
+            ~(
+                (F.col("n_a") == F.col("n_b"))
+                & (F.col("c_a") == F.col("c_b"))
+            )
+        )
+        .select("bucket")
+    )
+    # phase 2: row-level diff ONLY inside diverged buckets
+    ra = a.withColumn("bucket", bucket).join(diverged, "bucket", "semi")
+    rb = b.withColumn("bucket", bucket).join(diverged, "bucket", "semi")
+    joined = ra.alias("a").join(
+        rb.alias("b"), F.col("a.k") == F.col("b.k"), "full"
+    )
+    diff_type = (
+        F.when(F.col("b.k").isNull(), "missing_in_b")
+        .when(F.col("a.k").isNull(), "missing_in_a")
+        .when(
+            (F.col("a.cents") != F.col("b.cents"))
+            | (F.col("a.st") != F.col("b.st")),
+            "value_mismatch",
+        )
+        .otherwise("equal")
+    )
+    return (
+        joined.select(
+            diff_type.alias("diff_type"),
+            F.coalesce(F.col("a.bucket"), F.col("b.bucket")).alias("bucket"),
+        )
+        .where(F.col("diff_type") != "equal")
+        .groupBy("diff_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("bucket").cast("long").alias("n_buckets"),
+        )
+        .orderBy("diff_type")
+    )

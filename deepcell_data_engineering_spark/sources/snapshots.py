@@ -908,9 +908,11 @@ def vacuum(
     deleted directory names. Time travel to vacuumed versions raises;
     retained versions are untouched — the deletion set is computed
     from what the RETAINED manifests reference, never from age or
-    naming conventions. Data deletion is the DATA plane (POSIX here;
-    Hadoop FS on a cluster) — only the manifest ops go through the
-    store."""
+    naming conventions. Merge commits' CDC change sets (``_changes/``)
+    follow their manifest: a dropped version's change set goes with it,
+    a retained version's feed stays readable. Data deletion is the
+    DATA plane (POSIX here; Hadoop FS on a cluster) — only the
+    manifest ops go through the store."""
     import shutil
 
     st = _store(store)
@@ -929,8 +931,12 @@ def vacuum(
         if st.get(_manifest_path(table_path, v)) is not None
     ]
     referenced: set[str] = set()
+    kept_changes: set[str] = set()
     for v in keep_versions:
-        referenced.update(_load_manifest(table_path, v, st)["dirs"])
+        m = _load_manifest(table_path, v, st)
+        referenced.update(m["dirs"])
+        if "change_dir" in m:
+            kept_changes.add(m["change_dir"])
     data_root = os.path.join(table_path, _DATA_DIR)
     removed = []
     for d in sorted(os.listdir(data_root)):
@@ -938,6 +944,13 @@ def vacuum(
         if rel not in referenced:
             shutil.rmtree(os.path.join(data_root, d))
             removed.append(rel)
+    changes_root = os.path.join(table_path, _CHANGES_DIR)
+    if os.path.isdir(changes_root):
+        for d in sorted(os.listdir(changes_root)):
+            rel = os.path.join(_CHANGES_DIR, d)
+            if rel not in kept_changes:
+                shutil.rmtree(os.path.join(changes_root, d))
+                removed.append(rel)
     for v in range(0, keep_versions[0] if keep_versions else 0):
         st.delete(_manifest_path(table_path, v))
     return removed

@@ -1109,3 +1109,39 @@ def test_s3_store_threaded_race_no_lost_commits(spark, tmp_path):
     assert _rows(snap.read_snapshot(spark, t, store=store)) == _rows(
         docs.where(F.col("doc_id") < 120)
     )
+
+
+def test_vacuum_change_sets_follow_their_manifest(spark, tmp_path):
+    """Vacuum drops the CDC change set of a dropped merge commit and
+    keeps the change set of a retained one — the feed over retained
+    versions stays readable."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    snap.commit(spark, docs.where(F.col("doc_id") < 20), t)  # v0
+    snap.merge_upsert(
+        spark,
+        spark.createDataFrame([(1, "m1")], "doc_id bigint, source string"),
+        t,
+        keys=["doc_id"],
+    )  # v1
+    v2 = snap.merge_upsert(
+        spark,
+        spark.createDataFrame([(2, "m2")], "doc_id bigint, source string"),
+        t,
+        keys=["doc_id"],
+    )  # v2
+    chg_root = os.path.join(t, "_changes")
+    assert len(os.listdir(chg_root)) == 2
+    removed = snap.vacuum(t, keep_last=1)
+    # v1's manifest was dropped -> its change set went with it; the
+    # retained head's change set survived and is still readable
+    assert sum(r.startswith("_changes/") for r in removed) == 1
+    assert len(os.listdir(chg_root)) == 1
+    kept = snap._load_manifest(t, v2, snap._POSIX)["change_dir"]
+    assert os.path.isdir(os.path.join(t, kept))
+    piece = spark.read.parquet(os.path.join(t, kept))
+    assert piece.where(F.col("doc_id") == 2).count() >= 1
+    # a feed range STARTING at a vacuumed version raises like any
+    # vacuumed read (the CDF-range-needs-start-version rule)
+    with pytest.raises(snap.ManifestMissingError):
+        snap.read_changes(spark, t, 0, v2)
