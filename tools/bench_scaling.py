@@ -138,6 +138,19 @@ QUERIES = [
     "x148_proration_hamilton",
     "x149_fuzzy_vocab_pairs",
     "x150_benford_digits",
+    # round-10 additions: x151 MERGE-commit CDC fold (change set sized
+    # by touched keys, view merge state-sized); x152 Kendall tau-b on
+    # the (quantity, discount) CELL grid — pair arithmetic over a
+    # bounded 50x11 lattice, linear scan regardless of rows; x153
+    # rank-sum over a value histogram (tie-aware midranks from cum
+    # counts, no per-row ranks); x154 orphan/dangling FK audit
+    # (two broadcast-able anti-join legs); x155 anti-entropy bucket
+    # digest compare (Merkle-style: mismatched buckets only re-read).
+    "x151_merge_feed_view",
+    "x152_kendall_tau",
+    "x153_mann_whitney_u",
+    "x154_ref_integrity_audit",
+    "x155_anti_entropy_repair",
     # x66_similarity_join_exact is intentionally absent: its TRUE result
     # set (all pairs over a templated corpus) grows quadratically with
     # corpus size, so an sf1/sf0.1 ratio would read as a hidden
