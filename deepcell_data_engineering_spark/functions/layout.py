@@ -124,7 +124,7 @@ def grouped_cumsum(
     hist: DataFrame,
     group_cols: list[str],
     order_col: str,
-    count_col: str,
+    count_col: str | list[str],
     n_parts: int = 32,
 ) -> DataFrame:
     """Distributed inclusive prefix sum of ``count_col`` over
@@ -149,7 +149,12 @@ def grouped_cumsum(
     The result is independent of where the range partitioner split
     (any split of a sorted sequence yields the same prefix sums), so
     its sampling nondeterminism cannot move a result. Returns ``hist``
-    plus a long ``cum`` column.
+    plus a long ``cum`` column; pass a LIST of count columns to scan
+    several measures over ONE shared layout (returns ``cum_<col>``
+    per column) — chaining two single-column calls instead would nest
+    a second range partitioner inside the first call's join, whose
+    branches then re-sample splits independently and trip the
+    divergence guard below (observed: x158's two-sided CDF).
 
     Same-splits invariant (r8 ADVICE): the ``_pid`` join is only
     correct if the partial-cumsum branch and the offsets branch see
@@ -171,6 +176,8 @@ def grouped_cumsum(
     consistent splits the assertion can never fire.)"""
     from pyspark.sql import Window
 
+    single = isinstance(count_col, str)
+    count_cols = [count_col] if single else list(count_col)
     parts = hist.repartitionByRange(
         n_parts, *group_cols, order_col
     ).withColumn("_pid", F.spark_partition_id())
@@ -179,22 +186,25 @@ def grouped_cumsum(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    partial = parts.withColumn("_pcum", F.sum(count_col).over(wpart))
+    partial = parts
+    for c in count_cols:
+        partial = partial.withColumn(f"_pcum_{c}", F.sum(c).over(wpart))
     woff = (
         Window.partitionBy(*group_cols)
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = (
-        parts.groupBy("_pid", *group_cols)
-        .agg(
-            F.sum(count_col).alias("_ptot"),
-            F.min(order_col).alias("_olo"),
-            F.max(order_col).alias("_ohi"),
-        )
-        .withColumn("_off", F.coalesce(F.sum("_ptot").over(woff), F.lit(0)))
-        .drop("_ptot")
+    offsets = parts.groupBy("_pid", *group_cols).agg(
+        *[F.sum(c).alias(f"_ptot_{c}") for c in count_cols],
+        F.min(order_col).alias("_olo"),
+        F.max(order_col).alias("_ohi"),
     )
+    for c in count_cols:
+        offsets = offsets.withColumn(
+            f"_off_{c}",
+            F.coalesce(F.sum(f"_ptot_{c}").over(woff), F.lit(0)),
+        )
+    offsets = offsets.drop(*[f"_ptot_{c}" for c in count_cols])
     # the assertion lives INSIDE the cum expression so column pruning
     # can never drop it (assert_true returns NULL on success). NULL
     # order values short-circuit the guard: min/max skip NULLs, so
@@ -210,15 +220,20 @@ def grouped_cumsum(
             "plan divergence) — cumulative sums would be wrong"
         ),
     )
-    return (
-        partial.join(F.broadcast(offsets), ["_pid", *group_cols])
-        .withColumn(
-            "cum",
+    out = partial.join(F.broadcast(offsets), ["_pid", *group_cols])
+    for c in count_cols:
+        out = out.withColumn(
+            "cum" if single else f"cum_{c}",
             F.when(
-                guard.isNull(), F.col("_pcum") + F.col("_off")
+                guard.isNull(), F.col(f"_pcum_{c}") + F.col(f"_off_{c}")
             ).cast("long"),
         )
-        .drop("_pid", "_pcum", "_off", "_olo", "_ohi")
+    return out.drop(
+        "_pid",
+        "_olo",
+        "_ohi",
+        *[f"_pcum_{c}" for c in count_cols],
+        *[f"_off_{c}" for c in count_cols],
     )
 
 

@@ -11387,3 +11387,251 @@ def x155(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("diff_type")
     )
+
+
+@_q(
+    "x156_grouped_ols",
+    """WITH li AS (SELECT l_returnflag,
+                          CAST(l_quantity AS BIGINT) AS x,
+                          CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                            AS y
+                   FROM lineitem)
+       SELECT l_returnflag,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              ROUND(regr_slope(y, x) + 0.0, 4) AS slope_cents,
+              ROUND(regr_intercept(y, x) + 0.0, 2) AS intercept_cents,
+              ROUND(regr_r2(y, x) + 0.0, 6) AS r2
+       FROM li GROUP BY 1 ORDER BY 1""",
+    doc="Grouped least-squares regression — extendedprice (cents) on "
+    "quantity per returnflag: the per-segment trend fit a pipeline "
+    "health dashboard runs over every numeric pair (alongside x112's "
+    "Welch t and x152's Kendall tau-b). The ENGINE computes the five "
+    "moment sums n, Sx, Sy, Sxy, Sxx, Syy EXACTLY in decimal(38,0) "
+    "(inputs are integral: quantity 1-50, price in cents; Syy "
+    "overflows int64 beyond ~sf0.1, hence decimal) in ONE grouped "
+    "aggregation, then derives slope = (n*Sxy - Sx*Sy)/(n*Sxx - "
+    "Sx^2), intercept = (Sy*Sxx - Sx*Sxy)/(n*Sxx - Sx^2) and r2 = "
+    "num^2/(den*(n*Syy - Sy^2)) as single divisions of exact "
+    "integers (the x44 discipline: one float op per output, rounded "
+    "once). The ORACLE is DuckDB's own regr_slope/regr_intercept/"
+    "regr_r2 streaming-covariance aggregates — a fully independent "
+    "third-party implementation, so agreement certifies the closed "
+    "form against a different algorithm in a different engine. "
+    "Scale shape: one map-side-combinable aggregation over 3 groups; "
+    "no window, no join, output 3 rows at any corpus size.",
+)
+def x156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d38 = "decimal(38,0)"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    inum = (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast(
+        "double"
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(num / den + F.lit(0.0), 4).alias("slope_cents"),
+        F.round(inum / den + F.lit(0.0), 2).alias("intercept_cents"),
+        F.round(num * num / (den * den_y) + F.lit(0.0), 6).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+@_q(
+    "x157_mutual_information",
+    """WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM documents GROUP BY 1, 2),
+       m AS (SELECT lang, source, n,
+                    SUM(n) OVER (PARTITION BY lang) AS nx,
+                    SUM(n) OVER (PARTITION BY source) AS ny,
+                    SUM(n) OVER () AS nn
+             FROM c)
+       SELECT lang, source, n AS n_cell,
+              CAST(nx AS BIGINT) AS n_lang,
+              CAST(ny AS BIGINT) AS n_source,
+              ROUND(CAST(n * nn AS DOUBLE) / CAST(nx * ny AS DOUBLE)
+                    + 0.0, 6) AS lift,
+              ROUND(2.0 * n * ln(CAST(n * nn AS DOUBLE)
+                                 / CAST(nx * ny AS DOUBLE)) + 0.0, 6)
+                AS g_term
+       FROM m ORDER BY lang, source""",
+    doc="Categorical association audit — the (lang, source) "
+    "contingency table with per-cell lift n*N/(n_lang*n_source) and "
+    "G-test terms 2*n*ln(lift) (G = 2*N*MI in nats: summing g_term "
+    "gives the log-likelihood-ratio independence statistic). The "
+    "corpus-governance question it answers: is a source "
+    "over-contributing one language (cell lift >> 1), i.e. does "
+    "stratifying the mixture by source silently reweight languages "
+    "(x52's temperature mix assumes near-independence). ENGINE: one "
+    "CUBE pass over (lang, source) — grouping_id splits the single "
+    "shuffled aggregate into cells + both marginals + grand total "
+    "(the x133 one-Expand discipline), marginals broadcast back onto "
+    "cells; the 1-row total is a bounded composition attach. ORACLE: "
+    "window sums over the cell table — a different derivation of the "
+    "same margins. Both engines compute lift as ONE double division "
+    "of exact int64 products and ln() on that identical double "
+    "(libm-vs-JVM ulp noise is ~1e-15, six orders below the 1e-6 "
+    "rounding grain). Cells are vocabulary-sized (|langs| x "
+    "|sources|), so every post-shuffle relation is catalog-sized at "
+    "100 TB.",
+)
+def x157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cube = docs.cube("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.grouping_id().alias("gid"),
+    )
+    cells = cube.where(F.col("gid") == 0).select("lang", "source", "n")
+    lang_m = cube.where(F.col("gid") == 1).select(
+        "lang", F.col("n").alias("n_lang")
+    )
+    src_m = cube.where(F.col("gid") == 2).select(
+        "source", F.col("n").alias("n_source")
+    )
+    total = cube.where(F.col("gid") == 3).select(F.col("n").alias("nn"))
+    lift = (F.col("n") * F.col("nn")).cast("double") / (
+        F.col("n_lang") * F.col("n_source")
+    ).cast("double")
+    return (
+        cells.join(F.broadcast(lang_m), "lang")
+        .join(F.broadcast(src_m), "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "source",
+            F.col("n").alias("n_cell"),
+            "n_lang",
+            "n_source",
+            F.round(lift + F.lit(0.0), 6).alias("lift"),
+            F.round(
+                F.lit(2.0) * F.col("n") * F.log(lift) + F.lit(0.0), 6
+            ).alias("g_term"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@_q(
+    "x158_ks_two_sample",
+    """WITH a AS (SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v
+                  FROM orders WHERE o_orderpriority = '1-URGENT'),
+       b AS (SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v
+             FROM orders WHERE o_orderpriority = '5-LOW'),
+       pts AS (SELECT DISTINCT v
+               FROM (SELECT v FROM a UNION ALL SELECT v FROM b)),
+       na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM a),
+       nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+       f AS (SELECT pts.v,
+                    (SELECT COUNT(*) FROM a WHERE a.v <= pts.v) AS ca,
+                    (SELECT COUNT(*) FROM b WHERE b.v <= pts.v) AS cb
+             FROM pts),
+       d AS (SELECT f.v,
+                    ABS(ca * nb.n - cb * na.n) AS dn
+             FROM f, na, nb)
+       SELECT na.n AS n_a, nb.n AS n_b,
+              CAST((SELECT MAX(dn) FROM d) AS BIGINT) AS d_num,
+              ROUND(CAST((SELECT MAX(dn) FROM d) AS DOUBLE)
+                    / CAST(na.n * nb.n AS DOUBLE) + 0.0, 6) AS ks_d,
+              (SELECT MIN(v) FROM d
+               WHERE dn = (SELECT MAX(dn) FROM d)) AS ks_at_cents
+       FROM na, nb""",
+    doc="Two-sample Kolmogorov-Smirnov distance between the "
+    "total-price distributions of URGENT vs LOW orders — the "
+    "whole-CDF drift test that catches shape changes x141's binned "
+    "PSI and x153's location-only rank-sum both miss. Everything is "
+    "EXACT integer arithmetic until the last division: D's numerator "
+    "is max_v |cumA(v)*nB - cumB(v)*nA| over the merged cents "
+    "histogram, so ks_d = D_num/(nA*nB) is one rounded float. The "
+    "ENGINE builds the merged value histogram (one shuffle), runs "
+    "grouped_cumsum — the two-phase distributed prefix scan from "
+    "functions/layout, NOT a single-partition window, because price "
+    "cents are near-unique so the histogram is row-sized — scanning "
+    "BOTH sides' counts over one shared range layout (the multi-"
+    "column form added for this query: chaining two calls nests "
+    "range partitioners whose branches re-sample splits and trip "
+    "the divergence guard), and attaches the "
+    "1-row (nA, nB) and max-D aggregates as bounded composition "
+    "attaches. ks_at_cents reports the smallest value achieving the "
+    "sup (ties broken by MIN, so the argmax is deterministic). The "
+    "ORACLE evaluates the literal textbook definition: for every "
+    "distinct sample point, correlated COUNT(*) subqueries re-scan "
+    "both samples (quadratic — fine at the oracle's sf). At 100 TB "
+    "the engine's cost is two scans + one histogram shuffle + a "
+    "prefix scan whose ordered windows run per range-partition.",
+)
+def x158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.layout import (
+        grouped_cumsum,
+    )
+
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    hist = o.groupBy(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v")
+    ).agg(
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("h_a"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("h_b"),
+    )
+    cum = grouped_cumsum(hist, [], "v", ["h_a", "h_b"])
+    totals = hist.agg(
+        F.sum("h_a").cast("long").alias("n_a"),
+        F.sum("h_b").cast("long").alias("n_b"),
+    )
+    diffs = cum.crossJoin(F.broadcast(totals)).select(
+        "v",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_h_a") * F.col("n_b")
+            - F.col("cum_h_b") * F.col("n_a")
+        ).alias("dn"),
+    )
+    dmax = diffs.agg(F.max("dn").alias("d_num"))
+    at = (
+        diffs.join(F.broadcast(dmax), F.col("dn") == F.col("d_num"))
+        .agg(F.min("v").alias("ks_at_cents"))
+    )
+    return (
+        totals.crossJoin(F.broadcast(dmax))
+        .crossJoin(F.broadcast(at))
+        .select(
+            "n_a",
+            "n_b",
+            "d_num",
+            F.round(
+                F.col("d_num").cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+                + F.lit(0.0),
+                6,
+            ).alias("ks_d"),
+            "ks_at_cents",
+        )
+    )

@@ -286,3 +286,41 @@ def test_grouped_cumsum_null_order_values_pass_the_tripwire(spark):
     for i in range(1, 7):
         running += i + 1
         assert out[("a", i)] == running
+
+
+def test_grouped_cumsum_multi_column_one_layout(spark):
+    """The list form must scan every measure over ONE shared range
+    layout and match per-column single-call results — chaining two
+    single-column calls instead nests a second range partitioner
+    inside the first call's join and trips the divergence tripwire
+    (observed building x158's two-sided CDF)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b"], 300),
+            "k": rng.randint(0, 5_000, 300),
+            "c1": rng.randint(0, 7, 300),
+            "c2": rng.randint(0, 4, 300),
+        }
+    )
+    pdf = pdf.groupby(["g", "k"], as_index=False)[["c1", "c2"]].sum()
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r["g"], int(r["k"])): (int(r["cum_c1"]), int(r["cum_c2"]))
+        for r in ly.grouped_cumsum(
+            df, ["g"], "k", ["c1", "c2"], n_parts=4
+        ).collect()
+    }
+    for col, idx in (("c1", 0), ("c2", 1)):
+        solo = {
+            (r["g"], int(r["k"])): int(r["cum"])
+            for r in ly.grouped_cumsum(
+                df, ["g"], "k", col, n_parts=4
+            ).collect()
+        }
+        assert {k: v[idx] for k, v in got.items()} == solo, col
+    # single-string form keeps its historical output name
+    assert "cum" in ly.grouped_cumsum(df, ["g"], "k", "c1").columns
