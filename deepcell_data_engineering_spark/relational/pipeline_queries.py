@@ -11635,3 +11635,304 @@ def x158(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_at_cents",
         )
     )
+
+
+@_q(
+    "x159_market_basket",
+    """WITH ib AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+                   FROM lineitem JOIN part ON l_partkey = p_partkey),
+       pr AS (SELECT x.b AS brand_a, y.b AS brand_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_ab
+              FROM ib x JOIN ib y ON x.o = y.o AND x.b < y.b
+              GROUP BY 1, 2),
+       bc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM ib GROUP BY 1),
+       t AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM ib)
+       SELECT pr.brand_a, pr.brand_b, pr.n_ab,
+              ca.n AS n_a, cb.n AS n_b,
+              ROUND(CAST(pr.n_ab AS DOUBLE) / CAST(t.n AS DOUBLE)
+                    + 0.0, 6) AS support,
+              ROUND(CAST(pr.n_ab AS DOUBLE) / CAST(ca.n AS DOUBLE)
+                    + 0.0, 6) AS confidence,
+              ROUND(CAST(pr.n_ab * t.n AS DOUBLE)
+                    / CAST(ca.n * cb.n AS DOUBLE) + 0.0, 6) AS lift
+       FROM pr
+       JOIN bc ca ON ca.b = pr.brand_a
+       JOIN bc cb ON cb.b = pr.brand_b
+       CROSS JOIN t
+       ORDER BY brand_a, brand_b""",
+    doc="Market-basket association rules over order itemsets — brand "
+    "pairs co-purchased in one order, with support n_ab/N, "
+    "confidence n_ab/n_a and lift n_ab*N/(n_a*n_b): the co-occurrence "
+    "mining shape that also powers tag-affinity and "
+    "topics-that-travel-together corpus audits. The ENGINE never "
+    "self-joins the itemset table: per-order brand sets (bounded — "
+    "~4 lines/order against a 25-brand vocabulary) are collected "
+    "once, and the a<b pairs are generated ROW-LOCALLY by a nested "
+    "array-HOF (transform x slice inside flatten), so pair "
+    "generation is map-side and the only shuffles are the itemset "
+    "dedup and the pair count — per-order work is quadratic only in "
+    "the ORDER size, which is data-model-bounded, never in the "
+    "corpus. Per-brand counts and the 1-row N attach are broadcast. "
+    "The ORACLE generates the same pairs with the literal equi-self-"
+    "join on order key. Exact int64 counts; the three ratios are "
+    "single rounded divisions (x44 discipline). Output is at most "
+    "C(25,2)=300 rows at any scale.",
+)
+def x159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("o", F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    pairs = (
+        items.groupBy("o")
+        .agg(F.sort_array(F.collect_set("b")).alias("bs"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(bs, (x, i) -> "
+                    "transform(slice(bs, i + 2, size(bs)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(
+            F.col("p.a").alias("brand_a"), F.col("p.b").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    bc = items.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    total = items.agg(
+        F.countDistinct("o").cast("long").alias("n_orders")
+    )
+    return (
+        pairs.join(
+            F.broadcast(bc.select(F.col("b").alias("brand_a"),
+                                  F.col("n").alias("n_a"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(bc.select(F.col("b").alias("brand_b"),
+                                  F.col("n").alias("n_b"))),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_ab").cast("double")
+                / F.col("n_orders").cast("double")
+                + F.lit(0.0),
+                6,
+            ).alias("support"),
+            F.round(
+                F.col("n_ab").cast("double") / F.col("n_a").cast("double")
+                + F.lit(0.0),
+                6,
+            ).alias("confidence"),
+            F.round(
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+                + F.lit(0.0),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("brand_a", "brand_b")
+    )
+
+
+@_q(
+    "x160_weighted_quantiles",
+    """WITH e AS (SELECT l_returnflag AS f,
+                         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                           AS v
+                  FROM lineitem,
+                       LATERAL (SELECT unnest(generate_series(1,
+                         CAST(l_quantity AS BIGINT)))) AS u(i)),
+       r AS (SELECT f, v,
+                    ROW_NUMBER() OVER (PARTITION BY f ORDER BY v) AS rn
+             FROM e),
+       w AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS tw FROM e GROUP BY 1),
+       p AS (SELECT * FROM (VALUES ('p25', 1, 4), ('p50', 1, 2),
+                                   ('p75', 3, 4), ('p90', 9, 10))
+             AS t(pct, nu, de)),
+       k AS (SELECT w.f, p.pct, w.tw,
+                    (p.nu * w.tw + p.de - 1) // p.de AS kk
+             FROM w CROSS JOIN p)
+       SELECT k.f AS l_returnflag, k.pct,
+              CAST(k.kk AS BIGINT) AS k_target,
+              k.tw AS total_w,
+              r.v AS value_cents
+       FROM k JOIN r ON r.f = k.f AND r.rn = k.kk
+       ORDER BY l_returnflag, pct""",
+    doc="Weighted percentiles — extendedprice cents weighted by "
+    "quantity per returnflag, the unit-economics question (price "
+    "level at the q-th UNIT, not the q-th line) every revenue "
+    "dashboard needs and no built-in percentile answers. Lower "
+    "weighted-quantile convention: the least value whose cumulative "
+    "weight reaches ceil(p*W), with the target rank computed in "
+    "EXACT integer arithmetic as (nu*W + de - 1) div de from the "
+    "fraction nu/de — never float p*W, whose binary representation "
+    "(0.9) could tip a ceil across engines. The ENGINE aggregates "
+    "the per-(flag, value) WEIGHT histogram, runs the grouped_cumsum "
+    "two-phase scan over it (value domain is row-sized; no single-"
+    "partition window), and picks min(v) with cum >= k via a "
+    "broadcast of the 12-row (flag, pct, k) frame. The ORACLE "
+    "brute-force EXPANDS every line into `quantity` unit rows "
+    "(generate_series lateral — the literal definition of a weighted "
+    "quantile) and row-numbers each flag to read the k-th unit "
+    "directly: two independent algorithms, identical integer "
+    "answers. Ties are safe in both: equal values share a cents key "
+    "in the histogram, and whatever order ROW_NUMBER breaks ties in, "
+    "the VALUE at rank k is unique. Output: 12 rows at any scale.",
+)
+def x160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.layout import (
+        _int_div,
+        grouped_cumsum,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("f"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    hist = li.groupBy("f", "v").agg(F.sum("w").alias("wc"))
+    cum = grouped_cumsum(hist, ["f"], "v", "wc")
+    tot = hist.groupBy("f").agg(F.sum("wc").cast("long").alias("total_w"))
+    pcts = spark.createDataFrame(
+        [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10)],
+        "pct STRING, nu LONG, de LONG",
+    )
+    ks = tot.crossJoin(F.broadcast(pcts)).select(
+        "f",
+        "pct",
+        "total_w",
+        _int_div(
+            F.col("nu") * F.col("total_w") + F.col("de") - F.lit(1),
+            F.col("de"),
+        ).alias("k_target"),
+    )
+    return (
+        cum.alias("c")
+        .join(
+            F.broadcast(ks.alias("k")),
+            (F.col("c.f") == F.col("k.f"))
+            & (F.col("c.cum") >= F.col("k.k_target")),
+        )
+        .groupBy(
+            F.col("k.f").alias("l_returnflag"),
+            "pct",
+            "k_target",
+            "total_w",
+        )
+        .agg(F.min("c.v").alias("value_cents"))
+        .select(
+            "l_returnflag", "pct", "k_target", "total_w", "value_cents"
+        )
+        .orderBy("l_returnflag", "pct")
+    )
+
+
+@_q(
+    "x161_heaps_law",
+    """WITH tk AS (SELECT doc_id,
+                          unnest(regexp_split_to_array(trim(text),
+                                                       '\\s+')) AS tok
+                   FROM documents),
+       nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+       ck AS (SELECT CAST(i AS BIGINT) AS decile,
+                     (nd.n * i + 9) // 10 AS k
+              FROM nd, (SELECT unnest(generate_series(1, 10)) AS i)),
+       ordd AS (SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+                FROM documents),
+       th AS (SELECT ck.decile, ck.k, o.doc_id AS cutoff
+              FROM ck JOIN ordd o ON o.rn = ck.k),
+       agg AS (SELECT th.decile, th.k,
+                      (SELECT CAST(COUNT(*) AS BIGINT) FROM tk
+                       WHERE tk.doc_id <= th.cutoff) AS cum_tokens,
+                      (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) FROM tk
+                       WHERE tk.doc_id <= th.cutoff) AS vocab
+               FROM th)
+       SELECT decile, CAST(k AS BIGINT) AS n_docs, cum_tokens, vocab,
+              ROUND(CAST(vocab AS DOUBLE) / CAST(cum_tokens AS DOUBLE)
+                    + 0.0, 6) AS ttr
+       FROM agg ORDER BY decile""",
+    doc="Vocabulary growth curve (Heaps' law) — cumulative corpus "
+    "tokens vs cumulative distinct vocabulary at each decile of the "
+    "doc_id-ordered corpus, plus the type-token ratio: the tokenizer-"
+    "budget planning curve (how fast does vocab saturate as the "
+    "corpus grows) that sits upstream of x68's BPE training and "
+    "x25's vocab coverage. The ENGINE makes ONE tokenization pass: "
+    "each token's FIRST-occurrence doc (min doc_id per token — one "
+    "shuffle on token) converts 'distinct vocabulary so far' into a "
+    "per-doc new-word count whose prefix sum is the vocab curve, so "
+    "cum_tokens, vocab and the doc rank all come from a single "
+    "multi-column grouped_cumsum over the per-doc table (the "
+    "two-phase scan; no single-partition window, no per-checkpoint "
+    "rescans) with the 10-row checkpoint frame broadcast onto rank "
+    "equality. The ORACLE re-counts every checkpoint from scratch — "
+    "COUNT(DISTINCT tok) over each doc_id prefix, ten literal "
+    "re-scans. Checkpoint ranks are exact integer ceil((N*i) / 10); "
+    "ttr is the one rounded division. At 100 TB the engine cost is "
+    "one explode + two shuffles regardless of checkpoint count.",
+)
+def x161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.layout import (
+        _int_div,
+        grouped_cumsum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok")
+    )
+    new_per_doc = (
+        tok.groupBy("tok")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    d = (
+        per_doc.join(new_per_doc, "doc_id", "left")
+        .fillna(0, ["n_new"])
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    cums = grouped_cumsum(d, [], "doc_id", ["n_tok", "n_new", "one"])
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    deciles = spark.range(1, 11).select(F.col("id").alias("decile"))
+    ck = nd.crossJoin(F.broadcast(deciles)).select(
+        "decile",
+        _int_div(
+            F.col("n") * F.col("decile") + F.lit(9), F.lit(10)
+        ).alias("k"),
+    )
+    return (
+        cums.join(F.broadcast(ck), cums.cum_one == ck.k)
+        .select(
+            "decile",
+            F.col("k").alias("n_docs"),
+            F.col("cum_n_tok").alias("cum_tokens"),
+            F.col("cum_n_new").alias("vocab"),
+            F.round(
+                F.col("cum_n_new").cast("double")
+                / F.col("cum_n_tok").cast("double")
+                + F.lit(0.0),
+                6,
+            ).alias("ttr"),
+        )
+        .orderBy("decile")
+    )
