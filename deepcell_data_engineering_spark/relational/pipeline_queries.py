@@ -11936,3 +11936,91 @@ def x161(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@_q(
+    "x162_delete_feed_view",
+    """WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS p,
+                            CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                              AS cents
+                     FROM orders),
+       fin AS (SELECT p, cents FROM base
+               WHERE k % 13 <> 4
+                 AND NOT (k % 29 = 1 AND p = '5-LOW'))
+       SELECT p AS o_orderpriority,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              CAST(SUM(cents) AS BIGINT) AS sum_cents
+       FROM fin GROUP BY 1 ORDER BY 1""",
+    doc="Incremental view maintenance from a DELETE change feed — the "
+    "x145 (append/overwrite) and x151 (MERGE) certifications extended "
+    "to snapshots.delete_where, completing the CRUD feed surface: the "
+    "orders table lands in two appended directories, then two DELETE "
+    "commits remove k%13=4 rows (touches both dirs) and the LOW-"
+    "priority k%29=1 slice (a predicate whose survivors must include "
+    "every non-matching row of the rewritten dirs). A per-priority "
+    "(count, sum) view materialized BEFORE the deletes is advanced "
+    "purely from read_changes' signed fold — each deleted row ships "
+    "exactly one 'delete' feed row (-1), survivors of the rewritten "
+    "directories ship NOTHING even though they were physically "
+    "copied. The oracle computes the final state directly from raw "
+    "orders with both predicates, so a feed that leaks a survivor, "
+    "misses a deleted row, or double-ships across the two commits "
+    "breaks the hash. Scale shape: delete rewrites only directories "
+    "containing a match (copy-on-write at dir granularity), the "
+    "change set is persisted at commit time and shipped verbatim, "
+    "and maintenance is one grouped fold of the delta plus a "
+    "state-sized merge.",
+)
+def x162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from deepcell_data_engineering_spark.functions.stats import (
+        merge_grouped_sums,
+    )
+    from deepcell_data_engineering_spark.sources import snapshots as snap
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("p"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    t = tempfile.mkdtemp(prefix="dde_delete_view_")
+    try:
+        snap.commit(spark, base.where(F.col("k") % 2 == 0), t)
+        v_base = snap.commit(
+            spark, base.where(F.col("k") % 2 == 1), t, mode="append"
+        )
+        snap.delete_where(spark, t, "k % 13 = 4")
+        head = snap.delete_where(spark, t, "k % 29 = 1 AND p = '5-LOW'")
+
+        state0 = (
+            snap.read_snapshot(spark, t, v_base)
+            .groupBy("p")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+        )
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        delta = (
+            snap.read_changes(spark, t, v_base, head)
+            .groupBy("p")
+            .agg(
+                F.sum(sign).cast("bigint").alias("n_orders"),
+                F.sum(sign * F.col("cents")).cast("bigint").alias(
+                    "sum_cents"
+                ),
+            )
+        )
+        view = merge_grouped_sums(
+            [state0, delta], ["p"], ["n_orders", "sum_cents"]
+        ).where(F.col("n_orders") != 0)
+        rows = [
+            (r["p"], r["n_orders"], r["sum_cents"]) for r in view.collect()
+        ]
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderpriority STRING, n_orders BIGINT, sum_cents BIGINT"
+    ).orderBy("o_orderpriority")

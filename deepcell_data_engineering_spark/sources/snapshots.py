@@ -651,6 +651,99 @@ def merge_upsert(
     )
 
 
+def delete_where(
+    spark: SparkSession,
+    table_path: str,
+    condition,
+    batch_id: int | None = None,
+    store: ManifestStore | None = None,
+) -> int:
+    """DELETE FROM the table WHERE ``condition`` — the third leg of the
+    Delta CRUD surface (append/overwrite = INSERT, :func:`merge_upsert`
+    = UPDATE/INSERT, this = DELETE). ``condition`` is a Column or SQL
+    string; rows where it evaluates TRUE are removed, FALSE **or NULL**
+    survive (SQL DELETE semantics — the survivor filter is
+    ``NOT coalesce(cond, false)``, not ``~cond``, so a NULL predicate
+    never deletes).
+
+    Scale shape (same copy-on-write rule as merge): one predicate scan
+    finds the parent directories CONTAINING a matched row; only those
+    are rewritten (their survivors land in one new directory), every
+    untouched directory is carried by reference — a delete matching
+    0.1% of files rewrites 0.1% of the data. When the predicate aligns
+    with the layout (partition values, zone-map ranges), parquet
+    pushdown prunes the find scan too.
+
+    CDC: the commit persists its exact row-level change set (every
+    deleted row, ``_change_type``/``_change_subtype`` 'delete') under
+    ``_changes/``; ``read_changes`` ships it verbatim — survivors
+    contribute nothing even though the commit physically rewrites
+    their directories. A predicate matching zero rows still commits
+    (an empty change set): the version history records the intent,
+    and a feed consumer folds a no-op.
+
+    Concurrency/replay: basis-pinned via ``expected_parent`` exactly
+    like merge; ``batch_id`` dedups streaming foreachBatch replays.
+    """
+    st = _store(store)
+    st.check_path(table_path)
+    basis = current_version(table_path, st)
+    if basis is None:
+        raise ValueError(f"no committed versions at {table_path!r}")
+    if batch_id is not None:
+        seen = _batch_id_seen(table_path, basis, batch_id, st)
+        if seen is not None:
+            return seen
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+
+    manifest = _load_manifest(table_path, basis, st)
+    parent_dirs: list[str] = manifest["dirs"]
+    parent = spark.read.parquet(
+        *[os.path.join(table_path, d) for d in parent_dirs]
+    ).withColumn(
+        "_dir",
+        F.regexp_extract(
+            F.col("_metadata.file_path"), f"({_DATA_DIR}/[^/]+)/", 1
+        ),
+    )
+    matched = parent.where(cond)
+    # catalog-sized: one dir name per directory containing a match
+    touched = {
+        r["_dir"] for r in matched.select("_dir").distinct().collect()
+    }
+    deleted = matched.drop("_dir")
+    chg = deleted.withColumn(
+        "_change_type", F.lit("delete")
+    ).withColumn("_change_subtype", F.lit("delete"))
+    chg_rel = _write_change_set(chg, table_path)
+
+    kept = [d for d in parent_dirs if d not in touched]
+    dirs = list(kept)
+    if touched:
+        survivors = (
+            parent.where(F.col("_dir").isin(list(touched)))
+            .where(~F.coalesce(cond, F.lit(False)))
+            .drop("_dir")
+        )
+        rewrite_dir = os.path.join(
+            table_path, _DATA_DIR, f"c{uuid.uuid4().hex[:12]}"
+        )
+        survivors.write.parquet(rewrite_dir)
+        dirs.append(os.path.relpath(rewrite_dir, table_path))
+    return commit(
+        spark,
+        None,
+        table_path,
+        mode="overwrite",
+        batch_id=batch_id,
+        expected_parent=basis,
+        store=st,
+        _op="delete",
+        _dirs=dirs,
+        _extra_manifest={"change_dir": chg_rel},
+    )
+
+
 def _write_change_set(chg: DataFrame, table_path: str) -> str:
     """Persist a commit's row-level change set under ``_changes/`` —
     OUTSIDE the data root so vacuum's unreferenced-dir sweep never
@@ -726,6 +819,9 @@ def read_changes(
       (``_change_subtype`` 'update_preimage'/'update_postimage') and
       plain inserts for new keys; untouched rows contribute nothing
       even though the commit is physically an overwrite.
+    - ``delete`` (:func:`delete_where`): the persisted change set
+      (every deleted row, 'delete') shipped verbatim — survivors of
+      the rewritten directories contribute nothing.
 
     Every row also carries ``_change_subtype`` (equal to
     ``_change_type`` except for merge's update pre/postimages), the
@@ -786,7 +882,7 @@ def read_changes(
             ins = _tagged(m["dirs"], "insert", v)
             if ins is not None:
                 pieces.append(ins)
-        elif m["op"] == "merge":
+        elif m["op"] in ("merge", "delete"):
             # the commit wrote its EXACT row-level change set (with
             # _change_type/_change_subtype baked in) — read it, never
             # diff snapshots

@@ -1145,3 +1145,188 @@ def test_vacuum_change_sets_follow_their_manifest(spark, tmp_path):
     # vacuumed read (the CDF-range-needs-start-version rule)
     with pytest.raises(snap.ManifestMissingError):
         snap.read_changes(spark, t, 0, v2)
+
+
+def test_delete_where_semantics_and_touched_dirs_only(spark, tmp_path):
+    """DELETE removes exactly the predicate-TRUE rows, rewrites ONLY
+    directories containing a match, survives NULL predicates (SQL
+    semantics: NULL never deletes), and ships its change set through
+    read_changes verbatim."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    lo = docs.where(F.col("doc_id") < 30)
+    hi = docs.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 60))
+    snap.commit(spark, lo, t)  # v0: dir A
+    snap.commit(spark, hi, t, mode="append")  # v1: dir B
+    dirs_v1 = snap._load_manifest(t, 1, snap._POSIX)["dirs"]
+
+    v2 = snap.delete_where(spark, t, F.col("doc_id") % 10 == 3)
+    kept = {r.doc_id for r in snap.read_snapshot(spark, t, v2).collect()}
+    assert kept == {i for i in range(60) if i % 10 != 3}
+    m2 = snap._load_manifest(t, 2, snap._POSIX)
+    assert m2["op"] == "delete"
+    # both dirs contain a match here -> both rewritten into one new dir
+    assert all(d not in m2["dirs"] for d in dirs_v1)
+    # time travel intact
+    assert len(snap.read_snapshot(spark, t, 1).collect()) == 60
+
+    # feed = exactly the deleted rows, all tagged delete/delete
+    chg = snap.read_changes(spark, t, 1, v2).collect()
+    assert {r.doc_id for r in chg} == {3, 13, 23, 33, 43, 53}
+    assert {(r._change_type, r._change_subtype) for r in chg} == {
+        ("delete", "delete")
+    }
+
+    # predicate touching ONE dir: only that dir rewritten
+    v3 = snap.delete_where(spark, t, "doc_id = 31")
+    m3 = snap._load_manifest(t, 3, snap._POSIX)
+    survivors_dirs = [d for d in m2["dirs"] if d in m3["dirs"]]
+    assert len(survivors_dirs) == len(m3["dirs"]) - 1
+    assert 31 not in {
+        r.doc_id for r in snap.read_snapshot(spark, t, v3).collect()
+    }
+
+    # NULL predicate rows survive (delete WHERE NULL is not TRUE)
+    v4 = snap.delete_where(
+        spark, t, F.when(F.col("doc_id") == 1, F.lit(None)).otherwise(
+            F.col("doc_id") == 2
+        )
+    )
+    kept4 = {r.doc_id for r in snap.read_snapshot(spark, t, v4).collect()}
+    assert 1 in kept4 and 2 not in kept4
+
+    # zero-match delete still commits, with an EMPTY change set
+    v5 = snap.delete_where(spark, t, "doc_id = -999")
+    assert v5 == v4 + 1
+    assert snap.read_changes(spark, t, v4, v5).count() == 0
+    assert len(snap.read_snapshot(spark, t, v5).collect()) == len(kept4)
+
+
+def test_delete_where_feed_folds_and_replay(spark, tmp_path):
+    """A grouped view maintained from an append+merge+delete feed lands
+    exactly on the rebuild, and batch_id dedups a replayed delete."""
+    from deepcell_data_engineering_spark.functions.stats import (
+        merge_grouped_sums,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t = str(tmp_path / "tbl")
+    v0 = snap.commit(spark, docs.where(F.col("doc_id") < 80), t)
+    snap.commit(
+        spark,
+        docs.where((F.col("doc_id") >= 80) & (F.col("doc_id") < 120)),
+        t,
+        mode="append",
+    )
+    head = snap.delete_where(spark, t, "doc_id % 7 = 2", batch_id=9)
+
+    # replayed batch_id -> same version back, no new commit
+    assert snap.delete_where(spark, t, "doc_id % 7 = 2", batch_id=9) == head
+    assert snap.current_version(t) == head
+
+    state0 = (
+        snap.read_snapshot(spark, t, v0)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+    )
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    delta = (
+        snap.read_changes(spark, t, v0, head)
+        .groupBy("lang")
+        .agg(
+            F.sum(sign).cast("long").alias("n"),
+            F.sum(sign * F.col("n_chars")).cast("long").alias("chars"),
+        )
+    )
+    view = {
+        (r.lang): (r.n, r.chars)
+        for r in merge_grouped_sums([state0, delta], ["lang"], ["n", "chars"])
+        .where(F.col("n") != 0)
+        .collect()
+    }
+    rebuild = {
+        r.lang: (r.n, r.chars)
+        for r in snap.read_snapshot(spark, t, head)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+        .collect()
+    }
+    assert view == rebuild
+
+
+def test_delete_where_streaming_erasure_requests(spark, tmp_path):
+    """A stream of erasure requests (the GDPR right-to-be-forgotten
+    shape) drives foreachBatch delete_where commits, exactly-once by
+    batch_id; the feed ships exactly the erased rows and a count view
+    folded from it matches the rebuild."""
+    import pyspark.sql.functions as F
+
+    from deepcell_data_engineering_spark.functions.stats import (
+        merge_grouped_sums,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    v0 = snap.commit(spark, docs.where(F.col("doc_id") < 100), t)
+
+    # three micro-batches of erasure keys (some absent from the table:
+    # erasing a missing key must be a clean no-op)
+    src = str(tmp_path / "erasures")
+    batches = [[3, 17, 41], [17, 900], [8, 77, 901]]
+    for i, ks in enumerate(batches):
+        spark.createDataFrame(
+            [(k,) for k in ks], "doc_id bigint"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def erase(bdf, bid):
+        ks = [r.doc_id for r in bdf.select("doc_id").distinct().collect()]
+        snap.delete_where(
+            spark,
+            t,
+            F.col("doc_id").isin(ks) if ks else F.lit(False),
+            batch_id=bid,
+        )
+
+    q = (
+        spark.readStream.schema("doc_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(erase)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    head = snap.current_version(t)
+    assert head > v0
+
+    erased = {k for ks in batches for k in ks if k < 100}
+    kept = {r.doc_id for r in snap.read_snapshot(spark, t, head).collect()}
+    assert kept == set(range(100)) - erased
+
+    chg = snap.read_changes(spark, t, v0, head)
+    assert {r.doc_id for r in chg.collect()} == erased
+    assert chg.where(F.col("_change_type") != "delete").count() == 0
+
+    state = snap.read_snapshot(spark, t, v0).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    delta = chg.groupBy("source").agg(F.sum(sign).cast("long").alias("n"))
+    view = merge_grouped_sums([state, delta], ["source"], ["n"]).where(
+        F.col("n") != 0
+    )
+    rebuild = snap.read_snapshot(spark, t, head).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    assert sorted(map(tuple, view.collect())) == sorted(
+        map(tuple, rebuild.collect())
+    )
