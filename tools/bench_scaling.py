@@ -151,6 +151,20 @@ QUERIES = [
     "x153_mann_whitney_u",
     "x154_ref_integrity_audit",
     "x155_anti_entropy_repair",
+    # x156 one grouped moment-sum aggregation; x157 one CUBE pass over
+    # a vocabulary-sized lattice; x158 merged-histogram prefix scan
+    # (row-sized domain — the grouped_cumsum multi-column path); x159
+    # row-local pair HOF + bounded 300-pair aggregate; x160 weight
+    # histogram + prefix scan; x161 tokenize + first-occurrence
+    # shuffle + one multi-column prefix scan; x162 delete commits +
+    # CDC fold (change set sized by matched rows).
+    "x156_grouped_ols",
+    "x157_mutual_information",
+    "x158_ks_two_sample",
+    "x159_market_basket",
+    "x160_weighted_quantiles",
+    "x161_heaps_law",
+    "x162_delete_feed_view",
     # x66_similarity_join_exact is intentionally absent: its TRUE result
     # set (all pairs over a templated corpus) grows quadratically with
     # corpus size, so an sf1/sf0.1 ratio would read as a hidden
