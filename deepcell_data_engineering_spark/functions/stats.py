@@ -520,3 +520,60 @@ def winsorized_stats(
             .alias("wsum_scaled"),
         )
     )
+
+
+def ks_distance(
+    hist: DataFrame, order_col: str, a_col: str, b_col: str
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance from a merged VALUE
+    HISTOGRAM (one row per distinct value, per-side counts): returns a
+    1-row frame (n_a, n_b, d_num, ks_d, ks_at) where d_num is the
+    integer sup |cumA*nB - cumB*nA|, ks_d = d_num/(nA*nB) is the one
+    rounded float, and ks_at is the smallest value achieving the sup.
+
+    The histogram is the mergeable STATE of this statistic (per-value
+    counts add), so the same function serves the batch query (x158)
+    and the streaming drift monitor that maintains the histogram
+    incrementally — whole-CDF drift from state, never from raw
+    history. Both cumulative sides ride ONE multi-column
+    grouped_cumsum (a row-sized value domain never funnels through a
+    single-partition window); the totals and max attaches are 1-row
+    plan-provable broadcasts."""
+    from deepcell_data_engineering_spark.functions.layout import (
+        grouped_cumsum,
+    )
+
+    cum = grouped_cumsum(hist, [], order_col, [a_col, b_col])
+    totals = hist.agg(
+        F.sum(a_col).cast("long").alias("n_a"),
+        F.sum(b_col).cast("long").alias("n_b"),
+    )
+    diffs = cum.crossJoin(F.broadcast(totals)).select(
+        F.col(order_col).alias("v"),
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col(f"cum_{a_col}") * F.col("n_b")
+            - F.col(f"cum_{b_col}") * F.col("n_a")
+        ).alias("dn"),
+    )
+    dmax = diffs.agg(F.max("dn").alias("d_num"))
+    at = diffs.join(F.broadcast(dmax), F.col("dn") == F.col("d_num")).agg(
+        F.min("v").alias("ks_at")
+    )
+    return (
+        totals.crossJoin(F.broadcast(dmax))
+        .crossJoin(F.broadcast(at))
+        .select(
+            "n_a",
+            "n_b",
+            "d_num",
+            F.round(
+                F.col("d_num").cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+                + F.lit(0.0),
+                6,
+            ).alias("ks_d"),
+            "ks_at",
+        )
+    )

@@ -137,3 +137,38 @@ def bnlj_build_sides_scalar(df: DataFrame) -> list[bool]:
 
     visit(df._jdf.queryExecution().executedPlan())
     return out
+
+
+def scan_profiles(df: DataFrame) -> list[dict]:
+    """Per-scan (table, columns-read) evidence — the registry-wide
+    column-pruning audit's raw material. A projection of 2 columns
+    whose scan reads all of a wide table is a plan bug at 100 TB (the
+    scan IS the dominant cost); this makes it visible per query
+    instead of per hand-written test.
+
+    Walks the JVM plan to FileSourceScanExec and reads
+    ``requiredSchema`` directly (the string form of wide plans elides
+    schemas mid-name, so parsing toString undercounts). ``table`` is
+    the root path's basename without .parquet, or None for
+    non-testdata locations (snapshot temp dirs etc.)."""
+    import os
+
+    out: list[dict] = []
+
+    def visit(node) -> None:
+        if node.getClass().getSimpleName() == "FileSourceScanExec":
+            cols = list(node.requiredSchema().fieldNames())
+            table = None
+            rp = node.relation().location().rootPaths()
+            if rp.size() > 0:
+                base = os.path.basename(str(rp.apply(0)).rstrip("/"))
+                if base.endswith(".parquet"):
+                    table = base[: -len(".parquet")]
+            out.append(
+                {"table": table, "n_read": len(cols), "cols": cols}
+            )
+        for c in _phys_children(node):
+            visit(c)
+
+    visit(df._jdf.queryExecution().executedPlan())
+    return out

@@ -11483,9 +11483,11 @@ def x156(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stratifying the mixture by source silently reweight languages "
     "(x52's temperature mix assumes near-independence). ENGINE: one "
     "CUBE pass over (lang, source) — grouping_id splits the single "
-    "shuffled aggregate into cells + both marginals + grand total "
-    "(the x133 one-Expand discipline), marginals broadcast back onto "
-    "cells; the 1-row total is a bounded composition attach. ORACLE: "
+    "shuffled aggregate into cells + both marginals (the x133 "
+    "one-Expand discipline), marginals broadcast back onto cells; "
+    "the grand total re-aggregates the cells GLOBALLY (exchange "
+    "reuse, same shuffle) so its 1-row attach is plan-PROVABLE for "
+    "the BNLJ gate rather than a by-construction claim. ORACLE: "
     "window sums over the cell table — a different derivation of the "
     "same margins. Both engines compute lift as ONE double division "
     "of exact int64 products and ln() on that identical double "
@@ -11507,7 +11509,11 @@ def x157(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_m = cube.where(F.col("gid") == 2).select(
         "source", F.col("n").alias("n_source")
     )
-    total = cube.where(F.col("gid") == 3).select(F.col("n").alias("nn"))
+    # grand total as a GLOBAL aggregate over the cells (not the cube's
+    # gid==3 slice): same one shuffle via exchange reuse, but the 1-row
+    # attach becomes plan-PROVABLE for the BNLJ gate instead of a
+    # by-construction claim.
+    total = cells.agg(F.sum("n").cast("long").alias("nn"))
     lift = (F.col("n") * F.col("nn")).cast("double") / (
         F.col("n_lang") * F.col("n_source")
     ).cast("double")
@@ -11557,7 +11563,11 @@ def x157(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Two-sample Kolmogorov-Smirnov distance between the "
     "total-price distributions of URGENT vs LOW orders — the "
     "whole-CDF drift test that catches shape changes x141's binned "
-    "PSI and x153's location-only rank-sum both miss. Everything is "
+    "PSI and x153's location-only rank-sum both miss. The statistic "
+    "kernel is functions/stats.ks_distance over the merged VALUE "
+    "HISTOGRAM — the histogram is this statistic's mergeable STATE, "
+    "so the identical kernel powers the streaming drift monitor "
+    "(tests pin maintained-state KS == this batch KS). Everything is "
     "EXACT integer arithmetic until the last division: D's numerator "
     "is max_v |cumA(v)*nB - cumB(v)*nA| over the merged cents "
     "histogram, so ks_d = D_num/(nA*nB) is one rounded float. The "
@@ -11579,9 +11589,7 @@ def x157(spark: SparkSession, sf_dir: str) -> DataFrame:
     "prefix scan whose ordered windows run per range-partition.",
 )
 def x158(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from deepcell_data_engineering_spark.functions.layout import (
-        grouped_cumsum,
-    )
+    from deepcell_data_engineering_spark.functions.stats import ks_distance
 
     o = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
@@ -11600,40 +11608,8 @@ def x158(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("h_b"),
     )
-    cum = grouped_cumsum(hist, [], "v", ["h_a", "h_b"])
-    totals = hist.agg(
-        F.sum("h_a").cast("long").alias("n_a"),
-        F.sum("h_b").cast("long").alias("n_b"),
-    )
-    diffs = cum.crossJoin(F.broadcast(totals)).select(
-        "v",
-        "n_a",
-        "n_b",
-        F.abs(
-            F.col("cum_h_a") * F.col("n_b")
-            - F.col("cum_h_b") * F.col("n_a")
-        ).alias("dn"),
-    )
-    dmax = diffs.agg(F.max("dn").alias("d_num"))
-    at = (
-        diffs.join(F.broadcast(dmax), F.col("dn") == F.col("d_num"))
-        .agg(F.min("v").alias("ks_at_cents"))
-    )
-    return (
-        totals.crossJoin(F.broadcast(dmax))
-        .crossJoin(F.broadcast(at))
-        .select(
-            "n_a",
-            "n_b",
-            "d_num",
-            F.round(
-                F.col("d_num").cast("double")
-                / (F.col("n_a") * F.col("n_b")).cast("double")
-                + F.lit(0.0),
-                6,
-            ).alias("ks_d"),
-            "ks_at_cents",
-        )
+    return ks_distance(hist, "v", "h_a", "h_b").withColumnRenamed(
+        "ks_at", "ks_at_cents"
     )
 
 
@@ -11792,7 +11768,12 @@ def x159(spark: SparkSession, sf_dir: str) -> DataFrame:
     "directly: two independent algorithms, identical integer "
     "answers. Ties are safe in both: equal values share a cents key "
     "in the histogram, and whatever order ROW_NUMBER breaks ties in, "
-    "the VALUE at rank k is unique. Output: 12 rows at any scale.",
+    "the VALUE at rank k is unique. Output: 12 rows at any scale. "
+    "Declared BNLJ bound (1): the per-flag totals x percentile-"
+    "literals cross attach — |l_returnflag domain| (3) x 4 rows, "
+    "data-size-independent but a grouped aggregate, so not "
+    "plan-provable.",
+    bnlj_bounded=1,
 )
 def x160(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepcell_data_engineering_spark.functions.layout import (
@@ -11812,8 +11793,13 @@ def x160(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10)],
         "pct STRING, nu LONG, de LONG",
     )
+    # the 12-row frame renames f -> flag BEFORE the join: with the
+    # qualified-alias form Catalyst's self-join dedup failed to extract
+    # the equality as a hash key (both sides trace to hist.f) and fell
+    # back to BroadcastNestedLoopJoin; with a fresh attribute the plan
+    # is a BroadcastHashJoin on the flag with the cum >= k residual.
     ks = tot.crossJoin(F.broadcast(pcts)).select(
-        "f",
+        F.col("f").alias("flag"),
         "pct",
         "total_w",
         _int_div(
@@ -11822,19 +11808,18 @@ def x160(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k_target"),
     )
     return (
-        cum.alias("c")
-        .join(
-            F.broadcast(ks.alias("k")),
-            (F.col("c.f") == F.col("k.f"))
-            & (F.col("c.cum") >= F.col("k.k_target")),
+        cum.join(
+            F.broadcast(ks),
+            (F.col("f") == F.col("flag"))
+            & (F.col("cum") >= F.col("k_target")),
         )
         .groupBy(
-            F.col("k.f").alias("l_returnflag"),
+            F.col("flag").alias("l_returnflag"),
             "pct",
             "k_target",
             "total_w",
         )
-        .agg(F.min("c.v").alias("value_cents"))
+        .agg(F.min("v").alias("value_cents"))
         .select(
             "l_returnflag", "pct", "k_target", "total_w", "value_cents"
         )

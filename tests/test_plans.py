@@ -716,3 +716,27 @@ def test_bnlj_scalar_build_detector(spark):
     assert False in pi.bnlj_build_sides_scalar(bad)
     # no BNLJ at all -> empty evidence list
     assert pi.bnlj_build_sides_scalar(one_row) == []
+
+
+def test_scan_profiles_read_exact_widths(spark):
+    """scan_profiles must report EXACT per-scan read widths from the
+    JVM requiredSchema (the toString form elides wide schemas and
+    undercounts — the bug this helper exists to avoid), name the table
+    from the root path, and show pruning: a 2-column projection of
+    11-column lineitem reads 2, a full read reads 11."""
+    li = load_table(spark, SF, "lineitem")
+    pruned = pi.scan_profiles(li.select("l_orderkey", "l_tax"))
+    assert pruned == [
+        {"table": "lineitem", "n_read": 2, "cols": ["l_orderkey", "l_tax"]}
+    ]
+    (full,) = pi.scan_profiles(li)
+    assert full["table"] == "lineitem" and full["n_read"] == 11
+    # a join shows one profile per scan
+    orders = load_table(spark, SF, "orders").select("o_orderkey")
+    two = pi.scan_profiles(
+        li.select("l_orderkey").join(
+            F.broadcast(orders), li.l_orderkey == orders.o_orderkey
+        )
+    )
+    assert sorted(p["table"] for p in two) == ["lineitem", "orders"]
+    assert all(p["n_read"] == 1 for p in two)

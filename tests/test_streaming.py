@@ -1122,3 +1122,51 @@ def test_streaming_session_window_equals_batch_sessionization(spark, tmp_path):
     expected = sorted(tuple(r) for r in sess.collect())
     assert len(got) > 0
     assert got == expected
+
+
+def test_streaming_ks_drift_monitor_equals_batch(spark, tmp_path):
+    """Whole-CDF drift monitoring from maintained state: the merged
+    value histogram (purchase vs click cents) is maintained as
+    per-epoch delta states; ks_distance over the FOLDED state must
+    equal ks_distance computed directly over all events — the
+    histogram is the statistic's mergeable state, so the monitor
+    never rescans raw history."""
+    from deepcell_data_engineering_spark.functions.stats import ks_distance
+    from deepcell_data_engineering_spark.streaming.sinks import (
+        maintained_agg,
+        start_incremental_agg,
+    )
+
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    side_a = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    side_b = F.when(F.col("event_type") == "click", 1).otherwise(0)
+
+    def hist(df):
+        return df.where(
+            F.col("event_type").isin("purchase", "click")
+        ).groupBy(cents.alias("v")).agg(
+            F.sum(side_a).cast("long").alias("h_a"),
+            F.sum(side_b).cast("long").alias("h_b"),
+        )
+
+    batch = ks_distance(
+        hist(load_table(spark, SF_SMOKE, "events")), "v", "h_a", "h_b"
+    ).collect()
+
+    out = str(tmp_path / "state")
+    q = start_incremental_agg(
+        read_events_stream(spark, SF_SMOKE)
+        .where(F.col("event_type").isin("purchase", "click"))
+        .select(cents.alias("v"), side_a.alias("a"), side_b.alias("b")),
+        out,
+        str(tmp_path / "ckpt"),
+        ["v"],
+        [
+            F.sum("a").cast("long").alias("h_a"),
+            F.sum("b").cast("long").alias("h_b"),
+        ],
+    )
+    q.awaitTermination(120)
+    maintained = maintained_agg(spark, out, ["v"], ["h_a", "h_b"])
+    stream = ks_distance(maintained, "v", "h_a", "h_b").collect()
+    assert [tuple(r) for r in stream] == [tuple(r) for r in batch]

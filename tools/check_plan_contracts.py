@@ -31,14 +31,31 @@ from deepcell_data_engineering_spark.relational import QUERIES  # noqa: E402
 from deepcell_data_engineering_spark.session import get_spark  # noqa: E402
 
 
+def _table_widths(sf: str) -> dict[str, int]:
+    import glob
+
+    import pyarrow.parquet as pq
+
+    widths = {}
+    for p in glob.glob(os.path.join(sf, "*.parquet")):
+        name = os.path.basename(p)[: -len(".parquet")]
+        try:
+            widths[name] = len(pq.read_schema(p).names)
+        except Exception:
+            pass
+    return widths
+
+
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark(
         app_name="plan-contracts", master="local[8]", shuffle_partitions=8
     )
     spark.sparkContext.setLogLevel("ERROR")
+    widths = _table_widths(sf)
     out: dict[str, dict] = {}
     bad: list[str] = []
+    wide_scans: dict[str, list[str]] = {}
     for name in sorted(QUERIES):
         try:
             df = QUERIES[name].build(spark, sf)
@@ -47,6 +64,19 @@ def main() -> None:
             builds = pi.bnlj_build_sides_scalar(df)
             declared = QUERIES[name].bnlj_bounded
             non_scalar = sum(1 for ok in builds if not ok)
+            # column-pruning audit: per-scan read width vs table width.
+            # Informational, not a violation — some queries legitimately
+            # read everything (table profiling, full-row diff/dedup) —
+            # but a full-width scan of a wide table is exactly what a
+            # 100 TB reviewer wants surfaced per query, not per test.
+            scans = []
+            for sp in pi.scan_profiles(df):
+                w = widths.get(sp["table"])
+                scans.append(
+                    {"table": sp["table"], "read": sp["n_read"], "width": w}
+                )
+                if w is not None and w >= 6 and sp["n_read"] >= w:
+                    wide_scans.setdefault(name, []).append(sp["table"])
             rec = {
                 "cartesian": plan.count("CartesianProduct"),
                 "bnlj": s["broadcast_nested_loop"],
@@ -55,6 +85,7 @@ def main() -> None:
                 "broadcast_hash": s["broadcast_hash"],
                 "sort_merge": s["sort_merge"],
                 "exchanges": pi.count_exchanges(df),
+                "scans": scans,
             }
         except Exception as e:  # pragma: no cover - report, don't mask
             rec = {"error": f"{type(e).__name__}: {e}"[:300]}
@@ -82,6 +113,9 @@ def main() -> None:
         "sf_dir": sf,
         "n_queries": len(out),
         "violations": sorted(set(bad)),
+        "full_width_scans": {
+            q: sorted(ts) for q, ts in sorted(wide_scans.items())
+        },
         "queries": out,
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

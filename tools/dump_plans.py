@@ -94,6 +94,10 @@ HEADLINERS = [
     ("x121_cube_report", "CUBE: 4 grouping sets in one Expand, partial agg before the shuffle"),
     ("x123_expectations_report", "expectation suite: one conditional-sum pass per table + the one RI join"),
     ("x129_pretokenize_vocab", "BPE pre-tokenizer: regexp generator over the scan + partial-agg TakeOrdered"),
+    ("x157_mutual_information", "contingency G-test: one CUBE Expand yields cells + marginals, provable 1-row total attach"),
+    ("x158_ks_two_sample", "two-sided exact CDF distance: ONE multi-column distributed prefix scan, 1-row attaches"),
+    ("x159_market_basket", "association rules: row-local pair HOF over per-order sets, no itemset self-join"),
+    ("x161_heaps_law", "vocab growth: one tokenize pass, first-occurrence shuffle, multi-column prefix scan"),
 ]
 
 
