@@ -12009,3 +12009,111 @@ def x162(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "o_orderpriority STRING, n_orders BIGINT, sum_cents BIGINT"
     ).orderBy("o_orderpriority")
+
+
+@_q(
+    "x163_lorenz_deciles",
+    """WITH cust AS (SELECT o_custkey,
+                            CAST(SUM(CAST(ROUND(o_totalprice * 100, 0)
+                                          AS BIGINT)) AS BIGINT) AS rev
+                     FROM orders GROUP BY 1),
+       n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc,
+                    CAST(SUM(rev) AS BIGINT) AS total
+             FROM cust),
+       r AS (SELECT rev,
+                    ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS rn
+             FROM cust),
+       ck AS (SELECT CAST(i AS BIGINT) AS decile,
+                     (n.nc * i + 9) // 10 AS k, n.nc, n.total
+              FROM n, (SELECT unnest(generate_series(1, 10)) AS i)),
+       agg AS (SELECT ck.decile, ck.k, ck.total,
+                      (SELECT CAST(SUM(rev) AS BIGINT) FROM r
+                       WHERE r.rn <= ck.k) AS cum_rev
+               FROM ck)
+       SELECT decile, CAST(k AS BIGINT) AS n_customers,
+              cum_rev AS cum_rev_cents,
+              ROUND(CAST(cum_rev AS DOUBLE) / CAST(total AS DOUBLE)
+                    + 0.0, 6) AS rev_share
+       FROM agg ORDER BY decile""",
+    doc="Lorenz curve — cumulative revenue share of the bottom k "
+    "customer deciles (customers ranked by total spend ascending): "
+    "the concentration CURVE whose area complement x147's Gini "
+    "summarizes to one number; a mixture/governance dashboard wants "
+    "both. The ENGINE never row-ranks: from the per-customer revenue "
+    "VALUE HISTOGRAM (distinct spend values with counts and "
+    "value-sums), one grouped_cumsum yields (customers <=v, revenue "
+    "<=v); the cumulative revenue AT RANK k is cum_rev(<v*) + "
+    "(k - cum_n(<v*)) * v* for the straddling value cell v* — exact "
+    "because every customer inside a tied cell has THE SAME revenue, "
+    "so whichever tied customers the rank boundary splits, the sum "
+    "is tie-permutation invariant (the x148 discipline). The ORACLE "
+    "literally ROW_NUMBERs every customer (ties broken by key — "
+    "irrelevant to the certified sums) and re-sums each decile "
+    "prefix from scratch. Checkpoint ranks are exact integer "
+    "ceil(N*i/10); rev_share is the one rounded division. Engine "
+    "cost at any scale: one per-customer aggregation, one "
+    "vocabulary-sized histogram prefix scan, a 10-row broadcast.",
+)
+def x163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.layout import (
+        _int_div,
+        grouped_cumsum,
+    )
+
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            )
+            .cast("long")
+            .alias("rev")
+        )
+    )
+    hist = cust.groupBy("rev").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("rev").cast("long").alias("rv"),
+    )
+    cum = grouped_cumsum(hist, [], "rev", ["c", "rv"])
+    totals = hist.agg(
+        F.sum("c").cast("long").alias("nc"),
+        F.sum("rv").cast("long").alias("total"),
+    )
+    deciles = spark.range(1, 11).select(F.col("id").alias("decile"))
+    ck = totals.crossJoin(F.broadcast(deciles)).select(
+        "decile",
+        "total",
+        _int_div(
+            F.col("nc") * F.col("decile") + F.lit(9), F.lit(10)
+        ).alias("k"),
+    )
+    # the straddling value cell: least rev with cum_c >= k; its
+    # predecessor counts/sums come from the same row (cum - cell)
+    hit = (
+        cum.join(F.broadcast(ck), F.col("cum_c") >= F.col("k"))
+        .groupBy("decile", "k", "total")
+        .agg(F.min_by(F.struct("rev", "c", "rv", "cum_c", "cum_rv"), "rev").alias("s"))
+        .select(
+            "decile",
+            "k",
+            "total",
+            (
+                F.col("s.cum_rv")
+                - F.col("s.rv")
+                + (F.col("k") - (F.col("s.cum_c") - F.col("s.c")))
+                * F.col("s.rev")
+            ).alias("cum_rev_cents"),
+        )
+    )
+    return hit.select(
+        "decile",
+        F.col("k").alias("n_customers"),
+        "cum_rev_cents",
+        F.round(
+            F.col("cum_rev_cents").cast("double")
+            / F.col("total").cast("double")
+            + F.lit(0.0),
+            6,
+        ).alias("rev_share"),
+    ).orderBy("decile")

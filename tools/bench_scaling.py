@@ -165,6 +165,8 @@ QUERIES = [
     "x160_weighted_quantiles",
     "x161_heaps_law",
     "x162_delete_feed_view",
+    # x163 per-customer agg + histogram prefix scan + 10-row broadcast.
+    "x163_lorenz_deciles",
     # x66_similarity_join_exact is intentionally absent: its TRUE result
     # set (all pairs over a templated corpus) grows quadratically with
     # corpus size, so an sf1/sf0.1 ratio would read as a hidden
