@@ -12117,3 +12117,104 @@ def x163(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rev_share"),
     ).orderBy("decile")
+
+
+@_q(
+    "x164_stats_pruned_scan",
+    """WITH m AS (SELECT CAST(MAX(o_orderkey) AS BIGINT) AS mk
+                  FROM orders),
+       b AS (SELECT ((2 * (m.mk + 1)) + 7) // 8 AS lo,
+                    (5 * (m.mk + 1)) // 8 - 1 AS hi, m.mk
+             FROM m),
+       hit AS (SELECT o.o_orderpriority, o.o_orderkey,
+                      CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)
+                        AS cents,
+                      (o.o_orderkey * 8) // (b.mk + 1) AS band
+               FROM orders o, b
+               WHERE o.o_orderkey BETWEEN b.lo AND b.hi),
+       nd AS (SELECT CAST(COUNT(DISTINCT band) AS BIGINT)
+                       AS n_dirs_scanned
+              FROM hit)
+       SELECT hit.o_orderpriority,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              CAST(SUM(cents) AS BIGINT) AS sum_cents,
+              nd.n_dirs_scanned,
+              CAST(8 AS BIGINT) AS n_dirs_total
+       FROM hit, nd
+       GROUP BY 1, 4, 5 ORDER BY 1""",
+    doc="Manifest-level data skipping certified end to end — the "
+    "Delta/Iceberg stats-pruning idea on the snapshot log: orders "
+    "land in 8 key-banded directories, each commit recording its "
+    "per-dir [min,max] orderkey in the MANIFEST (snapshots.commit "
+    "stats_cols), and the ENGINE answers a key-range aggregate via "
+    "scan_snapshot — KB of manifest JSON decide which directories "
+    "are touched; dirs whose recorded range cannot intersect the "
+    "predicate are never read, and the result row carries "
+    "n_dirs_scanned straight from the pruner. The ORACLE re-derives "
+    "BOTH facts independently from raw data: the aggregate from the "
+    "literal BETWEEN, and the dir count as COUNT(DISTINCT key-band) "
+    "over the matching rows — the same 3-of-8 answer via data "
+    "arithmetic instead of manifest stats, so a pruner that reads "
+    "too much OR too little breaks the hash (too little would also "
+    "corrupt the sums). Pruning is an optimization CONTRACT: "
+    "scan_snapshot may return overlap rows, so the engine applies "
+    "the real predicate on top, exactly like parquet row-group "
+    "skipping. Lakehouse-certification tier (x127/x145/x151/x162 "
+    "pattern): the commits are the operator under test; the driver-"
+    "side collects are the bounded max-key scalar and the 5-row "
+    "result.",
+)
+def x164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from deepcell_data_engineering_spark.sources import snapshots as snap
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("p"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    mk = int(base.agg(F.max("k")).collect()[0][0])
+    band = (F.col("k") * 8 - F.pmod(F.col("k") * 8, F.lit(mk + 1))) / (
+        mk + 1
+    )
+    banded = base.withColumn("band", band.cast("long"))
+    t = tempfile.mkdtemp(prefix="dde_pruned_scan_")
+    try:
+        head = None
+        for i in range(8):
+            head = snap.commit(
+                spark,
+                banded.where(F.col("band") == i).drop("band"),
+                t,
+                mode="append" if i else "overwrite",
+                stats_cols=["k"],
+            )
+        lo = (2 * (mk + 1) + 7) // 8
+        hi = 5 * (mk + 1) // 8 - 1
+        manifest = snap._load_manifest(t, head, snap._POSIX)
+        kept = snap._prune_dirs(manifest, {"k": (lo, hi)})
+        view = (
+            snap.scan_snapshot(spark, t, {"k": (lo, hi)}, version=head)
+            .where(F.col("k").between(lo, hi))
+            .groupBy("p")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+        )
+        rows = [
+            (r["p"], r["n_orders"], r["sum_cents"]) for r in view.collect()
+        ]
+        n_kept, n_total = len(kept), len(manifest["dirs"])
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+    return (
+        spark.createDataFrame(
+            rows, "o_orderpriority STRING, n_orders BIGINT, sum_cents BIGINT"
+        )
+        .withColumn("n_dirs_scanned", F.lit(n_kept).cast("bigint"))
+        .withColumn("n_dirs_total", F.lit(n_total).cast("bigint"))
+        .orderBy("o_orderpriority")
+    )

@@ -395,6 +395,81 @@ def _load_manifest(
     return json.loads(raw)
 
 
+def _column_ranges(df: DataFrame, cols: list[str]) -> dict[str, list]:
+    """One aggregation: [min, max] per named column, keeping only
+    JSON-stable scalars (int/float/str/bool). A column that is all-NULL
+    or non-scalar is omitted — omission disables pruning on it, never
+    correctness."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"_lo_{c}"))
+        aggs.append(F.max(c).alias(f"_hi_{c}"))
+    row = df.agg(*aggs).collect()[0]
+    out: dict[str, list] = {}
+    for c in cols:
+        lo, hi = row[f"_lo_{c}"], row[f"_hi_{c}"]
+        if isinstance(lo, (int, float, str, bool)) and isinstance(
+            hi, (int, float, str, bool)
+        ):
+            out[c] = [lo, hi]
+    return out
+
+
+def _prune_dirs(manifest: dict, ranges: dict[str, tuple]) -> list[str]:
+    """Directories of ``manifest`` that could contain a row matching
+    every ``col: (lo, hi)`` bound (None = unbounded on that side).
+    Pure interval intersection over the manifest's recorded stats;
+    a dir with no stats for a bounded column is KEPT (unprunable)."""
+    kept = []
+    for d in manifest["dirs"]:
+        st = manifest.get("stats", {}).get(d, {})
+        keep = True
+        for col, (lo, hi) in ranges.items():
+            if col not in st:
+                continue
+            dlo, dhi = st[col]
+            if (hi is not None and dlo > hi) or (
+                lo is not None and dhi < lo
+            ):
+                keep = False
+                break
+        if keep:
+            kept.append(d)
+    return kept
+
+
+def scan_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    ranges: dict[str, tuple],
+    version: int | None = None,
+    store: ManifestStore | None = None,
+) -> DataFrame:
+    """Read a snapshot version scanning ONLY the directories whose
+    recorded [min, max] stats can intersect every ``col: (lo, hi)``
+    bound — manifest-level data skipping (the Delta/Iceberg stats-
+    pruning idea at this log's directory granularity). KB of manifest
+    JSON decide which TB of parquet are touched; directories without
+    stats are read (safe). This is an OPTIMIZATION contract, not a
+    filter: rows outside the bounds may still be returned (from dirs
+    whose range merely overlaps), so apply the actual predicate on
+    the result exactly as with parquet row-group skipping. Returns an
+    empty frame with the table's schema when every directory prunes."""
+    st = _store(store)
+    st.check_path(table_path)
+    if version is None:
+        version = current_version(table_path, st)
+        if version is None:
+            raise ValueError(f"no committed versions at {table_path!r}")
+    manifest = _load_manifest(table_path, version, st)
+    kept = _prune_dirs(manifest, ranges)
+    if not kept:
+        return read_snapshot(spark, table_path, version, store=st).limit(0)
+    return spark.read.parquet(
+        *[os.path.join(table_path, d) for d in kept]
+    )
+
+
 def commit(
     spark: SparkSession,
     df: DataFrame | None,
@@ -403,6 +478,7 @@ def commit(
     batch_id: int | None = None,
     expected_parent: int | None | object = _UNSET,
     store: ManifestStore | None = None,
+    stats_cols: list[str] | None = None,
     _op: str | None = None,
     _dirs: list[str] | None = None,
     _extra_manifest: dict | None = None,
@@ -445,6 +521,19 @@ def commit(
     ``expected_parent`` pins the rewrite's basis, in which case the
     conflict raises. The data directory is written once, outside the
     retry loop.
+
+    ``stats_cols``: record per-directory [min, max] for the named
+    columns in the manifest (the Delta/Iceberg data-skipping stats,
+    at directory granularity to match this log's unit of reference).
+    Stats for directories CARRIED from the parent manifest are carried
+    with them, so an append chain accumulates skipping metadata
+    version over version at zero re-scan cost; a directory with no
+    recorded stats is simply unprunable (safe). Read the table with
+    :func:`scan_snapshot` to skip directories whose range cannot
+    intersect a predicate — at 100 TB this is the difference between
+    listing KB of manifest and scanning TB of parquet footers. Only
+    JSON-stable scalar types (int/float/str/bool) are recorded;
+    other columns are skipped.
     """
     if mode not in ("append", "overwrite", "replace"):
         raise ValueError(f"mode must be append|overwrite|replace, got {mode!r}")
@@ -467,12 +556,17 @@ def commit(
         seen = _batch_id_seen(table_path, parent, batch_id, st)
         if seen is not None:
             return seen
+    new_dir_stats: dict[str, list] = {}
     if _dirs is None:
         commit_dir = os.path.join(
             table_path, _DATA_DIR, f"c{uuid.uuid4().hex[:12]}"
         )
         df.write.parquet(commit_dir)
         rel_dir = os.path.relpath(commit_dir, table_path)
+        if stats_cols:
+            new_dir_stats = _column_ranges(
+                spark.read.parquet(commit_dir), stats_cols
+            )
 
     for _ in range(_COMMIT_RETRIES):
         version = 0 if parent is None else parent + 1
@@ -489,6 +583,23 @@ def commit(
             "op": _op or mode,
             "dirs": dirs,
         }
+        # carry data-skipping stats with the directories they describe:
+        # dirs kept from the parent keep their ranges, this commit's
+        # fresh dir gets the ranges computed above, rewritten dirs
+        # (merge/delete survivors) have none until a caller records
+        # them — absence means "unprunable", never "wrong".
+        stats: dict[str, dict] = {}
+        if parent is not None:
+            parent_stats = _load_manifest(table_path, parent, st).get(
+                "stats", {}
+            )
+            for d in dirs:
+                if d in parent_stats:
+                    stats[d] = parent_stats[d]
+        if new_dir_stats:
+            stats[rel_dir] = new_dir_stats
+        if stats:
+            manifest["stats"] = stats
         if _extra_manifest:
             manifest.update(_extra_manifest)
         if batch_id is not None:

@@ -1330,3 +1330,56 @@ def test_delete_where_streaming_erasure_requests(spark, tmp_path):
     assert sorted(map(tuple, view.collect())) == sorted(
         map(tuple, rebuild.collect())
     )
+
+
+def test_manifest_stats_and_pruned_scan(spark, tmp_path):
+    """Data-skipping stats: commits record per-dir [min,max] for the
+    named columns, append chains carry kept dirs' stats forward at
+    zero re-scan cost, scan_snapshot reads ONLY intersecting dirs
+    (verified via _metadata file paths), and a dir without stats is
+    kept — pruning can never change a filtered answer."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang")
+    t = str(tmp_path / "tbl")
+    snap.commit(spark, docs.where(F.col("doc_id") < 30), t,
+                stats_cols=["doc_id"])
+    snap.commit(spark, docs.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 60)),
+                t, mode="append", stats_cols=["doc_id"])
+    v2 = snap.commit(spark, docs.where((F.col("doc_id") >= 60) & (F.col("doc_id") < 90)),
+                     t, mode="append")  # NO stats: must stay unprunable
+    m = snap._load_manifest(t, v2, snap._POSIX)
+    assert len(m["dirs"]) == 3
+    assert sorted(m["stats"][d]["doc_id"] for d in m["dirs"] if d in m["stats"]) \
+        == [[0, 29], [30, 59]]
+
+    # range hits only dir B -> scan reads dir B plus the stats-less dir C
+    got = snap.scan_snapshot(spark, t, {"doc_id": (40, 50)}, version=v2)
+    read_dirs = {
+        r["d"]
+        for r in got.withColumn(
+            "d",
+            F.regexp_extract(F.col("_metadata.file_path"), r"(data/c[^/]+)/", 1),
+        ).select("d").distinct().collect()
+    }
+    assert len(read_dirs) == 2
+    assert {r.doc_id for r in got.where(F.col("doc_id").between(40, 50)).collect()} \
+        == set(range(40, 51))
+
+    # unbounded-side ranges; full prune returns an EMPTY schema-stable frame
+    assert snap.scan_snapshot(spark, t, {"doc_id": (None, 10)}, version=v2) \
+        .where(F.col("doc_id") <= 10).count() == 11
+    nothing = snap.scan_snapshot(spark, t, {"doc_id": (1000, None)}, version=v2)
+    assert nothing.columns == got.columns
+    # only the stats-less dir survives that range
+    assert nothing.count() == 30
+
+    # pure pruner: no stats -> nothing prunes
+    assert snap._prune_dirs({"dirs": ["a", "b"]}, {"x": (0, 1)}) == ["a", "b"]
+
+    # delete rewrites a dir -> its stats drop (safe), kept dirs keep theirs
+    v3 = snap.delete_where(spark, t, "doc_id = 5")
+    m3 = snap._load_manifest(t, v3, snap._POSIX)
+    carried = [d for d in m3["dirs"] if d in m3.get("stats", {})]
+    assert len(carried) == 1 and m3["stats"][carried[0]]["doc_id"] == [30, 59]
+    got3 = snap.scan_snapshot(spark, t, {"doc_id": (0, 10)}, version=v3)
+    assert {r.doc_id for r in got3.where(F.col("doc_id") <= 10).collect()} \
+        == set(range(11)) - {5}
