@@ -43,9 +43,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # anti-entropy drill-down). After this round no driver verdict in
 # the registry is older than round 7. The round-11 rotation should
 # lead with the rows that have never had a driver verdict — x153,
-# x154, and the later round-10 additions x156–x163 (grouped OLS,
+# x154, and the later round-10 additions x156–x164 (grouped OLS,
 # lang-source G-test, two-sample KS, market basket, weighted
-# quantiles, Heaps' law, DELETE-feed view, Lorenz deciles) — then the oldest r7
+# quantiles, Heaps' law, DELETE-feed view, Lorenz deciles, stats-pruned scan) — then the oldest r7
 # rows (x73, x75, x76, x77–…).
 _CHECK_FIRST = [
     # round-6-stale: x11–x39

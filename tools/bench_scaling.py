@@ -167,6 +167,8 @@ QUERIES = [
     "x162_delete_feed_view",
     # x163 per-customer agg + histogram prefix scan + 10-row broadcast.
     "x163_lorenz_deciles",
+    # x164: 8 stats-recorded commits + a pruned range scan (3 of 8 dirs).
+    "x164_stats_pruned_scan",
     # x66_similarity_join_exact is intentionally absent: its TRUE result
     # set (all pairs over a templated corpus) grows quadratically with
     # corpus size, so an sf1/sf0.1 ratio would read as a hidden
