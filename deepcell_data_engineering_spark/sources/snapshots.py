@@ -415,6 +415,33 @@ def _column_ranges(df: DataFrame, cols: list[str]) -> dict[str, list]:
     return out
 
 
+def _rewritten_dir_stats(
+    spark: SparkSession, table_path: str, manifest: dict, dirs: list[str]
+) -> dict[str, dict]:
+    """Recompute data-skipping stats for freshly REWRITTEN directories
+    (merge survivors, delete survivors, merge source) over the columns
+    the parent manifest already tracks — so CRUD commits keep the
+    skipping metadata alive instead of degrading dirs to unprunable.
+    One aggregation per new dir, over data that was just written (the
+    copy-on-write cost class); tables that never recorded stats pay
+    nothing. A dir that cannot be profiled (e.g. written empty) is
+    skipped — absent stats stay merely unprunable."""
+    cols = sorted(
+        {c for s in manifest.get("stats", {}).values() for c in s}
+    )
+    if not cols:
+        return {}
+    out: dict[str, dict] = {}
+    for rel in dirs:
+        try:
+            out[rel] = _column_ranges(
+                spark.read.parquet(os.path.join(table_path, rel)), cols
+            )
+        except Exception:
+            continue
+    return out
+
+
 def _prune_dirs(manifest: dict, ranges: dict[str, tuple]) -> list[str]:
     """Directories of ``manifest`` that could contain a row matching
     every ``col: (lo, hi)`` bound (None = unbounded on that side).
@@ -482,6 +509,7 @@ def commit(
     _op: str | None = None,
     _dirs: list[str] | None = None,
     _extra_manifest: dict | None = None,
+    _dir_stats: dict[str, dict] | None = None,
 ) -> int:
     """Write ``df`` as a new table version and return its number.
 
@@ -527,8 +555,11 @@ def commit(
     at directory granularity to match this log's unit of reference).
     Stats for directories CARRIED from the parent manifest are carried
     with them, so an append chain accumulates skipping metadata
-    version over version at zero re-scan cost; a directory with no
-    recorded stats is simply unprunable (safe). Read the table with
+    version over version at zero re-scan cost; merge/delete/optimize
+    recompute stats for the directories they rewrite (over the
+    columns the parent already tracks), so CRUD keeps the skipping
+    metadata alive; a directory with no recorded stats is simply
+    unprunable (safe). Read the table with
     :func:`scan_snapshot` to skip directories whose range cannot
     intersect a predicate — at 100 TB this is the difference between
     listing KB of manifest and scanning TB of parquet footers. Only
@@ -585,9 +616,10 @@ def commit(
         }
         # carry data-skipping stats with the directories they describe:
         # dirs kept from the parent keep their ranges, this commit's
-        # fresh dir gets the ranges computed above, rewritten dirs
-        # (merge/delete survivors) have none until a caller records
-        # them — absence means "unprunable", never "wrong".
+        # fresh dir gets the ranges computed above, and merge/delete
+        # pass recomputed ranges for their rewritten dirs via
+        # _dir_stats — a dir with no entry is "unprunable", never
+        # "wrong".
         stats: dict[str, dict] = {}
         if parent is not None:
             parent_stats = _load_manifest(table_path, parent, st).get(
@@ -598,6 +630,8 @@ def commit(
                     stats[d] = parent_stats[d]
         if new_dir_stats:
             stats[rel_dir] = new_dir_stats
+        if _dir_stats:
+            stats.update({d: s for d, s in _dir_stats.items() if s})
         if stats:
             manifest["stats"] = stats
         if _extra_manifest:
@@ -744,10 +778,11 @@ def merge_upsert(
     source_dir = os.path.join(table_path, _DATA_DIR, f"c{uuid.uuid4().hex[:12]}")
     source.write.parquet(source_dir)
     kept = [d for d in parent_dirs if d not in touched]
-    dirs = kept + [
+    new_rels = [
         os.path.relpath(rewrite_dir, table_path),
         os.path.relpath(source_dir, table_path),
     ]
+    dirs = kept + new_rels
     return commit(
         spark,
         None,
@@ -759,6 +794,7 @@ def merge_upsert(
         _op="merge",
         _dirs=dirs,
         _extra_manifest={"change_dir": chg_rel},
+        _dir_stats=_rewritten_dir_stats(spark, table_path, manifest, new_rels),
     )
 
 
@@ -830,6 +866,7 @@ def delete_where(
 
     kept = [d for d in parent_dirs if d not in touched]
     dirs = list(kept)
+    new_rels: list[str] = []
     if touched:
         survivors = (
             parent.where(F.col("_dir").isin(list(touched)))
@@ -840,7 +877,8 @@ def delete_where(
             table_path, _DATA_DIR, f"c{uuid.uuid4().hex[:12]}"
         )
         survivors.write.parquet(rewrite_dir)
-        dirs.append(os.path.relpath(rewrite_dir, table_path))
+        new_rels = [os.path.relpath(rewrite_dir, table_path)]
+        dirs.extend(new_rels)
     return commit(
         spark,
         None,
@@ -852,6 +890,7 @@ def delete_where(
         _op="delete",
         _dirs=dirs,
         _extra_manifest={"change_dir": chg_rel},
+        _dir_stats=_rewritten_dir_stats(spark, table_path, manifest, new_rels),
     )
 
 
@@ -1069,6 +1108,18 @@ def optimize_table(
     n_target = max(1, -(-int(total_bytes) // int(target_file_bytes)))
     if n_target >= n_files:
         return basis
+    # keep the parent's data-skipping columns tracked through the
+    # rewrite (one dir now, so the range is table-wide — honest, just
+    # no longer selective until appends re-fragment the key space)
+    tracked = sorted(
+        {
+            c
+            for s in _load_manifest(table_path, basis, st)
+            .get("stats", {})
+            .values()
+            for c in s
+        }
+    )
     return commit(
         spark,
         df.repartition(n_target),
@@ -1076,6 +1127,7 @@ def optimize_table(
         mode="replace",
         expected_parent=basis,
         store=st,
+        stats_cols=tracked or None,
     )
 
 

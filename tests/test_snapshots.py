@@ -1375,11 +1375,22 @@ def test_manifest_stats_and_pruned_scan(spark, tmp_path):
     # pure pruner: no stats -> nothing prunes
     assert snap._prune_dirs({"dirs": ["a", "b"]}, {"x": (0, 1)}) == ["a", "b"]
 
-    # delete rewrites a dir -> its stats drop (safe), kept dirs keep theirs
+    # delete rewrites ONLY the matching dir (A holds doc_id=5); its
+    # rewrite gets stats RECOMPUTED over the tracked columns while B
+    # carries its ranges and the stats-less C stays unprunable —
+    # skipping metadata survives CRUD instead of degrading.
     v3 = snap.delete_where(spark, t, "doc_id = 5")
     m3 = snap._load_manifest(t, v3, snap._POSIX)
-    carried = [d for d in m3["dirs"] if d in m3.get("stats", {})]
-    assert len(carried) == 1 and m3["stats"][carried[0]]["doc_id"] == [30, 59]
+    ranges = sorted(
+        m3["stats"][d]["doc_id"] for d in m3["dirs"] if d in m3["stats"]
+    )
+    assert ranges == [[0, 29], [30, 59]]
     got3 = snap.scan_snapshot(spark, t, {"doc_id": (0, 10)}, version=v3)
     assert {r.doc_id for r in got3.where(F.col("doc_id") <= 10).collect()} \
         == set(range(11)) - {5}
+
+    # optimize (replace) keeps the tracked columns alive table-wide
+    v4 = snap.optimize_table(spark, t, target_file_bytes=1 << 30)
+    if v4 != v3:  # compaction actually ran
+        m4 = snap._load_manifest(t, v4, snap._POSIX)
+        assert all("doc_id" in s for s in m4["stats"].values())
