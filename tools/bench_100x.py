@@ -54,6 +54,7 @@ QUERIES = [
     # and CDC view maintenance (feed scans delta dirs only)
     "x132_optimize_equivalence",
     "x145_cdc_incremental_view",
+    "x164_stats_pruned_scan",
 ]
 
 # Per-query reading notes carried into the artifact (the x67 cap-note
@@ -89,6 +90,14 @@ NOTES = {
         "the one-pass data rewrite — manifest resolution stays "
         "KB-sized driver-side catalog work at any payload (the log is "
         "version-count-sized, never data-sized)"
+    ),
+    "x164_stats_pruned_scan": (
+        "lakehouse leg: 8 stats-recorded commits over the orders table "
+        "+ a range aggregate answered through manifest-level data "
+        "skipping (scan_snapshot reads 3 of 8 dirs) — the commit "
+        "chain dominates wall time; the certified property is that "
+        "the PRUNER's dir decisions stay manifest-sized while the "
+        "data under them grows 100x"
     ),
     "x145_cdc_incremental_view": (
         "lakehouse leg: append/replace/overwrite commit chain + a view "
