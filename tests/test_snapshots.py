@@ -1394,3 +1394,34 @@ def test_manifest_stats_and_pruned_scan(spark, tmp_path):
     if v4 != v3:  # compaction actually ran
         m4 = snap._load_manifest(t, v4, snap._POSIX)
         assert all("doc_id" in s for s in m4["stats"].values())
+
+
+def test_scan_snapshot_honors_pluggable_store(spark, tmp_path):
+    """scan_snapshot resolves manifests through the SAME pluggable
+    ManifestStore as commit — stats pruning must work when the log
+    lives in an object store (in-memory conditional-PUT model) while
+    the data dirs stay on the shared filesystem."""
+    mem = snap.InMemoryManifestStore()
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang")
+    t = str(tmp_path / "tbl")
+    snap.commit(spark, docs.where(F.col("doc_id") < 30), t,
+                stats_cols=["doc_id"], store=mem)
+    v1 = snap.commit(
+        spark,
+        docs.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 60)),
+        t, mode="append", stats_cols=["doc_id"], store=mem,
+    )
+    # the POSIX log never saw these commits
+    assert snap.current_version(t) is None
+    got = snap.scan_snapshot(
+        spark, t, {"doc_id": (40, 50)}, version=v1, store=mem
+    )
+    dirs = {
+        r["d"]
+        for r in got.withColumn(
+            "d",
+            F.regexp_extract(F.col("_metadata.file_path"), r"(data/c[^/]+)/", 1),
+        ).select("d").distinct().collect()
+    }
+    assert len(dirs) == 1  # both dirs have stats; only one intersects
+    assert {r.doc_id for r in got.collect()} == set(range(30, 60))
