@@ -1425,3 +1425,55 @@ def test_scan_snapshot_honors_pluggable_store(spark, tmp_path):
     }
     assert len(dirs) == 1  # both dirs have stats; only one intersects
     assert {r.doc_id for r in got.collect()} == set(range(30, 60))
+
+
+def test_prune_dirs_soundness_property():
+    """Property (Hypothesis): for ANY manifest stats and ANY query
+    range, a directory whose recorded [lo, hi] intersects the range is
+    NEVER pruned — pruning may keep too much (dirs without stats,
+    loose ranges) but can never drop a directory that could hold a
+    matching row. This is the invariant that makes scan_snapshot an
+    optimization instead of a filter."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    bound = st.one_of(st.none(), st.integers(-50, 50))
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        dirs=st.lists(
+            st.tuples(
+                st.booleans(),  # has stats?
+                st.integers(-50, 50),
+                st.integers(0, 30),  # hi = lo + delta
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        lo=bound,
+        hi=bound,
+    )
+    def check(dirs, lo, hi):
+        manifest = {"dirs": [], "stats": {}}
+        ranges = {}
+        for i, (has, dlo, delta) in enumerate(dirs):
+            name = f"d{i}"
+            manifest["dirs"].append(name)
+            if has:
+                manifest["stats"][name] = {"k": [dlo, dlo + delta]}
+        kept = set(snap._prune_dirs(manifest, {"k": (lo, hi)}))
+        for i, (has, dlo, delta) in enumerate(dirs):
+            name = f"d{i}"
+            if not has:
+                assert name in kept  # no stats -> unprunable
+                continue
+            dhi = dlo + delta
+            intersects = (lo is None or dhi >= lo) and (
+                hi is None or dlo <= hi
+            )
+            if intersects:
+                assert name in kept, (name, dlo, dhi, lo, hi)
+            else:
+                assert name not in kept, (name, dlo, dhi, lo, hi)
+
+    check()
