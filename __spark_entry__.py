@@ -31,46 +31,45 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver oracle-checks the first 50 registry entries per round.
-# Round-10 rotation (executes the plan the round-9 verdict ordered):
-# the 45 remaining round-6-stale rows lead — x11–x39 (29) and
-# x57–x72 (16), last driver-checked in round 6, three rounds of
-# shared-helper churn ago. The final 5 slots go to the shapes that
-# CHANGED or LANDED this round: x133 (its GROUPING SETS + Möbius
-# rewrite has never had a driver verdict in final form; judge-named),
-# x74 (rebuilt this round — FastSS end-token blocking against a new
-# LITERAL-QUADRATIC oracle), and three of the five round-10
-# additions (x151 merge-CDC view, x152 Kendall tau-b, x155
-# anti-entropy drill-down). After this round no driver verdict in
-# the registry is older than round 7. The round-11 rotation should
-# lead with the rows that have never had a driver verdict — x153,
-# x154, and the later round-10 additions x156–x164 (grouped OLS,
-# lang-source G-test, two-sample KS, market basket, weighted
-# quantiles, Heaps' law, DELETE-feed view, Lorenz deciles, stats-pruned scan) — then the oldest r7
-# rows (x73, x75, x76, x77–…).
+# Round-11 rotation (executes the plan the round-10 verdict ordered):
+# the 11 rows that have NEVER had a driver verdict lead — x153, x154
+# and the late-round-10 additions x156–x164 (grouped OLS, lang-source
+# G-test, two-sample KS, market basket, weighted quantiles, Heaps'
+# law, DELETE-feed view, Lorenz deciles, stats-pruned scan). The
+# remaining 39 slots go to the oldest driver-verdict rows, all
+# round-7: x73, x75–x112 in registry order. After this round the
+# r7-stale residue is 10 rows (x113, x114, x117, x119, x120, x127,
+# x128, x129, x130, x131) — the round-12 rotation should lead with
+# those, then the oldest r8 rows (d01–d30 tier).
 _CHECK_FIRST = [
-    # round-6-stale: x11–x39
-    "x11_srp_lsh_topk", "x12_crop_grid", "x13_overlap_vote",
-    "x14_ivf_topk", "x15_json_extract", "x16_asof_join",
-    "x17_sessionize", "x18_winnow_fingerprint", "x19_kmeans_centroids",
-    "x20_interval_join", "x21_dup_clusters", "x22_tfidf_topk",
-    "x23_pattern_scrub", "x24_stratified_sample", "x25_vocab_topk",
-    "x26_bm25", "x27_corpus_build", "x28_bpe_tokens",
-    "x29_semantic_neardup", "x30_containment", "x31_corpus_report",
-    "x32_repetition_signals", "x33_decontaminate", "x34_chunk_documents",
-    "x35_pack_sequences", "x36_embedding_health", "x37_funnel",
-    "x38_gapfill", "x39_salted_skew_join",
-    # round-6-stale: x57–x72
-    "x57_sketch_topk", "x58_bloom_pruned_join", "x59_hll_distinct",
-    "x60_zorder_key", "x61_weighted_sample", "x62_cms_frequencies",
-    "x63_hist_quantiles", "x64_hll_set_algebra", "x65_quality_gate",
-    "x66_similarity_join_exact", "x67_triangle_hubs", "x68_bpe_train",
-    "x69_hll_rollup", "x70_recursive_closure", "x71_lateral_topk",
-    "x72_udtf_chunks",
-    # shapes changed this round — first driver verdicts in final form
-    "x133_record_linkage_fs", "x74_fuzzy_name_join",
-    # round-10 additions
-    "x151_merge_feed_view", "x152_kendall_tau",
-    "x155_anti_entropy_repair",
+    # never driver-checked (landed late round 10)
+    "x153_mann_whitney_u", "x154_ref_integrity_audit",
+    "x156_grouped_ols", "x157_mutual_information",
+    "x158_ks_two_sample", "x159_market_basket",
+    "x160_weighted_quantiles", "x161_heaps_law",
+    "x162_delete_feed_view", "x163_lorenz_deciles",
+    "x164_stats_pruned_scan",
+    # oldest driver verdicts (round 7): x73, x75–x112
+    "x73_bpe_encode", "x75_sliding_distinct",
+    "x76_quality_gate_corpus", "x77_simhash_neardup",
+    "x78_kcore", "x79_join_size_estimate",
+    "x80_pq_adc_topk", "x81_pq_recall",
+    "x82_sql_udf", "x83_kmv_intersections",
+    "x84_split_leakage", "x85_skew_report",
+    "x86_join_order_plan", "x87_table_profile",
+    "x88_kmv_incremental", "x89_retention_cohorts",
+    "x90_cbo_estimates", "x91_profile_approx_certified",
+    "x92_ivfpq_topk", "x93_approx_quantile_certified",
+    "x94_adaptive_salted_join", "x95_adaptive_lsh",
+    "x96_ivfpq_residual_topk", "x97_python_datasource",
+    "x98_polymorphic_udtf", "x99_ewma_user_value",
+    "x100_cms_incremental", "x101_scd2_build",
+    "x102_point_in_time_join", "x103_zorder_skipping",
+    "x104_weighted_sample_incremental", "x105_mad_outliers",
+    "x106_range_partition_plan", "x107_snapshot_audit",
+    "x108_winsorized_stats", "x109_corpus_divergence",
+    "x110_event_pattern_match", "x111_trend_slope",
+    "x112_welch_ttest",
 ]
 
 
