@@ -11459,7 +11459,9 @@ def x156(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "x157_mutual_information",
     """WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
-                  FROM documents GROUP BY 1, 2),
+                  FROM documents
+                  WHERE lang IS NOT NULL AND source IS NOT NULL
+                  GROUP BY 1, 2),
        m AS (SELECT lang, source, n,
                     SUM(n) OVER (PARTITION BY lang) AS nx,
                     SUM(n) OVER (PARTITION BY source) AS ny,
@@ -11497,7 +11499,13 @@ def x156(spark: SparkSession, sf_dir: str) -> DataFrame:
     "100 TB.",
 )
 def x157(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL keys excluded on BOTH sides (the x133 discipline): the
+    # marginal attaches below are null-unsafe inner joins, while the
+    # oracle's window sums would retain NULL-keyed cells — filtering
+    # first keeps the two derivations aligned whatever the data.
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
     cube = docs.cube("lang", "source").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.grouping_id().alias("gid"),
@@ -11891,9 +11899,15 @@ def x161(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
     )
+    # anchor on ALL doc_ids, not the tokenized table: a NULL-text doc
+    # yields no explode rows, but the oracle's ROW_NUMBER (and nd)
+    # rank every document — without the left joins its absence would
+    # shift cum_one past every later checkpoint.
     d = (
-        per_doc.join(new_per_doc, "doc_id", "left")
-        .fillna(0, ["n_new"])
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(new_per_doc, "doc_id", "left")
+        .fillna(0, ["n_tok", "n_new"])
         .withColumn("one", F.lit(1).cast("long"))
     )
     cums = grouped_cumsum(d, [], "doc_id", ["n_tok", "n_new", "one"])

@@ -442,11 +442,24 @@ def _rewritten_dir_stats(
     return out
 
 
+def _stats_cmp_key(v):
+    """Order strings the way SPARK ordered them when it computed the
+    stats bounds: UTF-8 byte order. Python's ``str`` comparison is
+    code-point order — identical for BMP text but DIVERGENT above it
+    (U+FFFF sorts after U+10000 in code points, before it in UTF-8
+    bytes), so comparing Spark-computed string bounds with Python
+    ``<``/``>`` could prune a directory that contains a match.
+    Non-strings (int/float/bool) order identically in both systems."""
+    return v.encode("utf-8") if isinstance(v, str) else v
+
+
 def _prune_dirs(manifest: dict, ranges: dict[str, tuple]) -> list[str]:
     """Directories of ``manifest`` that could contain a row matching
     every ``col: (lo, hi)`` bound (None = unbounded on that side).
     Pure interval intersection over the manifest's recorded stats;
-    a dir with no stats for a bounded column is KEPT (unprunable)."""
+    a dir with no stats for a bounded column is KEPT (unprunable).
+    String bounds compare in UTF-8 byte order to match the Spark
+    min/max that produced them (see ``_stats_cmp_key``)."""
     kept = []
     for d in manifest["dirs"]:
         st = manifest.get("stats", {}).get(d, {})
@@ -454,9 +467,12 @@ def _prune_dirs(manifest: dict, ranges: dict[str, tuple]) -> list[str]:
         for col, (lo, hi) in ranges.items():
             if col not in st:
                 continue
-            dlo, dhi = st[col]
-            if (hi is not None and dlo > hi) or (
-                lo is not None and dhi < lo
+            dlo = _stats_cmp_key(st[col][0])
+            dhi = _stats_cmp_key(st[col][1])
+            klo = _stats_cmp_key(lo)
+            khi = _stats_cmp_key(hi)
+            if (khi is not None and dlo > khi) or (
+                klo is not None and dhi < klo
             ):
                 keep = False
                 break
@@ -470,6 +486,7 @@ def scan_snapshot(
     table_path: str,
     ranges: dict[str, tuple],
     version: int | None = None,
+    merge_schema: bool = False,
     store: ManifestStore | None = None,
 ) -> DataFrame:
     """Read a snapshot version scanning ONLY the directories whose
@@ -481,7 +498,13 @@ def scan_snapshot(
     filter: rows outside the bounds may still be returned (from dirs
     whose range merely overlaps), so apply the actual predicate on
     the result exactly as with parquet row-group skipping. Returns an
-    empty frame with the table's schema when every directory prunes."""
+    empty frame with the table's schema when every directory prunes.
+
+    ``merge_schema``: threaded to the kept-dirs read exactly as in
+    :func:`read_snapshot`, so under cross-commit schema evolution the
+    result schema does not depend on WHICH directories survived
+    pruning (the full-prune branch already returns the merged
+    ``read_snapshot`` schema)."""
     st = _store(store)
     st.check_path(table_path)
     if version is None:
@@ -491,8 +514,13 @@ def scan_snapshot(
     manifest = _load_manifest(table_path, version, st)
     kept = _prune_dirs(manifest, ranges)
     if not kept:
-        return read_snapshot(spark, table_path, version, store=st).limit(0)
-    return spark.read.parquet(
+        return read_snapshot(
+            spark, table_path, version, merge_schema=merge_schema, store=st
+        ).limit(0)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(
         *[os.path.join(table_path, d) for d in kept]
     )
 
@@ -659,6 +687,26 @@ def commit(
 
 
 _CHANGES_DIR = "_changes"
+# Internal column used by merge/delete to attribute each parent row to
+# its data directory. Deliberately unlikely; both entry points raise
+# cleanly if a user column collides (a silent withColumn overwrite
+# would corrupt touched-dir detection AND the change set).
+_DIR_COL = "_dde_internal_dir"
+
+
+def _with_dir_col(parent: DataFrame) -> DataFrame:
+    if _DIR_COL in parent.columns:
+        raise ValueError(
+            f"table carries a column named {_DIR_COL!r}, which "
+            "merge/delete reserve for internal directory attribution — "
+            "rename it before using copy-on-write CRUD"
+        )
+    return parent.withColumn(
+        _DIR_COL,
+        F.regexp_extract(
+            F.col("_metadata.file_path"), f"({_DATA_DIR}/[^/]+)/", 1
+        ),
+    )
 
 
 def merge_upsert(
@@ -667,6 +715,7 @@ def merge_upsert(
     table_path: str,
     keys: list[str],
     batch_id: int | None = None,
+    evolve_schema: bool = False,
     store: ManifestStore | None = None,
 ) -> int:
     """MERGE (upsert) ``source`` into the table by ``keys``: rows whose
@@ -676,6 +725,18 @@ def merge_upsert(
     PRECONDITION: ``source`` carries at most one row per key (the same
     requirement Delta MERGE enforces); several source rows for one key
     would make the surviving row order-dependent.
+
+    Schema contract: ``source`` must carry exactly the table's column
+    set, else ``ValueError`` — a silently-different source would write
+    mixed-schema data directories readable only via
+    ``merge_schema=True``. Pass ``evolve_schema=True`` to opt into
+    evolution (Delta's ``mergeSchema`` writer option): both the
+    survivors and the source are NULL-padded to the UNION of the two
+    column sets, so every directory this commit writes — and the
+    change set — carries the evolved schema, and a plain
+    ``read_snapshot`` of the new version sees it (directories carried
+    by reference keep the old schema; read the table with
+    ``merge_schema=True`` until an OPTIMIZE rewrites them).
 
     Scale shape (the Delta copy-on-write rule at directory granularity):
     only the parent directories that CONTAIN a matched key are
@@ -728,26 +789,47 @@ def merge_upsert(
 
     manifest = _load_manifest(table_path, basis, st)
     parent_dirs: list[str] = manifest["dirs"]
-    parent = spark.read.parquet(
+    parent_scan = spark.read.parquet(
         *[os.path.join(table_path, d) for d in parent_dirs]
-    ).withColumn(
-        "_dir",
-        F.regexp_extract(
-            F.col("_metadata.file_path"), f"({_DATA_DIR}/[^/]+)/", 1
-        ),
     )
+    src_set, par_set = set(source.columns), set(parent_scan.columns)
+    if _DIR_COL in src_set:
+        raise ValueError(
+            f"merge source carries reserved column {_DIR_COL!r}"
+        )
+    if src_set != par_set and not evolve_schema:
+        raise ValueError(
+            "merge_upsert source schema differs from the table's "
+            f"(source-only: {sorted(src_set - par_set)}, "
+            f"table-only: {sorted(par_set - src_set)}); pass "
+            "evolve_schema=True to evolve, or align the source"
+        )
+    # the dir column rides a _metadata pseudo-column, resolvable only
+    # on the direct file scan — attach it BEFORE any evolution union
+    parent = _with_dir_col(parent_scan)
+    if src_set != par_set:
+        # NULL-pad each side with the other's missing columns so every
+        # directory this commit writes carries the UNION schema.
+        if par_set - src_set:
+            source = source.unionByName(
+                parent_scan.limit(0), allowMissingColumns=True
+            )
+        if src_set - par_set:
+            parent = parent.unionByName(
+                source.limit(0), allowMissingColumns=True
+            )
     src_keys = source.select(*keys).dropDuplicates(keys)
     # catalog-sized: one dir name per touched directory
     touched = {
-        r["_dir"]
+        r[_DIR_COL]
         for r in parent.join(src_keys, keys, "semi")
-        .select("_dir")
+        .select(_DIR_COL)
         .distinct()
         .collect()
     }
-    touched_parent = parent.where(F.col("_dir").isin(list(touched)))
-    survivors = touched_parent.join(src_keys, keys, "anti").drop("_dir")
-    preimages = touched_parent.join(src_keys, keys, "semi").drop("_dir")
+    touched_parent = parent.where(F.col(_DIR_COL).isin(list(touched)))
+    survivors = touched_parent.join(src_keys, keys, "anti").drop(_DIR_COL)
+    preimages = touched_parent.join(src_keys, keys, "semi").drop(_DIR_COL)
 
     data_cols = [c for c in source.columns]
     matched_src = source.join(
@@ -773,15 +855,20 @@ def merge_upsert(
     )
     chg_rel = _write_change_set(chg, table_path)
 
-    rewrite_dir = os.path.join(table_path, _DATA_DIR, f"c{uuid.uuid4().hex[:12]}")
-    survivors.write.parquet(rewrite_dir)
+    new_rels: list[str] = []
+    if touched:
+        # only when some parent directory actually contained a matched
+        # key — a pure-insert merge (no key matches; the common CDC
+        # upsert-stream case) must not publish an empty survivors dir
+        rewrite_dir = os.path.join(
+            table_path, _DATA_DIR, f"c{uuid.uuid4().hex[:12]}"
+        )
+        survivors.write.parquet(rewrite_dir)
+        new_rels.append(os.path.relpath(rewrite_dir, table_path))
     source_dir = os.path.join(table_path, _DATA_DIR, f"c{uuid.uuid4().hex[:12]}")
     source.write.parquet(source_dir)
+    new_rels.append(os.path.relpath(source_dir, table_path))
     kept = [d for d in parent_dirs if d not in touched]
-    new_rels = [
-        os.path.relpath(rewrite_dir, table_path),
-        os.path.relpath(source_dir, table_path),
-    ]
     dirs = kept + new_rels
     return commit(
         spark,
@@ -831,6 +918,13 @@ def delete_where(
 
     Concurrency/replay: basis-pinned via ``expected_parent`` exactly
     like merge; ``batch_id`` dedups streaming foreachBatch replays.
+
+    ``condition`` MUST be deterministic: it is evaluated in three
+    separate Spark jobs (change-set write, touched-dir discovery,
+    survivor rewrite) over fresh parent scans, so a non-deterministic
+    predicate (``rand()``-based sampling deletes) can ship a change
+    feed inconsistent with the surviving data. For sampling deletes,
+    materialize the sampled KEYS first and delete by key membership.
     """
     st = _store(store)
     st.check_path(table_path)
@@ -845,20 +939,17 @@ def delete_where(
 
     manifest = _load_manifest(table_path, basis, st)
     parent_dirs: list[str] = manifest["dirs"]
-    parent = spark.read.parquet(
-        *[os.path.join(table_path, d) for d in parent_dirs]
-    ).withColumn(
-        "_dir",
-        F.regexp_extract(
-            F.col("_metadata.file_path"), f"({_DATA_DIR}/[^/]+)/", 1
-        ),
+    parent = _with_dir_col(
+        spark.read.parquet(
+            *[os.path.join(table_path, d) for d in parent_dirs]
+        )
     )
     matched = parent.where(cond)
     # catalog-sized: one dir name per directory containing a match
     touched = {
-        r["_dir"] for r in matched.select("_dir").distinct().collect()
+        r[_DIR_COL] for r in matched.select(_DIR_COL).distinct().collect()
     }
-    deleted = matched.drop("_dir")
+    deleted = matched.drop(_DIR_COL)
     chg = deleted.withColumn(
         "_change_type", F.lit("delete")
     ).withColumn("_change_subtype", F.lit("delete"))
@@ -869,9 +960,9 @@ def delete_where(
     new_rels: list[str] = []
     if touched:
         survivors = (
-            parent.where(F.col("_dir").isin(list(touched)))
+            parent.where(F.col(_DIR_COL).isin(list(touched)))
             .where(~F.coalesce(cond, F.lit(False)))
-            .drop("_dir")
+            .drop(_DIR_COL)
         )
         rewrite_dir = os.path.join(
             table_path, _DATA_DIR, f"c{uuid.uuid4().hex[:12]}"
@@ -945,6 +1036,7 @@ def read_changes(
     from_version: int,
     to_version: int | None = None,
     merge_schema: bool = False,
+    ranges: dict[str, tuple] | None = None,
     store: ManifestStore | None = None,
 ) -> DataFrame:
     """Row-level change feed between two snapshot versions: the rows
@@ -982,6 +1074,16 @@ def read_changes(
     BETWEEN versions is always reconciled — pieces union with
     ``allowMissingColumns`` so newer columns NULL-pad older deltas.
 
+    ``ranges``: optional ``col: (lo, hi)`` bounds with the same
+    OPTIMIZATION contract as :func:`scan_snapshot` — delta directories
+    whose recorded [min, max] stats cannot intersect every bound are
+    skipped, so a predicate-scoped feed consumer (a maintained view
+    restricted to one key range) reads only the intersecting delta
+    dirs instead of every commit's. Rows outside the bounds may still
+    be returned; apply the actual predicate on the result. Merge/
+    delete commits' persisted change sets carry no stats and are
+    always read (they are already row-exact).
+
     Scale shape: the feed scans ONLY the directories that changed
     (for append chains: just the delta files — the common case at
     100 TB), never the unchanged history; manifest resolution is
@@ -1004,7 +1106,11 @@ def read_changes(
             reader = reader.option("mergeSchema", "true")
         return reader
 
-    def _tagged(dirs: list[str], change: str, v: int) -> DataFrame | None:
+    def _tagged(
+        dirs: list[str], change: str, v: int, stats: dict | None
+    ) -> DataFrame | None:
+        if ranges and stats:
+            dirs = _prune_dirs({"dirs": dirs, "stats": stats}, ranges)
         if not dirs:
             return None
         return (
@@ -1016,20 +1122,22 @@ def read_changes(
         )
 
     pieces: list[DataFrame] = []
-    parent_dirs = _load_manifest(table_path, from_version, st)["dirs"]
+    prev_m = _load_manifest(table_path, from_version, st)
+    parent_dirs = prev_m["dirs"]
+    parent_stats = prev_m.get("stats", {})
     for v in range(from_version + 1, to_version + 1):
         m = _load_manifest(table_path, v, st)
         if m["op"] == "append":
             parent_set = set(parent_dirs)
             new_dirs = [d for d in m["dirs"] if d not in parent_set]
-            piece = _tagged(new_dirs, "insert", v)
+            piece = _tagged(new_dirs, "insert", v, m.get("stats"))
             if piece is not None:
                 pieces.append(piece)
         elif m["op"] == "overwrite":
-            dele = _tagged(parent_dirs, "delete", v)
+            dele = _tagged(parent_dirs, "delete", v, parent_stats)
             if dele is not None:
                 pieces.append(dele)
-            ins = _tagged(m["dirs"], "insert", v)
+            ins = _tagged(m["dirs"], "insert", v, m.get("stats"))
             if ins is not None:
                 pieces.append(ins)
         elif m["op"] in ("merge", "delete"):
@@ -1043,6 +1151,7 @@ def read_changes(
             )
         # op == 'replace': content-preserving, no logical change
         parent_dirs = m["dirs"]
+        parent_stats = m.get("stats", {})
 
     if not pieces:
         return (

@@ -1477,3 +1477,298 @@ def test_prune_dirs_soundness_property():
                 assert name not in kept, (name, dlo, dhi, lo, hi)
 
     check()
+
+def test_merge_no_match_commits_only_source_dir(spark, tmp_path):
+    """A pure-insert merge (no source key matches any parent row — the
+    common CDC upsert-stream case) must NOT publish an empty survivors
+    directory: the new manifest carries every parent dir by reference
+    plus exactly ONE new dir (the source), and no referenced dir is
+    empty."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    snap.commit(spark, docs.where(F.col("doc_id") < 30), t)
+    m0 = snap._load_manifest(t, 0, snap._POSIX)
+    src = docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 110))
+    v1 = snap.merge_upsert(spark, src, t, keys=["doc_id"])
+    m1 = snap._load_manifest(t, v1, snap._POSIX)
+    new_dirs = [d for d in m1["dirs"] if d not in set(m0["dirs"])]
+    assert len(new_dirs) == 1
+    assert set(m0["dirs"]) <= set(m1["dirs"])
+    for d in m1["dirs"]:
+        assert spark.read.parquet(os.path.join(t, d)).count() > 0
+    expect = docs.where(
+        (F.col("doc_id") < 30)
+        | ((F.col("doc_id") >= 100) & (F.col("doc_id") < 110))
+    )
+    assert _rows(snap.read_snapshot(spark, t, v1)) == _rows(expect)
+
+
+def test_merge_schema_contract_and_evolution(spark, tmp_path):
+    """merge_upsert rejects a source whose column set differs from the
+    table's unless evolve_schema=True; with it, survivors AND source
+    are NULL-padded to the union schema, the evolved table round-trips
+    through read_snapshot(merge_schema=True), and the CDC feed carries
+    the new column."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    snap.commit(spark, docs.where(F.col("doc_id") < 20), t)
+
+    src = (
+        docs.where(F.col("doc_id") < 10)
+        .withColumn("grade", (F.col("doc_id") % 3).cast("int"))
+    )
+    with pytest.raises(ValueError, match="evolve_schema"):
+        snap.merge_upsert(spark, src, t, keys=["doc_id"])
+
+    v1 = snap.merge_upsert(
+        spark, src, t, keys=["doc_id"], evolve_schema=True
+    )
+    got = snap.read_snapshot(spark, t, v1, merge_schema=True)
+    assert set(got.columns) == {"doc_id", "source", "grade"}
+    rows = {r.doc_id: r.grade for r in got.collect()}
+    assert len(rows) == 20
+    for i in range(10):
+        assert rows[i] == i % 3          # replaced rows carry the value
+    for i in range(10, 20):
+        assert rows[i] is None           # survivors NULL-padded
+    # this commit's OWN dirs already carry the union schema plainly
+    m0 = snap._load_manifest(t, 0, snap._POSIX)
+    m1 = snap._load_manifest(t, v1, snap._POSIX)
+    for d in set(m1["dirs"]) - set(m0["dirs"]):
+        assert "grade" in spark.read.parquet(os.path.join(t, d)).columns
+    # CDC: postimages/inserts expose the evolved column
+    feed = snap.read_changes(spark, t, 0, v1)
+    post = {
+        r.doc_id: r.grade
+        for r in feed.where(
+            F.col("_change_subtype") == "update_postimage"
+        ).collect()
+    }
+    assert post == {i: i % 3 for i in range(10)}
+
+
+def test_crud_reserved_dir_column_raises(spark, tmp_path):
+    """A user column colliding with the internal directory-attribution
+    column fails loudly in both merge and delete instead of being
+    silently clobbered (which would corrupt touched-dir detection and
+    the change set)."""
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "source")
+        .withColumn(snap._DIR_COL, F.lit("boom"))
+    )
+    t = str(tmp_path / "tbl")
+    snap.commit(spark, docs.where(F.col("doc_id") < 10), t)
+    with pytest.raises(ValueError, match=snap._DIR_COL):
+        snap.delete_where(spark, t, "doc_id = 1")
+    with pytest.raises(ValueError, match=snap._DIR_COL):
+        snap.merge_upsert(
+            spark, docs.where(F.col("doc_id") < 2), t, keys=["doc_id"]
+        )
+
+
+def test_read_changes_stats_pruned(spark, tmp_path):
+    """A predicate-scoped CDC consumer: read_changes(ranges=...) reads
+    ONLY the delta directories whose recorded stats intersect the
+    bounds (verified via _metadata file paths), with the same
+    optimization-not-filter contract as scan_snapshot — and a
+    merge/delete commit's row-exact change set is always shipped."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    v0 = snap.commit(spark, docs.where(F.col("doc_id") < 30), t,
+                     stats_cols=["doc_id"])
+    snap.commit(spark, docs.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 60)),
+                t, mode="append", stats_cols=["doc_id"])
+    v2 = snap.commit(spark, docs.where((F.col("doc_id") >= 60) & (F.col("doc_id") < 90)),
+                     t, mode="append", stats_cols=["doc_id"])
+
+    feed = snap.read_changes(spark, t, v0, v2, ranges={"doc_id": (40, 50)})
+    read_dirs = {
+        r["d"]
+        for r in feed.withColumn(
+            "d",
+            F.regexp_extract(F.col("_metadata.file_path"), r"(data/c[^/]+)/", 1),
+        ).select("d").distinct().collect()
+    }
+    assert len(read_dirs) == 1  # only the [30,60) delta dir intersects
+    assert {r.doc_id for r in feed.where(F.col("doc_id").between(40, 50)).collect()} \
+        == set(range(40, 51))
+    # unpruned feed reads both delta dirs and agrees after filtering
+    full = snap.read_changes(spark, t, v0, v2)
+    assert sorted(
+        (r.doc_id, r._change_type)
+        for r in full.where(F.col("doc_id").between(40, 50)).collect()
+    ) == sorted(
+        (r.doc_id, r._change_type)
+        for r in feed.where(F.col("doc_id").between(40, 50)).collect()
+    )
+    # a delete commit's change set is row-exact: shipped even when the
+    # bounds exclude it (stats-less change dirs never prune)
+    v3 = snap.delete_where(spark, t, "doc_id = 70")
+    feed2 = snap.read_changes(spark, t, v2, v3, ranges={"doc_id": (0, 1)})
+    assert [(r.doc_id, r._change_type) for r in feed2.collect()] == [(70, "delete")]
+
+
+def test_scan_snapshot_merge_schema_stable_under_pruning(spark, tmp_path):
+    """Under cross-commit schema evolution, scan_snapshot's result
+    schema must not depend on WHICH directories survive pruning:
+    merge_schema=True yields the union schema on the partial-prune,
+    no-prune, and full-prune branches alike."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    snap.commit(spark, docs.where(F.col("doc_id") < 30), t,
+                stats_cols=["doc_id"])
+    evolved = (
+        docs.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 60))
+        .withColumn("grade", F.lit(1).cast("int"))
+    )
+    v1 = snap.commit(spark, evolved, t, mode="append", stats_cols=["doc_id"])
+
+    union_cols = {"doc_id", "source", "grade"}
+    for rng in [(40, 50), (0, 50), (1000, None)]:
+        got = snap.scan_snapshot(
+            spark, t, {"doc_id": rng}, version=v1, merge_schema=True
+        )
+        assert set(got.columns) == union_cols, rng
+    # old-dir-only prune without merge_schema keeps the old behavior
+    old_only = snap.scan_snapshot(spark, t, {"doc_id": (0, 10)}, version=v1)
+    assert set(old_only.columns) == {"doc_id", "source"}
+
+
+def test_prune_dirs_string_bounds_utf8_order():
+    """String stats bounds compare in UTF-8 byte order (matching the
+    Spark min/max that produced them), not Python code-point order —
+    the divergence is non-BMP: U+FFFF sorts AFTER U+10000 in code
+    points but BEFORE it in UTF-8 bytes. A dir whose Spark-computed
+    range contains a match must never prune."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    smp = "\U00010000"  # first supplementary-plane char
+    bmp = "￿"      # last BMP char: code-point > smp, utf8 < smp
+    # the concrete edge first: dir range computed by byte order is
+    # [bmp, smp]; a query for exactly bmp must keep it, and a query
+    # above smp must prune it.
+    man = {"dirs": ["d0"], "stats": {"d0": {"k": [bmp, smp]}}}
+    assert snap._prune_dirs(man, {"k": (bmp, bmp)}) == ["d0"]
+    assert snap._prune_dirs(man, {"k": (smp + "z", None)}) == []
+
+    alphabet = st.sampled_from(["a", "z", bmp, smp, "é"])
+    word = st.text(alphabet=alphabet, min_size=0, max_size=3)
+
+    @settings(max_examples=300, deadline=None)
+    @given(vals=st.lists(word, min_size=1, max_size=6), q=word)
+    def check(vals, q):
+        # Spark's min/max over vals = byte-order extremes
+        key = lambda s: s.encode("utf-8")
+        lo, hi = min(vals, key=key), max(vals, key=key)
+        man = {"dirs": ["d0"], "stats": {"d0": {"k": [lo, hi]}}}
+        kept = snap._prune_dirs(man, {"k": (q, q)})
+        if q in vals:  # the dir contains an exact match -> NEVER pruned
+            assert kept == ["d0"], (vals, q)
+        # and pruning is sound in general: kept==[] implies no val == q
+        if not kept:
+            assert q not in vals
+
+    check()
+
+def test_snapshot_catalog_names_tables(spark, tmp_path):
+    """The name->path catalog: CREATE/lookup/drop linearize through the
+    same put-if-absent log as commits, reads resolve by NAME (incl.
+    time travel and stats-pruned scans), and a registered temp view
+    makes the lakehouse table addressable from spark.sql."""
+    from deepcell_data_engineering_spark.sources.table_catalog import (
+        SnapshotCatalog,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    snap.commit(spark, docs.where(F.col("doc_id") < 30), t,
+                stats_cols=["doc_id"])
+    v1 = snap.commit(
+        spark, docs.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 60)),
+        t, mode="append", stats_cols=["doc_id"],
+    )
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    assert cat.tables() == {}
+    cat.create_table("docs", t)
+    assert cat.lookup("docs") == t
+    with pytest.raises(ValueError, match="already registered"):
+        cat.create_table("docs", "/elsewhere")
+    with pytest.raises(ValueError, match="no table named"):
+        cat.lookup("nope")
+
+    # read by name: latest and time travel
+    assert cat.read(spark, "docs").count() == 60
+    assert cat.read(spark, "docs", version=0).count() == 30
+    # stats-pruned scan by name
+    got = cat.scan(spark, "docs", {"doc_id": (40, 50)}, version=v1)
+    assert {r.doc_id for r in got.collect()} == set(range(30, 60))
+
+    # spark.sql addresses the table by name through the view
+    cat.register_temp_view(spark, "docs", view_name="cat_docs")
+    n = spark.sql("SELECT COUNT(*) AS n FROM cat_docs").collect()[0]["n"]
+    assert n == 60
+    # the view is pinned to the resolved version: a later commit does
+    # not shift it until re-registration
+    snap.commit(spark, docs.where(F.col("doc_id") >= 90), t, mode="append")
+    assert spark.sql("SELECT COUNT(*) AS n FROM cat_docs").collect()[0]["n"] == 60
+    cat.register_temp_view(spark, "docs", view_name="cat_docs")
+    assert spark.sql("SELECT COUNT(*) AS n FROM cat_docs").collect()[0]["n"] > 60
+
+    # replace re-points; drop unregisters but leaves data
+    t2 = str(tmp_path / "tbl2")
+    snap.commit(spark, docs.where(F.col("doc_id") < 5), t2)
+    cat.create_table("docs", t2, replace=True)
+    assert cat.read(spark, "docs").count() == 5
+    cat.drop_table("docs")
+    assert cat.tables() == {}
+    assert snap.current_version(t2) == 0  # data untouched
+    # catalog history survives: old versions resolve the old maps
+    assert cat.tables(version=0) == {"docs": t}
+    assert cat.tables(version=1) == {"docs": t2}
+
+
+def test_snapshot_catalog_threaded_creates_no_lost_names(tmp_path):
+    """Concurrent CREATEs of distinct names all land (the optimistic
+    loop re-reads the winner's state), and concurrent CREATEs of the
+    SAME name produce exactly one winner + loud losers."""
+    import threading
+
+    from deepcell_data_engineering_spark.sources.table_catalog import (
+        SnapshotCatalog,
+    )
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    errs: list[Exception] = []
+
+    def make(i):
+        try:
+            cat.create_table(f"t{i}", f"/data/t{i}")
+        except Exception as e:  # pragma: no cover - failure surface
+            errs.append(e)
+
+    threads = [threading.Thread(target=make, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert cat.tables() == {f"t{i}": f"/data/t{i}" for i in range(8)}
+
+    dup_errs: list[Exception] = []
+
+    def dup(i):
+        try:
+            cat.create_table("shared", f"/data/s{i}")
+        except ValueError as e:
+            dup_errs.append(e)
+
+    threads = [threading.Thread(target=dup, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert len(dup_errs) == 3  # one winner, three loud losers
+    assert cat.lookup("shared").startswith("/data/s")
