@@ -12232,3 +12232,628 @@ def x164(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_dirs_total", F.lit(n_total).cast("bigint"))
         .orderBy("o_orderpriority")
     )
+
+
+@_q(
+    "x165_catalog_named_view",
+    """SELECT c.c_mktsegment,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+                   AS BIGINT) AS sum_cents
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       GROUP BY 1 ORDER BY 1""",
+    doc="Catalog naming layer certified end to end — the ergonomic "
+    "gap a real lakehouse user hits first: tables addressed BY NAME "
+    "through sources/table_catalog.SnapshotCatalog instead of raw "
+    "paths. The ENGINE commits a fact table (orders) and a dimension "
+    "(customer) as snapshot tables, registers both names in a "
+    "catalog (itself a put-if-absent versioned log, so concurrent "
+    "DDL linearizes like commits), resolves them back via "
+    "register_temp_view, and answers the star join entirely in "
+    "spark.sql over the VIEW NAMES — name -> catalog log -> manifest "
+    "-> directory list, no path in the query text. The views pin the "
+    "RESOLVED snapshot version (read isolation: a later commit "
+    "cannot shift a running query). The ORACLE runs the same star "
+    "join on the raw parquet — any wrong resolution (stale version, "
+    "wrong table, dropped dirs) breaks counts and sums. Lakehouse-"
+    "certification tier (x127/x132/x145/x151/x162/x164 pattern): "
+    "the commits ARE the operator under test; driver-side work is "
+    "catalog-sized JSON plus the bounded result collect.",
+)
+def x165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from deepcell_data_engineering_spark.sources import snapshots as snap
+    from deepcell_data_engineering_spark.sources.table_catalog import (
+        SnapshotCatalog,
+    )
+
+    facts = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    root = tempfile.mkdtemp(prefix="dde_catalog_")
+    try:
+        t_facts = f"{root}/facts"
+        t_dim = f"{root}/dim"
+        snap.commit(spark, facts, t_facts)
+        snap.commit(spark, dim, t_dim)
+        cat = SnapshotCatalog(f"{root}/cat")
+        cat.create_table("x165_facts", t_facts)
+        cat.create_table("x165_dim", t_dim)
+        cat.register_temp_view(spark, "x165_facts")
+        cat.register_temp_view(spark, "x165_dim")
+        try:
+            view = spark.sql(
+                """SELECT d.segment AS c_mktsegment,
+                          CAST(COUNT(*) AS BIGINT) AS n_orders,
+                          CAST(SUM(f.cents) AS BIGINT) AS sum_cents
+                   FROM x165_facts f
+                   JOIN x165_dim d ON f.custkey = d.custkey
+                   GROUP BY d.segment"""
+            )
+            rows = [
+                (r["c_mktsegment"], r["n_orders"], r["sum_cents"])
+                for r in view.collect()
+            ]
+        finally:
+            spark.catalog.dropTempView("x165_facts")
+            spark.catalog.dropTempView("x165_dim")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "c_mktsegment STRING, n_orders BIGINT, sum_cents BIGINT"
+    ).orderBy("c_mktsegment")
+
+
+@_q(
+    "x166_scoped_cdc_view",
+    """WITH m AS (SELECT CAST(MAX(o_orderkey) AS BIGINT) AS mk
+                  FROM orders),
+       b AS (SELECT (3 * (m.mk + 1)) // 8 - 1 AS hi, m.mk FROM m),
+       base AS (SELECT o.o_orderkey AS k, o.o_orderpriority AS p,
+                       CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)
+                         AS cents,
+                       (o.o_orderkey * 8) // (b.mk + 1) AS band
+                FROM orders o, b),
+       hit AS (SELECT base.* FROM base, b WHERE base.k <= b.hi),
+       nd AS (SELECT CAST(COUNT(DISTINCT band) AS BIGINT)
+                       AS n_delta_dirs_scanned
+              FROM hit WHERE band >= 1)
+       SELECT p AS o_orderpriority,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              CAST(SUM(cents) AS BIGINT) AS sum_cents,
+              nd.n_delta_dirs_scanned
+       FROM hit, nd GROUP BY 1, 4 ORDER BY 1""",
+    doc="Predicate-scoped CDC certified end to end — read_changes' "
+    "ranges pruning (the scan_snapshot stats-skipping contract "
+    "threaded through the change feed): orders land as a band-0 base "
+    "commit plus 7 key-banded APPEND deltas, each recording per-dir "
+    "[min,max] orderkey stats in its manifest. A consumer maintains "
+    "a view RESTRICTED to the low key range (bands 0-2): state "
+    "materialized at the base version plus a fold of "
+    "read_changes(ranges=...), which must touch ONLY the delta "
+    "directories whose recorded stats intersect the range — 2 of 7. "
+    "The result row carries that count from the same manifest "
+    "arithmetic the feed pruner runs. The ORACLE re-derives BOTH "
+    "facts from raw data: the restricted aggregate from the literal "
+    "k <= hi predicate, and the pruned-dir count as COUNT(DISTINCT "
+    "band) over matching delta rows — exact because dir stats are "
+    "true row min/max, so a delta dir intersects the range iff it "
+    "contributes a matching row. Pruning stays an optimization "
+    "CONTRACT: the fold re-applies the real predicate on the feed. "
+    "At 100 TB a scoped consumer (one tenant, one key shard) reads "
+    "KB of manifest + its own slice of each delta, never every "
+    "commit's full payload. Lakehouse-certification tier.",
+)
+def x166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from deepcell_data_engineering_spark.functions.stats import (
+        merge_grouped_sums,
+    )
+    from deepcell_data_engineering_spark.sources import snapshots as snap
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("p"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    mk = int(base.agg(F.max("k")).collect()[0][0])
+    band = (F.col("k") * 8 - F.pmod(F.col("k") * 8, F.lit(mk + 1))) / (
+        mk + 1
+    )
+    banded = base.withColumn("band", band.cast("long"))
+    hi = 3 * (mk + 1) // 8 - 1
+    rng = {"k": (None, hi)}
+    t = tempfile.mkdtemp(prefix="dde_scoped_cdc_")
+    try:
+        v0 = snap.commit(
+            spark, banded.where(F.col("band") == 0).drop("band"), t,
+            stats_cols=["k"],
+        )
+        head = v0
+        for i in range(1, 8):
+            head = snap.commit(
+                spark,
+                banded.where(F.col("band") == i).drop("band"),
+                t,
+                mode="append",
+                stats_cols=["k"],
+            )
+        # the same manifest arithmetic the feed pruner runs: how many
+        # DELTA dirs can intersect the range (KB of driver-side JSON)
+        n_scanned = 0
+        prev_dirs = set(
+            snap._load_manifest(t, v0, snap._POSIX)["dirs"]
+        )
+        for v in range(v0 + 1, head + 1):
+            m = snap._load_manifest(t, v, snap._POSIX)
+            new_dirs = [d for d in m["dirs"] if d not in prev_dirs]
+            n_scanned += len(
+                snap._prune_dirs(
+                    {"dirs": new_dirs, "stats": m.get("stats", {})}, rng
+                )
+            )
+            prev_dirs = set(m["dirs"])
+
+        state0 = (
+            snap.read_snapshot(spark, t, v0)
+            .where(F.col("k") <= hi)
+            .groupBy("p")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+        )
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        delta = (
+            snap.read_changes(spark, t, v0, head, ranges=rng)
+            .where(F.col("k") <= hi)
+            .groupBy("p")
+            .agg(
+                F.sum(sign).cast("bigint").alias("n_orders"),
+                F.sum(sign * F.col("cents")).cast("bigint").alias(
+                    "sum_cents"
+                ),
+            )
+        )
+        view = merge_grouped_sums(
+            [state0, delta], ["p"], ["n_orders", "sum_cents"]
+        ).where(F.col("n_orders") != 0)
+        rows = [
+            (r["p"], r["n_orders"], r["sum_cents"]) for r in view.collect()
+        ]
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+    return (
+        spark.createDataFrame(
+            rows, "o_orderpriority STRING, n_orders BIGINT, sum_cents BIGINT"
+        )
+        .withColumn(
+            "n_delta_dirs_scanned", F.lit(n_scanned).cast("bigint")
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "x167_schema_evolution_merge",
+    """WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS p,
+                            CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                              AS cents
+                     FROM orders),
+       fin AS (SELECT p,
+                      CASE WHEN k % 7 = 3 THEN cents + 500
+                           ELSE cents END AS cents,
+                      CASE WHEN k % 7 = 3 THEN k % 5
+                           ELSE NULL END AS flag
+               FROM base)
+       SELECT p AS o_orderpriority,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              CAST(SUM(cents) AS BIGINT) AS sum_cents,
+              CAST(COUNT(flag) AS BIGINT) AS n_flagged,
+              CAST(SUM(flag) AS BIGINT) AS sum_flag
+       FROM fin GROUP BY 1 ORDER BY 1""",
+    doc="Schema evolution through MERGE certified end to end — "
+    "Delta's mergeSchema writer semantics on this log: the orders "
+    "table commits with (k, p, cents); a CDC-style source carrying a "
+    "NEW column (flag) upserts the k%7=3 slice (cents bumped +500) "
+    "with merge_upsert(evolve_schema=True), which NULL-pads BOTH the "
+    "rewritten survivors and the source to the union schema, so the "
+    "evolved column is readable immediately. The ENGINE reads the "
+    "post-merge head with merge_schema=True (directories carried by "
+    "reference still hold the old footer schema) and aggregates per "
+    "priority: row count, total cents, flagged-row count and flag "
+    "sum. The ORACLE constructs the same final state from raw orders "
+    "with CASE arithmetic — a merge that loses survivors, pads "
+    "wrongly, double-applies the bump, or drops the evolved column "
+    "on any directory breaks the hash (COUNT(flag) counts only "
+    "non-NULL, so mis-padding is visible even at equal row counts). "
+    "Scale shape: copy-on-write at directory granularity (only "
+    "matched dirs rewrite), evolution costs NULL columns in new "
+    "files only — no history rewrite, exactly Delta's contract. "
+    "Lakehouse-certification tier.",
+)
+def x167(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from deepcell_data_engineering_spark.sources import snapshots as snap
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("p"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    source = base.where(F.col("k") % 7 == 3).select(
+        "k",
+        "p",
+        (F.col("cents") + 500).alias("cents"),
+        (F.col("k") % 5).cast("bigint").alias("flag"),
+    )
+    t = tempfile.mkdtemp(prefix="dde_evolve_merge_")
+    try:
+        # two dirs so the merge rewrites real subsets, not "the table"
+        snap.commit(spark, base.where(F.col("k") % 2 == 0), t)
+        snap.commit(
+            spark, base.where(F.col("k") % 2 == 1), t, mode="append"
+        )
+        v = snap.merge_upsert(
+            spark, source, t, keys=["k"], evolve_schema=True
+        )
+        view = (
+            snap.read_snapshot(spark, t, v, merge_schema=True)
+            .groupBy("p")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+                F.count("flag").cast("bigint").alias("n_flagged"),
+                F.sum("flag").cast("bigint").alias("sum_flag"),
+            )
+        )
+        rows = [
+            (r["p"], r["n_orders"], r["sum_cents"], r["n_flagged"],
+             r["sum_flag"])
+            for r in view.collect()
+        ]
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "o_orderpriority STRING, n_orders BIGINT, sum_cents BIGINT, "
+        "n_flagged BIGINT, sum_flag BIGINT",
+    ).orderBy("o_orderpriority")
+
+
+@_q(
+    "x168_spearman_rho",
+    """WITH t AS (SELECT l_returnflag AS g, l_quantity AS q,
+                         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                           AS c
+                  FROM lineitem),
+       r AS (SELECT g,
+                    2 * RANK() OVER (PARTITION BY g ORDER BY q)
+                      + COUNT(*) OVER (PARTITION BY g, q) - 1 AS drq,
+                    2 * RANK() OVER (PARTITION BY g ORDER BY c)
+                      + COUNT(*) OVER (PARTITION BY g, c) - 1 AS drc
+             FROM t),
+       mo AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(CAST(drq AS HUGEINT)) AS HUGEINT) AS sx,
+                     CAST(SUM(CAST(drc AS HUGEINT)) AS HUGEINT) AS sy,
+                     CAST(SUM(CAST(drq AS HUGEINT) * drq) AS HUGEINT)
+                       AS sxx,
+                     CAST(SUM(CAST(drc AS HUGEINT) * drc) AS HUGEINT)
+                       AS syy,
+                     CAST(SUM(CAST(drq AS HUGEINT) * drc) AS HUGEINT)
+                       AS sxy
+              FROM r GROUP BY g)
+       SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
+              ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                    / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                           * CAST(n * syy - sy * sy AS DOUBLE))
+                    + 0.0, 6) AS rho
+       FROM mo ORDER BY g""",
+    doc="Spearman rank correlation (tie-averaged ranks) between "
+    "quantity and extended price per return flag — the monotone-"
+    "association audit that complements x152's Kendall tau-b "
+    "(concordance counting) and x156's Pearson-on-values OLS: "
+    "Spearman sees through nonlinear-but-monotone relationships and "
+    "is the standard screen for feature/quality-signal redundancy "
+    "before mixing corpus scoring features. Math: DOUBLE-ranks "
+    "2*avg_rank = 2*(#less) + (#eq) + 1 are exact INTEGERS (tied "
+    "blocks average to halves), so Pearson-on-ranks moments stay in "
+    "exact decimal(38,0) until one division; with heavy ties "
+    "(quantity has ~50 distinct values) the rank-histogram form is "
+    "the only correct one — the 6/n(n^2-1) shortcut assumes no ties. "
+    "The ENGINE never row-ranks: each variable's double-rank is a "
+    "closed form over its per-group VALUE HISTOGRAM prefix sums "
+    "(grouped_cumsum — two-phase distributed scan, no single-task "
+    "window even though price is near-unique), joined back to rows "
+    "by (group, value) — two vocabulary joins, one moments "
+    "aggregation. The ORACLE row-ranks literally with RANK()/COUNT() "
+    "windows and HUGEINT moments — a different derivation of the "
+    "same exact integers. Both sides make ONE double division (and "
+    "a sqrt of the same exact product), rounded once.",
+)
+def x168(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.layout import (
+        grouped_cumsum,
+    )
+
+    t = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").alias("q"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("c"),
+    )
+
+    def rank_map(col: str) -> DataFrame:
+        hist = t.groupBy("g", col).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        cum = grouped_cumsum(hist, ["g"], col, ["cnt"])
+        # double-rank of every row holding this value:
+        # 2*avg_rank = 2*(cum - cnt) + cnt + 1
+        return cum.select(
+            "g",
+            col,
+            (
+                F.lit(2) * (F.col("cum_cnt") - F.col("cnt"))
+                + F.col("cnt")
+                + F.lit(1)
+            ).alias(f"dr_{col}"),
+        )
+
+    ranked = t.join(rank_map("q"), ["g", "q"]).join(
+        rank_map("c"), ["g", "c"]
+    )
+    dec = lambda x: x.cast("decimal(38,0)")
+    mo = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("dr_q"))).alias("sx"),
+        F.sum(dec(F.col("dr_c"))).alias("sy"),
+        F.sum(dec(F.col("dr_q") * F.col("dr_q"))).alias("sxx"),
+        F.sum(dec(F.col("dr_c") * F.col("dr_c"))).alias("syy"),
+        F.sum(dec(F.col("dr_q") * F.col("dr_c"))).alias("sxy"),
+    )
+    n = dec(F.col("n"))
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return mo.select(
+        F.col("g").alias("l_returnflag"),
+        F.col("n").alias("n_rows"),
+        F.round(
+            num.cast("double")
+            / F.sqrt(dx.cast("double") * dy.cast("double"))
+            + F.lit(0.0),
+            6,
+        ).alias("rho"),
+    ).orderBy("l_returnflag")
+
+
+@_q(
+    "x169_chi_squared",
+    """WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM documents
+                  WHERE lang IS NOT NULL AND source IS NOT NULL
+                  GROUP BY 1, 2),
+       m AS (SELECT lang, source, n,
+                    SUM(n) OVER (PARTITION BY lang) AS nx,
+                    SUM(n) OVER (PARTITION BY source) AS ny,
+                    SUM(n) OVER () AS nn
+             FROM c),
+       h AS (SELECT lang, source, n,
+                    CAST(nx AS HUGEINT) AS nx,
+                    CAST(ny AS HUGEINT) AS ny,
+                    CAST(nn AS HUGEINT) AS nn
+             FROM m)
+       SELECT lang, source, n AS n_cell,
+              ROUND(CAST(nx * ny AS DOUBLE) / CAST(nn AS DOUBLE)
+                    + 0.0, 6) AS expected,
+              ROUND(CAST((n * nn - nx * ny) * (n * nn - nx * ny)
+                         AS DOUBLE)
+                    / CAST(nn * nx * ny AS DOUBLE) + 0.0, 6)
+                AS chi2_term
+       FROM h ORDER BY lang, source""",
+    doc="Pearson chi-squared independence terms for the "
+    "(lang, source) contingency table — the classic complement to "
+    "x157's G-test on the same margins (chi2 is the second-order "
+    "Taylor expansion of G; reporting both is the standard "
+    "independence-audit pair, and cells where they diverge flag "
+    "low-expected-count cells whose asymptotics are unreliable). "
+    "Per-cell output (term + expected count), no float total — "
+    "summing rounded doubles across partitions would hash-drift; a "
+    "consumer sums the 6-decimal terms for the statistic. Math "
+    "discipline: chi2_term = (n*N - nx*ny)^2 / (N*nx*ny) keeps the "
+    "numerator an EXACT decimal(38,0) integer ((n*N)^2 reaches ~1e27 "
+    "at sf1 — past int64, the x156 decimal-moments rule) and makes "
+    "ONE double division, rounded once; expected = nx*ny/N likewise. "
+    "ENGINE: one CUBE pass over (lang, source) — grouping_id splits "
+    "cells and both marginals out of a single shuffled aggregate "
+    "(the x133/x157 one-Expand discipline), marginals broadcast back "
+    "onto cells, the grand total re-aggregated GLOBALLY from the "
+    "cells (exchange reuse; 1-row attach plan-provable for the BNLJ "
+    "gate). ORACLE: window sums over the cell table with HUGEINT "
+    "arithmetic — a different margin derivation. NULL keys filtered "
+    "on both sides (x133 discipline). Every post-shuffle relation "
+    "is vocabulary-sized (|langs| x |sources|) at any corpus scale.",
+)
+def x169(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
+    cube = docs.cube("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.grouping_id().alias("gid"),
+    )
+    cells = cube.where(F.col("gid") == 0).select("lang", "source", "n")
+    lang_m = cube.where(F.col("gid") == 1).select(
+        "lang", F.col("n").alias("nx")
+    )
+    src_m = cube.where(F.col("gid") == 2).select(
+        "source", F.col("n").alias("ny")
+    )
+    total = cells.agg(F.sum("n").cast("long").alias("nn"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    diff = dec("n") * dec("nn") - dec("nx") * dec("ny")
+    return (
+        cells.join(F.broadcast(lang_m), "lang")
+        .join(F.broadcast(src_m), "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "source",
+            F.col("n").alias("n_cell"),
+            F.round(
+                (dec("nx") * dec("ny")).cast("double")
+                / F.col("nn").cast("double")
+                + F.lit(0.0),
+                6,
+            ).alias("expected"),
+            F.round(
+                (diff * diff).cast("double")
+                / (dec("nn") * dec("nx") * dec("ny")).cast("double")
+                + F.lit(0.0),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@_q(
+    "x170_effective_sample_size",
+    """WITH w AS (SELECT lang, CAST(n_chars AS HUGEINT) AS w
+                  FROM documents WHERE lang IS NOT NULL),
+       mo AS (SELECT lang, CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(w) AS HUGEINT) AS sw,
+                     CAST(SUM(w * w) AS HUGEINT) AS sww
+              FROM w GROUP BY 1)
+       SELECT lang, CAST(n AS BIGINT) AS n_docs,
+              CAST(sw AS BIGINT) AS sum_w,
+              ROUND(CAST(sw * sw AS DOUBLE) / CAST(sww AS DOUBLE)
+                    + 0.0, 6) AS ess,
+              ROUND(CAST(sw * sw AS DOUBLE) / CAST(sww * n AS DOUBLE)
+                    + 0.0, 6) AS efficiency
+       FROM mo ORDER BY lang""",
+    doc="Kish effective sample size per language stratum under "
+    "char-count importance weights — ESS = (SUM w)^2 / SUM w^2, the "
+    "design-effect diagnostic for every weighted operation in the "
+    "registry (x61/x104 weighted sampling, x52 mixture planning): a "
+    "stratum whose ESS/n efficiency collapses is dominated by a few "
+    "huge documents and its weighted statistics are noisier than the "
+    "row count suggests — resample or cap weights before trusting "
+    "it. Math: both outputs are ratios of EXACT integers ((SUM w)^2 "
+    "reaches ~1e21 at sf1 — past int64, so decimal(38,0)/HUGEINT "
+    "moments per the x156 rule), each made with ONE double division "
+    "rounded once; efficiency divides by the exact product sww*n, "
+    "never by a rounded intermediate. ENGINE: a single groupBy "
+    "aggregation (map-side partial combine; no joins, no windows). "
+    "ORACLE: the same moments via HUGEINT. NULL langs filtered both "
+    "sides. Per-stratum state is 3 scalars — at 100 TB this is one "
+    "scan and a |langs|-row shuffle.",
+)
+def x170(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull()
+    )
+    dec = lambda x: x.cast("decimal(38,0)")
+    mo = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("n_chars"))).alias("sw"),
+        F.sum(dec(F.col("n_chars") * F.col("n_chars"))).alias("sww"),
+    )
+    return mo.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.col("sw").cast("bigint").alias("sum_w"),
+        F.round(
+            (F.col("sw") * F.col("sw")).cast("double")
+            / F.col("sww").cast("double")
+            + F.lit(0.0),
+            6,
+        ).alias("ess"),
+        F.round(
+            (F.col("sw") * F.col("sw")).cast("double")
+            / (F.col("sww") * dec(F.col("n"))).cast("double")
+            + F.lit(0.0),
+            6,
+        ).alias("efficiency"),
+    ).orderBy("lang")
+
+
+@_q(
+    "x171_simpson_diversity",
+    """WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM documents
+                  WHERE lang IS NOT NULL AND source IS NOT NULL
+                  GROUP BY 1, 2),
+       s AS (SELECT source,
+                    CAST(COUNT(*) AS BIGINT) AS richness,
+                    CAST(SUM(n) AS BIGINT) AS nn,
+                    CAST(SUM(n * (n - 1)) AS HUGEINT) AS pairs_same
+             FROM c GROUP BY 1)
+       SELECT source, richness, nn AS n_docs,
+              ROUND(1.0 - CAST(pairs_same AS DOUBLE)
+                          / CAST(CAST(nn AS HUGEINT) * (nn - 1)
+                                 AS DOUBLE) + 0.0, 6)
+                AS simpson_d
+       FROM s WHERE nn > 1 ORDER BY source""",
+    doc="Simpson diversity index of the language mix per source — "
+    "1 - SUM n_i*(n_i-1) / (N*(N-1)): the probability two documents "
+    "drawn without replacement from a source differ in language. "
+    "The corpus-governance reading: a 'multilingual' source whose "
+    "Simpson index is near 0 is effectively monolingual (x52's "
+    "mixture temperatures and x109's divergence monitors assume the "
+    "per-source mix is real); richness (distinct languages) is "
+    "reported beside it because the two diverge exactly when the "
+    "tail languages are token-thin. Math: the unbiased finite-"
+    "population form stays in EXACT integers — pairs_same = "
+    "SUM n_i*(n_i-1) (~1e13 at sf1; HUGEINT/decimal headroom per "
+    "the x156 rule) over the (source, lang) cells, N*(N-1) exact — "
+    "with ONE double division rounded once; sources with N<2 are "
+    "excluded on both sides (the index is undefined). ENGINE: two "
+    "cascaded aggregations (cells, then per-source moments — both "
+    "map-side combinable, vocabulary-sized after the first "
+    "shuffle). ORACLE: identical cascade in HUGEINT. At 100 TB: "
+    "one scan, one |langs x sources| shuffle, one |sources| row "
+    "result.",
+)
+def x171(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    dec = lambda x: x.cast("decimal(38,0)")
+    s = cells.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("richness"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(dec(F.col("n") * (F.col("n") - 1))).alias("pairs_same"),
+    )
+    return (
+        s.where(F.col("nn") > 1)
+        .select(
+            "source",
+            "richness",
+            F.col("nn").alias("n_docs"),
+            F.round(
+                F.lit(1.0)
+                - F.col("pairs_same").cast("double")
+                / (dec(F.col("nn")) * dec(F.col("nn") - 1)).cast(
+                    "double"
+                )
+                + F.lit(0.0),
+                6,
+            ).alias("simpson_d"),
+        )
+        .orderBy("source")
+    )
