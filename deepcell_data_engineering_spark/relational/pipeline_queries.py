@@ -12857,3 +12857,281 @@ def x171(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _ndcg_exprs_sql() -> tuple[str, str]:
+    """The shared fixed-k expression trees for x172: dcg over the rank
+    pivot and idcg over the relevant count, spelled ONCE and rendered
+    into both dialects with identical left-to-right association so the
+    engines build the same IEEE expression tree (d_i = ln2/ln(i+1);
+    ~1ulp libm-vs-JVM noise, six orders below the rounding grain)."""
+    d = {i: f"(ln(2.0) / ln({i + 1}.0))" for i in range(2, 6)}
+    dcg = (
+        f"(CAST(r1 AS DOUBLE) + r2 * {d[2]} + r3 * {d[3]}"
+        f" + r4 * {d[4]} + r5 * {d[5]})"
+    )
+    prefix = "1.0"
+    arms = ["WHEN 1 THEN 1.0"]
+    for i in range(2, 6):
+        prefix = f"{prefix} + {d[i]}"
+        arms.append(f"WHEN {i} THEN {prefix}")
+    idcg = f"(CASE n_relevant {' '.join(arms)} END)"
+    return dcg, idcg
+
+
+_X172_DCG, _X172_IDCG = _ndcg_exprs_sql()
+
+
+@_q(
+    "x172_ranking_eval",
+    f"""WITH q AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                   FROM embeddings WHERE vec_id < 10),
+       c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+             FROM embeddings),
+       scored AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS rel,
+                list_dot_product(q.v, c.v)
+                  / (sqrt(list_dot_product(q.v, q.v))
+                     * sqrt(list_dot_product(c.v, c.v))) AS s
+         FROM q JOIN c ON q.vec_id != c.vec_id
+       ),
+       ranked AS (
+         SELECT query_id, rel,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY s DESC, neighbor_id) AS rank
+         FROM scored
+       ),
+       piv AS (
+         SELECT query_id,
+                MAX(CASE WHEN rank = 1 THEN rel ELSE 0 END) AS r1,
+                MAX(CASE WHEN rank = 2 THEN rel ELSE 0 END) AS r2,
+                MAX(CASE WHEN rank = 3 THEN rel ELSE 0 END) AS r3,
+                MAX(CASE WHEN rank = 4 THEN rel ELSE 0 END) AS r4,
+                MAX(CASE WHEN rank = 5 THEN rel ELSE 0 END) AS r5,
+                CAST(SUM(rel) AS BIGINT) AS n_relevant,
+                MIN(CASE WHEN rel = 1 THEN rank END) AS frank
+         FROM ranked WHERE rank <= 5 GROUP BY query_id
+       )
+       SELECT query_id, n_relevant,
+              ROUND(CAST(n_relevant AS DOUBLE) / 5.0 + 0.0, 6)
+                AS precision_at_5,
+              CASE WHEN frank IS NULL THEN 0.0
+                   ELSE ROUND(1.0 / CAST(frank AS DOUBLE) + 0.0, 6)
+              END AS reciprocal_rank,
+              CASE WHEN n_relevant = 0 THEN 0.0
+                   ELSE ROUND({_X172_DCG} / {_X172_IDCG} + 0.0, 6)
+              END AS ndcg_at_5
+       FROM piv ORDER BY query_id""",
+    doc="Retrieval-quality evaluation of the exact cosine top-5 "
+    "(x09's certified ranking) against label relevance — "
+    "precision@5, reciprocal rank, and binary nDCG@5 per query: the "
+    "eval layer every embedding-dedup/ANN operator in the registry "
+    "feeds (x50 measures RECALL of an approximate index against the "
+    "exact ranking; this measures whether the exact ranking is any "
+    "GOOD against ground-truth labels — the two axes of retrieval "
+    "eval). Math discipline: precision and reciprocal rank are "
+    "single divisions of exact integers; nDCG is the one genuinely "
+    "float-shaped metric, so BOTH engines build the IDENTICAL fixed-"
+    "k expression tree (the k=5 pivot makes the discount sum an "
+    "expression, not an unordered float aggregation — no "
+    "reassociation drift) from the same module-level rendering, "
+    "with idcg a CASE over the relevant count. ENGINE: "
+    "similarity.cosine_topk (broadcast 10 queries, partial top-k "
+    "per partition) + one label join + a 10-group pivot aggregate. "
+    "ORACLE: the full scored self-join re-ranked with ROW_NUMBER. "
+    "Rank order is hash-certified upstream by x09 (score DESC, id "
+    "tiebreak); at 100 TB the corpus-side scan dominates and "
+    "nothing after the top-k is more than queries x k rows.",
+    bnlj_bounded=1,
+)
+def x172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    topk = sim.cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+    rel = (
+        topk.join(
+            F.broadcast(
+                labels.where(F.col("vec_id") < 10).select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("ql"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nl"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "rank",
+            F.when(F.col("nl") == F.col("ql"), 1).otherwise(0).alias("rel"),
+        )
+    )
+    piv = rel.groupBy("query_id").agg(
+        *[
+            F.max(
+                F.when(F.col("rank") == i, F.col("rel")).otherwise(0)
+            ).alias(f"r{i}")
+            for i in range(1, 6)
+        ],
+        F.sum("rel").cast("long").alias("n_relevant"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("frank"),
+    )
+    return piv.select(
+        "query_id",
+        "n_relevant",
+        F.round(
+            F.col("n_relevant").cast("double") / F.lit(5.0) + F.lit(0.0), 6
+        ).alias("precision_at_5"),
+        F.when(F.col("frank").isNull(), F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.lit(1.0) / F.col("frank").cast("double") + F.lit(0.0), 6
+            )
+        )
+        .alias("reciprocal_rank"),
+        F.when(F.col("n_relevant") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.expr(_X172_DCG) / F.expr(_X172_IDCG) + F.lit(0.0), 6
+            )
+        )
+        .alias("ndcg_at_5"),
+    ).orderBy("query_id")
+
+
+def _langid_prf_oracle() -> str:
+    """Per-class precision/recall/F1 oracle sharing x03's generated
+    marker-score SQL (the two dialects cannot drift on the predictor)
+    but deriving the metrics from scalar subqueries over the confusion
+    cells — a different margin derivation than the engine's join
+    cascade."""
+    import re
+
+    base = _lang_oracle()
+    cells_body = re.sub(r"ORDER BY.*$", "", base, flags=re.S)
+    return f"""
+        WITH cellsrc AS ({cells_body}),
+        cells AS (SELECT lang AS t, predicted AS pr,
+                         CAST(n AS BIGINT) AS n
+                  FROM cellsrc),
+        classes AS (SELECT DISTINCT t AS cls FROM cells
+                    UNION SELECT DISTINCT pr FROM cells),
+        m AS (SELECT c.cls,
+                     COALESCE((SELECT SUM(n) FROM cells
+                               WHERE t = c.cls AND pr = c.cls), 0) AS tp,
+                     COALESCE((SELECT SUM(n) FROM cells
+                               WHERE pr = c.cls), 0) AS n_pred,
+                     COALESCE((SELECT SUM(n) FROM cells
+                               WHERE t = c.cls), 0) AS n_true
+              FROM classes c)
+        SELECT cls AS lang, CAST(tp AS BIGINT) AS tp,
+               CAST(n_pred AS BIGINT) AS n_pred,
+               CAST(n_true AS BIGINT) AS n_true,
+               CASE WHEN n_pred > 0
+                    THEN ROUND(CAST(tp AS DOUBLE)
+                               / CAST(n_pred AS DOUBLE) + 0.0, 6)
+               END AS prec,
+               CASE WHEN n_true > 0
+                    THEN ROUND(CAST(tp AS DOUBLE)
+                               / CAST(n_true AS DOUBLE) + 0.0, 6)
+               END AS rec,
+               CASE WHEN n_pred + n_true > 0
+                    THEN ROUND(2.0 * CAST(tp AS DOUBLE)
+                               / CAST(n_pred + n_true AS DOUBLE)
+                               + 0.0, 6)
+               END AS f1
+        FROM m ORDER BY lang"""
+
+
+@_q(
+    "x173_classifier_eval",
+    _langid_prf_oracle(),
+    doc="Per-class precision / recall / F1 of the x03 marker-score "
+    "language-id heuristic against the gold lang column — the "
+    "classification-eval layer above x03's raw confusion matrix, "
+    "and the template for evaluating ANY derived labeler in the "
+    "registry (quality gates, dedup keep-decisions) against ground "
+    "truth. Classes are the UNION of observed true and predicted "
+    "labels, so 'unknown' (predicted only) gets a row with n_true=0 "
+    "and NULL recall, and a never-predicted language keeps NULL "
+    "precision — zero denominators surface as NULL, never as a "
+    "division blow-up or a silently dropped class. Math: tp / "
+    "pred-total / true-total are exact integers from ONE confusion-"
+    "cell aggregation; precision, recall and F1 = 2tp/(n_pred + "
+    "n_true) are each one rounded division (the harmonic-mean form "
+    "with the exact integer denominator — never F1 from already-"
+    "rounded P and R). ENGINE: cells once, margins as two tiny "
+    "re-aggregations full-outer-merged on the class vocabulary "
+    "(|langs|+1 rows — every post-cell relation is catalog-sized "
+    "at any corpus scale). ORACLE: scalar subqueries over the same "
+    "generated marker-score SQL x03 certifies — a different margin "
+    "derivation on a shared predictor.",
+)
+def x173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.select(
+            F.col("lang").alias("t"),
+            tx.predict_lang(F.col("text")).alias("pr"),
+        )
+        .groupBy("t", "pr")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tp = (
+        cells.where(F.col("t") == F.col("pr"))
+        .select(F.col("t").alias("cls"), F.col("n").alias("tp"))
+    )
+    pred_m = cells.groupBy(F.col("pr").alias("cls")).agg(
+        F.sum("n").cast("long").alias("n_pred")
+    )
+    true_m = cells.groupBy(F.col("t").alias("cls")).agg(
+        F.sum("n").cast("long").alias("n_true")
+    )
+    m = (
+        pred_m.join(true_m, "cls", "full")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+        )
+    )
+    return m.select(
+        F.col("cls").alias("lang"),
+        "tp",
+        "n_pred",
+        "n_true",
+        F.when(
+            F.col("n_pred") > 0,
+            F.round(
+                F.col("tp").cast("double") / F.col("n_pred").cast("double")
+                + F.lit(0.0),
+                6,
+            ),
+        ).alias("prec"),
+        F.when(
+            F.col("n_true") > 0,
+            F.round(
+                F.col("tp").cast("double") / F.col("n_true").cast("double")
+                + F.lit(0.0),
+                6,
+            ),
+        ).alias("rec"),
+        F.when(
+            (F.col("n_pred") + F.col("n_true")) > 0,
+            F.round(
+                F.lit(2.0)
+                * F.col("tp").cast("double")
+                / (F.col("n_pred") + F.col("n_true")).cast("double")
+                + F.lit(0.0),
+                6,
+            ),
+        ).alias("f1"),
+    ).orderBy("lang")
