@@ -13135,3 +13135,228 @@ def x173(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("f1"),
     ).orderBy("lang")
+
+
+@_q(
+    "x174_shannon_entropy",
+    """WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM documents
+                  WHERE lang IS NOT NULL AND source IS NOT NULL
+                  GROUP BY 1, 2),
+       s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS nn,
+                    CAST(COUNT(*) AS BIGINT) AS k
+             FROM c GROUP BY 1),
+       t AS (SELECT c.source, s.nn, s.k,
+                    CAST(ROUND(1000000000.0
+                               * (CAST(c.n AS DOUBLE)
+                                  / CAST(s.nn AS DOUBLE))
+                               * LN(CAST(s.nn AS DOUBLE)
+                                    / CAST(c.n AS DOUBLE)), 0)
+                         AS BIGINT) AS u
+             FROM c JOIN s USING (source)),
+       a AS (SELECT source, nn, k, CAST(SUM(u) AS BIGINT) AS su
+             FROM t GROUP BY 1, 2, 3)
+       SELECT source, k AS richness, nn AS n_docs,
+              ROUND(CAST(su AS DOUBLE) / 1000000000.0 + 0.0, 6)
+                AS shannon_nats,
+              CASE WHEN k > 1
+                   THEN ROUND(CAST(su AS DOUBLE)
+                              / (1000000000.0
+                                 * LN(CAST(k AS DOUBLE))) + 0.0, 6)
+              END AS evenness
+       FROM a ORDER BY source""",
+    doc="Shannon entropy (nats) and Pielou evenness of the language "
+    "mix per source — the information-theoretic companion to x171's "
+    "Simpson index on the same cells: Simpson weights dominant "
+    "languages (pairwise collision), Shannon weights the tail, and "
+    "evenness H/ln(richness) normalizes to [0,1] so sources of "
+    "different richness compare (the mixture-governance dashboard "
+    "wants all three). Float-sum discipline (the x109/x131 rule): "
+    "entropy is a SUM of float terms, and unordered double addition "
+    "reassociates across partition layouts — so each term p·ln(1/p) "
+    "is computed from the EXACT integer ratio (one double division, "
+    "ln of that exact rational), rounded ONCE to 1e-9-nat integer "
+    "units, and summed as BIGINT (order-free, layout-invariant by "
+    "construction); the two output divisions happen on the exact "
+    "unit sum. ENGINE: the x171 cell cascade + one broadcast margin "
+    "join. ORACLE: same construction derived through a JOIN-USING "
+    "margin (vs the engine's aggregate-then-broadcast), HUGEINT-free "
+    "since units stay under 1e10. NULL keys filtered both sides. "
+    "Vocabulary-sized relations after one shuffle at any scale.",
+)
+def x174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    s = cells.groupBy("source").agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    u = (
+        cells.join(F.broadcast(s), "source")
+        .select(
+            "source",
+            "nn",
+            "k",
+            F.round(
+                F.lit(1000000000.0)
+                * (F.col("n").cast("double") / F.col("nn").cast("double"))
+                * F.log(
+                    F.col("nn").cast("double") / F.col("n").cast("double")
+                ),
+                0,
+            )
+            .cast("long")
+            .alias("u"),
+        )
+    )
+    a = u.groupBy("source", "nn", "k").agg(
+        F.sum("u").cast("long").alias("su")
+    )
+    return a.select(
+        "source",
+        F.col("k").alias("richness"),
+        F.col("nn").alias("n_docs"),
+        F.round(
+            F.col("su").cast("double") / F.lit(1000000000.0) + F.lit(0.0),
+            6,
+        ).alias("shannon_nats"),
+        F.when(
+            F.col("k") > 1,
+            F.round(
+                F.col("su").cast("double")
+                / (F.lit(1000000000.0) * F.log(F.col("k").cast("double")))
+                + F.lit(0.0),
+                6,
+            ),
+        ).alias("evenness"),
+    ).orderBy("source")
+
+
+@_q(
+    "x175_js_divergence",
+    """WITH e AS (SELECT event_type,
+                         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END
+                           AS ia
+                  FROM events WHERE event_type IS NOT NULL),
+       c AS (SELECT event_type, CAST(SUM(ia) AS BIGINT) AS an,
+                    CAST(SUM(1 - ia) AS BIGINT) AS bn
+             FROM e GROUP BY 1),
+       t AS (SELECT CAST(SUM(an) AS BIGINT) AS ta,
+                    CAST(SUM(bn) AS BIGINT) AS tb
+             FROM c),
+       u AS (SELECT c.event_type, c.an, c.bn,
+                    CASE WHEN c.an > 0 THEN
+                      CAST(ROUND(1000000000.0
+                        * (CAST(c.an AS DOUBLE) / CAST(t.ta AS DOUBLE))
+                        * LN(CAST(2 * c.an * t.tb AS DOUBLE)
+                             / CAST(c.an * t.tb + c.bn * t.ta
+                                    AS DOUBLE)), 0) AS BIGINT)
+                    ELSE 0 END AS up,
+                    CASE WHEN c.bn > 0 THEN
+                      CAST(ROUND(1000000000.0
+                        * (CAST(c.bn AS DOUBLE) / CAST(t.tb AS DOUBLE))
+                        * LN(CAST(2 * c.bn * t.ta AS DOUBLE)
+                             / CAST(c.bn * t.ta + c.an * t.tb
+                                    AS DOUBLE)), 0) AS BIGINT)
+                    ELSE 0 END AS uq
+             FROM c, t),
+       g AS (SELECT CAST(SUM(up + uq) AS BIGINT) AS tot FROM u)
+       SELECT u.event_type, u.an AS n_even, u.bn AS n_odd,
+              ROUND(CAST(u.up + u.uq AS DOUBLE) / 2000000000.0
+                    + 0.0, 6) AS contrib_nats,
+              ROUND(CAST(g.tot AS DOUBLE) / 2000000000.0 + 0.0, 6)
+                AS jsd_nats
+       FROM u, g ORDER BY u.event_type""",
+    doc="Jensen-Shannon divergence between the event-type "
+    "distributions of the two deterministic stream halves (even vs "
+    "odd event_id — a split whose expected JSD is ~0, making this "
+    "the calibrated NULL baseline for the drift-monitor family: "
+    "x141's PSI needs binning choices, x109's KL is asymmetric and "
+    "unbounded, JSD is symmetric, finite, and bounded by ln 2). "
+    "Per-type contributions AND the corpus total: both safe under "
+    "the x109/x131 float-sum discipline — each side's term "
+    "p·ln(2p/(p+q)) takes ln of an EXACT integer ratio "
+    "(2·a·B/(a·B+b·A): cross-multiplied counts, no float "
+    "intermediates inside), is rounded ONCE to 1e-9-nat units, and "
+    "totals as an exact BIGINT sum (order-free, layout-invariant); "
+    "a type absent from one side contributes only the other side's "
+    "term (M > 0 wherever P > 0, so JSD needs no smoothing — the "
+    "reason it beats KL for vocabulary drift). ENGINE: one "
+    "conditional-sum pass over event_type + a 1-row totals "
+    "broadcast (plan-provable BNLJ) + the same 1-row grand-total "
+    "attach. ORACLE: identical unit construction through comma-join "
+    "scalar CTEs. Vocabulary-sized after one shuffle at any scale.",
+)
+def x175(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+    )
+    cells = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("event_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("an"),
+        F.sum(F.when(F.col("event_id") % 2 == 0, 0).otherwise(1))
+        .cast("long")
+        .alias("bn"),
+    )
+    tot = cells.agg(
+        F.sum("an").cast("long").alias("ta"),
+        F.sum("bn").cast("long").alias("tb"),
+    )
+
+    def _unit(num_cnt, num_tot, other_cnt, other_tot):
+        # p * ln(2p / (p + q)) in 1e-9-nat units, the ln argument an
+        # exact cross-multiplied integer ratio
+        num = (F.lit(2) * num_cnt * other_tot).cast("double")
+        den = (num_cnt * other_tot + other_cnt * num_tot).cast("double")
+        return (
+            F.round(
+                F.lit(1000000000.0)
+                * (num_cnt.cast("double") / num_tot.cast("double"))
+                * F.log(num / den),
+                0,
+            ).cast("long")
+        )
+
+    u = cells.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "an",
+        "bn",
+        F.when(
+            F.col("an") > 0,
+            _unit(F.col("an"), F.col("ta"), F.col("bn"), F.col("tb")),
+        )
+        .otherwise(F.lit(0))
+        .alias("up"),
+        F.when(
+            F.col("bn") > 0,
+            _unit(F.col("bn"), F.col("tb"), F.col("an"), F.col("ta")),
+        )
+        .otherwise(F.lit(0))
+        .alias("uq"),
+    )
+    g = u.agg(F.sum(F.col("up") + F.col("uq")).cast("long").alias("tot"))
+    return (
+        u.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            F.col("an").alias("n_even"),
+            F.col("bn").alias("n_odd"),
+            F.round(
+                (F.col("up") + F.col("uq")).cast("double")
+                / F.lit(2000000000.0)
+                + F.lit(0.0),
+                6,
+            ).alias("contrib_nats"),
+            F.round(
+                F.col("tot").cast("double") / F.lit(2000000000.0)
+                + F.lit(0.0),
+                6,
+            ).alias("jsd_nats"),
+        )
+        .orderBy("event_type")
+    )

@@ -1133,7 +1133,9 @@ def read_changes(
             piece = _tagged(new_dirs, "insert", v, m.get("stats"))
             if piece is not None:
                 pieces.append(piece)
-        elif m["op"] == "overwrite":
+        elif m["op"] in ("overwrite", "restore"):
+            # restore is logically a truncate-and-reload of the target
+            # version's content — the same delta shape as overwrite
             dele = _tagged(parent_dirs, "delete", v, parent_stats)
             if dele is not None:
                 pieces.append(dele)
@@ -1237,6 +1239,64 @@ def optimize_table(
         expected_parent=basis,
         store=st,
         stats_cols=tracked or None,
+    )
+
+
+def restore_table(
+    spark: SparkSession,
+    table_path: str,
+    version: int,
+    store: ManifestStore | None = None,
+) -> int:
+    """RESTORE the table to an old ``version`` by publishing that
+    version's directory list as a NEW head commit — Delta's
+    ``RESTORE TABLE ... TO VERSION AS OF`` semantics: a restore is a
+    forward-moving commit (history keeps recording what happened; the
+    bad versions stay time-travelable until vacuumed), never a log
+    rewind. Zero data movement — the restored directories are carried
+    by reference, and their data-skipping stats come back with them.
+
+    The target version's manifest must still be retained (a vacuumed
+    version raises ``ManifestMissingError``) and its directories are
+    validated to still exist on disk where the data root is local —
+    restoring past a vacuum horizon fails loudly, not at first read.
+
+    CDC: ``read_changes`` treats a restore like the overwrite it
+    logically is — every pre-restore row a delete, every restored row
+    an insert (the truncate-and-reload delta) — so a downstream view
+    folds back to the restored state without special cases.
+
+    Concurrency: pinned to the head it read (``expected_parent``), so
+    a commit racing the restore raises instead of being silently
+    discarded from history's new tip."""
+    st = _store(store)
+    st.check_path(table_path)
+    basis = current_version(table_path, st)
+    if basis is None:
+        raise ValueError(f"no committed versions at {table_path!r}")
+    m = _load_manifest(table_path, version, st)
+    if "://" not in table_path:
+        missing = [
+            d
+            for d in m["dirs"]
+            if not os.path.isdir(os.path.join(table_path, d))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot restore {table_path!r} to version {version}: "
+                f"data directories vacuumed: {missing}"
+            )
+    return commit(
+        spark,
+        None,
+        table_path,
+        mode="overwrite",
+        expected_parent=basis,
+        store=st,
+        _op="restore",
+        _dirs=list(m["dirs"]),
+        _dir_stats=m.get("stats", {}),
+        _extra_manifest={"restored_from": version},
     )
 
 

@@ -1772,3 +1772,55 @@ def test_snapshot_catalog_threaded_creates_no_lost_names(tmp_path):
         th.join()
     assert len(dup_errs) == 3  # one winner, three loud losers
     assert cat.lookup("shared").startswith("/data/s")
+
+def test_restore_table_semantics(spark, tmp_path):
+    """RESTORE publishes an old version's dir list as a NEW head: zero
+    data movement, stats carried back, history forward-moving (op=
+    'restore'), CDC feed = truncate-and-reload delta folding to the
+    restored state, vacuum keeps restored dirs, restoring past the
+    vacuum horizon raises."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    snap.commit(spark, docs.where(F.col("doc_id") < 30), t,
+                stats_cols=["doc_id"])
+    v1 = snap.commit(
+        spark, docs.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 60)),
+        t, mode="append", stats_cols=["doc_id"],
+    )
+    v2 = snap.delete_where(spark, t, "doc_id % 10 = 3")
+    assert snap.read_snapshot(spark, t, v2).count() == 54
+
+    v3 = snap.restore_table(spark, t, v1)
+    assert v3 == v2 + 1
+    assert _rows(snap.read_snapshot(spark, t, v3)) == _rows(
+        snap.read_snapshot(spark, t, v1)
+    )
+    m3 = snap._load_manifest(t, v3, snap._POSIX)
+    m1 = snap._load_manifest(t, v1, snap._POSIX)
+    assert m3["dirs"] == m1["dirs"]          # carried by reference
+    assert m3["op"] == "restore" and m3["restored_from"] == v1
+    assert m3.get("stats") == m1.get("stats")  # skipping stats return
+    assert [h["op"] for h in snap.history(t)] == [
+        "append", "append", "delete", "restore"
+    ]
+
+    # CDC across the restore folds a v2-materialized view back to v1
+    feed = snap.read_changes(spark, t, v2, v3)
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    net = feed.groupBy("doc_id").agg(F.sum(sign).alias("s"))
+    reinserted = {r.doc_id for r in net.where(F.col("s") > 0).collect()}
+    assert reinserted == {3, 13, 23, 33, 43, 53}
+    assert net.where(F.col("s") < 0).count() == 0
+
+    # stats pruning works on the restored head
+    got = snap.scan_snapshot(spark, t, {"doc_id": (40, 50)}, version=v3)
+    assert {r.doc_id for r in got.collect()} == set(range(30, 60))
+
+    # vacuum keeps what the restored head references; restoring to a
+    # vacuumed version raises loudly
+    snap.vacuum(t, keep_last=1)
+    assert _rows(snap.read_snapshot(spark, t)) == _rows(
+        snap.read_snapshot(spark, t, v3)
+    )
+    with pytest.raises(snap.ManifestMissingError):
+        snap.restore_table(spark, t, v2)

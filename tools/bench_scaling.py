@@ -169,6 +169,24 @@ QUERIES = [
     "x163_lorenz_deciles",
     # x164: 8 stats-recorded commits + a pruned range scan (3 of 8 dirs).
     "x164_stats_pruned_scan",
+    # round-11 additions: x165 catalog-resolved snapshot star join
+    # (two commits + a spark.sql broadcast join by name); x166 banded
+    # append chain + range-scoped CDC fold (2 of 7 delta dirs read);
+    # x167 evolve-schema merge + merge_schema read-back; x168 two
+    # value-histogram prefix scans + two rank joins + one decimal
+    # moments aggregate; x169 one CUBE over the vocabulary lattice;
+    # x170/x171 one-two grouped aggregations, catalog-sized outputs;
+    # x172 broadcast 10-query exact top-5 + pivot; x173 one confusion
+    # aggregation over the marker predictor.
+    "x165_catalog_named_view",
+    "x166_scoped_cdc_view",
+    "x167_schema_evolution_merge",
+    "x168_spearman_rho",
+    "x169_chi_squared",
+    "x170_effective_sample_size",
+    "x171_simpson_diversity",
+    "x172_ranking_eval",
+    "x173_classifier_eval",
     # x66_similarity_join_exact is intentionally absent: its TRUE result
     # set (all pairs over a templated corpus) grows quadratically with
     # corpus size, so an sf1/sf0.1 ratio would read as a hidden
