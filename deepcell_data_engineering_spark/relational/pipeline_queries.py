@@ -13360,3 +13360,244 @@ def x175(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@_q(
+    "x176_association_summary",
+    """WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM documents
+                  WHERE lang IS NOT NULL AND source IS NOT NULL
+                  GROUP BY 1, 2),
+       m AS (SELECT lang, source, n,
+                    CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT)
+                      AS nx,
+                    CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT)
+                      AS ny,
+                    CAST(SUM(n) OVER () AS BIGINT) AS nn
+             FROM c),
+       dims AS (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS r,
+                       CAST(COUNT(DISTINCT source) AS BIGINT) AS cc
+                FROM c),
+       u AS (SELECT nn,
+                    CAST(ROUND(1000000000.0
+                      * CAST((n * CAST(nn AS HUGEINT) - nx * CAST(ny AS HUGEINT))
+                             * (n * CAST(nn AS HUGEINT) - nx * CAST(ny AS HUGEINT))
+                             AS DOUBLE)
+                      / CAST(CAST(nn AS HUGEINT) * nx * ny AS DOUBLE),
+                      0) AS BIGINT) AS chi2_u,
+                    CAST(ROUND(1000000000.0
+                      * (CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))
+                      * LN(CAST(n * CAST(nn AS HUGEINT) AS DOUBLE)
+                           / CAST(nx * CAST(ny AS HUGEINT) AS DOUBLE)),
+                      0) AS BIGINT) AS mi_u,
+                    CAST(ROUND(1000000000.0 * 2.0 * n
+                      * LN(CAST(n * CAST(nn AS HUGEINT) AS DOUBLE)
+                           / CAST(nx * CAST(ny AS HUGEINT) AS DOUBLE)),
+                      0) AS BIGINT) AS g_u
+             FROM m),
+       a AS (SELECT MAX(nn) AS nn,
+                    CAST(SUM(chi2_u) AS BIGINT) AS schi,
+                    CAST(SUM(mi_u) AS BIGINT) AS smi,
+                    CAST(SUM(g_u) AS BIGINT) AS sg
+             FROM u)
+       SELECT a.nn AS n_docs, dims.r AS n_langs, dims.cc AS n_sources,
+              ROUND(CAST(schi AS DOUBLE) / 1000000000.0 + 0.0, 6)
+                AS chi2,
+              ROUND(CAST(smi AS DOUBLE) / 1000000000.0 + 0.0, 6)
+                AS mi_nats,
+              ROUND(CAST(sg AS DOUBLE) / 1000000000.0 + 0.0, 6)
+                AS g_stat,
+              ROUND(SQRT((CAST(schi AS DOUBLE) / 1000000000.0)
+                         / CAST(a.nn * (CASE WHEN dims.r < dims.cc
+                                             THEN dims.r ELSE dims.cc
+                                        END - 1) AS DOUBLE)) + 0.0, 6)
+                AS cramers_v
+       FROM a, dims""",
+    doc="One-row association summary of the (lang, source) "
+    "contingency: total chi-squared, total mutual information "
+    "(nats), the G statistic, and Cramer's V — the normalized-"
+    "association rollup of x157/x169's per-cell tables (per-cell "
+    "terms diagnose WHICH cells drive dependence; V in [0,1] says "
+    "HOW MUCH, comparable across tables of different shape). The "
+    "float-TOTALS problem is solved by the x109/x131 unit "
+    "discipline: each cell's chi2 / MI / G term is computed from "
+    "EXACT integer cross-products ((n*N - nx*ny)^2 needs HUGEINT/"
+    "decimal — ~1e27 at sf1 — and every ln argument is one division "
+    "of exact products), rounded ONCE to 1e-9 units, summed as "
+    "BIGINT (order-free, layout-invariant); V then takes one sqrt "
+    "of the exact unit sum over the exact N*(min(r,c)-1). ENGINE: "
+    "the x157/x169 one-CUBE grouping_id split with broadcast "
+    "margins; the dims row and grand total are 1-row plan-provable "
+    "attaches. ORACLE: window-sum margins + HUGEINT arithmetic. "
+    "NULL keys filtered both sides. Everything after the cell "
+    "shuffle is vocabulary-sized.",
+)
+def x176(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
+    cube = docs.cube("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.grouping_id().alias("gid"),
+    )
+    cells = cube.where(F.col("gid") == 0).select("lang", "source", "n")
+    lang_m = cube.where(F.col("gid") == 1).select(
+        "lang", F.col("n").alias("nx")
+    )
+    src_m = cube.where(F.col("gid") == 2).select(
+        "source", F.col("n").alias("ny")
+    )
+    total = cells.agg(F.sum("n").cast("long").alias("nn"))
+    dims = cells.agg(
+        F.countDistinct("lang").cast("long").alias("r"),
+        F.countDistinct("source").cast("long").alias("cc"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    diff = dec("n") * dec("nn") - dec("nx") * dec("ny")
+    ln_arg = (dec("n") * dec("nn")).cast("double") / (
+        dec("nx") * dec("ny")
+    ).cast("double")
+    unit = F.lit(1000000000.0)
+    u = (
+        cells.join(F.broadcast(lang_m), "lang")
+        .join(F.broadcast(src_m), "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "nn",
+            F.round(
+                unit
+                * (diff * diff).cast("double")
+                / (dec("nn") * dec("nx") * dec("ny")).cast("double"),
+                0,
+            )
+            .cast("long")
+            .alias("chi2_u"),
+            F.round(
+                unit
+                * (F.col("n").cast("double") / F.col("nn").cast("double"))
+                * F.log(ln_arg),
+                0,
+            )
+            .cast("long")
+            .alias("mi_u"),
+            F.round(
+                unit * F.lit(2.0) * F.col("n") * F.log(ln_arg), 0
+            )
+            .cast("long")
+            .alias("g_u"),
+        )
+    )
+    a = u.agg(
+        F.max("nn").alias("nn"),
+        F.sum("chi2_u").cast("long").alias("schi"),
+        F.sum("mi_u").cast("long").alias("smi"),
+        F.sum("g_u").cast("long").alias("sg"),
+    )
+    denom_unit = F.lit(1000000000.0)
+    return a.crossJoin(F.broadcast(dims)).select(
+        F.col("nn").alias("n_docs"),
+        F.col("r").alias("n_langs"),
+        F.col("cc").alias("n_sources"),
+        F.round(
+            F.col("schi").cast("double") / denom_unit + F.lit(0.0), 6
+        ).alias("chi2"),
+        F.round(
+            F.col("smi").cast("double") / denom_unit + F.lit(0.0), 6
+        ).alias("mi_nats"),
+        F.round(
+            F.col("sg").cast("double") / denom_unit + F.lit(0.0), 6
+        ).alias("g_stat"),
+        F.round(
+            F.sqrt(
+                (F.col("schi").cast("double") / denom_unit)
+                / (
+                    F.col("nn")
+                    * (F.least("r", "cc") - F.lit(1))
+                ).cast("double")
+            )
+            + F.lit(0.0),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@_q(
+    "x177_restore_feed_view",
+    """SELECT o_orderpriority,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                   AS BIGINT) AS sum_cents
+       FROM orders GROUP BY 1 ORDER BY 1""",
+    doc="Incremental view maintenance ACROSS A RESTORE — the x145/"
+    "x151/x162 feed certifications extended to snapshots."
+    "restore_table, completing the CRUD-feed surface for the time-"
+    "machine verb: orders land in two appended directories, a DELETE "
+    "removes the k%13=4 slice, then the table is RESTORED to the "
+    "pre-delete version (a forward-moving commit referencing the old "
+    "directories — zero data movement). A per-priority (count, sum) "
+    "view materialized at the POST-DELETE version is advanced purely "
+    "from read_changes' signed fold across the restore (truncate-and-"
+    "reload delta: pre-restore rows out, restored rows in) and must "
+    "land exactly on the restored content — which IS the raw orders "
+    "table, so the ORACLE is the plain unconditional aggregate: any "
+    "row the restore loses, resurrects twice, or double-ships breaks "
+    "the hash. The deleted-then-restored rows must net +1 through "
+    "the delete's change set (-1) stacked under the restore's "
+    "reload. Scale shape: the restore commit costs one manifest "
+    "write; the feed reads the restored dirs once plus the delete's "
+    "row-exact change set. Lakehouse-certification tier (x127/x132/"
+    "x145/x151/x162/x164-x167 pattern).",
+)
+def x177(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from deepcell_data_engineering_spark.functions.stats import (
+        merge_grouped_sums,
+    )
+    from deepcell_data_engineering_spark.sources import snapshots as snap
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("p"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    t = tempfile.mkdtemp(prefix="dde_restore_view_")
+    try:
+        snap.commit(spark, base.where(F.col("k") % 2 == 0), t)
+        v_full = snap.commit(
+            spark, base.where(F.col("k") % 2 == 1), t, mode="append"
+        )
+        v_del = snap.delete_where(spark, t, "k % 13 = 4")
+        head = snap.restore_table(spark, t, v_full)
+
+        state_del = (
+            snap.read_snapshot(spark, t, v_del)
+            .groupBy("p")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+        )
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        delta = (
+            snap.read_changes(spark, t, v_del, head)
+            .groupBy("p")
+            .agg(
+                F.sum(sign).cast("bigint").alias("n_orders"),
+                F.sum(sign * F.col("cents")).cast("bigint").alias(
+                    "sum_cents"
+                ),
+            )
+        )
+        view = merge_grouped_sums(
+            [state_del, delta], ["p"], ["n_orders", "sum_cents"]
+        ).where(F.col("n_orders") != 0)
+        rows = [
+            (r["p"], r["n_orders"], r["sum_cents"]) for r in view.collect()
+        ]
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderpriority STRING, n_orders BIGINT, sum_cents BIGINT"
+    ).orderBy("o_orderpriority")

@@ -709,6 +709,27 @@ def _with_dir_col(parent: DataFrame) -> DataFrame:
     )
 
 
+def _dir_tokens(parent_dirs: list[str]) -> dict[str, str]:
+    """Map each manifest dir entry to the ``data/<name>`` token
+    ``_with_dir_col`` extracts from file paths. Entries are table-
+    relative normally, but ABSOLUTE for shallow-cloned directories
+    (clone_table) — the token is the same either way, which is what
+    lets merge/delete attribute rows to manifest entries on a clone.
+    Token collisions (two entries with the same uuid directory name —
+    e.g. the same source dir referenced twice) fail loudly: silent
+    aliasing would corrupt touched-dir accounting."""
+    tokens = {
+        f"{_DATA_DIR}/{os.path.basename(d.rstrip('/'))}": d
+        for d in parent_dirs
+    }
+    if len(tokens) != len(parent_dirs):
+        raise ValueError(
+            "duplicate data-directory names in manifest dirs "
+            f"{parent_dirs!r} — cannot attribute rows to directories"
+        )
+    return tokens
+
+
 def merge_upsert(
     spark: SparkSession,
     source: DataFrame,
@@ -818,16 +839,20 @@ def merge_upsert(
             parent = parent.unionByName(
                 source.limit(0), allowMissingColumns=True
             )
+    tokens = _dir_tokens(parent_dirs)
     src_keys = source.select(*keys).dropDuplicates(keys)
-    # catalog-sized: one dir name per touched directory
-    touched = {
+    # catalog-sized: one dir token per touched directory
+    touched_tokens = {
         r[_DIR_COL]
         for r in parent.join(src_keys, keys, "semi")
         .select(_DIR_COL)
         .distinct()
         .collect()
     }
-    touched_parent = parent.where(F.col(_DIR_COL).isin(list(touched)))
+    touched = {tokens[t] for t in touched_tokens}
+    touched_parent = parent.where(
+        F.col(_DIR_COL).isin(list(touched_tokens))
+    )
     survivors = touched_parent.join(src_keys, keys, "anti").drop(_DIR_COL)
     preimages = touched_parent.join(src_keys, keys, "semi").drop(_DIR_COL)
 
@@ -944,11 +969,13 @@ def delete_where(
             *[os.path.join(table_path, d) for d in parent_dirs]
         )
     )
+    tokens = _dir_tokens(parent_dirs)
     matched = parent.where(cond)
-    # catalog-sized: one dir name per directory containing a match
-    touched = {
+    # catalog-sized: one dir token per directory containing a match
+    touched_tokens = {
         r[_DIR_COL] for r in matched.select(_DIR_COL).distinct().collect()
     }
+    touched = {tokens[t] for t in touched_tokens}
     deleted = matched.drop(_DIR_COL)
     chg = deleted.withColumn(
         "_change_type", F.lit("delete")
@@ -960,7 +987,7 @@ def delete_where(
     new_rels: list[str] = []
     if touched:
         survivors = (
-            parent.where(F.col(_DIR_COL).isin(list(touched)))
+            parent.where(F.col(_DIR_COL).isin(list(touched_tokens)))
             .where(~F.coalesce(cond, F.lit(False)))
             .drop(_DIR_COL)
         )
@@ -1133,9 +1160,9 @@ def read_changes(
             piece = _tagged(new_dirs, "insert", v, m.get("stats"))
             if piece is not None:
                 pieces.append(piece)
-        elif m["op"] in ("overwrite", "restore"):
-            # restore is logically a truncate-and-reload of the target
-            # version's content — the same delta shape as overwrite
+        elif m["op"] in ("overwrite", "restore", "clone"):
+            # restore/clone are logically a truncate-and-reload of the
+            # target content — the same delta shape as overwrite
             dele = _tagged(parent_dirs, "delete", v, parent_stats)
             if dele is not None:
                 pieces.append(dele)
@@ -1239,6 +1266,66 @@ def optimize_table(
         expected_parent=basis,
         store=st,
         stats_cols=tracked or None,
+    )
+
+
+def clone_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    version: int | None = None,
+    store: ManifestStore | None = None,
+) -> int:
+    """SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW CLONE``): start
+    a new table at ``dst_path`` whose first commit references the
+    source version's data directories by ABSOLUTE path — zero data
+    copied, instant however large the source. Data-skipping stats come
+    along (re-keyed to the absolute entries). The clone then lives its
+    own life: appends land under the clone's own data root; merge/
+    delete copy-on-write REWRITE touched source dirs INTO the clone
+    (``_dir_tokens`` attributes rows to absolute entries), never
+    touching the source; ``optimize_table`` deep-copies it entirely.
+
+    The Delta shallow-clone caveat applies verbatim: ``vacuum`` on the
+    SOURCE does not know about clone references and can delete
+    directories the clone still needs — deep-copy first (optimize the
+    clone) if the source's retention is shorter than the clone's life.
+    ``vacuum`` on the CLONE only sweeps the clone's own data root, so
+    it never deletes source data.
+
+    CDC: the clone commit reads as a truncate-and-reload of the cloned
+    content (like restore/overwrite) when it replaces an existing
+    table at ``dst_path``; for a fresh dst it is simply version 0."""
+    st = _store(store)
+    st.check_path(src_path)
+    st.check_path(dst_path)
+    if version is None:
+        version = current_version(src_path, st)
+        if version is None:
+            raise ValueError(f"no committed versions at {src_path!r}")
+    m = _load_manifest(src_path, version, st)
+    root = (
+        os.path.abspath(src_path) if "://" not in src_path else src_path
+    )
+    abs_dirs = [os.path.join(root, d) for d in m["dirs"]]
+    abs_stats = {
+        os.path.join(root, d): s
+        for d, s in m.get("stats", {}).items()
+        if d in set(m["dirs"])
+    }
+    return commit(
+        spark,
+        None,
+        dst_path,
+        mode="overwrite",
+        store=st,
+        _op="clone",
+        _dirs=abs_dirs,
+        _dir_stats=abs_stats,
+        _extra_manifest={
+            "cloned_from": src_path,
+            "clone_version": version,
+        },
     )
 
 

@@ -1824,3 +1824,69 @@ def test_restore_table_semantics(spark, tmp_path):
     )
     with pytest.raises(snap.ManifestMissingError):
         snap.restore_table(spark, t, v2)
+
+def test_shallow_clone_lifecycle(spark, tmp_path):
+    """Shallow clone: zero-copy first commit referencing the source's
+    dirs absolutely (stats re-keyed along), independent afterlife —
+    appends land in the clone, delete copy-on-writes touched SOURCE
+    dirs into the clone without touching the source, clone vacuum
+    never sweeps source data, optimize deep-copies."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    snap.commit(spark, docs.where(F.col("doc_id") < 30), src,
+                stats_cols=["doc_id"])
+    v_src = snap.commit(
+        spark, docs.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 60)),
+        src, mode="append", stats_cols=["doc_id"],
+    )
+
+    v0 = snap.clone_table(spark, src, dst)
+    assert v0 == 0
+    m0 = snap._load_manifest(dst, 0, snap._POSIX)
+    assert m0["op"] == "clone" and m0["clone_version"] == v_src
+    assert all(os.path.isabs(d) for d in m0["dirs"])
+    assert _rows(snap.read_snapshot(spark, dst)) == _rows(
+        snap.read_snapshot(spark, src)
+    )
+    # stats traveled: pruned scan on the clone reads 1 of 2 dirs
+    got = snap.scan_snapshot(spark, dst, {"doc_id": (40, 50)})
+    assert {r.doc_id for r in got.collect()} == set(range(30, 60))
+
+    # append lands under the CLONE's data root
+    v1 = snap.commit(spark, docs.where(F.col("doc_id") >= 90), dst,
+                     mode="append")
+    m1 = snap._load_manifest(dst, v1, snap._POSIX)
+    own = [d for d in m1["dirs"] if not os.path.isabs(d)]
+    assert len(own) == 1
+    assert snap.current_version(src) == v_src  # source log untouched
+
+    # delete copy-on-writes the touched SOURCE dir into the clone
+    src_rows_before = snap.read_snapshot(spark, src).count()
+    v2 = snap.delete_where(spark, dst, "doc_id = 5")
+    assert snap.read_snapshot(spark, dst, v2).count() == \
+        snap.read_snapshot(spark, dst, v1).count() - 1
+    assert snap.read_snapshot(spark, src).count() == src_rows_before
+    m2 = snap._load_manifest(dst, v2, snap._POSIX)
+    # dir A (absolute, contains doc_id=5) was replaced by a clone-local
+    # rewrite; dir B stays referenced absolutely
+    assert sum(1 for d in m2["dirs"] if os.path.isabs(d)) == 1
+    # the rewritten dir got stats recomputed (skipping stays alive)
+    rewritten = [
+        d for d in m2["dirs"]
+        if not os.path.isabs(d) and d not in set(m1["dirs"])
+    ]
+    assert len(rewritten) == 1 and "doc_id" in m2["stats"][rewritten[0]]
+
+    # clone vacuum sweeps only the clone's own data root
+    removed = snap.vacuum(dst, keep_last=1)
+    assert all(not os.path.isabs(d) for d in removed)
+    assert snap.read_snapshot(spark, src).count() == src_rows_before
+
+    # CDC across the clone-as-overwrite (clone onto an EXISTING table)
+    other = str(tmp_path / "other")
+    snap.commit(spark, docs.where(F.col("doc_id") < 3), other)
+    vo = snap.clone_table(spark, src, other)
+    feed = snap.read_changes(spark, other, vo - 1, vo)
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    assert feed.agg(F.sum(sign)).collect()[0][0] == 60 - 3
