@@ -187,6 +187,13 @@ QUERIES = [
     "x171_simpson_diversity",
     "x172_ranking_eval",
     "x173_classifier_eval",
+    # x174/x175 one-two grouped aggregations + unit sums; x176 one
+    # CUBE + two 1-row attaches; x177 delete + restore commits + a
+    # feed fold (restore costs one manifest write at any data size).
+    "x174_shannon_entropy",
+    "x175_js_divergence",
+    "x176_association_summary",
+    "x177_restore_feed_view",
     # x66_similarity_join_exact is intentionally absent: its TRUE result
     # set (all pairs over a templated corpus) grows quadratically with
     # corpus size, so an sf1/sf0.1 ratio would read as a hidden
