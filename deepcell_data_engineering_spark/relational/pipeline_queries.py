@@ -13601,3 +13601,143 @@ def x177(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "o_orderpriority STRING, n_orders BIGINT, sum_cents BIGINT"
     ).orderBy("o_orderpriority")
+
+
+_X178_COLS = [
+    ("discount", "CAST(ROUND(l_discount * 100, 0) AS BIGINT)"),
+    ("extendedprice", "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"),
+    ("quantity", "CAST(ROUND(l_quantity, 0) AS BIGINT)"),
+    ("tax", "CAST(ROUND(l_tax * 100, 0) AS BIGINT)"),
+]
+
+
+def _x178_oracle() -> str:
+    names = [n for n, _ in _X178_COLS]
+    scaled = ", ".join(f"{expr} AS {n}" for n, expr in _X178_COLS)
+    legs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            legs.append(
+                f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+                f"CAST(COUNT(*) AS BIGINT) AS n_rows, "
+                f"ROUND(corr({a}, {b}) + 0.0, 6) AS pearson_r FROM t"
+            )
+    return (
+        f"WITH t AS (SELECT {scaled} FROM lineitem) "
+        "SELECT * FROM (" + " UNION ALL ".join(legs) + ") "
+        "ORDER BY col_x, col_y"
+    )
+
+
+@_q(
+    "x178_corr_matrix",
+    _x178_oracle(),
+    doc="Pairwise Pearson correlation matrix over lineitem's four "
+    "numeric measures — the feature-redundancy screen that sits "
+    "beside x156's per-group OLS (one pair, with fit) and x168's "
+    "Spearman (monotone association): a profiling dashboard wants "
+    "the full linear matrix in one pass. Columns are scaled to "
+    "EXACT integers first (cents / percent units — correlation is "
+    "scale-invariant, so the scaling only buys exactness), then ONE "
+    "moments aggregation computes every Σx, Σx² and all six Σxy in "
+    "exact decimal(38,0) (price²-sums pass int64 well below sf0.1), "
+    "and each pair's r = (n·Sxy − Sx·Sy) / (sqrt(n·Sxx − Sx²) · "
+    "sqrt(n·Syy − Sy²)) is one double division over exact-decimal "
+    "operands. The ORACLE is DuckDB's own corr() streaming "
+    "aggregate — a fully independent third-party implementation "
+    "(the x156 regr_* certification pattern). ENGINE shape: one "
+    "map-side-combinable aggregation; the 6-row matrix is exploded "
+    "from a single moments row — nothing after the scan exceeds "
+    "one row of state at any scale.",
+)
+def x178(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    scaled = li.select(
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("discount"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("extendedprice"),
+        F.round(F.col("l_quantity"), 0).cast("long").alias("quantity"),
+        F.round(F.col("l_tax") * 100, 0).cast("long").alias("tax"),
+    )
+    names = [n for n, _ in _X178_COLS]
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for a in names:
+        aggs.append(F.sum(dec(a)).alias(f"s_{a}"))
+        aggs.append(F.sum(dec(a) * dec(a)).alias(f"ss_{a}"))
+    pairs = [
+        (a, b) for i, a in enumerate(names) for b in names[i + 1:]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(dec(a) * dec(b)).alias(f"sp_{a}_{b}"))
+    mo = scaled.agg(*aggs)
+
+    def _r(a: str, b: str):
+        n = F.col("n").cast("decimal(38,0)")
+        num = n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        dx = n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        dy = n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        return F.round(
+            num.cast("double")
+            / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double")))
+            + F.lit(0.0),
+            6,
+        )
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col("n").alias("n_rows"),
+                _r(a, b).alias("pearson_r"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return (
+        mo.select(F.explode(rows).alias("e"))
+        .select("e.col_x", "e.col_y", "e.n_rows", "e.pearson_r")
+        .orderBy("col_x", "col_y")
+    )
+
+
+@_q(
+    "x179_pipe_rollup",
+    """SELECT o_orderpriority,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                   AS BIGINT) AS sum_cents
+       FROM orders WHERE o_orderstatus <> 'P'
+       GROUP BY 1 HAVING COUNT(*) > 10
+       ORDER BY o_orderpriority""",
+    doc="SQL PIPE SYNTAX surface (Spark 4's |> operator chains — the "
+    "GoogleSQL-style linear composition of FROM/WHERE/EXTEND/"
+    "AGGREGATE/ORDER stages) certified value-for-value against the "
+    "classic nested formulation: the same per-priority revenue "
+    "rollup written as a pipeline must hash-match the oracle's "
+    "traditional GROUP BY/HAVING — any divergence in how the pipe "
+    "planner lowers EXTEND scoping, post-AGGREGATE WHERE (= HAVING) "
+    "or aggregate aliasing breaks the gate. Catalyst lowers both to "
+    "the identical logical plan, so this rides the same pushdown/"
+    "pruning/broadcast machinery — the certification is that the "
+    "NEW PARSER SURFACE is sound, the API-coverage twin of x97's "
+    "Python DataSource and x98's polymorphic UDTF. The temp view "
+    "registration is idempotent and session-scoped.",
+)
+def x179(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "x179_orders"
+    )
+    return spark.sql(
+        """FROM x179_orders
+           |> WHERE o_orderstatus <> 'P'
+           |> EXTEND CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                AS cents
+           |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+                        CAST(SUM(cents) AS BIGINT) AS sum_cents
+                GROUP BY o_orderpriority
+           |> WHERE n_orders > 10
+           |> ORDER BY o_orderpriority"""
+    )
