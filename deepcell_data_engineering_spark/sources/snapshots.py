@@ -1114,7 +1114,13 @@ def read_changes(
     Scale shape: the feed scans ONLY the directories that changed
     (for append chains: just the delta files — the common case at
     100 TB), never the unchanged history; manifest resolution is
-    KB-sized driver-side catalog work."""
+    KB-sized driver-side catalog work.
+
+    Note: the result is a UNION of per-commit pieces, so the
+    ``_metadata`` file pseudo-column is not selectable on it (it only
+    resolves directly above a file scan); per-commit provenance is the
+    ``_commit_version`` column — a fully pruned commit contributes no
+    piece at all."""
     st = _store(store)
     st.check_path(table_path)
     if to_version is None:

@@ -183,6 +183,27 @@ class SnapshotCatalog:
             store=self._store,
         )
 
+    def changes(
+        self,
+        spark: SparkSession,
+        name: str,
+        from_version: int,
+        to_version: int | None = None,
+        merge_schema: bool = False,
+        ranges: dict[str, tuple] | None = None,
+    ) -> DataFrame:
+        """``read_changes`` (CDC feed) by name, with the same optional
+        ``ranges`` stats pruning."""
+        return _snap.read_changes(
+            spark,
+            self.lookup(name),
+            from_version,
+            to_version,
+            merge_schema=merge_schema,
+            ranges=ranges,
+            store=self._store,
+        )
+
     def register_temp_view(
         self,
         spark: SparkSession,

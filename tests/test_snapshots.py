@@ -1890,3 +1890,103 @@ def test_shallow_clone_lifecycle(spark, tmp_path):
     feed = snap.read_changes(spark, other, vo - 1, vo)
     sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
     assert feed.agg(F.sum(sign)).collect()[0][0] == 60 - 3
+
+def test_streaming_commits_scoped_cdc_consumer(spark, tmp_path):
+    """Streaming twin of the x166 shape: foreachBatch appends banded
+    micro-batches WITH data-skipping stats, and a range-RESTRICTED
+    downstream consumer advances its view from read_changes(ranges=…)
+    — reading only the delta directories whose stats intersect its
+    range (verified via _metadata) — landing exactly on the
+    restricted rebuild."""
+    from deepcell_data_engineering_spark.functions.stats import (
+        merge_grouped_sums,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    src = str(tmp_path / "src")
+    # quartile bands by doc_id so per-commit [min,max] are near-disjoint
+    for i in range(4):
+        docs.where(
+            (F.col("doc_id") % 200 >= i * 50)
+            & (F.col("doc_id") % 200 < (i + 1) * 50)
+        ).coalesce(1).write.mode("append").parquet(src)
+    t = str(tmp_path / "tbl")
+    v0 = snap.commit(spark, docs.where(F.col("doc_id") < 0), t,
+                     mode="overwrite", stats_cols=["doc_id"])
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            lambda bdf, bid: snap.commit(
+                spark, bdf, t, mode="append", batch_id=bid,
+                stats_cols=["doc_id"],
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    head = snap.current_version(t)
+    assert head >= v0 + 2  # several banded commits landed
+
+    lo, hi = 20, 60  # intersects some bands, not all
+    rng = {"doc_id": (lo, hi)}
+    feed = snap.read_changes(spark, t, v0, head, ranges=rng)
+    # a fully-pruned commit contributes NO piece to the feed union —
+    # the scoped read carries a strict subset of the commit versions
+    scoped_versions = {
+        r["_commit_version"]
+        for r in feed.select("_commit_version").distinct().collect()
+    }
+    all_versions = {
+        r["_commit_version"]
+        for r in snap.read_changes(spark, t, v0, head)
+        .select("_commit_version")
+        .distinct()
+        .collect()
+    }
+    assert scoped_versions < all_versions
+
+    def agg(df):
+        return df.where(F.col("doc_id").between(lo, hi)).groupBy(
+            "source"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    delta = (
+        feed.where(F.col("doc_id").between(lo, hi))
+        .groupBy("source")
+        .agg(F.sum(sign).cast("long").alias("n"))
+    )
+    state0 = agg(snap.read_snapshot(spark, t, v0))
+    view = merge_grouped_sums([state0, delta], ["source"], ["n"]).where(
+        F.col("n") != 0
+    )
+    rebuild = agg(snap.read_snapshot(spark, t, head))
+    assert sorted(map(tuple, view.collect())) == sorted(
+        map(tuple, rebuild.collect())
+    )
+
+def test_catalog_changes_by_name(spark, tmp_path):
+    """The catalog's CDC face: read_changes by NAME with ranges
+    threading through to the feed pruner."""
+    from deepcell_data_engineering_spark.sources.table_catalog import (
+        SnapshotCatalog,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    v0 = snap.commit(spark, docs.where(F.col("doc_id") < 30), t,
+                     stats_cols=["doc_id"])
+    snap.commit(spark, docs.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 60)),
+                t, mode="append", stats_cols=["doc_id"])
+    head = snap.commit(spark, docs.where((F.col("doc_id") >= 60) & (F.col("doc_id") < 90)),
+                       t, mode="append", stats_cols=["doc_id"])
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    cat.create_table("docs", t)
+    feed = cat.changes(spark, "docs", v0, head, ranges={"doc_id": (35, 40)})
+    got = {r.doc_id for r in feed.collect()}
+    assert got == set(range(30, 60))  # only the intersecting delta dir
