@@ -194,6 +194,10 @@ QUERIES = [
     "x175_js_divergence",
     "x176_association_summary",
     "x177_restore_feed_view",
+    # x178 one moments aggregation; x179 the pipe-syntax rollup
+    # (Catalyst lowers to the classic plan).
+    "x178_corr_matrix",
+    "x179_pipe_rollup",
     # x66_similarity_join_exact is intentionally absent: its TRUE result
     # set (all pairs over a templated corpus) grows quadratically with
     # corpus size, so an sf1/sf0.1 ratio would read as a hidden
