@@ -13741,3 +13741,127 @@ def x179(spark: SparkSession, sf_dir: str) -> DataFrame:
            |> WHERE n_orders > 10
            |> ORDER BY o_orderpriority"""
     )
+
+
+def _x180_oracle() -> str:
+    """Cleaning-funnel oracle: per-doc lang prediction from the same
+    generated marker-score SQL as x03 (the dialects cannot drift on
+    the predictor), dedup keepers via MIN-per-fingerprint, stage
+    attribution as one first-failing CASE."""
+    score_sql = {}
+    for lang, markers in tx.LANG_MARKERS.items():
+        parts = [
+            f"CAST((length(p.t) - length(replace(p.t, '{m}', ''))) / {len(m)} AS INT)"
+            for m in markers
+        ]
+        score_sql[lang] = " + ".join(parts)
+    langs = list(tx.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s.score_{l}" for l in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s.score_{l} = {best} AND {best} > 0 THEN '{l}'"
+        for l in langs
+    ) + " ELSE 'unknown' END"
+    scores = ", ".join(
+        f"{expr} AS score_{l}" for l, expr in score_sql.items()
+    )
+    return f"""
+      WITH p AS (SELECT doc_id, text,
+                        ' ' || lower(text) || ' ' AS t
+                 FROM documents),
+      s AS (SELECT doc_id, text, {scores} FROM p),
+      f AS (SELECT doc_id, text, {case} AS pred,
+                   md5(lower(trim(text))) AS fp,
+                   len(regexp_split_to_array(trim(text), '\\s+'))
+                     AS n_tok,
+                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                     AS n_alpha,
+                   length(text) AS n_chars
+            FROM s),
+      k AS (SELECT fp, MIN(doc_id) AS keep_id FROM f GROUP BY fp),
+      staged AS (SELECT CASE
+                   WHEN f.doc_id <> k.keep_id THEN 'a_exact_dup'
+                   WHEN f.n_tok < 20 OR f.n_tok > 90 THEN 'b_length'
+                   WHEN f.pred = 'unknown' THEN 'c_lang_unknown'
+                   WHEN CAST(f.n_alpha AS DOUBLE)
+                        / CAST(f.n_chars AS DOUBLE) < 0.81
+                     THEN 'd_quality'
+                   ELSE 'e_kept' END AS stage
+                 FROM f JOIN k USING (fp)),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM staged)
+      SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(tot.nn AS DOUBLE)
+                   + 0.0, 6) AS share
+      FROM staged, tot GROUP BY stage, tot.nn ORDER BY stage"""
+
+
+@_q(
+    "x180_cleaning_funnel",
+    _x180_oracle(),
+    doc="End-to-end corpus cleaning funnel — the composition report "
+    "every training-data pipeline publishes: each document attributed "
+    "to the FIRST gate that drops it (exact-duplicate -> length trim "
+    "-> language-unknown -> quality) or 'kept', with counts and "
+    "shares. The gates are the registry's individually-certified "
+    "kernels composed in pipeline order (x04's fingerprint keepers, "
+    "x01's whitespace token count, x03's marker-score lang-id, x02's "
+    "alpha-ratio quality feature); what THIS query certifies is the "
+    "composition semantics — first-failing attribution means the "
+    "stages partition the corpus exactly (Σ n_docs = corpus), so a "
+    "gate evaluated out of order, a doc double-dropped, or a "
+    "keeper-vs-copy mixup shifts counts between stages and breaks "
+    "the hash. Stage keys carry an explicit prefix order (a_/b_/...) "
+    "so the funnel reads in pipeline order under plain string sort. "
+    "Shares are one division by the exact total (attached as a "
+    "plan-provable 1-row broadcast). Boundary discipline: the "
+    "quality threshold compares the SAME exact-integer division on "
+    "both engines, so a document landing exactly on 0.81 cannot "
+    "diverge. ENGINE: one feature pass (no joins except the "
+    "fingerprint-keeper equi-join, whose groups are row-sized), one "
+    "stage aggregation. At 100 TB: two shuffles (fingerprint, "
+    "stage), everything else map-side.",
+)
+def x180(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id",
+        "text",
+        tx.predict_lang(F.col("text")).alias("pred"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+        tx.token_count(F.col("text")).alias("n_tok"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).alias(
+            "n_alpha"
+        ),
+        F.length("text").alias("n_chars"),
+    )
+    k = f.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    staged = f.join(k, "fp").select(
+        F.when(F.col("doc_id") != F.col("keep_id"), "a_exact_dup")
+        .when(
+            (F.col("n_tok") < 20) | (F.col("n_tok") > 90), "b_length"
+        )
+        .when(F.col("pred") == "unknown", "c_lang_unknown")
+        .when(
+            F.col("n_alpha").cast("double")
+            / F.col("n_chars").cast("double")
+            < 0.81,
+            "d_quality",
+        )
+        .otherwise("e_kept")
+        .alias("stage")
+    )
+    tot = staged.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    return (
+        staged.groupBy("stage")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "stage",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("nn").cast("double")
+                + F.lit(0.0),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("stage")
+    )

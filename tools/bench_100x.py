@@ -55,6 +55,10 @@ QUERIES = [
     "x132_optimize_equivalence",
     "x145_cdc_incremental_view",
     "x164_stats_pruned_scan",
+    # r11: predicate-scoped CDC — a range-restricted consumer folds
+    # read_changes(ranges=...) over a banded append chain, reading
+    # only the intersecting delta dirs
+    "x166_scoped_cdc_view",
 ]
 
 # Per-query reading notes carried into the artifact (the x67 cap-note
@@ -98,6 +102,16 @@ NOTES = {
         "chain dominates wall time; the certified property is that "
         "the PRUNER's dir decisions stay manifest-sized while the "
         "data under them grows 100x"
+    ),
+    "x166_scoped_cdc_view": (
+        "lakehouse leg: a base commit + 7 key-banded stats-recorded "
+        "append commits, then a key-range-restricted view advanced "
+        "from read_changes(ranges=...) — the feed pruner keeps 2 of 7 "
+        "delta dirs from KB of manifest JSON, so the scoped consumer's "
+        "read cost tracks ITS OWN slice of each commit, not the "
+        "commit chain's full payload; wall is dominated by writing "
+        "the 8 commits (one-pass data write), which is the operator "
+        "under test"
     ),
     "x145_cdc_incremental_view": (
         "lakehouse leg: append/replace/overwrite commit chain + a view "
