@@ -198,6 +198,8 @@ QUERIES = [
     # (Catalyst lowers to the classic plan).
     "x178_corr_matrix",
     "x179_pipe_rollup",
+    # x180 one feature pass + fingerprint-keeper join + stage agg.
+    "x180_cleaning_funnel",
     # x66_similarity_join_exact is intentionally absent: its TRUE result
     # set (all pairs over a templated corpus) grows quadratically with
     # corpus size, so an sf1/sf0.1 ratio would read as a hidden
