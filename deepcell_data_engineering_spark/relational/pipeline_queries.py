@@ -13865,3 +13865,260 @@ def x180(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+@_q(
+    "x181_max_drawdown",
+    """WITH daily AS (SELECT CAST(EXTRACT(year FROM o_orderdate)
+                                  AS BIGINT) AS y,
+                             CAST(o_orderdate AS DATE) AS d,
+                             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0)
+                                           AS BIGINT)) AS BIGINT)
+                               AS cents
+                      FROM orders GROUP BY 1, 2),
+       c AS (SELECT y, d, cents,
+                    SUM(cents) OVER (PARTITION BY y ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS cum
+             FROM daily),
+       p AS (SELECT y, d, cum,
+                    MAX(cum) OVER (PARTITION BY y ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS peak
+             FROM c),
+       dd AS (SELECT y, d, peak - cum AS drawdown FROM p),
+       mx AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS n_days,
+                     CAST(MAX(drawdown) AS BIGINT) AS max_dd
+              FROM dd GROUP BY 1)
+       SELECT mx.y AS year, mx.n_days,
+              mx.max_dd AS max_drawdown_cents,
+              MIN(dd.d) AS trough_date
+       FROM mx JOIN dd ON dd.y = mx.y AND dd.drawdown = mx.max_dd
+       GROUP BY 1, 2, 3 ORDER BY year""",
+    doc="Maximum drawdown of the cumulative daily revenue series per "
+    "year — the classic risk statistic (largest peak-to-trough drop "
+    "of the running total), reported with the earliest trough date "
+    "achieving it. It is the PATH-DEPENDENT member of the time-"
+    "series tier: unlike x116's CUSUM or x125's trailing z-score it "
+    "depends on the running extremum of a cumulative sum, i.e. two "
+    "NESTED windows. Everything is exact BIGINT cents end to end — "
+    "cumsum, running peak, drawdown, max, and the MIN-date "
+    "tiebreak — so there is no float to drift. ENGINE: one daily "
+    "aggregation (map-side combinable), then two ordered windows "
+    "whose partitions are CALENDAR-sized (<=366 rows per year — the "
+    "disc-percentile discipline: ordered windows only ever run over "
+    "vocabulary/calendar domains, never raw rows), a per-year max, "
+    "and a broadcast argmin attach. ORACLE: identical window "
+    "cascade. At 100 TB the daily table is ~3k rows regardless of "
+    "order volume; the scan dominates and is one pass.",
+)
+def x181(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = (
+        Window.partitionBy("y")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = daily.withColumn("cum", F.sum("cents").over(w))
+    p = c.withColumn("peak", F.max("cum").over(w))
+    dd = p.select("y", "d", (F.col("peak") - F.col("cum")).alias("drawdown"))
+    mx = dd.groupBy("y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("drawdown").cast("long").alias("max_dd"),
+    )
+    # derived-from-same-source join: alias both sides (ambiguous-
+    # self-join discipline) and qualify every column
+    a = dd.alias("a")
+    b = mx.alias("b")
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.y") == F.col("b.y"))
+            & (F.col("a.drawdown") == F.col("b.max_dd")),
+        )
+        .groupBy(
+            F.col("b.y").alias("year"),
+            F.col("b.n_days").alias("n_days"),
+            F.col("b.max_dd").alias("max_drawdown_cents"),
+        )
+        .agg(F.min(F.col("a.d")).alias("trough_date"))
+        .select("year", "n_days", "max_drawdown_cents", "trough_date")
+        .orderBy("year")
+    )
+
+
+@_q(
+    "x182_trailing_range_frame",
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                             CAST(CAST(o_orderdate AS DATE)
+                                  - DATE '1970-01-01' AS BIGINT)
+                               AS day_int,
+                             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0)
+                                           AS BIGINT)) AS BIGINT)
+                               AS cents
+                      FROM orders GROUP BY 1, 2)
+       SELECT d, cents,
+              CAST(SUM(cents) OVER (ORDER BY day_int
+                RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trailing_30d_cents,
+              CAST(COUNT(*) OVER (ORDER BY day_int
+                RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_days_window
+       FROM daily ORDER BY d""",
+    doc="30-day trailing revenue per day via a VALUE-BASED window "
+    "frame (RANGE BETWEEN 29 PRECEDING on the integer day) — the "
+    "frame class the d24/d25/x125 ROWS windows cannot express when "
+    "the series has GAPS: a missing calendar day must shrink the "
+    "window's row count, not silently include a 31st day, and "
+    "n_days_window makes that property hash-certified (any gap "
+    "handled wrong changes both columns). Exact BIGINT cents "
+    "throughout. ENGINE: one daily aggregation then a single "
+    "ordered RANGE window over the CALENDAR-sized daily table "
+    "(~3k rows at any corpus scale — the one-task window is over "
+    "the value domain, never raw rows; the fact scan underneath is "
+    "the distributed part). ORACLE: the same frame spelled in "
+    "DuckDB, whose RANGE implementation is independent. The "
+    "Spark side uses rangeBetween(-29, 0) over the epoch-day "
+    "integer — certifying that Spark's value-frame semantics "
+    "(bound inclusion, peer handling) match the SQL standard's.",
+)
+def x182(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            .cast("long")
+            .alias("day_int"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("day_int").rangeBetween(-29, 0)
+    return daily.select(
+        "d",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("trailing_30d_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_days_window"),
+    ).orderBy("d")
+
+
+@_q(
+    "x183_percentile_cont",
+    """SELECT o_orderpriority,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              ROUND(quantile_cont(cents, 0.25) + 0.0, 6) AS p25,
+              ROUND(quantile_cont(cents, 0.50) + 0.0, 6) AS p50,
+              ROUND(quantile_cont(cents, 0.75) + 0.0, 6) AS p75
+       FROM (SELECT o_orderpriority,
+                    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                      AS cents
+             FROM orders)
+       GROUP BY 1 ORDER BY 1""",
+    doc="Interpolated (continuous) quartiles of order value per "
+    "priority — percentile_cont semantics: position (n-1)*q, linear "
+    "interpolation between the straddling order statistics — "
+    "complementing the registry's DISCRETE percentile family "
+    "(x143/d19/d43/x160 all return actual data values; ML feature "
+    "pipelines and SLA dashboards usually want the interpolated "
+    "form). Exactness: with q in quarters, (n-1)*q is exact integer "
+    "arithmetic scaled by 4 (idx4 = (n-1)*p; rank = idx4 div 4 + 1, "
+    "rem = idx4 mod 4 — never a float rank, the x160 discipline), "
+    "and the interpolated value (x_lo*(4-rem) + x_hi*rem)/4.0 is an "
+    "EXACT dyadic rational in cents < 2^53 — bit-identical to the "
+    "oracle's x_lo + frac*(x_hi - x_lo) because every term is "
+    "exactly representable. The ORACLE is DuckDB's own "
+    "quantile_cont — an independent third-party implementation (the "
+    "x156/x178 pattern). ENGINE: never row-ranks — the per-group "
+    "VALUE HISTOGRAM's grouped_cumsum locates each straddling value "
+    "with two rank probes (least value whose cumulative count "
+    "reaches the target rank, the x163 technique), so cost is one "
+    "histogram shuffle + vocabulary-sized probe joins at any scale.",
+)
+def x183(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.layout import (
+        _int_div,
+        grouped_cumsum,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("p"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    hist = o.groupBy("p", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cum = grouped_cumsum(hist, ["p"], "cents", ["c"])
+    totals = hist.groupBy("p").agg(F.sum("c").cast("long").alias("n"))
+    quarters = spark.range(1, 4).select(F.col("id").alias("q"))
+    idx4 = (F.col("n") - 1) * F.col("q")
+    probes = totals.crossJoin(F.broadcast(quarters)).select(
+        "p",
+        "q",
+        "n",
+        (_int_div(idx4, F.lit(4)) + 1).alias("klo"),
+        F.pmod(idx4, F.lit(4)).cast("long").alias("rem"),
+        F.least(
+            _int_div(idx4, F.lit(4)) + 2, F.col("n")
+        ).alias("khi"),
+    )
+    j = cum.join(F.broadcast(probes), "p")
+    lo = (
+        j.where(F.col("cum_c") >= F.col("klo"))
+        .groupBy("p", "q", "n", "rem")
+        .agg(F.min("cents").alias("xlo"))
+    )
+    hi = (
+        j.where(F.col("cum_c") >= F.col("khi"))
+        .groupBy("p", "q")
+        .agg(F.min("cents").alias("xhi"))
+    )
+    vals = lo.join(hi, ["p", "q"]).select(
+        "p",
+        "q",
+        "n",
+        (
+            (
+                F.col("xlo") * (F.lit(4) - F.col("rem"))
+                + F.col("xhi") * F.col("rem")
+            ).cast("double")
+            / F.lit(4.0)
+        ).alias("v"),
+    )
+    return (
+        vals.groupBy(F.col("p").alias("o_orderpriority"))
+        .agg(
+            F.max("n").cast("long").alias("n_rows"),
+            F.round(
+                F.max(F.when(F.col("q") == 1, F.col("v"))) + F.lit(0.0), 6
+            ).alias("p25"),
+            F.round(
+                F.max(F.when(F.col("q") == 2, F.col("v"))) + F.lit(0.0), 6
+            ).alias("p50"),
+            F.round(
+                F.max(F.when(F.col("q") == 3, F.col("v"))) + F.lit(0.0), 6
+            ).alias("p75"),
+        )
+        .orderBy("o_orderpriority")
+    )
