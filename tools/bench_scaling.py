@@ -200,6 +200,11 @@ QUERIES = [
     "x179_pipe_rollup",
     # x180 one feature pass + fingerprint-keeper join + stage agg.
     "x180_cleaning_funnel",
+    # x181/x182 calendar-sized daily windows over one fact scan; x183
+    # histogram prefix scan + vocabulary probe joins.
+    "x181_max_drawdown",
+    "x182_trailing_range_frame",
+    "x183_percentile_cont",
     # x66_similarity_join_exact is intentionally absent: its TRUE result
     # set (all pairs over a templated corpus) grows quadratically with
     # corpus size, so an sf1/sf0.1 ratio would read as a hidden
