@@ -38,13 +38,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # law, DELETE-feed view, Lorenz deciles, stats-pruned scan). The
 # remaining 39 slots go to the oldest driver-verdict rows, all
 # round-7: x73, x75–x112 in registry order. After this round the
-# never-checked set is the round-11 additions x165–x179 (15: catalog
+# never-checked set is the round-11 additions x165–x183 (19: catalog
 # view, scoped CDC, schema-evolution merge, Spearman, chi-squared,
 # ESS, Simpson, ranking eval, classifier eval, Shannon, JSD,
-# association summary, restore feed, corr matrix, pipe syntax) and
+# association summary, restore feed, corr matrix, pipe syntax,
+# cleaning funnel, max drawdown, RANGE frame, percentile_cont) and
 # the r7-stale residue is 10 rows (x113, x114, x117, x119, x120,
 # x127, x128, x129, x130, x131) — the round-12 rotation should lead
-# with those 25, then the oldest r8 rows (d01–d30 tier).
+# with those 29, then the oldest r8 rows (d01–d30 tier).
 _CHECK_FIRST = [
     # never driver-checked (landed late round 10)
     "x153_mann_whitney_u", "x154_ref_integrity_audit",
