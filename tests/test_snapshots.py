@@ -1990,3 +1990,82 @@ def test_catalog_changes_by_name(spark, tmp_path):
     feed = cat.changes(spark, "docs", v0, head, ranges={"doc_id": (35, 40)})
     got = {r.doc_id for r in feed.collect()}
     assert got == set(range(30, 60))  # only the intersecting delta dir
+
+def test_restore_then_crud_interplay(spark, tmp_path):
+    """CRUD verbs compose across a restore: a MERGE against the
+    restored head attributes rows to the restored (re-referenced)
+    directories, rewrites only the touched ones, and keeps the
+    skipping stats alive — the restore is a first-class head, not a
+    frozen snapshot."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    snap.commit(spark, docs.where(F.col("doc_id") < 30), t,
+                stats_cols=["doc_id"])
+    v1 = snap.commit(
+        spark, docs.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 60)),
+        t, mode="append", stats_cols=["doc_id"],
+    )
+    snap.delete_where(spark, t, "doc_id >= 0")  # wipe everything
+    v3 = snap.restore_table(spark, t, v1)
+    assert snap.read_snapshot(spark, t, v3).count() == 60
+
+    src = docs.where(F.col("doc_id") < 5).withColumn(
+        "source", F.lit("patched")
+    )
+    v4 = snap.merge_upsert(spark, src, t, keys=["doc_id"])
+    m4 = snap._load_manifest(t, v4, snap._POSIX)
+    m1 = snap._load_manifest(t, v1, snap._POSIX)
+    # only dir A (holds doc_id<5) rewrote; dir B carried from v1
+    carried = set(m4["dirs"]) & set(m1["dirs"])
+    assert len(carried) == 1
+    assert all("doc_id" in m4["stats"][d] for d in m4["dirs"])
+    got = snap.read_snapshot(spark, t, v4)
+    assert got.count() == 60
+    assert got.where(F.col("source") == "patched").count() == 5
+    # pruned scan on the post-restore-merge head still skips
+    low = snap.scan_snapshot(spark, t, {"doc_id": (40, 50)}, version=v4)
+    assert {r.doc_id for r in low.collect()} == set(range(30, 60))
+
+
+def test_clone_of_evolved_table_round_trips(spark, tmp_path):
+    """Shallow clone of a schema-evolved table: the clone reads the
+    union schema via merge_schema, and a delete on the clone rewrites
+    the touched ABSOLUTE (source-referenced) dirs into the clone with
+    the evolved columns intact — source untouched."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    src = str(tmp_path / "src")
+    snap.commit(spark, docs.where(F.col("doc_id") < 20), src)
+    patch = (
+        docs.where(F.col("doc_id") < 10)
+        .withColumn("grade", (F.col("doc_id") % 3).cast("int"))
+    )
+    snap.merge_upsert(spark, patch, src, keys=["doc_id"],
+                      evolve_schema=True)
+
+    dst = str(tmp_path / "dst")
+    snap.clone_table(spark, src, dst)
+    got = snap.read_snapshot(spark, dst, merge_schema=True)
+    assert set(got.columns) == {"doc_id", "source", "grade"}
+    assert got.count() == 20
+
+    src_count = snap.read_snapshot(spark, src, merge_schema=True).count()
+    snap.delete_where(spark, dst, "doc_id = 7")
+    after = snap.read_snapshot(spark, dst, merge_schema=True)
+    assert after.count() == 19
+    assert {r.grade for r in after.where(F.col("doc_id") < 10).collect()} \
+        == {0, 1, 2}
+    assert snap.read_snapshot(spark, src, merge_schema=True).count() \
+        == src_count
+
+
+def test_dir_tokens_collision_raises():
+    """Duplicate data-directory basenames in a manifest (the same dir
+    referenced twice, or a uuid collision) must fail loudly — silent
+    token aliasing would corrupt copy-on-write dir accounting."""
+    ok = snap._dir_tokens(["data/cabc", "/abs/tbl/data/cdef"])
+    assert ok == {
+        "data/cabc": "data/cabc",
+        "data/cdef": "/abs/tbl/data/cdef",
+    }
+    with pytest.raises(ValueError, match="duplicate"):
+        snap._dir_tokens(["data/cabc", "/other/data/cabc"])
