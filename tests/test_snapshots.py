@@ -2069,3 +2069,28 @@ def test_dir_tokens_collision_raises():
     }
     with pytest.raises(ValueError, match="duplicate"):
         snap._dir_tokens(["data/cabc", "/other/data/cabc"])
+
+def test_catalog_on_object_store(spark, tmp_path):
+    """SnapshotCatalog store-neutrality: the name->path log works
+    against the conditional-PUT object-store model (InMemory), never
+    touching POSIX for its own state, while resolving tables whose
+    manifest log lives in the SAME store."""
+    from deepcell_data_engineering_spark.sources.table_catalog import (
+        SnapshotCatalog,
+    )
+
+    mem = snap.InMemoryManifestStore()
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    snap.commit(spark, docs.where(F.col("doc_id") < 25), t, store=mem)
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"), store=mem)
+    cat.create_table("docs", t)
+    # nothing on POSIX: neither the catalog log nor the table log
+    assert not os.path.exists(str(tmp_path / "cat"))
+    assert snap.current_version(t) is None  # POSIX log empty
+    assert cat.read(spark, "docs").count() == 25
+    got = spark.sql(
+        f"SELECT COUNT(*) AS n FROM {cat.register_temp_view(spark, 'docs', view_name='mem_docs')}"
+    ).collect()[0]["n"]
+    assert got == 25
