@@ -31,50 +31,45 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver oracle-checks the first 50 registry entries per round.
-# Round-11 rotation (executes the plan the round-10 verdict ordered):
-# the 11 rows that have NEVER had a driver verdict lead — x153, x154
-# and the late-round-10 additions x156–x164 (grouped OLS, lang-source
-# G-test, two-sample KS, market basket, weighted quantiles, Heaps'
-# law, DELETE-feed view, Lorenz deciles, stats-pruned scan). The
-# remaining 39 slots go to the oldest driver-verdict rows, all
-# round-7: x73, x75–x112 in registry order. After this round the
-# never-checked set is the round-11 additions x165–x183 (19: catalog
-# view, scoped CDC, schema-evolution merge, Spearman, chi-squared,
-# ESS, Simpson, ranking eval, classifier eval, Shannon, JSD,
-# association summary, restore feed, corr matrix, pipe syntax,
-# cleaning funnel, max drawdown, RANGE frame, percentile_cont) and
-# the r7-stale residue is 10 rows (x113, x114, x117, x119, x120,
-# x127, x128, x129, x130, x131) — the round-12 rotation should lead
-# with those 29, then the oldest r8 rows (d01–d30 tier).
+# Round-12 rotation (executes the plan the round-11 verdict ordered):
+# the 19 rows that have NEVER had a driver verdict lead — the
+# round-11 additions x165–x183 (catalog view, scoped CDC,
+# schema-evolution merge, Spearman, chi-squared, ESS, Simpson,
+# ranking eval, classifier eval, Shannon, JSD, association summary,
+# restore feed, corr matrix, pipe syntax, cleaning funnel, max
+# drawdown, RANGE frame, percentile_cont) — then the 10 r7-stale
+# rows (x113, x114, x117, x119, x120, x127–x131), then the oldest
+# r8 rows (d01–d25) to fill the 50-slot window. After this round no
+# driver verdict is older than round 8; the round-13 rotation should
+# lead with any round-12 additions (x184+), then the remaining r8
+# rows (d26–d30, d-relational residue and the r8 x-tier) in registry
+# order.
 _CHECK_FIRST = [
-    # never driver-checked (landed late round 10)
-    "x153_mann_whitney_u", "x154_ref_integrity_audit",
-    "x156_grouped_ols", "x157_mutual_information",
-    "x158_ks_two_sample", "x159_market_basket",
-    "x160_weighted_quantiles", "x161_heaps_law",
-    "x162_delete_feed_view", "x163_lorenz_deciles",
-    "x164_stats_pruned_scan",
-    # oldest driver verdicts (round 7): x73, x75–x112
-    "x73_bpe_encode", "x75_sliding_distinct",
-    "x76_quality_gate_corpus", "x77_simhash_neardup",
-    "x78_kcore", "x79_join_size_estimate",
-    "x80_pq_adc_topk", "x81_pq_recall",
-    "x82_sql_udf", "x83_kmv_intersections",
-    "x84_split_leakage", "x85_skew_report",
-    "x86_join_order_plan", "x87_table_profile",
-    "x88_kmv_incremental", "x89_retention_cohorts",
-    "x90_cbo_estimates", "x91_profile_approx_certified",
-    "x92_ivfpq_topk", "x93_approx_quantile_certified",
-    "x94_adaptive_salted_join", "x95_adaptive_lsh",
-    "x96_ivfpq_residual_topk", "x97_python_datasource",
-    "x98_polymorphic_udtf", "x99_ewma_user_value",
-    "x100_cms_incremental", "x101_scd2_build",
-    "x102_point_in_time_join", "x103_zorder_skipping",
-    "x104_weighted_sample_incremental", "x105_mad_outliers",
-    "x106_range_partition_plan", "x107_snapshot_audit",
-    "x108_winsorized_stats", "x109_corpus_divergence",
-    "x110_event_pattern_match", "x111_trend_slope",
-    "x112_welch_ttest",
+    # never driver-checked (round-11 additions)
+    "x165_catalog_named_view", "x166_scoped_cdc_view",
+    "x167_schema_evolution_merge", "x168_spearman_rho",
+    "x169_chi_squared", "x170_effective_sample_size",
+    "x171_simpson_diversity", "x172_ranking_eval",
+    "x173_classifier_eval", "x174_shannon_entropy",
+    "x175_js_divergence", "x176_association_summary",
+    "x177_restore_feed_view", "x178_corr_matrix",
+    "x179_pipe_rollup", "x180_cleaning_funnel",
+    "x181_max_drawdown", "x182_trailing_range_frame",
+    "x183_percentile_cont",
+    # oldest driver verdicts (round 7 residue)
+    "x113_retraction_certified", "x114_gram_matrix",
+    "x117_link_prediction", "x119_ivm_join_delta",
+    "x120_session_incident_overlap", "x127_time_travel_audit",
+    "x128_format_interop", "x129_pretokenize_vocab",
+    "x130_table_checksum", "x131_markov_anomaly",
+    # next-oldest (round 8): the d01–d25 relational tier
+    "d01_scan_filter", "d02_like_strings", "d03_natural_sort",
+    "d04_topk", "d05_distinct", "d10_inner_join",
+    "d11_star_join_agg", "d12_left_join", "d13_semi_join",
+    "d14_anti_join", "d15_range_join", "d16_cross_join",
+    "d17_grouped_agg", "d18_count_distinct_having", "d19_median",
+    "d20_rollup", "d21_grouping_sets", "d22_conditional_agg",
+    "d23_window_rank", "d24_window_lag_lead", "d25_window_running_max",
 ]
 
 
