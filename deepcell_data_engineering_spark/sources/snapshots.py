@@ -174,13 +174,16 @@ class InMemoryManifestStore(ManifestStore):
             return self._objects.get(path)
 
     def listdir(self, dirpath: str) -> list[str]:
+        # direct children plus "directory" names derived from deeper
+        # keys — the CommonPrefixes a delimiter'd object-store listing
+        # returns, and what os.listdir gives on POSIX
         prefix = dirpath.rstrip("/") + "/"
+        names: set[str] = set()
         with self._lock:
-            return [
-                k[len(prefix):]
-                for k in self._objects
-                if k.startswith(prefix) and "/" not in k[len(prefix):]
-            ]
+            for k in self._objects:
+                if k.startswith(prefix):
+                    names.add(k[len(prefix):].split("/", 1)[0])
+        return sorted(names)
 
     def delete(self, path: str) -> None:
         with self._lock:
@@ -267,6 +270,12 @@ class S3ManifestStore(ManifestStore):
                 c["Key"][len(prefix):]
                 for c in resp.get("Contents", [])
                 if c["Key"] != prefix
+            )
+            # "directories": the delimiter'd listing's CommonPrefixes,
+            # name-stripped like POSIX listdir returns subdir names
+            names.extend(
+                p["Prefix"][len(prefix):].rstrip("/")
+                for p in resp.get("CommonPrefixes", [])
             )
             if not resp.get("IsTruncated"):
                 return names
@@ -701,12 +710,34 @@ def _with_dir_col(parent: DataFrame) -> DataFrame:
             "merge/delete reserve for internal directory attribution — "
             "rename it before using copy-on-write CRUD"
         )
+    # Greedy `.*/` pins the LAST `data/<dir>/` pair in the file path, so
+    # a table (or clone source) living under an ANCESTOR directory named
+    # 'data' (/warehouse/data/tbl/data/cX/part.parquet) still yields the
+    # manifest token 'data/cX', never 'data/tbl'.
     return parent.withColumn(
         _DIR_COL,
         F.regexp_extract(
-            F.col("_metadata.file_path"), f"({_DATA_DIR}/[^/]+)/", 1
+            F.col("_metadata.file_path"), f".*/({_DATA_DIR}/[^/]+)/", 1
         ),
     )
+
+
+def _resolve_touched(
+    touched_tokens: set[str], tokens: dict[str, str], table_path: str
+) -> set[str]:
+    """Map extracted dir tokens back to manifest entries, failing with a
+    DESCRIPTIVE error (not a bare KeyError) when a row's file path does
+    not attribute to any manifest directory — the loud form of what
+    would otherwise corrupt touched-dir accounting."""
+    unknown = sorted(t for t in touched_tokens if t not in tokens)
+    if unknown:
+        raise ValueError(
+            f"cannot attribute rows of {table_path!r} to manifest data "
+            f"directories: extracted tokens {unknown} are not among the "
+            f"manifest's {sorted(tokens)} — the table layout does not "
+            "match its manifest (files outside a data/<dir>/ directory?)"
+        )
+    return {tokens[t] for t in touched_tokens}
 
 
 def _dir_tokens(parent_dirs: list[str]) -> dict[str, str]:
@@ -781,6 +812,15 @@ def merge_upsert(
     silently resurrecting replaced rows. ``batch_id`` gives streaming
     foreachBatch sinks the same exactly-once replay dedup as
     ``commit``.
+
+    Determinism: ``source`` is evaluated ONCE (pinned via
+    ``localCheckpoint``, the same source-materialization Delta MERGE
+    performs) before the multi-job sequence (touched-dir semi-join,
+    change-set write, source write), so even a non-deterministic
+    source (sampling, ``rand()`` columns) commits a change set
+    consistent with the published data. The pin costs one batch-sized
+    materialization — the source is the DELTA, never the table, so
+    this stays proportional to the change at 100 TB.
     """
     st = _store(store)
     st.check_path(table_path)
@@ -789,6 +829,10 @@ def merge_upsert(
         seen = _batch_id_seen(table_path, basis, batch_id, st)
         if seen is not None:
             return seen
+    # pin ONE evaluation of the source before any of the jobs below
+    # read it — a recompute-on-block-loss here fails loudly instead of
+    # silently re-rolling a non-deterministic source
+    source = source.localCheckpoint(eager=True)
     if basis is None:
         # empty table: MERGE degenerates to pure insert; change set is
         # the source itself
@@ -810,7 +854,13 @@ def merge_upsert(
 
     manifest = _load_manifest(table_path, basis, st)
     parent_dirs: list[str] = manifest["dirs"]
-    parent_scan = spark.read.parquet(
+    # mergeSchema: an earlier evolve_schema=True merge leaves MIXED-
+    # schema directories (rewritten dirs carry the union, carried-by-
+    # reference dirs the old schema); a plain read would infer from an
+    # arbitrary footer and could silently DROP the evolved column from
+    # this rewrite. The footer-union pass costs one footer read per
+    # file — noise next to the copy-on-write rewrite itself.
+    parent_scan = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(table_path, d) for d in parent_dirs]
     )
     src_set, par_set = set(source.columns), set(parent_scan.columns)
@@ -849,7 +899,7 @@ def merge_upsert(
         .distinct()
         .collect()
     }
-    touched = {tokens[t] for t in touched_tokens}
+    touched = _resolve_touched(touched_tokens, tokens, table_path)
     touched_parent = parent.where(
         F.col(_DIR_COL).isin(list(touched_tokens))
     )
@@ -944,12 +994,17 @@ def delete_where(
     Concurrency/replay: basis-pinned via ``expected_parent`` exactly
     like merge; ``batch_id`` dedups streaming foreachBatch replays.
 
-    ``condition`` MUST be deterministic: it is evaluated in three
-    separate Spark jobs (change-set write, touched-dir discovery,
-    survivor rewrite) over fresh parent scans, so a non-deterministic
-    predicate (``rand()``-based sampling deletes) can ship a change
-    feed inconsistent with the surviving data. For sampling deletes,
-    materialize the sampled KEYS first and delete by key membership.
+    Determinism (ENFORCED, not just documented): the predicate is
+    evaluated over the touched directories EXACTLY ONCE — the flagged
+    frame is pinned via ``localCheckpoint`` and BOTH the change set and
+    the survivors derive from that single evaluation — so even a
+    ``rand()``-based sampling delete ships a change feed exactly
+    consistent with the surviving data. (The dir-discovery scan is a
+    separate evaluation, but it only SELECTS which dirs rewrite:
+    undiscovered dirs are carried unchanged and contribute no change
+    rows, so the commit stays self-consistent.) The pin materializes
+    only the touched directories — the same volume the copy-on-write
+    rewrite writes anyway.
     """
     st = _store(store)
     st.check_path(table_path)
@@ -964,19 +1019,37 @@ def delete_where(
 
     manifest = _load_manifest(table_path, basis, st)
     parent_dirs: list[str] = manifest["dirs"]
+    # mergeSchema for the same reason as merge_upsert: a prior
+    # evolve_schema merge leaves mixed-schema dirs, and inferring from
+    # an arbitrary footer could silently drop the evolved column from
+    # the survivor rewrite.
     parent = _with_dir_col(
-        spark.read.parquet(
+        spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(table_path, d) for d in parent_dirs]
         )
     )
     tokens = _dir_tokens(parent_dirs)
-    matched = parent.where(cond)
-    # catalog-sized: one dir token per directory containing a match
+    # discovery scan — catalog-sized: one dir token per directory
+    # containing a match
     touched_tokens = {
-        r[_DIR_COL] for r in matched.select(_DIR_COL).distinct().collect()
+        r[_DIR_COL]
+        for r in parent.where(cond).select(_DIR_COL).distinct().collect()
     }
-    touched = {tokens[t] for t in touched_tokens}
-    deleted = matched.drop(_DIR_COL)
+    touched = _resolve_touched(touched_tokens, tokens, table_path)
+    # ONE pinned evaluation of the predicate over the touched dirs;
+    # change set AND survivors derive from it (see docstring).
+    flag = _DIR_COL + "_del"
+    if flag in parent.columns:
+        raise ValueError(
+            f"table carries a column named {flag!r}, which delete_where "
+            "reserves for internal predicate pinning — rename it"
+        )
+    flagged = (
+        parent.where(F.col(_DIR_COL).isin(list(touched_tokens)))
+        .withColumn(flag, F.coalesce(cond, F.lit(False)))
+        .localCheckpoint(eager=True)
+    )
+    deleted = flagged.where(F.col(flag)).drop(_DIR_COL, flag)
     chg = deleted.withColumn(
         "_change_type", F.lit("delete")
     ).withColumn("_change_subtype", F.lit("delete"))
@@ -986,11 +1059,7 @@ def delete_where(
     dirs = list(kept)
     new_rels: list[str] = []
     if touched:
-        survivors = (
-            parent.where(F.col(_DIR_COL).isin(list(touched_tokens)))
-            .where(~F.coalesce(cond, F.lit(False)))
-            .drop(_DIR_COL)
-        )
+        survivors = flagged.where(~F.col(flag)).drop(_DIR_COL, flag)
         rewrite_dir = os.path.join(
             table_path, _DATA_DIR, f"c{uuid.uuid4().hex[:12]}"
         )
@@ -1239,7 +1308,14 @@ def optimize_table(
     basis = current_version(table_path, st)
     if basis is None:
         raise ValueError(f"no committed versions at {table_path!r}")
-    df = read_snapshot(spark, table_path, basis, store=st)
+    # merge_schema: OPTIMIZE is the documented remedy for the mixed-
+    # schema dirs an evolve_schema merge leaves behind — reading with
+    # the footer-union pass makes the rewrite carry the evolved UNION
+    # schema table-wide instead of silently dropping the evolved
+    # column when Spark infers from an old-schema footer.
+    df = read_snapshot(
+        spark, table_path, basis, merge_schema=True, store=st
+    )
     n_files, total_bytes = (
         df.groupBy(F.col("_metadata.file_path").alias("fp"))
         .agg(F.first(F.col("_metadata.file_size")).alias("sz"))
@@ -1292,12 +1368,16 @@ def clone_table(
     (``_dir_tokens`` attributes rows to absolute entries), never
     touching the source; ``optimize_table`` deep-copies it entirely.
 
-    The Delta shallow-clone caveat applies verbatim: ``vacuum`` on the
-    SOURCE does not know about clone references and can delete
-    directories the clone still needs — deep-copy first (optimize the
-    clone) if the source's retention is shorter than the clone's life.
-    ``vacuum`` on the CLONE only sweeps the clone's own data root, so
-    it never deletes source data.
+    The Delta shallow-clone caveat applies when tables are addressed
+    by raw path: ``vacuum`` on the SOURCE does not know about clone
+    references and can delete directories the clone still needs —
+    deep-copy first (optimize the clone) if the source's retention is
+    shorter than the clone's life. Registering both tables in a
+    :class:`~.table_catalog.SnapshotCatalog` and vacuuming with
+    ``vacuum(..., catalog=cat)`` closes the foot-gun: borrowed dirs
+    are preserved while any cataloged table's retained manifests
+    reference them. ``vacuum`` on the CLONE only sweeps the clone's
+    own data root, so it never deletes source data.
 
     CDC: the clone commit reads as a truncate-and-reload of the cloned
     content (like restore/overwrite) when it replaces an existing
@@ -1335,6 +1415,33 @@ def clone_table(
     )
 
 
+def _missing_data_dirs(
+    table_path: str, dirs: list[str], st: ManifestStore
+) -> list[str]:
+    """Referenced data directories that no longer exist. Local paths
+    (including a clone's absolute local source dirs) check
+    ``os.path.isdir``; ``scheme://`` paths ask the store — a dir exists
+    iff its name appears in ``listdir`` of its parent (object stores
+    surface "directories" as list-prefix names). Parents are listed
+    ONCE however many dirs they hold — catalog-sized driver work."""
+    missing: list[str] = []
+    by_parent: dict[str, list[tuple[str, str]]] = {}
+    for d in dirs:
+        full = os.path.join(table_path, d)
+        if "://" not in full:
+            if not os.path.isdir(full):
+                missing.append(d)
+            continue
+        full = full.rstrip("/")
+        by_parent.setdefault(os.path.dirname(full), []).append(
+            (d, os.path.basename(full))
+        )
+    for parent, entries in by_parent.items():
+        names = set(st.listdir(parent))
+        missing.extend(d for d, base in entries if base not in names)
+    return missing
+
+
 def restore_table(
     spark: SparkSession,
     table_path: str,
@@ -1351,8 +1458,12 @@ def restore_table(
 
     The target version's manifest must still be retained (a vacuumed
     version raises ``ManifestMissingError``) and its directories are
-    validated to still exist on disk where the data root is local —
-    restoring past a vacuum horizon fails loudly, not at first read.
+    validated to still exist — restoring past a vacuum horizon fails
+    loudly at restore time, not at first read. Local data roots are
+    checked with ``os.path.isdir``; non-local (``scheme://``) roots
+    through ``ManifestStore.listdir`` of each referenced dir's parent,
+    so an S3-backed table gets the same fail-fast (S3 "directories"
+    surface as list-prefix names).
 
     CDC: ``read_changes`` treats a restore like the overwrite it
     logically is — every pre-restore row a delete, every restored row
@@ -1368,17 +1479,12 @@ def restore_table(
     if basis is None:
         raise ValueError(f"no committed versions at {table_path!r}")
     m = _load_manifest(table_path, version, st)
-    if "://" not in table_path:
-        missing = [
-            d
-            for d in m["dirs"]
-            if not os.path.isdir(os.path.join(table_path, d))
-        ]
-        if missing:
-            raise ValueError(
-                f"cannot restore {table_path!r} to version {version}: "
-                f"data directories vacuumed: {missing}"
-            )
+    missing = _missing_data_dirs(table_path, m["dirs"], st)
+    if missing:
+        raise ValueError(
+            f"cannot restore {table_path!r} to version {version}: "
+            f"data directories vacuumed: {missing}"
+        )
     return commit(
         spark,
         None,
@@ -1419,10 +1525,50 @@ def history(
     return out
 
 
+def _catalog_protected_dirs(
+    table_path: str, catalog, st: ManifestStore
+) -> set[str]:
+    """Table-relative ``data/<name>`` entries of ``table_path`` that
+    some OTHER cataloged table's retained manifests still reference by
+    absolute path — the directories a shallow clone borrowed. Iterates
+    every retained manifest of every cataloged table: catalog-sized
+    driver work (manifests are KB), never data I/O."""
+    root = os.path.abspath(table_path)
+    data_root = os.path.join(root, _DATA_DIR)
+    cat_store = getattr(catalog, "_store", None) or st
+    protected: set[str] = set()
+    for other in catalog.tables().values():
+        if "://" not in other and os.path.abspath(other) == root:
+            continue
+        latest = current_version(other, cat_store)
+        if latest is None:
+            continue
+        for v in range(latest + 1):
+            try:
+                m = _load_manifest(other, v, cat_store)
+            except ManifestMissingError:
+                continue
+            for d in m["dirs"]:
+                if "://" in d:
+                    continue
+                full = (
+                    d
+                    if os.path.isabs(d)
+                    else os.path.join(os.path.abspath(other), d)
+                )
+                full = os.path.abspath(full)
+                if os.path.dirname(full) == data_root:
+                    protected.add(
+                        os.path.join(_DATA_DIR, os.path.basename(full))
+                    )
+    return protected
+
+
 def vacuum(
     table_path: str,
     keep_last: int = 1,
     store: ManifestStore | None = None,
+    catalog=None,
 ) -> list[str]:
     """Physically delete data directories unreferenced by the newest
     ``keep_last`` manifests, and drop the older manifests. Returns the
@@ -1433,7 +1579,17 @@ def vacuum(
     follow their manifest: a dropped version's change set goes with it,
     a retained version's feed stays readable. Data deletion is the
     DATA plane (POSIX here; Hadoop FS on a cluster) — only the
-    manifest ops go through the store."""
+    manifest ops go through the store.
+
+    ``catalog``: pass a :class:`~.table_catalog.SnapshotCatalog` to
+    make the sweep CLONE-AWARE — directories that any OTHER cataloged
+    table's retained manifests reference by absolute path (what a
+    shallow clone borrows from its source) are PRESERVED even when
+    this table's own retained manifests no longer reference them,
+    closing the Delta shallow-clone data-loss foot-gun. Without a
+    catalog the Delta caveat applies verbatim (the source cannot know
+    about clones). A fresh shallow clone with no local data root of
+    its own vacuums cleanly (manifest-only result)."""
     import shutil
 
     st = _store(store)
@@ -1458,9 +1614,13 @@ def vacuum(
         referenced.update(m["dirs"])
         if "change_dir" in m:
             kept_changes.add(m["change_dir"])
+    if catalog is not None:
+        referenced |= _catalog_protected_dirs(table_path, catalog, st)
     data_root = os.path.join(table_path, _DATA_DIR)
     removed = []
-    for d in sorted(os.listdir(data_root)):
+    # a fresh shallow clone never created its own data root — its only
+    # commit references absolute source dirs; sweep nothing
+    for d in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
         rel = os.path.join(_DATA_DIR, d)
         if rel not in referenced:
             shutil.rmtree(os.path.join(data_root, d))

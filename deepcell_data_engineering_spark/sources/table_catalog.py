@@ -74,36 +74,54 @@ class SnapshotCatalog:
         ]
         return max(versions) if versions else None
 
-    def tables(self, version: int | None = None) -> dict[str, str]:
-        """The full name -> table_path mapping as of ``version``
-        (default: latest); {} for an empty catalog."""
+    def _state(self, version: int | None = None) -> dict:
+        """Full catalog state as of ``version`` (default: latest):
+        ``{"tables": name->path, "properties": name->{k: v}}``.
+        Logs written before the properties field read as {} — forward-
+        compatible with every committed catalog."""
         if version is None:
             version = self.current_version()
             if version is None:
-                return {}
+                return {"tables": {}, "properties": {}}
         raw = self._store.get(self._path(version))
         if raw is None:
             raise ValueError(
                 f"catalog version {version} does not exist at "
                 f"{self._root!r}"
             )
-        return json.loads(raw)["tables"]
+        doc = json.loads(raw)
+        return {
+            "tables": doc["tables"],
+            "properties": doc.get("properties", {}),
+        }
 
-    def _publish(self, mutate) -> dict[str, str]:
+    def tables(self, version: int | None = None) -> dict[str, str]:
+        """The full name -> table_path mapping as of ``version``
+        (default: latest); {} for an empty catalog."""
+        return self._state(version)["tables"]
+
+    def _publish(self, mutate) -> dict:
         """Optimistic-concurrency loop: read head, apply ``mutate`` to
-        a copy, publish put-if-absent; on conflict re-read and retry —
-        ``mutate`` re-validates against the winner's state each time
-        (so e.g. a duplicate-name check cannot be raced around)."""
+        a copy of the full state, publish put-if-absent; on conflict
+        re-read and retry — ``mutate`` re-validates against the
+        winner's state each time (so e.g. a duplicate-name check
+        cannot be raced around)."""
         for _ in range(_RETRIES):
             head = self.current_version()
-            tables = dict(self.tables(head)) if head is not None else {}
-            tables = mutate(tables)
+            state = self._state(head)
+            state = {
+                "tables": dict(state["tables"]),
+                "properties": {
+                    k: dict(v) for k, v in state["properties"].items()
+                },
+            }
+            state = mutate(state)
             version = 0 if head is None else head + 1
             payload = json.dumps(
-                {"version": version, "tables": tables}, sort_keys=True
+                {"version": version, **state}, sort_keys=True
             ).encode()
             if self._store.put_if_absent(self._path(version), payload):
-                return tables
+                return state
         raise CatalogConflictError(
             f"could not publish catalog state at {self._root!r} after "
             f"{_RETRIES} attempts"
@@ -115,30 +133,139 @@ class SnapshotCatalog:
     ) -> None:
         """Register ``name`` -> ``table_path``. An existing name raises
         unless ``replace=True`` (re-pointing a name is an explicit act,
-        never a side effect of a duplicate CREATE)."""
+        never a side effect of a duplicate CREATE).
 
-        def mutate(tables: dict[str, str]) -> dict[str, str]:
+        Cataloged tables must share the catalog's manifest SUBSTRATE:
+        read/scan/changes resolve the named table's snapshot log
+        through this catalog's store, so ``table_path`` is validated
+        via ``store.check_path`` here — a POSIX-backed catalog refuses
+        a ``scheme://`` table at CREATE time instead of failing
+        opaquely at first read."""
+        self._store.check_path(table_path)
+
+        def mutate(state: dict) -> dict:
+            tables = state["tables"]
             if name in tables and not replace:
                 raise ValueError(
                     f"table {name!r} already registered at "
                     f"{tables[name]!r}; pass replace=True to re-point"
                 )
             tables[name] = table_path
-            return tables
+            return state
 
         self._publish(mutate)
 
-    def drop_table(self, name: str) -> None:
-        """Unregister ``name`` (the snapshot data is untouched — a
-        catalog drop is a pointer delete, vacuum handles bytes)."""
+    def drop_table(self, name: str, purge: bool = False) -> None:
+        """Unregister ``name``. By default the snapshot data is
+        untouched — a catalog drop is a pointer delete; re-CREATE the
+        name to get the table back. ``purge=True`` additionally deletes
+        the table's bytes (data root, change sets, manifest log) —
+        ``DROP TABLE ... PURGE``. Purge requires a local data root
+        (same contract as :func:`~.snapshots.vacuum`), refuses while
+        another cataloged table's retained manifests still reference
+        the table's directories (a shallow clone would go dark), and
+        runs AFTER the unregister publish: a crash between the two
+        leaves a dangling directory for a later purge, never a catalog
+        entry pointing at deleted data."""
+        import shutil
 
-        def mutate(tables: dict[str, str]) -> dict[str, str]:
+        path = self.lookup(name) if purge else None
+        if purge:
+            if "://" in path:
+                raise ValueError(
+                    "drop_table(purge=True) requires a local data "
+                    f"root; got {path!r}"
+                )
+            protected = _snap._catalog_protected_dirs(
+                path, self, self._store
+            )
+            if protected:
+                raise ValueError(
+                    f"cannot purge {name!r} at {path!r}: directories "
+                    f"{sorted(protected)} are still referenced by "
+                    "another cataloged table (a shallow clone?) — "
+                    "drop or deep-copy the referencing table first"
+                )
+
+        def mutate(state: dict) -> dict:
+            if name not in state["tables"]:
+                raise ValueError(f"no table named {name!r}")
+            del state["tables"][name]
+            state["properties"].pop(name, None)
+            return state
+
+        self._publish(mutate)
+        if purge:
+            for sub in (
+                _snap._DATA_DIR,
+                _snap._CHANGES_DIR,
+                _snap._MANIFEST_DIR,
+            ):
+                shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
+
+    def rename_table(self, name: str, new_name: str) -> None:
+        """RENAME: atomically re-point ``name`` to ``new_name`` in one
+        catalog publish — readers resolve either the old or the new
+        state, never a half-renamed catalog. The table's path, data
+        and history are untouched (a rename is a catalog edit, exactly
+        Delta/Iceberg RENAME semantics). Properties travel with the
+        name."""
+
+        def mutate(state: dict) -> dict:
+            tables = state["tables"]
             if name not in tables:
                 raise ValueError(f"no table named {name!r}")
-            del tables[name]
-            return tables
+            if new_name in tables:
+                raise ValueError(
+                    f"table {new_name!r} already registered at "
+                    f"{tables[new_name]!r}"
+                )
+            tables[new_name] = tables.pop(name)
+            if name in state["properties"]:
+                state["properties"][new_name] = state["properties"].pop(
+                    name
+                )
+            return state
 
         self._publish(mutate)
+
+    # -- properties -------------------------------------------------------
+    def set_properties(self, name: str, props: dict[str, str]) -> None:
+        """Upsert table properties (comment, owner, retention policy —
+        the ``ALTER TABLE ... SET TBLPROPERTIES`` surface). Merged
+        key-by-key into the existing map in one catalog publish."""
+
+        def mutate(state: dict) -> dict:
+            if name not in state["tables"]:
+                raise ValueError(f"no table named {name!r}")
+            state["properties"].setdefault(name, {}).update(props)
+            return state
+
+        self._publish(mutate)
+
+    def unset_properties(self, name: str, keys: list[str]) -> None:
+        """Remove property ``keys`` (missing keys are a no-op — the
+        UNSET TBLPROPERTIES IF EXISTS behavior)."""
+
+        def mutate(state: dict) -> dict:
+            if name not in state["tables"]:
+                raise ValueError(f"no table named {name!r}")
+            held = state["properties"].get(name, {})
+            for k in keys:
+                held.pop(k, None)
+            return state
+
+        self._publish(mutate)
+
+    def properties(
+        self, name: str, version: int | None = None
+    ) -> dict[str, str]:
+        """The table's property map as of catalog ``version`` (default
+        latest); {} when none set. Unknown names raise."""
+        state = self._state(version)
+        if name not in state["tables"]:
+            raise ValueError(f"no table named {name!r}")
+        return dict(state["properties"].get(name, {}))
 
     def lookup(self, name: str) -> str:
         tables = self.tables()

@@ -2094,3 +2094,307 @@ def test_catalog_on_object_store(spark, tmp_path):
         f"SELECT COUNT(*) AS n FROM {cat.register_temp_view(spark, 'docs', view_name='mem_docs')}"
     ).collect()[0]["n"]
     assert got == 25
+
+
+def test_merge_evolved_partial_then_delete_optimize_preserve(spark, tmp_path):
+    """The mixed-schema-dir hazard (ADVICE r11): an evolve_schema merge
+    touching only ONE of two dirs leaves the other dir on the old
+    schema; a later delete (either side) and OPTIMIZE must read the
+    parent with the footer-union pass and preserve the evolved
+    column's committed values instead of inferring from an arbitrary
+    old-schema footer and silently dropping them."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    snap.commit(spark, docs.where(F.col("doc_id") < 30), t)
+    snap.commit(
+        spark,
+        docs.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 60)),
+        t,
+        mode="append",
+    )
+    # evolving merge touches ONLY the first dir (keys < 30)
+    src = docs.where(F.col("doc_id") < 5).withColumn("lang", F.lit("en"))
+    snap.merge_upsert(spark, src, t, keys=["doc_id"], evolve_schema=True)
+
+    # delete a row in the UNTOUCHED old-schema dir: its rewrite must
+    # not collapse the table schema
+    v_d = snap.delete_where(spark, t, "doc_id = 40")
+    after = snap.read_snapshot(spark, t, v_d, merge_schema=True)
+    assert "lang" in after.columns
+    assert after.where(F.col("lang") == "en").count() == 5
+    assert after.count() == 59
+
+    # delete a row in an EVOLVED dir: survivors keep their lang values
+    v_d2 = snap.delete_where(spark, t, "doc_id = 1")
+    after2 = snap.read_snapshot(spark, t, v_d2, merge_schema=True)
+    assert after2.where(F.col("lang") == "en").count() == 4
+
+    # a non-evolving merge against the mixed-schema table must compare
+    # against the UNION schema (and so require lang), not an arbitrary
+    # footer's subset
+    with pytest.raises(ValueError, match="lang"):
+        snap.merge_upsert(
+            spark,
+            docs.where(F.col("doc_id") == 2),
+            t,
+            keys=["doc_id"],
+        )
+
+    # OPTIMIZE heals: a PLAIN read of the rewritten table carries the
+    # evolved column table-wide with values intact
+    v_o = snap.optimize_table(spark, t, target_file_bytes=1 << 30)
+    healed = snap.read_snapshot(spark, t, v_o)
+    assert "lang" in healed.columns
+    assert healed.where(F.col("lang") == "en").count() == 4
+    assert healed.count() == 58
+
+
+def test_crud_under_ancestor_directory_named_data(spark, tmp_path):
+    """A table living under an ancestor directory named 'data' must
+    still attribute rows to its own data/<dir> entries — the greedy
+    last-pair extraction in _with_dir_col (ADVICE r11: the unanchored
+    regex captured 'data/tbl' and merge/delete died on a bare
+    KeyError)."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "data" / "tbl")
+    snap.commit(spark, docs.where(F.col("doc_id") < 30), t)
+    snap.commit(
+        spark,
+        docs.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 60)),
+        t,
+        mode="append",
+    )
+    src = docs.where(F.col("doc_id").isin(2, 33)).withColumn(
+        "source", F.lit("patched")
+    )
+    snap.merge_upsert(spark, src, t, keys=["doc_id"])
+    v = snap.delete_where(spark, t, "doc_id = 59")
+    got = snap.read_snapshot(spark, t, v)
+    assert got.count() == 59
+    assert got.where(F.col("source") == "patched").count() == 2
+
+
+def test_delete_where_random_predicate_ships_consistent_feed(spark, tmp_path):
+    """ENFORCED delete determinism: a seedless rand() sampling delete
+    evaluates the predicate exactly once (pinned localCheckpoint), so
+    the CDC feed's deleted keys are EXACTLY the before-minus-after
+    set — no row both surviving and fed as deleted, none lost."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    v0 = snap.commit(spark, docs, t)
+    before = {
+        r.doc_id
+        for r in snap.read_snapshot(spark, t, v0).select("doc_id").collect()
+    }
+    v1 = snap.delete_where(spark, t, F.rand() < 0.5)
+    after = {
+        r.doc_id
+        for r in snap.read_snapshot(spark, t, v1).select("doc_id").collect()
+    }
+    feed = snap.read_changes(spark, t, v0, v1)
+    fed = {
+        r.doc_id
+        for r in feed.where(F.col("_change_type") == "delete")
+        .select("doc_id")
+        .collect()
+    }
+    assert fed == before - after
+    assert (after | fed) == before and not (after & fed)
+    assert 0 < len(fed) < len(before)  # the sample actually sampled
+
+
+def test_merge_nondeterministic_source_pinned_once(spark, tmp_path):
+    """merge_upsert pins ONE evaluation of a non-deterministic source
+    (Delta's source materialization): the committed table rows equal
+    the change set's insert images bit-for-bit."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    v0 = snap.commit(spark, docs.where(F.col("doc_id") < 40), t)
+    src = docs.where(F.col("doc_id") < 10).withColumn(
+        "source",
+        F.concat(F.lit("r"), (F.rand() * 1e9).cast("long").cast("string")),
+    )
+    v1 = snap.merge_upsert(spark, src, t, keys=["doc_id"])
+    table_rows = {
+        (r.doc_id, r.source)
+        for r in snap.read_snapshot(spark, t, v1)
+        .where(F.col("doc_id") < 10)
+        .collect()
+    }
+    feed = snap.read_changes(spark, t, v0, v1)
+    ins = {
+        (r.doc_id, r.source)
+        for r in feed.where(F.col("_change_type") == "insert")
+        .select("doc_id", "source")
+        .collect()
+    }
+    assert ins == table_rows
+
+
+def test_vacuum_fresh_shallow_clone_manifest_only(spark, tmp_path):
+    """vacuum on a FRESH shallow clone (no local data root of its own)
+    returns the manifest-only result instead of crashing on the absent
+    directory (ADVICE r11), and the clone still reads green."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    snap.commit(spark, docs.where(F.col("doc_id") < 10), src)
+    snap.clone_table(spark, src, dst)
+    assert snap.vacuum(dst) == []
+    assert snap.read_snapshot(spark, dst).count() == 10
+
+
+def test_vacuum_clone_aware_with_catalog(spark, tmp_path):
+    """vacuum(catalog=...) preserves source dirs a REGISTERED shallow
+    clone still references (the clone reads green afterwards); once the
+    clone is dropped from the catalog the next sweep reclaims them —
+    closing the Delta shallow-clone data-loss foot-gun through the
+    naming layer."""
+    from deepcell_data_engineering_spark.sources.table_catalog import (
+        SnapshotCatalog,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    snap.commit(spark, docs.where(F.col("doc_id") < 30), src)
+    snap.clone_table(spark, src, dst)
+    # the source moves on: its head no longer references the cloned dir
+    snap.commit(
+        spark, docs.where(F.col("doc_id") >= 90), src, mode="overwrite"
+    )
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    cat.create_table("src", src)
+    cat.create_table("clone", dst)
+
+    removed = snap.vacuum(src, keep_last=1, catalog=cat)
+    assert removed == []  # the borrowed dir survived the sweep
+    assert snap.read_snapshot(spark, dst).count() == 30  # clone green
+
+    # unregister the clone: the next catalog-aware sweep reclaims
+    cat.drop_table("clone")
+    removed2 = snap.vacuum(src, keep_last=1, catalog=cat)
+    assert len(removed2) == 1
+    with pytest.raises(Exception):
+        snap.read_snapshot(spark, dst).count()
+
+
+def test_restore_past_vacuum_fails_fast_on_object_store():
+    """restore_table validates referenced data dirs THROUGH the store
+    for scheme:// table paths: restoring past a vacuum horizon on an
+    S3-backed table raises at restore time (the dir absent from the
+    delimiter'd listing), never at first read."""
+    import json as _json
+
+    import io
+    from botocore.response import StreamingBody
+
+    client, stub = _s3_stub()
+    store = snap.S3ManifestStore(client, "b")
+    t = "s3://bkt/tbl"
+    man = _json.dumps(
+        {
+            "version": 0,
+            "parent": None,
+            "op": "append",
+            "dirs": ["data/cAAA", "data/cBBB"],
+        }
+    ).encode()
+    # current_version: one paginatable listing of the manifest dir
+    stub.add_response(
+        "list_objects_v2",
+        {
+            "IsTruncated": False,
+            "Contents": [
+                {"Key": "s3://bkt/tbl/_manifests/v000000.json"},
+                {"Key": "s3://bkt/tbl/_manifests/v000001.json"},
+            ],
+        },
+        {"Bucket": "b", "Prefix": "s3://bkt/tbl/_manifests/", "Delimiter": "/"},
+    )
+    # _load_manifest(version=0)
+    stub.add_response(
+        "get_object",
+        {"Body": StreamingBody(io.BytesIO(man), len(man))},
+        {"Bucket": "b", "Key": "s3://bkt/tbl/_manifests/v000000.json"},
+    )
+    # data-dir existence: cBBB still listed, cAAA vacuumed
+    stub.add_response(
+        "list_objects_v2",
+        {
+            "IsTruncated": False,
+            "CommonPrefixes": [{"Prefix": "s3://bkt/tbl/data/cBBB/"}],
+        },
+        {"Bucket": "b", "Prefix": "s3://bkt/tbl/data/", "Delimiter": "/"},
+    )
+    with stub:
+        with pytest.raises(ValueError, match="vacuumed.*cAAA"):
+            snap.restore_table(None, t, 0, store=store)
+    stub.assert_no_pending_responses()
+
+
+def test_catalog_rename_properties_and_purge(spark, tmp_path):
+    """Catalog ergonomics tier: RENAME is one atomic publish carrying
+    properties along; SET/UNSET TBLPROPERTIES round-trip with merge
+    semantics; DROP ... PURGE deletes bytes but refuses while another
+    cataloged table (a shallow clone) still borrows directories."""
+    from deepcell_data_engineering_spark.sources.table_catalog import (
+        SnapshotCatalog,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "t1")
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    snap.commit(spark, docs.where(F.col("doc_id") < 20), t)
+    cat.create_table("docs", t)
+    cat.set_properties("docs", {"comment": "raw docs", "owner": "etl"})
+    cat.set_properties("docs", {"owner": "ml"})  # merge, not replace
+    assert cat.properties("docs") == {"comment": "raw docs", "owner": "ml"}
+    cat.unset_properties("docs", ["comment", "not_there"])
+    assert cat.properties("docs") == {"owner": "ml"}
+
+    v_before = cat.current_version()
+    cat.rename_table("docs", "documents_raw")
+    assert cat.current_version() == v_before + 1  # ONE publish
+    assert cat.read(spark, "documents_raw").count() == 20
+    assert cat.properties("documents_raw") == {"owner": "ml"}
+    with pytest.raises(ValueError):
+        cat.lookup("docs")
+    # catalog time travel still resolves the old name at the old version
+    assert cat.tables(v_before)["docs"] == t
+
+    # rename onto an existing name refuses
+    t2 = str(tmp_path / "t2")
+    snap.commit(spark, docs.where(F.col("doc_id") >= 90), t2)
+    cat.create_table("other", t2)
+    with pytest.raises(ValueError, match="already registered"):
+        cat.rename_table("other", "documents_raw")
+
+    # purge refuses while a cataloged clone borrows this table's dirs
+    dst = str(tmp_path / "cl")
+    snap.clone_table(spark, t, dst)
+    cat.create_table("cl", dst)
+    with pytest.raises(ValueError, match="referenced"):
+        cat.drop_table("documents_raw", purge=True)
+    cat.drop_table("cl")
+    cat.drop_table("documents_raw", purge=True)
+    assert not os.path.isdir(os.path.join(t, "data"))
+    assert not os.path.isdir(os.path.join(t, "_manifests"))
+    with pytest.raises(ValueError):
+        cat.lookup("documents_raw")
+    # a PLAIN drop leaves bytes behind
+    cat.drop_table("other")
+    assert snap.read_snapshot(spark, t2).count() > 0
+
+
+def test_catalog_create_validates_store_substrate(tmp_path):
+    """A POSIX-backed catalog refuses to name a scheme:// table at
+    CREATE time (ADVICE r11: the coupling was implicit and failed
+    opaquely at first read)."""
+    from deepcell_data_engineering_spark.sources.table_catalog import (
+        SnapshotCatalog,
+    )
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    with pytest.raises(ValueError, match="POSIX"):
+        cat.create_table("remote", "s3://bucket/tbl")
