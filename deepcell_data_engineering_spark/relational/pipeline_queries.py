@@ -14122,3 +14122,212 @@ def x183(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@_q(
+    "x184_catalog_rename_view",
+    """SELECT o_orderpriority,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                   AS BIGINT) AS sum_cents,
+              CAST(1 AS BIGINT) AS props_intact,
+              CAST(1 AS BIGINT) AS old_name_gone,
+              CAST(3 AS BIGINT) AS n_catalog_versions
+       FROM orders GROUP BY 1 ORDER BY 1""",
+    doc="Catalog RENAME + TBLPROPERTIES certified end to end — the "
+    "x165 naming layer's DDL verbs (r11 verdict item 7): the ENGINE "
+    "commits the orders facts as a snapshot table, registers it under "
+    "a name, attaches properties (SET TBLPROPERTIES), RENAMEs it in "
+    "ONE atomic catalog publish, and answers the aggregate through a "
+    "temp view resolved via the NEW name. The certified invariants "
+    "ride as columns the ORACLE pins to literals: props_intact (both "
+    "property keys survive the rename attached to the new name), "
+    "old_name_gone (the old name no longer resolves), and "
+    "n_catalog_versions = 3 (create, set-properties, rename — each "
+    "exactly one put-if-absent publish, so the count certifies rename "
+    "is one atomic commit, not a drop+create pair). Any wrong "
+    "resolution (stale path, lost properties, half-renamed catalog) "
+    "breaks a column. Lakehouse-certification tier (x165/x166 "
+    "pattern): the catalog publishes ARE the operator under test; "
+    "driver-side work is KB-sized catalog JSON plus the bounded "
+    "result collect.",
+)
+def x184(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from deepcell_data_engineering_spark.sources import snapshots as snap
+    from deepcell_data_engineering_spark.sources.table_catalog import (
+        SnapshotCatalog,
+    )
+
+    facts = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("p"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="dde_catalog_rename_")
+    try:
+        t = f"{root}/facts"
+        snap.commit(spark, facts, t)
+        cat = SnapshotCatalog(f"{root}/cat")
+        cat.create_table("x184_staging", t)                    # v0
+        cat.set_properties(
+            "x184_staging", {"comment": "order facts", "grain": "order"}
+        )                                                      # v1
+        cat.rename_table("x184_staging", "x184_orders")        # v2
+        props = cat.properties("x184_orders")
+        props_intact = int(
+            props.get("comment") == "order facts"
+            and props.get("grain") == "order"
+        )
+        try:
+            cat.lookup("x184_staging")
+            old_gone = 0
+        except ValueError:
+            old_gone = 1
+        n_versions = cat.current_version() + 1
+        cat.register_temp_view(spark, "x184_orders")
+        try:
+            agg = spark.sql(
+                """SELECT p AS o_orderpriority,
+                          CAST(COUNT(*) AS BIGINT) AS n_orders,
+                          CAST(SUM(cents) AS BIGINT) AS sum_cents
+                   FROM x184_orders GROUP BY p"""
+            )
+            rows = [
+                (r["o_orderpriority"], r["n_orders"], r["sum_cents"])
+                for r in agg.collect()
+            ]
+        finally:
+            spark.catalog.dropTempView("x184_orders")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return (
+        spark.createDataFrame(
+            rows, "o_orderpriority STRING, n_orders BIGINT, sum_cents BIGINT"
+        )
+        .withColumn("props_intact", F.lit(props_intact).cast("bigint"))
+        .withColumn("old_name_gone", F.lit(old_gone).cast("bigint"))
+        .withColumn(
+            "n_catalog_versions", F.lit(n_versions).cast("bigint")
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "x185_lifecycle_clone_restore",
+    """SELECT o_orderpriority,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                   AS BIGINT) AS sum_cents,
+              CAST(4 AS BIGINT) AS n_clone_commits,
+              CAST(1 AS BIGINT) AS src_intact,
+              CAST(0 AS BIGINT) AS n_net_nonzero
+       FROM orders GROUP BY 1 ORDER BY 1""",
+    doc="The full lakehouse lifecycle certified in one pass — SHALLOW "
+    "CLONE, CRUD on the clone, RESTORE, CDC fold (r11 verdict item 8; "
+    "the 100x-rehearsal lifecycle leg): orders land as a 2-directory "
+    "banded snapshot table with key stats; a shallow clone borrows "
+    "both dirs by absolute reference (zero copy); a MERGE bumps a key "
+    "slice's cents (copy-on-write rewrites ONLY the touched borrowed "
+    "dir into the clone), a DELETE removes another slice, then "
+    "RESTORE returns the clone to its v0 — a forward commit that "
+    "re-references the source dirs. Certified invariants as columns "
+    "the ORACLE pins: the per-priority aggregate equals the RAW "
+    "orders aggregate (restore is exact), n_clone_commits = 4 (clone, "
+    "merge, delete, restore — history forward-moving, never a log "
+    "rewind), src_intact (the SOURCE table's content hash-count never "
+    "moved while its dirs were merged/deleted THROUGH the clone), and "
+    "n_net_nonzero = 0: the v0->head change feed folds to ZERO net "
+    "rows per key — merge's update pairs, delete's deletes and "
+    "restore's truncate-and-reload delta cancel exactly. At 100 TB "
+    "every leg is manifest-resolution (KB, driver-side) plus data "
+    "I/O proportional to the TOUCHED slice; the 100x rehearsal pins "
+    "that wall tracks the payload while manifest work stays flat. "
+    "Lakehouse-certification tier.",
+)
+def x185(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from deepcell_data_engineering_spark.sources import snapshots as snap
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("p"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    mk = int(base.agg(F.max("k")).collect()[0][0])
+    mid = mk // 2
+    root = tempfile.mkdtemp(prefix="dde_lifecycle_")
+    try:
+        src = f"{root}/src"
+        dst = f"{root}/clone"
+        snap.commit(
+            spark, base.where(F.col("k") <= mid), src, stats_cols=["k"]
+        )
+        v_src = snap.commit(
+            spark,
+            base.where(F.col("k") > mid),
+            src,
+            mode="append",
+            stats_cols=["k"],
+        )
+        src_before = snap.read_snapshot(spark, src).agg(
+            F.count(F.lit(1)).cast("bigint"),
+            F.sum("cents").cast("bigint"),
+        ).collect()[0]
+
+        v0 = snap.clone_table(spark, src, dst)                # v0
+        merge_src = (
+            snap.read_snapshot(spark, dst)
+            .where((F.col("k") <= mid) & (F.col("k") % 97 == 3))
+            .withColumn("cents", F.col("cents") + F.lit(1000))
+        )
+        snap.merge_upsert(spark, merge_src, dst, keys=["k"])  # v1
+        snap.delete_where(spark, dst, "k % 101 = 7")          # v2
+        head = snap.restore_table(spark, dst, v0)             # v3
+
+        src_after = snap.read_snapshot(spark, src).agg(
+            F.count(F.lit(1)).cast("bigint"),
+            F.sum("cents").cast("bigint"),
+        ).collect()[0]
+        src_intact = int(
+            tuple(src_before) == tuple(src_after)
+            and snap.current_version(src) == v_src
+        )
+
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        n_net_nonzero = (
+            snap.read_changes(spark, dst, v0, head)
+            .groupBy("k")
+            .agg(F.sum(sign).alias("s"))
+            .where(F.col("s") != 0)
+            .count()
+        )
+        agg = (
+            snap.read_snapshot(spark, dst, head)
+            .groupBy("p")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+        )
+        rows = [
+            (r["p"], r["n_orders"], r["sum_cents"]) for r in agg.collect()
+        ]
+        n_commits = head + 1
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return (
+        spark.createDataFrame(
+            rows, "o_orderpriority STRING, n_orders BIGINT, sum_cents BIGINT"
+        )
+        .withColumn("n_clone_commits", F.lit(n_commits).cast("bigint"))
+        .withColumn("src_intact", F.lit(src_intact).cast("bigint"))
+        .withColumn(
+            "n_net_nonzero", F.lit(n_net_nonzero).cast("bigint")
+        )
+        .orderBy("o_orderpriority")
+    )
