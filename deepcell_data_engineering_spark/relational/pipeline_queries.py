@@ -14331,3 +14331,329 @@ def x185(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@_q(
+    "x186_cohens_kappa",
+    """WITH cells AS (
+         SELECT CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS year,
+                CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS a,
+                CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END AS b,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY 1, 2, 3
+       ),
+       m AS (
+         SELECT year,
+                CAST(SUM(n) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT)
+                  AS n_agree,
+                CAST(SUM(CASE WHEN a = 1 THEN n ELSE 0 END) AS BIGINT)
+                  AS a1,
+                CAST(SUM(CASE WHEN b = 1 THEN n ELSE 0 END) AS BIGINT)
+                  AS b1
+         FROM cells GROUP BY 1
+       )
+       SELECT year, n, n_agree,
+              ROUND(CAST(n * n_agree - (a1 * b1 + (n - a1) * (n - b1))
+                         AS DOUBLE)
+                    / CAST(n * n - (a1 * b1 + (n - a1) * (n - b1))
+                           AS DOUBLE) + 0.0, 6) AS kappa
+       FROM m ORDER BY year""",
+    doc="Cohen's kappa — chance-corrected agreement between two "
+    "binary raters per ship year (rater A: the line was returned, "
+    "rater B: its status is finalized). THE inter-annotator metric a "
+    "labeling pipeline reports before trusting human or model labels "
+    "(raw agreement rewards imbalanced raters; kappa subtracts the "
+    "chance-agreement margin product). Exact-integer discipline: "
+    "kappa = (N*agree - (a1*b1 + a0*b0)) / (N^2 - (a1*b1 + a0*b0)) "
+    "— every term a BIGINT from the contingency counts, ONE final "
+    "division rounded at 6 (x153 convention). ENGINE: one grouped "
+    "aggregate with conditional sums (map-side partials, one "
+    "shuffle on year); ORACLE derives the same margins through an "
+    "explicit (year, a, b) confusion-cell GROUP BY then a second "
+    "margin aggregate — a different derivation of the same exact "
+    "integers. Output is years-count rows at any scale.",
+)
+def x186(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").cast("int").alias("year"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("a"),
+        F.when(F.col("l_linestatus") == "F", 1).otherwise(0).alias("b"),
+    )
+    m = li.groupBy("year").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_agree"),
+        F.sum("a").cast("bigint").alias("a1"),
+        F.sum("b").cast("bigint").alias("b1"),
+    )
+    pe_mass = F.col("a1") * F.col("b1") + (F.col("n") - F.col("a1")) * (
+        F.col("n") - F.col("b1")
+    )
+    return m.select(
+        "year",
+        "n",
+        "n_agree",
+        F.round(
+            (F.col("n") * F.col("n_agree") - pe_mass).cast("double")
+            / (F.col("n") * F.col("n") - pe_mass).cast("double")
+            + F.lit(0.0),
+            6,
+        ).alias("kappa"),
+    ).orderBy("year")
+
+
+@_q(
+    "x187_hhi_concentration",
+    """WITH rev AS (
+         SELECT l_suppkey,
+                CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                         * (100 - CAST(ROUND(l_discount * 100, 0)
+                                       AS BIGINT))) AS BIGINT) AS r
+         FROM lineitem GROUP BY 1
+       ),
+       located AS (
+         SELECT n.n_name, rev.r, s.s_suppkey,
+                ROW_NUMBER() OVER (PARTITION BY n.n_name
+                                   ORDER BY rev.r DESC, s.s_suppkey)
+                  AS rk
+         FROM rev
+         JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+         JOIN nation n   ON s.s_nationkey = n.n_nationkey
+       )
+       SELECT n_name,
+              CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+              CAST(SUM(r) AS BIGINT) AS tot_c4,
+              CAST(SUM(CASE WHEN rk <= 4 THEN r ELSE 0 END) AS BIGINT)
+                AS top4_c4,
+              ROUND(CAST(SUM(CAST(r AS HUGEINT) * CAST(r AS HUGEINT))
+                         AS DOUBLE)
+                    / (CAST(SUM(r) AS DOUBLE) * CAST(SUM(r) AS DOUBLE))
+                    + 0.0, 6) AS hhi,
+              ROUND(CAST(SUM(CASE WHEN rk <= 4 THEN r ELSE 0 END)
+                         AS DOUBLE)
+                    / CAST(SUM(r) AS DOUBLE) + 0.0, 6) AS cr4
+       FROM located GROUP BY n_name ORDER BY n_name""",
+    doc="Market-concentration screen per nation over supplier revenue "
+    "shares: the Herfindahl-Hirschman index (sum of squared shares — "
+    "the antitrust/duplication-concentration statistic; x147's Gini "
+    "measures inequality of the curve, HHI measures mass in the "
+    "head) and the CR4 four-firm concentration ratio. In a training-"
+    "data pipeline the same query screens SOURCE concentration — how "
+    "much of a corpus one crawl/provider dominates. Exact-integer "
+    "discipline: revenue in 1e-4 currency units (the d49 rev_c4 "
+    "idiom, exact BIGINT), per-supplier totals shuffled ONCE on "
+    "suppkey, squares accumulated as DECIMAL(38,0) (they overflow "
+    "int64 at sf>=1), top-4 selection by rank over the SUPPLIER-"
+    "AGGREGATE (per-nation row counts = supplier counts, never "
+    "lineitem rows; the window partitions by nation so all nations "
+    "rank in parallel); hhi and cr4 are each ONE double division of "
+    "exact integers rounded at 6. ENGINE: agg -> broadcast dim joins "
+    "-> window over aggregates; ORACLE: the same integers via "
+    "DuckDB HUGEINT and its own window. Output is nation-count rows.",
+)
+def x187(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (
+            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+            * (
+                F.lit(100)
+                - F.round(F.col("l_discount") * 100, 0).cast("bigint")
+            )
+        ).alias("r4"),
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum("r4").cast("bigint").alias("r")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    located = rev.join(
+        F.broadcast(sup), rev["l_suppkey"] == sup["s_suppkey"]
+    ).join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("r"), F.col("s_suppkey")
+    )
+    ranked = located.select(
+        "n_name", "r", F.row_number().over(w).alias("rk")
+    )
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.sum("r").cast("bigint").alias("tot_c4"),
+            F.sum(F.when(F.col("rk") <= 4, F.col("r")).otherwise(0))
+            .cast("bigint")
+            .alias("top4_c4"),
+            F.sum(
+                F.col("r").cast("decimal(38,0)")
+                * F.col("r").cast("decimal(38,0)")
+            ).alias("ssq"),
+        )
+        .select(
+            "n_name",
+            "n_suppliers",
+            "tot_c4",
+            "top4_c4",
+            F.round(
+                F.col("ssq").cast("double")
+                / (
+                    F.col("tot_c4").cast("double")
+                    * F.col("tot_c4").cast("double")
+                )
+                + F.lit(0.0),
+                6,
+            ).alias("hhi"),
+            F.round(
+                F.col("top4_c4").cast("double")
+                / F.col("tot_c4").cast("double")
+                + F.lit(0.0),
+                6,
+            ).alias("cr4"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@_q(
+    "x188_kruskal_wallis",
+    """WITH h AS (
+         SELECT CAST(l_quantity AS BIGINT) AS q, l_returnflag AS f,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY 1, 2
+       ),
+       tq AS (SELECT q, CAST(SUM(n) AS BIGINT) AS t FROM h GROUP BY 1),
+       -- literal-definition cumulation: strictly-smaller mass via a
+       -- quadratic domain self-join (the engine uses one window scan)
+       rk AS (
+         SELECT a.q, a.t,
+                2 * COALESCE((SELECT SUM(b.t) FROM tq b WHERE b.q < a.q),
+                             0) + a.t + 1 AS r2
+         FROM tq a
+       ),
+       g AS (
+         SELECT h.f,
+                CAST(SUM(h.n) AS BIGINT) AS n_j,
+                CAST(SUM(h.n * rk.r2) AS BIGINT) AS r2_sum
+         FROM h JOIN rk ON h.q = rk.q GROUP BY 1
+       ),
+       gtot AS (
+         SELECT CAST(SUM(t) AS BIGINT) AS n_total,
+                CAST(SUM(t * t * t - t) AS BIGINT) AS tie_mass
+         FROM tq
+       ),
+       terms AS (
+         SELECT g.f, g.n_j, g.r2_sum, gtot.n_total, gtot.tie_mass,
+                CAST(ROUND((1000000000.0
+                            * (CAST(g.r2_sum AS DOUBLE)
+                               * CAST(g.r2_sum AS DOUBLE)))
+                           / (4.0 * CAST(g.n_j AS DOUBLE)), 0)
+                     AS DECIMAL(38,0)) AS u
+         FROM g, gtot
+       ),
+       su AS (SELECT CAST(SUM(u) AS DECIMAL(38,0)) AS su FROM terms)
+       SELECT t.f AS l_returnflag, t.n_j, t.r2_sum, t.n_total,
+              t.tie_mass,
+              ROUND((12.0 * (CAST(su.su AS DOUBLE) / 1000000000.0)
+                     / (CAST(t.n_total AS DOUBLE)
+                        * CAST(t.n_total + 1 AS DOUBLE))
+                     - 3.0 * CAST(t.n_total + 1 AS DOUBLE))
+                    / (1.0 - CAST(t.tie_mass AS DOUBLE)
+                             / (CAST(t.n_total AS DOUBLE)
+                                * CAST(t.n_total AS DOUBLE)
+                                * CAST(t.n_total AS DOUBLE)
+                                - CAST(t.n_total AS DOUBLE)))
+                    + 0.0, 6) AS h_corrected
+       FROM terms t, su ORDER BY t.f""",
+    doc="Kruskal-Wallis H — the k-group generalization of x153's "
+    "Mann-Whitney (rank ANOVA): do the quantity distributions of the "
+    "three return-flag populations share a location? The "
+    "distribution-free gate before trusting k-way mean comparisons. "
+    "Everything derives from the (quantity, flag) VALUE HISTOGRAM "
+    "(domain-bounded: ~50 x 3 cells at any corpus size), never row "
+    "ranks: tie-averaged DOUBLED ranks r2(q) = 2*cum(<q) + t(q) + 1 "
+    "stay exact integers (the x168 double-rank trick), per-group "
+    "doubled rank sums R2_j are exact BIGINTs, and each group's "
+    "H term R2_j^2/(4 n_j) is rounded ONCE to 1e-9 units and summed "
+    "as BIGINT (the x174 unit-sum rule — group-order-free, layout-"
+    "invariant), with the tie correction 1 - sum(t^3-t)/(N^3-N) "
+    "applied in the single final float expression rounded at 6. "
+    "R2_j < 2^53 through sf1 so the double square is exact-input "
+    "deterministic IEEE in both engines. ENGINE: one window scan "
+    "over the 50-value domain; ORACLE: literal-definition quadratic "
+    "cumulation (correlated subquery) — two algorithms, one answer. "
+    "Output: one row per group, globals denormalized alongside.",
+)
+def x188(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.groupBy(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.col("l_returnflag").alias("f"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tq = h.groupBy("q").agg(F.sum("n").cast("long").alias("t"))
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    rk = tq.select(
+        "q",
+        "t",
+        (
+            F.lit(2) * F.coalesce(F.sum("t").over(w), F.lit(0))
+            + F.col("t")
+            + F.lit(1)
+        ).alias("r2"),
+    )
+    g = (
+        h.join(rk.select("q", "r2"), "q")
+        .groupBy("f")
+        .agg(
+            F.sum("n").cast("long").alias("n_j"),
+            F.sum(F.col("n") * F.col("r2")).cast("long").alias("r2_sum"),
+        )
+    )
+    glob = tq.agg(
+        F.sum("t").cast("long").alias("n_total"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie_mass"),
+    )
+    terms = g.crossJoin(F.broadcast(glob)).withColumn(
+        "u",
+        F.round(
+            (
+                F.lit(1000000000.0)
+                * (
+                    F.col("r2_sum").cast("double")
+                    * F.col("r2_sum").cast("double")
+                )
+            )
+            / (F.lit(4.0) * F.col("n_j").cast("double")),
+            0,
+        ).cast("decimal(38,0)"),
+    )
+    su = terms.agg(F.sum("u").cast("decimal(38,0)").alias("su"))
+    nt = F.col("n_total").cast("double")
+    h_expr = (
+        F.lit(12.0)
+        * (F.col("su").cast("double") / F.lit(1000000000.0))
+        / (nt * (F.col("n_total") + 1).cast("double"))
+        - F.lit(3.0) * (F.col("n_total") + 1).cast("double")
+    )
+    c_expr = F.lit(1.0) - F.col("tie_mass").cast("double") / (
+        nt * nt * nt - nt
+    )
+    return (
+        terms.crossJoin(F.broadcast(su))
+        .select(
+            F.col("f").alias("l_returnflag"),
+            "n_j",
+            "r2_sum",
+            "n_total",
+            "tie_mass",
+            F.round(h_expr / c_expr + F.lit(0.0), 6).alias("h_corrected"),
+        )
+        .orderBy("l_returnflag")
+    )
