@@ -14657,3 +14657,321 @@ def x188(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@_q(
+    "x189_log_odds_keyness",
+    r"""WITH tok AS (
+         SELECT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                  AS term
+         FROM documents
+       ),
+       lab AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END
+                 AS half, term
+               FROM tok WHERE term <> ''),
+       c AS (SELECT term,
+                    CAST(SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END)
+                         AS BIGINT) AS y_a,
+                    CAST(SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END)
+                         AS BIGINT) AS y_b
+             FROM lab GROUP BY 1),
+       m AS (SELECT CAST(SUM(y_a) AS BIGINT) AS n_a,
+                    CAST(SUM(y_b) AS BIGINT) AS n_b,
+                    CAST(COUNT(*) AS BIGINT) AS v
+             FROM c),
+       z AS (
+         SELECT c.term, c.y_a, c.y_b,
+                LN(CAST(2 * c.y_a + 1 AS DOUBLE)
+                   / CAST(2 * m.n_a + m.v - 2 * c.y_a - 1 AS DOUBLE))
+                - LN(CAST(2 * c.y_b + 1 AS DOUBLE)
+                     / CAST(2 * m.n_b + m.v - 2 * c.y_b - 1 AS DOUBLE))
+                  AS delta,
+                SQRT(1.0 / (CAST(c.y_a AS DOUBLE) + 0.5)
+                     + 1.0 / (CAST(c.y_b AS DOUBLE) + 0.5)) AS sd
+         FROM c, m WHERE c.y_a + c.y_b >= 5
+       )
+       SELECT term, y_a, y_b,
+              ROUND(delta + 0.0, 6) AS delta,
+              ROUND(delta / sd + 0.0, 6) AS z
+       FROM z
+       ORDER BY ROUND(delta / sd + 0.0, 6) DESC, term LIMIT 40""",
+    doc="Corpus keyness via log-odds with a Dirichlet prior (Monroe "
+    "et al's 'Fightin' Words' statistic) between the even- and odd-"
+    "doc_id halves of the corpus (the x175 split): which terms are "
+    "OVERREPRESENTED in one subcorpus after damping rare-term noise "
+    "— the screen a data pipeline runs to characterize what a "
+    "source/filter actually changed (raw frequency ratios explode on "
+    "rare terms; the +1/2 prior and the z-normalization 1/(y+.5)+"
+    "1/(y'+.5) are the standard fix). Float discipline: every ln/"
+    "sqrt argument is an EXACT integer rational (half counts doubled "
+    "into (2y+1)/(2n+V-2y-1) so numerator and denominator stay "
+    "integers), all arithmetic is PER-TOKEN (no cross-partition "
+    "float sums anywhere — layout-invariant by construction), z "
+    "rounded once at 6 and the top-40 ordering keys on the ROUNDED "
+    "value with the term as tie-break. ENGINE: explode -> one token-"
+    "keyed aggregate -> broadcast margin join; ORACLE: the same "
+    "exact integers through a label-first derivation. Vocabulary-"
+    "sized after one shuffle at any corpus size; min-count >= 5 "
+    "bounds the scored set.",
+)
+def x189(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        tx.tokens(docs)
+        .groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("y_a"),
+            F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("y_b"),
+        )
+    )
+    m = c.agg(
+        F.sum("y_a").cast("long").alias("n_a"),
+        F.sum("y_b").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    z = (
+        c.where(F.col("y_a") + F.col("y_b") >= 5)
+        .crossJoin(F.broadcast(m))
+        .select(
+            "term",
+            "y_a",
+            "y_b",
+            (
+                F.log(
+                    (2 * F.col("y_a") + 1).cast("double")
+                    / (
+                        2 * F.col("n_a") + F.col("v") - 2 * F.col("y_a") - 1
+                    ).cast("double")
+                )
+                - F.log(
+                    (2 * F.col("y_b") + 1).cast("double")
+                    / (
+                        2 * F.col("n_b") + F.col("v") - 2 * F.col("y_b") - 1
+                    ).cast("double")
+                )
+            ).alias("delta_raw"),
+            F.sqrt(
+                F.lit(1.0) / (F.col("y_a").cast("double") + F.lit(0.5))
+                + F.lit(1.0) / (F.col("y_b").cast("double") + F.lit(0.5))
+            ).alias("sd"),
+        )
+    )
+    return (
+        z.select(
+            "term",
+            "y_a",
+            "y_b",
+            F.round(F.col("delta_raw") + F.lit(0.0), 6).alias("delta"),
+            F.round(F.col("delta_raw") / F.col("sd") + F.lit(0.0), 6).alias(
+                "z"
+            ),
+        )
+        .orderBy(F.desc("z"), "term")
+        .limit(40)
+    )
+
+
+@_q(
+    "x190_mann_kendall_trend",
+    """WITH series AS (
+         SELECT o_orderpriority AS p,
+                date_trunc('month', o_orderdate) AS month,
+                CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                     AS BIGINT) AS cents
+         FROM orders GROUP BY 1, 2
+       ),
+       s AS (
+         SELECT a.p,
+                CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                              WHEN b.cents < a.cents THEN -1
+                              ELSE 0 END) AS BIGINT) AS s_stat
+         FROM series a JOIN series b
+           ON a.p = b.p AND b.month > a.month
+         GROUP BY 1
+       ),
+       t AS (
+         SELECT p, CAST(COUNT(*) AS BIGINT) AS n_months,
+                CAST(COALESCE(SUM(tt * (tt - 1) / 2), 0) AS BIGINT)
+                  AS tie_pairs
+         FROM (SELECT p, cents, COUNT(*) AS tt
+               FROM series GROUP BY p, cents) g
+         GROUP BY 1
+       )
+       SELECT t.p AS o_orderpriority, t.n_months, s.s_stat,
+              ROUND(CAST(s.s_stat AS DOUBLE)
+                    / SQRT((CAST(t.n_months * (t.n_months - 1) / 2
+                                 AS DOUBLE))
+                           * (CAST(t.n_months * (t.n_months - 1) / 2
+                                   - t.tie_pairs AS DOUBLE)))
+                    + 0.0, 6) AS tau_b
+       FROM s JOIN t ON s.p = t.p ORDER BY 1""",
+    doc="Mann-Kendall trend test with Kendall tau-b per priority "
+    "class over the MONTHLY revenue series — the distribution-free "
+    "is-this-metric-drifting detector (x111 fits a least-squares "
+    "slope, which an outlier month can buy; the MK S statistic "
+    "counts concordant-minus-discordant month pairs and cannot). "
+    "Scale shape: the quadratic pair enumeration runs over the "
+    "(priority, month) AGGREGATE — the time dimension is bounded "
+    "(~84 months) however many rows the fact table grows, so the "
+    "self-join is vocabulary-sized at any corpus scale and the one "
+    "data-sized operation is the grouped monthly rollup (single "
+    "shuffle, map-side partials). Exact integers end to end (cents "
+    "sums, S, tie pairs from the value histogram); tau-b's one "
+    "float expression (S / sqrt((n0)(n0-T))) is computed from them "
+    "and rounded once at 6. ENGINE: aggregate -> windowless pair "
+    "join (alias two sides); ORACLE: the same S via a join it "
+    "derives independently plus the tie histogram. Time ties are "
+    "impossible (months are distinct by construction), so only the "
+    "value-tie correction appears.",
+)
+def x190(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    series = orders.groupBy(
+        F.col("o_orderpriority").alias("p"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    a = series.alias("a")
+    b = series.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col("b.month") > F.col("a.month")),
+        )
+        .groupBy(F.col("a.p").alias("p"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.cents") > F.col("a.cents"), 1)
+                .when(F.col("b.cents") < F.col("a.cents"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        series.groupBy("p", "cents")
+        .agg(F.count(F.lit(1)).alias("tt"))
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_months"),
+            F.coalesce(
+                F.sum(F.col("tt") * (F.col("tt") - 1) / 2), F.lit(0)
+            )
+            .cast("long")
+            .alias("tie_pairs"),
+        )
+    )
+    n0 = (F.col("n_months") * (F.col("n_months") - 1) / 2).cast("double")
+    return (
+        s.join(ties, "p")
+        .select(
+            F.col("p").alias("o_orderpriority"),
+            "n_months",
+            "s_stat",
+            F.round(
+                F.col("s_stat").cast("double")
+                / F.sqrt(
+                    n0
+                    * (
+                        (
+                            F.col("n_months") * (F.col("n_months") - 1) / 2
+                        ).cast("double")
+                        - F.col("tie_pairs").cast("double")
+                    )
+                )
+                + F.lit(0.0),
+                6,
+            ).alias("tau_b"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "x191_lcg_sample_estimate",
+    """WITH tagged AS (
+         SELECT o_orderpriority AS p,
+                CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+                ((o_orderkey * 1103515245 + 12345) % 2147483648) % 100
+                  AS slot
+         FROM orders
+       )
+       SELECT p AS o_orderpriority,
+              CAST(COUNT(*) AS BIGINT) AS n_pop,
+              CAST(SUM(cents) AS BIGINT) AS true_cents,
+              CAST(SUM(CASE WHEN slot < 10 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_sample,
+              CAST(10 * SUM(CASE WHEN slot < 10 THEN cents ELSE 0 END)
+                   AS BIGINT) AS est_cents,
+              ROUND((CAST(10 * SUM(CASE WHEN slot < 10 THEN cents
+                                        ELSE 0 END) AS DOUBLE)
+                     - CAST(SUM(cents) AS DOUBLE))
+                    / CAST(SUM(cents) AS DOUBLE) + 0.0, 6) AS err_frac
+       FROM tagged GROUP BY 1 ORDER BY 1""",
+    doc="REPRODUCIBLE sampling certified bit-for-bit: a keyed LCG "
+    "hash ((k*1103515245 + 12345) mod 2^31, pure integer arithmetic "
+    "identical in any engine) assigns every order a deterministic "
+    "slot; slot < 10 is a 10% sample that is stable across engines, "
+    "partition layouts, retries and reruns — the property rand()-"
+    "based sampling fundamentally lacks and the one that makes "
+    "training-data subsets AUDITABLE (the same sample can be "
+    "re-derived years later from keys alone; x24/x61 sample by "
+    "engine-local hashing, so only their STATISTICS are checkable — "
+    "here the MEMBERSHIP itself is the certified object). The "
+    "Horvitz-Thompson estimate (10x the sampled mass) and its "
+    "per-class relative error ride along: exact BIGINTs until the "
+    "one error division, rounded at 6. Map-only tagging (no extra "
+    "shuffle beyond the grouped aggregate); intermediate k*1103515245 "
+    "peaks ~7e17 at sf100 — inside int64. Output is one row per "
+    "priority class at any scale.",
+)
+def x191(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    tagged = orders.select(
+        F.col("o_orderpriority").alias("p"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        ),
+        (
+            (F.col("o_orderkey") * 1103515245 + 12345) % 2147483648
+        ).alias("slot_raw"),
+    ).withColumn("slot", F.col("slot_raw") % 100)
+    return (
+        tagged.groupBy(F.col("p").alias("o_orderpriority"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pop"),
+            F.sum("cents").cast("bigint").alias("true_cents"),
+            F.sum(F.when(F.col("slot") < 10, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_sample"),
+            (
+                F.lit(10)
+                * F.sum(F.when(F.col("slot") < 10, F.col("cents")).otherwise(0))
+            )
+            .cast("bigint")
+            .alias("est_cents"),
+        )
+        .withColumn(
+            "err_frac",
+            F.round(
+                (
+                    F.col("est_cents").cast("double")
+                    - F.col("true_cents").cast("double")
+                )
+                / F.col("true_cents").cast("double")
+                + F.lit(0.0),
+                6,
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
