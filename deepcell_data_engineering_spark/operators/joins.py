@@ -31,16 +31,28 @@ def asof_join(
     suffix: str = "_matched",
 ) -> DataFrame:
     """For every left row, attach the nearest right row per ``by`` key:
-    at-or-before it (``backward``) or at-or-after it (``forward``).
+    at-or-before it (``backward``), at-or-after it (``forward``), or
+    whichever side is closer (``nearest`` — ties break to the earlier,
+    i.e. backward, row: pandas merge_asof semantics).
 
     ``value_cols``: right columns to carry (default: all non-key,
     non-time columns). The matched right timestamp is exposed as
     ``{on}{suffix}``; unmatched left rows keep nulls (left-join
     semantics). ``tolerance``: a Column/interval expression; matches
-    further than it are nulled out (pandas merge_asof semantics).
+    further than it are nulled out (pandas merge_asof semantics) —
+    for ``nearest`` each DIRECTION is nulled before the pick, so a
+    too-far past match never shadows an in-range future one.
+
+    Scale shape (all directions): ONE union + ONE shuffle on the
+    ``by`` key with a single sort — ``nearest`` computes the backward
+    carry and the forward carry as two window functions over the SAME
+    sorted layout, never a second exchange and never a range join.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward' or 'nearest', "
+            f"got {direction!r}"
+        )
     from pyspark.sql.types import StructField, StructType
 
     by = [by] if isinstance(by, str) else list(by or [])
@@ -76,6 +88,51 @@ def asof_join(
         ],
     )
     both = l_tag.unionByName(r_tag)
+
+    if direction == "nearest":
+        # one sorted layout, two carries: backward = last right row in
+        # the preceding frame (right sorts before left at equal time,
+        # so exact-time matches land on the backward side), forward =
+        # first right row in the following frame (strictly later).
+        order = [F.col(on).asc(), F.col("__side").asc()]
+        wb = (
+            Window.partitionBy(*by)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy(*by)
+            .orderBy(*order)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        cand = (
+            both.withColumn("__mb", F.last("__r", ignorenulls=True).over(wb))
+            .withColumn("__mf", F.first("__r", ignorenulls=True).over(wf))
+            .where(F.col("__side") == 1)
+        )
+        gap_b = F.col(on) - F.col("__mb.__ts")
+        gap_f = F.col("__mf.__ts") - F.col(on)
+        if tolerance is not None:
+            # null each direction independently BEFORE the pick
+            cand = cand.withColumn(
+                "__mb", F.when(gap_b <= tolerance, F.col("__mb"))
+            ).withColumn("__mf", F.when(gap_f <= tolerance, F.col("__mf")))
+        pick = (
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+            .when(F.col("__mf").isNull(), F.col("__mb"))
+            # tie -> backward (the earlier row), pandas semantics
+            .when(gap_b <= gap_f, F.col("__mb"))
+            .otherwise(F.col("__mf"))
+        )
+        return cand.withColumn("__m", pick).select(
+            *[
+                c
+                for c in both.columns
+                if c not in ("__r", "__side")
+            ],
+            *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in value_cols],
+            F.col("__m.__ts").alias(f"{on}{suffix}"),
+        )
 
     # backward: sort ascending; right (side 0) sorts before left at equal
     # time, so an exact-time right row IS visible to the left row.

@@ -14975,3 +14975,290 @@ def x191(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@_q(
+    "x192_negative_sampling",
+    """WITH types AS (SELECT DISTINCT event_type FROM events),
+       active AS (SELECT DISTINCT user_id,
+                         CAST(date_trunc('week', ts) AS DATE) AS week
+                  FROM events),
+       pos AS (SELECT DISTINCT user_id,
+                      CAST(date_trunc('week', ts) AS DATE) AS week,
+                      event_type
+               FROM events),
+       cand AS (
+         SELECT a.user_id, a.week, t.event_type,
+                (a.user_id * 1103515245
+                 + date_diff('day', DATE '1970-01-01', a.week)
+                   * 2654435761
+                 + ('0x' || substr(md5(t.event_type), 1, 15))::BIGINT)
+                  % 2147483648 AS h
+         FROM active a CROSS JOIN types t
+         WHERE NOT EXISTS (SELECT 1 FROM pos
+                           WHERE pos.user_id = a.user_id
+                             AND pos.week = a.week
+                             AND pos.event_type = t.event_type)
+       ),
+       ranked AS (
+         SELECT event_type,
+                ROW_NUMBER() OVER (PARTITION BY user_id, week
+                                   ORDER BY h, event_type) AS rk
+         FROM cand
+       )
+       SELECT event_type,
+              CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_rank1,
+              CAST(SUM(CASE WHEN rk = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_rank2,
+              CAST(COUNT(*) AS BIGINT) AS n_candidates
+       FROM ranked GROUP BY 1 ORDER BY 1""",
+    doc="Deterministic negative sampling for contrastive training — "
+    "for every ACTIVE (user, week) slice, the event types the user "
+    "did NOT produce that week are ranked by a keyed LCG-over-md5 "
+    "hash (engine-portable integer arithmetic, the x191 "
+    "reproducibility property: the same negatives re-derive from "
+    "keys alone on any engine, layout or rerun — rand()-based "
+    "negative samplers cannot be audited) and the top-2 per slice "
+    "are the training negatives (the recommender two-tower recipe: "
+    "positives = interactions in the window, negatives = items "
+    "passed over in the SAME window). The certified object is the "
+    "MEMBERSHIP distribution: how often each type lands at rank "
+    "1/2, plus the candidate count. Scale shape: active-slices x "
+    "types is a BROADCAST cross join against a VOCABULARY-sized "
+    "type list (bounded fan-out, never user x user; slice count is "
+    "bounded by the event count), the anti join on (user, week, "
+    "type) is one shuffle, and the ranking window partitions on "
+    "(user, week) — millions of tiny partitions, embarrassingly "
+    "parallel. ORACLE: NOT EXISTS + its own window. Output is "
+    "type-vocabulary-sized.",
+    bnlj_bounded=32,
+)
+def x192(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "week", F.date_trunc("week", F.col("ts")).cast("date")
+    )
+    types = ev.select("event_type").distinct()
+    active = ev.select("user_id", "week").distinct()
+    pos = ev.select("user_id", "week", "event_type").distinct()
+    h_type = F.conv(F.substring(F.md5(F.col("event_type")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    wk_days = F.datediff(F.col("week"), F.lit("1970-01-01").cast("date"))
+    cand = (
+        active.crossJoin(F.broadcast(types))
+        .join(pos, ["user_id", "week", "event_type"], "anti")
+        .select(
+            "user_id",
+            "week",
+            "event_type",
+            (
+                (
+                    F.col("user_id") * 1103515245
+                    + wk_days.cast("long") * 2654435761
+                    + h_type
+                )
+                % 2147483648
+            ).alias("h"),
+        )
+    )
+    w = Window.partitionBy("user_id", "week").orderBy("h", "event_type")
+    ranked = cand.select(
+        "event_type", F.row_number().over(w).alias("rk")
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("rk") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_rank1"),
+            F.sum(F.when(F.col("rk") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_rank2"),
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_q(
+    "x193_preference_pairs",
+    """WITH scored AS (
+         SELECT source, doc_id,
+                CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                     AS BIGINT) * 1000
+                + CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                       AS BIGINT) AS score
+         FROM documents WHERE source IS NOT NULL
+       ),
+       best AS (
+         SELECT source, doc_id AS best_doc, score AS best_score
+         FROM (SELECT source, doc_id, score,
+                      ROW_NUMBER() OVER (PARTITION BY source
+                                         ORDER BY score DESC, doc_id)
+                        AS rk
+               FROM scored) WHERE rk = 1
+       ),
+       worst AS (
+         SELECT source, doc_id AS worst_doc, score AS worst_score
+         FROM (SELECT source, doc_id, score,
+                      ROW_NUMBER() OVER (PARTITION BY source
+                                         ORDER BY score ASC, doc_id)
+                        AS rk
+               FROM scored) WHERE rk = 1
+       )
+       SELECT b.source, b.best_doc, b.best_score,
+              w.worst_doc, w.worst_score,
+              b.best_score - w.worst_score AS margin
+       FROM best b JOIN worst w ON b.source = w.source
+       WHERE b.best_score - w.worst_score >= 1000
+       ORDER BY b.source""",
+    doc="Preference-pair mining (the DPO/RLHF data-prep primitive): "
+    "per source group, the highest- and lowest-quality documents "
+    "form a (chosen, rejected) training pair, kept only when the "
+    "quality margin clears a threshold (near-ties teach nothing). "
+    "Quality is an exact-integer proxy (alpha-chars * 1000 + token "
+    "count — the x02 feature family, kept integral so comparisons "
+    "are exact and tie-breaks on doc_id are total). ENGINE: one "
+    "aggregation with struct-max/struct-min (max(struct(score, "
+    "-doc_id)) picks the max score THEN the min doc_id — argmax "
+    "with a deterministic tie-break, no window, ONE shuffle on "
+    "source with map-side partials); ORACLE: two ROW_NUMBER windows "
+    "and a self-join — different algorithm, same pairs. At 100 TB "
+    "the group aggregate is the scale-safe form: per-group state is "
+    "two structs however many documents a source holds.",
+)
+def x193(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isNotNull()
+    )
+    scored = docs.select(
+        "source",
+        "doc_id",
+        (
+            F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast(
+                "bigint"
+            )
+            * 1000
+            + tx.token_count(F.col("text")).cast("bigint")
+        ).alias("score"),
+    )
+    agg = scored.groupBy("source").agg(
+        F.max(F.struct(F.col("score"), (-F.col("doc_id")).alias("nd"))).alias(
+            "b"
+        ),
+        F.min(
+            F.struct(F.col("score"), F.col("doc_id").alias("d"))
+        ).alias("w"),
+    )
+    return (
+        agg.select(
+            "source",
+            (-F.col("b.nd")).cast("bigint").alias("best_doc"),
+            F.col("b.score").alias("best_score"),
+            F.col("w.d").cast("bigint").alias("worst_doc"),
+            F.col("w.score").alias("worst_score"),
+            (F.col("b.score") - F.col("w.score")).alias("margin"),
+        )
+        .where(F.col("margin") >= 1000)
+        .orderBy("source")
+    )
+
+
+@_q(
+    "x194_asof_nearest_tolerance",
+    """WITH p AS (SELECT user_id, ts, event_id FROM events
+                  WHERE event_type = 'purchase'),
+       v AS (SELECT DISTINCT user_id, ts FROM events
+             WHERE event_type = 'view'),
+       m AS (
+         SELECT p.user_id, p.ts, n.vts
+         FROM p LEFT JOIN LATERAL (
+           SELECT v.ts AS vts FROM v
+           WHERE v.user_id = p.user_id
+             AND abs(epoch_us(v.ts) - epoch_us(p.ts))
+                 <= 7200000000
+           ORDER BY abs(epoch_us(v.ts) - epoch_us(p.ts)), v.ts
+           LIMIT 1
+         ) n ON TRUE
+       )
+       SELECT user_id % 10 AS user_bucket,
+              CAST(COUNT(*) AS BIGINT) AS n_purchases,
+              CAST(SUM(CASE WHEN vts IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_matched,
+              CAST(COALESCE(SUM(abs(epoch_us(vts) - epoch_us(ts))
+                                // 1000), 0) AS BIGINT)
+                AS sum_abs_delta_ms,
+              ROUND(CAST(SUM(CASE WHEN vts IS NOT NULL THEN 1 ELSE 0 END)
+                         AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE) + 0.0, 6) AS match_share
+       FROM m GROUP BY 1 ORDER BY 1""",
+    doc="NEAREST as-of join with tolerance (operators/joins.py:"
+    "asof_join direction='nearest') — every purchase matched to the "
+    "user's closest view within +/-2h, whichever side of the clock "
+    "it falls on, ties to the earlier view (pandas merge_asof "
+    "nearest semantics; x16 certifies the backward-only form). The "
+    "ENGINE computes both carries in ONE pass: union the two "
+    "streams, ONE shuffle on user_id, one sort, and the backward "
+    "carry (last right row over the preceding frame) and forward "
+    "carry (first right row over the following frame) are two "
+    "window functions over the SAME sorted layout — never a range "
+    "join, never a second exchange; per-direction tolerance nulls "
+    "apply BEFORE the pick so a too-far past match cannot shadow an "
+    "in-range future one. The ORACLE is a literal LATERAL nearest-"
+    "neighbor subquery (min |delta| LIMIT 1). The time axis is "
+    "exact BIGINT epoch-MICROSECONDS on both sides (the corpus is "
+    "microsecond-grained, so unix_micros/epoch_us lose nothing), "
+    "deltas floored to ms; the one float column is the match "
+    "share, one division rounded at 6. "
+    "Output is 10 user-bucket rows at any scale.",
+)
+def x194(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "tus", F.unix_micros(F.col("ts"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "tus", "event_id"
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select("user_id", "tus")
+        .distinct()
+    )
+    tol_us = 7200000000  # 2 hours in microseconds
+    matched = asof_join(
+        purchases,
+        views,
+        on="tus",
+        by="user_id",
+        value_cols=[],
+        direction="nearest",
+        tolerance=F.lit(tol_us),
+    )
+    delta_ms = F.floor(
+        F.abs(F.col("tus_matched") - F.col("tus")) / F.lit(1000)
+    ).cast("bigint")
+    return (
+        matched.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum(F.when(F.col("tus_matched").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_matched"),
+            F.coalesce(F.sum(delta_ms), F.lit(0))
+            .cast("bigint")
+            .alias("sum_abs_delta_ms"),
+        )
+        .withColumn(
+            "match_share",
+            F.round(
+                F.col("n_matched").cast("double")
+                / F.col("n_purchases").cast("double")
+                + F.lit(0.0),
+                6,
+            ),
+        )
+        .orderBy("user_bucket")
+    )

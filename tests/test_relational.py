@@ -61,6 +61,69 @@ def test_asof_join_directions_and_tolerance(spark):
     assert tol["b"] is None  # gap 5 > 2 nulled
 
 
+def test_asof_join_nearest_direction(spark):
+    """direction='nearest': closer side wins, ties break to the earlier
+    (backward) row, per-direction tolerance nulls apply BEFORE the
+    pick (a too-far past match must not shadow an in-range future
+    one) — pandas merge_asof nearest semantics."""
+    from pyspark.sql import functions as F
+
+    from deepcell_data_engineering_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 10, "a"), ("u1", 21, "b"), ("u1", 35, "c"),
+         ("u2", 5, "d"), ("u3", 50, "e")],
+        "k string, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 8, 100), ("u1", 24, 200), ("u1", 30, 300),
+         ("u2", 9, 400), ("u3", 10, 500)],
+        "k string, ts long, v int",
+    )
+    near = {
+        r["tag"]: (r["v_matched"], r["ts_matched"])
+        for r in asof_join(
+            left, right, on="ts", by="k", direction="nearest"
+        ).collect()
+    }
+    assert near["a"] == (100, 8)    # back gap 2 < fwd gap 14
+    assert near["b"] == (200, 24)   # fwd gap 3 < back gap 13
+    assert near["d"] == (400, 9)    # only a future match exists
+    assert near["e"] == (500, 10)   # only a past match exists
+    assert near["c"] == (300, 30)   # back gap 5, no future row
+
+    # tie: back gap == fwd gap -> the EARLIER (backward) row wins
+    tie_l = spark.createDataFrame([("u", 10, "t")], "k string, ts long, tag string")
+    tie_r = spark.createDataFrame(
+        [("u", 7, 1), ("u", 13, 2)], "k string, ts long, v int"
+    )
+    got = asof_join(tie_l, tie_r, on="ts", by="k", direction="nearest").collect()[0]
+    assert (got["v_matched"], got["ts_matched"]) == (1, 7)
+
+    # per-direction tolerance BEFORE the pick: back gap 2 > tol 1 is
+    # nulled, fwd gap 14 > tol nulled too -> no match for 'a'; 'b'
+    # keeps its fwd match only if within tol
+    tol = {
+        r["tag"]: r["v_matched"]
+        for r in asof_join(
+            left, right, on="ts", by="k", direction="nearest",
+            tolerance=F.lit(3),
+        ).collect()
+    }
+    assert tol["a"] == 100   # back gap 2 <= 3
+    assert tol["b"] == 200   # fwd gap 3 <= 3
+    assert tol["c"] is None  # back gap 5 > 3, no fwd
+    # an out-of-range back row must NOT shadow an in-range fwd row
+    sh_l = spark.createDataFrame([("u", 20, "s")], "k string, ts long, tag string")
+    sh_r = spark.createDataFrame(
+        [("u", 1, 9), ("u", 22, 8)], "k string, ts long, v int"
+    )
+    got2 = asof_join(
+        sh_l, sh_r, on="ts", by="k", direction="nearest", tolerance=F.lit(5)
+    ).collect()[0]
+    assert (got2["v_matched"], got2["ts_matched"]) == (8, 22)
+
+
 def test_asof_join_matched_row_null_is_inherited(spark):
     """A NULL value column in the matched (latest at-or-before) right row
     must come through as NULL — not a stale value carried from an older
