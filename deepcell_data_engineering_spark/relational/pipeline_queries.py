@@ -15262,3 +15262,257 @@ def x194(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_bucket")
     )
+
+
+@_q(
+    "x195_poisson_bootstrap_ci",
+    """WITH reps AS (SELECT unnest(generate_series(0, 47)) AS b),
+       weighted AS (
+         SELECT o.o_orderpriority AS p, r.b,
+                CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS cents,
+                CASE WHEN s < 368 THEN 0 WHEN s < 736 THEN 1
+                     WHEN s < 920 THEN 2 ELSE 3 END AS w
+         FROM (SELECT *, ((o_orderkey * 1103515245
+                           + 2654435761 * 0 + 12345)) AS seed0
+               FROM orders) o
+         CROSS JOIN reps r
+         CROSS JOIN LATERAL (
+           SELECT ((o.o_orderkey * 1103515245 + r.b * 2654435761
+                    + 12345) % 2147483648) % 1000 AS s
+         ) q
+       ),
+       means AS (
+         SELECT p, b,
+                CAST(SUM(w * cents) AS BIGINT) AS num,
+                CAST(SUM(w) AS BIGINT) AS den
+         FROM weighted GROUP BY 1, 2
+       ),
+       ranked AS (
+         SELECT p, b, num, den,
+                CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS m,
+                ROW_NUMBER() OVER (
+                  PARTITION BY p
+                  ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE), b)
+                  AS rn
+         FROM means
+       ),
+       full_mean AS (
+         SELECT o_orderpriority AS p,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                     AS BIGINT) AS tot
+         FROM orders GROUP BY 1
+       )
+       SELECT f.p AS o_orderpriority, f.n,
+              ROUND(CAST(f.tot AS DOUBLE) / CAST(f.n AS DOUBLE) + 0.0, 6)
+                AS mean_cents,
+              ROUND(MAX(CASE WHEN r.rn = 2 THEN r.m END) + 0.0, 6)
+                AS ci_lo,
+              ROUND(MAX(CASE WHEN r.rn = 47 THEN r.m END) + 0.0, 6)
+                AS ci_hi
+       FROM full_mean f JOIN ranked r ON f.p = r.p
+       GROUP BY f.p, f.n, f.tot ORDER BY 1""",
+    doc="Deterministic Poisson bootstrap confidence interval for the "
+    "per-class mean order value — error bars on corpus statistics "
+    "WITHOUT resampling by index (the streaming/MapReduce bootstrap: "
+    "each replicate draws every row's multiplicity from Poisson(1), "
+    "so one pass over the data serves all 48 replicates; here the "
+    "multiplicity in {0,1,2,3} comes from a keyed LCG slot — "
+    "367/368/184/81 per mille, the Poisson(1) pmf truncated at 3 — "
+    "making the resample REPRODUCIBLE bit-for-bit on any engine, "
+    "the x191/x192 auditability property). Replicate means stay "
+    "exact integer pairs (num, den) until one division; the CI is "
+    "an ORDER-STATISTIC pick (ranks 2 and 47 of 48, ~2.5/97.5 "
+    "percentiles) over the tiny per-class replicate set via a "
+    "window with b as the tie-break — no float summation anywhere, "
+    "layout-invariant by construction. Scale shape: the 48x "
+    "fan-out is a bounded map-side explode feeding ONE grouped "
+    "aggregate on (class, replicate) — 100 TB cost is 48 linear "
+    "passes fused into one shuffle of class x 48 cells; the final "
+    "window runs over 48-row groups. ORACLE: generate_series + "
+    "LATERAL slot arithmetic, same integers.",
+)
+def x195(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("p"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    weighted = orders.select(
+        "p",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(47))).alias("b"),
+        F.col("k"),
+    ).select(
+        "p",
+        "b",
+        "cents",
+        (
+            (
+                (
+                    F.col("k") * 1103515245
+                    + F.col("b").cast("long") * 2654435761
+                    + 12345
+                )
+                % 2147483648
+            )
+            % 1000
+        ).alias("s"),
+    ).withColumn(
+        "w",
+        F.when(F.col("s") < 368, 0)
+        .when(F.col("s") < 736, 1)
+        .when(F.col("s") < 920, 2)
+        .otherwise(3),
+    )
+    means = weighted.groupBy("p", "b").agg(
+        F.sum(F.col("w") * F.col("cents")).cast("long").alias("num"),
+        F.sum("w").cast("long").alias("den"),
+    )
+    m = (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+        "m"
+    )
+    w_rank = Window.partitionBy("p").orderBy(
+        F.col("num").cast("double") / F.col("den").cast("double"), "b"
+    )
+    ranked = means.select(
+        "p", "b", m, F.row_number().over(w_rank).alias("rn")
+    )
+    full = orders.groupBy("p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("tot"),
+    )
+    ci = ranked.groupBy("p").agg(
+        F.max(F.when(F.col("rn") == 2, F.col("m"))).alias("lo"),
+        F.max(F.when(F.col("rn") == 47, F.col("m"))).alias("hi"),
+    )
+    return (
+        full.join(ci, "p")
+        .select(
+            F.col("p").alias("o_orderpriority"),
+            "n",
+            F.round(
+                F.col("tot").cast("double") / F.col("n").cast("double")
+                + F.lit(0.0),
+                6,
+            ).alias("mean_cents"),
+            F.round(F.col("lo") + F.lit(0.0), 6).alias("ci_lo"),
+            F.round(F.col("hi") + F.lit(0.0), 6).alias("ci_hi"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "x196_tombstone_merge_feed",
+    """WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS p,
+                            CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                              AS cents
+                     FROM orders),
+       fin AS (SELECT p,
+                      CASE WHEN k % 97 = 3 THEN cents + 1000
+                           ELSE cents END AS cents
+               FROM base WHERE k % 101 <> 7),
+       nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tombstoned
+              FROM base WHERE k % 101 = 7)
+       SELECT p AS o_orderpriority,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              CAST(SUM(cents) AS BIGINT) AS sum_cents,
+              nd.n_tombstoned
+       FROM fin, nd GROUP BY 1, 4 ORDER BY 1""",
+    doc="The CDC-apply pattern certified end to end — MERGE with the "
+    "WHEN MATCHED AND op='D' THEN DELETE clause (snapshots.py:"
+    "merge_upsert delete_condition/source_meta_cols; x167 certifies "
+    "the update/insert clauses, this adds the tombstone third): the "
+    "ENGINE commits the orders facts as a banded 2-dir snapshot "
+    "table, then applies ONE mixed CDC batch — updates (k%97=3, "
+    "cents+1000), tombstones (k%101=7, op='D') and the op flag "
+    "stripped as source metadata — in a single MERGE commit. The "
+    "final snapshot aggregate must equal the ORACLE's CASE-logic "
+    "derivation from raw orders, and n_tombstoned (the count of "
+    "delete/delete rows in the commit's persisted change feed) must "
+    "equal the oracle's literal k%101=7 count — certifying both the "
+    "surviving data AND the exact change set a downstream consumer "
+    "folds. Keys in both slices (k%97=3 AND k%101=7) are deletes — "
+    "one source row per key, the Delta MERGE precondition. Scale "
+    "shape: copy-on-write at directory granularity; a batch "
+    "touching both bands rewrites both, the feed ships row-exact "
+    "deltas, manifest work stays KB-sized. Lakehouse-certification "
+    "tier.",
+)
+def x196(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from deepcell_data_engineering_spark.sources import snapshots as snap
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("p"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    mk = int(base.agg(F.max("k")).collect()[0][0])
+    mid = mk // 2
+    root = tempfile.mkdtemp(prefix="dde_tombstone_")
+    try:
+        t = f"{root}/t"
+        snap.commit(spark, base.where(F.col("k") <= mid), t,
+                    stats_cols=["k"])
+        v1 = snap.commit(
+            spark,
+            base.where(F.col("k") > mid),
+            t,
+            mode="append",
+            stats_cols=["k"],
+        )
+        batch = (
+            base.where((F.col("k") % 97 == 3) | (F.col("k") % 101 == 7))
+            .withColumn(
+                "op",
+                F.when(F.col("k") % 101 == 7, F.lit("D")).otherwise(
+                    F.lit("U")
+                ),
+            )
+            .withColumn(
+                "cents",
+                F.when(
+                    F.col("op") == "U", F.col("cents") + F.lit(1000)
+                ).otherwise(F.col("cents")),
+            )
+        )
+        v2 = snap.merge_upsert(
+            spark,
+            batch,
+            t,
+            keys=["k"],
+            delete_condition="op = 'D'",
+            source_meta_cols=["op"],
+        )
+        n_tomb = (
+            snap.read_changes(spark, t, v1, v2)
+            .where(
+                (F.col("_change_type") == "delete")
+                & (F.col("_change_subtype") == "delete")
+            )
+            .count()
+        )
+        agg = (
+            snap.read_snapshot(spark, t, v2)
+            .groupBy("p")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+        )
+        rows = [
+            (r["p"], r["n_orders"], r["sum_cents"]) for r in agg.collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return (
+        spark.createDataFrame(
+            rows, "o_orderpriority STRING, n_orders BIGINT, sum_cents BIGINT"
+        )
+        .withColumn("n_tombstoned", F.lit(n_tomb).cast("bigint"))
+        .orderBy("o_orderpriority")
+    )

@@ -769,10 +769,24 @@ def merge_upsert(
     batch_id: int | None = None,
     evolve_schema: bool = False,
     store: ManifestStore | None = None,
+    delete_condition=None,
+    source_meta_cols: list[str] | None = None,
 ) -> int:
     """MERGE (upsert) ``source`` into the table by ``keys``: rows whose
     key exists are replaced, new keys are inserted — Delta's
     ``MERGE WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *``.
+
+    ``delete_condition`` adds the third Delta MERGE clause:
+    ``WHEN MATCHED AND <condition> THEN DELETE`` — source rows
+    satisfying it are TOMBSTONES: their matched table rows are deleted
+    (change feed ``delete``/``delete``), nothing is inserted for them,
+    and a tombstone whose key does not exist folds to a no-op (exactly
+    how a CDC apply treats a delete for an already-absent row). The
+    condition is a Column/SQL string over SOURCE columns (typically a
+    CDC op flag: ``delete_condition="op = 'D'"``).
+    ``source_meta_cols`` names CDC metadata columns (op flags, LSNs)
+    stripped from the source AFTER the condition evaluates, so the
+    remaining columns can satisfy the schema contract below.
 
     PRECONDITION: ``source`` carries at most one row per key (the same
     requirement Delta MERGE enforces); several source rows for one key
@@ -833,9 +847,21 @@ def merge_upsert(
     # read it — a recompute-on-block-loss here fails loudly instead of
     # silently re-rolling a non-deterministic source
     source = source.localCheckpoint(eager=True)
+    del_keys = None
+    if delete_condition is not None:
+        dc = (
+            F.expr(delete_condition)
+            if isinstance(delete_condition, str)
+            else delete_condition
+        )
+        del_keys = source.where(dc).select(*keys).dropDuplicates(keys)
+        source = source.where(~F.coalesce(dc, F.lit(False)))
+    if source_meta_cols:
+        source = source.drop(*source_meta_cols)
     if basis is None:
-        # empty table: MERGE degenerates to pure insert; change set is
-        # the source itself
+        # empty table: MERGE degenerates to pure insert (tombstones for
+        # keys that never existed fold to no-ops); change set is the
+        # source itself
         chg = source.withColumn("_change_type", F.lit("insert")).withColumn(
             "_change_subtype", F.lit("insert")
         )
@@ -891,10 +917,18 @@ def merge_upsert(
             )
     tokens = _dir_tokens(parent_dirs)
     src_keys = source.select(*keys).dropDuplicates(keys)
+    # union of upsert keys and tombstone keys drives BOTH touched-dir
+    # discovery and the survivor anti-join (a dir holding only
+    # tombstoned rows must still rewrite)
+    all_keys = (
+        src_keys.unionByName(del_keys).dropDuplicates(keys)
+        if del_keys is not None
+        else src_keys
+    )
     # catalog-sized: one dir token per touched directory
     touched_tokens = {
         r[_DIR_COL]
-        for r in parent.join(src_keys, keys, "semi")
+        for r in parent.join(all_keys, keys, "semi")
         .select(_DIR_COL)
         .distinct()
         .collect()
@@ -903,7 +937,7 @@ def merge_upsert(
     touched_parent = parent.where(
         F.col(_DIR_COL).isin(list(touched_tokens))
     )
-    survivors = touched_parent.join(src_keys, keys, "anti").drop(_DIR_COL)
+    survivors = touched_parent.join(all_keys, keys, "anti").drop(_DIR_COL)
     preimages = touched_parent.join(src_keys, keys, "semi").drop(_DIR_COL)
 
     data_cols = [c for c in source.columns]
@@ -928,6 +962,15 @@ def merge_upsert(
             .withColumn("_change_subtype", F.lit("insert"))
         )
     )
+    if del_keys is not None:
+        tombstoned = touched_parent.join(del_keys, keys, "semi").drop(
+            _DIR_COL
+        )
+        chg = chg.unionByName(
+            tombstoned.select(*data_cols)
+            .withColumn("_change_type", F.lit("delete"))
+            .withColumn("_change_subtype", F.lit("delete"))
+        )
     chg_rel = _write_change_set(chg, table_path)
 
     new_rels: list[str] = []
@@ -940,9 +983,14 @@ def merge_upsert(
         )
         survivors.write.parquet(rewrite_dir)
         new_rels.append(os.path.relpath(rewrite_dir, table_path))
-    source_dir = os.path.join(table_path, _DATA_DIR, f"c{uuid.uuid4().hex[:12]}")
-    source.write.parquet(source_dir)
-    new_rels.append(os.path.relpath(source_dir, table_path))
+    # a pure-tombstone batch has no upsert rows — don't publish an
+    # empty source directory (cheap bounded count on the pinned frame)
+    if del_keys is None or source.limit(1).count() > 0:
+        source_dir = os.path.join(
+            table_path, _DATA_DIR, f"c{uuid.uuid4().hex[:12]}"
+        )
+        source.write.parquet(source_dir)
+        new_rels.append(os.path.relpath(source_dir, table_path))
     kept = [d for d in parent_dirs if d not in touched]
     dirs = kept + new_rels
     return commit(

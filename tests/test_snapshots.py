@@ -2398,3 +2398,73 @@ def test_catalog_create_validates_store_substrate(tmp_path):
     cat = SnapshotCatalog(str(tmp_path / "cat"))
     with pytest.raises(ValueError, match="POSIX"):
         cat.create_table("remote", "s3://bucket/tbl")
+
+
+def test_merge_tombstone_clause(spark, tmp_path):
+    """merge_upsert(delete_condition=...) — the WHEN MATCHED AND cond
+    THEN DELETE clause: tombstoned keys vanish, upserts update/insert,
+    a tombstone for an absent key is a no-op, CDC feed carries
+    delete/delete rows for tombstones, untouched dirs are carried by
+    reference, and a pure-tombstone batch publishes no source dir."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    v0 = snap.commit(spark, docs.where(F.col("doc_id") < 30), t)
+    v1 = snap.commit(
+        spark,
+        docs.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 60)),
+        t,
+        mode="append",
+    )
+    # CDC batch: update 2 (dir A), delete 40+41 (dir B), insert 100,
+    # tombstone an absent key 999
+    batch = spark.createDataFrame(
+        [
+            (2, "patched", "U"),
+            (40, None, "D"),
+            (41, None, "D"),
+            (100, "fresh", "U"),
+            (999, None, "D"),
+        ],
+        "doc_id long, source string, op string",
+    )
+    v2 = snap.merge_upsert(
+        spark,
+        batch,
+        t,
+        keys=["doc_id"],
+        delete_condition="op = 'D'",
+        source_meta_cols=["op"],
+    )
+    got = snap.read_snapshot(spark, t, v2)
+    ids = {r.doc_id for r in got.select("doc_id").collect()}
+    assert ids == (set(range(60)) - {40, 41}) | {100}
+    assert got.where(F.col("source") == "patched").count() == 1
+    assert got.where(F.col("source") == "fresh").count() == 1
+
+    feed = snap.read_changes(spark, t, v1, v2)
+    subtypes = {
+        (r.doc_id, r._change_subtype)
+        for r in feed.select("doc_id", "_change_subtype").collect()
+    }
+    assert (40, "delete") in subtypes and (41, "delete") in subtypes
+    assert (2, "update_preimage") in subtypes
+    assert (2, "update_postimage") in subtypes
+    assert (100, "insert") in subtypes
+    assert not any(d == 999 for d, _ in subtypes)  # absent-key no-op
+
+    # pure-tombstone batch: no source dir published, one rewrite dir
+    n_dirs_before = len(snap._load_manifest(t, v2, snap._POSIX)["dirs"])
+    tomb = spark.createDataFrame([(3, None, "D")], "doc_id long, source string, op string")
+    v3 = snap.merge_upsert(
+        spark,
+        tomb,
+        t,
+        keys=["doc_id"],
+        delete_condition="op = 'D'",
+        source_meta_cols=["op"],
+    )
+    m3 = snap._load_manifest(t, v3, snap._POSIX)
+    assert len(m3["dirs"]) == n_dirs_before  # -1 touched +1 rewrite, no source dir
+    assert snap.read_snapshot(spark, t, v3).where(
+        F.col("doc_id") == 3
+    ).count() == 0
