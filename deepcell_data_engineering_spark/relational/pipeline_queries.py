@@ -15516,3 +15516,109 @@ def x196(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_tombstoned", F.lit(n_tomb).cast("bigint"))
         .orderBy("o_orderpriority")
     )
+
+
+@_q(
+    "x197_time_embargo_split",
+    """WITH span AS (
+         SELECT MIN(o_orderdate) AS dmin, MAX(o_orderdate) AS dmax
+         FROM orders
+       ),
+       cuts AS (
+         SELECT dmin,
+                dmin + ((7 * date_diff('day', dmin, dmax)) // 10)
+                       * INTERVAL 1 DAY AS d_train,
+                dmin + ((7 * date_diff('day', dmin, dmax)) // 10 + 30)
+                       * INTERVAL 1 DAY AS d_embargo
+         FROM span
+       ),
+       tagged AS (
+         SELECT CASE WHEN o.o_orderdate <= c.d_train THEN 'train'
+                     WHEN o.o_orderdate <= c.d_embargo THEN 'embargo'
+                     ELSE 'test' END AS split,
+                o.o_custkey, o.o_orderdate
+         FROM orders o, cuts c
+       ),
+       leak AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_shared_custkeys
+         FROM (SELECT o_custkey FROM tagged WHERE split = 'train'
+               INTERSECT
+               SELECT o_custkey FROM tagged WHERE split = 'test') s
+       ),
+       tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM tagged)
+       SELECT t.split,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              CAST(COUNT(DISTINCT t.o_custkey) AS BIGINT) AS n_custkeys,
+              MIN(t.o_orderdate) AS min_date,
+              MAX(t.o_orderdate) AS max_date,
+              ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(tot.n_all AS DOUBLE)
+                    + 0.0, 6) AS share,
+              leak.n_shared_custkeys
+       FROM tagged t, leak, tot
+       GROUP BY t.split, leak.n_shared_custkeys, tot.n_all
+       ORDER BY t.split""",
+    doc="Time-ordered train/embargo/test split — the leakage-safe "
+    "evaluation protocol for forecasting/financial ML (and for LLM "
+    "data: train on the past, hold out the future, and leave an "
+    "EMBARGO gap so horizon-h labels computed near the boundary "
+    "cannot straddle it; x84 audits ENTITY leakage across random "
+    "splits, this is the TEMPORAL counterpart). Cut points derive "
+    "from exact integer date arithmetic — train = first 70% of the "
+    "day span (integer 7*span//10, no float days), embargo = the "
+    "next 30 days — so the assignment is reproducible from the data "
+    "alone. Output per split: counts, distinct customers, actual "
+    "date bounds (certifying the embargo window is EMPTY of train/"
+    "test rows by construction), the share (one division, rounded "
+    "once), and the train-AND-test shared-customer count (an "
+    "INTERSECT of two key projections) — the number an entity-aware "
+    "splitter would drive to zero. Scale: two scans (one for the "
+    "span scalars, one tagged aggregate) + key-projection set ops; "
+    "everything shuffles on custkey or split only.",
+)
+def x197(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    dmin, dmax = orders.agg(
+        F.min("o_orderdate"), F.max("o_orderdate")
+    ).collect()[0]
+    span = (dmax - dmin).days
+    d_train = F.date_add(F.lit(dmin), (7 * span) // 10)
+    d_embargo = F.date_add(F.lit(dmin), (7 * span) // 10 + 30)
+    tagged = orders.select(
+        F.when(F.col("o_orderdate") <= d_train, "train")
+        .when(F.col("o_orderdate") <= d_embargo, "embargo")
+        .otherwise("test")
+        .alias("split"),
+        "o_custkey",
+        "o_orderdate",
+    )
+    n_all = tagged.count()
+    shared = (
+        tagged.where(F.col("split") == "train")
+        .select("o_custkey")
+        .intersect(
+            tagged.where(F.col("split") == "test").select("o_custkey")
+        )
+        .count()
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_custkeys"),
+            F.min("o_orderdate").alias("min_date"),
+            F.max("o_orderdate").alias("max_date"),
+        )
+        .withColumn(
+            "share",
+            F.round(
+                F.col("n_orders").cast("double")
+                / F.lit(float(n_all))
+                + F.lit(0.0),
+                6,
+            ),
+        )
+        .withColumn(
+            "n_shared_custkeys", F.lit(shared).cast("bigint")
+        )
+        .orderBy("split")
+    )

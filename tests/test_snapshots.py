@@ -2468,3 +2468,62 @@ def test_merge_tombstone_clause(spark, tmp_path):
     assert snap.read_snapshot(spark, t, v3).where(
         F.col("doc_id") == 3
     ).count() == 0
+
+
+def test_streaming_cdc_apply_tombstone_merge(spark, tmp_path):
+    """Streaming twin of x196: a CDC stream of (key, value, op) rows
+    drives foreachBatch merge_upsert commits with the tombstone
+    clause (op='D' deletes, else upsert), exactly-once by batch_id;
+    the table converges to the fold of the batches and the feed
+    carries the delete/update/insert refinement per batch."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    v0 = snap.commit(spark, docs.where(F.col("doc_id") < 50), t)
+
+    src = str(tmp_path / "cdc")
+    batches = [
+        [(2, "p1", "U"), (7, None, "D")],
+        [(2, "p2", "U"), (100, "new", "U"), (900, None, "D")],
+        [(100, None, "D"), (8, None, "D")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(
+            rows, "doc_id bigint, source string, op string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def apply_cdc(bdf, bid):
+        snap.merge_upsert(
+            spark,
+            bdf,
+            t,
+            keys=["doc_id"],
+            batch_id=bid,
+            delete_condition="op = 'D'",
+            source_meta_cols=["op"],
+        )
+
+    q = (
+        spark.readStream.schema("doc_id bigint, source string, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(apply_cdc)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    head = snap.current_version(t)
+    assert head == v0 + 3
+
+    got = {
+        r.doc_id: r.source
+        for r in snap.read_snapshot(spark, t, head).collect()
+    }
+    assert set(got) == set(range(50)) - {7, 8}
+    assert got[2] == "p2"  # second upsert won; 100 inserted then deleted
+
+    feed = snap.read_changes(spark, t, v0, head)
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    net = feed.groupBy("doc_id").agg(F.sum(sign).alias("s"))
+    assert {r.doc_id for r in net.where(F.col("s") < 0).collect()} == {7, 8}
+    assert net.where(F.col("s") > 0).count() == 0  # 100's insert cancelled
