@@ -15622,3 +15622,202 @@ def x197(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@_q(
+    "x198_sql_variables",
+    """WITH thr AS (
+         SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                     / COUNT(*) AS BIGINT) AS t
+         FROM orders
+       )
+       SELECT o_orderpriority,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              CAST(SUM(CASE WHEN CAST(ROUND(o_totalprice * 100, 0)
+                                      AS BIGINT) > thr.t
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+              ROUND(CAST(SUM(CASE WHEN CAST(ROUND(o_totalprice * 100, 0)
+                                           AS BIGINT) > thr.t
+                                  THEN 1 ELSE 0 END) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE) + 0.0, 6) AS share_above
+       FROM orders, thr GROUP BY o_orderpriority, thr.t
+       ORDER BY o_orderpriority""",
+    doc="SQL session VARIABLES + IDENTIFIER() dynamic name resolution "
+    "certified (the Spark 4 scripting surface, like x179's pipe "
+    "syntax): the ENGINE DECLAREs a typed session variable, SETs it "
+    "from a scalar subquery (the exact integer mean-cents threshold "
+    "— BIGINT floor division, no float), registers the fact table "
+    "under a dynamic view name resolved via IDENTIFIER(:view "
+    "variable), and answers the above-threshold rollup with BOTH "
+    "variables live in one spark.sql text — then DROPs them. The "
+    "ORACLE inlines the same threshold as a CTE (ANSI form), so any "
+    "divergence in variable binding, scoping or the dynamic name "
+    "resolution breaks counts. Plan-wise Catalyst constant-folds the "
+    "variable reference — the physical plan is identical to the "
+    "literal query (zero overhead at 100 TB); the threshold subquery "
+    "is one scalar aggregate pass. Exact ints until the one share "
+    "division, rounded at 6.",
+)
+def x198(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    orders.createOrReplaceTempView("x198_orders_v")
+    try:
+        spark.sql(
+            "DECLARE OR REPLACE VARIABLE x198_thr BIGINT DEFAULT 0"
+        )
+        spark.sql(
+            "DECLARE OR REPLACE VARIABLE x198_view STRING "
+            "DEFAULT 'x198_orders_v'"
+        )
+        spark.sql(
+            "SET VARIABLE x198_thr = "
+            "(SELECT CAST(SUM(cents) / COUNT(*) AS BIGINT) "
+            "FROM IDENTIFIER(x198_view))"
+        )
+        out = spark.sql(
+            """SELECT o_orderpriority,
+                      CAST(COUNT(*) AS BIGINT) AS n_orders,
+                      CAST(SUM(CASE WHEN cents > x198_thr
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_above,
+                      ROUND(CAST(SUM(CASE WHEN cents > x198_thr
+                                          THEN 1 ELSE 0 END) AS DOUBLE)
+                            / CAST(COUNT(*) AS DOUBLE) + 0.0, 6)
+                        AS share_above
+               FROM IDENTIFIER(x198_view)
+               GROUP BY o_orderpriority
+               ORDER BY o_orderpriority"""
+        )
+        # materialize before dropping the variables/view the plan binds
+        rows = [
+            (
+                r["o_orderpriority"],
+                r["n_orders"],
+                r["n_above"],
+                r["share_above"],
+            )
+            for r in out.collect()
+        ]
+    finally:
+        spark.sql("DROP TEMPORARY VARIABLE IF EXISTS x198_thr")
+        spark.sql("DROP TEMPORARY VARIABLE IF EXISTS x198_view")
+        spark.catalog.dropTempView("x198_orders_v")
+    return spark.createDataFrame(
+        rows,
+        "o_orderpriority STRING, n_orders BIGINT, n_above BIGINT, "
+        "share_above DOUBLE",
+    ).orderBy("o_orderpriority")
+
+
+@_q(
+    "x199_fd_histogram",
+    """WITH vals AS (
+         SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+         FROM orders
+       ),
+       ordered AS (
+         SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+                COUNT(*) OVER () AS n
+         FROM vals
+       ),
+       q AS (
+         SELECT MAX(CASE WHEN rn = (25 * n + 99) // 100
+                         THEN cents END) AS q1,
+                MAX(CASE WHEN rn = (75 * n + 99) // 100
+                         THEN cents END) AS q3,
+                MAX(n) AS n, MIN(cents) AS cmin
+         FROM ordered
+       ),
+       w AS (
+         SELECT GREATEST(CAST(1 AS BIGINT),
+                         CAST(ROUND(2.0 * CAST(q3 - q1 AS DOUBLE)
+                                    / CBRT(CAST(n AS DOUBLE)), 0)
+                              AS BIGINT)) AS bw,
+                cmin, n
+         FROM q
+       )
+       SELECT (v.cents - w.cmin) // w.bw AS bin,
+              CAST(w.cmin + ((v.cents - w.cmin) // w.bw) * w.bw
+                   AS BIGINT) AS lo_cents,
+              w.bw AS bin_width,
+              CAST(COUNT(*) AS BIGINT) AS n_rows
+       FROM vals v, w
+       GROUP BY 1, 2, 3 ORDER BY bin LIMIT 30""",
+    doc="Freedman-Diaconis equi-width histogram profile of the order-"
+    "value distribution — the auto-binned distribution sketch a data "
+    "profiler ships (bin width 2*IQR/cbrt(n), the robust rule that "
+    "neither over-smooths skewed corpora like Sturges nor explodes "
+    "on outliers): exact type-1 quartiles feed an integer bin width, "
+    "then ONE grouped count per bin. The ENGINE computes the exact "
+    "quartiles scale-safely — a value HISTOGRAM plus the distributed "
+    "two-phase prefix scan (grouped_cumsum over the near-unique "
+    "cents domain; NO single-task global window however many rows), "
+    "then the smallest value whose cumulative count reaches the "
+    "integer ceil-rank (25n+99)//100 — while the ORACLE uses the "
+    "literal order-statistics definition (global ROW_NUMBER over all "
+    "rows), two independent algorithms agreeing on the same exact "
+    "integers. Bin ids are pure BIGINT arithmetic ((cents-min) div "
+    "width); the float appears only inside the rounded-once width "
+    "(cbrt of an exact count, one IEEE expression both engines "
+    "evaluate identically). Output: first 30 bins.",
+)
+def x199(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deepcell_data_engineering_spark.functions.layout import (
+        grouped_cumsum,
+    )
+
+    vals = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        )
+    )
+    hist = vals.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cum = grouped_cumsum(hist, [], "cents", ["c"])
+    tot = hist.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.min("cents").alias("cmin"),
+    )
+    ranked = cum.crossJoin(F.broadcast(tot))
+    q1 = ranked.where(
+        F.col("cum_c") >= F.expr("(25 * n + 99) div 100")
+    ).agg(F.min("cents").alias("q1"))
+    q3 = ranked.where(
+        F.col("cum_c") >= F.expr("(75 * n + 99) div 100")
+    ).agg(F.min("cents").alias("q3"))
+    params = (
+        tot.crossJoin(F.broadcast(q1))
+        .crossJoin(F.broadcast(q3))
+        .select(
+            "cmin",
+            "n",
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.round(
+                    F.lit(2.0)
+                    * (F.col("q3") - F.col("q1")).cast("double")
+                    / F.cbrt(F.col("n").cast("double")),
+                    0,
+                ).cast("bigint"),
+            ).alias("bw"),
+        )
+    )
+    binned = vals.crossJoin(F.broadcast(params)).select(
+        F.expr("(cents - cmin) div bw").alias("bin"),
+        F.expr("cmin + ((cents - cmin) div bw) * bw")
+        .cast("bigint")
+        .alias("lo_cents"),
+        F.col("bw").alias("bin_width"),
+    )
+    return (
+        binned.groupBy("bin", "lo_cents", "bin_width")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .orderBy("bin")
+        .limit(30)
+    )

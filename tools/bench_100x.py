@@ -59,6 +59,11 @@ QUERIES = [
     # read_changes(ranges=...) over a banded append chain, reading
     # only the intersecting delta dirs
     "x166_scoped_cdc_view",
+    # r12: the full lifecycle leg (r11 verdict item 8) — shallow
+    # clone, MERGE + DELETE on the clone (copy-on-write of the
+    # touched borrowed dirs only), RESTORE, and a v0->head CDC fold
+    # certifying zero net change
+    "x185_lifecycle_clone_restore",
 ]
 
 # Per-query reading notes carried into the artifact (the x67 cap-note
@@ -112,6 +117,18 @@ NOTES = {
         "commit chain's full payload; wall is dominated by writing "
         "the 8 commits (one-pass data write), which is the operator "
         "under test"
+    ),
+    "x185_lifecycle_clone_restore": (
+        "lakehouse lifecycle leg: base commit (2 banded dirs) -> "
+        "shallow clone (one manifest write, zero data movement at ANY "
+        "payload) -> MERGE bumping a ~1% key slice (copy-on-write "
+        "rewrites only the touched borrowed dir) -> DELETE of another "
+        "slice -> RESTORE to clone-v0 (one manifest write) -> full "
+        "v0->head CDC fold certifying zero net rows. Wall tracks the "
+        "base write + the two touched-dir rewrites + the feed fold "
+        "(all linear one-pass data I/O); clone and restore stay "
+        "KB-sized manifest arithmetic while the payload scales 100x — "
+        "the flat-manifest-cost property this leg exists to pin"
     ),
     "x145_cdc_incremental_view": (
         "lakehouse leg: append/replace/overwrite commit chain + a view "

@@ -205,6 +205,39 @@ QUERIES = [
     "x181_max_drawdown",
     "x182_trailing_range_frame",
     "x183_percentile_cont",
+    # round-12 additions: x184 catalog DDL publishes (KB) + one
+    # snapshot commit + a broadcast agg; x185 clone/merge/delete/
+    # restore chain — wall tracks the touched-dir rewrites, manifest
+    # work fixed; x186 one grouped conditional-sum pass; x187 one
+    # suppkey agg + broadcast dims + per-nation window over the
+    # supplier AGGREGATE; x188 50x3-cell histogram + one window scan;
+    # x189 tokenize + one term-keyed agg + broadcast margins; x190
+    # monthly rollup + month-pair self-join (calendar-bounded); x191
+    # map-only LCG tag + one agg; x192 active-slice x type-vocab
+    # broadcast cross join + anti + per-slice window; x193 one
+    # struct-argmax agg on source; x194 union + one user_id shuffle,
+    # dual window carry; x195 48x bounded explode into one (class,
+    # replicate) agg; x196 two commits + one tombstone MERGE + feed
+    # count; x197 span scalars + tagged agg + key INTERSECT.
+    "x184_catalog_rename_view",
+    "x185_lifecycle_clone_restore",
+    "x186_cohens_kappa",
+    "x187_hhi_concentration",
+    "x188_kruskal_wallis",
+    "x189_log_odds_keyness",
+    "x190_mann_kendall_trend",
+    "x191_lcg_sample_estimate",
+    "x192_negative_sampling",
+    "x193_preference_pairs",
+    "x194_asof_nearest_tolerance",
+    "x195_poisson_bootstrap_ci",
+    "x196_tombstone_merge_feed",
+    "x197_time_embargo_split",
+    # x198 one scalar-subquery pass + one grouped agg (the variable
+    # binding constant-folds); x199 value histogram + the group-free
+    # grouped_cumsum prefix scan + one binned count.
+    "x198_sql_variables",
+    "x199_fd_histogram",
     # x66_similarity_join_exact is intentionally absent: its TRUE result
     # set (all pairs over a templated corpus) grows quadratically with
     # corpus size, so an sf1/sf0.1 ratio would read as a hidden
