@@ -177,6 +177,58 @@ def _write_lineitem_chunked(
         writer.close()
 
 
+def gen_dims(out_dir: str, scale: int, rng: np.random.RandomState) -> None:
+    """supplier (1k x scale, sf0.1 fingerprints: dense s_suppkey,
+    s_nationkey uniform 0..24) plus the fixed nation/region dims —
+    the tables x187's revenue-concentration rollup joins through."""
+    n_supp = 1_000 * scale
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array(range(n_supp), pa.int64()),
+                "s_name": pa.array(
+                    [f"Supplier#{i:09d}" for i in range(n_supp)],
+                    pa.string(),
+                ),
+                "s_nationkey": pa.array(
+                    rng.randint(0, 25, n_supp), pa.int32()
+                ),
+                "s_acctbal": pa.array(
+                    np.round(rng.uniform(-1000, 10000, n_supp), 2),
+                    pa.float64(),
+                ),
+            }
+        ),
+        os.path.join(out_dir, "supplier.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array(range(25), pa.int32()),
+                "n_name": pa.array(
+                    [f"NATION_{i}" for i in range(25)], pa.string()
+                ),
+                "n_regionkey": pa.array(
+                    [i % 5 for i in range(25)], pa.int32()
+                ),
+            }
+        ),
+        os.path.join(out_dir, "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array(range(5), pa.int32()),
+                "r_name": pa.array(
+                    ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"],
+                    pa.string(),
+                ),
+            }
+        ),
+        os.path.join(out_dir, "region.parquet"),
+    )
+
+
 def gen_tpch(out_dir: str, scale: int, rng: np.random.RandomState) -> None:
     """customer/orders/lineitem at ``scale``x the sf0.1 row counts,
     mirroring sf0.1's measured fingerprints (keys dense from 0,
@@ -247,6 +299,7 @@ def gen_tpch(out_dir: str, scale: int, rng: np.random.RandomState) -> None:
         ),
         os.path.join(out_dir, "part.parquet"),
     )
+    gen_dims(out_dir, scale, rng)
     day_us = 86_400_000_000
     t0 = np.datetime64("1995-01-01", "us").astype(np.int64)
     odate = t0 + rng.randint(0, 2404, n_ord).astype(np.int64) * day_us
