@@ -41,9 +41,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # rows (x113, x114, x117, x119, x120, x127–x131), then the oldest
 # r8 rows (d01–d25) to fill the 50-slot window. After this round no
 # driver verdict is older than round 8; the round-13 rotation should
-# lead with any round-12 additions (x184+), then the remaining r8
-# rows (d26–d30, d-relational residue and the r8 x-tier) in registry
-# order.
+# lead with the 16 round-12 additions (x184–x199: catalog rename,
+# clone/restore lifecycle, kappa, HHI/CR4, Kruskal-Wallis, log-odds
+# keyness, Mann-Kendall, LCG sample, negative sampling, preference
+# pairs, nearest as-of, Poisson bootstrap, tombstone merge, embargo
+# split, SQL variables, FD histogram), then the remaining r8 rows
+# (d26–d30 and the r8 x-tier x01–x56 residue) in registry order.
 _CHECK_FIRST = [
     # never driver-checked (round-11 additions)
     "x165_catalog_named_view", "x166_scoped_cdc_view",
