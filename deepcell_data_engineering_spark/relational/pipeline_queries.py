@@ -15821,3 +15821,96 @@ def x199(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bin")
         .limit(30)
     )
+
+
+@_q(
+    "x200_update_feed_view",
+    """WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS p,
+                            CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                              AS cents
+                     FROM orders),
+       fin AS (SELECT p,
+                      CASE WHEN k % 97 = 3 THEN cents + 500
+                           ELSE cents END AS cents,
+                      CASE WHEN k % 97 = 3 THEN 1 ELSE 0 END AS u
+               FROM base)
+       SELECT p AS o_orderpriority,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              CAST(SUM(cents) AS BIGINT) AS sum_cents,
+              CAST(SUM(u) AS BIGINT) AS n_updated
+       FROM fin GROUP BY 1 ORDER BY 1""",
+    doc="The UPDATE verb certified end to end (snapshots.py:"
+    "update_where — the fourth DML leg beside x151's MERGE, x162's "
+    "DELETE and the append/overwrite INSERTs): the ENGINE commits "
+    "the orders facts as a banded 2-dir snapshot table and runs ONE "
+    "UPDATE (SET cents = cents + 500 WHERE k % 97 = 3 — the SET "
+    "expression reads the row's CURRENT value, the property that "
+    "separates UPDATE from a blind overwrite), then certifies BOTH "
+    "surfaces: the final snapshot aggregate against the oracle's "
+    "CASE rebuild from raw orders, and per-priority n_updated "
+    "folded from the commit's persisted update_postimage feed rows "
+    "against the oracle's literal k%97=3 count. Copy-on-write at "
+    "directory granularity (only dirs containing a match rewrite; "
+    "survivors + postimages land in one new dir, stats recomputed); "
+    "predicate AND set expressions each pinned to one evaluation "
+    "(the delete_where determinism rule). Lakehouse-certification "
+    "tier.",
+)
+def x200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from deepcell_data_engineering_spark.sources import snapshots as snap
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("p"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    mk = int(base.agg(F.max("k")).collect()[0][0])
+    mid = mk // 2
+    root = tempfile.mkdtemp(prefix="dde_update_")
+    try:
+        t = f"{root}/t"
+        snap.commit(spark, base.where(F.col("k") <= mid), t,
+                    stats_cols=["k"])
+        v1 = snap.commit(
+            spark,
+            base.where(F.col("k") > mid),
+            t,
+            mode="append",
+            stats_cols=["k"],
+        )
+        v2 = snap.update_where(
+            spark, t, "k % 97 = 3", {"cents": "cents + 500"}
+        )
+        upd = (
+            snap.read_changes(spark, t, v1, v2)
+            .where(F.col("_change_subtype") == "update_postimage")
+            .groupBy("p")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_updated"))
+        )
+        agg = (
+            snap.read_snapshot(spark, t, v2)
+            .groupBy("p")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+        )
+        rows = [
+            (
+                r["p"],
+                r["n_orders"],
+                r["sum_cents"],
+                r["n_updated"] if r["n_updated"] is not None else 0,
+            )
+            for r in agg.join(upd, "p", "left").collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "o_orderpriority STRING, n_orders BIGINT, sum_cents BIGINT, "
+        "n_updated BIGINT",
+    ).orderBy("o_orderpriority")

@@ -1129,6 +1129,135 @@ def delete_where(
     )
 
 
+def update_where(
+    spark: SparkSession,
+    table_path: str,
+    condition,
+    set_exprs: dict,
+    batch_id: int | None = None,
+    store: ManifestStore | None = None,
+) -> int:
+    """UPDATE ... SET ... WHERE — the fourth DML verb, completing the
+    SQL surface beside append/overwrite (INSERT), :func:`merge_upsert`
+    (MERGE) and :func:`delete_where` (DELETE): rows where ``condition``
+    is TRUE get each ``set_exprs`` column replaced by its expression
+    (Column or SQL string, evaluated over the row's CURRENT values —
+    ``{"cents": "cents + 500"}`` is the usual shape); FALSE or NULL
+    rows are untouched (SQL UPDATE semantics). Unknown SET columns
+    raise — UPDATE never evolves schema (use ``merge_upsert`` with
+    ``evolve_schema`` for that).
+
+    Scale shape (the copy-on-write rule shared with merge/delete): one
+    predicate scan finds the parent directories CONTAINING a matched
+    row; only those rewrite — their unmatched survivors plus the
+    updated rows land in one new directory, every untouched directory
+    is carried by reference, and the rewritten dir's data-skipping
+    stats are recomputed.
+
+    CDC: the commit persists delete/insert pairs per updated row
+    (``_change_subtype`` 'update_preimage'/'update_postimage' — the
+    Delta CDF refinement), shipped verbatim by ``read_changes``.
+
+    Determinism (ENFORCED, the delete_where rule): the predicate is
+    evaluated ONCE over the touched directories (pinned flagged
+    frame), and the SET expressions are evaluated ONCE over the
+    matched rows (pinned postimage frame) — change set and rewritten
+    data derive from those single evaluations, so non-deterministic
+    predicates or SET expressions still commit a self-consistent
+    version + feed. Basis-pinned via ``expected_parent``; ``batch_id``
+    dedups streaming replays."""
+    st = _store(store)
+    st.check_path(table_path)
+    basis = current_version(table_path, st)
+    if basis is None:
+        raise ValueError(f"no committed versions at {table_path!r}")
+    if batch_id is not None:
+        seen = _batch_id_seen(table_path, basis, batch_id, st)
+        if seen is not None:
+            return seen
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    sets = {
+        c: (F.expr(e) if isinstance(e, str) else e)
+        for c, e in set_exprs.items()
+    }
+
+    manifest = _load_manifest(table_path, basis, st)
+    parent_dirs: list[str] = manifest["dirs"]
+    parent = _with_dir_col(
+        spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(table_path, d) for d in parent_dirs]
+        )
+    )
+    data_cols = [c for c in parent.columns if c != _DIR_COL]
+    unknown = sorted(set(sets) - set(data_cols))
+    if unknown:
+        raise ValueError(
+            f"update_where SET columns {unknown} are not table columns "
+            f"(have: {sorted(data_cols)}); UPDATE never evolves schema"
+        )
+    tokens = _dir_tokens(parent_dirs)
+    touched_tokens = {
+        r[_DIR_COL]
+        for r in parent.where(cond).select(_DIR_COL).distinct().collect()
+    }
+    touched = _resolve_touched(touched_tokens, tokens, table_path)
+    flag = _DIR_COL + "_upd"
+    if flag in parent.columns:
+        raise ValueError(
+            f"table carries a column named {flag!r}, which update_where "
+            "reserves for internal predicate pinning — rename it"
+        )
+    flagged = (
+        parent.where(F.col(_DIR_COL).isin(list(touched_tokens)))
+        .withColumn(flag, F.coalesce(cond, F.lit(False)))
+        .localCheckpoint(eager=True)
+    )
+    pre = flagged.where(F.col(flag)).drop(_DIR_COL, flag)
+    # ONE pinned evaluation of the SET expressions — the postimage
+    # feeds BOTH the change set and the rewritten data
+    post = pre.select(
+        *[
+            (sets[c] if c in sets else F.col(c)).alias(c)
+            for c in data_cols
+        ]
+    ).localCheckpoint(eager=True)
+    chg = (
+        pre.withColumn("_change_type", F.lit("delete"))
+        .withColumn("_change_subtype", F.lit("update_preimage"))
+        .unionByName(
+            post.withColumn("_change_type", F.lit("insert")).withColumn(
+                "_change_subtype", F.lit("update_postimage")
+            )
+        )
+    )
+    chg_rel = _write_change_set(chg, table_path)
+
+    kept = [d for d in parent_dirs if d not in touched]
+    dirs = list(kept)
+    new_rels: list[str] = []
+    if touched:
+        survivors = flagged.where(~F.col(flag)).drop(_DIR_COL, flag)
+        rewrite_dir = os.path.join(
+            table_path, _DATA_DIR, f"c{uuid.uuid4().hex[:12]}"
+        )
+        survivors.unionByName(post).write.parquet(rewrite_dir)
+        new_rels = [os.path.relpath(rewrite_dir, table_path)]
+        dirs.extend(new_rels)
+    return commit(
+        spark,
+        None,
+        table_path,
+        mode="overwrite",
+        batch_id=batch_id,
+        expected_parent=basis,
+        store=st,
+        _op="update",
+        _dirs=dirs,
+        _extra_manifest={"change_dir": chg_rel},
+        _dir_stats=_rewritten_dir_stats(spark, table_path, manifest, new_rels),
+    )
+
+
 def _write_change_set(chg: DataFrame, table_path: str) -> str:
     """Persist a commit's row-level change set under ``_changes/`` —
     OUTSIDE the data root so vacuum's unreferenced-dir sweep never
@@ -1208,6 +1337,9 @@ def read_changes(
     - ``delete`` (:func:`delete_where`): the persisted change set
       (every deleted row, 'delete') shipped verbatim — survivors of
       the rewritten directories contribute nothing.
+    - ``update`` (:func:`update_where`): the persisted change set
+      (delete/insert pairs, 'update_preimage'/'update_postimage')
+      shipped verbatim — untouched rows contribute nothing.
 
     Every row also carries ``_change_subtype`` (equal to
     ``_change_type`` except for merge's update pre/postimages), the
@@ -1292,7 +1424,7 @@ def read_changes(
             ins = _tagged(m["dirs"], "insert", v, m.get("stats"))
             if ins is not None:
                 pieces.append(ins)
-        elif m["op"] in ("merge", "delete"):
+        elif m["op"] in ("merge", "delete", "update"):
             # the commit wrote its EXACT row-level change set (with
             # _change_type/_change_subtype baked in) — read it, never
             # diff snapshots

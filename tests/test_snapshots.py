@@ -2527,3 +2527,86 @@ def test_streaming_cdc_apply_tombstone_merge(spark, tmp_path):
     net = feed.groupBy("doc_id").agg(F.sum(sign).alias("s"))
     assert {r.doc_id for r in net.where(F.col("s") < 0).collect()} == {7, 8}
     assert net.where(F.col("s") > 0).count() == 0  # 100's insert cancelled
+
+
+def test_update_where_semantics(spark, tmp_path):
+    """update_where — SQL UPDATE: matched rows get SET expressions
+    applied over their CURRENT values, NULL-predicate rows survive
+    unchanged, only dirs containing a match rewrite, the feed carries
+    pre/postimage pairs, unknown SET columns raise, batch_id replays
+    dedup, and a non-deterministic predicate still commits a feed
+    consistent with the new table state."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    v0 = snap.commit(spark, docs.where(F.col("doc_id") < 30), t)
+    v1 = snap.commit(
+        spark,
+        docs.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 60)),
+        t,
+        mode="append",
+    )
+    m1 = snap._load_manifest(t, v1, snap._POSIX)
+
+    v2 = snap.update_where(
+        spark,
+        t,
+        "doc_id % 10 = 3 AND doc_id < 30",
+        {"source": F.concat(F.lit("upd:"), F.col("source"))},
+        batch_id=77,
+    )
+    got = snap.read_snapshot(spark, t, v2)
+    assert got.count() == 60
+    assert got.where(F.col("source").startswith("upd:")).count() == 3
+    # only the dir containing matches rewrote; the other is carried
+    m2 = snap._load_manifest(t, v2, snap._POSIX)
+    assert m2["op"] == "update"
+    assert sum(1 for d in m1["dirs"] if d in set(m2["dirs"])) == 1
+
+    feed = snap.read_changes(spark, t, v1, v2)
+    pairs = {
+        (r.doc_id, r._change_subtype)
+        for r in feed.select("doc_id", "_change_subtype").collect()
+    }
+    assert pairs == {
+        (d, s)
+        for d in (3, 13, 23)
+        for s in ("update_preimage", "update_postimage")
+    }
+    # replay with the same batch_id is a no-op returning the version
+    assert snap.update_where(
+        spark, t, "doc_id = 0", {"source": F.lit("x")}, batch_id=77
+    ) == v2
+    assert snap.read_snapshot(spark, t).where(
+        F.col("source") == "x"
+    ).count() == 0
+
+    with pytest.raises(ValueError, match="not table columns"):
+        snap.update_where(spark, t, "doc_id = 0", {"nope": F.lit(1)})
+
+    # non-deterministic predicate: feed preimages == rows that changed
+    v3 = snap.current_version(t)
+    before = {
+        (r.doc_id, r.source) for r in snap.read_snapshot(spark, t, v3).collect()
+    }
+    v4 = snap.update_where(
+        spark, t, F.rand() < 0.5, {"source": F.lit("flipped")}
+    )
+    after = {
+        (r.doc_id, r.source) for r in snap.read_snapshot(spark, t, v4).collect()
+    }
+    feed2 = snap.read_changes(spark, t, v3, v4)
+    pre = {
+        (r.doc_id, r.source)
+        for r in feed2.where(
+            F.col("_change_subtype") == "update_preimage"
+        ).collect()
+    }
+    post = {
+        (r.doc_id, r.source)
+        for r in feed2.where(
+            F.col("_change_subtype") == "update_postimage"
+        ).collect()
+    }
+    assert pre == before - after
+    assert post == after - before
+    assert 0 < len(pre) < 60
