@@ -15914,3 +15914,110 @@ def x200(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority STRING, n_orders BIGINT, sum_cents BIGINT, "
         "n_updated BIGINT",
     ).orderBy("o_orderpriority")
+
+
+@_q(
+    "x201_constraint_gate",
+    """SELECT o_orderpriority,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                   AS BIGINT) AS sum_cents,
+              CAST(2 AS BIGINT) AS n_blocked_writes,
+              CAST(2 AS BIGINT) AS n_constraints
+       FROM orders GROUP BY 1 ORDER BY 1""",
+    doc="Table-level CHECK constraints certified end to end "
+    "(snapshots.py:commit(check_constraints=...) — Delta's ALTER "
+    "TABLE ADD CONSTRAINT as table state: stored in the manifest, "
+    "carried forward by every commit, enforced on every data-writing "
+    "path; x123 REPORTS expectation violations, this BLOCKS them at "
+    "the write): the ENGINE creates the orders snapshot table with "
+    "two constraints (cents >= 0, priority IS NOT NULL), lands a "
+    "clean second append, then attempts a violating APPEND (negative "
+    "cents) and a violating UPDATE (a SET that would drive cents "
+    "negative) — both must raise ConstraintViolationError naming the "
+    "constraint, leaving NO trace in the table (the blocked data dir "
+    "is an orphan the next vacuum sweeps; the manifest log never "
+    "references it). The final aggregate must equal the oracle's "
+    "plain orders rollup — any leaked violating row breaks sums — "
+    "and n_blocked_writes/n_constraints ride as oracle-pinned "
+    "literals. Enforcement is ONE extra aggregate pass per write "
+    "(all constraints folded into a single agg), nothing at read "
+    "time. Lakehouse-certification tier.",
+)
+def x201(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from deepcell_data_engineering_spark.sources import snapshots as snap
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("p"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    mk = int(base.agg(F.max("k")).collect()[0][0])
+    mid = mk // 2
+    root = tempfile.mkdtemp(prefix="dde_constraints_")
+    blocked = 0
+    try:
+        t = f"{root}/t"
+        snap.commit(
+            spark,
+            base.where(F.col("k") <= mid),
+            t,
+            check_constraints={
+                "cents_nonneg": "cents >= 0",
+                "priority_known": "p IS NOT NULL",
+            },
+        )
+        snap.commit(
+            spark, base.where(F.col("k") > mid), t, mode="append"
+        )
+        try:
+            snap.commit(
+                spark,
+                base.limit(5).withColumn(
+                    "cents", F.col("cents") - F.lit(10**12)
+                ),
+                t,
+                mode="append",
+            )
+        except snap.ConstraintViolationError:
+            blocked += 1
+        try:
+            snap.update_where(
+                spark,
+                t,
+                "k % 1000 = 1",
+                {"cents": "cents - 1000000000000"},
+            )
+        except snap.ConstraintViolationError:
+            blocked += 1
+        n_constraints = len(
+            snap._load_manifest(
+                t, snap.current_version(t), snap._POSIX
+            ).get("constraints", {})
+        )
+        agg = (
+            snap.read_snapshot(spark, t)
+            .groupBy("p")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+        )
+        rows = [
+            (r["p"], r["n_orders"], r["sum_cents"]) for r in agg.collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return (
+        spark.createDataFrame(
+            rows, "o_orderpriority STRING, n_orders BIGINT, sum_cents BIGINT"
+        )
+        .withColumn("n_blocked_writes", F.lit(blocked).cast("bigint"))
+        .withColumn(
+            "n_constraints", F.lit(n_constraints).cast("bigint")
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -73,6 +73,10 @@ _COMMIT_RETRIES = 64
 _UNSET = object()  # sentinel: expected_parent=None means "expect empty table"
 
 
+class ConstraintViolationError(RuntimeError):
+    """A commit's data violates a table CHECK constraint."""
+
+
 class SnapshotConflictError(RuntimeError):
     """A concurrent writer invalidated this commit (or kept winning
     the manifest publish race past the retry budget)."""
@@ -543,6 +547,7 @@ def commit(
     expected_parent: int | None | object = _UNSET,
     store: ManifestStore | None = None,
     stats_cols: list[str] | None = None,
+    check_constraints: dict[str, str] | None = None,
     _op: str | None = None,
     _dirs: list[str] | None = None,
     _extra_manifest: dict | None = None,
@@ -602,6 +607,21 @@ def commit(
     listing KB of manifest and scanning TB of parquet footers. Only
     JSON-stable scalar types (int/float/str/bool) are recorded;
     other columns are skipped.
+
+    ``check_constraints``: named SQL CHECK constraints (Delta's
+    ``ALTER TABLE ... ADD CONSTRAINT`` as a commit option). They are
+    TABLE-LEVEL state: stored in the manifest, carried forward by
+    every later commit, and ENFORCED on every data-writing commit —
+    this one's ``df``, later appends/overwrites, merge sources and
+    UPDATE postimages all raise :class:`ConstraintViolationError`
+    (with per-constraint violation counts, one extra aggregate pass)
+    when a row evaluates a constraint to FALSE (NULL satisfies, the
+    SQL CHECK rule). Constraints must be SQL strings so the manifest
+    stays JSON. delete/restore/clone carry them forward without
+    re-validation (removal and re-reference cannot create new rows).
+    Enforcement is against the basis snapshot's constraint set — a
+    constraint added by a concurrent racer applies from the next
+    commit (the Delta best-effort rule).
     """
     if mode not in ("append", "overwrite", "replace"):
         raise ValueError(f"mode must be append|overwrite|replace, got {mode!r}")
@@ -624,6 +644,21 @@ def commit(
         seen = _batch_id_seen(table_path, parent, batch_id, st)
         if seen is not None:
             return seen
+    constraints: dict[str, str] = {}
+    if parent is not None:
+        constraints.update(
+            _load_manifest(table_path, parent, st).get("constraints", {})
+        )
+    if check_constraints:
+        for cname, csql in check_constraints.items():
+            if not isinstance(csql, str):
+                raise ValueError(
+                    f"constraint {cname!r} must be a SQL string "
+                    "(manifests are JSON); got a non-string expression"
+                )
+        constraints.update(check_constraints)
+    if constraints and _dirs is None and df is not None:
+        _enforce_constraints(df, constraints, table_path)
     new_dir_stats: dict[str, list] = {}
     if _dirs is None:
         commit_dir = os.path.join(
@@ -671,6 +706,19 @@ def commit(
             stats.update({d: s for d, s in _dir_stats.items() if s})
         if stats:
             manifest["stats"] = stats
+        # constraints are table-level state: parent's set (re-read per
+        # retry so a racer's additions carry) merged with this call's
+        c = {}
+        if parent is not None:
+            c.update(
+                _load_manifest(table_path, parent, st).get(
+                    "constraints", {}
+                )
+            )
+        if check_constraints:
+            c.update(check_constraints)
+        if c:
+            manifest["constraints"] = c
         if _extra_manifest:
             manifest.update(_extra_manifest)
         if batch_id is not None:
@@ -693,6 +741,41 @@ def commit(
         f"could not publish a manifest at {table_path!r} after "
         f"{_COMMIT_RETRIES} attempts — a concurrent writer kept winning"
     )
+
+
+def _enforce_constraints(
+    df: DataFrame, constraints: dict[str, str], table_path: str
+) -> None:
+    """Raise :class:`ConstraintViolationError` if any row of ``df``
+    evaluates any constraint to FALSE (NULL satisfies — the SQL CHECK
+    rule). ONE aggregate pass however many constraints; only the
+    per-constraint violation counts reach the driver."""
+    if not constraints:
+        return
+    names = list(constraints)
+    row = df.agg(
+        *[
+            F.sum(
+                F.when(
+                    ~F.coalesce(F.expr(constraints[n]), F.lit(True)), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"_c{i}")
+            for i, n in enumerate(names)
+        ]
+    ).collect()[0]
+    bad = {
+        n: int(row[i])
+        for i, n in enumerate(names)
+        if row[i] is not None and row[i] > 0
+    }
+    if bad:
+        raise ConstraintViolationError(
+            f"commit to {table_path!r} violates CHECK constraints "
+            f"{bad} (constraint -> violating-row count); fix the data "
+            "or drop the constraint"
+        )
 
 
 _CHANGES_DIR = "_changes"
@@ -915,6 +998,11 @@ def merge_upsert(
             parent = parent.unionByName(
                 source.limit(0), allowMissingColumns=True
             )
+    # table-level CHECK constraints apply to the rows this MERGE
+    # writes — the final (post-split, post-evolution) source
+    _enforce_constraints(
+        source, manifest.get("constraints", {}), table_path
+    )
     tokens = _dir_tokens(parent_dirs)
     src_keys = source.select(*keys).dropDuplicates(keys)
     # union of upsert keys and tombstone keys drives BOTH touched-dir
@@ -1221,6 +1309,11 @@ def update_where(
             for c in data_cols
         ]
     ).localCheckpoint(eager=True)
+    # table-level CHECK constraints apply to the rows this UPDATE
+    # writes — the pinned postimages
+    _enforce_constraints(
+        post, manifest.get("constraints", {}), table_path
+    )
     chg = (
         pre.withColumn("_change_type", F.lit("delete"))
         .withColumn("_change_subtype", F.lit("update_preimage"))

@@ -2610,3 +2610,71 @@ def test_update_where_semantics(spark, tmp_path):
     assert pre == before - after
     assert post == after - before
     assert 0 < len(pre) < 60
+
+
+def test_check_constraints_lifecycle(spark, tmp_path):
+    """Table-level CHECK constraints: registered at commit, carried
+    forward by every op, enforced on appends/overwrites, merge
+    sources and UPDATE postimages (NULL satisfies — SQL CHECK);
+    delete/restore carry without re-validation; violation messages
+    name the constraint and count."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    snap.commit(
+        spark,
+        docs.where(F.col("doc_id") < 30),
+        t,
+        check_constraints={
+            "id_nonneg": "doc_id >= 0",
+            "id_below_1000": "doc_id < 1000",
+        },
+    )
+    # carried + enforced on a later append; a violating append raises
+    snap.commit(
+        spark,
+        docs.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 60)),
+        t,
+        mode="append",
+    )
+    bad = spark.createDataFrame([(2000, "x")], "doc_id long, source string")
+    with pytest.raises(snap.ConstraintViolationError, match="id_below_1000"):
+        snap.commit(spark, bad, t, mode="append")
+    assert snap.read_snapshot(spark, t).count() == 60  # nothing landed
+
+    # NULL satisfies (SQL CHECK rule)
+    nullish = spark.createDataFrame(
+        [(None, "n")], "doc_id long, source string"
+    )
+    v_null = snap.commit(spark, nullish, t, mode="append")
+    assert snap.read_snapshot(spark, t, v_null).count() == 61
+
+    # merge source enforcement
+    with pytest.raises(snap.ConstraintViolationError, match="id_below_1000"):
+        snap.merge_upsert(
+            spark,
+            spark.createDataFrame([(5000, "y")], "doc_id long, source string"),
+            t,
+            keys=["doc_id"],
+        )
+    # UPDATE postimage enforcement (preimages are fine; SET violates)
+    with pytest.raises(snap.ConstraintViolationError, match="id_nonneg"):
+        snap.update_where(
+            spark, t, "doc_id = 5", {"doc_id": "doc_id - 100000"}
+        )
+    # a VALID update passes and the constraint set carries forward
+    v_ok = snap.update_where(spark, t, "doc_id = 5", {"source": "'u'"})
+    m = snap._load_manifest(t, v_ok, snap._POSIX)
+    assert set(m["constraints"]) == {"id_nonneg", "id_below_1000"}
+    # delete carries constraints without re-validation
+    v_d = snap.delete_where(spark, t, "doc_id = 7")
+    m_d = snap._load_manifest(t, v_d, snap._POSIX)
+    assert set(m_d["constraints"]) == {"id_nonneg", "id_below_1000"}
+    # non-string constraint expressions refuse (manifests are JSON)
+    with pytest.raises(ValueError, match="SQL string"):
+        snap.commit(
+            spark,
+            docs.limit(1),
+            t,
+            mode="append",
+            check_constraints={"c": F.col("doc_id") > 0},
+        )
