@@ -2678,3 +2678,95 @@ def test_check_constraints_lifecycle(spark, tmp_path):
             mode="append",
             check_constraints={"c": F.col("doc_id") > 0},
         )
+
+
+def test_snapshot_stream_source(spark, tmp_path):
+    """Structured Streaming SOURCE over the snapshot log (streaming/
+    snapshot_source.py): micro-batches are commits — appends ship new
+    dirs, merge/update ship change-set INSERT rows, deletes ship
+    nothing; offsets are manifest versions, so a checkpointed restart
+    consumes ONLY commits that landed after the first drain
+    (exactly-once tailing); ignore_changes skips an overwrite."""
+    from deepcell_data_engineering_spark.streaming import snapshot_source
+
+    snapshot_source.register(spark)
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    snap.commit(spark, docs.where(F.col("doc_id") < 20), t)          # v0
+    snap.commit(
+        spark,
+        docs.where((F.col("doc_id") >= 20) & (F.col("doc_id") < 40)),
+        t,
+        mode="append",
+    )                                                                # v1
+    batch = spark.createDataFrame(
+        [(2, "patched", "U"), (25, None, "D"), (100, "fresh", "U")],
+        "doc_id long, source string, op string",
+    )
+    snap.merge_upsert(
+        spark, batch, t, keys=["doc_id"],
+        delete_condition="op = 'D'", source_meta_cols=["op"],
+    )                                                                # v2
+    snap.delete_where(spark, t, "doc_id = 7")                        # v3
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(extra_opts=None):
+        out = []
+
+        def sink(bdf, bid):
+            out.extend(
+                (r.doc_id, r.source, r._commit_version)
+                for r in bdf.collect()
+            )
+
+        reader = spark.readStream.format("snapshot_stream").option(
+            "path", t
+        )
+        for k, v in (extra_opts or {}).items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return out
+
+    rows = set(drain())
+    # v0/v1 appends ship raw rows; v2 ships postimage(2) + insert(100);
+    # v3 ships nothing
+    v01 = {
+        (r.doc_id, r.source, v)
+        for v, lo, hi in ((0, 0, 20), (1, 20, 40))
+        for r in docs.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).collect()
+    }
+    assert rows == v01 | {(2, "patched", 2), (100, "fresh", 2)}
+
+    # new commits after the drain: a restart ships ONLY those
+    snap.commit(
+        spark,
+        docs.where((F.col("doc_id") >= 40) & (F.col("doc_id") < 45)),
+        t,
+        mode="append",
+    )                                                                # v4
+    snap.update_where(spark, t, "doc_id = 3", {"source": "'u3'"})    # v5
+    rows2 = set(drain())
+    assert {v for _, _, v in rows2} == {4, 5}
+    assert (3, "u3", 5) in rows2
+    assert sum(1 for _, _, v in rows2 if v == 4) == 5
+
+    # an overwrite cannot stream as appends: skipped with
+    # ignore_changes, and the NEXT append still flows
+    snap.commit(spark, docs.where(F.col("doc_id") < 3), t,
+                mode="overwrite")                                    # v6
+    snap.commit(spark, docs.where(F.col("doc_id") == 99), t,
+                mode="append")                                       # v7
+    rows3 = {
+        (d, v) for d, _, v in drain({"ignore_changes": "true"})
+    }
+    assert rows3 == {(99, 7)}
