@@ -45,8 +45,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # clone/restore lifecycle, kappa, HHI/CR4, Kruskal-Wallis, log-odds
 # keyness, Mann-Kendall, LCG sample, negative sampling, preference
 # pairs, nearest as-of, Poisson bootstrap, tombstone merge, embargo
-# split, SQL variables, FD histogram), then the remaining r8 rows
-# (d26–d30 and the r8 x-tier x01–x56 residue) in registry order.
+# split, SQL variables, FD histogram) plus the late-round pair
+# x200 (UPDATE feed) and x201 (CHECK-constraint gate) — 18 rows —
+# then the remaining r8 rows (d26–d30 and the r8 x-tier x01–x56
+# residue) in registry order.
 _CHECK_FIRST = [
     # never driver-checked (round-11 additions)
     "x165_catalog_named_view", "x166_scoped_cdc_view",

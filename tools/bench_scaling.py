@@ -238,6 +238,11 @@ QUERIES = [
     # grouped_cumsum prefix scan + one binned count.
     "x198_sql_variables",
     "x199_fd_histogram",
+    # x200 two commits + one UPDATE copy-on-write + a feed fold; x201
+    # constrained commits (one extra folded-agg validation pass per
+    # write) + two BLOCKED writes whose validation scans dominate.
+    "x200_update_feed_view",
+    "x201_constraint_gate",
     # x66_similarity_join_exact is intentionally absent: its TRUE result
     # set (all pairs over a templated corpus) grows quadratically with
     # corpus size, so an sf1/sf0.1 ratio would read as a hidden
