@@ -31,50 +31,46 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver oracle-checks the first 50 registry entries per round.
-# Round-12 rotation (executes the plan the round-11 verdict ordered):
-# the 19 rows that have NEVER had a driver verdict lead — the
-# round-11 additions x165–x183 (catalog view, scoped CDC,
-# schema-evolution merge, Spearman, chi-squared, ESS, Simpson,
-# ranking eval, classifier eval, Shannon, JSD, association summary,
-# restore feed, corr matrix, pipe syntax, cleaning funnel, max
-# drawdown, RANGE frame, percentile_cont) — then the 10 r7-stale
-# rows (x113, x114, x117, x119, x120, x127–x131), then the oldest
-# r8 rows (d01–d25) to fill the 50-slot window. After this round no
-# driver verdict is older than round 8; the round-13 rotation should
-# lead with the 16 round-12 additions (x184–x199: catalog rename,
-# clone/restore lifecycle, kappa, HHI/CR4, Kruskal-Wallis, log-odds
+# Round-13 rotation (executes the plan the round-12 verdict ordered):
+# the 18 rows that have NEVER had a driver verdict lead — the
+# round-12 additions x184–x201 (catalog rename, clone/restore
+# lifecycle, Cohen's kappa, HHI/CR4, Kruskal-Wallis, log-odds
 # keyness, Mann-Kendall, LCG sample, negative sampling, preference
-# pairs, nearest as-of, Poisson bootstrap, tombstone merge, embargo
-# split, SQL variables, FD histogram) plus the late-round pair
-# x200 (UPDATE feed) and x201 (CHECK-constraint gate) — 18 rows —
-# then the remaining r8 rows (d26–d30 and the r8 x-tier x01–x56
-# residue) in registry order.
+# pairs, nearest as-of, Poisson bootstrap CI, tombstone merge feed,
+# time-embargo split, SQL variables, FD histogram, UPDATE feed,
+# CHECK-constraint gate) — then all 28 rows whose latest verdict is
+# round 8 (d26–d30 and the r8 x-tier residue) in registry order,
+# then the 4 oldest round-9 rows (d31–d34) to fill the 50-slot
+# window. After this round no driver verdict is older than round 9;
+# the round-14 rotation should lead with any round-13 additions,
+# then the remaining r9 rows (d35–d49 and the r9 x-tier residue).
 _CHECK_FIRST = [
-    # never driver-checked (round-11 additions)
-    "x165_catalog_named_view", "x166_scoped_cdc_view",
-    "x167_schema_evolution_merge", "x168_spearman_rho",
-    "x169_chi_squared", "x170_effective_sample_size",
-    "x171_simpson_diversity", "x172_ranking_eval",
-    "x173_classifier_eval", "x174_shannon_entropy",
-    "x175_js_divergence", "x176_association_summary",
-    "x177_restore_feed_view", "x178_corr_matrix",
-    "x179_pipe_rollup", "x180_cleaning_funnel",
-    "x181_max_drawdown", "x182_trailing_range_frame",
-    "x183_percentile_cont",
-    # oldest driver verdicts (round 7 residue)
-    "x113_retraction_certified", "x114_gram_matrix",
-    "x117_link_prediction", "x119_ivm_join_delta",
-    "x120_session_incident_overlap", "x127_time_travel_audit",
-    "x128_format_interop", "x129_pretokenize_vocab",
-    "x130_table_checksum", "x131_markov_anomaly",
-    # next-oldest (round 8): the d01–d25 relational tier
-    "d01_scan_filter", "d02_like_strings", "d03_natural_sort",
-    "d04_topk", "d05_distinct", "d10_inner_join",
-    "d11_star_join_agg", "d12_left_join", "d13_semi_join",
-    "d14_anti_join", "d15_range_join", "d16_cross_join",
-    "d17_grouped_agg", "d18_count_distinct_having", "d19_median",
-    "d20_rollup", "d21_grouping_sets", "d22_conditional_agg",
-    "d23_window_rank", "d24_window_lag_lead", "d25_window_running_max",
+    # never driver-checked (round-12 additions)
+    "x184_catalog_rename_view", "x185_lifecycle_clone_restore",
+    "x186_cohens_kappa", "x187_hhi_concentration",
+    "x188_kruskal_wallis", "x189_log_odds_keyness",
+    "x190_mann_kendall_trend", "x191_lcg_sample_estimate",
+    "x192_negative_sampling", "x193_preference_pairs",
+    "x194_asof_nearest_tolerance", "x195_poisson_bootstrap_ci",
+    "x196_tombstone_merge_feed", "x197_time_embargo_split",
+    "x198_sql_variables", "x199_fd_histogram",
+    "x200_update_feed_view", "x201_constraint_gate",
+    # oldest driver verdicts (round 8) — all 28, registry order
+    "d26_intersect", "d27_except", "d28_date_agg",
+    "d29_math_string", "d30_documents_agg",
+    "x01_token_stats", "x40_length_trim", "x41_tumbling_rollup",
+    "x42_sliding_rollup", "x43_pagerank", "x44_unigram_logprob",
+    "x45_minhash_calibration", "x115_markov_transitions",
+    "x116_cusum_changepoint", "x118_rrf_fusion",
+    "x121_cube_report", "x122_ntile_deciles",
+    "x123_expectations_report", "x124_unpivot_metrics",
+    "x125_trailing_zscore", "x126_bag_set_ops",
+    "x132_optimize_equivalence", "x134_funnel_conversion",
+    "x135_aqp_hash_sample", "x136_autocorrelation",
+    "x137_bloom_skipping", "x138_last_touch_attribution",
+    "x139_label_propagation",
+    # next-oldest (round 9): fill the last 4 slots
+    "d31_pivot", "d32_unpivot", "d33_string_agg", "d34_cube",
 ]
 
 
