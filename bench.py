@@ -83,10 +83,17 @@ def main() -> None:
     # instantly (r8 verdict #8)
     timings_min = {name: round(min(xs), 4) for name, xs in samples.items()}
 
+    total_min = sum(timings_min.values())
     payload = {
         "metric": "declared_query_surface_total_runtime",
         "value": round(total, 4),
         "unit": "sec",
+        # self-describing bases so humans/commit messages/drift tooling
+        # can't mix them (r12 verdict #7): "value" and "sec_per_query"
+        # are per-query-MEDIAN sums; drift tooling compares min-vs-min
+        "basis": "median",
+        "total_median_sec": round(total, 4),
+        "total_min_sec": round(total_min, 4),
         "queries": timings,
         "queries_min": timings_min,
         "sf": sf,
@@ -94,6 +101,9 @@ def main() -> None:
         # before comparing totals across rounds
         "n_queries": len(timings),
         "sec_per_query": round(total / max(len(timings), 1), 4),
+        "sec_per_query_min": round(
+            total_min / max(len(timings_min), 1), 4
+        ),
         "runs_per_query": runs,
         "p95_query_sec": round(
             sorted(timings.values())[max(0, int(len(timings) * 0.95) - 1)], 4

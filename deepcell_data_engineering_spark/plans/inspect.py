@@ -139,6 +139,68 @@ def bnlj_build_sides_scalar(df: DataFrame) -> list[bool]:
     return out
 
 
+def _is_window_bounded_subtree(node) -> bool:
+    """True if the subtree feeding an UNPARTITIONED window is bounded
+    in the contract's sense: every leaf-ward path passes through an
+    aggregate (the window then runs at group grain — the registry's
+    adjudicated pattern: global NTILE/rank over a per-group rollup) or
+    a limit, or the subtree is a plan-time-constant leaf. A raw fact
+    scan flowing into a global window is the 100 TB failure mode this
+    proves absent: one task sorts the table."""
+    name = node.nodeName()
+    cls = node.getClass().getSimpleName()
+    ch = _phys_children(node)
+    if name in _AGG_NODES:
+        return True
+    if cls in ("LocalLimitExec", "GlobalLimitExec", "CollectLimitExec"):
+        return True
+    if cls == "RangeExec":
+        try:
+            return int(node.numElements()) <= _PLAN_CONSTANT_MAX_ROWS
+        except Exception:
+            return False
+    if cls == "LocalTableScanExec":
+        try:
+            return node.rows().size() <= _PLAN_CONSTANT_MAX_ROWS
+        except Exception:
+            return False
+    if not ch:
+        return False
+    return all(_is_window_bounded_subtree(c) for c in ch)
+
+
+_WINDOW_EXECS = {"WindowExec", "WindowInPandasExec"}
+
+
+def global_window_inputs_bounded(df: DataFrame) -> list[bool]:
+    """For every window operator with an EMPTY partition spec in the
+    executed plan, whether its input subtree is provably bounded
+    (aggregate-/limit-dominated — see _is_window_bounded_subtree).
+    The registry's scale contract: a global window may only run over
+    an aggregated or constant frame; sites whose boundedness is
+    domain knowledge (calendar grain, fixed metric lists) DECLARE it
+    via QuerySpec.window_bounded with the bound in the docstring —
+    an undeclared raw-fact global window fails the sweep (r12
+    verdict #3 promoted the docstring convention to this contract)."""
+
+    out: list[bool] = []
+
+    def visit(node) -> None:
+        ch = _phys_children(node)
+        if node.getClass().getSimpleName() in _WINDOW_EXECS:
+            try:
+                unpartitioned = node.partitionSpec().size() == 0
+            except Exception:
+                unpartitioned = False
+            if unpartitioned:
+                out.append(ch and _is_window_bounded_subtree(ch[0]))
+        for c in ch:
+            visit(c)
+
+    visit(df._jdf.queryExecution().executedPlan())
+    return [bool(b) for b in out]
+
+
 def scan_profiles(df: DataFrame) -> list[dict]:
     """Per-scan (table, columns-read) evidence — the registry-wide
     column-pruning audit's raw material. A projection of 2 columns

@@ -41,6 +41,13 @@ class QuerySpec:
     # OTHER BNLJ build is a <=1-row subtree; an undeclared data-sized
     # nested loop fails the sweep.
     bnlj_bounded: int = 0
+    # Number of UNPARTITIONED window operators in this query's plan
+    # whose input frame is bounded by DOMAIN knowledge rather than
+    # plan-provably (a calendar-grain rollup, a fixed metric list) —
+    # the docstring must state the bound. The sweep proves every
+    # OTHER global window sits over an aggregate/limit subtree; an
+    # undeclared raw-fact global window fails the sweep (r12 #3).
+    window_bounded: int = 0
 
 
 QUERIES: dict[str, QuerySpec] = {}
@@ -51,6 +58,7 @@ def _q(
     oracle: Optional[str],
     doc: str = "",
     bnlj_bounded: int = 0,
+    window_bounded: int = 0,
 ):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         QUERIES[name] = QuerySpec(
@@ -59,6 +67,7 @@ def _q(
             oracle=oracle,
             doc=doc,
             bnlj_bounded=bnlj_bounded,
+            window_bounded=window_bounded,
         )
         return fn
 

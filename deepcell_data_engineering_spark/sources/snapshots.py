@@ -552,6 +552,8 @@ def commit(
     _dirs: list[str] | None = None,
     _extra_manifest: dict | None = None,
     _dir_stats: dict[str, dict] | None = None,
+    _drop_constraints: list[str] | None = None,
+    _rebase: bool = False,
 ) -> int:
     """Write ``df`` as a new table version and return its number.
 
@@ -583,6 +585,18 @@ def commit(
     that would silently drop the concurrent commit's rows from the new
     head. Appends should leave it unset — they are order-independent
     and blind retry is correct for them.
+
+    ``_rebase`` (internal; merge/delete/update/optimize): Delta-style
+    LOGICAL conflict resolution instead of the outright raise. When
+    the head advanced past ``expected_parent``, the losing rewrite is
+    re-pointed at the new head iff every interleaved commit is a pure
+    append (its dir set a superset of its parent's, constraint set
+    unchanged): the published dirs become the head's dirs minus the
+    dirs this op rewrote/dropped plus its rewritten dirs — appended
+    rows survive, rewritten rows land, and the op's predicate simply
+    never saw the concurrent arrivals (write-serializable isolation,
+    Delta's conflict matrix). Any interleaved overwrite / restore /
+    rewrite / constraint change overlaps by definition and raises.
 
     Concurrent writers: the manifest is published put-if-absent; on
     conflict the loser re-reads the new parent (re-deriving the append
@@ -616,39 +630,94 @@ def commit(
     UPDATE postimages all raise :class:`ConstraintViolationError`
     (with per-constraint violation counts, one extra aggregate pass)
     when a row evaluates a constraint to FALSE (NULL satisfies, the
-    SQL CHECK rule). Constraints must be SQL strings so the manifest
-    stays JSON. delete/restore/clone carry them forward without
-    re-validation (removal and re-reference cannot create new rows).
-    Enforcement is against the basis snapshot's constraint set — a
-    constraint added by a concurrent racer applies from the next
+    SQL CHECK rule). When constraints are present the incoming ``df``
+    is pinned with one eager ``localCheckpoint`` so validation and the
+    write see the SAME rows — a non-deterministic df (rand(),
+    sampling) cannot pass validation yet write violating rows (the
+    determinism rule merge/update already enforce). A constraint NAME
+    (or changed expression) that is NEW to the table and arrives on an
+    ``append`` also validates the EXISTING basis snapshot in one
+    aggregate pass — Delta's ALTER TABLE ADD CONSTRAINT contract:
+    pre-existing violations refuse the constraint up front instead of
+    surfacing later from an unrelated UPDATE (use
+    :func:`add_constraint` / :func:`drop_constraint` for the
+    metadata-only lifecycle verbs). Constraints must be SQL strings so
+    the manifest stays JSON. delete/restore/clone carry them forward
+    without re-validation (removal and re-reference cannot create new
+    rows). Enforcement is against the basis snapshot's constraint set
+    — a constraint added by a concurrent racer applies from the next
     commit (the Delta best-effort rule).
+
+    ``df=None`` with ``_dirs=None`` publishes a METADATA-ONLY commit:
+    the data dir list is the parent's, re-read per retry so a racing
+    append's dirs are adopted, never dropped (the add/drop-constraint
+    verbs ride this).
     """
     if mode not in ("append", "overwrite", "replace"):
         raise ValueError(f"mode must be append|overwrite|replace, got {mode!r}")
     st = _store(store)
     st.check_path(table_path)
 
-    def _check_expected(parent: int | None) -> None:
-        if expected_parent is not _UNSET and parent != expected_parent:
-            raise SnapshotConflictError(
-                f"table {table_path!r} advanced to version {parent} "
-                f"past expected_parent={expected_parent!r}; this "
-                "commit's content was derived from a stale snapshot — "
-                "re-read and re-derive instead of overwriting the "
-                "concurrent commit's rows"
-            )
+    def _conflict(parent: int | None, why: str = "") -> SnapshotConflictError:
+        return SnapshotConflictError(
+            f"table {table_path!r} advanced to version {parent} "
+            f"past expected_parent={expected_parent!r}; this "
+            "commit's content was derived from a stale snapshot — "
+            "re-read and re-derive instead of overwriting the "
+            "concurrent commit's rows" + (f" ({why})" if why else "")
+        )
+
+    def _try_rebase(head: int | None, pinned: list[str]) -> list[str] | None:
+        """Logical conflict resolution (``_rebase``): re-point this
+        rewrite's dir algebra at ``head`` iff every commit interleaved
+        since ``expected_parent`` was a pure append with an unchanged
+        constraint set. Returns the rebased dir list, or None when the
+        histories overlap (caller raises)."""
+        basis = expected_parent
+        if (
+            not _rebase
+            or basis is _UNSET
+            or basis is None
+            or head is None
+            or head < basis
+        ):
+            return None
+        basis_m = _load_manifest(table_path, basis, st)
+        basis_dirs = set(basis_m["dirs"])
+        basis_constraints = basis_m.get("constraints", {})
+        removed = basis_dirs - set(pinned)
+        added = [d for d in pinned if d not in basis_dirs]
+        cur = basis_dirs
+        for v in range(basis + 1, head + 1):
+            m = _load_manifest(table_path, v, st)
+            mdirs = set(m["dirs"])
+            if (
+                m["op"] != "append"
+                or not mdirs >= cur
+                or m.get("constraints", {}) != basis_constraints
+            ):
+                return None
+            cur = mdirs
+        head_dirs = _load_manifest(table_path, head, st)["dirs"]
+        return [d for d in head_dirs if d not in removed] + added
 
     parent = current_version(table_path, st)
-    _check_expected(parent)
+    if (
+        expected_parent is not _UNSET
+        and parent != expected_parent
+        and not _rebase
+    ):
+        raise _conflict(parent)
     if batch_id is not None and parent is not None:
         seen = _batch_id_seen(table_path, parent, batch_id, st)
         if seen is not None:
             return seen
-    constraints: dict[str, str] = {}
+    parent_constraints: dict[str, str] = {}
     if parent is not None:
-        constraints.update(
+        parent_constraints.update(
             _load_manifest(table_path, parent, st).get("constraints", {})
         )
+    constraints = dict(parent_constraints)
     if check_constraints:
         for cname, csql in check_constraints.items():
             if not isinstance(csql, str):
@@ -657,10 +726,36 @@ def commit(
                     "(manifests are JSON); got a non-string expression"
                 )
         constraints.update(check_constraints)
+    if _drop_constraints:
+        for cname in _drop_constraints:
+            constraints.pop(cname, None)
     if constraints and _dirs is None and df is not None:
+        # pin ONE evaluation of df so validation and the write see the
+        # same rows — a non-deterministic df cannot pass the check yet
+        # write violating rows (the merge/update determinism rule)
+        df = df.localCheckpoint(eager=True)
         _enforce_constraints(df, constraints, table_path)
+    # ADD CONSTRAINT semantics: a constraint NEW to the table (fresh
+    # name or changed expression) arriving on an append must also hold
+    # on the EXISTING data — validate the basis snapshot in one
+    # aggregate pass instead of grandfathering violations (Delta's
+    # ALTER TABLE ADD CONSTRAINT contract; overwrite/replace discard
+    # the old rows, so only appends validate history)
+    if check_constraints and mode == "append" and parent is not None:
+        introduced = {
+            n: s
+            for n, s in check_constraints.items()
+            if parent_constraints.get(n) != s
+        }
+        if introduced and _load_manifest(table_path, parent, st)["dirs"]:
+            _enforce_constraints(
+                read_snapshot(spark, table_path, parent, store=st),
+                introduced,
+                table_path,
+            )
     new_dir_stats: dict[str, list] = {}
-    if _dirs is None:
+    rel_dir: str | None = None
+    if _dirs is None and df is not None:
         commit_dir = os.path.join(
             table_path, _DATA_DIR, f"c{uuid.uuid4().hex[:12]}"
         )
@@ -673,9 +768,28 @@ def commit(
 
     for _ in range(_COMMIT_RETRIES):
         version = 0 if parent is None else parent + 1
-        if _dirs is not None:
+        if expected_parent is not _UNSET and parent != expected_parent:
+            # head advanced past the rewrite's basis — rebase (logical
+            # conflict resolution) or raise; only reached with _rebase
+            pinned = list(_dirs) if _dirs is not None else [rel_dir]
+            rebased = _try_rebase(parent, pinned)
+            if rebased is None:
+                raise _conflict(
+                    parent,
+                    "an interleaved commit rewrote/replaced data or "
+                    "changed constraints — not rebaseable",
+                )
+            dirs = rebased
+        elif _dirs is not None:
             # caller (merge_upsert) wrote and pinned its own dir set
             dirs = list(_dirs)
+        elif df is None:
+            # metadata-only commit: parent's dirs, re-read per retry
+            dirs = (
+                _load_manifest(table_path, parent, st)["dirs"]
+                if parent is not None
+                else []
+            )
         else:
             dirs = [rel_dir]
             if mode == "append" and parent is not None:
@@ -708,6 +822,7 @@ def commit(
             manifest["stats"] = stats
         # constraints are table-level state: parent's set (re-read per
         # retry so a racer's additions carry) merged with this call's
+        # adds, minus this call's drops
         c = {}
         if parent is not None:
             c.update(
@@ -717,6 +832,9 @@ def commit(
             )
         if check_constraints:
             c.update(check_constraints)
+        if _drop_constraints:
+            for cname in _drop_constraints:
+                c.pop(cname, None)
         if c:
             manifest["constraints"] = c
         if _extra_manifest:
@@ -730,9 +848,15 @@ def commit(
             if (version + 1) % _CHECKPOINT_INTERVAL == 0:
                 _write_checkpoint(table_path, version, st)
             return version
-        # Lost the race: adopt the winner's commit as parent.
+        # Lost the race: adopt the winner's commit as parent (the top
+        # of the loop re-runs the expected-parent reconcile/rebase).
         parent = current_version(table_path, st)
-        _check_expected(parent)
+        if (
+            expected_parent is not _UNSET
+            and parent != expected_parent
+            and not _rebase
+        ):
+            raise _conflict(parent)
         if batch_id is not None and parent is not None:
             seen = _batch_id_seen(table_path, parent, batch_id, st)
             if seen is not None:
@@ -776,6 +900,100 @@ def _enforce_constraints(
             f"{bad} (constraint -> violating-row count); fix the data "
             "or drop the constraint"
         )
+
+
+_CONSTRAINT_RETRIES = 8
+
+
+def add_constraint(
+    spark: SparkSession,
+    table_path: str,
+    name: str,
+    sql: str,
+    store: ManifestStore | None = None,
+) -> int:
+    """``ALTER TABLE ... ADD CONSTRAINT`` as a METADATA-ONLY commit:
+    validates the named SQL CHECK against the table's EXISTING data in
+    one folded aggregate pass (a violating table refuses the
+    constraint with per-constraint violation counts —
+    :class:`ConstraintViolationError`), then publishes a commit whose
+    dir list is the parent's, carrying the enlarged constraint set.
+    Every later write path enforces it (see :func:`commit`).
+
+    Concurrency: validation is pinned to the head it read
+    (``expected_parent``); if a writer lands in the validate→publish
+    window the verb re-reads the new head and RE-VALIDATES against it
+    (bounded retries) — a constraint can never be published without
+    having held on the exact snapshot it attached to.
+
+    Reference analog: the stage-manifest validation posture of
+    figure_eight_functions.py:180-247 (validate the full existing
+    artifact set before accepting a new pipeline rule)."""
+    st = _store(store)
+    last: Exception | None = None
+    for _ in range(_CONSTRAINT_RETRIES):
+        head = current_version(table_path, st)
+        if head is not None and _load_manifest(table_path, head, st)["dirs"]:
+            _enforce_constraints(
+                read_snapshot(spark, table_path, head, store=st),
+                {name: sql},
+                table_path,
+            )
+        try:
+            return commit(
+                spark,
+                None,
+                table_path,
+                mode="append",
+                expected_parent=head,
+                store=st,
+                check_constraints={name: sql},
+                _op="add_constraint",
+            )
+        except SnapshotConflictError as e:
+            last = e  # a writer interleaved: re-read, re-validate
+    raise SnapshotConflictError(
+        f"could not add constraint {name!r} at {table_path!r} after "
+        f"{_CONSTRAINT_RETRIES} validate-and-publish attempts"
+    ) from last
+
+
+def drop_constraint(
+    spark: SparkSession,
+    table_path: str,
+    name: str,
+    store: ManifestStore | None = None,
+    if_exists: bool = False,
+) -> int:
+    """``ALTER TABLE ... DROP CONSTRAINT``: a metadata-only commit
+    whose constraint set is the parent's minus ``name`` (re-read per
+    publish retry, so a racing add of a DIFFERENT constraint is
+    carried, never clobbered). Unknown names raise unless
+    ``if_exists``. After the drop, writes violating the old rule
+    succeed — the lifecycle test pins exactly that."""
+    st = _store(store)
+    head = current_version(table_path, st)
+    held = (
+        _load_manifest(table_path, head, st).get("constraints", {})
+        if head is not None
+        else {}
+    )
+    if name not in held:
+        if if_exists:
+            return head if head is not None else -1
+        raise ValueError(
+            f"no constraint named {name!r} at {table_path!r} "
+            f"(have: {sorted(held) or '<none>'})"
+        )
+    return commit(
+        spark,
+        None,
+        table_path,
+        mode="append",
+        store=st,
+        _op="drop_constraint",
+        _drop_constraints=[name],
+    )
 
 
 _CHANGES_DIR = "_changes"
@@ -904,11 +1122,14 @@ def merge_upsert(
     'update_preimage'/'update_postimage'; new keys 'insert'.
 
     Concurrency: the rewrite is pinned to the snapshot it read
-    (``expected_parent``) — a concurrent commit landing between the
-    read and the publish raises ``SnapshotConflictError`` instead of
-    silently resurrecting replaced rows. ``batch_id`` gives streaming
-    foreachBatch sinks the same exactly-once replay dedup as
-    ``commit``.
+    (``expected_parent``) with Delta-style LOGICAL conflict
+    resolution: if only pure appends interleaved between the read and
+    the publish, the commit auto-rebases onto the new head (appended
+    dirs kept, rewritten dirs land — see ``commit(_rebase=...)``); an
+    interleaved overwrite/rewrite/constraint change raises
+    ``SnapshotConflictError`` instead of silently resurrecting
+    replaced rows. ``batch_id`` gives streaming foreachBatch sinks the
+    same exactly-once replay dedup as ``commit``.
 
     Determinism: ``source`` is evaluated ONCE (pinned via
     ``localCheckpoint``, the same source-materialization Delta MERGE
@@ -1091,6 +1312,7 @@ def merge_upsert(
         store=st,
         _op="merge",
         _dirs=dirs,
+        _rebase=True,
         _extra_manifest={"change_dir": chg_rel},
         _dir_stats=_rewritten_dir_stats(spark, table_path, manifest, new_rels),
     )
@@ -1127,8 +1349,9 @@ def delete_where(
     (an empty change set): the version history records the intent,
     and a feed consumer folds a no-op.
 
-    Concurrency/replay: basis-pinned via ``expected_parent`` exactly
-    like merge; ``batch_id`` dedups streaming foreachBatch replays.
+    Concurrency/replay: basis-pinned via ``expected_parent`` with
+    merge's append-only auto-rebase; ``batch_id`` dedups streaming
+    foreachBatch replays.
 
     Determinism (ENFORCED, not just documented): the predicate is
     evaluated over the touched directories EXACTLY ONCE — the flagged
@@ -1212,6 +1435,7 @@ def delete_where(
         store=st,
         _op="delete",
         _dirs=dirs,
+        _rebase=True,
         _extra_manifest={"change_dir": chg_rel},
         _dir_stats=_rewritten_dir_stats(spark, table_path, manifest, new_rels),
     )
@@ -1252,8 +1476,8 @@ def update_where(
     matched rows (pinned postimage frame) — change set and rewritten
     data derive from those single evaluations, so non-deterministic
     predicates or SET expressions still commit a self-consistent
-    version + feed. Basis-pinned via ``expected_parent``; ``batch_id``
-    dedups streaming replays."""
+    version + feed. Basis-pinned via ``expected_parent`` with merge's
+    append-only auto-rebase; ``batch_id`` dedups streaming replays."""
     st = _store(store)
     st.check_path(table_path)
     basis = current_version(table_path, st)
@@ -1346,6 +1570,7 @@ def update_where(
         store=st,
         _op="update",
         _dirs=dirs,
+        _rebase=True,
         _extra_manifest={"change_dir": chg_rel},
         _dir_stats=_rewritten_dir_stats(spark, table_path, manifest, new_rels),
     )
@@ -1556,10 +1781,11 @@ def optimize_table(
     """OPTIMIZE as a snapshot operation: rewrite the current version
     with right-sized files and publish it as a ``replace`` commit
     pinned to the version it read (``expected_parent``) — a concurrent
-    append landing between the read and the publish raises
-    ``SnapshotConflictError`` rather than silently vanishing from the
-    new head (the Delta OPTIMIZE conflict-detection rule; the caller
-    re-runs against the new head). Returns the new version (or the
+    append landing between the read and the publish auto-rebases (the
+    appended dirs ride along uncompacted, exactly Delta's
+    OPTIMIZE-vs-append non-conflict rule); an interleaved rewrite
+    raises ``SnapshotConflictError`` (the caller re-runs against the
+    new head). Returns the new version (or the
     current one if the table already has no more files than the byte
     target warrants).
 
@@ -1621,6 +1847,7 @@ def optimize_table(
         expected_parent=basis,
         store=st,
         stats_cols=tracked or None,
+        _rebase=True,
     )
 
 

@@ -163,7 +163,12 @@ class SnapshotCatalog:
         ``DROP TABLE ... PURGE``. Purge requires a local data root
         (same contract as :func:`~.snapshots.vacuum`), refuses while
         another cataloged table's retained manifests still reference
-        the table's directories (a shallow clone would go dark), and
+        the table's directories (a shallow clone would go dark),
+        refuses while another catalog NAME resolves to the same data
+        root (create_table allows aliasing one path under two names;
+        purging one name would leave the other pointing at deleted
+        data — the alias check re-validates inside the publish loop,
+        so a concurrent CREATE of an alias cannot race around it), and
         runs AFTER the unregister publish: a crash between the two
         leaves a dangling directory for a later purge, never a catalog
         entry pointing at deleted data."""
@@ -190,6 +195,19 @@ class SnapshotCatalog:
         def mutate(state: dict) -> dict:
             if name not in state["tables"]:
                 raise ValueError(f"no table named {name!r}")
+            if purge:
+                me = os.path.abspath(state["tables"][name])
+                aliases = sorted(
+                    n
+                    for n, p in state["tables"].items()
+                    if n != name and os.path.abspath(p) == me
+                )
+                if aliases:
+                    raise ValueError(
+                        f"cannot purge {name!r}: names {aliases} also "
+                        f"resolve to {me!r} — drop the aliases first "
+                        "(or drop this name without purge)"
+                    )
             del state["tables"][name]
             state["properties"].pop(name, None)
             return state

@@ -3,26 +3,52 @@ lakehouse table's commits as micro-batches (Delta's streaming-source
 surface: ``spark.readStream.format("delta")``), built on the Spark 4
 Python DataSource streaming API.
 
-Offsets ARE manifest versions: the reader's offset {"version": N}
-means "commits < N consumed", ``latestOffset`` is one KB-sized log
-listing, and ``partitions(start, end)`` plans ONE input partition per
-data file of each commit's INSERT delta — so executors read parquet in
-parallel (pyarrow, no driver fan-in; this is the partitioned
-``DataSourceStreamReader``, not the driver-side simple reader) and a
-checkpoint restore replays exactly the same [start, end) slice from
-the immutable manifests, which is the exactly-once recovery contract.
+Offsets are (manifest version, file index): the offset
+``{"version": N, "index": K}`` means "commits < N fully consumed, plus
+the first K files of commit N's sorted INSERT-delta file list".
+``latestOffset`` is one KB-sized log listing, and
+``partitions(start, end)`` plans ONE input partition per data file in
+the offset range — so executors read parquet in parallel (pyarrow, no
+driver fan-in; this is the partitioned ``DataSourceStreamReader``, not
+the driver-side simple reader) and a checkpoint restore replays
+exactly the same [start, end) slice from the immutable manifests,
+which is the exactly-once recovery contract. (Offsets written by the
+index-free r12 format, ``{"version": N}``, read as index 0.)
+
+Rate control: ``max_files_per_batch`` bounds how many data files one
+micro-batch admits (Delta's ``maxFilesPerTrigger``) — a huge backfill
+commit drains as several bounded batches instead of one giant one,
+splitting MID-COMMIT at file granularity. Use it with a processing-
+time trigger (the continuous-tail production pattern); under
+``trigger(availableNow=True)`` the engine fixes its target from the
+FIRST bounded offset, so each availableNow run drains at most one
+batch's budget then terminates (re-running continues from the
+checkpoint — usable as an incremental batch job, but not a full
+drain). The Python streaming API has
+no admission-control hook (``latestOffset()`` takes no start), so the
+reader self-tracks its position; restart safety comes from a LEARNED
+committed floor: positions observed from the engine's own
+``partitions(start, ...)``/``commit(end)`` calls establish a floor
+below which files are never re-planned, while a fresh reader (floor
+unset) replays a checkpointed range verbatim. A restarted rate-limited
+query may plan one empty catch-up batch before resuming — never a
+duplicate or dropped row.
 
 Per-commit delta semantics mirror :func:`...sources.snapshots
 .read_changes`'s insert side (what a downstream APPEND consumer
 ingests):
 
 - ``append``  -> the commit's new directories' rows
+- any op whose ``parent`` is None -> ALL the commit's rows (the
+  initial load: a table created by ``overwrite`` / ``clone`` is a
+  starting snapshot, not a change — Delta's starting-snapshot batch)
 - ``merge`` / ``update`` -> the persisted change set's INSERT rows
   (update postimages + new keys; preimages/deletes are not emitted —
   this source streams arrivals, a fold consumer uses read_changes)
-- ``delete`` -> nothing
-- ``overwrite`` / ``restore`` / ``clone`` / ``replace`` -> ERROR by
-  default (a truncate-and-reload cannot be represented as appends —
+- ``delete`` and metadata-only commits (``add_constraint`` /
+  ``drop_constraint``) -> nothing
+- later ``overwrite`` / ``restore`` / ``clone`` / ``replace`` -> ERROR
+  by default (a truncate-and-reload cannot be represented as appends —
   Delta's streaming source fails the same way); pass
   ``ignore_changes=true`` to skip them (Delta's ignoreDeletes/
   ignoreChanges posture).
@@ -30,9 +56,14 @@ ingests):
 Every emitted row carries ``_commit_version`` (BIGINT) provenance.
 
 Options: ``path`` (table root, driver-visible POSIX — the manifest
-plane of object-store tables streams through a mounted path),
+plane of object-store tables streams through a mounted path) OR
+``table_name`` + ``catalog_root`` (resolve the root through the
+:mod:`...sources.table_catalog` log by NAME — the streaming twin of
+the batch read/scan/changes-by-name surface; a rename re-points the
+name to the same path, so a running stream keeps its position),
 ``starting_version`` (default 0 — stream history then tail),
-``ignore_changes`` (default false).
+``ignore_changes`` (default false), ``max_files_per_batch`` (default
+unbounded).
 
 Reference analog: the reference's pipelines re-list job directories to
 find new artifacts (caliban_toolbox/log_file_creation.py's manifest
@@ -52,19 +83,7 @@ from pyspark.sql.datasource import (
 )
 
 _MANIFEST_DIR = "_manifests"
-
-_ARROW_DDL = {
-    "int8": "tinyint",
-    "int16": "smallint",
-    "int32": "int",
-    "int64": "bigint",
-    "float": "float",
-    "double": "double",
-    "string": "string",
-    "large_string": "string",
-    "bool": "boolean",
-    "date32[day]": "date",
-}
+_CATALOG_DIR = "_catalog"
 
 
 def _manifest(path: str, version: int) -> dict:
@@ -74,9 +93,9 @@ def _manifest(path: str, version: int) -> dict:
         return json.loads(fh.read())
 
 
-def _current_version(path: str) -> int | None:
+def _latest_json_version(dirpath: str) -> int | None:
     try:
-        names = os.listdir(os.path.join(path, _MANIFEST_DIR))
+        names = os.listdir(dirpath)
     except FileNotFoundError:
         return None
     versions = [
@@ -85,6 +104,35 @@ def _current_version(path: str) -> int | None:
         if f.startswith("v") and f.endswith(".json")
     ]
     return max(versions) if versions else None
+
+
+def _current_version(path: str) -> int | None:
+    return _latest_json_version(os.path.join(path, _MANIFEST_DIR))
+
+
+def _resolve_path(options: dict) -> str:
+    """Table root from options: ``path`` directly, or ``table_name``
+    resolved through the catalog log at ``catalog_root`` (read as raw
+    JSON so the executor-side worker needs no package import)."""
+    if "path" in options:
+        return options["path"]
+    name = options.get("table_name")
+    root = options.get("catalog_root")
+    if not name or not root:
+        raise ValueError(
+            "snapshot_stream needs option 'path', or options "
+            "'table_name' + 'catalog_root'"
+        )
+    cat_dir = os.path.join(root, _CATALOG_DIR)
+    head = _latest_json_version(cat_dir)
+    if head is None:
+        raise ValueError(f"no catalog log at {cat_dir!r}")
+    with open(os.path.join(cat_dir, f"v{head:06d}.json"), "rb") as fh:
+        tables = json.loads(fh.read())["tables"]
+    if name not in tables:
+        known = ", ".join(sorted(tables)) or "<empty catalog>"
+        raise ValueError(f"no table named {name!r} (have: {known})")
+    return tables[name]
 
 
 def _parquet_files(dirpath: str) -> list[str]:
@@ -101,12 +149,17 @@ def _insert_files(path: str, version: int, ignore_changes: bool):
     the change columns."""
     m = _manifest(path, version)
     op = m["op"]
+    if m.get("parent") is None:
+        # the table's first commit is a starting snapshot whatever its
+        # op label — overwrite/clone-created tables stream their
+        # initial load instead of erroring (Delta's starting snapshot)
+        return "data", [
+            f
+            for d in m["dirs"]
+            for f in _parquet_files(os.path.join(path, d))
+        ]
     if op == "append":
-        parent = (
-            set(_manifest(path, m["parent"])["dirs"])
-            if m["parent"] is not None
-            else set()
-        )
+        parent = set(_manifest(path, m["parent"])["dirs"])
         files = [
             f
             for d in m["dirs"]
@@ -118,7 +171,7 @@ def _insert_files(path: str, version: int, ignore_changes: bool):
         return "changes", _parquet_files(
             os.path.join(path, m["change_dir"])
         )
-    if op == "delete":
+    if op in ("delete", "add_constraint", "drop_constraint"):
         return "data", []
     if ignore_changes:
         return "data", []
@@ -130,6 +183,11 @@ def _insert_files(path: str, version: int, ignore_changes: bool):
     )
 
 
+def _pos(offset: dict) -> tuple[int, int]:
+    """Total order over offsets; r12's index-free form reads as 0."""
+    return int(offset["version"]), int(offset.get("index", 0))
+
+
 class _FilePartition(InputPartition):
     def __init__(self, file: str, kind: str, version: int) -> None:
         self.file = file
@@ -138,33 +196,106 @@ class _FilePartition(InputPartition):
 
 
 class SnapshotStreamReader(DataSourceStreamReader):
-    def __init__(self, options: dict) -> None:
-        self.path = options["path"]
+    def __init__(self, options: dict, field_names: list[str]) -> None:
+        self.path = _resolve_path(options)
         self.start_version = int(options.get("starting_version", "0"))
         self.ignore_changes = (
             str(options.get("ignore_changes", "false")).lower() == "true"
         )
-        self.fields = _data_fields(self.path)
+        mfb = options.get("max_files_per_batch")
+        self.max_files = int(mfb) if mfb is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError("max_files_per_batch must be >= 1")
+        # field order is PINNED by the resolved query schema the engine
+        # hands streamReader() — never re-derived from the log, so a
+        # schema-evolving commit racing between schema() and reader
+        # construction cannot skew tuple order (r12 ADVICE)
+        self.fields = list(field_names)
+        # self-tracked scan position (the Python API's latestOffset
+        # has no start argument); see module docstring
+        self._scan: tuple[int, int] = (self.start_version, 0)
+        # committed floor LEARNED from engine calls; None until the
+        # engine tells us anything — a fresh reader replays verbatim
+        self._floor: tuple[int, int] | None = None
+        # version -> (kind, files) plan cache, pruned by commit()
+        self._plans: dict[int, tuple[str, list[str]]] = {}
 
+    # -- plumbing ---------------------------------------------------------
+    def _plan(self, version: int) -> tuple[str, list[str]]:
+        got = self._plans.get(version)
+        if got is None:
+            got = _insert_files(self.path, version, self.ignore_changes)
+            self._plans[version] = got
+        return got
+
+    def _learn(self, *positions: tuple[int, int]) -> None:
+        best = max(positions)
+        if self._floor is None or best > self._floor:
+            self._floor = best
+        if best > self._scan:
+            self._scan = best
+
+    # -- DataSourceStreamReader protocol ----------------------------------
     def initialOffset(self) -> dict:
-        return {"version": self.start_version}
+        return {"version": self.start_version, "index": 0}
 
     def latestOffset(self) -> dict:
         cur = _current_version(self.path)
-        nxt = self.start_version if cur is None else cur + 1
-        return {"version": max(nxt, self.start_version)}
+        v, i = self._scan
+        if cur is None or v > cur:
+            end = (v, i)
+        elif self.max_files is None:
+            end = (cur + 1, 0)
+        else:
+            # admit up to max_files files, splitting mid-commit
+            budget = self.max_files
+            while v <= cur and budget > 0:
+                files = self._plan(v)[1]
+                remaining = len(files) - i
+                if remaining <= budget:
+                    budget -= remaining
+                    v, i = v + 1, 0
+                else:
+                    i += budget
+                    budget = 0
+            end = (v, i)
+        self._scan = max(self._scan, end)
+        return {"version": end[0], "index": end[1]}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        s, e = _pos(start), _pos(end)
+        if e <= s:
+            # a restarted rate-limited reader can emit one stale
+            # (backward) latestOffset before learning the committed
+            # position from this very call — plan nothing, learn
+            self._learn(s)
+            return []
+        floor = self._floor
+        self._learn(s)
         parts: list[_FilePartition] = []
-        for v in range(int(start["version"]), int(end["version"])):
-            kind, files = _insert_files(self.path, v, self.ignore_changes)
-            parts.extend(_FilePartition(f, kind, v) for f in files)
+        for v in range(s[0], e[0] + 1):
+            if v == e[0] and e[1] == 0:
+                break
+            kind, files = self._plan(v)
+            lo = s[1] if v == s[0] else 0
+            hi = e[1] if v == e[0] else len(files)
+            if floor is not None:
+                # never re-plan below the engine-confirmed floor (the
+                # backward-then-forward restart batch); a fresh reader
+                # (floor None) replays a checkpointed range verbatim
+                if v < floor[0]:
+                    continue
+                if v == floor[0]:
+                    lo = max(lo, floor[1])
+            parts.extend(
+                _FilePartition(f, kind, v) for f in files[lo:hi]
+            )
         return parts
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
         import pyarrow.parquet as pq
 
-        names = [n for n, _ in self.fields]
+        names = self.fields
         pf = pq.ParquetFile(partition.file)
         have = set(pf.schema_arrow.names)
         want = [n for n in names if n in have]
@@ -189,8 +320,29 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     ) + (partition.version,)
 
     def commit(self, end: dict) -> None:
-        # offsets are durable manifest versions; nothing to clean up
-        pass
+        """The engine durably committed everything below ``end``:
+        raise the learned floor and prune the per-version plan cache —
+        a long-running tail holds O(in-flight) bookkeeping, not
+        O(history)."""
+        e = _pos(end)
+        self._learn(e)
+        drop = [v for v in self._plans if v < e[0]]
+        for v in drop:
+            del self._plans[v]
+
+
+_ARROW_DDL = {
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "large_string": "string",
+    "bool": "boolean",
+    "date32[day]": "date",
+}
 
 
 def _data_fields(path: str) -> list[tuple[str, str]]:
@@ -227,20 +379,26 @@ def _data_fields(path: str) -> list[tuple[str, str]]:
 
 class SnapshotStreamDataSource(DataSource):
     """``spark.readStream.format("snapshot_stream").option("path", t)``
-    — micro-batches are the table's commits (see module docstring)."""
+    (or ``.option("table_name", n).option("catalog_root", r)``) —
+    micro-batches are the table's commits (see module docstring)."""
 
     @classmethod
     def name(cls) -> str:
         return "snapshot_stream"
 
     def schema(self) -> str:
-        fields = _data_fields(self.options["path"])
+        fields = _data_fields(_resolve_path(self.options))
         return ", ".join(
             [f"{n} {t}" for n, t in fields] + ["_commit_version bigint"]
         )
 
     def streamReader(self, schema) -> SnapshotStreamReader:
-        return SnapshotStreamReader(self.options)
+        # the engine hands back the RESOLVED schema — pin the reader's
+        # field order to it instead of re-reading the log (r12 ADVICE:
+        # a schema-evolving commit landing between schema() and here
+        # must not skew tuple order vs the declared schema)
+        names = [f.name for f in schema.fields if f.name != "_commit_version"]
+        return SnapshotStreamReader(self.options, names)
 
 
 def register(spark) -> None:

@@ -2770,3 +2770,470 @@ def test_snapshot_stream_source(spark, tmp_path):
         (d, v) for d, _, v in drain({"ignore_changes": "true"})
     }
     assert rows3 == {(99, 7)}
+
+
+def test_add_drop_constraint_lifecycle(spark, tmp_path):
+    """ALTER-style constraint lifecycle verbs (snapshots.add_constraint
+    / drop_constraint — r12 verdict #4): ADD validates the EXISTING
+    data in one aggregate pass (a violating table refuses the
+    constraint with per-constraint counts, Delta's ALTER TABLE ADD
+    CONSTRAINT contract), publishes a metadata-only commit whose dir
+    list is the parent's; DROP removes it, after which a write
+    violating the old rule succeeds."""
+    t = str(tmp_path / "tbl")
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "n_chars"
+    )
+    snap.commit(spark, docs, t, mode="overwrite")
+    base_dirs = snap._load_manifest(t, 0, snap._POSIX)["dirs"]
+
+    # a constraint the existing data violates refuses with counts
+    with pytest.raises(
+        snap.ConstraintViolationError, match="tiny_ids"
+    ):
+        snap.add_constraint(spark, t, "tiny_ids", "doc_id < 3")
+    assert snap.current_version(t, snap._POSIX) == 0  # nothing published
+
+    # a holding constraint publishes a metadata-only commit
+    v = snap.add_constraint(spark, t, "id_nonneg", "doc_id >= 0")
+    m = snap._load_manifest(t, v, snap._POSIX)
+    assert m["op"] == "add_constraint"
+    assert m["dirs"] == base_dirs  # parent's dirs carried verbatim
+    assert m["constraints"] == {"id_nonneg": "doc_id >= 0"}
+    assert snap.read_snapshot(spark, t).count() == docs.count()
+
+    # enforced on later writes
+    bad = spark.createDataFrame([(-1, 5)], "doc_id long, n_chars long")
+    with pytest.raises(snap.ConstraintViolationError, match="id_nonneg"):
+        snap.commit(spark, bad, t, mode="append")
+
+    # unknown drop raises; if_exists is a no-op
+    with pytest.raises(ValueError, match="no constraint"):
+        snap.drop_constraint(spark, t, "ghost")
+    assert snap.drop_constraint(spark, t, "ghost", if_exists=True) == v
+
+    # drop, then the previously-violating write succeeds
+    v2 = snap.drop_constraint(spark, t, "id_nonneg")
+    m2 = snap._load_manifest(t, v2, snap._POSIX)
+    assert m2["op"] == "drop_constraint"
+    assert "constraints" not in m2 or "id_nonneg" not in m2["constraints"]
+    snap.commit(spark, bad, t, mode="append")
+    assert snap.read_snapshot(spark, t).count() == docs.count() + 1
+
+
+def test_new_constraint_on_append_validates_basis(spark, tmp_path):
+    """commit(check_constraints=...) introducing a NEW constraint name
+    on an append validates the EXISTING snapshot too (r12 ADVICE):
+    pre-existing violations refuse the commit up front instead of
+    being grandfathered to surface from an unrelated later UPDATE."""
+    t = str(tmp_path / "tbl")
+    snap.commit(
+        spark,
+        spark.range(10).selectExpr("id", "id - 5 AS val"),
+        t,
+        mode="overwrite",
+    )
+    clean = spark.createDataFrame([(100, 100)], "id long, val long")
+    with pytest.raises(snap.ConstraintViolationError, match="val_pos"):
+        snap.commit(
+            spark, clean, t, mode="append",
+            check_constraints={"val_pos": "val >= 0"},
+        )
+    # the same commit as an OVERWRITE discards the old rows: accepted
+    v = snap.commit(
+        spark, clean, t, mode="overwrite",
+        check_constraints={"val_pos": "val >= 0"},
+    )
+    assert snap._load_manifest(t, v, snap._POSIX)["constraints"] == {
+        "val_pos": "val >= 0"
+    }
+
+
+def test_commit_constraints_pin_nondeterministic_df(spark, tmp_path):
+    """With constraints present, commit() pins df via one eager
+    localCheckpoint so validation and the write see the SAME rows
+    (r12 ADVICE): a rand()-derived frame either fully satisfies the
+    written data or the commit raises — never a validated-clean,
+    written-dirty split."""
+    t = str(tmp_path / "tbl")
+    df = spark.range(500).withColumn("r", F.rand(0) * 100)
+    snap.commit(
+        spark, df, t, mode="overwrite",
+        check_constraints={"r_range": "r >= 0 AND r < 100"},
+    )
+    got = snap.read_snapshot(spark, t)
+    assert got.count() == 500
+    assert got.where("r < 0 OR r >= 100").count() == 0
+
+
+def test_rewrite_rebases_over_concurrent_append(spark, tmp_path):
+    """Delta-style logical conflict resolution (r12 verdict #6): a
+    rewrite pinned to a stale basis auto-rebases when only pure
+    appends interleaved — appended dirs survive, rewritten dirs land —
+    and raises when an interleaved commit itself rewrote data."""
+    import uuid as _uuid
+
+    t = str(tmp_path / "tbl")
+    snap.commit(
+        spark,
+        spark.range(100).selectExpr("id", "id % 5 AS k"),
+        t,
+        mode="overwrite",
+    )
+    basis = snap.current_version(t, snap._POSIX)
+    # a concurrent append lands after the rewrite's basis read
+    snap.commit(
+        spark,
+        spark.range(100, 110).selectExpr("id", "id % 5 AS k"),
+        t,
+        mode="append",
+    )
+    # the rewrite (computed from basis: drop k==0) publishes pinned
+    surv = snap.read_snapshot(spark, t, basis).where("k <> 0")
+    d = os.path.join(t, snap._DATA_DIR, "c" + _uuid.uuid4().hex[:12])
+    surv.write.parquet(d)
+    v = snap.commit(
+        spark, None, t, mode="overwrite", expected_parent=basis,
+        _op="delete", _dirs=[os.path.relpath(d, t)], _rebase=True,
+    )
+    got = snap.read_snapshot(spark, t)
+    assert got.count() == 90  # 80 survivors + 10 appended
+    assert got.where("k = 0 AND id < 100").count() == 0
+    assert got.where("id >= 100").count() == 10
+    m = snap._load_manifest(t, v, snap._POSIX)
+    assert m["parent"] == basis + 1  # rebased onto the append
+
+    # overlap: an interleaved REWRITE is not rebaseable
+    basis2 = v
+    snap.delete_where(spark, t, "k = 1")
+    with pytest.raises(snap.SnapshotConflictError, match="not rebaseable"):
+        snap.commit(
+            spark, None, t, mode="overwrite", expected_parent=basis2,
+            _op="delete", _dirs=[os.path.relpath(d, t)], _rebase=True,
+        )
+
+
+def test_concurrent_append_during_delete_threaded(spark, tmp_path):
+    """A genuinely THREADED append racing a delete_where: whatever the
+    interleaving (append before the basis read, inside the
+    read->publish window, or after the publish), the final table holds
+    the delete's survivors PLUS the appended rows — the rebase path
+    makes the mid-window case converge to the same answer instead of
+    raising."""
+    import threading
+
+    t = str(tmp_path / "tbl")
+    snap.commit(
+        spark,
+        spark.range(2000).selectExpr("id", "id % 10 AS k"),
+        t,
+        mode="overwrite",
+    )
+    appended = spark.range(10_000, 10_050).selectExpr("id", "id % 10 AS k")
+    err: list[Exception] = []
+
+    def race():
+        try:
+            snap.commit(spark, appended, t, mode="append")
+        except Exception as e:  # pragma: no cover - surfaced below
+            err.append(e)
+
+    th = threading.Thread(target=race)
+    th.start()
+    try:
+        snap.delete_where(spark, t, "k = 0")
+    finally:
+        th.join()
+    assert not err, err
+    got = snap.read_snapshot(spark, t)
+    # 1800 survivors; appended rows present except any k=0 casualties
+    # ONLY if the append landed before the delete's basis read — all
+    # three interleavings leave k<>0 appended rows intact
+    assert got.where("id < 2000").count() == 1800
+    assert got.where("id >= 10000 AND k <> 0").count() == 45
+
+
+def test_drop_table_purge_refuses_alias(spark, tmp_path):
+    """drop_table(purge=True) refuses while another catalog NAME
+    resolves to the same data root (r12 ADVICE): purging one alias
+    must not leave the other pointing at deleted bytes. Dropping the
+    alias first (no purge) unblocks the purge."""
+    from deepcell_data_engineering_spark.sources.table_catalog import (
+        SnapshotCatalog,
+    )
+
+    t = str(tmp_path / "tbl")
+    snap.commit(spark, spark.range(5).selectExpr("id"), t)
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    cat.create_table("docs", t)
+    cat.create_table("docs_alias", t)
+    with pytest.raises(ValueError, match="also\\s+resolve"):
+        cat.drop_table("docs", purge=True)
+    # both names intact, data intact
+    assert set(cat.tables()) == {"docs", "docs_alias"}
+    assert snap.read_snapshot(spark, t).count() == 5
+    # plain drop of the alias, then purge succeeds
+    cat.drop_table("docs_alias")
+    cat.drop_table("docs", purge=True)
+    assert cat.tables() == {}
+    assert not os.path.exists(os.path.join(t, snap._DATA_DIR))
+
+
+def _drain_processing(spark, reader_opts, ckpt, expect_rows, timeout=90):
+    """Run a snapshot_stream with a processing trigger until
+    ``expect_rows`` rows arrived (or timeout); returns the non-empty
+    (batch_id, rows) pairs in order."""
+    import time as _time
+
+    batches = []
+
+    def sink(bdf, bid):
+        n = bdf.count()
+        if n:
+            batches.append((bid, n))
+
+    reader = spark.readStream.format("snapshot_stream")
+    for k, v in reader_opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(sink)
+        .trigger(processingTime="300 milliseconds")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    deadline = _time.time() + timeout
+    try:
+        while (
+            _time.time() < deadline
+            and sum(n for _, n in batches) < expect_rows
+        ):
+            _time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return batches
+
+
+def test_snapshot_stream_rate_limit(spark, tmp_path):
+    """max_files_per_batch (Delta's maxFilesPerTrigger — r12 verdict
+    #5): a backfill commit drains as several bounded micro-batches,
+    splitting mid-commit at file granularity, with exactly-once
+    totals; a checkpointed RESTART under rate limiting re-learns the
+    committed floor (one empty catch-up batch at most) and ships only
+    new commits — never a duplicate."""
+    from deepcell_data_engineering_spark.streaming import snapshot_source
+
+    snapshot_source.register(spark)
+    t = str(tmp_path / "tbl")
+    snap.commit(
+        spark,
+        spark.range(40).selectExpr("id", "id * 2 AS val").repartition(8),
+        t,
+        mode="overwrite",
+    )
+    snap.commit(
+        spark,
+        spark.range(40, 50).selectExpr("id", "id * 2 AS val").repartition(2),
+        t,
+        mode="append",
+    )
+    ckpt = str(tmp_path / "ckpt")
+    batches = _drain_processing(
+        spark,
+        {"path": t, "max_files_per_batch": "3"},
+        ckpt,
+        expect_rows=50,
+    )
+    assert sum(n for _, n in batches) == 50
+    assert len(batches) >= 4  # 10 files at <=3 per batch
+
+    # restart on the same checkpoint, still rate-limited: the fresh
+    # reader's first bounded offset is BEHIND the checkpoint (the
+    # Python API has no admission-control start) — the learned floor
+    # turns that into one empty catch-up batch, then only new rows
+    snap.commit(
+        spark,
+        spark.range(50, 56).selectExpr("id", "id * 2 AS val").repartition(3),
+        t,
+        mode="append",
+    )
+    batches2 = _drain_processing(
+        spark,
+        {"path": t, "max_files_per_batch": "2"},
+        ckpt,
+        expect_rows=6,
+    )
+    assert sum(n for _, n in batches2) == 6
+    assert len(batches2) >= 2  # 3 files at <=2 per batch
+
+
+def test_snapshot_stream_initial_overwrite_load(spark, tmp_path):
+    """A table whose v0 was written with mode='overwrite' (the common
+    create pattern) streams its first commit as an initial load
+    instead of erroring (r12 ADVICE — Delta's starting-snapshot
+    batch); ops on later versions keep their strict semantics."""
+    from deepcell_data_engineering_spark.streaming import snapshot_source
+
+    snapshot_source.register(spark)
+    t = str(tmp_path / "tbl")
+    snap.commit(
+        spark, spark.range(7).selectExpr("id", "id AS val"), t,
+        mode="overwrite",
+    )
+    out = []
+
+    def sink(bdf, bid):
+        out.extend((r.id, r._commit_version) for r in bdf.collect())
+
+    q = (
+        spark.readStream.format("snapshot_stream")
+        .option("path", t)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(out) == [(i, 0) for i in range(7)]
+
+
+def test_snapshot_stream_by_name_and_rename(spark, tmp_path):
+    """Stream-by-name (r12 verdict #8): option('table_name') +
+    option('catalog_root') resolve the root through the catalog log;
+    a RENAME re-points the name at the same path, so a restarted
+    stream under the new name keeps its checkpointed position."""
+    from deepcell_data_engineering_spark.sources.table_catalog import (
+        SnapshotCatalog,
+    )
+    from deepcell_data_engineering_spark.streaming import snapshot_source
+
+    snapshot_source.register(spark)
+    root = str(tmp_path)
+    t = os.path.join(root, "tbl")
+    snap.commit(spark, spark.range(10).selectExpr("id"), t)
+    cat = SnapshotCatalog(os.path.join(root, "cat"))
+    cat.create_table("docs", t)
+    ckpt = os.path.join(root, "ckpt")
+
+    def drain(name):
+        got = []
+
+        def sink(bdf, bid):
+            got.extend(r.id for r in bdf.collect())
+
+        q = (
+            spark.readStream.format("snapshot_stream")
+            .option("table_name", name)
+            .option("catalog_root", os.path.join(root, "cat"))
+            .load()
+            .writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    assert sorted(drain("docs")) == list(range(10))
+    # unknown names resolve to a clean error listing what exists
+    with pytest.raises(Exception, match="no table named"):
+        spark.readStream.format("snapshot_stream").option(
+            "table_name", "ghost"
+        ).option("catalog_root", os.path.join(root, "cat")).load()
+    cat.rename_table("docs", "corpus")
+    snap.commit(spark, spark.range(10, 13).selectExpr("id"), t,
+                mode="append")
+    assert sorted(drain("corpus")) == [10, 11, 12]
+
+
+def test_stream_reader_offset_bookkeeping(spark, tmp_path):
+    """Unit test of the reader's self-tracked offsets (no streaming
+    query): bounded latestOffset walks split mid-commit; partitions()
+    slices file ranges; a stale BACKWARD latestOffset after restart
+    becomes an empty batch whose start teaches the committed floor,
+    below which files are never re-planned; commit() prunes the plan
+    cache to O(in-flight)."""
+    from deepcell_data_engineering_spark.streaming.snapshot_source import (
+        SnapshotStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    snap.commit(
+        spark, spark.range(20).selectExpr("id").repartition(4), t,
+        mode="overwrite",
+    )                                                                # v0: 4 files
+    snap.commit(
+        spark, spark.range(20, 32).selectExpr("id").repartition(3), t,
+        mode="append",
+    )                                                                # v1: 3 files
+    r = SnapshotStreamReader(
+        {"path": t, "max_files_per_batch": "3"}, ["id"]
+    )
+    assert r.initialOffset() == {"version": 0, "index": 0}
+    o1 = r.latestOffset()
+    assert (o1["version"], o1["index"]) == (0, 3)  # mid-commit split
+    p1 = r.partitions(r.initialOffset(), o1)
+    assert len(p1) == 3
+    o2 = r.latestOffset()
+    assert (o2["version"], o2["index"]) == (1, 2)  # 4th v0 file + 2 of v1
+    assert len(r.partitions(o1, o2)) == 3
+    r.commit(o2)
+    assert set(r._plans) == {1}  # v0's plan pruned, v1 in flight
+    o3 = r.latestOffset()
+    assert (o3["version"], o3["index"]) == (2, 0)
+    assert len(r.partitions(o2, o3)) == 1
+
+    # fresh reader (a restart): its first bounded walk is BEHIND the
+    # checkpointed position; the engine's backward empty batch teaches
+    # the floor and nothing below it is ever re-planned
+    r2 = SnapshotStreamReader(
+        {"path": t, "max_files_per_batch": "2"}, ["id"]
+    )
+    stale = r2.latestOffset()
+    assert (stale["version"], stale["index"]) == (0, 2)
+    assert r2.partitions(o3, stale) == []  # backward -> empty, learn
+    o4 = r2.latestOffset()
+    assert (o4["version"], o4["index"]) == (2, 0)  # resumed at floor
+    assert r2.partitions(stale, o4) == []  # all below floor: no dupes
+
+
+def test_stream_reader_pinned_schema(spark, tmp_path):
+    """The reader's field order is pinned by the resolved query schema
+    the engine hands streamReader() (r12 ADVICE): a schema-evolving
+    commit landing between schema() and reader construction cannot
+    skew tuple order or width."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from deepcell_data_engineering_spark.streaming.snapshot_source import (
+        SnapshotStreamDataSource,
+    )
+
+    t = str(tmp_path / "tbl")
+    snap.commit(
+        spark, spark.range(3).selectExpr("id", "id * 2 AS val"), t,
+        mode="overwrite",
+    )
+    ds = SnapshotStreamDataSource({"path": t})
+    ddl = ds.schema()  # resolved BEFORE the evolving commit
+    assert ddl.startswith("id bigint, val bigint")
+    # an evolved commit lands in the schema()->streamReader() window
+    snap.commit(
+        spark,
+        spark.range(3, 5).selectExpr(
+            "id", "id * 2 AS val", "'x' AS extra"
+        ),
+        t,
+        mode="append",
+    )
+    reader = ds.streamReader(_parse_datatype_string(ddl))
+    assert reader.fields == ["id", "val"]  # pinned, no 'extra'
+    parts = reader.partitions(
+        {"version": 1, "index": 0}, {"version": 2, "index": 0}
+    )
+    rows = [row for p in parts for row in reader.read(p)]
+    # width matches the PINNED schema (+_commit_version), not the
+    # evolved file's
+    assert all(len(row) == 3 for row in rows)
+    assert sorted(r[0] for r in rows) == [3, 4]

@@ -15,6 +15,13 @@ undeclared non-provable BNLJs are hard violations — a regression
 that introduces a data-sized nested loop fails the sweep, it doesn't
 wait for a human to read the diff (r9 verdict #3).
 
+Second contract (r12 verdict #3): every UNPARTITIONED window
+operator's input must be a provably bounded subtree (aggregate- or
+limit-dominated, or plan-constant). Domain-bounded-but-not-provable
+sites declare via QuerySpec.window_bounded; an undeclared raw-fact
+global window (one task sorts the table at 100 TB) is a hard
+violation.
+
 Usage: python tools/check_plan_contracts.py [sf_dir]
 """
 
@@ -64,6 +71,9 @@ def main() -> None:
             builds = pi.bnlj_build_sides_scalar(df)
             declared = QUERIES[name].bnlj_bounded
             non_scalar = sum(1 for ok in builds if not ok)
+            gwin = pi.global_window_inputs_bounded(df)
+            gwin_unbounded = sum(1 for ok in gwin if not ok)
+            win_declared = QUERIES[name].window_bounded
             # column-pruning audit: per-scan read width vs table width.
             # Informational, not a violation — some queries legitimately
             # read everything (table profiling, full-row diff/dedup) —
@@ -82,6 +92,9 @@ def main() -> None:
                 "bnlj": s["broadcast_nested_loop"],
                 "bnlj_non_scalar": non_scalar,
                 "bnlj_declared_bounded": declared,
+                "global_windows": len(gwin),
+                "gwin_unbounded": gwin_unbounded,
+                "window_declared_bounded": win_declared,
                 "broadcast_hash": s["broadcast_hash"],
                 "sort_merge": s["sort_merge"],
                 "exchanges": pi.count_exchanges(df),
@@ -94,6 +107,9 @@ def main() -> None:
         if rec.get("cartesian") or (
             rec.get("bnlj_non_scalar", 0)
             > rec.get("bnlj_declared_bounded", 0)
+        ) or (
+            rec.get("gwin_unbounded", 0)
+            > rec.get("window_declared_bounded", 0)
         ):
             bad.append(name)
         print(
@@ -102,6 +118,9 @@ def main() -> None:
                 f"cart={rec['cartesian']} bnlj={rec['bnlj']} "
                 f"bnlj!1row={rec['bnlj_non_scalar']}"
                 f"/decl={rec['bnlj_declared_bounded']} "
+                f"gwin={rec['global_windows']} "
+                f"gwin!bnd={rec['gwin_unbounded']}"
+                f"/decl={rec['window_declared_bounded']} "
                 f"bhj={rec['broadcast_hash']} smj={rec['sort_merge']} "
                 f"exch={rec['exchanges']}"
                 if "error" not in rec
