@@ -87,17 +87,36 @@ def weighted_sample(
     Rows with weight <= 0 are excluded (their inclusion probability is
     zero, and pow(u, 1/w) is undefined at w = 0). ``key`` must uniquely
     identify rows within a stratum: duplicate keys draw the same u, and
-    the tie between them would be partition-order dependent."""
+    the tie between them would be partition-order dependent.
+
+    Scale shape: the unstratified path is sort+limit — Spark's
+    TakeOrderedAndProject, a per-partition top-k fold into one k-row
+    final heap (never a global sort of the input) — with the rank
+    window applied AFTER the limit, over <= k rows (the r12 window
+    contract: a global row_number directly over the raw frame would
+    put the whole table through one task's sort at 100 TB). The
+    stratified path stays a partitioned window."""
     from pyspark.sql import Window
 
     u = (hash_bucket(key, seed) + F.lit(1).cast("double")) / F.lit(HASH_SPACE).cast(
         "double"
     )
     skey = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    flt = df.where(F.col(weight_col) > 0)
+    if not strata:
+        kept = (
+            flt.withColumn("__skey", skey)
+            .orderBy(F.col("__skey").desc(), key)
+            .limit(k)
+        )
+        w = Window.orderBy(F.col("__skey").desc(), key)
+        return (
+            kept.withColumn(rank_col, F.row_number().over(w))
+            .drop("__skey")
+        )
     w = Window.partitionBy(*strata).orderBy(skey.desc(), key)
     return (
-        df.where(F.col(weight_col) > 0)
-        .withColumn(rank_col, F.row_number().over(w))
+        flt.withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= k)
     )
 

@@ -152,7 +152,14 @@ def _is_window_bounded_subtree(node) -> bool:
     ch = _phys_children(node)
     if name in _AGG_NODES:
         return True
-    if cls in ("LocalLimitExec", "GlobalLimitExec", "CollectLimitExec"):
+    if cls in (
+        "LocalLimitExec",
+        "GlobalLimitExec",
+        "CollectLimitExec",
+        # distributed top-k: per-partition k-row heaps folded into one
+        # k-row result — the scalable global-rank shape
+        "TakeOrderedAndProjectExec",
+    ):
         return True
     if cls == "RangeExec":
         try:

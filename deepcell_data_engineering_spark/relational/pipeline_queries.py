@@ -5917,7 +5917,12 @@ def _x95_oracle(t: float = 0.5) -> str:
     "measure on a sample, pick by the S-curve, certify the recall the "
     "choice buys. The four configs share one signature build and one "
     "truth set; candidate stats are counts over vocab-bounded pair "
-    "sets, never materialized row-pair scans.",
+    "sets, never materialized row-pair scans. window_bounded=1: the "
+    "chosen-config global MIN window runs over the 4-row config "
+    "frame (a createDataFrame literal -> RDDScan, opaque to the "
+    "plan prover) joined to a grouped aggregate - constant "
+    "cardinality by construction.",
+    window_bounded=1,
 )
 def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = 0.5

@@ -740,3 +740,64 @@ def test_scan_profiles_read_exact_widths(spark):
     )
     assert sorted(p["table"] for p in two) == ["lineitem", "orders"]
     assert all(p["n_read"] == 1 for p in two)
+
+
+def test_global_window_contract_catches_raw_fact_window(spark):
+    """The unpartitioned-window PLANCHECK contract (r12 verdict #3 —
+    docstring convention promoted to a machine check): a global
+    row_number directly over a raw fact scan is flagged (one task
+    sorts the table at 100 TB); aggregate-grain, limit-bounded and
+    distributed-top-k (TakeOrderedAndProject) frames are proven
+    bounded; partitioned windows are out of scope."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    # SEEDED VIOLATION: raw-fact global window
+    bad = li.withColumn(
+        "rn", F.row_number().over(Window.orderBy("l_quantity", "l_orderkey"))
+    )
+    assert pi.global_window_inputs_bounded(bad) == [False]
+
+    # aggregate-grain global window: bounded
+    agg = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+    ok = agg.withColumn(
+        "rk", F.rank().over(Window.orderBy(F.desc("q"), "l_orderkey"))
+    )
+    assert pi.global_window_inputs_bounded(ok) == [True]
+
+    # distributed top-k (sort+limit) then re-rank: bounded
+    topk = li.orderBy(F.desc("l_quantity"), "l_orderkey").limit(7)
+    ranked = topk.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.desc("l_quantity"), "l_orderkey")),
+    )
+    assert pi.global_window_inputs_bounded(ranked) == [True]
+
+    # a PARTITIONED window over raw facts is out of contract scope
+    part = li.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("l_orderkey").orderBy("l_quantity")
+        ),
+    )
+    assert pi.global_window_inputs_bounded(part) == []
+
+
+def test_registry_window_contract_holds(spark):
+    """Every registered query satisfies the global-window contract at
+    smoke scale: unpartitioned windows sit over provably bounded
+    subtrees, except the explicitly declared domain-bounded sites
+    (QuerySpec.window_bounded, adjudicated in their docstrings).
+    Spot-checks the two known shapes instead of re-running the full
+    sweep (tools/check_plan_contracts.py covers all 246)."""
+    for name in (
+        "x104_weighted_sample_incremental",  # reworked to top-k (r13)
+        "x122_ntile_deciles",                # aggregate-grain NTILE
+        "x95_adaptive_lsh",                  # declared: 4-row config frame
+    ):
+        df = QUERIES[name].build(spark, SF)
+        gw = pi.global_window_inputs_bounded(df)
+        unbounded = sum(1 for b in gw if not b)
+        assert unbounded <= QUERIES[name].window_bounded, name
