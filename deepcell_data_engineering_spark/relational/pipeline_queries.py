@@ -16026,3 +16026,1122 @@ def x201(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@_q(
+    "x202_constraint_lifecycle",
+    """WITH base AS (
+         SELECT c_custkey AS k, c_mktsegment AS seg,
+                CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents
+         FROM customer
+       ),
+       extra AS (
+         SELECT k + 1000000 AS k, seg, ABS(cents) AS cents
+         FROM base WHERE k <= 10
+       ),
+       zomb AS (
+         SELECT CAST(9999999 AS BIGINT) AS k, 'ZOMBIE' AS seg,
+                CAST(-1000000000000 AS BIGINT) AS cents
+       ),
+       allr AS (
+         SELECT * FROM base
+         UNION ALL SELECT * FROM extra
+         UNION ALL SELECT * FROM zomb
+       )
+       SELECT seg AS c_mktsegment,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(cents) AS BIGINT) AS sum_cents,
+              CAST(1 AS BIGINT) AS blocked_adds,
+              CAST(2 AS BIGINT) AS n_meta_ops,
+              CAST(4 AS BIGINT) AS final_version
+       FROM allr GROUP BY 1 ORDER BY 1""",
+    doc="ALTER-style constraint lifecycle certified end to end "
+    "(snapshots.py:add_constraint/drop_constraint — r12 verdict #4: "
+    "x201 certifies write-time enforcement, this certifies the "
+    "LIFECYCLE verbs): the engine creates the customer snapshot "
+    "(negative balances exist), ADDs a holding floor constraint as a "
+    "METADATA-ONLY commit (dir list = parent's, validated against "
+    "the EXISTING rows in one folded aggregate — Delta's ALTER TABLE "
+    "ADD CONSTRAINT contract), then attempts to ADD 'cents >= 0' "
+    "which the existing data violates — refused with per-constraint "
+    "counts, publishing NOTHING (blocked_adds=1, version unmoved) — "
+    "appends a clean batch under enforcement, DROPs the floor, and "
+    "proves the drop by appending a row the old rule forbids "
+    "(the ZOMBIE segment row). Final rollup must equal the oracle's "
+    "static reconstruction; n_meta_ops pins that exactly two "
+    "metadata-only commits (add, drop) entered the log. Lakehouse-"
+    "certification tier (tempdir commits, <=6-row driver folds).",
+)
+def x202(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from deepcell_data_engineering_spark.sources import snapshots as snap
+
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="dde_constraint_lifecycle_")
+    blocked = 0
+    try:
+        t = f"{root}/t"
+        snap.commit(spark, base, t, mode="overwrite")                 # v0
+        snap.add_constraint(spark, t, "bal_floor", "cents >= -100000")  # v1
+        try:
+            snap.add_constraint(spark, t, "bal_nonneg", "cents >= 0")
+        except snap.ConstraintViolationError:
+            blocked += 1  # existing rows violate: refused, nothing published
+        extra = base.where(F.col("k") <= 10).select(
+            (F.col("k") + F.lit(1000000)).alias("k"),
+            "seg",
+            F.abs(F.col("cents")).alias("cents"),
+        )
+        snap.commit(spark, extra, t, mode="append")                   # v2
+        snap.drop_constraint(spark, t, "bal_floor")                   # v3
+        zomb = spark.createDataFrame(
+            [(9999999, "ZOMBIE", -(10**12))], "k bigint, seg string, cents bigint"
+        )
+        snap.commit(spark, zomb, t, mode="append")                    # v4
+        hist = snap.history(t)
+        n_meta = sum(
+            1 for h in hist if h["op"] in ("add_constraint", "drop_constraint")
+        )
+        final_version = hist[-1]["version"]
+        agg = (
+            snap.read_snapshot(spark, t)
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+        )
+        rows = [(r["seg"], r["n_rows"], r["sum_cents"]) for r in agg.collect()]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return (
+        spark.createDataFrame(
+            rows, "c_mktsegment STRING, n_rows BIGINT, sum_cents BIGINT"
+        )
+        .withColumn("blocked_adds", F.lit(blocked).cast("bigint"))
+        .withColumn("n_meta_ops", F.lit(n_meta).cast("bigint"))
+        .withColumn("final_version", F.lit(final_version).cast("bigint"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@_q(
+    "x203_stream_rate_feed",
+    """SELECT CAST(0 AS BIGINT) AS commit_version,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              TRUE AS bounded_drain
+       FROM nation
+       UNION ALL
+       SELECT CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT), TRUE FROM nation
+       UNION ALL
+       SELECT CAST(3 AS BIGINT), CAST(1 AS BIGINT), TRUE
+       ORDER BY commit_version""",
+    doc="The snapshot-log STREAMING source certified end to end under "
+    "RATE CONTROL (streaming/snapshot_source.py — r12 verdict #5): "
+    "the engine commits v0 (overwrite create, 4 files — streamed as "
+    "the starting snapshot, the r12-ADVICE initial-load posture), v1 "
+    "(append, 3 files), v2 (delete — ships nothing) and v3 (update — "
+    "ships the postimage), then drains the table through "
+    "readStream.format('snapshot_stream') with max_files_per_batch=2 "
+    "under a processing trigger: offsets are (version, file-index) "
+    "pairs that split commits MID-FILE-LIST, so the 7-data-file "
+    "backlog must arrive across >= 4 bounded micro-batches "
+    "(bounded_drain pins it) with exactly-once totals. The per-"
+    "_commit_version row counts must equal the oracle's static "
+    "reconstruction — a duplicated or dropped file breaks them. "
+    "Delete versions contribute no rows by design (this source "
+    "streams arrivals; folds consume read_changes). Streaming-"
+    "certification tier (tempdir commits, bounded drain).",
+)
+def x203(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import time as _time
+
+    from deepcell_data_engineering_spark.sources import snapshots as snap
+    from deepcell_data_engineering_spark.streaming import snapshot_source
+
+    snapshot_source.register(spark)
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("key"),
+        F.col("n_name").alias("name"),
+    )
+    n_nat = nat.count()
+    root = tempfile.mkdtemp(prefix="dde_stream_rate_")
+    got: list[tuple[int, int]] = []
+    nonempty = 0
+    try:
+        t = f"{root}/t"
+        snap.commit(spark, nat.repartition(4), t, mode="overwrite")   # v0
+        snap.commit(
+            spark,
+            nat.select((F.col("key") + F.lit(100)).alias("key"), "name")
+            .repartition(3),
+            t,
+            mode="append",
+        )                                                             # v1
+        snap.delete_where(spark, t, "key % 25 = 3")                   # v2
+        snap.update_where(spark, t, "key = 5", {"name": "'PATCHED'"})  # v3
+
+        rows_seen: dict[int, int] = {}
+
+        def sink(bdf, bid):
+            nonlocal nonempty
+            pairs = (
+                bdf.groupBy("_commit_version").count().collect()
+            )
+            if pairs:
+                nonempty += 1
+            for r in pairs:
+                v = int(r["_commit_version"])
+                rows_seen[v] = rows_seen.get(v, 0) + int(r["count"])
+
+        expected = n_nat + n_nat + 1
+        q = (
+            spark.readStream.format("snapshot_stream")
+            .option("path", t)
+            .option("max_files_per_batch", "2")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .trigger(processingTime="200 milliseconds")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .start()
+        )
+        deadline = _time.time() + 120
+        try:
+            while (
+                _time.time() < deadline
+                and sum(rows_seen.values()) < expected
+            ):
+                _time.sleep(0.2)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+        got = sorted(rows_seen.items())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    bounded = nonempty >= 4
+    return spark.createDataFrame(
+        [(v, n, bounded) for v, n in got],
+        "commit_version BIGINT, n_rows BIGINT, bounded_drain BOOLEAN",
+    ).orderBy("commit_version")
+
+
+@_q(
+    "x204_kaplan_meier",
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+       pu AS (SELECT user_id, MIN(d) AS f, MAX(d) AS l
+              FROM ev GROUP BY 1),
+       md AS (SELECT MAX(l) AS m FROM pu),
+       dur AS (SELECT date_diff('day', f, l) AS t,
+                      CASE WHEN date_diff('day', l, m) >= 5
+                           THEN 1 ELSE 0 END AS e
+               FROM pu, md),
+       g AS (SELECT t, SUM(e) AS d, SUM(1 - e) AS c
+             FROM dur GROUP BY 1),
+       k AS (SELECT t, d, c,
+                    (SELECT COUNT(*) FROM dur)
+                    - COALESCE(SUM(d + c) OVER (
+                        ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS n
+             FROM g)
+       SELECT CAST(t AS BIGINT) AS t_days,
+              CAST(n AS BIGINT) AS n_risk,
+              CAST(d AS BIGINT) AS d_events,
+              CAST(c AS BIGINT) AS c_censored,
+              ROUND(PRODUCT(1.0 - d * 1.0 / n) OVER (ORDER BY t)
+                    + 0.0, 6) AS survival
+       FROM k ORDER BY t_days""",
+    doc="Kaplan-Meier survival estimator over user activity lifetimes "
+    "(events): per user T = days between first and last event, an "
+    "observed CHURN EVENT iff the last event predates the corpus "
+    "horizon by >= 5 days (otherwise right-censored at T — the user "
+    "was still active when observation ended), then the product-limit "
+    "curve S(t) = prod_{t_i<=t} (1 - d_i/n_i) over the DISTINCT "
+    "event-time grid with the risk set n_i folded from cumulative "
+    "exits. The survival-analysis primitive behind retention/'how "
+    "long does a contributor stay' questions, done censoring-"
+    "correctly (naive averages of observed lifetimes are biased low). "
+    "Scale: one per-user aggregate, then every window runs on the "
+    "<=|distinct T| aggregate grid (the r12 window contract). The "
+    "engine takes exp(sum(ln(1-d/n))) while the oracle takes DuckDB's "
+    "windowed PRODUCT — two algebraically equal but different "
+    "computations agreeing at the 1e-6 rounding grain; d_i, c_i, n_i "
+    "are exact integers.",
+)
+def x204(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    pu = ev.groupBy("user_id").agg(
+        F.min("d").alias("f"), F.max("d").alias("l")
+    )
+    wall = Window.partitionBy()
+    dur = pu.select(
+        F.datediff("l", "f").alias("t"),
+        F.when(
+            F.datediff(F.max("l").over(wall), F.col("l")) >= 5, 1
+        )
+        .otherwise(0)
+        .alias("e"),
+    )
+    g = dur.groupBy("t").agg(
+        F.sum("e").alias("d"), F.sum(F.lit(1) - F.col("e")).alias("c")
+    )
+    wexit = (
+        Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wcum = Window.orderBy("t")
+    k = g.select(
+        "t",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(wall)
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(wexit), F.lit(0)
+            )
+        ).alias("n"),
+    )
+    return k.select(
+        F.col("t").cast("bigint").alias("t_days"),
+        F.col("n").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("d_events"),
+        F.col("c").cast("bigint").alias("c_censored"),
+        F.round(
+            F.exp(
+                F.sum(
+                    F.log(
+                        F.lit(1.0)
+                        - F.col("d").cast("double") / F.col("n").cast("double")
+                    )
+                ).over(wcum)
+            )
+            + F.lit(0.0),
+            6,
+        ).alias("survival"),
+    ).orderBy("t_days")
+
+
+@_q(
+    "x205_mutual_information",
+    """WITH cells AS (
+         SELECT c_mktsegment AS x, n_name AS y, COUNT(*) AS n
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1, 2
+       ),
+       m AS (
+         SELECT x, y, n,
+                SUM(n) OVER (PARTITION BY x) AS nx,
+                SUM(n) OVER (PARTITION BY y) AS ny,
+                SUM(n) OVER () AS nt
+         FROM cells
+       )
+       SELECT CAST(MAX(nt) AS BIGINT) AS n_total,
+              CAST(COUNT(DISTINCT x) AS BIGINT) AS n_x,
+              CAST(COUNT(DISTINCT y) AS BIGINT) AS n_y,
+              ROUND(SUM((n * 1.0 / nt)
+                        * LN((n * nt) * 1.0 / (nx * ny))) + 0.0, 6)
+                AS mi_nats,
+              ROUND(SUM(((n * nt - nx * ny) * 1.0)
+                        * ((n * nt - nx * ny) * 1.0)
+                        / (nt * 1.0 * nx * ny)) + 0.0, 4) AS chi2,
+              ROUND(SQRT(SUM(((n * nt - nx * ny) * 1.0)
+                             * ((n * nt - nx * ny) * 1.0)
+                             / (nt * 1.0 * nx * ny))
+                         / (MAX(nt)
+                            * (LEAST(COUNT(DISTINCT x),
+                                     COUNT(DISTINCT y)) - 1)))
+                    + 0.0, 6) AS cramers_v
+       FROM m""",
+    doc="Mutual information + chi-squared + Cramer's V between two "
+    "categorical columns (customer.mktsegment x nation.name through "
+    "the broadcast dim join) — the dependence screen a feature-"
+    "selection / leakage audit runs over candidate columns: MI in "
+    "nats from the exact contingency counts, the chi-squared "
+    "statistic in its all-integer-numerator form "
+    "(n*N - nx*ny)^2 / (N*nx*ny) (one float division per cell, no "
+    "float expectation matrix), and the effect size normalized to "
+    "[0,1] as V = sqrt(chi2 / (N * (min(r,c)-1))) so it is "
+    "comparable across table shapes (x169 reports chi-squared "
+    "p-screens per value; this is the single-number association "
+    "summary of the whole matrix). Margins ride windows PARTITIONED "
+    "over the <=|x|*|y| aggregate grid; only exact BIGINTs enter "
+    "every product.",
+)
+def x205(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cells = (
+        cust.join(
+            F.broadcast(nat),
+            cust.c_nationkey == nat.n_nationkey,
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("x"), F.col("n_name").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = cells.select(
+        "x",
+        "y",
+        "n",
+        F.sum("n").over(Window.partitionBy("x")).alias("nx"),
+        F.sum("n").over(Window.partitionBy("y")).alias("ny"),
+        F.sum("n").over(Window.partitionBy()).alias("nt"),
+    )
+    chi_term = (
+        (F.col("n") * F.col("nt") - F.col("nx") * F.col("ny")).cast("double")
+        * (F.col("n") * F.col("nt") - F.col("nx") * F.col("ny")).cast("double")
+        / (
+            F.col("nt").cast("double")
+            * F.col("nx").cast("double")
+            * F.col("ny").cast("double")
+        )
+    )
+    return m.agg(
+        F.max("nt").cast("bigint").alias("n_total"),
+        F.countDistinct("x").cast("bigint").alias("n_x"),
+        F.countDistinct("y").cast("bigint").alias("n_y"),
+        F.round(
+            F.sum(
+                (F.col("n").cast("double") / F.col("nt").cast("double"))
+                * F.log(
+                    (F.col("n") * F.col("nt")).cast("double")
+                    / (F.col("nx") * F.col("ny")).cast("double")
+                )
+            )
+            + F.lit(0.0),
+            6,
+        ).alias("mi_nats"),
+        F.round(F.sum(chi_term) + F.lit(0.0), 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.sum(chi_term)
+                / (
+                    F.max("nt").cast("double")
+                    * (
+                        F.least(
+                            F.countDistinct("x"), F.countDistinct("y")
+                        ).cast("double")
+                        - F.lit(1.0)
+                    )
+                )
+            )
+            + F.lit(0.0),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@_q(
+    "x206_zipf_slope",
+    """WITH tok AS (
+         SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                  AS term
+         FROM documents
+       ),
+       tc AS (SELECT term, COUNT(*) AS cnt FROM tok
+              WHERE term <> '' GROUP BY 1),
+       rk AS (SELECT cnt,
+                     ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS r
+              FROM tc)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+              ROUND(regr_slope(LN(cnt), LN(r)) + 0.0, 4) AS slope,
+              ROUND(regr_intercept(LN(cnt), LN(r)) + 0.0, 4)
+                AS intercept,
+              ROUND(regr_r2(LN(cnt), LN(r)) + 0.0, 4) AS r2
+       FROM rk WHERE r <= 200""",
+    doc="Zipf's-law fit of the corpus unigram distribution: OLS of "
+    "ln(frequency) on ln(rank) over the top-200 vocabulary — the "
+    "text-corpus health probe (natural corpora fit slope ~ -1; "
+    "templated/synthetic corpora bend the line, so slope + R^2 "
+    "together flag generation artifacts before training). Rank is "
+    "assigned by a window over the AGGREGATED vocabulary (never the "
+    "token stream; the r12 window contract) with (count desc, term) "
+    "total order for cross-engine determinism. The ENGINE computes "
+    "the closed-form normal equations from one aggregate of "
+    "(x, y, xy, xx, yy) sums; the ORACLE uses DuckDB's independent "
+    "regr_slope/regr_intercept/regr_r2 built-ins — two different "
+    "least-squares implementations agreeing at the 1e-4 grain.",
+)
+def x206(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        tx.tokens(docs)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rk = tc.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), "term"))
+        .alias("r"),
+    ).where(F.col("r") <= 200)
+    pts = rk.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    r2 = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    ) / (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(slope + F.lit(0.0), 4).alias("slope"),
+        F.round(intercept + F.lit(0.0), 4).alias("intercept"),
+        F.round(r2 + F.lit(0.0), 4).alias("r2"),
+    )
+
+
+@_q(
+    "x207_rfm_segments",
+    """WITH o AS (
+         SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS d,
+                CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+         FROM orders
+       ),
+       pc AS (
+         SELECT k, MAX(d) AS last_d, COUNT(*) AS f,
+                SUM(cents) AS m
+         FROM o GROUP BY 1
+       ),
+       sc AS (
+         SELECT k, f, m,
+                date_diff('day', last_d, MAX(last_d) OVER ()) AS r_days
+         FROM pc
+       ),
+       q AS (
+         SELECT k, f, m,
+                NTILE(4) OVER (ORDER BY r_days, k) AS rq,
+                NTILE(4) OVER (ORDER BY f DESC, k) AS fq,
+                NTILE(4) OVER (ORDER BY m DESC, k) AS mq
+         FROM sc
+       )
+       SELECT CAST(rq * 100 + fq * 10 + mq AS BIGINT) AS segment,
+              CAST(COUNT(*) AS BIGINT) AS n_customers,
+              CAST(SUM(m) AS BIGINT) AS sum_cents,
+              ROUND(SUM(m) * 1.0 / COUNT(*) + 0.0, 2)
+                AS avg_monetary_cents
+       FROM q GROUP BY 1 ORDER BY segment""",
+    doc="RFM customer segmentation (recency / frequency / monetary "
+    "quartiles) over orders — the canonical audience-quality rollup: "
+    "per customer R = days since last order vs the corpus horizon, "
+    "F = order count, M = lifetime cents, each quartiled by NTILE(4) "
+    "with a (metric, custkey) TOTAL order so tile assignment is "
+    "deterministic and engine-independent (NTILE's floor-division "
+    "distribution is SQL-standard in both engines), folded into the "
+    "3-digit RFM segment code. All three NTILEs run over the per-"
+    "customer AGGREGATE (<=|customers| rows — the r12 window "
+    "contract), not the order stream; money stays exact BIGINT cents "
+    "until the one rounded average per segment.",
+)
+def x207(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.to_date("o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    pc = o.groupBy("k").agg(
+        F.max("d").alias("last_d"),
+        F.count(F.lit(1)).alias("f"),
+        F.sum("cents").alias("m"),
+    )
+    sc = pc.select(
+        "k",
+        "f",
+        "m",
+        F.datediff(
+            F.max("last_d").over(Window.partitionBy()), F.col("last_d")
+        ).alias("r_days"),
+    )
+    q = sc.select(
+        "k",
+        "f",
+        "m",
+        F.ntile(4).over(Window.orderBy("r_days", "k")).alias("rq"),
+        F.ntile(4).over(Window.orderBy(F.desc("f"), "k")).alias("fq"),
+        F.ntile(4).over(Window.orderBy(F.desc("m"), "k")).alias("mq"),
+    )
+    return (
+        q.groupBy(
+            (
+                F.col("rq") * 100 + F.col("fq") * 10 + F.col("mq")
+            ).cast("bigint").alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("m").cast("bigint").alias("sum_cents"),
+            F.round(
+                F.sum("m") * F.lit(1.0) / F.count(F.lit(1)) + F.lit(0.0), 2
+            ).alias("avg_monetary_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
+@_q(
+    "x208_cohort_retention",
+    """WITH o AS (
+         SELECT o_custkey AS k,
+                CAST(year(o_orderdate) * 12
+                     + (month(o_orderdate) - 1) AS BIGINT) AS m
+         FROM orders
+       ),
+       firstm AS (SELECT k, MIN(m) AS cm FROM o GROUP BY 1),
+       base AS (SELECT MIN(cm) AS m0 FROM firstm),
+       act AS (SELECT DISTINCT o.k, f.cm, o.m - f.cm AS off
+               FROM o JOIN firstm f ON o.k = f.k, base
+               WHERE f.cm <= base.m0 + 5 AND o.m - f.cm <= 5),
+       size_ AS (SELECT cm, COUNT(DISTINCT k) AS n0
+                 FROM firstm, base
+                 WHERE cm <= base.m0 + 5 GROUP BY cm)
+       SELECT CAST(a.cm // 12 AS BIGINT) AS cohort_year,
+              CAST(a.cm % 12 + 1 AS BIGINT) AS cohort_month,
+              CAST(a.off AS BIGINT) AS months_since,
+              CAST(COUNT(DISTINCT a.k) AS BIGINT) AS n_active,
+              CAST(s.n0 AS BIGINT) AS cohort_size,
+              CAST((1000 * COUNT(DISTINCT a.k)) // s.n0 AS BIGINT)
+                AS retention_permille
+       FROM act a JOIN size_ s ON a.cm = s.cm
+       GROUP BY a.cm, a.off, s.n0
+       ORDER BY cohort_year, cohort_month, months_since""",
+    doc="Cohort retention matrix over orders — the standard "
+    "acquisition-quality readout: customers are cohorted by their "
+    "FIRST order month, and for each of the first 6 cohorts x month "
+    "offsets 0..5 the share still ordering is reported as an exact "
+    "integer permille ((1000*active) div cohort_size — integer "
+    "division on both engines, no float rounding seam). Scale shape: "
+    "one per-customer first-month aggregate broadcast back onto the "
+    "order-month activity set (distinct month grain), grouped counts "
+    "— no windows, no per-row state; the cohort filter rides the "
+    "aggregate, so the matrix is bounded however large the fact "
+    "table.",
+)
+def x208(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        (
+            F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1)
+        ).cast("bigint").alias("m"),
+    )
+    firstm = o.groupBy("k").agg(F.min("m").alias("cm"))
+    m0 = firstm.agg(F.min("cm").alias("m0"))
+    fm = (
+        firstm.join(F.broadcast(m0))
+        .where(F.col("cm") <= F.col("m0") + 5)
+        .select("k", "cm")
+    )
+    act = (
+        o.join(fm, "k")
+        .where(F.col("m") - F.col("cm") <= 5)
+        .select("k", "cm", (F.col("m") - F.col("cm")).alias("off"))
+        .distinct()
+    )
+    size_ = fm.groupBy("cm").agg(F.countDistinct("k").alias("n0"))
+    return (
+        act.groupBy("cm", "off")
+        .agg(F.countDistinct("k").alias("n_active"))
+        .join(F.broadcast(size_), "cm")
+        .select(
+            (F.col("cm") / 12).cast("bigint").alias("cohort_year"),
+            (F.col("cm") % 12 + 1).cast("bigint").alias("cohort_month"),
+            F.col("off").cast("bigint").alias("months_since"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.col("n0").cast("bigint").alias("cohort_size"),
+            F.floor((1000 * F.col("n_active")) / F.col("n0"))
+            .cast("bigint")
+            .alias("retention_permille"),
+        )
+        .orderBy("cohort_year", "cohort_month", "months_since")
+    )
+
+
+@_q(
+    "x209_key_skew_audit",
+    """WITH keys AS (
+         SELECT 'l_partkey' AS col, l_partkey AS k FROM lineitem
+         UNION ALL
+         SELECT 'l_suppkey' AS col, l_suppkey AS k FROM lineitem
+       ),
+       kc AS (SELECT col, k, COUNT(*) AS c FROM keys GROUP BY 1, 2),
+       st AS (SELECT col, SUM(c) AS n_rows, COUNT(*) AS n_keys,
+                     MAX(c) AS max_c
+              FROM kc GROUP BY 1),
+       rk AS (SELECT col, c,
+                     ROW_NUMBER() OVER (PARTITION BY col ORDER BY c)
+                       AS rn
+              FROM kc),
+       p99 AS (SELECT rk.col, MIN(c) AS p99_size
+               FROM rk JOIN st ON rk.col = st.col
+               WHERE rn >= (99 * n_keys + 99) // 100
+               GROUP BY 1)
+       SELECT st.col AS key_col,
+              CAST(n_rows AS BIGINT) AS n_rows,
+              CAST(n_keys AS BIGINT) AS n_keys,
+              CAST(max_c AS BIGINT) AS max_group,
+              CAST(p99_size AS BIGINT) AS p99_group,
+              CAST((1000 * max_c) // n_rows AS BIGINT)
+                AS top1_share_permille,
+              CAST((100 * max_c * n_keys) // n_rows AS BIGINT)
+                AS skew_ratio_x100,
+              CAST((max_c * n_keys + n_rows - 1) // n_rows AS BIGINT)
+                AS salt_factor
+       FROM st JOIN p99 ON st.col = p99.col
+       ORDER BY key_col""",
+    doc="Join/agg KEY-SKEW audit over the fact table's join keys — "
+    "the pre-flight a 100 TB shuffle plan runs before committing to "
+    "a partitioning: per key column, group-size extremes (max, exact "
+    "type-1 p99), the heaviest key's row share, the max/mean skew "
+    "ratio, and the derived SALT FACTOR ceil(max/mean) that the "
+    "salted-join pattern (certified x39/x94) would need to level the "
+    "straggler. Everything is exact integer arithmetic — permille "
+    "and x100 ratios via integer division, the p99 via the integer "
+    "ceil-rank rule — so the report hashes identically across "
+    "engines. The ENGINE reads the p99 off a count-of-counts "
+    "HISTOGRAM with a partitioned cumulative window (group-size "
+    "domain grain); the ORACLE ranks every key with ROW_NUMBER — "
+    "two different order-statistics paths, same integers.",
+)
+def x209(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = (
+        li.select(F.lit("l_partkey").alias("col"), F.col("l_partkey").alias("k"))
+        .unionByName(
+            li.select(
+                F.lit("l_suppkey").alias("col"), F.col("l_suppkey").alias("k")
+            )
+        )
+    )
+    kc = keys.groupBy("col", "k").agg(F.count(F.lit(1)).alias("c"))
+    st = kc.groupBy("col").agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_c"),
+    )
+    # count-of-counts histogram: |distinct group size| rows per column
+    hist = kc.groupBy("col", "c").agg(F.count(F.lit(1)).alias("k_at_c"))
+    wcum = (
+        Window.partitionBy("col")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "col", "c", F.sum("k_at_c").over(wcum).alias("cum")
+    )
+    p99 = (
+        cum.join(F.broadcast(st), "col")
+        .where(
+            F.col("cum")
+            >= F.floor((99 * F.col("n_keys") + 99) / 100)
+        )
+        .groupBy("col")
+        .agg(F.min("c").alias("p99_size"))
+    )
+    return (
+        st.join(F.broadcast(p99), "col")
+        .select(
+            F.col("col").alias("key_col"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_keys").cast("bigint").alias("n_keys"),
+            F.col("max_c").cast("bigint").alias("max_group"),
+            F.col("p99_size").cast("bigint").alias("p99_group"),
+            F.floor((1000 * F.col("max_c")) / F.col("n_rows"))
+            .cast("bigint")
+            .alias("top1_share_permille"),
+            F.floor(
+                (100 * F.col("max_c") * F.col("n_keys")) / F.col("n_rows")
+            )
+            .cast("bigint")
+            .alias("skew_ratio_x100"),
+            F.floor(
+                (F.col("max_c") * F.col("n_keys") + F.col("n_rows") - 1)
+                / F.col("n_rows")
+            )
+            .cast("bigint")
+            .alias("salt_factor"),
+        )
+        .orderBy("key_col")
+    )
+
+
+@_q(
+    "x210_mcnemar_paired",
+    """WITH p AS (
+         SELECT (o_orderstatus = 'F') AS t,
+                (CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                 > 25148548) AS a,
+                (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS b
+         FROM orders
+       ),
+       c AS (
+         SELECT
+           SUM(CASE WHEN (a = t) AND (b = t) THEN 1 ELSE 0 END) AS n11,
+           SUM(CASE WHEN (a = t) AND (b <> t) THEN 1 ELSE 0 END) AS n10,
+           SUM(CASE WHEN (a <> t) AND (b = t) THEN 1 ELSE 0 END) AS n01,
+           SUM(CASE WHEN (a <> t) AND (b <> t) THEN 1 ELSE 0 END) AS n00,
+           COUNT(*) AS n
+         FROM p
+       )
+       SELECT CAST(n AS BIGINT) AS n,
+              CAST(n11 AS BIGINT) AS both_correct,
+              CAST(n10 AS BIGINT) AS only_a,
+              CAST(n01 AS BIGINT) AS only_b,
+              CAST(n00 AS BIGINT) AS both_wrong,
+              CAST((1000 * (n11 + n10)) // n AS BIGINT)
+                AS acc_a_permille,
+              CAST((1000 * (n11 + n01)) // n AS BIGINT)
+                AS acc_b_permille,
+              ROUND(((n10 - n01) * (n10 - n01)) * 1.0 / (n10 + n01)
+                    + 0.0, 4) AS mcnemar_chi2,
+              ROUND(((ABS(n10 - n01) - 1) * (ABS(n10 - n01) - 1)) * 1.0
+                    / (n10 + n01) + 0.0, 4) AS mcnemar_corrected
+       FROM c""",
+    doc="McNemar's paired test comparing two classifiers on the SAME "
+    "examples (orders; truth = finalized status, A = a price "
+    "threshold rule, B = a priority rule) — the statistically right "
+    "way to ask 'is model B actually better than model A' on a "
+    "shared eval set: only the DISAGREEMENT cells matter (chi2 = "
+    "(b-c)^2/(b+c), plus the Edwards continuity correction), not the "
+    "two marginal accuracies (x173 evaluates ONE classifier; x186's "
+    "kappa measures agreement, not paired superiority). One "
+    "conditional-count aggregate in the exact-integer contingency "
+    "form; the only floats are the two final rounded ratios.",
+)
+def x210(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    p = o.select(
+        (F.col("o_orderstatus") == "F").alias("t"),
+        (
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            > 25148548
+        ).alias("a"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("b"),
+    )
+    c = p.agg(
+        F.sum(
+            F.when((F.col("a") == F.col("t")) & (F.col("b") == F.col("t")), 1)
+            .otherwise(0)
+        ).alias("n11"),
+        F.sum(
+            F.when((F.col("a") == F.col("t")) & (F.col("b") != F.col("t")), 1)
+            .otherwise(0)
+        ).alias("n10"),
+        F.sum(
+            F.when((F.col("a") != F.col("t")) & (F.col("b") == F.col("t")), 1)
+            .otherwise(0)
+        ).alias("n01"),
+        F.sum(
+            F.when((F.col("a") != F.col("t")) & (F.col("b") != F.col("t")), 1)
+            .otherwise(0)
+        ).alias("n00"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    diff = F.col("n10") - F.col("n01")
+    disc = (F.col("n10") + F.col("n01")).cast("double")
+    return c.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n11").cast("bigint").alias("both_correct"),
+        F.col("n10").cast("bigint").alias("only_a"),
+        F.col("n01").cast("bigint").alias("only_b"),
+        F.col("n00").cast("bigint").alias("both_wrong"),
+        F.floor((1000 * (F.col("n11") + F.col("n10"))) / F.col("n"))
+        .cast("bigint")
+        .alias("acc_a_permille"),
+        F.floor((1000 * (F.col("n11") + F.col("n01"))) / F.col("n"))
+        .cast("bigint")
+        .alias("acc_b_permille"),
+        F.round((diff * diff).cast("double") / disc + F.lit(0.0), 4)
+        .alias("mcnemar_chi2"),
+        F.round(
+            ((F.abs(diff) - 1) * (F.abs(diff) - 1)).cast("double") / disc
+            + F.lit(0.0),
+            4,
+        ).alias("mcnemar_corrected"),
+    )
+
+
+@_q(
+    "x211_benford_digits",
+    """WITH v AS (
+         SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+         FROM orders
+         WHERE o_totalprice > 0
+       ),
+       d AS (
+         SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                  AS digit
+         FROM v
+       ),
+       c AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY 1),
+       n AS (SELECT SUM(n_obs) AS nt FROM c),
+       grid AS (SELECT CAST(g AS BIGINT) AS digit
+                FROM generate_series(1, 9) t(g))
+       SELECT grid.digit AS digit,
+              CAST(COALESCE(c.n_obs, 0) AS BIGINT) AS n_obs,
+              CAST((1000 * COALESCE(c.n_obs, 0)) // n.nt AS BIGINT)
+                AS obs_permille,
+              ROUND(n.nt * LN((grid.digit + 1.0) / grid.digit)
+                    / LN(10.0) + 0.0, 2) AS expected_n,
+              ROUND(
+                (COALESCE(c.n_obs, 0)
+                 - n.nt * LN((grid.digit + 1.0) / grid.digit) / LN(10.0))
+                * (COALESCE(c.n_obs, 0)
+                   - n.nt * LN((grid.digit + 1.0) / grid.digit)
+                     / LN(10.0))
+                / (n.nt * LN((grid.digit + 1.0) / grid.digit) / LN(10.0))
+                + 0.0, 4) AS chi2_component
+       FROM grid LEFT JOIN c ON grid.digit = c.digit, n
+       ORDER BY digit""",
+    doc="Benford first-digit conformance screen over monetary values "
+    "(order cents) — the classic fabricated-/synthetic-data tripwire "
+    "an ingest audit runs on amount columns: observed leading-digit "
+    "counts against the Benford expectation N*log10(1+1/d), with the "
+    "per-digit chi-squared components localizing WHICH digits "
+    "deviate. The first digit is taken from the exact integer cents' "
+    "decimal string (no float log flooring); the 1..9 grid is a "
+    "constant frame LEFT-joined so absent digits report 0 rather "
+    "than vanishing. expected_n's ln((d+1)/d)/ln(10) is the same "
+    "exact rational evaluated once on each engine (the x44 ln "
+    "discipline) — the only floats in the query.",
+)
+def x211(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 0)
+        .select(
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    c = (
+        v.select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("bigint")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    nt = c.agg(F.sum("n_obs").alias("nt"))
+    grid = spark.range(1, 10).select(F.col("id").alias("digit"))
+    pd_ = F.log((F.col("digit") + F.lit(1.0)) / F.col("digit")) / F.log(
+        F.lit(10.0)
+    )
+    exp_n = F.col("nt") * pd_
+    n_obs = F.coalesce(F.col("n_obs"), F.lit(0))
+    return (
+        grid.join(F.broadcast(c), "digit", "left")
+        .join(F.broadcast(nt))
+        .select(
+            F.col("digit").cast("bigint").alias("digit"),
+            n_obs.cast("bigint").alias("n_obs"),
+            F.floor((1000 * n_obs) / F.col("nt"))
+            .cast("bigint")
+            .alias("obs_permille"),
+            F.round(exp_n + F.lit(0.0), 2).alias("expected_n"),
+            F.round(
+                (n_obs - exp_n) * (n_obs - exp_n) / exp_n + F.lit(0.0), 4
+            ).alias("chi2_component"),
+        )
+        .orderBy("digit")
+    )
+
+
+@_q(
+    "x212_theil_index",
+    """WITH o AS (
+         SELECT c.c_mktsegment AS seg, o.o_custkey AS k,
+                SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+                  AS x
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY 1, 2
+       ),
+       s AS (SELECT seg, SUM(x) AS sx, COUNT(*) AS n, MAX(x) AS mx
+             FROM o GROUP BY 1)
+       SELECT o.seg AS c_mktsegment,
+              CAST(MAX(s.n) AS BIGINT) AS n_customers,
+              CAST(MAX(s.sx) AS BIGINT) AS sum_cents,
+              CAST((1000 * MAX(s.mx)) // MAX(s.sx) AS BIGINT)
+                AS max_share_permille,
+              ROUND(SUM((o.x * 1.0 / s.sx)
+                        * LN(o.x * 1.0 * s.n / s.sx)) + 0.0, 6)
+                AS theil_t
+       FROM o JOIN s ON o.seg = s.seg
+       GROUP BY 1 ORDER BY 1""",
+    doc="Theil T inequality index of customer lifetime value per "
+    "market segment — the decomposable concentration measure a "
+    "mixture audit reports next to x158's Gini/x163's Lorenz points "
+    "(Theil is additively decomposable across groups, which those "
+    "are not): T = sum (x_i/S) ln(x_i N / S) over per-customer cents "
+    "totals. Sums, counts and the max-share permille stay exact "
+    "BIGINT; the per-term float is ln of the exact rational "
+    "x_i*N/S weighted by x_i/S (the x44 ln discipline), summed at "
+    "customer grain (bounded terms per segment). Scale: one grouped "
+    "rollup, one 5-row broadcast join back — no windows.",
+)
+def x212(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(cust),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_custkey").alias("k"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).alias("x")
+        )
+    )
+    s = o.groupBy("seg").agg(
+        F.sum("x").alias("sx"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("x").alias("mx"),
+    )
+    j = o.join(F.broadcast(s), "seg")
+    return (
+        j.groupBy("seg")
+        .agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.max("sx").cast("bigint").alias("sum_cents"),
+            F.floor((1000 * F.max("mx")) / F.max("sx"))
+            .cast("bigint")
+            .alias("max_share_permille"),
+            F.round(
+                F.sum(
+                    (F.col("x").cast("double") / F.col("sx").cast("double"))
+                    * F.log(
+                        F.col("x").cast("double")
+                        * F.col("n").cast("double")
+                        / F.col("sx").cast("double")
+                    )
+                )
+                + F.lit(0.0),
+                6,
+            ).alias("theil_t"),
+        )
+        .select(
+            F.col("seg").alias("c_mktsegment"),
+            "n_customers",
+            "sum_cents",
+            "max_share_permille",
+            "theil_t",
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@_q(
+    "x213_activity_streaks",
+    """WITH days AS (
+         SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+       ),
+       isl AS (
+         SELECT user_id,
+                d - CAST(ROW_NUMBER() OVER (
+                      PARTITION BY user_id ORDER BY d) AS INTEGER)
+                  AS island
+         FROM days
+       ),
+       runs AS (
+         SELECT user_id, island, COUNT(*) AS len
+         FROM isl GROUP BY 1, 2
+       ),
+       pu AS (
+         SELECT user_id, MAX(len) AS max_streak,
+                COUNT(*) AS n_islands
+         FROM runs GROUP BY 1
+       )
+       SELECT CAST(max_streak AS BIGINT) AS max_streak_days,
+              CAST(COUNT(*) AS BIGINT) AS n_users,
+              CAST(SUM(n_islands) AS BIGINT) AS total_islands
+       FROM pu GROUP BY 1 ORDER BY max_streak_days""",
+    doc="Gaps-and-islands consecutive-activity streaks over the event "
+    "stream — the classic SQL sessionization-by-calendar pattern "
+    "(x23 sessionizes by inactivity GAPS within a day; this finds "
+    "maximal runs of consecutive ACTIVE DAYS per user): the island "
+    "key is date minus row_number-in-days, constant exactly along a "
+    "consecutive run, so streaks fall out of two grouped counts. "
+    "The distribution of per-user longest streaks + island counts "
+    "is the engagement-contiguity report. All windows are "
+    "PARTITIONED by user over the distinct-day grain; everything is "
+    "exact integers.",
+)
+def x213(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    isl = days.select(
+        "user_id",
+        F.date_sub(
+            "d",
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("d")),
+        ).alias("island"),
+    )
+    runs = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    pu = runs.groupBy("user_id").agg(
+        F.max("len").alias("max_streak"),
+        F.count(F.lit(1)).alias("n_islands"),
+    )
+    return (
+        pu.groupBy(
+            F.col("max_streak").cast("bigint").alias("max_streak_days")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("n_islands").cast("bigint").alias("total_islands"),
+        )
+        .orderBy("max_streak_days")
+    )
