@@ -17145,3 +17145,405 @@ def x213(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("max_streak_days")
     )
+
+
+@_q(
+    "x214_funnel_latency",
+    """WITH ev AS (
+         SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+       ),
+       v AS (SELECT user_id, MIN(us) AS first_view
+             FROM ev WHERE event_type = 'view' GROUP BY 1),
+       p AS (SELECT e.user_id,
+                    MIN(e.us) - MAX(v.first_view) AS lat
+             FROM ev e JOIN v ON e.user_id = v.user_id
+             WHERE e.event_type = 'purchase' AND e.us >= v.first_view
+             GROUP BY 1),
+       r AS (SELECT lat,
+                    ROW_NUMBER() OVER (ORDER BY lat) AS rn,
+                    COUNT(*) OVER () AS n
+             FROM p)
+       SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewers,
+              CAST(MAX(n) AS BIGINT) AS n_converted,
+              CAST((1000 * MAX(n))
+                   // (SELECT COUNT(*) FROM v) AS BIGINT)
+                AS conv_permille,
+              CAST(MAX(CASE WHEN rn = (50 * n + 99) // 100
+                            THEN lat END) AS BIGINT) AS p50_lat_us,
+              CAST(MAX(CASE WHEN rn = (90 * n + 99) // 100
+                            THEN lat END) AS BIGINT) AS p90_lat_us,
+              CAST(SUM(lat) // MAX(n) AS BIGINT) AS mean_lat_us
+       FROM r""",
+    doc="Funnel conversion LATENCY distribution (x134 counts who "
+    "converts; this measures HOW LONG view -> first subsequent "
+    "purchase takes): per user the first 'view' timestamp joined to "
+    "the earliest 'purchase' at-or-after it, latencies kept as exact "
+    "BIGINT microseconds (the x194 unix-micros discipline), then "
+    "exact type-1 p50/p90 via the integer ceil-rank rule and an "
+    "integer-division mean — no float timestamps anywhere. The "
+    "ENGINE computes the percentiles from a latency-histogram "
+    "cumulative fold (grouped_cumsum shape: windows over the "
+    "aggregated value domain, never a global row sort); the ORACLE "
+    "ranks every latency with ROW_NUMBER — two order-statistics "
+    "paths, same exact integers.",
+)
+def x214(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("first_view"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("us") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg((F.min("us") - F.max("first_view")).alias("lat"))
+    )
+    n_viewers = v.count()
+    hist = p.groupBy("lat").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.orderBy("lat")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "lat",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+        F.sum(F.col("lat") * F.col("c")).over(wall).alias("sum_lat"),
+    )
+    pick = cum.agg(
+        F.max("n").alias("n"),
+        F.max("sum_lat").alias("sum_lat"),
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.floor((50 * F.col("n") + 99) / 100),
+                F.col("lat"),
+            )
+        ).alias("p50"),
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.floor((90 * F.col("n") + 99) / 100),
+                F.col("lat"),
+            )
+        ).alias("p90"),
+    )
+    return pick.select(
+        F.lit(n_viewers).cast("bigint").alias("n_viewers"),
+        F.col("n").cast("bigint").alias("n_converted"),
+        F.floor((1000 * F.col("n")) / F.lit(n_viewers))
+        .cast("bigint")
+        .alias("conv_permille"),
+        F.col("p50").cast("bigint").alias("p50_lat_us"),
+        F.col("p90").cast("bigint").alias("p90_lat_us"),
+        F.floor(F.col("sum_lat") / F.col("n"))
+        .cast("bigint")
+        .alias("mean_lat_us"),
+    )
+
+
+@_q(
+    "x215_cuped_adjustment",
+    """WITH ev AS (
+         SELECT user_id, day(ts) AS d, value FROM events
+       ),
+       pu AS (
+         SELECT user_id, user_id % 2 AS variant,
+                SUM(CASE WHEN d <= 10 THEN value ELSE 0 END) AS pre,
+                SUM(CASE WHEN d >= 21 THEN value ELSE 0 END) AS post
+         FROM ev GROUP BY 1, 2
+       ),
+       g AS (
+         SELECT covar_pop(pre, post) / var_pop(pre) AS theta,
+                AVG(pre) AS mpre,
+                var_pop(post) AS vpost,
+                var_pop(post) - covar_pop(pre, post)
+                  * covar_pop(pre, post) / var_pop(pre) AS vadj
+         FROM pu
+       )
+       SELECT CAST(variant AS BIGINT) AS variant,
+              CAST(COUNT(*) AS BIGINT) AS n_users,
+              ROUND(AVG(post) + 0.0, 4) AS mean_post,
+              ROUND(AVG(post) - MAX(g.theta)
+                    * (AVG(pre) - MAX(g.mpre)) + 0.0, 4)
+                AS mean_cuped,
+              ROUND(MAX(g.theta) + 0.0, 6) AS theta,
+              ROUND(MAX(g.vpost) + 0.0, 4) AS var_post,
+              ROUND(MAX(g.vadj) + 0.0, 4) AS var_cuped
+       FROM pu, g
+       GROUP BY variant ORDER BY variant""",
+    doc="CUPED variance-reduced experiment readout (Deng et al.'s "
+    "controlled-experiment pre-period adjustment — the standard "
+    "trick that cuts A/B metric variance 30-60% for free): per user "
+    "a pre-period covariate (days 1-10 value) and the experiment "
+    "metric (days 21-30), theta = cov(pre,post)/var(pre) fit on ALL "
+    "users, per-variant adjusted mean = mean_post - theta*(mean_pre "
+    "- global_mean_pre), and the achieved variance reduction "
+    "var_adj = var_post - cov^2/var_pre reported next to the raw "
+    "variance — all from ONE pass of second moments (the adjusted "
+    "series is never materialized; the algebra collapses it). The "
+    "ENGINE computes raw sum/sum-of-squares/cross moments; the "
+    "ORACLE uses DuckDB's independent covar_pop/var_pop built-ins.",
+)
+def x215(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.dayofmonth("ts").alias("d"), "value"
+    )
+    pu = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).agg(
+        F.sum(
+            F.when(F.col("d") <= 10, F.col("value")).otherwise(F.lit(0.0))
+        ).alias("pre"),
+        F.sum(
+            F.when(F.col("d") >= 21, F.col("value")).otherwise(F.lit(0.0))
+        ).alias("post"),
+    )
+    g = pu.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("pre").alias("sp"),
+        F.sum("post").alias("so"),
+        F.sum(F.col("pre") * F.col("post")).alias("spo"),
+        F.sum(F.col("pre") * F.col("pre")).alias("spp"),
+        F.sum(F.col("post") * F.col("post")).alias("soo"),
+    ).select(
+        (
+            (F.col("spo") / F.col("n") - F.col("sp") * F.col("so") / (F.col("n") * F.col("n")))
+            / (F.col("spp") / F.col("n") - F.col("sp") * F.col("sp") / (F.col("n") * F.col("n")))
+        ).alias("theta"),
+        (F.col("sp") / F.col("n")).alias("mpre"),
+        (
+            F.col("soo") / F.col("n") - F.col("so") * F.col("so") / (F.col("n") * F.col("n"))
+        ).alias("vpost"),
+        (
+            (F.col("soo") / F.col("n") - F.col("so") * F.col("so") / (F.col("n") * F.col("n")))
+            - (F.col("spo") / F.col("n") - F.col("sp") * F.col("so") / (F.col("n") * F.col("n")))
+            * (F.col("spo") / F.col("n") - F.col("sp") * F.col("so") / (F.col("n") * F.col("n")))
+            / (F.col("spp") / F.col("n") - F.col("sp") * F.col("sp") / (F.col("n") * F.col("n")))
+        ).alias("vadj"),
+    )
+    return (
+        pu.groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.avg("post").alias("mp"),
+            F.avg("pre").alias("mr"),
+        )
+        .join(F.broadcast(g))
+        .select(
+            F.col("variant").cast("bigint").alias("variant"),
+            "n_users",
+            F.round(F.col("mp") + F.lit(0.0), 4).alias("mean_post"),
+            F.round(
+                F.col("mp")
+                - F.col("theta") * (F.col("mr") - F.col("mpre"))
+                + F.lit(0.0),
+                4,
+            ).alias("mean_cuped"),
+            F.round(F.col("theta") + F.lit(0.0), 6).alias("theta"),
+            F.round(F.col("vpost") + F.lit(0.0), 4).alias("var_post"),
+            F.round(F.col("vadj") + F.lit(0.0), 4).alias("var_cuped"),
+        )
+        .orderBy("variant")
+    )
+
+
+@_q(
+    "x216_runs_test",
+    """WITH o AS (
+         SELECT c.c_mktsegment AS seg,
+                (CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)
+                 > 25148548) AS hi,
+                o.o_orderdate AS d, o.o_orderkey AS k
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       ),
+       s AS (
+         SELECT seg, hi,
+                LAG(hi) OVER (PARTITION BY seg ORDER BY d, k)
+                  AS prev_hi
+         FROM o
+       ),
+       c AS (
+         SELECT seg,
+                SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS n1,
+                SUM(CASE WHEN hi THEN 0 ELSE 1 END) AS n2,
+                1 + SUM(CASE WHEN prev_hi IS NOT NULL
+                              AND hi <> prev_hi THEN 1 ELSE 0 END)
+                  AS r
+         FROM s GROUP BY 1
+       )
+       SELECT seg AS c_mktsegment,
+              CAST(n1 AS BIGINT) AS n_above,
+              CAST(n2 AS BIGINT) AS n_below,
+              CAST(r AS BIGINT) AS n_runs,
+              ROUND(1.0 + 2.0 * n1 * n2 / (n1 + n2) + 0.0, 4)
+                AS expected_runs,
+              ROUND((r - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+                    / SQRT(2.0 * n1 * n2
+                           * (2.0 * n1 * n2 - n1 - n2)
+                           / ((n1 + n2) * 1.0 * (n1 + n2)
+                              * (n1 + n2 - 1))) + 0.0, 4) AS z
+       FROM c ORDER BY c_mktsegment""",
+    doc="Wald-Wolfowitz runs test for serial randomness of the order-"
+    "value sequence per market segment — the sequence-level drift "
+    "tripwire (x116's CUSUM localizes a level shift; this asks the "
+    "prior question: is the above/below-threshold SIGN sequence "
+    "random at all, or does it clump?): each segment's orders in "
+    "(date, key) total order are signed against a fixed cents "
+    "threshold, runs counted from one partitioned LAG, and the "
+    "normal-approximation z-score computed from the exact integer "
+    "(n1, n2, R) triple — counts never leave BIGINT until the two "
+    "rounded ratios. The sequence window is PARTITIONED by segment "
+    "(never a global sort); the aggregate is one conditional-count "
+    "pass.",
+)
+def x216(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            (
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+                > 25148548
+            ).alias("hi"),
+            F.col("o_orderdate").alias("d"),
+            F.col("o_orderkey").alias("k"),
+        )
+    )
+    s = o.select(
+        "seg",
+        "hi",
+        F.lag("hi").over(Window.partitionBy("seg").orderBy("d", "k")).alias(
+            "prev_hi"
+        ),
+    )
+    c = s.groupBy("seg").agg(
+        F.sum(F.when(F.col("hi"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("hi"), 0).otherwise(1)).alias("n2"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("prev_hi").isNotNull()
+                    & (F.col("hi") != F.col("prev_hi")),
+                    1,
+                ).otherwise(0)
+            )
+        ).alias("r"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    mu = F.lit(1.0) + 2.0 * n1 * n2 / (n1 + n2)
+    sig = F.sqrt(
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    )
+    return c.select(
+        F.col("seg").alias("c_mktsegment"),
+        F.col("n1").cast("bigint").alias("n_above"),
+        F.col("n2").cast("bigint").alias("n_below"),
+        F.col("r").cast("bigint").alias("n_runs"),
+        F.round(mu + F.lit(0.0), 4).alias("expected_runs"),
+        F.round(
+            (F.col("r").cast("double") - mu) / sig + F.lit(0.0), 4
+        ).alias("z"),
+    ).orderBy("c_mktsegment")
+
+
+@_q(
+    "x217_vacuum_lifecycle",
+    """SELECT p_brand,
+              CAST(COUNT(*) AS BIGINT) AS n_parts,
+              CAST(SUM(CAST(ROUND(p_retailprice * 100, 0) AS BIGINT))
+                   AS BIGINT) AS sum_cents,
+              CAST(1 AS BIGINT) AS n_dirs_removed,
+              CAST(1 AS BIGINT) AS restore_blocked,
+              CAST(1 AS BIGINT) AS timetravel_blocked
+       FROM part WHERE p_size > 25
+       GROUP BY 1 ORDER BY 1""",
+    doc="VACUUM certified end to end (snapshots.py:vacuum — x127 "
+    "certifies that time travel WORKS on retained history; this "
+    "certifies the retention boundary): the engine creates the part "
+    "snapshot (v0), truncate-and-loads a disjoint slice (v1 "
+    "overwrite), vacuums with keep_last=1 — exactly v0's ONE data "
+    "directory is physically deleted and its manifest dropped, "
+    "deletion derived from what retained manifests REFERENCE (never "
+    "age heuristics) — then proves the boundary: RESTORE to v0 "
+    "refuses (fail-fast against the dropped manifest/missing dirs, "
+    "never a half-restored table) and time travel to v0 raises, "
+    "while the HEAD remains exactly the oracle's v1 reconstruction. "
+    "The blocked-verb counts and removed-dir count ride as oracle-"
+    "pinned literals. Lakehouse-certification tier (tempdir commits, "
+    "<=|brands| driver folds).",
+)
+def x217(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from deepcell_data_engineering_spark.sources import snapshots as snap
+
+    base = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"),
+        F.col("p_brand").alias("b"),
+        F.col("p_size").alias("sz"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="dde_vacuum_")
+    restore_blocked = 0
+    tt_blocked = 0
+    try:
+        t = f"{root}/t"
+        snap.commit(spark, base.where(F.col("sz") <= 25), t,
+                    mode="overwrite")                                 # v0
+        snap.commit(spark, base.where(F.col("sz") > 25), t,
+                    mode="overwrite")                                 # v1
+        removed = snap.vacuum(t, keep_last=1)
+        try:
+            snap.restore_table(spark, t, 0)
+        except ValueError:
+            restore_blocked += 1  # dropped manifest / vacuumed dirs
+        try:
+            snap.read_snapshot(spark, t, 0).count()
+        except Exception:
+            tt_blocked += 1
+        agg = (
+            snap.read_snapshot(spark, t)
+            .groupBy("b")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+        )
+        rows = [(r["b"], r["n_parts"], r["sum_cents"]) for r in agg.collect()]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return (
+        spark.createDataFrame(
+            rows, "p_brand STRING, n_parts BIGINT, sum_cents BIGINT"
+        )
+        .withColumn("n_dirs_removed", F.lit(len(removed)).cast("bigint"))
+        .withColumn(
+            "restore_blocked", F.lit(restore_blocked).cast("bigint")
+        )
+        .withColumn(
+            "timetravel_blocked", F.lit(tt_blocked).cast("bigint")
+        )
+        .orderBy("p_brand")
+    )
