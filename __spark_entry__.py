@@ -42,8 +42,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # round 8 (d26–d30 and the r8 x-tier residue) in registry order,
 # then the 4 oldest round-9 rows (d31–d34) to fill the 50-slot
 # window. After this round no driver verdict is older than round 9;
-# the round-14 rotation should lead with any round-13 additions,
-# then the remaining r9 rows (d35–d49 and the r9 x-tier residue).
+# the round-14 rotation should lead with the 16 round-13 additions
+# (x202–x217: constraint lifecycle, stream rate feed, Kaplan-Meier,
+# mutual information, Zipf slope, RFM, cohort retention, key skew,
+# McNemar, Benford, Theil, streaks, funnel latency, CUPED, runs
+# test, vacuum lifecycle), then the oldest 34 of the 46 remaining
+# r9-stale rows (d35–d49 and the r9 x-tier residue) in registry
+# order.
 _CHECK_FIRST = [
     # never driver-checked (round-12 additions)
     "x184_catalog_rename_view", "x185_lifecycle_clone_restore",

@@ -16373,9 +16373,10 @@ def x204(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(n*N - nx*ny)^2 / (N*nx*ny) (one float division per cell, no "
     "float expectation matrix), and the effect size normalized to "
     "[0,1] as V = sqrt(chi2 / (N * (min(r,c)-1))) so it is "
-    "comparable across table shapes (x169 reports chi-squared "
-    "p-screens per value; this is the single-number association "
-    "summary of the whole matrix). Margins ride windows PARTITIONED "
+    "comparable across table shapes (x157 audits PER-CELL pointwise "
+    "terms of the documents (lang, source) pair and x169 reports "
+    "per-value chi-squared screens; this is the single-number "
+    "whole-matrix summary over the dim-joined customer geography). Margins ride windows PARTITIONED "
     "over the <=|x|*|y| aggregate grid; only exact BIGINTs enter "
     "every product.",
 )

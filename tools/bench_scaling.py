@@ -243,6 +243,36 @@ QUERIES = [
     # write) + two BLOCKED writes whose validation scans dominate.
     "x200_update_feed_view",
     "x201_constraint_gate",
+    # round-13 additions. x202/x217 lakehouse-lifecycle (commit-I/O-
+    # bound: constrained commits, metadata-only add/drop, vacuum's
+    # retained-manifest sweep); x203 the rate-limited streaming drain
+    # (micro-batch-round-bound at constant file counts); x204 per-user
+    # aggregate then distinct-T-grid windows; x205 contingency counts
+    # + margin windows on the cell grid; x206 token explode + vocab
+    # top-200 rank + one moment aggregate; x207 three NTILEs on the
+    # per-customer aggregate; x208 first-month broadcast + distinct
+    # month-grain counts; x209 two key-count rollups + count-of-counts
+    # histogram fold; x210/x211/x216 single conditional-count
+    # aggregates (x216 adds one partitioned LAG); x212 customer-grain
+    # rollup + 5-row broadcast; x213 distinct-day grain + partitioned
+    # row_number; x214 two event scans + latency-histogram fold; x215
+    # one per-user aggregate + one moment pass.
+    "x202_constraint_lifecycle",
+    "x203_stream_rate_feed",
+    "x204_kaplan_meier",
+    "x205_mutual_information",
+    "x206_zipf_slope",
+    "x207_rfm_segments",
+    "x208_cohort_retention",
+    "x209_key_skew_audit",
+    "x210_mcnemar_paired",
+    "x211_benford_digits",
+    "x212_theil_index",
+    "x213_activity_streaks",
+    "x214_funnel_latency",
+    "x215_cuped_adjustment",
+    "x216_runs_test",
+    "x217_vacuum_lifecycle",
     # x66_similarity_join_exact is intentionally absent: its TRUE result
     # set (all pairs over a templated corpus) grows quadratically with
     # corpus size, so an sf1/sf0.1 ratio would read as a hidden
