@@ -17548,3 +17548,410 @@ def x217(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 continuation (x218–x229): predicate-scoped overwrite +
+# timestamp travel, association rules, ANOVA, ACF, concentration,
+# Markov transitions, jackknife, Mann-Whitney, EWMA, Gini, JS
+# divergence, information gain.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "x218_replace_where_lifecycle",
+    """WITH base AS (
+         SELECT o_orderkey AS k, o_orderpriority AS pr,
+                CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+         FROM orders WHERE o_orderkey % 10 = 0
+       ),
+       final AS (
+         SELECT k, pr, cents FROM base WHERE pr <> '1-URGENT'
+         UNION ALL
+         SELECT k, pr, cents * 2 AS cents FROM base
+         WHERE pr = '1-URGENT'
+       )
+       SELECT pr AS o_orderpriority,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(cents) AS BIGINT) AS sum_cents,
+              CAST((SELECT COUNT(*) FROM base WHERE pr = '1-URGENT')
+                   AS BIGINT) AS n_cdc_deletes,
+              CAST((SELECT COUNT(*) FROM base WHERE pr = '1-URGENT')
+                   AS BIGINT) AS n_cdc_inserts,
+              CAST(1 AS BIGINT) AS ts_resolved_v0,
+              CAST(1 AS BIGINT) AS refusal_blocked
+       FROM final GROUP BY pr ORDER BY pr""",
+    doc="replace_where + TIMESTAMP AS OF certified end to end "
+    "(snapshots.py:replace_where/version_at_timestamp — Delta's "
+    "replaceWhere writer option and timestamp travel): the engine "
+    "snapshots an orders slice (v0, injected commit stamp), "
+    "predicate-scope-overwrites the URGENT rows with a doubled-cents "
+    "reload in ONE commit, then proves the contract: the CDC set is "
+    "EXACTLY |scope| deletes + |reload| inserts (out-of-scope "
+    "survivors ship nothing), a violating reload (a non-urgent row "
+    "smuggled into the urgent scope) REFUSES before publishing "
+    "(validate=True, Delta's default), and TIMESTAMP AS OF between "
+    "the two commit stamps resolves to v0 with exactly the "
+    "pre-replace row count. The final head, grouped by priority, "
+    "must equal the oracle's survivors-union-reload reconstruction. "
+    "Lakehouse-certification tier (tempdir commits, bounded driver "
+    "folds).",
+)
+def x218(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from deepcell_data_engineering_spark.sources import snapshots as snap
+
+    base = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 10 == 0
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pr"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    root = tempfile.mkdtemp(prefix="dde_rw_")
+    ts_ok = 0
+    refused = 0
+    try:
+        t = f"{root}/t"
+        snap.commit(spark, base, t, mode="overwrite",
+                    _ts_us=1_000_000 * 1_000_000)                 # v0
+        n_v0 = snap.read_snapshot(spark, t).count()
+        reload_df = base.where(F.col("pr") == "1-URGENT").select(
+            "k", "pr", (F.col("cents") * 2).alias("cents")
+        )
+        vr = snap.replace_where(spark, reload_df, t, "pr = '1-URGENT'")
+        # violating reload refuses BEFORE publishing anything
+        try:
+            snap.replace_where(
+                spark,
+                base.where(F.col("pr") == "2-HIGH").limit(5),
+                t,
+                "pr = '1-URGENT'",
+            )
+        except ValueError:
+            if snap.current_version(t) == vr:
+                refused = 1
+        # timestamp between the two commit stamps resolves to v0
+        if (
+            snap.version_at_timestamp(t, 2_000_000) == 0
+            and snap.read_snapshot(spark, t, timestamp=2_000_000).count()
+            == n_v0
+        ):
+            ts_ok = 1
+        chg = snap.read_changes(spark, t, vr - 1, vr)
+        n_del = chg.where(F.col("_change_type") == "delete").count()
+        n_ins = chg.where(F.col("_change_type") == "insert").count()
+        agg = (
+            snap.read_snapshot(spark, t)
+            .groupBy("pr")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+        )
+        rows = [
+            (r["pr"], r["n_rows"], r["sum_cents"]) for r in agg.collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return (
+        spark.createDataFrame(
+            rows, "o_orderpriority STRING, n_rows BIGINT, sum_cents BIGINT"
+        )
+        .withColumn("n_cdc_deletes", F.lit(n_del).cast("bigint"))
+        .withColumn("n_cdc_inserts", F.lit(n_ins).cast("bigint"))
+        .withColumn("ts_resolved_v0", F.lit(ts_ok).cast("bigint"))
+        .withColumn("refusal_blocked", F.lit(refused).cast("bigint"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "x219_association_rules",
+    """WITH baskets AS (
+         SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       ),
+       n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM baskets),
+       freq AS (SELECT b, COUNT(*) AS n_b FROM baskets GROUP BY b),
+       pairs AS (
+         SELECT b1.b AS brand_a, b2.b AS brand_b, COUNT(*) AS n_ab
+         FROM baskets b1 JOIN baskets b2
+           ON b1.ok = b2.ok AND b1.b < b2.b
+         GROUP BY 1, 2
+       )
+       SELECT p.brand_a, p.brand_b,
+              CAST(p.n_ab AS BIGINT) AS n_ab,
+              CAST(fa.n_b AS BIGINT) AS n_a,
+              CAST(fb.n_b AS BIGINT) AS n_b,
+              ROUND(p.n_ab * 1.0 / n.n_orders + 0.0, 6) AS support,
+              ROUND(p.n_ab * 1.0 / fa.n_b + 0.0, 6) AS confidence,
+              ROUND(p.n_ab * 1.0 * n.n_orders
+                    / (fa.n_b * 1.0 * fb.n_b) + 0.0, 6) AS lift
+       FROM pairs p
+       JOIN freq fa ON p.brand_a = fa.b
+       JOIN freq fb ON p.brand_b = fb.b
+       CROSS JOIN n
+       ORDER BY n_ab DESC, brand_a, brand_b LIMIT 40""",
+    doc="Market-basket association rules over part brands co-occurring "
+    "within an order (the curriculum/mixture diagnostic: which "
+    "content buckets co-occur in a training shard) — support, "
+    "confidence and lift from EXACT integer counts (lift's "
+    "numerator n_ab*N and denominator n_a*n_b stay BIGINT; one "
+    "rounded division per measure). Scale shape: baskets is one "
+    "distinct over the li⋈part join keyed by orderkey; the pair "
+    "generator self-joins baskets ON orderkey — fan-out bounded by "
+    "the per-order basket size (≤7 lines), partial-aggregated "
+    "map-side before the (brand,brand) shuffle (≤|brands|² groups); "
+    "the brand-frequency attach is a broadcast of a |brands|-row "
+    "dim; top-40 via TakeOrderedAndProject, total order "
+    "(n_ab DESC, brand_a, brand_b).",
+)
+def x219(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("b")
+    )
+    baskets = li.join(part, "l_partkey").select("ok", "b").distinct()
+    n_orders = baskets.select(
+        F.countDistinct("ok").alias("n_orders")
+    )
+    freq = baskets.groupBy("b").agg(F.count(F.lit(1)).alias("n_b"))
+    b1 = baskets.alias("b1")
+    b2 = baskets.alias("b2")
+    pairs = (
+        b1.join(
+            b2,
+            (F.col("b1.ok") == F.col("b2.ok"))
+            & (F.col("b1.b") < F.col("b2.b")),
+        )
+        .groupBy(
+            F.col("b1.b").alias("brand_a"), F.col("b2.b").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    fa = freq.select(
+        F.col("b").alias("brand_a"), F.col("n_b").alias("cnt_a")
+    )
+    fb = freq.select(
+        F.col("b").alias("brand_b"), F.col("n_b").alias("cnt_b")
+    )
+    out = (
+        pairs.join(F.broadcast(fa), "brand_a")
+        .join(F.broadcast(fb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    return out.select(
+        "brand_a",
+        "brand_b",
+        F.col("n_ab").cast("bigint").alias("n_ab"),
+        F.col("cnt_a").cast("bigint").alias("n_a"),
+        F.col("cnt_b").cast("bigint").alias("n_b"),
+        F.round(
+            F.col("n_ab") / F.col("n_orders") + F.lit(0.0), 6
+        ).alias("support"),
+        F.round(
+            F.col("n_ab") / F.col("cnt_a") + F.lit(0.0), 6
+        ).alias("confidence"),
+        F.round(
+            (F.col("n_ab") * F.col("n_orders"))
+            / (F.col("cnt_a").cast("double") * F.col("cnt_b"))
+            + F.lit(0.0),
+            6,
+        ).alias("lift"),
+    ).orderBy(F.desc("n_ab"), "brand_a", "brand_b").limit(40)
+
+
+@_q(
+    "x220_anova_f",
+    """WITH g AS (
+         SELECT c.c_mktsegment AS seg,
+                COUNT(*) AS n,
+                SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS s,
+                SUM(CAST(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)
+                         AS DECIMAL(38,0))
+                    * CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+                  AS ss
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY 1
+       ),
+       t AS (
+         SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(s) AS st,
+                SUM(CAST(ss AS DOUBLE)) AS sst,
+                SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS sg
+         FROM g
+       )
+       SELECT CAST(k AS BIGINT) AS k_groups,
+              CAST(nn AS BIGINT) AS n_total,
+              ROUND(((sg - CAST(st AS DOUBLE) * st / nn) / (k - 1))
+                    / ((sst - sg) / (nn - k)) + 0.0, 4) AS f_stat,
+              ROUND((sg - CAST(st AS DOUBLE) * st / nn)
+                    / (sst - CAST(st AS DOUBLE) * st / nn) + 0.0, 6)
+                AS eta_sq
+       FROM t""",
+    doc="One-way ANOVA of order value (cents) across market segments — "
+    "the classic does-the-group-mean-differ gate for mixture/ablation "
+    "readouts: per-group moments (n, Σx, Σx²) in ONE partial-agg "
+    "pass, Σx² held as DECIMAL(38,0) (cents² × 1.5M rows overflows "
+    "int64), then F = (SSB/(k−1))/(SSW/(N−k)) and η² assembled on "
+    "the k-row aggregate — between-group mass Σ S_g²/n_g computed in "
+    "doubles over exact integer moments (k=5 terms; deterministic "
+    "IEEE at the 1e-4 rounding grain). No raw-row second pass, no "
+    "global window; the segment attach is the orders⋈customer "
+    "shuffle join.",
+)
+def x220(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    g = o.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)") * F.col("cents")
+        ).alias("ss"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("st"),
+        F.sum(F.col("ss").cast("double")).alias("sst"),
+        F.sum(
+            F.col("s").cast("double") * F.col("s") / F.col("n")
+        ).alias("sg"),
+    )
+    k = F.col("k").cast("double")
+    nn = F.col("nn").cast("double")
+    grand = F.col("st").cast("double") * F.col("st") / nn
+    ssb = F.col("sg") - grand
+    ssw = F.col("sst") - F.col("sg")
+    return t.select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("nn").cast("bigint").alias("n_total"),
+        F.round(
+            (ssb / (k - 1)) / (ssw / (nn - k)) + F.lit(0.0), 4
+        ).alias("f_stat"),
+        F.round(
+            ssb / (F.col("sst") - grand) + F.lit(0.0), 6
+        ).alias("eta_sq"),
+    )
+
+
+@_q(
+    "x221_acf",
+    """WITH daily AS (
+         SELECT o_orderdate AS d, COUNT(*) AS x
+         FROM orders GROUP BY 1
+       ),
+       lagged AS (
+         SELECT x,
+                LEAD(x, 1) OVER w AS x1, LEAD(x, 2) OVER w AS x2,
+                LEAD(x, 3) OVER w AS x3, LEAD(x, 4) OVER w AS x4,
+                LEAD(x, 5) OVER w AS x5, LEAD(x, 6) OVER w AS x6,
+                LEAD(x, 7) OVER w AS x7
+         FROM daily WINDOW w AS (ORDER BY d)
+       ),
+       m AS (
+         SELECT COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS sq,
+                SUM(x * x1) AS p1, SUM(CASE WHEN x1 IS NOT NULL
+                    THEN x END) AS a1, SUM(x1) AS b1,
+                SUM(x * x2) AS p2, SUM(CASE WHEN x2 IS NOT NULL
+                    THEN x END) AS a2, SUM(x2) AS b2,
+                SUM(x * x3) AS p3, SUM(CASE WHEN x3 IS NOT NULL
+                    THEN x END) AS a3, SUM(x3) AS b3,
+                SUM(x * x4) AS p4, SUM(CASE WHEN x4 IS NOT NULL
+                    THEN x END) AS a4, SUM(x4) AS b4,
+                SUM(x * x5) AS p5, SUM(CASE WHEN x5 IS NOT NULL
+                    THEN x END) AS a5, SUM(x5) AS b5,
+                SUM(x * x6) AS p6, SUM(CASE WHEN x6 IS NOT NULL
+                    THEN x END) AS a6, SUM(x6) AS b6,
+                SUM(x * x7) AS p7, SUM(CASE WHEN x7 IS NOT NULL
+                    THEN x END) AS a7, SUM(x7) AS b7
+         FROM lagged
+       )
+       SELECT lag,
+              CAST(n - lag AS BIGINT) AS n_pairs,
+              ROUND((n * n * p - n * s * (a + b) + (n - lag) * s * s)
+                    * 1.0 / (n * n * sq - n * s * s) + 0.0, 6) AS acf
+       FROM m, (VALUES (1), (2), (3), (4), (5), (6), (7)) AS lags(lag),
+            LATERAL (SELECT CASE lag WHEN 1 THEN p1 WHEN 2 THEN p2
+                            WHEN 3 THEN p3 WHEN 4 THEN p4 WHEN 5 THEN p5
+                            WHEN 6 THEN p6 ELSE p7 END AS p,
+                            CASE lag WHEN 1 THEN a1 WHEN 2 THEN a2
+                            WHEN 3 THEN a3 WHEN 4 THEN a4 WHEN 5 THEN a5
+                            WHEN 6 THEN a6 ELSE a7 END AS a,
+                            CASE lag WHEN 1 THEN b1 WHEN 2 THEN b2
+                            WHEN 3 THEN b3 WHEN 4 THEN b4 WHEN 5 THEN b5
+                            WHEN 6 THEN b6 ELSE b7 END AS b) v
+       ORDER BY lag""",
+    doc="Autocorrelation function (lags 1–7) of the daily order-count "
+    "series — the seasonality probe of the time-series family (x38 "
+    "fills gaps, x116 localizes a level shift, x216 tests sign "
+    "randomness; this measures linear memory): the series is the "
+    "ORDER-DATE aggregate (observed days, row-sequence spacing), "
+    "seven LEADs materialize in ONE window pass over that "
+    "~2.4k-row aggregate (window-contract clean: global order over "
+    "an aggregated frame), and each lag's ACF numerator folds to the "
+    "EXACT integer N²·Σx·x₊ₖ − N·S·(Aₖ+Bₖ) + (N−k)·S² over the "
+    "exact c₀ denominator N²·Σx² − N·S² — one rounded division per "
+    "lag. The 7-lag unpivot is a stack() over the single moment row.",
+)
+def x221(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "x",
+        *[F.lead("x", k).over(w).alias(f"x{k}") for k in range(1, 8)],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("sq"),
+    ]
+    for k in range(1, 8):
+        xk = F.col(f"x{k}")
+        aggs += [
+            F.sum(F.col("x") * xk).alias(f"p{k}"),
+            F.sum(F.when(xk.isNotNull(), F.col("x"))).alias(f"a{k}"),
+            F.sum(xk).alias(f"b{k}"),
+        ]
+    m = lagged.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({k} AS BIGINT), p{k}, a{k}, b{k}" for k in range(1, 8)
+    )
+    un = m.selectExpr(
+        "n", "s", "sq", f"stack(7, {stack}) AS (lag, p, a, b)"
+    )
+    n = F.col("n")
+    s = F.col("s")
+    num = (
+        n * n * F.col("p")
+        - n * s * (F.col("a") + F.col("b"))
+        + (n - F.col("lag")) * s * s
+    )
+    den = n * n * F.col("sq") - n * s * s
+    return un.select(
+        "lag",
+        (n - F.col("lag")).cast("bigint").alias("n_pairs"),
+        F.round(num / den.cast("double") + F.lit(0.0), 6).alias("acf"),
+    ).orderBy("lag")

@@ -61,6 +61,7 @@ from __future__ import annotations
 import json
 import os
 import threading
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -554,6 +555,7 @@ def commit(
     _dir_stats: dict[str, dict] | None = None,
     _drop_constraints: list[str] | None = None,
     _rebase: bool = False,
+    _ts_us: int | None = None,
 ) -> int:
     """Write ``df`` as a new table version and return its number.
 
@@ -800,6 +802,26 @@ def commit(
             "op": _op or mode,
             "dirs": dirs,
         }
+        # Commit timestamp (micros), the clock behind TIMESTAMP AS OF:
+        # wall time forced MONOTONIC past the parent's stamp (Delta's
+        # in-commit-timestamp rule) so timestamp resolution is a
+        # well-ordered cut of the version line even under clock skew
+        # between writers; recomputed per publish retry so a lost race
+        # adopts the winner's stamp as the floor. ``_ts_us`` is the
+        # deterministic-test injection point — it too is floored, so an
+        # injected stamp can never travel backwards.
+        parent_ts = 0
+        if parent is not None:
+            try:
+                parent_ts = _load_manifest(table_path, parent, st).get(
+                    "ts_us", 0
+                )
+            except ManifestMissingError:
+                parent_ts = 0
+        now_us = _ts_us if _ts_us is not None else time.time_ns() // 1000
+        manifest["ts_us"] = (
+            max(now_us, parent_ts + 1) if parent is not None else now_us
+        )
         # carry data-skipping stats with the directories they describe:
         # dirs kept from the parent keep their ranges, this commit's
         # fresh dir gets the ranges computed above, and merge/delete
@@ -1588,12 +1610,238 @@ def _write_change_set(chg: DataFrame, table_path: str) -> str:
     return os.path.relpath(chg_dir, table_path)
 
 
+def replace_where(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    condition,
+    batch_id: int | None = None,
+    validate: bool = True,
+    store: ManifestStore | None = None,
+) -> int:
+    """Predicate-scoped overwrite — Delta's ``replaceWhere`` writer
+    option (the idiomatic "reload one partition/day/region" verb):
+    atomically delete every row where ``condition`` is TRUE and insert
+    ``df``'s rows, in ONE commit. Rows where the predicate is FALSE
+    **or NULL** survive untouched (same NULL rule as delete_where).
+
+    ``validate=True`` (Delta's default): every replacement row must
+    itself satisfy the predicate — a reload of ``region='EU'`` that
+    smuggles an ``'US'`` row refuses BEFORE writing anything, with the
+    violating count in the error. ``df`` is pinned with ONE eager
+    ``localCheckpoint`` so validation, the write, and the change feed
+    all see the same rows (the merge/update determinism rule — a
+    ``rand()``-built reload cannot pass validation yet write violating
+    rows).
+
+    Scale shape: copy-on-write like delete — one discovery scan finds
+    the directories CONTAINING a matched row (zone-map/data-skipping
+    stats prune it when the predicate aligns with layout), only those
+    rewrite their survivors; untouched directories carry by reference.
+    A daily re-partition reload therefore rewrites ~one day's files,
+    never the table. Table CHECK constraints apply to the replacement
+    rows. CDC ships every deleted row and every inserted row.
+
+    Concurrency: basis-pinned with the append-only auto-REBASE of the
+    other rewrite verbs (an interleaved pure append the predicate
+    never saw simply survives; an interleaved rewrite raises).
+    ``batch_id`` dedups streaming foreachBatch replays. On an empty
+    table this is the initial load (v0), validation still applied.
+
+    Reference parity: the reference's pipeline re-uploads one
+    (fov, crop, slice) batch by deleting + re-writing NPZ files under
+    a key prefix (io_utils.py:37, figure_eight_functions.py:180); this
+    is that verb with transactional semantics.
+    """
+    st = _store(store)
+    st.check_path(table_path)
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    if _DIR_COL in df.columns:
+        raise ValueError(
+            f"replacement frame carries reserved column {_DIR_COL!r}"
+        )
+    # ONE pinned evaluation: validation + constraints + write + CDC
+    df = df.localCheckpoint(eager=True)
+    if validate:
+        bad = df.where(~F.coalesce(cond, F.lit(False))).count()
+        if bad:
+            raise ValueError(
+                f"replace_where: {bad} replacement row(s) do not "
+                "satisfy the predicate — pass validate=False only if "
+                "you really mean to insert rows outside the replaced "
+                "scope"
+            )
+
+    basis = current_version(table_path, st)
+    if basis is None:
+        # initial load: nothing to replace, plain v0 overwrite
+        return commit(
+            spark, df, table_path, mode="overwrite", batch_id=batch_id,
+            store=st, _op="replace_where",
+        )
+    if batch_id is not None:
+        seen = _batch_id_seen(table_path, basis, batch_id, st)
+        if seen is not None:
+            return seen
+    manifest = _load_manifest(table_path, basis, st)
+    _enforce_constraints(df, manifest.get("constraints", {}), table_path)
+    parent_dirs: list[str] = manifest["dirs"]
+    parent = _with_dir_col(
+        spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(table_path, d) for d in parent_dirs]
+        )
+    )
+    par_cols = [c for c in parent.columns if c != _DIR_COL]
+    if set(df.columns) != set(par_cols):
+        raise ValueError(
+            "replace_where frame schema differs from the table's "
+            f"(frame-only: {sorted(set(df.columns) - set(par_cols))}, "
+            f"table-only: {sorted(set(par_cols) - set(df.columns))})"
+        )
+    tokens = _dir_tokens(parent_dirs)
+    touched_tokens = {
+        r[_DIR_COL]
+        for r in parent.where(cond).select(_DIR_COL).distinct().collect()
+    }
+    touched = _resolve_touched(touched_tokens, tokens, table_path)
+    flag = _DIR_COL + "_del"
+    if flag in parent.columns:
+        raise ValueError(
+            f"table carries a column named {flag!r}, which "
+            "replace_where reserves for internal predicate pinning — "
+            "rename it"
+        )
+    # ONE pinned evaluation of the predicate over the touched dirs
+    # (delete_where's rule): change set and survivors derive from it
+    flagged = (
+        parent.where(F.col(_DIR_COL).isin(list(touched_tokens)))
+        .withColumn(flag, F.coalesce(cond, F.lit(False)))
+        .localCheckpoint(eager=True)
+    )
+    removed = flagged.where(F.col(flag)).drop(_DIR_COL, flag)
+    chg = (
+        removed.select(*par_cols)
+        .withColumn("_change_type", F.lit("delete"))
+        .withColumn("_change_subtype", F.lit("delete"))
+        .unionByName(
+            df.select(*par_cols)
+            .withColumn("_change_type", F.lit("insert"))
+            .withColumn("_change_subtype", F.lit("insert"))
+        )
+    )
+    chg_rel = _write_change_set(chg, table_path)
+
+    kept = [d for d in parent_dirs if d not in touched]
+    new_rels: list[str] = []
+    if touched:
+        survivors = flagged.where(~F.col(flag)).drop(_DIR_COL, flag)
+        rewrite_dir = os.path.join(
+            table_path, _DATA_DIR, f"c{uuid.uuid4().hex[:12]}"
+        )
+        survivors.write.parquet(rewrite_dir)
+        new_rels.append(os.path.relpath(rewrite_dir, table_path))
+    if df.limit(1).count() > 0:  # an empty reload = scoped delete
+        load_dir = os.path.join(
+            table_path, _DATA_DIR, f"c{uuid.uuid4().hex[:12]}"
+        )
+        df.select(*par_cols).write.parquet(load_dir)
+        new_rels.append(os.path.relpath(load_dir, table_path))
+    dirs = kept + new_rels
+    return commit(
+        spark,
+        None,
+        table_path,
+        mode="overwrite",
+        batch_id=batch_id,
+        expected_parent=basis,
+        store=st,
+        _op="replace_where",
+        _dirs=dirs,
+        _rebase=True,
+        _extra_manifest={"change_dir": chg_rel},
+        _dir_stats=_rewritten_dir_stats(spark, table_path, manifest, new_rels),
+    )
+
+
+def version_at_timestamp(
+    table_path: str,
+    timestamp,
+    store: ManifestStore | None = None,
+) -> int:
+    """Resolve TIMESTAMP AS OF → version: the LATEST retained version
+    whose commit timestamp is <= ``timestamp`` (Delta's resolution
+    rule). ``timestamp`` is epoch seconds (int/float), a
+    ``datetime``, or an ISO-8601 string (naive strings are UTC).
+
+    Delta's boundary semantics, both directions: a timestamp EARLIER
+    than the earliest retained commit raises (that history may be
+    vacuumed — resolving it to v0 would silently time-travel to the
+    wrong data), and a timestamp LATER than the head's commit raises
+    (the caller's clock says a version should exist that the log does
+    not have — a skew tripwire, not a "give me latest" shorthand; use
+    ``version=None`` for latest). Manifests written before timestamps
+    existed read as epoch 0.
+    """
+    st = _store(store)
+    st.check_path(table_path)
+    target = _to_epoch_us(timestamp)
+    latest = current_version(table_path, st)
+    if latest is None:
+        raise ValueError(f"no committed versions at {table_path!r}")
+    best: int | None = None
+    earliest_ts: int | None = None
+    head_ts = 0
+    for v in range(latest + 1):
+        try:
+            ts = _load_manifest(table_path, v, st).get("ts_us", 0)
+        except ManifestMissingError:
+            continue  # vacuumed — not a retained version
+        if earliest_ts is None:
+            earliest_ts = ts
+        head_ts = ts
+        if ts <= target:
+            best = v
+    if target > head_ts:
+        raise ValueError(
+            f"timestamp {timestamp!r} is after the latest commit "
+            f"(ts_us={head_ts}) at {table_path!r}; omit the timestamp "
+            "to read the head"
+        )
+    if best is None:
+        raise ValueError(
+            f"timestamp {timestamp!r} precedes the earliest retained "
+            f"commit (ts_us={earliest_ts}) at {table_path!r} — that "
+            "history may have been vacuumed"
+        )
+    return best
+
+
+def _to_epoch_us(timestamp) -> int:
+    """Normalize int/float epoch seconds, datetime, or ISO-8601 string
+    to epoch microseconds (naive inputs are UTC)."""
+    import datetime as _dt
+
+    if isinstance(timestamp, str):
+        timestamp = _dt.datetime.fromisoformat(timestamp)
+    if isinstance(timestamp, _dt.datetime):
+        if timestamp.tzinfo is None:
+            timestamp = timestamp.replace(tzinfo=_dt.timezone.utc)
+        return int(timestamp.timestamp() * 1_000_000)
+    if isinstance(timestamp, (int, float)):
+        return int(timestamp * 1_000_000)
+    raise TypeError(
+        f"timestamp must be epoch seconds, datetime, or ISO string; "
+        f"got {type(timestamp).__name__}"
+    )
+
+
 def read_snapshot(
     spark: SparkSession,
     table_path: str,
     version: int | None = None,
     merge_schema: bool = False,
     store: ManifestStore | None = None,
+    timestamp=None,
 ) -> DataFrame:
     """The table as of ``version`` (default: latest). One distributed
     parquet scan over exactly the directories that version's manifest
@@ -1603,9 +1851,20 @@ def read_snapshot(
     ``merge_schema=True``: reconcile schema EVOLUTION across commits
     (a column added in a later append reads as NULL for older
     directories) — the footer-union pass costs one footer read per
-    file, so leave it off for tables whose schema is known stable."""
+    file, so leave it off for tables whose schema is known stable.
+
+    ``timestamp``: TIMESTAMP AS OF — epoch seconds / datetime / ISO
+    string, resolved to the latest retained version committed at or
+    before it (:func:`version_at_timestamp`; mutually exclusive with
+    ``version``)."""
     st = _store(store)
     st.check_path(table_path)
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError(
+                "pass either version or timestamp, not both"
+            )
+        version = version_at_timestamp(table_path, timestamp, st)
     if version is None:
         version = current_version(table_path, st)
         if version is None:
@@ -1658,6 +1917,9 @@ def read_changes(
     - ``update`` (:func:`update_where`): the persisted change set
       (delete/insert pairs, 'update_preimage'/'update_postimage')
       shipped verbatim — untouched rows contribute nothing.
+    - ``replace_where`` (:func:`replace_where`): the persisted set —
+      every row of the replaced scope as 'delete', every replacement
+      row as 'insert'; out-of-scope survivors contribute nothing.
 
     Every row also carries ``_change_subtype`` (equal to
     ``_change_type`` except for merge's update pre/postimages), the
@@ -1742,7 +2004,7 @@ def read_changes(
             ins = _tagged(m["dirs"], "insert", v, m.get("stats"))
             if ins is not None:
                 pieces.append(ins)
-        elif m["op"] in ("merge", "delete", "update"):
+        elif m["op"] in ("merge", "delete", "update", "replace_where"):
             # the commit wrote its EXACT row-level change set (with
             # _change_type/_change_subtype baked in) — read it, never
             # diff snapshots
@@ -2002,7 +2264,8 @@ def restore_table(
 def history(
     table_path: str, store: ManifestStore | None = None
 ) -> list[dict]:
-    """The commit log, oldest first: version, parent, op, n_dirs."""
+    """The commit log, oldest first: version, parent, op, n_dirs,
+    ts_us (commit timestamp, micros; None for pre-timestamp logs)."""
     st = _store(store)
     latest = current_version(table_path, st)
     if latest is None:
@@ -2020,6 +2283,7 @@ def history(
                 "parent": m["parent"],
                 "op": m["op"],
                 "n_dirs": len(m["dirs"]),
+                "ts_us": m.get("ts_us"),
             }
         )
     return out

@@ -3237,3 +3237,146 @@ def test_stream_reader_pinned_schema(spark, tmp_path):
     # evolved file's
     assert all(len(row) == 3 for row in rows)
     assert sorted(r[0] for r in rows) == [3, 4]
+
+
+def test_replace_where_semantics(spark, tmp_path):
+    """Delta replaceWhere: predicate scope atomically swapped for the
+    replacement frame; out-of-scope rows and directories untouched;
+    CDC ships exact deletes+inserts; op labeled in history."""
+    t = str(tmp_path / "tbl")
+    snap.commit(
+        spark,
+        spark.range(100).selectExpr("id", "id % 5 AS k"),
+        t,
+        mode="overwrite",
+    )
+    snap.commit(
+        spark,
+        spark.range(100, 150).selectExpr("id", "id % 5 AS k"),
+        t,
+        mode="append",
+    )
+    dirs_before = snap._load_manifest(t, 1, snap._POSIX)["dirs"]
+    repl = spark.range(1000, 1010).selectExpr("id", "CAST(2 AS BIGINT) AS k")
+    v = snap.replace_where(spark, repl, t, "k = 2")
+    got = snap.read_snapshot(spark, t)
+    assert got.where("k = 2").count() == 10
+    assert sorted(
+        r["id"] for r in got.where("k = 2").collect()
+    ) == list(range(1000, 1010))
+    # out-of-scope rows all survive
+    assert got.where("k <> 2").count() == 150 - 30
+    # both parent dirs contained k=2 rows -> both rewritten; history op
+    m = snap._load_manifest(t, v, snap._POSIX)
+    assert not set(m["dirs"]) & set(dirs_before)
+    assert snap.history(t)[-1]["op"] == "replace_where"
+    # CDC: 30 deletes (the replaced scope), 10 inserts
+    chg = snap.read_changes(spark, t, v - 1, v)
+    assert chg.where("_change_type = 'delete'").count() == 30
+    assert chg.where("_change_type = 'insert'").count() == 10
+    assert chg.where("_change_type = 'delete' AND k <> 2").count() == 0
+    # time travel below the replace still sees the old scope
+    assert snap.read_snapshot(spark, t, 1).where(
+        "k = 2 AND id < 1000"
+    ).count() == 30
+
+
+def test_replace_where_validation_and_null_predicate(spark, tmp_path):
+    """validate=True refuses replacement rows outside the predicate
+    BEFORE publishing; NULL-predicate rows are survivors, never
+    replaced (SQL DELETE rule)."""
+    t = str(tmp_path / "tbl")
+    base = spark.range(20).selectExpr(
+        "id", "CASE WHEN id % 3 = 0 THEN NULL ELSE id % 2 END AS k"
+    )
+    snap.commit(spark, base, t, mode="overwrite")
+    head = snap.current_version(t)
+    bad = spark.range(2).selectExpr("id + 500 AS id", "id AS k")  # k=0,1
+    with pytest.raises(ValueError, match="do not satisfy"):
+        snap.replace_where(spark, bad, t, "k = 1")
+    assert snap.current_version(t) == head  # nothing published
+    ok = spark.range(3).selectExpr(
+        "id + 500 AS id", "CAST(1 AS BIGINT) AS k"
+    )
+    snap.replace_where(spark, ok, t, "k = 1")
+    got = snap.read_snapshot(spark, t)
+    # NULL-k rows (id%3=0 -> 7 of 20) survive; k=0 rows survive
+    assert got.where("k IS NULL").count() == 7
+    assert got.where("k = 0").count() == base.where("k = 0").count()
+    assert sorted(r["id"] for r in got.where("k = 1").collect()) == [
+        500, 501, 502,
+    ]
+    # an EMPTY reload is a scoped delete
+    snap.replace_where(spark, ok.limit(0), t, "k = 1")
+    assert snap.read_snapshot(spark, t).where("k = 1").count() == 0
+    assert snap.read_snapshot(spark, t).where("k IS NULL").count() == 7
+
+
+def test_replace_where_initial_load_and_schema_guard(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.range(5).selectExpr("id", "CAST(1 AS BIGINT) AS k")
+    v = snap.replace_where(spark, df, t, "k = 1")  # empty table: v0 load
+    assert v == 0
+    assert snap.read_snapshot(spark, t).count() == 5
+    with pytest.raises(ValueError, match="schema differs"):
+        snap.replace_where(
+            spark,
+            spark.range(3).selectExpr(
+                "id + 10 AS id", "CAST(1 AS BIGINT) AS other"
+            ),
+            t,
+            "other = 1",
+        )
+
+
+def test_commit_timestamps_monotonic(spark, tmp_path):
+    """Commit stamps are wall-clock forced monotonic past the parent
+    (in-commit-timestamp rule); history exposes them."""
+    t = str(tmp_path / "tbl")
+    df = spark.range(3).selectExpr("id")
+    before = __import__("time").time_ns() // 1000
+    snap.commit(spark, df, t)
+    snap.commit(spark, df, t, mode="append")
+    # an injected stamp BEHIND the parent is floored, never backwards
+    snap.commit(spark, df, t, mode="append", _ts_us=1)
+    h = snap.history(t)
+    ts = [e["ts_us"] for e in h]
+    assert ts[0] >= before
+    assert ts[0] < ts[1] < ts[2]
+    assert ts[2] == ts[1] + 1  # the floored injection
+
+
+def test_timestamp_time_travel_resolution(spark, tmp_path):
+    """TIMESTAMP AS OF: latest version at-or-before; both boundary
+    directions raise (earlier than earliest retained, later than
+    head) — Delta's rules."""
+    t = str(tmp_path / "tbl")
+    a = spark.range(5).selectExpr("id")
+    snap.commit(spark, a, t, _ts_us=1_000 * 1_000_000)         # v0 @ t=1000s
+    snap.commit(spark, a, t, mode="append",
+                _ts_us=2_000 * 1_000_000)                       # v1 @ 2000s
+    snap.commit(spark, a, t, mode="overwrite",
+                _ts_us=3_000 * 1_000_000)                       # v2 @ 3000s
+    assert snap.version_at_timestamp(t, 1_000) == 0      # exact hit
+    assert snap.version_at_timestamp(t, 1_999.5) == 0    # between
+    assert snap.version_at_timestamp(t, 2_000) == 1
+    assert snap.version_at_timestamp(t, 3_000) == 2
+    assert snap.read_snapshot(spark, t, timestamp=2_500).count() == 10
+    # datetime + ISO-string forms resolve identically
+    import datetime as dt
+
+    d = dt.datetime.fromtimestamp(2_500, dt.timezone.utc)
+    assert snap.version_at_timestamp(t, d) == 1
+    assert snap.version_at_timestamp(t, d.isoformat()) == 1
+    with pytest.raises(ValueError, match="precedes the earliest"):
+        snap.version_at_timestamp(t, 999)
+    with pytest.raises(ValueError, match="after the latest"):
+        snap.version_at_timestamp(t, 3_001)
+    with pytest.raises(ValueError, match="not both"):
+        snap.read_snapshot(spark, t, 1, timestamp=2_500)
+    # vacuumed history refuses instead of resolving to wrong data
+    snap.commit(spark, a, t, mode="overwrite", _ts_us=4_000 * 1_000_000)
+    snap.vacuum(t, keep_last=1)
+    with pytest.raises(ValueError, match="precedes the earliest"):
+        snap.version_at_timestamp(t, 2_500)
+    assert snap.version_at_timestamp(t, 4_000) == 3
