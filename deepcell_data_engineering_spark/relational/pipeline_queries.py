@@ -17955,3 +17955,667 @@ def x221(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n - F.col("lag")).cast("bigint").alias("n_pairs"),
         F.round(num / den.cast("double") + F.lit(0.0), 6).alias("acf"),
     ).orderBy("lag")
+
+
+@_q(
+    "x222_hhi_concentration",
+    """WITH q AS (
+         SELECT s.s_nationkey AS nk, l.l_suppkey AS sk,
+                SUM(CAST(l.l_quantity AS BIGINT)) AS qty
+         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         GROUP BY 1, 2
+       ),
+       r AS (
+         SELECT nk, sk, qty,
+                ROW_NUMBER() OVER (PARTITION BY nk
+                                   ORDER BY qty DESC, sk) AS rnk
+         FROM q
+       ),
+       agg AS (
+         SELECT nk, COUNT(*) AS n_suppliers, SUM(qty) AS total,
+                SUM(qty * qty) AS sumsq,
+                SUM(CASE WHEN rnk <= 4 THEN qty ELSE 0 END) AS top4
+         FROM r GROUP BY 1
+       )
+       SELECT n.n_name,
+              CAST(a.n_suppliers AS BIGINT) AS n_suppliers,
+              CAST(a.total AS BIGINT) AS total_qty,
+              ROUND(10000.0 * a.sumsq / (a.total * 1.0 * a.total)
+                    + 0.0, 4) AS hhi,
+              ROUND(a.top4 * 1.0 / a.total + 0.0, 6) AS cr4
+       FROM agg a JOIN nation n ON a.nk = n.n_nationkey
+       ORDER BY n.n_name""",
+    doc="Supplier concentration of supplied quantity per nation — the "
+    "source-diversity audit (a training corpus dominated by 4 "
+    "suppliers is x209's skew risk in market form): HHI = "
+    "10000·Σq_s²/(Σq_s)² and the 4-firm ratio CR4, both EXACT "
+    "integer numerators over one rounded division. Scale shape: one "
+    "partial-agg per (nation, supplier) over the li⋈supplier shuffle "
+    "join, the top-4 rank a window PARTITIONED by nation over that "
+    "per-supplier AGGREGATE (never the raw fact), nation-name attach "
+    "a 25-row broadcast.",
+)
+def x222(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    q = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_suppkey", F.col("l_quantity").cast("bigint").alias("qty"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("nk"), F.col("l_suppkey").alias("sk")
+        )
+        .agg(F.sum("qty").alias("qty"))
+    )
+    r = q.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("nk").orderBy(F.desc("qty"), "sk")
+        ),
+    )
+    agg = r.groupBy("nk").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("qty").alias("total"),
+        F.sum(F.col("qty") * F.col("qty")).alias("sumsq"),
+        F.sum(F.when(F.col("rnk") <= 4, F.col("qty")).otherwise(0)).alias(
+            "top4"
+        ),
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), "n_name"
+    )
+    return (
+        agg.join(F.broadcast(nat), "nk")
+        .select(
+            "n_name",
+            F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+            F.col("total").cast("bigint").alias("total_qty"),
+            F.round(
+                F.lit(10000.0)
+                * F.col("sumsq")
+                / (F.col("total").cast("double") * F.col("total"))
+                + F.lit(0.0),
+                4,
+            ).alias("hhi"),
+            F.round(
+                F.col("top4") / F.col("total").cast("double") + F.lit(0.0),
+                6,
+            ).alias("cr4"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@_q(
+    "x223_markov_transitions",
+    """WITH s AS (
+         SELECT user_id, event_type,
+                LAG(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev
+         FROM events
+       ),
+       c AS (
+         SELECT prev, event_type AS next, COUNT(*) AS n
+         FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+       )
+       SELECT prev, next, CAST(n AS BIGINT) AS n,
+              ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev) + 0.0, 6)
+                AS p
+       FROM c ORDER BY prev, next""",
+    doc="First-order Markov transition matrix of the per-user event "
+    "stream (the behavioral twin of x37's ordered funnel: ALL "
+    "type-to-type hops, not one fixed path) — successor pairs from "
+    "ONE LAG window PARTITIONED by user in (ts, event_id) total "
+    "order, folded to |types|² exact counts, row-normalized to "
+    "transition probabilities by a window over the aggregate (one "
+    "rounded division). The per-user window shuffles once on "
+    "user_id; the normalizer touches a ≤25-row frame.",
+)
+def x223(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    s = ev.select(
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev"),
+    )
+    c = (
+        s.where(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return c.select(
+        "prev",
+        "next",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.col("n")
+            / F.sum("n").over(Window.partitionBy("prev")).cast("double")
+            + F.lit(0.0),
+            6,
+        ).alias("p"),
+    ).orderBy("prev", "next")
+
+
+@_q(
+    "x224_jackknife_loo",
+    """WITH g AS (
+         SELECT c_nationkey AS nk, COUNT(*) AS n,
+                SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS s
+         FROM customer GROUP BY 1
+       ),
+       t AS (SELECT SUM(n) AS nn, SUM(s) AS st FROM g)
+       SELECT n.n_name,
+              CAST(g.n AS BIGINT) AS n_customers,
+              ROUND((t.st - g.s) * 1.0 / (t.nn - g.n) + 0.0, 6)
+                AS loo_mean_cents,
+              ROUND(t.st * 1.0 / t.nn
+                    - (t.st - g.s) * 1.0 / (t.nn - g.n) + 0.0, 6)
+                AS influence_cents
+       FROM g CROSS JOIN t JOIN nation n ON g.nk = n.n_nationkey
+       ORDER BY n.n_name""",
+    doc="Delete-one-group jackknife of mean account balance — the "
+    "resampling-diagnostics family (which nation's cohort MOVES the "
+    "corpus-level statistic; the leave-one-source-out ablation "
+    "readout of a data pipeline): per-nation (n, Σcents) in one "
+    "partial-agg pass, grand totals one 25-row fold, each nation's "
+    "leave-one-out mean (S−S_g)/(N−n_g) and influence S/N − LOO from "
+    "EXACT integers with per-column rounded divisions (two "
+    "deterministic IEEE divisions, no order-dependent float sums). "
+    "The totals attach is a 1-row broadcast cross join.",
+)
+def x224(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+            ).alias("s"),
+        )
+    )
+    t = g.agg(F.sum("n").alias("nn"), F.sum("s").alias("st"))
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), "n_name"
+    )
+    j = g.crossJoin(F.broadcast(t)).join(F.broadcast(nat), "nk")
+    loo = (F.col("st") - F.col("s")) / (
+        F.col("nn") - F.col("n")
+    ).cast("double")
+    return j.select(
+        "n_name",
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(loo + F.lit(0.0), 6).alias("loo_mean_cents"),
+        F.round(
+            F.col("st") / F.col("nn").cast("double") - loo + F.lit(0.0), 6
+        ).alias("influence_cents"),
+    ).orderBy("n_name")
+
+
+@_q(
+    "x225_mann_whitney",
+    """WITH d AS (
+         SELECT lang, n_chars FROM documents WHERE lang IN ('en', 'zh')
+       ),
+       ranked AS (
+         SELECT lang,
+                RANK() OVER (ORDER BY n_chars)
+                + (COUNT(*) OVER (PARTITION BY n_chars) - 1) / 2.0
+                  AS avg_rank
+         FROM d
+       ),
+       ties AS (
+         SELECT SUM(t * t * t - t) AS tie_t FROM (
+           SELECT COUNT(*) AS t FROM d GROUP BY n_chars
+         )
+       ),
+       m AS (
+         SELECT SUM(CASE WHEN lang = 'en' THEN avg_rank END) AS r_a,
+                SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS na,
+                SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS nb
+         FROM ranked
+       )
+       SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+              ROUND(r_a - na * (na + 1) / 2.0 + 0.0, 1) AS u_stat,
+              ROUND((r_a - na * (na + 1) / 2.0 - na * nb / 2.0)
+                    / SQRT(na * 1.0 * nb / 12.0
+                           * ((na + nb + 1)
+                              - tie_t / ((na + nb) * 1.0
+                                         * (na + nb - 1)))) + 0.0, 4)
+                AS z
+       FROM m CROSS JOIN ties""",
+    doc="Mann-Whitney U (Wilcoxon rank-sum) comparing document length "
+    "between English and Chinese — the nonparametric two-sample gate "
+    "of the stats family (x215's CUPED assumes moments; this ranks): "
+    "the ENGINE never ranks raw rows — lengths fold to per-distinct-"
+    "value (cntA, cntB) pairs, a cumulative window over that "
+    "AGGREGATE yields the pairs-won count 2U = Σ cntA·(2·cumB< + "
+    "cntB) as an EXACT integer (half-tie credit kept integral), and "
+    "the tie-corrected normal z comes from the exact (2U, nA, nB, "
+    "Σt³−t) tuple. The ORACLE is the textbook different algorithm — "
+    "DuckDB average ranks over the raw rows, U = R_A − nA(nA+1)/2 — "
+    "so the two derivations certify each other.",
+)
+def x225(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("lang").isin("en", "zh"))
+        .select("lang", "n_chars")
+    )
+    per_val = d.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("lang") == "zh", 1).otherwise(0)).alias("cb"),
+    )
+    w = (
+        Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per_val.withColumn(
+        "cum_b", F.coalesce(F.sum("cb").over(w), F.lit(0))
+    )
+    m = cum.agg(
+        F.sum(
+            F.col("ca") * (2 * F.col("cum_b") + F.col("cb"))
+        ).alias("two_u"),
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.sum(
+            (F.col("ca") + F.col("cb"))
+            * (F.col("ca") + F.col("cb"))
+            * (F.col("ca") + F.col("cb"))
+            - (F.col("ca") + F.col("cb"))
+        ).alias("tie_t"),
+    )
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    n = na + nb
+    u = F.col("two_u") / F.lit(2.0)
+    var = (
+        na * nb / 12.0
+        * ((n + 1) - F.col("tie_t") / (n * (n - 1)))
+    )
+    return m.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(u + F.lit(0.0), 1).alias("u_stat"),
+        F.round(
+            (u - na * nb / 2.0) / F.sqrt(var) + F.lit(0.0), 4
+        ).alias("z"),
+    )
+
+
+@_q(
+    "x226_ewma_daily_revenue",
+    """WITH o AS (
+         SELECT r.r_name AS region, CAST(o.o_orderdate AS DATE) AS d,
+                CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+       ),
+       mx AS (SELECT MAX(d) AS maxd FROM o),
+       daily AS (
+         SELECT region, d, SUM(cents) AS x,
+                date_diff('day', d, maxd) AS k
+         FROM o CROSS JOIN mx
+         WHERE date_diff('day', d, maxd) <= 15
+         GROUP BY region, d, date_diff('day', d, maxd)
+       )
+       SELECT region,
+              CAST(COUNT(*) AS BIGINT) AS n_days,
+              CAST(SUM(x) AS BIGINT) AS total_cents,
+              ROUND(SUM(x * (CAST(1 AS BIGINT) << (15 - k))) * 1.0
+                    / SUM(CAST(1 AS BIGINT) << (15 - k)) + 0.0, 4)
+                AS ewma_cents
+       FROM daily GROUP BY region ORDER BY region""",
+    doc="Exponentially weighted moving average (α=1/2) of daily "
+    "revenue per region over the trailing 16 observed days — the "
+    "recency-weighted level readout of the time-series family (x221 "
+    "measures memory; this exploits it): the halving weights are "
+    "EXACT dyadic integers 2^(15−k) (a bigint shift, never float "
+    "pow), so numerator Σ x_d·2^(15−k) and denominator Σ 2^(15−k) "
+    "stay exact integers until the ONE rounded division. The anchor "
+    "date is a 1-row broadcast cross join; the trailing filter "
+    "prunes before the per-(region, day) partial agg.",
+)
+def x226(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    reg = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", F.col("r_name").alias("region")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "region",
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    mx = o.agg(F.max("d").alias("maxd"))
+    daily = (
+        o.crossJoin(F.broadcast(mx))
+        .withColumn("k", F.datediff(F.col("maxd"), F.col("d")))
+        .where(F.col("k") <= 15)
+        .groupBy("region", "d", "k")
+        .agg(F.sum("cents").alias("x"))
+    )
+    wgt = F.expr("shiftleft(CAST(1 AS BIGINT), 15 - k)")
+    return (
+        daily.groupBy("region")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("x").cast("bigint").alias("total_cents"),
+            F.round(
+                F.sum(F.col("x") * wgt) / F.sum(wgt).cast("double")
+                + F.lit(0.0),
+                4,
+            ).alias("ewma_cents"),
+        )
+        .orderBy("region")
+    )
+
+
+@_q(
+    "x227_gini_segments",
+    """WITH ltv AS (
+         SELECT c.c_mktsegment AS seg, o.o_custkey AS ck,
+                SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+                  AS cents
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY 1, 2
+       ),
+       r AS (
+         SELECT seg, cents,
+                ROW_NUMBER() OVER (PARTITION BY seg
+                                   ORDER BY cents, ck) AS i
+         FROM ltv
+       ),
+       a AS (
+         SELECT seg, COUNT(*) AS n, SUM(cents) AS s,
+                SUM(i * cents) AS w
+         FROM r GROUP BY 1
+       )
+       SELECT seg AS c_mktsegment,
+              CAST(n AS BIGINT) AS n_customers,
+              CAST(s AS BIGINT) AS total_cents,
+              ROUND((2.0 * w - (n + 1.0) * s) / (n * 1.0 * s) + 0.0, 6)
+                AS gini
+       FROM a ORDER BY c_mktsegment""",
+    doc="Gini coefficient of customer lifetime value per market "
+    "segment — the inequality twin of x212's Theil index (Theil "
+    "decomposes between/within; Gini is the Lorenz-area measure "
+    "procurement and mixture audits quote): per-customer LTV is one "
+    "partial agg over orders⋈customer, the rank i a window "
+    "PARTITIONED by segment over that per-customer AGGREGATE in "
+    "(cents, custkey) total order (ties broken deterministically, "
+    "never a raw-fact global sort), and G = (2·Σi·xᵢ − (n+1)·S)"
+    "/(n·S) folds from EXACT bigint moments to ONE rounded division.",
+)
+def x227(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    ltv = (
+        load_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_custkey").alias("ck"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    r = ltv.withColumn(
+        "i",
+        F.row_number().over(
+            Window.partitionBy("seg").orderBy("cents", "ck")
+        ),
+    )
+    a = r.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("i") * F.col("cents")).alias("w"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    return a.select(
+        F.col("seg").alias("c_mktsegment"),
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("s").cast("bigint").alias("total_cents"),
+        F.round(
+            (2.0 * F.col("w") - (n + 1) * s) / (n * s) + F.lit(0.0), 6
+        ).alias("gini"),
+    ).orderBy("c_mktsegment")
+
+
+@_q(
+    "x228_js_divergence",
+    r"""WITH tok AS (
+         SELECT source,
+                unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                  AS term
+         FROM documents
+         WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+       ),
+       cnt AS (
+         SELECT source, term, COUNT(*) AS c FROM tok
+         WHERE term <> '' GROUP BY 1, 2
+       ),
+       vocab AS (
+         SELECT term FROM cnt GROUP BY term
+         ORDER BY SUM(c) DESC, term LIMIT 100
+       ),
+       grid AS (
+         SELECT s.source, v.term, COALESCE(c.c, 0) AS c,
+                SUM(COALESCE(c.c, 0)) OVER (PARTITION BY s.source)
+                  AS tot
+         FROM (SELECT DISTINCT source FROM cnt) s
+         CROSS JOIN vocab v
+         LEFT JOIN cnt c ON c.source = s.source AND c.term = v.term
+       ),
+       pairs AS (
+         SELECT a.source AS source_a, b.source AS source_b,
+                a.c AS ca, a.tot AS ta, b.c AS cb, b.tot AS tb
+         FROM grid a JOIN grid b
+           ON a.term = b.term AND a.source < b.source
+       )
+       SELECT source_a, source_b,
+              CAST(SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_shared,
+              ROUND(SUM(
+                CASE WHEN ca > 0 THEN 0.5 * (ca * 1.0 / ta)
+                     * LN((ca * 1.0 / ta)
+                          / ((ca * 1.0 / ta + cb * 1.0 / tb) / 2))
+                     ELSE 0 END
+                + CASE WHEN cb > 0 THEN 0.5 * (cb * 1.0 / tb)
+                     * LN((cb * 1.0 / tb)
+                          / ((ca * 1.0 / ta + cb * 1.0 / tb) / 2))
+                     ELSE 0 END) + 0.0, 4) AS js
+       FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""",
+    doc="Pairwise Jensen-Shannon divergence between source token "
+    "distributions over the shared top-100 vocabulary — the corpus "
+    "drift/contamination measure (x49 counts shared fingerprints; "
+    "this measures DISTRIBUTIONAL distance, bounded in [0, ln 2]): "
+    "one token explode feeds per-(source, term) counts, the vocab "
+    "top-100 is a TakeOrdered over the term aggregate, the zero-"
+    "filled source×vocab grid is a |sources|×100 frame (per-source "
+    "totals renormalized WITHIN the vocab, a window over that tiny "
+    "aggregate), and each pair's JS folds 100 exact-rational terms "
+    "(probabilities are exact integer ratios; LN of identical "
+    "rationals agrees across engines at the 1e-4 grain). Absent "
+    "terms contribute their 0·ln0 = 0 limit explicitly.",
+)
+def x228(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    )
+    cnt = (
+        tx.tokens(docs, id_col="source")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = (
+        cnt.groupBy("term")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.desc("tc"), "term")
+        .limit(100)
+        .select("term")
+    )
+    sources = cnt.select("source").distinct()
+    grid = (
+        sources.crossJoin(F.broadcast(vocab))
+        .join(cnt, ["source", "term"], "left")
+        .select(
+            "source", "term", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+        .withColumn(
+            "tot", F.sum("c").over(Window.partitionBy("source"))
+        )
+    )
+    a = grid.alias("a")
+    b = grid.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.term") == F.col("b.term"))
+        & (F.col("a.source") < F.col("b.source")),
+    ).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.col("a.c").alias("ca"),
+        F.col("a.tot").alias("ta"),
+        F.col("b.c").alias("cb"),
+        F.col("b.tot").alias("tb"),
+    )
+    p = F.col("ca") / F.col("ta").cast("double")
+    q = F.col("cb") / F.col("tb").cast("double")
+    m = (p + q) / 2
+    term_a = F.when(F.col("ca") > 0, 0.5 * p * F.log(p / m)).otherwise(0.0)
+    term_b = F.when(F.col("cb") > 0, 0.5 * q * F.log(q / m)).otherwise(0.0)
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.sum(
+                F.when((F.col("ca") > 0) & (F.col("cb") > 0), 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_shared"),
+            F.round(F.sum(term_a + term_b) + F.lit(0.0), 4).alias("js"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+@_q(
+    "x229_info_gain",
+    """WITH feat AS (
+         SELECT f.feature, f.val,
+                CASE WHEN d.n_chars > 300 THEN 1 ELSE 0 END AS label
+         FROM documents d, LATERAL (VALUES
+           ('lang', d.lang),
+           ('source', d.source),
+           ('len_bucket', CAST(d.n_chars // 200 AS VARCHAR))
+         ) AS f(feature, val)
+       ),
+       vc AS (
+         SELECT feature, val, label, COUNT(*) AS n_vc
+         FROM feat GROUP BY 1, 2, 3
+       ),
+       v AS (
+         SELECT feature, val, label, n_vc,
+                SUM(n_vc) OVER (PARTITION BY feature, val) AS n_v
+         FROM vc
+       ),
+       lab AS (
+         SELECT SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS n1,
+                SUM(CASE WHEN n_chars > 300 THEN 0 ELSE 1 END) AS n0,
+                COUNT(*) AS nn
+         FROM documents
+       )
+       SELECT feature,
+              CAST(COUNT(DISTINCT val) AS BIGINT) AS n_values,
+              ROUND(-(n1 * 1.0 / nn) * LN(n1 * 1.0 / nn)
+                    - (n0 * 1.0 / nn) * LN(n0 * 1.0 / nn) + 0.0, 6)
+                AS h_label,
+              ROUND(SUM((n_vc * 1.0 / nn)
+                        * LN(n_v * 1.0 / n_vc)) + 0.0, 6) AS h_cond,
+              ROUND(-(n1 * 1.0 / nn) * LN(n1 * 1.0 / nn)
+                    - (n0 * 1.0 / nn) * LN(n0 * 1.0 / nn)
+                    - SUM((n_vc * 1.0 / nn) * LN(n_v * 1.0 / n_vc))
+                    + 0.0, 6) AS info_gain
+       FROM v CROSS JOIN lab
+       GROUP BY feature, n1, n0, nn ORDER BY feature""",
+    doc="Information-gain feature ranking against a document-length "
+    "label — the decision-tree split criterion as a corpus-curation "
+    "readout (which metadata facet PREDICTS long documents: the "
+    "feature a stratified sampler should key on): each document "
+    "unpivots to (feature, value) rows via stack (a generator, no "
+    "shuffle), label co-counts fold to |values|×2 exact integers, "
+    "n_v attaches as a window over that AGGREGATE, and H(label) − "
+    "H(label|feature) assembles from Σ (n_vc/N)·ln(n_v/n_vc) — every "
+    "ln argument an exact integer ratio, summed over ≤2·|values| "
+    "bounded terms at the 1e-6 grain.",
+)
+def x229(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feat = docs.selectExpr(
+        "CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS label",
+        "stack(3, 'lang', lang, 'source', source, "
+        "'len_bucket', CAST(n_chars DIV 200 AS STRING)) "
+        "AS (feature, val)",
+    )
+    vc = feat.groupBy("feature", "val", "label").agg(
+        F.count(F.lit(1)).alias("n_vc")
+    )
+    v = vc.withColumn(
+        "n_v", F.sum("n_vc").over(Window.partitionBy("feature", "val"))
+    )
+    lab = docs.agg(
+        F.sum(F.when(F.col("n_chars") > 300, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("n_chars") > 300, 0).otherwise(1)).alias("n0"),
+        F.count(F.lit(1)).alias("nn"),
+    )
+    j = v.crossJoin(F.broadcast(lab))
+    nn = F.col("nn").cast("double")
+    h_label = -(F.col("n1") / nn) * F.log(F.col("n1") / nn) - (
+        F.col("n0") / nn
+    ) * F.log(F.col("n0") / nn)
+    return (
+        j.groupBy("feature", "n1", "n0", "nn")
+        .agg(
+            F.countDistinct("val").cast("bigint").alias("n_values"),
+            F.sum(
+                (F.col("n_vc") / nn)
+                * F.log(F.col("n_v") / F.col("n_vc").cast("double"))
+            ).alias("h_cond_raw"),
+        )
+        .select(
+            "feature",
+            "n_values",
+            F.round(h_label + F.lit(0.0), 6).alias("h_label"),
+            F.round(F.col("h_cond_raw") + F.lit(0.0), 6).alias("h_cond"),
+            F.round(
+                h_label - F.col("h_cond_raw") + F.lit(0.0), 6
+            ).alias("info_gain"),
+        )
+        .orderBy("feature")
+    )
