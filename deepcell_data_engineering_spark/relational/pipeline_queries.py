@@ -18619,3 +18619,326 @@ def x229(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feature")
     )
+
+
+@_q(
+    "x230_zorder_lifecycle",
+    """WITH base AS (
+         SELECT l_partkey AS pk, l_suppkey AS sk,
+                CAST(l_quantity AS BIGINT) AS qty
+         FROM lineitem WHERE l_orderkey % 7 = 0
+       )
+       SELECT CAST(pk % 10 AS BIGINT) AS pk_digit,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(qty) AS BIGINT) AS sum_qty,
+              CAST(1 AS BIGINT) AS buckets_ok,
+              CAST(1 AS BIGINT) AS pruned_on_pk,
+              CAST(1 AS BIGINT) AS pruned_on_sk,
+              CAST(1 AS BIGINT) AS scan_exact
+       FROM base GROUP BY 1 ORDER BY 1""",
+    doc="OPTIMIZE ZORDER BY certified end to end "
+    "(snapshots.py:optimize_table(zorder_by) — Delta/Iceberg "
+    "multi-dimensional clustering at directory granularity): the "
+    "engine snapshots a lineitem slice, Z-orders it on (partkey, "
+    "suppkey) into 8 per-bucket manifest directories (ONE write job, "
+    "bucketed by the Morton key's range), and proves the layout "
+    "contract: every bucket carries [min,max] stats for BOTH cluster "
+    "columns, a tight range predicate on EITHER column prunes at "
+    "least one bucket via scan_snapshot's manifest-level skipping, "
+    "and the pruned scan returns EXACTLY the rows the unpruned "
+    "predicate does (skipping is an optimization contract, never a "
+    "filter). The post-optimize head, aggregated by partkey digit, "
+    "must equal the oracle's direct reconstruction — the rewrite is "
+    "content-preserving. Lakehouse-certification tier (tempdir "
+    "commits, bounded driver folds).",
+)
+def x230(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from deepcell_data_engineering_spark.sources import snapshots as snap
+
+    base = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 7 == 0
+    ).select(
+        F.col("l_partkey").cast("bigint").alias("pk"),
+        F.col("l_suppkey").cast("bigint").alias("sk"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    root = tempfile.mkdtemp(prefix="dde_zorder_")
+    pruned = {"pk": 0, "sk": 0}
+    scan_exact = 1
+    try:
+        t = f"{root}/t"
+        snap.commit(spark, base.repartition(4), t, mode="overwrite")
+        v = snap.optimize_table(
+            spark, t, zorder_by=["pk", "sk"], zorder_buckets=8
+        )
+        m = snap._load_manifest(t, v, snap._POSIX)
+        n_dirs = len(m["dirs"])
+        for col in ("pk", "sk"):
+            vals = [s[col] for s in m["stats"].values() if col in s]
+            lo = min(v0 for v0, _ in vals)
+            bound = (lo, lo + 2)
+            if len(snap._prune_dirs(m, {col: bound})) < n_dirs:
+                pruned[col] = 1
+            got = (
+                snap.scan_snapshot(spark, t, {col: bound})
+                .where(F.col(col).between(*bound))
+                .count()
+            )
+            want = (
+                snap.read_snapshot(spark, t)
+                .where(F.col(col).between(*bound))
+                .count()
+            )
+            if got != want:
+                scan_exact = 0
+        agg = (
+            snap.read_snapshot(spark, t)
+            .groupBy((F.col("pk") % 10).cast("bigint").alias("pk_digit"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("qty").cast("bigint").alias("sum_qty"),
+            )
+        )
+        rows = [
+            (r["pk_digit"], r["n_rows"], r["sum_qty"])
+            for r in agg.collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return (
+        spark.createDataFrame(
+            rows, "pk_digit BIGINT, n_rows BIGINT, sum_qty BIGINT"
+        )
+        .withColumn(
+            "buckets_ok", F.lit(int(1 < n_dirs <= 8)).cast("bigint")
+        )
+        .withColumn("pruned_on_pk", F.lit(pruned["pk"]).cast("bigint"))
+        .withColumn("pruned_on_sk", F.lit(pruned["sk"]).cast("bigint"))
+        .withColumn("scan_exact", F.lit(scan_exact).cast("bigint"))
+        .orderBy("pk_digit")
+    )
+
+
+@_q(
+    "x231_spearman_rank_corr",
+    r"""WITH d AS (
+         SELECT lang, doc_id, n_chars,
+                len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+         FROM documents
+       ),
+       r AS (
+         SELECT lang,
+                ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY n_chars, doc_id) AS rx,
+                ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY n_tok, doc_id) AS ry
+         FROM d
+       ),
+       m AS (
+         SELECT lang, COUNT(*) AS n, SUM(rx * ry) AS sxy,
+                SUM(rx) AS sx, SUM(rx * rx) AS sxx
+         FROM r GROUP BY 1
+       )
+       SELECT lang, CAST(n AS BIGINT) AS n_docs,
+              ROUND((n * sxy - sx * sx) * 1.0
+                    / (n * sxx - sx * sx) + 0.0, 6) AS spearman
+       FROM m ORDER BY lang""",
+    doc="Spearman rank correlation between character length and token "
+    "count per language — the monotone-association readout of the "
+    "stats family (Pearson on moments exists in the d-tier; this "
+    "ranks, so outliers and nonlinearity don't distort): both rank "
+    "columns are ROW_NUMBER windows PARTITIONED by language in "
+    "deterministic (value, doc_id) total order (distinct-rank "
+    "convention, tie order pinned identically in both engines), and "
+    "since each rank column is the permutation 1..n, Σr = Σr² are "
+    "CLOSED-FORM equal for x and y — Spearman reduces to "
+    "(n·Σrxry − (Σr)²)/(n·Σr² − (Σr)²), exact BIGINT until the one "
+    "rounded division. One shuffle per rank window, both on the "
+    "same lang key.",
+)
+def x231(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        tx.token_count(F.col("text")).alias("n_tok"),
+    )
+    r = d.select(
+        "lang",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy("n_chars", "doc_id"))
+        .alias("rx"),
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy("n_tok", "doc_id"))
+        .alias("ry"),
+    )
+    m = r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum("rx").alias("sx"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select(
+        "lang",
+        n.cast("bigint").alias("n_docs"),
+        F.round(num / den.cast("double") + F.lit(0.0), 6).alias(
+            "spearman"
+        ),
+    ).orderBy("lang")
+
+
+@_q(
+    "x232_dow_seasonality",
+    """WITH daily AS (
+         SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS c,
+                SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS cents
+         FROM orders GROUP BY 1
+       ),
+       dow AS (
+         SELECT dayofweek(d) AS dw, COUNT(*) AS days,
+                SUM(c) AS orders_, SUM(cents) AS cents
+         FROM daily GROUP BY 1
+       ),
+       t AS (
+         SELECT SUM(days) AS td, SUM(orders_) AS tc, SUM(cents) AS ts
+         FROM dow
+       )
+       SELECT CAST(dw AS BIGINT) AS dow,
+              CAST(days AS BIGINT) AS n_days,
+              CAST(orders_ AS BIGINT) AS n_orders,
+              ROUND(orders_ * 1.0 * td / (days * 1.0 * tc) + 0.0, 6)
+                AS order_index,
+              ROUND(cents * 1.0 * td / (days * 1.0 * ts) + 0.0, 6)
+                AS revenue_index
+       FROM dow CROSS JOIN t ORDER BY dow""",
+    doc="Day-of-week seasonality indices of order volume and revenue — "
+    "the calendar-profile companion to x221's ACF (ACF says lag-7 "
+    "memory exists; this names the weekday shape): the per-day "
+    "aggregate folds to 7 day-of-week rows (observed-day counts keep "
+    "sparse calendars honest), and each index is the EXACT-integer "
+    "cross ratio (c_dw·D)/(d_dw·C) — per-day mean over grand per-day "
+    "mean — with one rounded division per measure. Day-of-week "
+    "numbering pinned to Sunday=0 in both engines (Spark's "
+    "dayofweek()−1 == DuckDB's dayofweek()). Two cheap shuffles "
+    "(per-day, then 7-row); totals attach as a 1-row broadcast.",
+)
+def x232(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).alias("cents"),
+        )
+    )
+    dow = daily.groupBy(
+        (F.dayofweek("d") - 1).cast("bigint").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("days"),
+        F.sum("c").alias("orders_"),
+        F.sum("cents").alias("cents"),
+    )
+    t = dow.agg(
+        F.sum("days").alias("td"),
+        F.sum("orders_").alias("tc"),
+        F.sum("cents").alias("ts"),
+    )
+    j = dow.crossJoin(F.broadcast(t))
+    return j.select(
+        "dow",
+        F.col("days").cast("bigint").alias("n_days"),
+        F.col("orders_").cast("bigint").alias("n_orders"),
+        F.round(
+            (F.col("orders_") * F.col("td"))
+            / (F.col("days").cast("double") * F.col("tc"))
+            + F.lit(0.0),
+            6,
+        ).alias("order_index"),
+        F.round(
+            (F.col("cents") * F.col("td"))
+            / (F.col("days").cast("double") * F.col("ts"))
+            + F.lit(0.0),
+            6,
+        ).alias("revenue_index"),
+    ).orderBy("dow")
+
+
+@_q(
+    "x233_capture_recapture",
+    """WITH v AS (
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+       ),
+       c AS (
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+       ),
+       m AS (
+         SELECT (SELECT COUNT(*) FROM v) AS n1,
+                (SELECT COUNT(*) FROM c) AS n2,
+                (SELECT COUNT(*) FROM v JOIN c USING (user_id)) AS m12,
+                (SELECT COUNT(DISTINCT user_id) FROM events) AS seen
+       )
+       SELECT CAST(n1 AS BIGINT) AS n_view_users,
+              CAST(n2 AS BIGINT) AS n_click_users,
+              CAST(m12 AS BIGINT) AS n_both,
+              CAST(seen AS BIGINT) AS n_seen_any,
+              ROUND(n1 * 1.0 * n2 / m12 + 0.0, 4) AS lincoln_petersen,
+              ROUND((n1 + 1.0) * (n2 + 1.0) / (m12 + 1.0) - 1.0
+                    + 0.0, 4) AS chapman
+       FROM m""",
+    doc="Capture-recapture population estimate from two behavioral "
+    "'samples' (viewers vs clickers) — the coverage diagnostic a "
+    "dedup/crawl pipeline uses to estimate how many entities its "
+    "passes HAVEN'T seen (x45 calibrates MinHash against truth; this "
+    "estimates the truth it can't see): Lincoln-Petersen N̂ = "
+    "n₁n₂/m and the small-sample Chapman corrector, both EXACT "
+    "integer counts (two distinct-user sets, their semi-join "
+    "overlap) until the one rounded division; n_seen_any rides "
+    "along, so the implied unseen mass is N̂ − seen. Three "
+    "count-distincts share the events scan; the overlap is a "
+    "semi-join on user_id.",
+)
+def x233(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .select("user_id")
+        .distinct()
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+    )
+    both = v.join(c, "user_id", "semi")
+    m = (
+        v.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(both.agg(F.count(F.lit(1)).alias("m12")))
+        .crossJoin(
+            ev.agg(F.countDistinct("user_id").alias("seen"))
+        )
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    m12 = F.col("m12").cast("double")
+    return m.select(
+        F.col("n1").cast("bigint").alias("n_view_users"),
+        F.col("n2").cast("bigint").alias("n_click_users"),
+        F.col("m12").cast("bigint").alias("n_both"),
+        F.col("seen").cast("bigint").alias("n_seen_any"),
+        F.round(n1 * n2 / m12 + F.lit(0.0), 4).alias(
+            "lincoln_petersen"
+        ),
+        F.round(
+            (n1 + 1) * (n2 + 1) / (m12 + 1) - 1 + F.lit(0.0), 4
+        ).alias("chapman"),
+    )

@@ -1036,11 +1036,16 @@ def _with_dir_col(parent: DataFrame) -> DataFrame:
     # Greedy `.*/` pins the LAST `data/<dir>/` pair in the file path, so
     # a table (or clone source) living under an ANCESTOR directory named
     # 'data' (/warehouse/data/tbl/data/cX/part.parquet) still yields the
-    # manifest token 'data/cX', never 'data/tbl'.
+    # manifest token 'data/cX', never 'data/tbl'. The optional
+    # `/_zb=<n>` second component attributes rows of a Z-ordered
+    # commit (optimize_table(zorder_by=...) publishes one manifest dir
+    # per z-bucket subdirectory) to their bucket dir.
     return parent.withColumn(
         _DIR_COL,
         F.regexp_extract(
-            F.col("_metadata.file_path"), f".*/({_DATA_DIR}/[^/]+)/", 1
+            F.col("_metadata.file_path"),
+            f".*/({_DATA_DIR}/[^/]+(?:/_zb=[^/]+)?)/",
+            1,
         ),
     )
 
@@ -1072,10 +1077,15 @@ def _dir_tokens(parent_dirs: list[str]) -> dict[str, str]:
     Token collisions (two entries with the same uuid directory name —
     e.g. the same source dir referenced twice) fail loudly: silent
     aliasing would corrupt touched-dir accounting."""
-    tokens = {
-        f"{_DATA_DIR}/{os.path.basename(d.rstrip('/'))}": d
-        for d in parent_dirs
-    }
+    def _token(d: str) -> str:
+        parts = d.rstrip("/").split("/")
+        if parts[-1].startswith("_zb=") and len(parts) >= 2:
+            # z-bucket subdirectory: the token carries its parent
+            # commit dir too, matching _with_dir_col's extraction
+            return f"{_DATA_DIR}/{parts[-2]}/{parts[-1]}"
+        return f"{_DATA_DIR}/{parts[-1]}"
+
+    tokens = {_token(d): d for d in parent_dirs}
     if len(tokens) != len(parent_dirs):
         raise ValueError(
             "duplicate data-directory names in manifest dirs "
@@ -2039,6 +2049,8 @@ def optimize_table(
     table_path: str,
     target_file_bytes: int = 128 << 20,
     store: ManifestStore | None = None,
+    zorder_by: list[str] | None = None,
+    zorder_buckets: int | None = None,
 ) -> int:
     """OPTIMIZE as a snapshot operation: rewrite the current version
     with right-sized files and publish it as a ``replace`` commit
@@ -2087,8 +2099,6 @@ def optimize_table(
         .collect()[0]
     )
     n_target = max(1, -(-int(total_bytes) // int(target_file_bytes)))
-    if n_target >= n_files:
-        return basis
     # keep the parent's data-skipping columns tracked through the
     # rewrite (one dir now, so the range is table-wide — honest, just
     # no longer selective until appends re-fragment the key space)
@@ -2101,6 +2111,117 @@ def optimize_table(
             for c in s
         }
     )
+    if zorder_by:
+        # OPTIMIZE ZORDER BY (Delta/Iceberg's multi-dimensional
+        # clustering, at this log's DIRECTORY granularity): interleave
+        # the bits of the cluster columns into a Morton key, bucket
+        # its range, land each bucket in its OWN manifest directory
+        # (one write job: partitionBy on the bucket), and record
+        # per-bucket [min, max] stats for every cluster column — each
+        # directory then covers a tight hyper-rectangle in ALL of
+        # zorder_by, so scan_snapshot/read-path range pruning skips
+        # whole buckets for a predicate on ANY cluster column (a plain
+        # sort clusters only the leading one). Content-preserving:
+        # publishes op 'replace', CDC-invisible, append-rebaseable.
+        from deepcell_data_engineering_spark.plans.layout import zvalue
+
+        for f in df.schema.fields:
+            if f.name in zorder_by and f.dataType.simpleString() not in (
+                "tinyint", "smallint", "int", "bigint"
+            ):
+                raise ValueError(
+                    f"zorder_by column {f.name!r} has type "
+                    f"{f.dataType.simpleString()}; Morton interleave "
+                    "needs integer-like columns (cast or derive an "
+                    "integer surrogate first)"
+                )
+        if "_zb" in df.columns:
+            raise ValueError(
+                "table carries a column named '_zb', which Z-order "
+                "reserves for its bucket partitioning — rename it"
+            )
+        # Normalize EVERY cluster column to the full 16-bit width
+        # before interleaving (Delta's range-id pass serves the same
+        # purpose): raw interleave puts a narrow column's bits only in
+        # the Morton key's LOW positions, so range-bucketing the key
+        # would cluster — and prune — exclusively on the widest
+        # column. Equal-width min/max scaling keeps every column
+        # represented in the high bits the buckets split on. One
+        # 2·|cols|-scalar aggregate; NULLs map to the low edge.
+        bits = 16
+        bounds = df.agg(
+            *[
+                f
+                for c in zorder_by
+                for f in (
+                    F.min(F.col(c).cast("long")).alias(f"_lo_{c}"),
+                    F.max(F.col(c).cast("long")).alias(f"_hi_{c}"),
+                )
+            ]
+        ).collect()[0]
+        norms = []
+        for c in zorder_by:
+            clo = int(bounds[f"_lo_{c}"] or 0)
+            cspan = max(1, int(bounds[f"_hi_{c}"] or 0) - clo + 1)
+            norms.append(
+                F.floor(
+                    (
+                        F.coalesce(F.col(c).cast("long"), F.lit(clo))
+                        - F.lit(clo)
+                    ).cast("double")
+                    / F.lit(float(cspan))
+                    * F.lit(float(1 << bits))
+                ).cast("long")
+            )
+        zdf = df.withColumn("_z", zvalue(norms, bits=bits))
+        lo, hi = zdf.agg(F.min("_z"), F.max("_z")).collect()[0]
+        span = max(1, int(hi) - int(lo) + 1)
+        nb = max(1, min(zorder_buckets or n_target, span))
+        bucket = F.least(
+            F.lit(nb - 1),
+            F.floor(
+                (F.col("_z") - F.lit(int(lo))).cast("double")
+                / F.lit(float(span))
+                * F.lit(nb)
+            ),
+        ).cast("long")
+        commit_dir = os.path.join(
+            table_path, _DATA_DIR, f"c{uuid.uuid4().hex[:12]}"
+        )
+        (
+            zdf.withColumn("_zb", bucket)
+            .repartition(nb, "_zb")
+            .sortWithinPartitions("_zb", "_z")
+            .drop("_z")
+            .write.partitionBy("_zb")
+            .parquet(commit_dir)
+        )
+        rel = os.path.relpath(commit_dir, table_path)
+        subs = sorted(
+            s for s in st.listdir(commit_dir) if s.startswith("_zb=")
+        )
+        new_rels = [f"{rel}/{s}" for s in subs]
+        stats_cols = sorted(set(tracked) | set(zorder_by))
+        dir_stats = {
+            r: _column_ranges(
+                spark.read.parquet(os.path.join(table_path, r)),
+                stats_cols,
+            )
+            for r in new_rels
+        }
+        return commit(
+            spark,
+            None,
+            table_path,
+            mode="replace",
+            expected_parent=basis,
+            store=st,
+            _dirs=new_rels,
+            _rebase=True,
+            _dir_stats=dir_stats,
+        )
+    if n_target >= n_files:
+        return basis
     return commit(
         spark,
         df.repartition(n_target),
@@ -2207,8 +2328,9 @@ def _missing_data_dirs(
 def restore_table(
     spark: SparkSession,
     table_path: str,
-    version: int,
+    version: int | None = None,
     store: ManifestStore | None = None,
+    timestamp=None,
 ) -> int:
     """RESTORE the table to an old ``version`` by publishing that
     version's directory list as a NEW head commit — Delta's
@@ -2237,6 +2359,12 @@ def restore_table(
     discarded from history's new tip."""
     st = _store(store)
     st.check_path(table_path)
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass either version or timestamp, not both")
+        version = version_at_timestamp(table_path, timestamp, st)
+    if version is None:
+        raise ValueError("restore_table needs a version or timestamp")
     basis = current_version(table_path, st)
     if basis is None:
         raise ValueError(f"no committed versions at {table_path!r}")
@@ -2386,9 +2514,23 @@ def vacuum(
     # commit references absolute source dirs; sweep nothing
     for d in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
         rel = os.path.join(_DATA_DIR, d)
-        if rel not in referenced:
+        if rel in referenced:
+            continue
+        # a Z-ordered commit's manifest references per-bucket
+        # SUBdirectories (data/cX/_zb=i): the parent dir is live while
+        # any bucket is referenced — sweep only its unreferenced
+        # buckets, never the parent wholesale
+        nested = [r for r in referenced if r.startswith(rel + os.sep)]
+        if not nested:
             shutil.rmtree(os.path.join(data_root, d))
             removed.append(rel)
+            continue
+        for sub in sorted(os.listdir(os.path.join(data_root, d))):
+            relsub = os.path.join(rel, sub)
+            full = os.path.join(data_root, d, sub)
+            if os.path.isdir(full) and relsub not in referenced:
+                shutil.rmtree(full)
+                removed.append(relsub)
     changes_root = os.path.join(table_path, _CHANGES_DIR)
     if os.path.isdir(changes_root):
         for d in sorted(os.listdir(changes_root)):

@@ -62,8 +62,11 @@ plane of object-store tables streams through a mounted path) OR
 the batch read/scan/changes-by-name surface; a rename re-points the
 name to the same path, so a running stream keeps its position),
 ``starting_version`` (default 0 — stream history then tail),
-``ignore_changes`` (default false), ``max_files_per_batch`` (default
-unbounded).
+``starting_timestamp`` (epoch seconds or ISO-8601; resolved to the
+EARLIEST retained commit at-or-after it — Delta's streaming boundary
+rule, the opposite direction from batch TIMESTAMP AS OF; mutually
+exclusive with ``starting_version``), ``ignore_changes`` (default
+false), ``max_files_per_batch`` (default unbounded).
 
 Reference analog: the reference's pipelines re-list job directories to
 find new artifacts (caliban_toolbox/log_file_creation.py's manifest
@@ -108,6 +111,43 @@ def _latest_json_version(dirpath: str) -> int | None:
 
 def _current_version(path: str) -> int | None:
     return _latest_json_version(os.path.join(path, _MANIFEST_DIR))
+
+
+def _version_at_or_after(path: str, ts_us: int) -> int:
+    """Delta's ``startingTimestamp`` rule for STREAMS (note: the
+    opposite boundary from batch TIMESTAMP AS OF): the EARLIEST
+    retained commit whose stamp is at or after the timestamp — "give
+    me every change from this moment on". A timestamp past the head
+    raises (nothing to stream yet is indistinguishable from a clock
+    error); vacuumed manifests are skipped."""
+    latest = _current_version(path)
+    if latest is None:
+        raise ValueError(f"no committed versions at {path!r}")
+    for v in range(latest + 1):
+        try:
+            m = _manifest(path, v)
+        except FileNotFoundError:
+            continue
+        if m.get("ts_us", 0) >= ts_us:
+            return v
+    raise ValueError(
+        f"starting_timestamp is after the latest commit at {path!r}"
+    )
+
+
+def _parse_ts_us(raw: str) -> int:
+    """Option strings: epoch seconds ('1700000000.5') or ISO-8601
+    ('2026-08-16T12:00:00'; naive = UTC)."""
+    import datetime as _dt
+
+    try:
+        return int(float(raw) * 1_000_000)
+    except ValueError:
+        pass
+    d = _dt.datetime.fromisoformat(raw)
+    if d.tzinfo is None:
+        d = d.replace(tzinfo=_dt.timezone.utc)
+    return int(d.timestamp() * 1_000_000)
 
 
 def _resolve_path(options: dict) -> str:
@@ -198,7 +238,17 @@ class _FilePartition(InputPartition):
 class SnapshotStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict, field_names: list[str]) -> None:
         self.path = _resolve_path(options)
-        self.start_version = int(options.get("starting_version", "0"))
+        if "starting_timestamp" in options:
+            if "starting_version" in options:
+                raise ValueError(
+                    "pass either starting_version or "
+                    "starting_timestamp, not both"
+                )
+            self.start_version = _version_at_or_after(
+                self.path, _parse_ts_us(options["starting_timestamp"])
+            )
+        else:
+            self.start_version = int(options.get("starting_version", "0"))
         self.ignore_changes = (
             str(options.get("ignore_changes", "false")).lower() == "true"
         )

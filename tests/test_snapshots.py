@@ -3380,3 +3380,126 @@ def test_timestamp_time_travel_resolution(spark, tmp_path):
     with pytest.raises(ValueError, match="precedes the earliest"):
         snap.version_at_timestamp(t, 2_500)
     assert snap.version_at_timestamp(t, 4_000) == 3
+
+
+def test_optimize_zorder_clusters_and_prunes(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: content-preserving rewrite into per-bucket
+    manifest directories with tight per-bucket stats on BOTH cluster
+    columns — scan_snapshot range pruning then skips buckets for a
+    predicate on either column; CRUD still attributes rows to the
+    nested bucket dirs; vacuum sweeps them precisely."""
+    t = str(tmp_path / "tbl")
+    df = spark.range(4096).selectExpr(
+        "id", "CAST(id % 64 AS BIGINT) AS x",
+        "CAST((id * 37) % 64 AS BIGINT) AS y",
+    )
+    snap.commit(spark, df.repartition(6), t, mode="overwrite")
+    v = snap.optimize_table(
+        spark, t, zorder_by=["x", "y"], zorder_buckets=8
+    )
+    m = snap._load_manifest(t, v, snap._POSIX)
+    assert len(m["dirs"]) == 8
+    assert all("/_zb=" in d for d in m["dirs"])
+    # content identical
+    got = snap.read_snapshot(spark, t, v)
+    assert got.count() == 4096
+    assert got.selectExpr("sum(id)").collect()[0][0] == 4096 * 4095 // 2
+    # every bucket carries stats for both cluster columns, and at
+    # least one bucket prunes for a tight predicate on EACH column
+    stats = m["stats"]
+    assert set(stats) == set(m["dirs"])
+    assert all({"x", "y"} <= set(s) for s in stats.values())
+    for col in ("x", "y"):
+        kept = snap._prune_dirs(m, {col: (0, 3)})
+        assert len(kept) < len(m["dirs"])
+        scanned = snap.scan_snapshot(spark, t, {col: (0, 3)})
+        assert scanned.where(f"{col} <= 3").count() == df.where(
+            f"{col} <= 3"
+        ).count()
+    # CRUD over the z-ordered layout: delete attributes to bucket dirs
+    snap.delete_where(spark, t, "x = 0")
+    assert snap.read_snapshot(spark, t).where("x = 0").count() == 0
+    assert snap.read_snapshot(spark, t).count() == 4096 - 64
+    # vacuum precision: while SOME buckets stay referenced (the ones
+    # the delete didn't touch), only the rewritten buckets sweep —
+    # never the shared parent wholesale
+    head = snap._load_manifest(
+        t, snap.current_version(t), snap._POSIX
+    )
+    live_buckets = [d for d in head["dirs"] if "/_zb=" in d]
+    assert live_buckets  # the delete touched a strict subset
+    removed = snap.vacuum(t, keep_last=1)
+    assert any("/_zb=" in r for r in removed)
+    assert not set(removed) & set(live_buckets)
+    assert snap.read_snapshot(spark, t).count() == 4096 - 64
+    # after a full overwrite nothing in the parent is referenced:
+    # the whole commit dir sweeps as one entry
+    snap.commit(spark, df.where("id < 10"), t, mode="overwrite")
+    removed2 = snap.vacuum(t, keep_last=1)
+    assert snap.read_snapshot(spark, t).count() == 10
+    parents = {d.split("/_zb=")[0] for d in live_buckets}
+    assert parents <= set(removed2)
+
+
+def test_optimize_zorder_type_guard(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snap.commit(
+        spark,
+        spark.range(10).selectExpr("id", "CAST(id AS STRING) AS s"),
+        t,
+    )
+    with pytest.raises(ValueError, match="integer-like"):
+        snap.optimize_table(spark, t, zorder_by=["s"])
+
+
+def test_restore_by_timestamp(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    a = spark.range(5).selectExpr("id")
+    snap.commit(spark, a, t, _ts_us=1_000 * 1_000_000)
+    snap.commit(spark, a, t, mode="append", _ts_us=2_000 * 1_000_000)
+    v = snap.restore_table(spark, t, timestamp=1_500)
+    assert snap.read_snapshot(spark, t, v).count() == 5
+    with pytest.raises(ValueError, match="not both"):
+        snap.restore_table(spark, t, 0, timestamp=1_500)
+
+
+def test_snapshot_stream_starting_timestamp(spark, tmp_path):
+    """starting_timestamp resolves to the EARLIEST commit at-or-after
+    (Delta's streaming rule) — history before it never ships."""
+    from deepcell_data_engineering_spark.streaming import (
+        snapshot_source as src,
+    )
+
+    src.register(spark)
+    t = str(tmp_path / "tbl")
+    snap.commit(spark, spark.range(3).selectExpr("id"), t,
+                _ts_us=1_000 * 1_000_000)
+    snap.commit(spark, spark.range(10, 13).selectExpr("id"), t,
+                mode="append", _ts_us=2_000 * 1_000_000)
+    snap.commit(spark, spark.range(20, 23).selectExpr("id"), t,
+                mode="append", _ts_us=3_000 * 1_000_000)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("snapshot_stream")
+        .option("path", t)
+        .option("starting_timestamp", "1500")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert got == [10, 11, 12, 20, 21, 22]  # v0 (before ts) skipped
+    # boundary errors: both-options and after-head
+    with pytest.raises(Exception):
+        src.SnapshotStreamReader(
+            {"path": t, "starting_version": "0",
+             "starting_timestamp": "1500"},
+            ["id"],
+        )
+    with pytest.raises(ValueError, match="after the latest"):
+        src._version_at_or_after(t, 9_000 * 1_000_000)
