@@ -42,11 +42,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # round 8 (d26–d30 and the r8 x-tier residue) in registry order,
 # then the 4 oldest round-9 rows (d31–d34) to fill the 50-slot
 # window. After this round no driver verdict is older than round 9;
-# the round-14 rotation should lead with the 16 round-13 additions
+# the round-14 rotation should lead with the 32 round-13 additions
 # (x202–x217: constraint lifecycle, stream rate feed, Kaplan-Meier,
 # mutual information, Zipf slope, RFM, cohort retention, key skew,
 # McNemar, Benford, Theil, streaks, funnel latency, CUPED, runs
-# test, vacuum lifecycle), then the oldest 34 of the 46 remaining
+# test, vacuum lifecycle; and x218–x233: replace_where+timestamp
+# lifecycle, association rules, ANOVA, ACF, HHI, Markov
+# transitions, jackknife, Mann-Whitney, EWMA, Gini, JS divergence,
+# info gain, Z-order lifecycle, Spearman, DOW seasonality,
+# capture-recapture), then the oldest 18 of the 46 remaining
 # r9-stale rows (d35–d49 and the r9 x-tier residue) in registry
 # order.
 _CHECK_FIRST = [

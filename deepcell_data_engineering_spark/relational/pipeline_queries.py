@@ -18461,7 +18461,12 @@ def x227(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate), and each pair's JS folds 100 exact-rational terms "
     "(probabilities are exact integer ratios; LN of identical "
     "rationals agrees across engines at the 1e-4 grain). Absent "
-    "terms contribute their 0·ln0 = 0 limit explicitly.",
+    "terms contribute their 0·ln0 = 0 limit explicitly. The two "
+    "BNLJs are DECLARED bounded: both build sides derive from the "
+    "LIMIT-100 vocab (TakeOrdered output) crossed with the "
+    "|sources|-row distinct — plan-bounded by the literal limit, "
+    "never data-sized.",
+    bnlj_bounded=2,
 )
 def x228(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(

@@ -273,6 +273,29 @@ QUERIES = [
     "x215_cuped_adjustment",
     "x216_runs_test",
     "x217_vacuum_lifecycle",
+    # round-13 continuation: x218/x230 lakehouse lifecycles
+    # (replace_where + timestamp travel; OPTIMIZE ZORDER + pruning),
+    # x219 basket self-join (fan-out bounded by per-order lines),
+    # x220/x224/x225/x227/x231 moment/rank statistics, x221/x226/x232
+    # calendar aggregates, x222 concentration, x223 per-user window,
+    # x228 token-distribution pairs, x229 feature unpivot, x233
+    # distinct-set overlap
+    "x218_replace_where_lifecycle",
+    "x219_association_rules",
+    "x220_anova_f",
+    "x221_acf",
+    "x222_hhi_concentration",
+    "x223_markov_transitions",
+    "x224_jackknife_loo",
+    "x225_mann_whitney",
+    "x226_ewma_daily_revenue",
+    "x227_gini_segments",
+    "x228_js_divergence",
+    "x229_info_gain",
+    "x230_zorder_lifecycle",
+    "x231_spearman_rank_corr",
+    "x232_dow_seasonality",
+    "x233_capture_recapture",
     # x66_similarity_join_exact is intentionally absent: its TRUE result
     # set (all pairs over a templated corpus) grows quadratically with
     # corpus size, so an sf1/sf0.1 ratio would read as a hidden
