@@ -47,9 +47,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # mutual information, Zipf slope, RFM, cohort retention, key skew,
 # McNemar, Benford, Theil, streaks, funnel latency, CUPED, runs
 # test, vacuum lifecycle; and x218–x233: replace_where+timestamp
-# lifecycle, association rules, ANOVA, ACF, HHI, Markov
-# transitions, jackknife, Mann-Whitney, EWMA, Gini, JS divergence,
-# info gain, Z-order lifecycle, Spearman, DOW seasonality,
+# lifecycle, item similarity, ANOVA, forecast backtest,
+# single-source risk, interarrival dispersion, jackknife, Wilcoxon
+# signed-rank, Holt linear, Neyman allocation, JS divergence, info
+# gain, Z-order lifecycle, Spearman, DOW seasonality,
 # capture-recapture), then the oldest 18 of the 46 remaining
 # r9-stale rows (d35–d49 and the r9 x-tier residue) in registry
 # order.

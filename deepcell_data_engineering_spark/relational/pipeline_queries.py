@@ -17671,101 +17671,109 @@ def x218(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "x219_association_rules",
-    """WITH baskets AS (
-         SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
-         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-       ),
-       n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM baskets),
-       freq AS (SELECT b, COUNT(*) AS n_b FROM baskets GROUP BY b),
-       pairs AS (
-         SELECT b1.b AS brand_a, b2.b AS brand_b, COUNT(*) AS n_ab
-         FROM baskets b1 JOIN baskets b2
-           ON b1.ok = b2.ok AND b1.b < b2.b
-         GROUP BY 1, 2
-       )
-       SELECT p.brand_a, p.brand_b,
-              CAST(p.n_ab AS BIGINT) AS n_ab,
-              CAST(fa.n_b AS BIGINT) AS n_a,
-              CAST(fb.n_b AS BIGINT) AS n_b,
-              ROUND(p.n_ab * 1.0 / n.n_orders + 0.0, 6) AS support,
-              ROUND(p.n_ab * 1.0 / fa.n_b + 0.0, 6) AS confidence,
-              ROUND(p.n_ab * 1.0 * n.n_orders
-                    / (fa.n_b * 1.0 * fb.n_b) + 0.0, 6) AS lift
-       FROM pairs p
-       JOIN freq fa ON p.brand_a = fa.b
-       JOIN freq fb ON p.brand_b = fb.b
-       CROSS JOIN n
-       ORDER BY n_ab DESC, brand_a, brand_b LIMIT 40""",
-    doc="Market-basket association rules over part brands co-occurring "
-    "within an order (the curriculum/mixture diagnostic: which "
-    "content buckets co-occur in a training shard) — support, "
-    "confidence and lift from EXACT integer counts (lift's "
-    "numerator n_ab*N and denominator n_a*n_b stay BIGINT; one "
-    "rounded division per measure). Scale shape: baskets is one "
-    "distinct over the li⋈part join keyed by orderkey; the pair "
-    "generator self-joins baskets ON orderkey — fan-out bounded by "
-    "the per-order basket size (≤7 lines), partial-aggregated "
-    "map-side before the (brand,brand) shuffle (≤|brands|² groups); "
-    "the brand-frequency attach is a broadcast of a |brands|-row "
-    "dim; top-40 via TakeOrderedAndProject, total order "
-    "(n_ab DESC, brand_a, brand_b).",
+    "x219_item_similarity",
+    """WITH ib AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+                   FROM lineitem JOIN part ON l_partkey = p_partkey),
+       pr AS (SELECT x.b AS brand_a, y.b AS brand_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_ab
+              FROM ib x JOIN ib y ON x.o = y.o AND x.b < y.b
+              GROUP BY 1, 2),
+       bc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM ib GROUP BY 1)
+       SELECT pr.brand_a, pr.brand_b, pr.n_ab,
+              ca.n AS n_a, cb.n AS n_b,
+              ROUND(pr.n_ab / SQRT(ca.n * 1.0 * cb.n) + 0.0, 6)
+                AS cosine,
+              ROUND(pr.n_ab * 1.0 / (ca.n + cb.n - pr.n_ab) + 0.0, 6)
+                AS jaccard
+       FROM pr
+       JOIN bc ca ON ca.b = pr.brand_a
+       JOIN bc cb ON cb.b = pr.brand_b
+       ORDER BY brand_a, brand_b""",
+    doc="Item-item similarity from order co-occurrence — the "
+    "collaborative-filtering neighbor table (x159 mines RULES from "
+    "the same co-occurrence counts: support/confidence/lift answer "
+    "'does A imply B'; cosine/Jaccard answer 'how alike are A and B' "
+    "— the symmetric measures an item-based recommender or a "
+    "substitute-detection audit ranks by): per-order brand sets are "
+    "bounded (~4 lines against 25 brands), so the a<b pairs generate "
+    "ROW-LOCALLY via the nested array-HOF (transform x slice inside "
+    "flatten) — pair fan-out is quadratic only in the order size, "
+    "never the corpus; the only shuffles are the itemset dedup and "
+    "the |brands|^2-bounded pair count, and the per-brand counts "
+    "attach as 25-row broadcasts. cosine = n_ab/sqrt(n_a*n_b) "
+    "(Ochiai) and jaccard = n_ab/(n_a+n_b-n_ab) fold from EXACT "
+    "bigint counts to one rounded division each (sqrt of the same "
+    "exact product agrees across engines at the 1e-6 grain). The "
+    "ORACLE generates pairs with the literal equi-self-join — the "
+    "same algorithmic duality x159 pins.",
 )
 def x219(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), "l_partkey"
+        F.col("l_orderkey").alias("o"), "l_partkey"
     )
-    part = load_table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("b")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("o", F.col("p_brand").alias("b"))
+        .distinct()
     )
-    baskets = li.join(part, "l_partkey").select("ok", "b").distinct()
-    n_orders = baskets.select(
-        F.countDistinct("ok").alias("n_orders")
-    )
-    freq = baskets.groupBy("b").agg(F.count(F.lit(1)).alias("n_b"))
-    b1 = baskets.alias("b1")
-    b2 = baskets.alias("b2")
     pairs = (
-        b1.join(
-            b2,
-            (F.col("b1.ok") == F.col("b2.ok"))
-            & (F.col("b1.b") < F.col("b2.b")),
+        items.groupBy("o")
+        .agg(F.sort_array(F.collect_set("b")).alias("bs"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(bs, (x, i) -> "
+                    "transform(slice(bs, i + 2, size(bs)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
         )
         .groupBy(
-            F.col("b1.b").alias("brand_a"), F.col("b2.b").alias("brand_b")
+            F.col("p.a").alias("brand_a"), F.col("p.b").alias("brand_b")
         )
-        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
     )
-    fa = freq.select(
-        F.col("b").alias("brand_a"), F.col("n_b").alias("cnt_a")
-    )
-    fb = freq.select(
-        F.col("b").alias("brand_b"), F.col("n_b").alias("cnt_b")
-    )
+    bc = items.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("n"))
     out = (
-        pairs.join(F.broadcast(fa), "brand_a")
-        .join(F.broadcast(fb), "brand_b")
-        .crossJoin(F.broadcast(n_orders))
+        pairs.join(
+            F.broadcast(
+                bc.select(
+                    F.col("b").alias("brand_a"), F.col("n").alias("n_a")
+                )
+            ),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(
+                bc.select(
+                    F.col("b").alias("brand_b"), F.col("n").alias("n_b")
+                )
+            ),
+            "brand_b",
+        )
     )
     return out.select(
         "brand_a",
         "brand_b",
         F.col("n_ab").cast("bigint").alias("n_ab"),
-        F.col("cnt_a").cast("bigint").alias("n_a"),
-        F.col("cnt_b").cast("bigint").alias("n_b"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
         F.round(
-            F.col("n_ab") / F.col("n_orders") + F.lit(0.0), 6
-        ).alias("support"),
-        F.round(
-            F.col("n_ab") / F.col("cnt_a") + F.lit(0.0), 6
-        ).alias("confidence"),
-        F.round(
-            (F.col("n_ab") * F.col("n_orders"))
-            / (F.col("cnt_a").cast("double") * F.col("cnt_b"))
+            F.col("n_ab")
+            / F.sqrt(F.col("n_a").cast("double") * F.col("n_b"))
             + F.lit(0.0),
             6,
-        ).alias("lift"),
-    ).orderBy(F.desc("n_ab"), "brand_a", "brand_b").limit(40)
+        ).alias("cosine"),
+        F.round(
+            F.col("n_ab")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_ab")).cast(
+                "double"
+            )
+            + F.lit(0.0),
+            6,
+        ).alias("jaccard"),
+    ).orderBy("brand_a", "brand_b")
 
 
 @_q(
@@ -17797,7 +17805,8 @@ def x219(spark: SparkSession, sf_dir: str) -> DataFrame:
        FROM t""",
     doc="One-way ANOVA of order value (cents) across market segments — "
     "the classic does-the-group-mean-differ gate for mixture/ablation "
-    "readouts: per-group moments (n, Σx, Σx²) in ONE partial-agg "
+    "readouts (x188's Kruskal-Wallis is its rank-based twin; x112's "
+    "Welch t the two-group case): per-group moments (n, Σx, Σx²) in ONE partial-agg "
     "pass, Σx² held as DECIMAL(38,0) (cents² × 1.5M rows overflows "
     "int64), then F = (SSB/(k−1))/(SSW/(N−k)) and η² assembled on "
     "the k-row aggregate — between-group mass Σ S_g²/n_g computed in "
@@ -17854,250 +17863,286 @@ def x220(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "x221_acf",
-    """WITH daily AS (
-         SELECT o_orderdate AS d, COUNT(*) AS x
-         FROM orders GROUP BY 1
+    "x221_forecast_backtest",
+    """WITH o AS (
+         SELECT r.r_name AS region, CAST(o.o_orderdate AS DATE) AS d,
+                CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
        ),
-       lagged AS (
-         SELECT x,
-                LEAD(x, 1) OVER w AS x1, LEAD(x, 2) OVER w AS x2,
-                LEAD(x, 3) OVER w AS x3, LEAD(x, 4) OVER w AS x4,
-                LEAD(x, 5) OVER w AS x5, LEAD(x, 6) OVER w AS x6,
-                LEAD(x, 7) OVER w AS x7
-         FROM daily WINDOW w AS (ORDER BY d)
+       daily AS (
+         SELECT region, d, SUM(cents) AS x FROM o GROUP BY 1, 2
        ),
-       m AS (
-         SELECT COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS sq,
-                SUM(x * x1) AS p1, SUM(CASE WHEN x1 IS NOT NULL
-                    THEN x END) AS a1, SUM(x1) AS b1,
-                SUM(x * x2) AS p2, SUM(CASE WHEN x2 IS NOT NULL
-                    THEN x END) AS a2, SUM(x2) AS b2,
-                SUM(x * x3) AS p3, SUM(CASE WHEN x3 IS NOT NULL
-                    THEN x END) AS a3, SUM(x3) AS b3,
-                SUM(x * x4) AS p4, SUM(CASE WHEN x4 IS NOT NULL
-                    THEN x END) AS a4, SUM(x4) AS b4,
-                SUM(x * x5) AS p5, SUM(CASE WHEN x5 IS NOT NULL
-                    THEN x END) AS a5, SUM(x5) AS b5,
-                SUM(x * x6) AS p6, SUM(CASE WHEN x6 IS NOT NULL
-                    THEN x END) AS a6, SUM(x6) AS b6,
-                SUM(x * x7) AS p7, SUM(CASE WHEN x7 IS NOT NULL
-                    THEN x END) AS a7, SUM(x7) AS b7
-         FROM lagged
+       mx AS (SELECT MAX(d) AS maxd FROM daily),
+       ev AS (
+         SELECT a.region, a.x, f.x AS fc
+         FROM daily a
+         JOIN daily f ON f.region = a.region
+                     AND f.d = a.d - INTERVAL 7 DAY
+         CROSS JOIN mx
+         WHERE a.d > maxd - INTERVAL 28 DAY
        )
-       SELECT lag,
-              CAST(n - lag AS BIGINT) AS n_pairs,
-              ROUND((n * n * p - n * s * (a + b) + (n - lag) * s * s)
-                    * 1.0 / (n * n * sq - n * s * s) + 0.0, 6) AS acf
-       FROM m, (VALUES (1), (2), (3), (4), (5), (6), (7)) AS lags(lag),
-            LATERAL (SELECT CASE lag WHEN 1 THEN p1 WHEN 2 THEN p2
-                            WHEN 3 THEN p3 WHEN 4 THEN p4 WHEN 5 THEN p5
-                            WHEN 6 THEN p6 ELSE p7 END AS p,
-                            CASE lag WHEN 1 THEN a1 WHEN 2 THEN a2
-                            WHEN 3 THEN a3 WHEN 4 THEN a4 WHEN 5 THEN a5
-                            WHEN 6 THEN a6 ELSE a7 END AS a,
-                            CASE lag WHEN 1 THEN b1 WHEN 2 THEN b2
-                            WHEN 3 THEN b3 WHEN 4 THEN b4 WHEN 5 THEN b5
-                            WHEN 6 THEN b6 ELSE b7 END AS b) v
-       ORDER BY lag""",
-    doc="Autocorrelation function (lags 1–7) of the daily order-count "
-    "series — the seasonality probe of the time-series family (x38 "
-    "fills gaps, x116 localizes a level shift, x216 tests sign "
-    "randomness; this measures linear memory): the series is the "
-    "ORDER-DATE aggregate (observed days, row-sequence spacing), "
-    "seven LEADs materialize in ONE window pass over that "
-    "~2.4k-row aggregate (window-contract clean: global order over "
-    "an aggregated frame), and each lag's ACF numerator folds to the "
-    "EXACT integer N²·Σx·x₊ₖ − N·S·(Aₖ+Bₖ) + (N−k)·S² over the "
-    "exact c₀ denominator N²·Σx² − N·S² — one rounded division per "
-    "lag. The 7-lag unpivot is a stack() over the single moment row.",
+       SELECT region,
+              CAST(COUNT(*) AS BIGINT) AS n_eval,
+              ROUND(SUM(ABS(x - fc)) * 1.0 / COUNT(*) + 0.0, 4)
+                AS mae_cents,
+              ROUND(SQRT(SUM(CAST(CAST(x - fc AS DECIMAL(38,0))
+                                  * (x - fc) AS DOUBLE))
+                         / COUNT(*)) + 0.0, 4) AS rmse_cents,
+              ROUND(SUM(2.0 * ABS(x - fc) / (x + fc)) / COUNT(*)
+                    + 0.0, 6) AS smape
+       FROM ev GROUP BY region ORDER BY region""",
+    doc="Seasonal-naive forecast backtest per region — the forecast-"
+    "ACCURACY family (x136 detects the weekly cycle; x111 fits the "
+    "trend; this evaluates the forecast a pipeline would actually "
+    "ship, f_t = x_{t-7}, on the trailing 28 days): evaluation "
+    "pairs come from a calendar self-join of the per-(region, day) "
+    "aggregate on d−7 (a hash join on the aggregate — no window, "
+    "no raw-row pass; days without a week-ago observation drop "
+    "out), and the three error metrics keep the x44 discipline — "
+    "MAE's Σ|x−f| is exact BIGINT over one rounded division, "
+    "RMSE's Σ(x−f)² rides DECIMAL(38,0) (squared daily cents "
+    "overflow int64 at scale), and sMAPE's ≤28 bounded per-day "
+    "terms fold in doubles at the 1e-6 grain. The anchor date is a "
+    "1-row broadcast.",
 )
 def x221(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    reg = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", F.col("r_name").alias("region")
+    )
     daily = (
         load_table(spark, sf_dir, "orders")
-        .groupBy(F.col("o_orderdate").alias("d"))
-        .agg(F.count(F.lit(1)).alias("x"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("region", F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).alias("x")
+        )
     )
-    w = Window.orderBy("d")
-    lagged = daily.select(
-        "x",
-        *[F.lead("x", k).over(w).alias(f"x{k}") for k in range(1, 8)],
+    mx = daily.agg(F.max("d").alias("maxd"))
+    a = daily.alias("a")
+    f = daily.select(
+        F.col("region").alias("f_region"),
+        F.date_add(F.col("d"), 7).alias("f_d"),
+        F.col("x").alias("fc"),
     )
-    aggs = [
+    ev = (
+        a.join(
+            f,
+            (F.col("a.region") == F.col("f_region"))
+            & (F.col("a.d") == F.col("f_d")),
+        )
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("a.d") > F.date_sub(F.col("maxd"), 28))
+        .select("a.region", "a.x", "fc")
+    )
+    diff = F.col("x") - F.col("fc")
+    return (
+        ev.groupBy("region")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.round(
+                F.sum(F.abs(diff)) / F.count(F.lit(1)).cast("double")
+                + F.lit(0.0),
+                4,
+            ).alias("mae_cents"),
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        (diff.cast("decimal(38,0)") * diff).cast(
+                            "double"
+                        )
+                    )
+                    / F.count(F.lit(1))
+                )
+                + F.lit(0.0),
+                4,
+            ).alias("rmse_cents"),
+            F.round(
+                F.sum(
+                    2.0 * F.abs(diff) / (F.col("x") + F.col("fc"))
+                )
+                / F.count(F.lit(1))
+                + F.lit(0.0),
+                6,
+            ).alias("smape"),
+        )
+        .orderBy("region")
+    )
+
+
+@_q(
+    "x222_single_source_risk",
+    """WITH ps AS (
+         SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+         FROM lineitem
+       ),
+       k AS (SELECT pk, COUNT(*) AS n_supp FROM ps GROUP BY 1),
+       vol AS (
+         SELECT l_partkey AS pk,
+                SUM(CAST(l_quantity AS BIGINT)) AS qty
+         FROM lineitem GROUP BY 1
+       )
+       SELECT p.p_brand,
+              CAST(COUNT(*) AS BIGINT) AS n_parts,
+              CAST(SUM(CASE WHEN k.n_supp = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_single_sourced,
+              ROUND(SUM(CASE WHEN k.n_supp = 1 THEN 1 ELSE 0 END)
+                    * 1.0 / COUNT(*) + 0.0, 6) AS single_share,
+              ROUND(SUM(CASE WHEN k.n_supp = 1 THEN vol.qty
+                             ELSE 0 END) * 1.0 / SUM(vol.qty)
+                    + 0.0, 6) AS single_qty_share
+       FROM k
+       JOIN part p ON k.pk = p.p_partkey
+       JOIN vol ON vol.pk = k.pk
+       GROUP BY p.p_brand ORDER BY p.p_brand""",
+    doc="Single-source supply risk per brand — the coverage-"
+    "redundancy audit (in a training-data pipeline the identical "
+    "query asks: which slices of the corpus are covered by exactly "
+    "ONE source, so losing that source loses the slice; x187's HHI "
+    "measures concentration of MASS, this counts entities with no "
+    "redundancy at all): observed (part, supplier) pairs fold to a "
+    "per-part supplier count in one distinct + grouped agg, the "
+    "per-part quantity rides a parallel partial agg over the same "
+    "scan, and each brand reports its single-sourced part count, "
+    "share, and the share of VOLUME flowing through single-sourced "
+    "parts — all EXACT integers into one rounded division per "
+    "measure. The brand attach is a part-table hash join; output "
+    "is |brands| rows.",
+)
+def x222(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_suppkey").alias("sk"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    k = (
+        li.select("pk", "sk")
+        .distinct()
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    vol = li.groupBy("pk").agg(F.sum("qty").alias("qty"))
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"), "p_brand"
+    )
+    single = F.when(F.col("n_supp") == 1, 1).otherwise(0)
+    return (
+        k.join(vol, "pk")
+        .join(part, "pk")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum(single).cast("bigint").alias("n_single_sourced"),
+            F.round(
+                F.sum(single) / F.count(F.lit(1)).cast("double")
+                + F.lit(0.0),
+                6,
+            ).alias("single_share"),
+            F.round(
+                F.sum(
+                    F.when(F.col("n_supp") == 1, F.col("qty")).otherwise(
+                        0
+                    )
+                )
+                / F.sum("qty").cast("double")
+                + F.lit(0.0),
+                6,
+            ).alias("single_qty_share"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@_q(
+    "x223_interarrival_dispersion",
+    """WITH g AS (
+         SELECT c.c_mktsegment AS seg,
+                date_diff('day',
+                  CAST(LAG(o.o_orderdate) OVER (
+                    PARTITION BY o.o_custkey
+                    ORDER BY o.o_orderdate, o.o_orderkey) AS DATE),
+                  CAST(o.o_orderdate AS DATE)) AS gap
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       ),
+       m AS (
+         SELECT seg, COUNT(*) AS n, SUM(gap) AS s,
+                SUM(gap * gap) AS sq
+         FROM g WHERE gap IS NOT NULL GROUP BY 1
+       )
+       SELECT seg AS c_mktsegment,
+              CAST(n AS BIGINT) AS n_gaps,
+              ROUND(s * 1.0 / n + 0.0, 4) AS mean_gap_days,
+              ROUND((n * sq - s * s) * 1.0 / (n * 1.0 * s) + 0.0, 4)
+                AS dispersion_index
+       FROM m ORDER BY c_mktsegment""",
+    doc="Order inter-arrival dispersion per market segment — the "
+    "point-process diagnostic (a Poisson arrival stream has "
+    "variance/mean = 1; index >> 1 means BURSTY arrivals — the "
+    "property that decides whether a pipeline's ingest sizing can "
+    "assume smooth traffic; x213's streaks count runs of "
+    "consecutive days, this measures the spacing law): per-"
+    "customer gaps come from ONE LAG window PARTITIONED by "
+    "custkey in (date, orderkey) total order, and the dispersion "
+    "index folds to the exact-integer form (n·Σg² − (Σg)²)/(n·Σg) "
+    "— variance-over-mean with ONE rounded division (Σg² of day "
+    "gaps ≤ 2406² per row stays far inside int64). One customer-"
+    "hash shuffle, then a 5-row moment fold.",
+)
+def x223(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("d"),
+            "o_orderkey",
+        )
+    )
+    g = o.select(
+        "seg",
+        F.datediff(
+            F.col("d"),
+            F.lag("d").over(
+                Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+            ),
+        ).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    m = g.groupBy("seg").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("s"),
-        F.sum(F.col("x") * F.col("x")).alias("sq"),
-    ]
-    for k in range(1, 8):
-        xk = F.col(f"x{k}")
-        aggs += [
-            F.sum(F.col("x") * xk).alias(f"p{k}"),
-            F.sum(F.when(xk.isNotNull(), F.col("x"))).alias(f"a{k}"),
-            F.sum(xk).alias(f"b{k}"),
-        ]
-    m = lagged.agg(*aggs)
-    stack = ", ".join(
-        f"CAST({k} AS BIGINT), p{k}, a{k}, b{k}" for k in range(1, 8)
-    )
-    un = m.selectExpr(
-        "n", "s", "sq", f"stack(7, {stack}) AS (lag, p, a, b)"
+        F.sum("gap").alias("s"),
+        F.sum(F.col("gap") * F.col("gap")).alias("sq"),
     )
     n = F.col("n")
     s = F.col("s")
-    num = (
-        n * n * F.col("p")
-        - n * s * (F.col("a") + F.col("b"))
-        + (n - F.col("lag")) * s * s
-    )
-    den = n * n * F.col("sq") - n * s * s
-    return un.select(
-        "lag",
-        (n - F.col("lag")).cast("bigint").alias("n_pairs"),
-        F.round(num / den.cast("double") + F.lit(0.0), 6).alias("acf"),
-    ).orderBy("lag")
-
-
-@_q(
-    "x222_hhi_concentration",
-    """WITH q AS (
-         SELECT s.s_nationkey AS nk, l.l_suppkey AS sk,
-                SUM(CAST(l.l_quantity AS BIGINT)) AS qty
-         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
-         GROUP BY 1, 2
-       ),
-       r AS (
-         SELECT nk, sk, qty,
-                ROW_NUMBER() OVER (PARTITION BY nk
-                                   ORDER BY qty DESC, sk) AS rnk
-         FROM q
-       ),
-       agg AS (
-         SELECT nk, COUNT(*) AS n_suppliers, SUM(qty) AS total,
-                SUM(qty * qty) AS sumsq,
-                SUM(CASE WHEN rnk <= 4 THEN qty ELSE 0 END) AS top4
-         FROM r GROUP BY 1
-       )
-       SELECT n.n_name,
-              CAST(a.n_suppliers AS BIGINT) AS n_suppliers,
-              CAST(a.total AS BIGINT) AS total_qty,
-              ROUND(10000.0 * a.sumsq / (a.total * 1.0 * a.total)
-                    + 0.0, 4) AS hhi,
-              ROUND(a.top4 * 1.0 / a.total + 0.0, 6) AS cr4
-       FROM agg a JOIN nation n ON a.nk = n.n_nationkey
-       ORDER BY n.n_name""",
-    doc="Supplier concentration of supplied quantity per nation — the "
-    "source-diversity audit (a training corpus dominated by 4 "
-    "suppliers is x209's skew risk in market form): HHI = "
-    "10000·Σq_s²/(Σq_s)² and the 4-firm ratio CR4, both EXACT "
-    "integer numerators over one rounded division. Scale shape: one "
-    "partial-agg per (nation, supplier) over the li⋈supplier shuffle "
-    "join, the top-4 rank a window PARTITIONED by nation over that "
-    "per-supplier AGGREGATE (never the raw fact), nation-name attach "
-    "a 25-row broadcast.",
-)
-def x222(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sup = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_nationkey"
-    )
-    q = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_suppkey", F.col("l_quantity").cast("bigint").alias("qty"))
-        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy(
-            F.col("s_nationkey").alias("nk"), F.col("l_suppkey").alias("sk")
-        )
-        .agg(F.sum("qty").alias("qty"))
-    )
-    r = q.withColumn(
-        "rnk",
-        F.row_number().over(
-            Window.partitionBy("nk").orderBy(F.desc("qty"), "sk")
+    return m.select(
+        F.col("seg").alias("c_mktsegment"),
+        n.cast("bigint").alias("n_gaps"),
+        F.round(s / n.cast("double") + F.lit(0.0), 4).alias(
+            "mean_gap_days"
         ),
-    )
-    agg = r.groupBy("nk").agg(
-        F.count(F.lit(1)).alias("n_suppliers"),
-        F.sum("qty").alias("total"),
-        F.sum(F.col("qty") * F.col("qty")).alias("sumsq"),
-        F.sum(F.when(F.col("rnk") <= 4, F.col("qty")).otherwise(0)).alias(
-            "top4"
-        ),
-    )
-    nat = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("nk"), "n_name"
-    )
-    return (
-        agg.join(F.broadcast(nat), "nk")
-        .select(
-            "n_name",
-            F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
-            F.col("total").cast("bigint").alias("total_qty"),
-            F.round(
-                F.lit(10000.0)
-                * F.col("sumsq")
-                / (F.col("total").cast("double") * F.col("total"))
-                + F.lit(0.0),
-                4,
-            ).alias("hhi"),
-            F.round(
-                F.col("top4") / F.col("total").cast("double") + F.lit(0.0),
-                6,
-            ).alias("cr4"),
-        )
-        .orderBy("n_name")
-    )
-
-
-@_q(
-    "x223_markov_transitions",
-    """WITH s AS (
-         SELECT user_id, event_type,
-                LAG(event_type) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS prev
-         FROM events
-       ),
-       c AS (
-         SELECT prev, event_type AS next, COUNT(*) AS n
-         FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
-       )
-       SELECT prev, next, CAST(n AS BIGINT) AS n,
-              ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev) + 0.0, 6)
-                AS p
-       FROM c ORDER BY prev, next""",
-    doc="First-order Markov transition matrix of the per-user event "
-    "stream (the behavioral twin of x37's ordered funnel: ALL "
-    "type-to-type hops, not one fixed path) — successor pairs from "
-    "ONE LAG window PARTITIONED by user in (ts, event_id) total "
-    "order, folded to |types|² exact counts, row-normalized to "
-    "transition probabilities by a window over the aggregate (one "
-    "rounded division). The per-user window shuffles once on "
-    "user_id; the normalizer touches a ≤25-row frame.",
-)
-def x223(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts", "event_id"
-    )
-    s = ev.select(
-        "event_type",
-        F.lag("event_type")
-        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
-        .alias("prev"),
-    )
-    c = (
-        s.where(F.col("prev").isNotNull())
-        .groupBy("prev", F.col("event_type").alias("next"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    return c.select(
-        "prev",
-        "next",
-        F.col("n").cast("bigint").alias("n"),
         F.round(
-            F.col("n")
-            / F.sum("n").over(Window.partitionBy("prev")).cast("double")
+            (n * F.col("sq") - s * s)
+            / (n.cast("double") * s)
             + F.lit(0.0),
-            6,
-        ).alias("p"),
-    ).orderBy("prev", "next")
+            4,
+        ).alias("dispersion_index"),
+    ).orderBy("c_mktsegment")
 
 
 @_q(
@@ -18118,7 +18163,9 @@ def x223(spark: SparkSession, sf_dir: str) -> DataFrame:
        FROM g CROSS JOIN t JOIN nation n ON g.nk = n.n_nationkey
        ORDER BY n.n_name""",
     doc="Delete-one-group jackknife of mean account balance — the "
-    "resampling-diagnostics family (which nation's cohort MOVES the "
+    "resampling-diagnostics family (x195's Poisson bootstrap widths a "
+    "CI by hashed resampling; the jackknife is its deterministic "
+    "leave-one-out ancestor) (which nation's cohort MOVES the "
     "corpus-level statistic; the leave-one-source-out ablation "
     "readout of a data pipeline): per-nation (n, Σcents) in one "
     "partial-agg pass, grand totals one 25-row fold, each nation's "
@@ -18157,99 +18204,119 @@ def x224(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "x225_mann_whitney",
-    """WITH d AS (
-         SELECT lang, n_chars FROM documents WHERE lang IN ('en', 'zh')
+    "x225_wilcoxon_signed_rank",
+    """WITH p AS (
+         SELECT user_id,
+                SUM(CASE WHEN event_type = 'view'
+                    THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS sv,
+                SUM(CASE WHEN event_type = 'click'
+                    THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS sc
+         FROM events GROUP BY 1
        ),
-       ranked AS (
-         SELECT lang,
-                RANK() OVER (ORDER BY n_chars)
-                + (COUNT(*) OVER (PARTITION BY n_chars) - 1) / 2.0
+       d AS (
+         SELECT sc - sv AS d, ABS(sc - sv) AS ad FROM p
+         WHERE sv IS NOT NULL AND sc IS NOT NULL AND sc <> sv
+       ),
+       r AS (
+         SELECT d,
+                RANK() OVER (ORDER BY ad)
+                + (COUNT(*) OVER (PARTITION BY ad) - 1) / 2.0
                   AS avg_rank
          FROM d
        ),
        ties AS (
-         SELECT SUM(t * t * t - t) AS tie_t FROM (
-           SELECT COUNT(*) AS t FROM d GROUP BY n_chars
-         )
+         SELECT SUM(t * t * t - t) AS tie_t
+         FROM (SELECT COUNT(*) AS t FROM d GROUP BY ad)
        ),
        m AS (
-         SELECT SUM(CASE WHEN lang = 'en' THEN avg_rank END) AS r_a,
-                SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS na,
-                SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS nb
-         FROM ranked
+         SELECT COUNT(*) AS n,
+                SUM(CASE WHEN d > 0 THEN avg_rank ELSE 0 END) AS wp
+         FROM r
        )
-       SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-              ROUND(r_a - na * (na + 1) / 2.0 + 0.0, 1) AS u_stat,
-              ROUND((r_a - na * (na + 1) / 2.0 - na * nb / 2.0)
-                    / SQRT(na * 1.0 * nb / 12.0
-                           * ((na + nb + 1)
-                              - tie_t / ((na + nb) * 1.0
-                                         * (na + nb - 1)))) + 0.0, 4)
-                AS z
+       SELECT CAST(n AS BIGINT) AS n_pairs,
+              ROUND(wp + 0.0, 1) AS w_plus,
+              ROUND((wp - n * (n + 1) / 4.0)
+                    / SQRT(n * (n + 1.0) * (2 * n + 1) / 24.0
+                           - tie_t / 48.0) + 0.0, 4) AS z
        FROM m CROSS JOIN ties""",
-    doc="Mann-Whitney U (Wilcoxon rank-sum) comparing document length "
-    "between English and Chinese — the nonparametric two-sample gate "
-    "of the stats family (x215's CUPED assumes moments; this ranks): "
-    "the ENGINE never ranks raw rows — lengths fold to per-distinct-"
-    "value (cntA, cntB) pairs, a cumulative window over that "
-    "AGGREGATE yields the pairs-won count 2U = Σ cntA·(2·cumB< + "
-    "cntB) as an EXACT integer (half-tie credit kept integral), and "
-    "the tie-corrected normal z comes from the exact (2U, nA, nB, "
-    "Σt³−t) tuple. The ORACLE is the textbook different algorithm — "
-    "DuckDB average ranks over the raw rows, U = R_A − nA(nA+1)/2 — "
-    "so the two derivations certify each other.",
+    doc="Wilcoxon signed-rank test on PAIRED per-user spend (click "
+    "total vs view total, exact cents) — the paired-continuous leg "
+    "of the nonparametric battery (x153's Mann-Whitney compares two "
+    "INDEPENDENT samples; x210's McNemar pairs binary outcomes; "
+    "this pairs a continuous measure within each user): the engine "
+    "never ranks raw rows — per-user integer differences fold to a "
+    "per-distinct-|d| histogram, a cumulative window over that "
+    "AGGREGATE yields doubled midranks 2R(v) = 2·cum<(v) + t(v) + 1 "
+    "as exact integers, and 2·W+ = Σ pos(v)·2R(v) stays integral "
+    "(x153 discipline) into the tie-corrected normal z from the "
+    "exact (n, 2W+, Σt³−t) tuple. Zero differences are dropped "
+    "(the standard convention). The ORACLE is the textbook "
+    "different algorithm — DuckDB average ranks over the raw "
+    "per-user rows, W+ = Σ ranks of positive d — so the two "
+    "derivations certify each other.",
 )
 def x225(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.col("lang").isin("en", "zh"))
-        .select("lang", "n_chars")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    p = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "view", cents)
+            ).alias("sv"),
+            F.sum(
+                F.when(F.col("event_type") == "click", cents)
+            ).alias("sc"),
+        )
     )
-    per_val = d.groupBy("n_chars").agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ca"),
-        F.sum(F.when(F.col("lang") == "zh", 1).otherwise(0)).alias("cb"),
+    d = (
+        p.where(
+            F.col("sv").isNotNull()
+            & F.col("sc").isNotNull()
+            & (F.col("sc") != F.col("sv"))
+        )
+        .select(
+            (F.col("sc") - F.col("sv")).alias("d"),
+            F.abs(F.col("sc") - F.col("sv")).alias("ad"),
+        )
+    )
+    h = d.groupBy("ad").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias("pos"),
     )
     w = (
-        Window.orderBy("n_chars")
+        Window.orderBy("ad")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum = per_val.withColumn(
-        "cum_b", F.coalesce(F.sum("cb").over(w), F.lit(0))
+    cum = h.withColumn(
+        "cum_b", F.coalesce(F.sum("t").over(w), F.lit(0))
     )
     m = cum.agg(
+        F.sum("t").alias("n"),
         F.sum(
-            F.col("ca") * (2 * F.col("cum_b") + F.col("cb"))
-        ).alias("two_u"),
-        F.sum("ca").alias("na"),
-        F.sum("cb").alias("nb"),
+            F.col("pos") * (2 * F.col("cum_b") + F.col("t") + 1)
+        ).alias("two_wp"),
         F.sum(
-            (F.col("ca") + F.col("cb"))
-            * (F.col("ca") + F.col("cb"))
-            * (F.col("ca") + F.col("cb"))
-            - (F.col("ca") + F.col("cb"))
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
         ).alias("tie_t"),
     )
-    na = F.col("na").cast("double")
-    nb = F.col("nb").cast("double")
-    n = na + nb
-    u = F.col("two_u") / F.lit(2.0)
+    n = F.col("n").cast("double")
+    wp = F.col("two_wp") / F.lit(2.0)
     var = (
-        na * nb / 12.0
-        * ((n + 1) - F.col("tie_t") / (n * (n - 1)))
+        n * (n + 1) * (2 * n + 1) / 24.0
+        - F.col("tie_t") / F.lit(48.0)
     )
     return m.select(
-        F.col("na").cast("bigint").alias("n_a"),
-        F.col("nb").cast("bigint").alias("n_b"),
-        F.round(u + F.lit(0.0), 1).alias("u_stat"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(wp + F.lit(0.0), 1).alias("w_plus"),
         F.round(
-            (u - na * nb / 2.0) / F.sqrt(var) + F.lit(0.0), 4
+            (wp - n * (n + 1) / 4.0) / F.sqrt(var) + F.lit(0.0), 4
         ).alias("z"),
     )
 
 
 @_q(
-    "x226_ewma_daily_revenue",
+    "x226_holt_linear",
     """WITH o AS (
          SELECT r.r_name AS region, CAST(o.o_orderdate AS DATE) AS d,
                 CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS cents
@@ -18258,30 +18325,48 @@ def x225(spark: SparkSession, sf_dir: str) -> DataFrame:
          JOIN nation n ON c.c_nationkey = n.n_nationkey
          JOIN region r ON n.n_regionkey = r.r_regionkey
        ),
-       mx AS (SELECT MAX(d) AS maxd FROM o),
        daily AS (
-         SELECT region, d, SUM(cents) AS x,
-                date_diff('day', d, maxd) AS k
-         FROM o CROSS JOIN mx
-         WHERE date_diff('day', d, maxd) <= 15
-         GROUP BY region, d, date_diff('day', d, maxd)
+         SELECT region, d, CAST(SUM(cents) AS DOUBLE) AS x
+         FROM o GROUP BY 1, 2
+       ),
+       seqs AS (
+         SELECT region, list(x ORDER BY d) AS xs
+         FROM daily GROUP BY region
+       ),
+       fitted AS (
+         SELECT region, len(xs) AS n,
+                list_reduce(
+                  list_prepend([xs[1], xs[2] - xs[1]],
+                    list_transform(xs[3:], x -> [x, 0.0])),
+                  (acc, e) -> [
+                    0.5 * e[1] + 0.5 * acc[1] + 0.5 * acc[2],
+                    0.25 * e[1] - 0.25 * acc[1] + 0.75 * acc[2]])
+                  AS st
+         FROM seqs
        )
-       SELECT region,
-              CAST(COUNT(*) AS BIGINT) AS n_days,
-              CAST(SUM(x) AS BIGINT) AS total_cents,
-              ROUND(SUM(x * (CAST(1 AS BIGINT) << (15 - k))) * 1.0
-                    / SUM(CAST(1 AS BIGINT) << (15 - k)) + 0.0, 4)
-                AS ewma_cents
-       FROM daily GROUP BY region ORDER BY region""",
-    doc="Exponentially weighted moving average (α=1/2) of daily "
-    "revenue per region over the trailing 16 observed days — the "
-    "recency-weighted level readout of the time-series family (x221 "
-    "measures memory; this exploits it): the halving weights are "
-    "EXACT dyadic integers 2^(15−k) (a bigint shift, never float "
-    "pow), so numerator Σ x_d·2^(15−k) and denominator Σ 2^(15−k) "
-    "stay exact integers until the ONE rounded division. The anchor "
-    "date is a 1-row broadcast cross join; the trailing filter "
-    "prunes before the per-(region, day) partial agg.",
+       SELECT region, CAST(n AS BIGINT) AS n_days,
+              ROUND(st[1] + 0.0, 4) AS level_cents,
+              ROUND(st[2] + 0.0, 4) AS trend_cents,
+              ROUND(st[1] + 7 * st[2] + 0.0, 4) AS forecast_7d
+       FROM fitted ORDER BY region""",
+    doc="Holt double exponential smoothing (level + trend, "
+    "alpha=beta=1/2) of daily revenue per region, with the 7-step "
+    "forecast — the TWO-state member of the ordered-recurrence "
+    "class x99 pins for one state (each step depends on the "
+    "previous OUTPUT pair, inexpressible as any fixed window "
+    "frame): the engine collects each region's calendar-bounded "
+    "daily series (≤|date domain| elements per group — never "
+    "row-sized), seeds (l₁, b₁) = (x₁, x₂−x₁), and folds the "
+    "recurrence with one codegen aggregate-HOF carrying an [l, b] "
+    "ARRAY accumulator (flattened to the update l' = .5x+.5l+.5b, "
+    "b' = .25x-.25l+.75b so neither field reads the other's fresh "
+    "value — DuckDB's list_reduce updates struct fields "
+    "sequentially, so a struct state would skew); the oracle folds "
+    "the identical elements "
+    "in the identical order through DuckDB's list_reduce with the "
+    "same struct state, so the float recurrence is bit-"
+    "reproducible across engines (the x99 property). One region-"
+    "hash shuffle; dyadic 1/2 coefficients keep early steps exact.",
 )
 def x226(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
@@ -18293,116 +18378,158 @@ def x226(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = load_table(spark, sf_dir, "region").select(
         "r_regionkey", F.col("r_name").alias("region")
     )
-    o = (
+    daily = (
         load_table(spark, sf_dir, "orders")
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select(
-            "region",
-            F.col("o_orderdate").cast("date").alias("d"),
-            F.round(F.col("o_totalprice") * 100, 0)
-            .cast("bigint")
-            .alias("cents"),
-        )
-    )
-    mx = o.agg(F.max("d").alias("maxd"))
-    daily = (
-        o.crossJoin(F.broadcast(mx))
-        .withColumn("k", F.datediff(F.col("maxd"), F.col("d")))
-        .where(F.col("k") <= 15)
-        .groupBy("region", "d", "k")
-        .agg(F.sum("cents").alias("x"))
-    )
-    wgt = F.expr("shiftleft(CAST(1 AS BIGINT), 15 - k)")
-    return (
-        daily.groupBy("region")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_days"),
-            F.sum("x").cast("bigint").alias("total_cents"),
-            F.round(
-                F.sum(F.col("x") * wgt) / F.sum(wgt).cast("double")
-                + F.lit(0.0),
-                4,
-            ).alias("ewma_cents"),
-        )
-        .orderBy("region")
-    )
-
-
-@_q(
-    "x227_gini_segments",
-    """WITH ltv AS (
-         SELECT c.c_mktsegment AS seg, o.o_custkey AS ck,
-                SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
-                  AS cents
-         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-         GROUP BY 1, 2
-       ),
-       r AS (
-         SELECT seg, cents,
-                ROW_NUMBER() OVER (PARTITION BY seg
-                                   ORDER BY cents, ck) AS i
-         FROM ltv
-       ),
-       a AS (
-         SELECT seg, COUNT(*) AS n, SUM(cents) AS s,
-                SUM(i * cents) AS w
-         FROM r GROUP BY 1
-       )
-       SELECT seg AS c_mktsegment,
-              CAST(n AS BIGINT) AS n_customers,
-              CAST(s AS BIGINT) AS total_cents,
-              ROUND((2.0 * w - (n + 1.0) * s) / (n * 1.0 * s) + 0.0, 6)
-                AS gini
-       FROM a ORDER BY c_mktsegment""",
-    doc="Gini coefficient of customer lifetime value per market "
-    "segment — the inequality twin of x212's Theil index (Theil "
-    "decomposes between/within; Gini is the Lorenz-area measure "
-    "procurement and mixture audits quote): per-customer LTV is one "
-    "partial agg over orders⋈customer, the rank i a window "
-    "PARTITIONED by segment over that per-customer AGGREGATE in "
-    "(cents, custkey) total order (ties broken deterministically, "
-    "never a raw-fact global sort), and G = (2·Σi·xᵢ − (n+1)·S)"
-    "/(n·S) folds from EXACT bigint moments to ONE rounded division.",
-)
-def x227(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment"
-    )
-    ltv = (
-        load_table(spark, sf_dir, "orders")
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy(
-            F.col("c_mktsegment").alias("seg"),
-            F.col("o_custkey").alias("ck"),
-        )
+        .groupBy("region", F.col("o_orderdate").cast("date").alias("d"))
         .agg(
             F.sum(
                 F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
-            ).alias("cents")
+            )
+            .cast("double")
+            .alias("x")
         )
     )
-    r = ltv.withColumn(
-        "i",
-        F.row_number().over(
-            Window.partitionBy("seg").orderBy("cents", "ck")
+    seqs = daily.groupBy("region").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "x"))),
+            lambda s: s["x"],
+        ).alias("xs")
+    )
+    x1 = F.element_at(F.col("xs"), 1)
+    x2 = F.element_at(F.col("xs"), 2)
+    st = F.aggregate(
+        F.slice(
+            F.col("xs"), 3, F.greatest(F.size("xs") - 2, F.lit(0))
+        ),
+        F.array(x1, x2 - x1),
+        lambda acc, x: F.array(
+            F.lit(0.5) * x
+            + F.lit(0.5) * F.element_at(acc, 1)
+            + F.lit(0.5) * F.element_at(acc, 2),
+            F.lit(0.25) * x
+            - F.lit(0.25) * F.element_at(acc, 1)
+            + F.lit(0.75) * F.element_at(acc, 2),
         ),
     )
-    a = r.groupBy("seg").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("cents").alias("s"),
-        F.sum(F.col("i") * F.col("cents")).alias("w"),
+    lvl = F.element_at(st, 1)
+    trd = F.element_at(st, 2)
+    return seqs.select(
+        "region",
+        F.size("xs").cast("bigint").alias("n_days"),
+        F.round(lvl + F.lit(0.0), 4).alias("level_cents"),
+        F.round(trd + F.lit(0.0), 4).alias("trend_cents"),
+        F.round(lvl + 7 * trd + F.lit(0.0), 4).alias(
+            "forecast_7d"
+        ),
+    ).orderBy("region")
+
+
+@_q(
+    "x227_neyman_allocation",
+    """WITH g AS (
+         SELECT c_mktsegment AS seg, COUNT(*) AS nh,
+                SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS s,
+                SUM(CAST(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)
+                         AS DECIMAL(38,0))
+                    * CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS sq
+         FROM customer GROUP BY 1
+       ),
+       w AS (
+         SELECT seg, nh,
+                nh * SQRT((nh * CAST(sq AS DOUBLE) - CAST(s AS DOUBLE)
+                           * s) / (nh * 1.0 * nh)) AS wh
+         FROM g
+       ),
+       a AS (
+         SELECT seg, nh, wh,
+                CAST(FLOOR(1000 * wh / SUM(wh) OVER ()) AS BIGINT)
+                  AS base,
+                1000 * wh / SUM(wh) OVER ()
+                  - FLOOR(1000 * wh / SUM(wh) OVER ()) AS frac
+         FROM w
+       ),
+       r AS (
+         SELECT seg, nh, wh, base,
+                ROW_NUMBER() OVER (ORDER BY frac DESC, seg) AS rk,
+                1000 - SUM(base) OVER () AS leftover
+         FROM a
+       )
+       SELECT seg AS c_mktsegment,
+              CAST(nh AS BIGINT) AS n_customers,
+              ROUND(wh / nh + 0.0, 4) AS sd_cents,
+              ROUND(wh / SUM(wh) OVER () + 0.0, 6) AS neyman_share,
+              CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                   AS BIGINT) AS alloc
+       FROM r ORDER BY c_mktsegment""",
+    doc="Neyman-optimal labeling-budget allocation across market "
+    "segments — the survey-sampling design op a data pipeline runs "
+    "before spending an annotation budget (sample each stratum "
+    "proportional to N_h·σ_h, so label effort goes where variance "
+    "lives; x61's weighted sampler EXECUTES a design, this "
+    "COMPUTES one; the integer split reuses x148's Hamilton "
+    "largest-remainder rule so the 1000-unit budget lands exactly): "
+    "per-stratum moments (n, Σx, Σx²) fold in ONE pass with Σx² in "
+    "DECIMAL(38,0), population σ_h and the weight N_h·σ_h derive "
+    "from the same exact rationals in both engines, and the "
+    "floor + largest-remainder integer allocation runs as two "
+    "windows over the 5-row aggregate (fractional-part ties broken "
+    "by segment name). Output: share, σ, and an integer alloc "
+    "summing exactly to 1000.",
+)
+def x227(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    g = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("nh"),
+            F.sum(cents).alias("s"),
+            F.sum(cents.cast("decimal(38,0)") * cents).alias("sq"),
+        )
     )
-    n = F.col("n").cast("double")
-    s = F.col("s").cast("double")
-    return a.select(
+    nh = F.col("nh")
+    wh = nh * F.sqrt(
+        (nh * F.col("sq").cast("double") - F.col("s").cast("double") * F.col("s"))
+        / (nh.cast("double") * nh)
+    )
+    w = g.select("seg", "nh", wh.alias("wh"))
+    wall = Window.partitionBy()
+    share = F.col("wh") / F.sum("wh").over(wall)
+    a = w.select(
+        "seg",
+        "nh",
+        "wh",
+        F.floor(1000 * share).cast("bigint").alias("base"),
+        (1000 * share - F.floor(1000 * share)).alias("frac"),
+        F.round(share + F.lit(0.0), 6).alias("neyman_share"),
+    )
+    r = a.select(
+        "seg",
+        "nh",
+        "wh",
+        "base",
+        "neyman_share",
+        F.row_number()
+        .over(Window.orderBy(F.desc("frac"), "seg"))
+        .alias("rk"),
+        (F.lit(1000) - F.sum("base").over(wall)).alias("leftover"),
+    )
+    return r.select(
         F.col("seg").alias("c_mktsegment"),
-        F.col("n").cast("bigint").alias("n_customers"),
-        F.col("s").cast("bigint").alias("total_cents"),
-        F.round(
-            (2.0 * F.col("w") - (n + 1) * s) / (n * s) + F.lit(0.0), 6
-        ).alias("gini"),
+        F.col("nh").cast("bigint").alias("n_customers"),
+        F.round(F.col("wh") / F.col("nh") + F.lit(0.0), 4).alias(
+            "sd_cents"
+        ),
+        "neyman_share",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
     ).orderBy("c_mktsegment")
 
 
@@ -18453,6 +18580,8 @@ def x227(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Pairwise Jensen-Shannon divergence between source token "
     "distributions over the shared top-100 vocabulary — the corpus "
     "drift/contamination measure (x49 counts shared fingerprints; "
+    "x109 reports add-1-smoothed KL in both directions — asymmetric "
+    "and unbounded, where JS is the bounded symmetric metric; "
     "this measures DISTRIBUTIONAL distance, bounded in [0, ln 2]): "
     "one token explode feeds per-(source, term) counts, the vocab "
     "top-100 is a TakeOrdered over the term aggregate, the zero-"
@@ -18570,7 +18699,10 @@ def x228(spark: SparkSession, sf_dir: str) -> DataFrame:
        FROM v CROSS JOIN lab
        GROUP BY feature, n1, n0, nn ORDER BY feature""",
     doc="Information-gain feature ranking against a document-length "
-    "label — the decision-tree split criterion as a corpus-curation "
+    "label — the decision-tree split criterion (x205/x157 compute the "
+    "mutual information of ONE variable pair with its chi-squared; "
+    "this ranks SEVERAL features by that same quantity against a "
+    "training label in one pass) as a corpus-curation "
     "readout (which metadata facet PREDICTS long documents: the "
     "feature a stratified sampler should key on): each document "
     "unpivots to (feature, value) rows via stack (a generator, no "

@@ -275,21 +275,23 @@ QUERIES = [
     "x217_vacuum_lifecycle",
     # round-13 continuation: x218/x230 lakehouse lifecycles
     # (replace_where + timestamp travel; OPTIMIZE ZORDER + pruning),
-    # x219 basket self-join (fan-out bounded by per-order lines),
-    # x220/x224/x225/x227/x231 moment/rank statistics, x221/x226/x232
-    # calendar aggregates, x222 concentration, x223 per-user window,
+    # x219 row-local HOF pair generation (fan-out bounded by order
+    # size), x220/x224/x225/x227/x231 moment/rank statistics,
+    # x221/x226/x232 calendar-aggregate series (backtest join, Holt
+    # fold over calendar-bounded arrays, DOW profile), x222
+    # distinct-pair redundancy audit, x223 per-customer LAG window,
     # x228 token-distribution pairs, x229 feature unpivot, x233
     # distinct-set overlap
     "x218_replace_where_lifecycle",
-    "x219_association_rules",
+    "x219_item_similarity",
     "x220_anova_f",
-    "x221_acf",
-    "x222_hhi_concentration",
-    "x223_markov_transitions",
+    "x221_forecast_backtest",
+    "x222_single_source_risk",
+    "x223_interarrival_dispersion",
     "x224_jackknife_loo",
-    "x225_mann_whitney",
-    "x226_ewma_daily_revenue",
-    "x227_gini_segments",
+    "x225_wilcoxon_signed_rank",
+    "x226_holt_linear",
+    "x227_neyman_allocation",
     "x228_js_divergence",
     "x229_info_gain",
     "x230_zorder_lifecycle",
