@@ -399,12 +399,13 @@ def test_expected_parent_guards_stale_rewrites(spark, tmp_path):
         snap.commit(spark, rewrite, t, mode="overwrite", expected_parent=None)
 
 
-def test_optimize_conflicts_instead_of_dropping_concurrent_append(
+def test_optimize_rebases_over_concurrent_append(
     spark, tmp_path, monkeypatch
 ):
-    """optimize_table pins expected_parent to the version it rewrote:
-    an append landing between its read and its publish raises instead
-    of vanishing from the new head."""
+    """OPTIMIZE pins expected_parent to the version it rewrote; an
+    append landing between its read and its publish auto-REBASES
+    (Delta's OPTIMIZE-vs-append non-conflict rule): the appended
+    directory rides along uncompacted, nothing vanishes."""
     docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
     t = str(tmp_path / "tbl")
     snap.commit(spark, docs.where(F.col("doc_id") < 30).repartition(16), t)
@@ -421,18 +422,22 @@ def test_optimize_conflicts_instead_of_dropping_concurrent_append(
         return real_commit(spark_, df, table_path, **kw)
 
     monkeypatch.setattr(snap, "commit", racing_commit)
-    with pytest.raises(snap.SnapshotConflictError, match="expected_parent"):
-        snap.optimize_table(spark, t, target_file_bytes=128 << 20)
+    v = snap.optimize_table(spark, t, target_file_bytes=128 << 20)
     monkeypatch.setattr(snap, "commit", real_commit)
-    # the append survived; a rerun against the new head succeeds
+    # nothing vanished: compacted base + the interleaved append
     assert _rows(snap.read_snapshot(spark, t)) == _rows(
         docs.where(F.col("doc_id") < 40)
     )
-    v = snap.optimize_table(spark, t, target_file_bytes=128 << 20)
     assert snap.history(t)[-1]["op"] == "replace"
-    assert _rows(snap.read_snapshot(spark, t, v)) == _rows(
-        docs.where(F.col("doc_id") < 40)
+    m = snap._load_manifest(t, v, snap._POSIX)
+    append_m = snap._load_manifest(t, v - 1, snap._POSIX)
+    assert append_m["op"] == "append"
+    # the append's fresh dir rides in the rebased head uncompacted
+    parent_dirs = set(
+        snap._load_manifest(t, v - 2, snap._POSIX)["dirs"]
     )
+    late_dirs = set(append_m["dirs"]) - parent_dirs
+    assert late_dirs and late_dirs <= set(m["dirs"])
 
 
 def test_in_memory_store_full_protocol(spark, tmp_path):
@@ -774,9 +779,12 @@ def test_merge_upsert_change_feed_folds_to_rebuild(spark, tmp_path):
 
 
 def test_merge_upsert_conflict_and_replay(spark, tmp_path):
-    """A concurrent commit between a merge's read and publish raises
-    (expected_parent pinning) instead of resurrecting replaced rows;
-    a replayed batch_id is a no-op returning the original version."""
+    """A concurrent PURE APPEND between a merge's read and publish
+    auto-REBASES (r12 verdict #6 semantics: the appended rows survive,
+    the merged rows land, the head's parent is the append); a replayed
+    batch_id is a no-op returning the original version. The
+    interleaved-REWRITE raise is pinned by
+    test_rewrite_rebases_over_concurrent_append."""
     docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
     t = str(tmp_path / "tbl")
     snap.commit(spark, docs.where(F.col("doc_id") < 20), t)
@@ -801,17 +809,23 @@ def test_merge_upsert_conflict_and_replay(spark, tmp_path):
 
     snap._write_change_set = hostile
     try:
-        with pytest.raises(snap.SnapshotConflictError):
-            snap.merge_upsert(
-                spark,
-                spark.createDataFrame(
-                    [(2, "x")], "doc_id bigint, source string"
-                ),
-                t,
-                keys=["doc_id"],
-            )
+        v = snap.merge_upsert(
+            spark,
+            spark.createDataFrame(
+                [(2, "x")], "doc_id bigint, source string"
+            ),
+            t,
+            keys=["doc_id"],
+        )
     finally:
         snap._write_change_set = orig
+    got = snap.read_snapshot(spark, t)
+    # the interleaved append's row survived the rebased merge
+    assert got.where("doc_id = 25").count() == 1
+    # the merge's postimage landed
+    assert [r["source"] for r in got.where("doc_id = 2").collect()] == ["x"]
+    m = snap._load_manifest(t, v, snap._POSIX)
+    assert m["parent"] == v - 1  # rebased onto the append, not past it
 
 
 def test_merge_upsert_streaming_view_maintenance(spark, tmp_path):

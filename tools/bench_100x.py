@@ -64,6 +64,11 @@ QUERIES = [
     # touched borrowed dirs only), RESTORE, and a v0->head CDC fold
     # certifying zero net change
     "x185_lifecycle_clone_restore",
+    # r13 second act: predicate-scoped overwrite (replace_where) and
+    # OPTIMIZE ZORDER — the two newest writer verbs, each exercised
+    # as its full lifecycle query against the 100x corpus
+    "x218_replace_where_lifecycle",
+    "x230_zorder_lifecycle",
 ]
 
 # Per-query reading notes carried into the artifact (the x67 cap-note
@@ -129,6 +134,27 @@ NOTES = {
         "(all linear one-pass data I/O); clone and restore stay "
         "KB-sized manifest arithmetic while the payload scales 100x — "
         "the flat-manifest-cost property this leg exists to pin"
+    ),
+    "x218_replace_where_lifecycle": (
+        "lakehouse leg: commits a 1.5M-row orders slice, predicate-"
+        "scope-overwrites the URGENT fifth in ONE commit "
+        "(copy-on-write: only directories containing a match "
+        "rewrite), verifies CDC exactness + validation refusal + "
+        "TIMESTAMP AS OF. Wall tracks the v0 write + the scoped "
+        "rewrite + the reload write (linear one-pass data I/O); "
+        "timestamp resolution and the refusal path stay KB-sized "
+        "manifest reads at any payload"
+    ),
+    "x230_zorder_lifecycle": (
+        "lakehouse leg: Z-orders an ~8.6M-row lineitem slice on "
+        "(partkey, suppkey) into 8 bucket directories (one "
+        "partitionBy write job: normalize -> Morton -> range-bucket "
+        "-> sort-within), then proves per-bucket stats prune on "
+        "EITHER column and the pruned scan is exact. Wall is the "
+        "clustering rewrite (sort-dominated, spreads across "
+        "executors on a real cluster) + two pruned probe scans; the "
+        "pruning decisions themselves read KB of manifest stats "
+        "regardless of payload"
     ),
     "x145_cdc_incremental_view": (
         "lakehouse leg: append/replace/overwrite commit chain + a view "
