@@ -3517,3 +3517,149 @@ def test_snapshot_stream_starting_timestamp(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="after the latest"):
         src._version_at_or_after(t, 9_000 * 1_000_000)
+
+
+def test_concurrent_append_during_replace_where_threaded(spark, tmp_path):
+    """A genuinely THREADED append racing replace_where: whatever the
+    interleaving, the final table holds the out-of-scope survivors,
+    the replacement rows, AND the appended rows — the rebase path
+    makes the mid-window case converge instead of raising."""
+    import threading
+
+    t = str(tmp_path / "tbl")
+    snap.commit(
+        spark,
+        spark.range(2000).selectExpr("id", "id % 10 AS k"),
+        t,
+        mode="overwrite",
+    )
+    appended = spark.range(10_000, 10_050).selectExpr(
+        "id", "CAST(3 AS BIGINT) AS k"  # appended rows INSIDE the scope
+    )
+    err: list[Exception] = []
+
+    def race():
+        try:
+            snap.commit(spark, appended, t, mode="append")
+        except Exception as e:  # pragma: no cover
+            err.append(e)
+
+    th = threading.Thread(target=race)
+    th.start()
+    repl = spark.range(20_000, 20_010).selectExpr(
+        "id", "CAST(3 AS BIGINT) AS k"
+    )
+    snap.replace_where(spark, repl, t, "k = 3")
+    th.join()
+    assert not err
+    got = snap.read_snapshot(spark, t)
+    # out-of-scope rows always survive
+    assert got.where("k <> 3").count() == 1800
+    k3 = sorted(r["id"] for r in got.where("k = 3").collect())
+    # two legal serializations: append-then-replace (the scope swap
+    # consumed the appended rows) or replace-then-append / rebased
+    # mid-window (the appended rows the predicate never saw survive)
+    if len(k3) == 10:
+        assert k3 == list(range(20_000, 20_010))
+    else:
+        assert k3 == list(range(10_000, 10_050)) + list(
+            range(20_000, 20_010)
+        )
+    # either way nothing from the ORIGINAL scope survives
+    assert got.where("k = 3 AND id < 2000").count() == 0
+
+
+def test_zorder_on_evolved_schema_table(spark, tmp_path):
+    """OPTIMIZE ZORDER over a table whose directories have MIXED
+    schemas (an evolve_schema merge added a column): the rewrite reads
+    with mergeSchema and every bucket carries the UNION schema — no
+    silent column drop."""
+    t = str(tmp_path / "tbl")
+    snap.commit(
+        spark,
+        spark.range(200).selectExpr("id", "id % 16 AS x"),
+        t,
+        mode="overwrite",
+    )
+    src = spark.range(200, 260).selectExpr(
+        "id", "id % 16 AS x", "'new' AS tag"
+    )
+    snap.merge_upsert(spark, src, t, keys=["id"], evolve_schema=True)
+    v = snap.optimize_table(
+        spark, t, zorder_by=["x", "id"], zorder_buckets=4
+    )
+    got = snap.read_snapshot(spark, t, v)
+    assert set(got.columns) == {"id", "x", "tag"}
+    assert got.count() == 260
+    assert got.where("tag = 'new'").count() == 60
+    assert got.where("tag IS NULL").count() == 200
+    m = snap._load_manifest(t, v, snap._POSIX)
+    assert all("/_zb=" in d for d in m["dirs"])
+
+
+def test_replace_where_on_zordered_table(spark, tmp_path):
+    """Cross-feature: the predicate-scoped overwrite attributes rows
+    to nested Z-bucket directories, rewrites only the buckets that
+    contain a match, and keeps the rest by reference."""
+    t = str(tmp_path / "tbl")
+    snap.commit(
+        spark,
+        spark.range(4096).selectExpr(
+            "id", "CAST(id % 64 AS BIGINT) AS x",
+            "CAST((id * 37) % 64 AS BIGINT) AS y",
+        ),
+        t,
+        mode="overwrite",
+    )
+    vz = snap.optimize_table(
+        spark, t, zorder_by=["x", "y"], zorder_buckets=8
+    )
+    zdirs = set(snap._load_manifest(t, vz, snap._POSIX)["dirs"])
+    repl = spark.range(100_000, 100_005).selectExpr(
+        "id", "CAST(0 AS BIGINT) AS x", "CAST(0 AS BIGINT) AS y"
+    )
+    v = snap.replace_where(spark, repl, t, "x = 0 AND y = 0")
+    got = snap.read_snapshot(spark, t, v)
+    assert got.where("x = 0 AND y = 0 AND id < 100000").count() == 0
+    assert got.where("id >= 100000").count() == 5
+    assert got.count() == 4096 - spark.range(4096).selectExpr(
+        "CAST(id % 64 AS BIGINT) AS x", "CAST((id*37) % 64 AS BIGINT) AS y"
+    ).where("x = 0 AND y = 0").count() + 5
+    # untouched buckets carried by reference, touched ones rewritten
+    kept = set(snap._load_manifest(t, v, snap._POSIX)["dirs"]) & zdirs
+    assert kept and kept < zdirs
+
+
+def test_timestamps_monotonic_across_rebase(spark, tmp_path):
+    """A rebased rewrite's commit stamp still lands strictly after the
+    interleaved append's (the per-retry re-read of the parent's ts
+    floors the stamp even when the parent changed mid-publish)."""
+    import uuid as _uuid
+
+    t = str(tmp_path / "tbl")
+    snap.commit(
+        spark,
+        spark.range(100).selectExpr("id", "id % 5 AS k"),
+        t,
+        mode="overwrite",
+        _ts_us=1_000 * 1_000_000,
+    )
+    basis = snap.current_version(t)
+    snap.commit(
+        spark,
+        spark.range(100, 110).selectExpr("id", "id % 5 AS k"),
+        t,
+        mode="append",
+        _ts_us=5_000 * 1_000_000,
+    )
+    surv = snap.read_snapshot(spark, t, basis).where("k <> 0")
+    d = os.path.join(t, snap._DATA_DIR, "c" + _uuid.uuid4().hex[:12])
+    surv.write.parquet(d)
+    v = snap.commit(
+        spark, None, t, mode="overwrite", expected_parent=basis,
+        _op="delete", _dirs=[os.path.relpath(d, t)], _rebase=True,
+        _ts_us=2_000 * 1_000_000,  # injected BEHIND the append's stamp
+    )
+    h = {e["version"]: e["ts_us"] for e in snap.history(t)}
+    assert h[v] > h[v - 1] > h[v - 2]
+    assert h[v] == 5_000 * 1_000_000 + 1  # floored past the append
