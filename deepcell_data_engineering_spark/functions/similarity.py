@@ -566,22 +566,43 @@ def pq_train(
     v = df.select(id_col, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
     mean_arr = "array(" + ",".join(f"avg(sl[{i}])" for i in range(sub)) + ")"
     for _ in range(iters):
-        branches = None
-        for s in range(m):
-            cmat = _unit_rows_literal(cent[s])
-            b = (
-                v.selectExpr(f"slice({vec_col}, {s * sub + 1}, {sub}) AS sl")
-                .selectExpr("sl", f"{_dot_scores_expr('sl', cmat)} AS _scores")
-                .selectExpr(
-                    f"int({s}) AS s",
-                    "sl",
-                    "cast(array_position(_scores, array_max(_scores)) - 1"
-                    " as int) AS code",
-                )
+        # ONE map pass assigns every subspace: per row an m-struct
+        # array (subspace id, slice, nearest code), exploded — vs the
+        # previous union of m per-subspace branches, which scanned the
+        # working set m times through m x P map tasks. Expression
+        # trees per subspace are unchanged (same slice, same inline
+        # unit-centroid dot, same first-max tie rule), and a (s, code)
+        # group's partial sums still merge in ascending partition
+        # order, so the trained centroids are bit-identical.
+        assigned = (
+            v.selectExpr(
+                *[
+                    f"slice({vec_col}, {s * sub + 1}, {sub}) AS _sl{s}"
+                    for s in range(m)
+                ]
             )
-            branches = b if branches is None else branches.unionByName(b)
+            .selectExpr(
+                *[f"_sl{s}" for s in range(m)],
+                *[
+                    f"{_dot_scores_expr(f'_sl{s}', _unit_rows_literal(cent[s]))}"
+                    f" AS _sc{s}"
+                    for s in range(m)
+                ],
+            )
+            .selectExpr(
+                "explode(array("
+                + ",".join(
+                    f"named_struct('s', int({s}), 'sl', _sl{s}, 'code',"
+                    f" cast(array_position(_sc{s}, array_max(_sc{s})) - 1"
+                    " as int))"
+                    for s in range(m)
+                )
+                + ")) AS _b"
+            )
+            .selectExpr("_b.s AS s", "_b.sl AS sl", "_b.code AS code")
+        )
         stats = (
-            branches.groupBy("s", "code")
+            assigned.groupBy("s", "code")
             .agg(F.expr(mean_arr).alias("mean_vec"))
             .collect()
         )
@@ -604,9 +625,50 @@ def pq_encode(
     normalized centroid, ties to the smaller code). Uses ivf_assign's
     inline-literal path, so each subspace's encoding is MAP-ONLY —
     the union of m subspaces never shuffles. Returns (id, s, code)."""
+    from deepcell_data_engineering_spark.plans.layout import spread
+
     spark = df.sparkSession
     m = max(s for s, _, _ in codebooks) + 1
     sub = len(codebooks[0][2])
+    books = [
+        [v for ss, j, v in sorted(codebooks) if ss == s] for s in range(m)
+    ]
+    if all(len(b) * sub <= _INLINE_LIMIT for b in books):
+        # ONE map pass encodes all m subspaces (vs a union of m
+        # ivf_assign branches = m scans through m x P map tasks):
+        # identical inline unit-centroid dot and first-max tie rule
+        # per subspace, codes are ordinal 0..k-1 in codeword order —
+        # exactly ivf_assign's centroid_id for these inputs.
+        v = _as_double(spread(df), vec_col)
+        return (
+            v.selectExpr(
+                id_col,
+                *[
+                    f"slice({vec_col}, {s * sub + 1}, {sub}) AS _sl{s}"
+                    for s in range(m)
+                ],
+            )
+            .selectExpr(
+                id_col,
+                *[
+                    f"{_dot_scores_expr(f'_sl{s}', _unit_rows_literal(books[s]))}"
+                    f" AS _sc{s}"
+                    for s in range(m)
+                ],
+            )
+            .selectExpr(
+                id_col,
+                "explode(array("
+                + ",".join(
+                    f"named_struct('s', int({s}), 'code',"
+                    f" cast(array_position(_sc{s}, array_max(_sc{s})) - 1"
+                    " as bigint))"
+                    for s in range(m)
+                )
+                + ")) AS _b",
+            )
+            .selectExpr(id_col, "_b.s AS s", "_b.code AS code")
+        )
     out = None
     for s in range(m):
         cent = spark.createDataFrame(

@@ -12578,11 +12578,15 @@ def x167(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(quantity has ~50 distinct values) the rank-histogram form is "
     "the only correct one — the 6/n(n^2-1) shortcut assumes no ties. "
     "The ENGINE never row-ranks: each variable's double-rank is a "
-    "closed form over its per-group VALUE HISTOGRAM prefix sums "
-    "(grouped_cumsum — two-phase distributed scan, no single-task "
-    "window even though price is near-unique), joined back to rows "
-    "by (group, value) — two vocabulary joins, one moments "
-    "aggregation. The ORACLE row-ranks literally with RANK()/COUNT() "
+    "closed form over its per-group VALUE HISTOGRAM prefix sums. "
+    "Quantity's histogram is domain-bounded (~50 distinct values), so "
+    "its rank map broadcasts onto the fact scan; the near-unique "
+    "price is folded — dr_q partial sums riding along — into ONE "
+    "(group, price) histogram that a single grouped_cumsum (two-phase "
+    "distributed scan, no single-task window) ranks, and the moments "
+    "finish from histogram cells without ever joining a rank map "
+    "back onto fact rows (regrouped integer sums — bit-identical). "
+    "The ORACLE row-ranks literally with RANK()/COUNT() "
     "windows and HUGEINT moments — a different derivation of the "
     "same exact integers. Both sides make ONE double division (and "
     "a sqrt of the same exact product), rounded once.",
@@ -12597,35 +12601,76 @@ def x168(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").alias("q"),
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("c"),
     )
-
-    def rank_map(col: str) -> DataFrame:
-        hist = t.groupBy("g", col).agg(
-            F.count(F.lit(1)).cast("long").alias("cnt")
-        )
-        cum = grouped_cumsum(hist, ["g"], col, ["cnt"])
-        # double-rank of every row holding this value:
-        # 2*avg_rank = 2*(cum - cnt) + cnt + 1
-        return cum.select(
-            "g",
-            col,
-            (
-                F.lit(2) * (F.col("cum_cnt") - F.col("cnt"))
-                + F.col("cnt")
-                + F.lit(1)
-            ).alias(f"dr_{col}"),
-        )
-
-    ranked = t.join(rank_map("q"), ["g", "q"]).join(
-        rank_map("c"), ["g", "c"]
-    )
     dec = lambda x: x.cast("decimal(38,0)")
-    mo = ranked.groupBy("g").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(dec(F.col("dr_q"))).alias("sx"),
-        F.sum(dec(F.col("dr_c"))).alias("sy"),
-        F.sum(dec(F.col("dr_q") * F.col("dr_q"))).alias("sxx"),
-        F.sum(dec(F.col("dr_c") * F.col("dr_c"))).alias("syy"),
-        F.sum(dec(F.col("dr_q") * F.col("dr_c"))).alias("sxy"),
+    # QUANTITY's rank map is DOMAIN-BOUNDED (l_quantity holds ~50
+    # distinct integer-valued quantities per TPC-H's generator, at any
+    # SF), so its double-ranks come from a plain histogram + per-group
+    # window over ~50 rows/group and broadcast back — the x40 "bounds
+    # attach" posture, no data-sized join. The map-side partial agg
+    # collapses the histogram exchange to partitions x ~150 rows.
+    hist_q = t.groupBy("g", "q").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wq = Window.partitionBy("g").orderBy("q").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rq = hist_q.withColumn("cum_cnt", F.sum("cnt").over(wq)).select(
+        "g",
+        "q",
+        (
+            F.lit(2) * (F.col("cum_cnt") - F.col("cnt"))
+            + F.col("cnt")
+            + F.lit(1)
+        ).alias("dr_q"),
+    )
+    # PRICE is near-unique, so its rank map is data-sized: ONE
+    # distributed prefix scan (grouped_cumsum) over the plain (g, c)
+    # VALUE HISTOGRAM — fed the exact slim (group, value, count)
+    # shape whose partial/offsets branches provably share one range
+    # exchange (a payload-carrying histogram de-duplicates wrong and
+    # trips the same-splits guard) — while a SECOND fact aggregation
+    # folds the broadcast-attached dr_q into per-(g, c) partial sums
+    # (cnt, s1 = sum dr_q, s2 = sum dr_q^2). The rank map then joins
+    # the CELL table (histogram-sized, already hash(g, c)-partitioned
+    # by its aggregation), never the fact rows — the previous shape
+    # ranked both variables through two grouped_cumsum calls and
+    # joined both maps back onto the fact table (two extra fact-sized
+    # exchanges + a second range sampler). All quantities are exact
+    # integers in decimal(38,0), so the regrouped sums are
+    # bit-identical: sx = SUM(s1), sxx = SUM(s2), sy = SUM(cnt*dr_c),
+    # syy = SUM(dr_c^2*cnt), sxy = SUM(dr_c*s1).
+    hist_c = t.groupBy("g", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cum = grouped_cumsum(hist_c, ["g"], "c", ["cnt"])
+    rc = cum.select(
+        "g",
+        "c",
+        (
+            F.lit(2) * (F.col("cum_cnt") - F.col("cnt"))
+            + F.col("cnt")
+            + F.lit(1)
+        ).alias("dr_c"),
+    )
+    jh = (
+        t.join(F.broadcast(rq), ["g", "q"])
+        .groupBy("g", "c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(dec(F.col("dr_q"))).alias("s1"),
+            F.sum(dec(F.col("dr_q") * F.col("dr_q"))).alias("s2"),
+        )
+    )
+    cell = jh.join(rc, ["g", "c"])
+    mo = cell.groupBy("g").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("s1").alias("sx"),
+        F.sum(dec(F.col("dr_c")) * F.col("cnt")).alias("sy"),
+        F.sum("s2").alias("sxx"),
+        F.sum(
+            dec(F.col("dr_c") * F.col("dr_c")) * F.col("cnt")
+        ).alias("syy"),
+        F.sum(F.col("s1") * dec(F.col("dr_c"))).alias("sxy"),
     )
     n = dec(F.col("n"))
     num = n * F.col("sxy") - F.col("sx") * F.col("sy")
@@ -16209,6 +16254,10 @@ def x203(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("max_files_per_batch", "2")
             .load()
             .writeStream.foreachBatch(sink)
+            # measured: busy batches retrigger immediately at this
+            # cadence, so a shorter interval only spins empty batches
+            # after the drain (isolated A/B: 20 ms was SLOWER); the
+            # tight 50 ms poll below is where completion latency went
             .trigger(processingTime="200 milliseconds")
             .option("checkpointLocation", f"{root}/ckpt")
             .start()
@@ -16219,7 +16268,7 @@ def x203(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _time.time() < deadline
                 and sum(rows_seen.values()) < expected
             ):
-                _time.sleep(0.2)
+                _time.sleep(0.05)
         finally:
             q.stop()
             q.awaitTermination(30)

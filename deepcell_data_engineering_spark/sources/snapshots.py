@@ -409,6 +409,80 @@ def _load_manifest(
     return json.loads(raw)
 
 
+def _as_nullable(dt):
+    """Recursively mark every field/element nullable — the shape a
+    parquet read reports (Spark treats parquet fields as nullable), so
+    a manifest-recorded schema matches what a footer-union read would
+    have returned."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _as_nullable(f.dataType), True, f.metadata)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_as_nullable(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(
+            _as_nullable(dt.keyType), _as_nullable(dt.valueType), True
+        )
+    return dt
+
+
+def _merge_schemas(a, b):
+    """Union of two (nullable-normalized) StructTypes in parquet
+    mergeSchema field order: ``a``'s fields, then ``b``'s new ones.
+    Returns None on any same-name type mismatch — the caller then
+    records NO schema and readers fall back to the footer-union read
+    (never wrong, just slower)."""
+    from pyspark.sql.types import StructType
+
+    fields = list(a.fields)
+    idx = {f.name: i for i, f in enumerate(fields)}
+    for f in b.fields:
+        if f.name in idx:
+            if fields[idx[f.name]].dataType != f.dataType:
+                return None
+        else:
+            fields.append(f)
+    return StructType(fields)
+
+
+def _stored_schema(manifest: dict):
+    """The manifest-recorded table schema (Delta's schemaString idea),
+    or None for logs written before schemas were recorded / commits
+    whose schema merge was not type-clean."""
+    from pyspark.sql.types import StructType
+
+    js = manifest.get("schema")
+    if not js:
+        return None
+    try:
+        return StructType.fromJson(js)
+    except Exception:
+        return None
+
+
+def _snapshot_reader(spark: SparkSession, manifest: dict, merge_schema: bool):
+    """Reader for a snapshot's directories. With ``merge_schema`` the
+    manifest-recorded schema (when present) replaces the footer-union
+    pass — identical union semantics (missing columns NULL-pad, field
+    order = parent-then-evolved, everything nullable) with ZERO schema
+    jobs; at 100 TB the footer-union read touches every file of the
+    table per CRUD op, which this removes. Logs without a recorded
+    schema keep the footer-union read."""
+    reader = spark.read
+    if merge_schema:
+        sch = _stored_schema(manifest)
+        if sch is not None:
+            return reader.schema(sch)
+        return reader.option("mergeSchema", "true")
+    return reader
+
+
 def _column_ranges(df: DataFrame, cols: list[str]) -> dict[str, list]:
     """One aggregation: [min, max] per named column, keeping only
     JSON-stable scalars (int/float/str/bool). A column that is all-NULL
@@ -440,9 +514,7 @@ def _rewritten_dir_stats(
     copy-on-write cost class); tables that never recorded stats pay
     nothing. A dir that cannot be profiled (e.g. written empty) is
     skipped — absent stats stay merely unprunable."""
-    cols = sorted(
-        {c for s in manifest.get("stats", {}).values() for c in s}
-    )
+    cols = _tracked_stat_cols(manifest)
     if not cols:
         return {}
     out: dict[str, dict] = {}
@@ -454,6 +526,69 @@ def _rewritten_dir_stats(
         except Exception:
             continue
     return out
+
+
+def _tracked_stat_cols(manifest: dict) -> list[str]:
+    """Columns the parent manifest tracks data-skipping stats for."""
+    return sorted(
+        {c for s in manifest.get("stats", {}).values() for c in s}
+    )
+
+
+def _write_parquet_with_ranges(
+    df: DataFrame, out_dir: str, cols: list[str]
+) -> dict[str, list]:
+    """Write ``df`` as parquet and return [min, max] per named column,
+    computed IN the write job via ``Observation`` (CollectMetrics) —
+    one pass over the data instead of write-then-read-back. At 100 TB a
+    rewrite's stats read-back is a second full scan of everything just
+    written; here the scan disappears (guide: measure once, don't
+    recompute what the write already streamed past).
+
+    Equivalence contract with the read-back path (`_column_ranges`
+    over ``spark.read.parquet(out_dir)``): identical min/max over
+    identical rows, the same JSON-stable scalar filter, and the same
+    skip-the-dir behavior when a requested column cannot be aggregated
+    (missing after schema evolution, unorderable type): the caller
+    gets ``{}`` and records no stats — unprunable, never wrong."""
+    if not cols:
+        df.write.parquet(out_dir)
+        return {}
+    from pyspark.sql import Observation
+
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"_lo_{c}"))
+        aggs.append(F.max(c).alias(f"_hi_{c}"))
+    obs = Observation()
+    try:
+        observed = df.observe(obs, *aggs)
+        observed.schema  # force analysis: bad column -> fall back
+    except Exception:
+        df.write.parquet(out_dir)
+        return {}
+    observed.write.parquet(out_dir)
+    row = obs.get
+    out: dict[str, list] = {}
+    for c in cols:
+        lo, hi = row.get(f"_lo_{c}"), row.get(f"_hi_{c}")
+        if isinstance(lo, (int, float, str, bool)) and isinstance(
+            hi, (int, float, str, bool)
+        ):
+            out[c] = [lo, hi]
+    return out
+
+
+def _write_data_dir(
+    df: DataFrame, table_path: str, cols: list[str]
+) -> tuple[str, dict[str, list]]:
+    """Write ``df`` under a fresh uuid data directory with fused
+    range stats; returns (table-relative dir, ranges)."""
+    out_dir = os.path.join(
+        table_path, _DATA_DIR, f"c{uuid.uuid4().hex[:12]}"
+    )
+    ranges = _write_parquet_with_ranges(df, out_dir, cols)
+    return os.path.relpath(out_dir, table_path), ranges
 
 
 def _stats_cmp_key(v):
@@ -531,10 +666,7 @@ def scan_snapshot(
         return read_snapshot(
             spark, table_path, version, merge_schema=merge_schema, store=st
         ).limit(0)
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
-    return reader.parquet(
+    return _snapshot_reader(spark, manifest, merge_schema).parquet(
         *[os.path.join(table_path, d) for d in kept]
     )
 
@@ -556,6 +688,7 @@ def commit(
     _drop_constraints: list[str] | None = None,
     _rebase: bool = False,
     _ts_us: int | None = None,
+    _schema=None,
 ) -> int:
     """Write ``df`` as a new table version and return its number.
 
@@ -758,15 +891,18 @@ def commit(
     new_dir_stats: dict[str, list] = {}
     rel_dir: str | None = None
     if _dirs is None and df is not None:
-        commit_dir = os.path.join(
-            table_path, _DATA_DIR, f"c{uuid.uuid4().hex[:12]}"
-        )
-        df.write.parquet(commit_dir)
-        rel_dir = os.path.relpath(commit_dir, table_path)
+        # stats ride the write job itself (Observation/CollectMetrics)
+        # — one pass, no read-back of what was just written. A bad
+        # stats column still raises, as the read-back aggregate did.
         if stats_cols:
-            new_dir_stats = _column_ranges(
-                spark.read.parquet(commit_dir), stats_cols
-            )
+            missing = [c for c in stats_cols if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"stats_cols not in the committed frame: {missing}"
+                )
+        rel_dir, new_dir_stats = _write_data_dir(
+            df, table_path, list(stats_cols or [])
+        )
 
     for _ in range(_COMMIT_RETRIES):
         version = 0 if parent is None else parent + 1
@@ -842,6 +978,38 @@ def commit(
             stats.update({d: s for d, s in _dir_stats.items() if s})
         if stats:
             manifest["stats"] = stats
+        # manifest-carried SCHEMA (Delta's schemaString): written once
+        # at commit time so readers/CRUD never pay a footer-union pass
+        # to rediscover it. Overwrites record the written frame's
+        # schema; appends and _dirs rewrites merge it with the
+        # parent's recorded union (re-read per retry so a racer's
+        # evolution carries); a type-mismatched merge records nothing
+        # (readers fall back to mergeSchema — slower, never wrong).
+        written = _schema if _schema is not None else (
+            df.schema if df is not None else None
+        )
+        written = _as_nullable(written) if written is not None else None
+        parent_sch = None
+        if parent is not None:
+            parent_sch = _stored_schema(
+                _load_manifest(table_path, parent, st)
+            )
+        if df is not None and _dirs is None and mode in (
+            "overwrite", "replace",
+        ):
+            sch = written
+        elif written is None:
+            sch = parent_sch
+        elif parent is None or parent_sch is None:
+            # no parent union to carry: for a fresh table the written
+            # schema IS the table schema; for an unrecorded legacy log
+            # a partial claim could hide parent-only columns — record
+            # nothing and keep the footer-union fallback
+            sch = written if parent is None else None
+        else:
+            sch = _merge_schemas(parent_sch, written)
+        if sch is not None:
+            manifest["schema"] = sch.jsonValue()
         # constraints are table-level state: parent's set (re-read per
         # retry so a racer's additions carry) merged with this call's
         # adds, minus this call's drops
@@ -1220,9 +1388,9 @@ def merge_upsert(
     # schema directories (rewritten dirs carry the union, carried-by-
     # reference dirs the old schema); a plain read would infer from an
     # arbitrary footer and could silently DROP the evolved column from
-    # this rewrite. The footer-union pass costs one footer read per
-    # file — noise next to the copy-on-write rewrite itself.
-    parent_scan = spark.read.option("mergeSchema", "true").parquet(
+    # this rewrite. The manifest-recorded union schema replaces the
+    # footer-union pass when present (same union, zero schema jobs).
+    parent_scan = _snapshot_reader(spark, manifest, True).parquet(
         *[os.path.join(table_path, d) for d in parent_dirs]
     )
     src_set, par_set = set(source.columns), set(parent_scan.columns)
@@ -1314,24 +1482,22 @@ def merge_upsert(
         )
     chg_rel = _write_change_set(chg, table_path)
 
+    tracked = _tracked_stat_cols(manifest)
     new_rels: list[str] = []
+    dir_stats: dict[str, dict] = {}
     if touched:
         # only when some parent directory actually contained a matched
         # key — a pure-insert merge (no key matches; the common CDC
         # upsert-stream case) must not publish an empty survivors dir
-        rewrite_dir = os.path.join(
-            table_path, _DATA_DIR, f"c{uuid.uuid4().hex[:12]}"
-        )
-        survivors.write.parquet(rewrite_dir)
-        new_rels.append(os.path.relpath(rewrite_dir, table_path))
+        rel, ranges = _write_data_dir(survivors, table_path, tracked)
+        new_rels.append(rel)
+        dir_stats[rel] = ranges
     # a pure-tombstone batch has no upsert rows — don't publish an
     # empty source directory (cheap bounded count on the pinned frame)
     if del_keys is None or source.limit(1).count() > 0:
-        source_dir = os.path.join(
-            table_path, _DATA_DIR, f"c{uuid.uuid4().hex[:12]}"
-        )
-        source.write.parquet(source_dir)
-        new_rels.append(os.path.relpath(source_dir, table_path))
+        rel, ranges = _write_data_dir(source, table_path, tracked)
+        new_rels.append(rel)
+        dir_stats[rel] = ranges
     kept = [d for d in parent_dirs if d not in touched]
     dirs = kept + new_rels
     return commit(
@@ -1346,7 +1512,8 @@ def merge_upsert(
         _dirs=dirs,
         _rebase=True,
         _extra_manifest={"change_dir": chg_rel},
-        _dir_stats=_rewritten_dir_stats(spark, table_path, manifest, new_rels),
+        _dir_stats=dir_stats,
+        _schema=source.schema,
     )
 
 
@@ -1410,12 +1577,13 @@ def delete_where(
 
     manifest = _load_manifest(table_path, basis, st)
     parent_dirs: list[str] = manifest["dirs"]
-    # mergeSchema for the same reason as merge_upsert: a prior
-    # evolve_schema merge leaves mixed-schema dirs, and inferring from
-    # an arbitrary footer could silently drop the evolved column from
-    # the survivor rewrite.
+    # schema reconciliation for the same reason as merge_upsert: a
+    # prior evolve_schema merge leaves mixed-schema dirs, and inferring
+    # from an arbitrary footer could silently drop the evolved column
+    # from the survivor rewrite. The manifest-recorded union schema
+    # replaces the footer-union pass when present.
     parent = _with_dir_col(
-        spark.read.option("mergeSchema", "true").parquet(
+        _snapshot_reader(spark, manifest, True).parquet(
             *[os.path.join(table_path, d) for d in parent_dirs]
         )
     )
@@ -1448,15 +1616,14 @@ def delete_where(
 
     kept = [d for d in parent_dirs if d not in touched]
     dirs = list(kept)
-    new_rels: list[str] = []
+    dir_stats: dict[str, dict] = {}
     if touched:
         survivors = flagged.where(~F.col(flag)).drop(_DIR_COL, flag)
-        rewrite_dir = os.path.join(
-            table_path, _DATA_DIR, f"c{uuid.uuid4().hex[:12]}"
+        rel, ranges = _write_data_dir(
+            survivors, table_path, _tracked_stat_cols(manifest)
         )
-        survivors.write.parquet(rewrite_dir)
-        new_rels = [os.path.relpath(rewrite_dir, table_path)]
-        dirs.extend(new_rels)
+        dir_stats[rel] = ranges
+        dirs.append(rel)
     return commit(
         spark,
         None,
@@ -1469,7 +1636,8 @@ def delete_where(
         _dirs=dirs,
         _rebase=True,
         _extra_manifest={"change_dir": chg_rel},
-        _dir_stats=_rewritten_dir_stats(spark, table_path, manifest, new_rels),
+        _dir_stats=dir_stats,
+        _schema=parent.drop(_DIR_COL).schema,
     )
 
 
@@ -1528,7 +1696,7 @@ def update_where(
     manifest = _load_manifest(table_path, basis, st)
     parent_dirs: list[str] = manifest["dirs"]
     parent = _with_dir_col(
-        spark.read.option("mergeSchema", "true").parquet(
+        _snapshot_reader(spark, manifest, True).parquet(
             *[os.path.join(table_path, d) for d in parent_dirs]
         )
     )
@@ -1583,15 +1751,16 @@ def update_where(
 
     kept = [d for d in parent_dirs if d not in touched]
     dirs = list(kept)
-    new_rels: list[str] = []
+    dir_stats: dict[str, dict] = {}
     if touched:
         survivors = flagged.where(~F.col(flag)).drop(_DIR_COL, flag)
-        rewrite_dir = os.path.join(
-            table_path, _DATA_DIR, f"c{uuid.uuid4().hex[:12]}"
+        rel, ranges = _write_data_dir(
+            survivors.unionByName(post),
+            table_path,
+            _tracked_stat_cols(manifest),
         )
-        survivors.unionByName(post).write.parquet(rewrite_dir)
-        new_rels = [os.path.relpath(rewrite_dir, table_path)]
-        dirs.extend(new_rels)
+        dir_stats[rel] = ranges
+        dirs.append(rel)
     return commit(
         spark,
         None,
@@ -1604,7 +1773,8 @@ def update_where(
         _dirs=dirs,
         _rebase=True,
         _extra_manifest={"change_dir": chg_rel},
-        _dir_stats=_rewritten_dir_stats(spark, table_path, manifest, new_rels),
+        _dir_stats=dir_stats,
+        _schema=parent.drop(_DIR_COL).schema,
     )
 
 
@@ -1697,7 +1867,7 @@ def replace_where(
     _enforce_constraints(df, manifest.get("constraints", {}), table_path)
     parent_dirs: list[str] = manifest["dirs"]
     parent = _with_dir_col(
-        spark.read.option("mergeSchema", "true").parquet(
+        _snapshot_reader(spark, manifest, True).parquet(
             *[os.path.join(table_path, d) for d in parent_dirs]
         )
     )
@@ -1742,20 +1912,20 @@ def replace_where(
     chg_rel = _write_change_set(chg, table_path)
 
     kept = [d for d in parent_dirs if d not in touched]
+    tracked = _tracked_stat_cols(manifest)
     new_rels: list[str] = []
+    dir_stats: dict[str, dict] = {}
     if touched:
         survivors = flagged.where(~F.col(flag)).drop(_DIR_COL, flag)
-        rewrite_dir = os.path.join(
-            table_path, _DATA_DIR, f"c{uuid.uuid4().hex[:12]}"
-        )
-        survivors.write.parquet(rewrite_dir)
-        new_rels.append(os.path.relpath(rewrite_dir, table_path))
+        rel, ranges = _write_data_dir(survivors, table_path, tracked)
+        new_rels.append(rel)
+        dir_stats[rel] = ranges
     if df.limit(1).count() > 0:  # an empty reload = scoped delete
-        load_dir = os.path.join(
-            table_path, _DATA_DIR, f"c{uuid.uuid4().hex[:12]}"
+        rel, ranges = _write_data_dir(
+            df.select(*par_cols), table_path, tracked
         )
-        df.select(*par_cols).write.parquet(load_dir)
-        new_rels.append(os.path.relpath(load_dir, table_path))
+        new_rels.append(rel)
+        dir_stats[rel] = ranges
     dirs = kept + new_rels
     return commit(
         spark,
@@ -1769,7 +1939,8 @@ def replace_where(
         _dirs=dirs,
         _rebase=True,
         _extra_manifest={"change_dir": chg_rel},
-        _dir_stats=_rewritten_dir_stats(spark, table_path, manifest, new_rels),
+        _dir_stats=dir_stats,
+        _schema=parent.drop(_DIR_COL).schema,
     )
 
 
@@ -1882,10 +2053,7 @@ def read_snapshot(
     m = _load_manifest(table_path, version, st)
     if not m["dirs"]:
         raise ValueError(f"version {version} references no data")
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
-    return reader.parquet(
+    return _snapshot_reader(spark, m, merge_schema).parquet(
         *[os.path.join(table_path, d) for d in m["dirs"]]
     )
 
@@ -2202,12 +2370,27 @@ def optimize_table(
         )
         new_rels = [f"{rel}/{s}" for s in subs]
         stats_cols = sorted(set(tracked) | set(zorder_by))
+        # every bucket's [min, max] in ONE grouped pass over the
+        # partition-discovered write (vs one read-back job per bucket
+        # — at real bucket counts that was O(buckets) full re-reads)
+        aggs = []
+        for c in stats_cols:
+            aggs.append(F.min(c).alias(f"_lo_{c}"))
+            aggs.append(F.max(c).alias(f"_hi_{c}"))
+        by_bucket: dict[str, dict] = {}
+        for r in spark.read.parquet(commit_dir).groupBy("_zb").agg(
+            *aggs
+        ).collect():
+            rng: dict[str, list] = {}
+            for c in stats_cols:
+                lo, hi = r[f"_lo_{c}"], r[f"_hi_{c}"]
+                if isinstance(lo, (int, float, str, bool)) and isinstance(
+                    hi, (int, float, str, bool)
+                ):
+                    rng[c] = [lo, hi]
+            by_bucket[f"_zb={r['_zb']}"] = rng
         dir_stats = {
-            r: _column_ranges(
-                spark.read.parquet(os.path.join(table_path, r)),
-                stats_cols,
-            )
-            for r in new_rels
+            f"{rel}/{s}": by_bucket.get(s, {}) for s in subs
         }
         return commit(
             spark,
@@ -2219,6 +2402,7 @@ def optimize_table(
             _dirs=new_rels,
             _rebase=True,
             _dir_stats=dir_stats,
+            _schema=df.schema,
         )
     if n_target >= n_files:
         return basis
@@ -2294,6 +2478,10 @@ def clone_table(
         _extra_manifest={
             "cloned_from": src_path,
             "clone_version": version,
+            # explicit None when the source never recorded a schema:
+            # overrides commit's parent-schema carry, which would be
+            # the DESTINATION's shape, not the cloned content's
+            "schema": m.get("schema"),
         },
     )
 
@@ -2385,7 +2573,12 @@ def restore_table(
         _op="restore",
         _dirs=list(m["dirs"]),
         _dir_stats=m.get("stats", {}),
-        _extra_manifest={"restored_from": version},
+        _extra_manifest={
+            "restored_from": version,
+            # explicit None when the restored version predates schema
+            # recording — the head's schema must not leak onto it
+            "schema": m.get("schema"),
+        },
     )
 
 
