@@ -250,19 +250,37 @@ def _cms_bucket(value: F.Column, j: F.Column, width: int) -> F.Column:
 
 
 def cms_build(
-    df: DataFrame, value_col: str, width: int = 4096, depth: int = 4
+    df: DataFrame,
+    value_col: str,
+    width: int = 4096,
+    depth: int = 4,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Count-Min counter table (j, bucket, c) of df[value_col]: one
     explode(depth) fan-out + one grouped count. At most depth*width
-    rows whatever the cardinality."""
+    rows whatever the cardinality.
+
+    ``count_col`` builds from a PRE-AGGREGATED frequency table (one
+    row per distinct value carrying its count) instead of raw rows:
+    counters are sums of per-value counts per bucket, bit-identical to
+    the raw build by associativity of integer addition. This is the
+    scale-honest form when a per-key count table already exists in the
+    plan (x79/x86/x90 price joins from it): the depth-way explode then
+    fans out DISTINCT KEYS, not raw rows, and the value scan is shared
+    with the exact-twin aggregation through one reused exchange."""
     if width < 2 or depth < 1:
         raise ValueError(f"need width >= 2 and depth >= 1, got {width}x{depth}")
     j = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+    src = df.where(F.col(value_col).isNotNull())  # NULL keys carry no identity
+    if count_col is None:
+        sel, agg = [F.col(value_col).alias("_v"), j], F.count(F.lit(1))
+    else:
+        sel = [F.col(value_col).alias("_v"), F.col(count_col).alias("_n"), j]
+        agg = F.sum("_n")
     return (
-        df.where(F.col(value_col).isNotNull())  # NULL keys carry no identity
-        .select(F.col(value_col).alias("_v"), j)
+        src.select(*sel)
         .groupBy("j", _cms_bucket(F.col("_v"), F.col("j"), width).alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(agg.cast("long").alias("c"))
     )
 
 

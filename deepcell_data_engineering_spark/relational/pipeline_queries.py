@@ -4152,13 +4152,14 @@ def x79(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys = load_table(spark, sf_dir, table).select(
             F.col(col).cast("string").alias("k")
         )
-        cms = cms_build(keys, "k", width=4096, depth=4)
+        # ONE scan per branch (r13): the per-key count table feeds both
+        # the CMS build (count_col form — counters are bit-identical
+        # sums) and the exact twin, through one reused exchange; the
+        # depth-way CMS explode fans out distinct keys, not raw rows.
+        counts = keys.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+        cms = cms_build(counts, "k", width=4096, depth=4, count_col="c")
         est = cms_inner_product(cms, cms)
-        exact = (
-            keys.groupBy("k")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .agg(F.sum(F.col("c") * F.col("c")).alias("exact_size"))
-        )
+        exact = counts.agg(F.sum(F.col("c") * F.col("c")).alias("exact_size"))
         frames.append(
             est.crossJoin(exact).select(
                 F.lit(col).alias("key_col"),
@@ -4969,16 +4970,17 @@ def x86(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys_b = load_table(spark, sf_dir, tb).select(
             F.col(kb).cast("string").alias("k")
         )
+        # ONE scan per (table, key) (r13): per-key counts feed both the
+        # CMS build (count_col form — bit-identical counters) and the
+        # exact join-size twin via one reused exchange per side.
+        counts_a = keys_a.groupBy("k").agg(F.count(F.lit(1)).alias("ca"))
+        counts_b = keys_b.groupBy("k").agg(F.count(F.lit(1)).alias("cb"))
         est = cms_inner_product(
-            cms_build(keys_a, "k", width=4096, depth=4),
-            cms_build(keys_b, "k", width=4096, depth=4),
+            cms_build(counts_a, "k", width=4096, depth=4, count_col="ca"),
+            cms_build(counts_b, "k", width=4096, depth=4, count_col="cb"),
         )
         exact = (
-            keys_a.groupBy("k")
-            .agg(F.count(F.lit(1)).alias("ca"))
-            .join(
-                keys_b.groupBy("k").agg(F.count(F.lit(1)).alias("cb")), "k"
-            )
+            counts_a.join(counts_b, "k")
             .agg(
                 F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
                 .cast("bigint")
@@ -5359,16 +5361,19 @@ def x90(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]:
         keys_a = ta.select(F.col(ka).cast("string").alias("k"))
         keys_b = tb.select(F.col(kb).cast("string").alias("k"))
+        # ONE scan per (table, key) (r13): per-key counts feed both the
+        # CMS build (count_col form — bit-identical counters) and the
+        # exact join-size twin via one reused exchange per side.
+        counts_a = keys_a.groupBy("k").agg(F.count(F.lit(1)).alias("ca"))
+        counts_b = keys_b.groupBy("k").agg(F.count(F.lit(1)).alias("cb"))
         est_cms = cms_inner_product(
-            cms_build(keys_a, "k", width=4096, depth=4),
-            cms_build(keys_b, "k", width=4096, depth=4),
+            cms_build(counts_a, "k", width=4096, depth=4, count_col="ca"),
+            cms_build(counts_b, "k", width=4096, depth=4, count_col="cb"),
         )
         (n_a, ndv_a), (n_b, ndv_b) = stats[ka], stats[kb]
         est_stats = (n_a * n_b) // max(ndv_a, ndv_b)
         exact = (
-            keys_a.groupBy("k")
-            .agg(F.count(F.lit(1)).alias("ca"))
-            .join(keys_b.groupBy("k").agg(F.count(F.lit(1)).alias("cb")), "k")
+            counts_a.join(counts_b, "k")
             .agg(
                 F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
                 .cast("bigint")
@@ -6700,7 +6705,42 @@ def x103(spark: SparkSession, sf_dir: str) -> DataFrame:
     # target t_i = ceil(i*n/64) exactly when i lands in
     # [floor(cum_prev*64/n) + 1, floor(cum*64/n)] — pure integer
     # arithmetic per histogram row (layout.boundary_ranges).
-    vc = lc.groupBy("layout", "code").agg(F.count(F.lit(1)).alias("c"))
+    #
+    # ONE exploded fact pass (r13 optimization): the zone-map min/max,
+    # the box-match count m, and the histogram count c are all folded
+    # into the (layout, code) aggregation, so bucket assignment and the
+    # per-bucket rollup run over HISTOGRAM rows — the exploded fact is
+    # scanned once and crosses exactly one exchange. (Previously the
+    # explode was scanned twice — histogram + assignment — and the
+    # per-bucket rollup shuffled the full 3x-exploded fact a second
+    # time.) Regrouping per-code integer partials (sum/min/max) per
+    # bucket is bit-identical to aggregating raw rows; the box bounds
+    # are global integer constants broadcast as a 1-row frame.
+    span_pk = F.col("pk_max") - F.col("pk_min")
+    span_sk = F.col("sk_max") - F.col("sk_min")
+    box = (
+        stats.withColumn("pk_lo", F.col("pk_min") + ly._int_div(span_pk * 2, F.lit(5)))
+        .withColumn("pk_hi", F.col("pk_min") + ly._int_div(span_pk * 3, F.lit(5)))
+        .withColumn("sk_lo", F.col("sk_min") + ly._int_div(span_sk * 13, F.lit(20)))
+        .withColumn("sk_hi", F.col("sk_min") + ly._int_div(span_sk * 17, F.lit(20)))
+        .select("n_total", "pk_lo", "pk_hi", "sk_lo", "sk_hi")
+    )
+    match = F.col("pk").between(F.col("pk_lo"), F.col("pk_hi")) & F.col(
+        "sk"
+    ).between(F.col("sk_lo"), F.col("sk_hi"))
+    vc = (
+        lc.crossJoin(F.broadcast(box))
+        .withColumn("m", match.cast("int"))
+        .groupBy("layout", "code")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min("pk").alias("cmin_pk"),
+            F.max("pk").alias("cmax_pk"),
+            F.min("sk").alias("cmin_sk"),
+            F.max("sk").alias("cmax_sk"),
+            F.sum("m").alias("cm"),
+        )
+    )
     totals = vc.groupBy("layout").agg(F.sum("c").cast("long").alias("n"))
     cum = ly.grouped_cumsum(vc, ["layout"], "code", "c").join(
         F.broadcast(totals), "layout"
@@ -6710,37 +6750,20 @@ def x103(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("layout")
         .agg(F.sort_array(F.collect_list("b")).alias("barr"))
     )
-    assigned = lc.join(F.broadcast(bounds), "layout").withColumn(
+    assigned = vc.join(F.broadcast(bounds), "layout").withColumn(
         "bucket", ly.range_assign(F.col("code"), F.col("barr"))
     )
-    span_pk = F.col("pk_max") - F.col("pk_min")
-    span_sk = F.col("sk_max") - F.col("sk_min")
-    r = (
-        assigned.crossJoin(F.broadcast(stats))
-        .withColumn("pk_lo", F.col("pk_min") + ly._int_div(span_pk * 2, F.lit(5)))
-        .withColumn("pk_hi", F.col("pk_min") + ly._int_div(span_pk * 3, F.lit(5)))
-        .withColumn("sk_lo", F.col("sk_min") + ly._int_div(span_sk * 13, F.lit(20)))
-        .withColumn("sk_hi", F.col("sk_min") + ly._int_div(span_sk * 17, F.lit(20)))
-    )
-    match = F.col("pk").between(F.col("pk_lo"), F.col("pk_hi")) & F.col(
-        "sk"
-    ).between(F.col("sk_lo"), F.col("sk_hi"))
     zm = (
-        r.withColumn("m", match.cast("int"))
-        .groupBy("layout", "bucket")
+        assigned.groupBy("layout", "bucket")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.min("pk").alias("min_pk"),
-            F.max("pk").alias("max_pk"),
-            F.min("sk").alias("min_sk"),
-            F.max("sk").alias("max_sk"),
-            F.sum("m").cast("long").alias("n_match"),
-            F.min("n_total").alias("n_total"),
-            F.min("pk_lo").alias("pk_lo"),
-            F.min("pk_hi").alias("pk_hi"),
-            F.min("sk_lo").alias("sk_lo"),
-            F.min("sk_hi").alias("sk_hi"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.min("cmin_pk").alias("min_pk"),
+            F.max("cmax_pk").alias("max_pk"),
+            F.min("cmin_sk").alias("min_sk"),
+            F.max("cmax_sk").alias("max_sk"),
+            F.sum("cm").cast("long").alias("n_match"),
         )
+        .crossJoin(F.broadcast(box))
     )
     scanned = ~(
         (F.col("max_pk") < F.col("pk_lo"))
@@ -6943,14 +6966,34 @@ def x106(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
     )
-    bounds = ly.equi_depth_boundaries(o, "cents", 16)
-    assigned = o.crossJoin(F.broadcast(bounds)).withColumn(
-        "range_id", ly.range_assign(F.col("cents"), F.col("boundaries"))
+    # ONE orders scan (r13): the value histogram drives BOTH the
+    # boundary derivation (equi_depth_boundaries' internals, inlined so
+    # the histogram is shared) and the per-range rollup — range ids are
+    # assigned to DISTINCT cents values and the counts regrouped, which
+    # is bit-identical to assigning raw rows (all rows of a value share
+    # a range). Previously the raw scan ran twice (histogram +
+    # assignment); the isNotNull filter mirrors equi_depth_boundaries
+    # (o_totalprice is non-null, so no row is dropped).
+    vc = (
+        o.where(F.col("cents").isNotNull())
+        .groupBy(F.col("cents").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = vc.agg(F.sum("c").cast("long").alias("n_total"))
+    cum = ly.grouped_cumsum(vc, [], "v", "c").crossJoin(F.broadcast(tot))
+    bounds = ly.boundary_ranges(
+        cum, ["n_total"], "v", "c", "n_total", 16
+    ).agg(
+        F.max("n_total").alias("n_total"),
+        F.sort_array(F.collect_list("b")).alias("boundaries"),
+    )
+    assigned = vc.crossJoin(F.broadcast(bounds)).withColumn(
+        "range_id", ly.range_assign(F.col("v"), F.col("boundaries"))
     )
     g = assigned.groupBy("range_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.min("cents").alias("min_cents"),
-        F.max("cents").alias("max_cents"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.min("v").alias("min_cents"),
+        F.max("v").alias("max_cents"),
         F.min("n_total").alias("n_total"),
     )
     w = Window.orderBy("range_id")

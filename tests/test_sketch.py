@@ -170,6 +170,22 @@ def test_cms_state_is_bounded_and_partition_invariant(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, c8.collect()))
 
 
+def test_cms_build_from_counts_equals_raw_build(spark):
+    # r13 optimization contract: building from a pre-aggregated per-key
+    # count table (count_col=...) is bit-identical to the raw-row build
+    # — the form x79/x86/x90 use to share one scan between the CMS and
+    # their exact twins.
+    raw = spark.createDataFrame(
+        [Row(term=f"k{i % 37}") for i in range(1_000)]
+    ).repartition(6)
+    counts = raw.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    from_raw = cms_build(raw, "term", width=128, depth=3)
+    from_counts = cms_build(counts, "term", width=128, depth=3, count_col="n")
+    assert sorted(map(tuple, from_raw.collect())) == sorted(
+        map(tuple, from_counts.collect())
+    )
+
+
 def test_cms_rejects_bad_shape(spark):
     df = spark.createDataFrame([Row(term="x")])
     with pytest.raises(ValueError, match="width"):
