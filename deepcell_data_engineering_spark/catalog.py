@@ -67,15 +67,38 @@ def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     return df
 
 
+# Catalog schema cache: the metastore role for the flat parquet catalog
+# (the same metadata a Delta/Iceberg manifest carries — snapshots.py
+# records table schemas in its manifests for exactly this reason). A
+# bare ``spark.read.parquet`` infers the schema from a footer on EVERY
+# call — measured 90-145 ms of driver work per load_table at sf0.1,
+# paid on each of the hundreds of query builds per bench pass — while a
+# schema-pinned read costs ~40 ms. Keyed by resolved path; the testdata
+# (and any generated scale dir) is write-once, the same staleness
+# contract a real metastore has. Schema METADATA only — never rows.
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one catalog table, applying per-table normalization."""
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        # the nanos conf must be live BEFORE inference: the cached
+        # schema records ts as the nanosecond LONG the legacy flag
+        # yields, and normalize_event_ts dispatches on that dtype
         _ensure_nanos_conf(spark)
-        return normalize_event_ts(spark.read.parquet(path))
-    return spark.read.parquet(path)
+    key = os.path.abspath(path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
+    if name == "events":
+        return normalize_event_ts(df)
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

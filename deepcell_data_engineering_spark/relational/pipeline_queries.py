@@ -8744,10 +8744,14 @@ def x128(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tempfile.mkdtemp(prefix="dde_interop_")
     rows = []
     try:
-        cps.write_jsonl(base, os.path.join(t, "jsonl"))
-        cps.write_csv(base, os.path.join(t, "csv"))
-        cps.write_orc(base, os.path.join(t, "orc"))
-        base.write.mode("overwrite").parquet(os.path.join(t, "parquet"))
+        writers = {
+            "jsonl": lambda: cps.write_jsonl(base, os.path.join(t, "jsonl")),
+            "csv": lambda: cps.write_csv(base, os.path.join(t, "csv")),
+            "orc": lambda: cps.write_orc(base, os.path.join(t, "orc")),
+            "parquet": lambda: base.write.mode("overwrite").parquet(
+                os.path.join(t, "parquet")
+            ),
+        }
         readers = {
             "jsonl": lambda: cps.read_jsonl(
                 spark, os.path.join(t, "jsonl"), schema
@@ -8760,7 +8764,16 @@ def x128(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.path.join(t, "parquet")
             ),
         }
-        for fmt in sorted(readers):
+
+        # the four format pipelines are INDEPENDENT — run each
+        # write-then-read-back on its own driver thread so the next
+        # format's tasks back-fill executors freed by the previous
+        # one's tail (optimization guide §2.6: actions are only
+        # sequential because the driver calls them sequentially).
+        # Results are keyed by format and emitted in sorted order, so
+        # scheduling order cannot reach the output.
+        def _roundtrip(fmt: str):
+            writers[fmt]()
             r = (
                 readers[fmt]()
                 .agg(
@@ -8774,10 +8787,15 @@ def x128(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .collect()[0]
             )
-            rows.append(
-                (fmt, r["n"], r["n_users"], r["sum_cents"], r["min_id"],
-                 r["max_id"])
+            return (
+                fmt, r["n"], r["n_users"], r["sum_cents"], r["min_id"],
+                r["max_id"],
             )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            rows = sorted(pool.map(_roundtrip, sorted(readers)))
     finally:
         shutil.rmtree(t, ignore_errors=True)
     return spark.createDataFrame(
