@@ -2529,13 +2529,20 @@ def x56(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.size(arr) >= n)
         .select("doc_id", F.explode(wins).alias("win"))
     )
-    ndocs = F.size(F.collect_set("doc_id").over(Window.partitionBy("win")))
+    # "window appears in ANY other document" == its doc_id set has >= 2
+    # members == min(doc_id) != max(doc_id) over the window's partition
+    # (r13): two scalar window aggregates over ONE win-partition shuffle
+    # replace the collect_set materialization — a boilerplate window
+    # shared by thousands of docs no longer builds a doc-id SET per
+    # partition, so per-partition state is O(1) instead of O(docs).
+    wp = Window.partitionBy("win")
+    dup = F.min("doc_id").over(wp) != F.max("doc_id").over(wp)
     per = (
-        w.withColumn("ndocs", ndocs)
+        w.withColumn("dup", dup)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
-            F.sum((F.col("ndocs") > 1).cast("long")).alias("n_dup"),
+            F.sum(F.col("dup").cast("long")).alias("n_dup"),
         )
     )
     return per.select(
