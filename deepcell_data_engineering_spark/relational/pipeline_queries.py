@@ -4733,7 +4733,13 @@ def x84(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(docs, num_hashes=6, k=5)
+    # (r13) pin the signatures: they feed TWO independent jobs — the CC
+    # loop's star edges (materialized inside its first checkpoint) and
+    # the leak join's candidate pairs — so without the pin the
+    # shingle-explode + minhash aggregation (the only fact-scale pass
+    # here) runs twice. Signatures are one tiny row per doc (6 longs),
+    # so the pin is block-manager-safe at any scale.
+    sigs = dd.minhash_signatures(docs, num_hashes=6, k=5).localCheckpoint()
     bands = [["h0", "h1", "h2"], ["h3", "h4", "h5"]]
     edges = dd.lsh_band_star_edges(sigs, bands=bands)
     pairs = dd.lsh_candidate_pairs(sigs, bands=bands)
