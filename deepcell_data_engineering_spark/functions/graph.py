@@ -80,19 +80,34 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    from pyspark.sql import Observation
+
     prev_sig = None
     for _ in range(max_iter):
         prev = e
-        e = _small_star(_large_star(e)).localCheckpoint()
+        # bit_xor (not sum): order-insensitive and overflow-free under
+        # ANSI mode; the edge set is distinct, so no pair cancellation.
+        # The checksum rides the checkpoint job via observe/
+        # CollectMetrics (r13): the rows the materialization streams
+        # past ARE the new edge set, so the separate per-round
+        # signature aggregate (a second job per round) disappears —
+        # 2 jobs/round -> 1, same tuple, same convergence test.
+        obs = Observation()
+        e = (
+            _small_star(_large_star(e))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("x"),
+            )
+            .localCheckpoint()
+        )
         # the new checkpoint is materialized (eager) — the previous
         # round's blocks can be released; only the final edge set stays
         # pinned (the caller's result depends on it)
         prev.unpersist()
-        # bit_xor (not sum): order-insensitive and overflow-free under
-        # ANSI mode; the edge set is distinct, so no pair cancellation.
-        sig = tuple(
-            e.agg(F.count(F.lit(1)), F.expr("bit_xor(xxhash64(u, v))")).first()
-        )
+        row = obs.get
+        sig = (row["n"], row["x"])
         if sig == prev_sig:
             break
         prev_sig = sig
