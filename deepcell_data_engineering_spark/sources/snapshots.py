@@ -72,6 +72,15 @@ _DATA_DIR = "data"
 _CHECKPOINT_INTERVAL = 10
 _COMMIT_RETRIES = 64
 _UNSET = object()  # sentinel: expected_parent=None means "expect empty table"
+# MERGE broadcasts its delta-sized key sets into the table-side joins
+# when the pinned source holds at most this many rows (narrow key
+# tuples: ~24 B/row -> ~50 MB at the cap). Above it the joins fall
+# back to shuffle — the same size cutover Delta's merge uses. The pin
+# job's Observation supplies the exact count for free, so the decision
+# costs no extra action.
+_MERGE_BROADCAST_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_MERGE_BROADCAST_KEYS", "2000000")
+)
 
 
 class ConstraintViolationError(RuntimeError):
@@ -1349,8 +1358,24 @@ def merge_upsert(
             return seen
     # pin ONE evaluation of the source before any of the jobs below
     # read it — a recompute-on-block-loss here fails loudly instead of
-    # silently re-rolling a non-deterministic source
-    source = source.localCheckpoint(eager=True)
+    # silently re-rolling a non-deterministic source. The exact row
+    # count rides the pin job via observe (no extra action) and decides
+    # whether the delta-sized key sets below broadcast into the
+    # table-side joins: a checkpointed source is a LogicalRDD with
+    # unknown stats, so WITHOUT the hint Catalyst shuffles the TABLE
+    # side of every key join — at 100 TB that is a table-sized shuffle
+    # to look up a delta-sized key set (guide §3.1).
+    from pyspark.sql import Observation
+
+    _obs = Observation()
+    source = source.observe(
+        _obs, F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=True)
+    _bcast = _obs.get["n"] <= _MERGE_BROADCAST_MAX_ROWS
+
+    def _keyside(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if _bcast else df
+
     del_keys = None
     if delete_condition is not None:
         dc = (
@@ -1425,19 +1450,24 @@ def merge_upsert(
         source, manifest.get("constraints", {}), table_path
     )
     tokens = _dir_tokens(parent_dirs)
-    src_keys = source.select(*keys).dropDuplicates(keys)
+    # the MERGE precondition (at most one source row per key) makes the
+    # projected key set already distinct — no dedup shuffle before the
+    # semi/anti joins, whose semantics tolerate duplicates anyway
+    src_keys = source.select(*keys)
     # union of upsert keys and tombstone keys drives BOTH touched-dir
     # discovery and the survivor anti-join (a dir holding only
     # tombstoned rows must still rewrite)
     all_keys = (
-        src_keys.unionByName(del_keys).dropDuplicates(keys)
+        src_keys.unionByName(del_keys)
         if del_keys is not None
         else src_keys
     )
-    # catalog-sized: one dir token per touched directory
+    # catalog-sized: one dir token per touched directory. The key set
+    # broadcasts (see the pin above), so the TABLE side never shuffles:
+    # one pruned scan per job, delta-sized hash set on every executor.
     touched_tokens = {
         r[_DIR_COL]
-        for r in parent.join(all_keys, keys, "semi")
+        for r in parent.join(_keyside(all_keys), keys, "semi")
         .select(_DIR_COL)
         .distinct()
         .collect()
@@ -1446,35 +1476,41 @@ def merge_upsert(
     touched_parent = parent.where(
         F.col(_DIR_COL).isin(list(touched_tokens))
     )
-    survivors = touched_parent.join(all_keys, keys, "anti").drop(_DIR_COL)
-    preimages = touched_parent.join(src_keys, keys, "semi").drop(_DIR_COL)
+    survivors = touched_parent.join(
+        _keyside(all_keys), keys, "anti"
+    ).drop(_DIR_COL)
+    preimages = touched_parent.join(
+        _keyside(src_keys), keys, "semi"
+    ).drop(_DIR_COL)
 
     data_cols = [c for c in source.columns]
-    matched_src = source.join(
-        preimages.select(*keys).dropDuplicates(keys), keys, "semi"
-    )
-    new_src = source.join(
-        preimages.select(*keys).dropDuplicates(keys), keys, "anti"
+    # ONE left join against the (delta-sized, deduped) preimage key set
+    # classifies every source row as update_postimage (key existed) or
+    # insert — the previous semi + anti pair scanned the source twice
+    # for the same boolean
+    _m = "_dde_matched"
+    pre_keys = preimages.select(*keys).dropDuplicates(keys)
+    src_flagged = source.join(
+        _keyside(pre_keys.withColumn(_m, F.lit(True))), keys, "left"
     )
     chg = (
         preimages.select(*data_cols)
         .withColumn("_change_type", F.lit("delete"))
         .withColumn("_change_subtype", F.lit("update_preimage"))
         .unionByName(
-            matched_src.select(*data_cols)
-            .withColumn("_change_type", F.lit("insert"))
-            .withColumn("_change_subtype", F.lit("update_postimage"))
-        )
-        .unionByName(
-            new_src.select(*data_cols)
-            .withColumn("_change_type", F.lit("insert"))
-            .withColumn("_change_subtype", F.lit("insert"))
+            src_flagged.select(
+                *data_cols,
+                F.lit("insert").alias("_change_type"),
+                F.when(F.col(_m), F.lit("update_postimage"))
+                .otherwise(F.lit("insert"))
+                .alias("_change_subtype"),
+            )
         )
     )
     if del_keys is not None:
-        tombstoned = touched_parent.join(del_keys, keys, "semi").drop(
-            _DIR_COL
-        )
+        tombstoned = touched_parent.join(
+            _keyside(del_keys), keys, "semi"
+        ).drop(_DIR_COL)
         chg = chg.unionByName(
             tombstoned.select(*data_cols)
             .withColumn("_change_type", F.lit("delete"))
