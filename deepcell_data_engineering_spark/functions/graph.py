@@ -181,8 +181,18 @@ def pagerank(
         .distinct()
         .localCheckpoint()
     )
-    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
-    n = deg.count()
+    # the node count rides the deg checkpoint job via observe (r13) —
+    # no separate count() job over the just-materialized blocks
+    from pyspark.sql import Observation
+
+    _obs = Observation()
+    deg = (
+        und.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .observe(_obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    n = _obs.get["n"]
     if n == 0:
         return deg.select(
             F.col("u").alias("node"), F.lit(0.0).alias("rank"), "d"

@@ -876,9 +876,19 @@ def commit(
     if constraints and _dirs is None and df is not None:
         # pin ONE evaluation of df so validation and the write see the
         # same rows — a non-deterministic df cannot pass the check yet
-        # write violating rows (the merge/update determinism rule)
-        df = df.localCheckpoint(eager=True)
-        _enforce_constraints(df, constraints, table_path)
+        # write violating rows (the merge/update determinism rule).
+        # The per-constraint violation counts ride the pin job itself
+        # via observe/CollectMetrics (r13) — validation no longer costs
+        # a second full scan of the incoming frame, and the raise still
+        # happens BEFORE anything is written.
+        from pyspark.sql import Observation
+
+        _cnames = list(constraints)
+        _cobs = Observation()
+        df = df.observe(
+            _cobs, *_constraint_aggs(_cnames, constraints)
+        ).localCheckpoint(eager=True)
+        _raise_violations(_cobs.get, _cnames, table_path)
     # ADD CONSTRAINT semantics: a constraint NEW to the table (fresh
     # name or changed expression) arriving on an append must also hold
     # on the EXISTING data — validate the basis snapshot in one
@@ -1066,6 +1076,37 @@ def commit(
     )
 
 
+def _constraint_aggs(names: list[str], constraints: dict[str, str]):
+    """Per-constraint violation-count aggregates (NULL satisfies — the
+    SQL CHECK rule), aliased positionally."""
+    return [
+        F.sum(
+            F.when(
+                ~F.coalesce(F.expr(constraints[n]), F.lit(True)), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias(f"_c{i}")
+        for i, n in enumerate(names)
+    ]
+
+
+def _raise_violations(
+    counts: dict, names: list[str], table_path: str
+) -> None:
+    bad = {
+        n: int(counts[f"_c{i}"])
+        for i, n in enumerate(names)
+        if counts.get(f"_c{i}") is not None and counts[f"_c{i}"] > 0
+    }
+    if bad:
+        raise ConstraintViolationError(
+            f"commit to {table_path!r} violates CHECK constraints "
+            f"{bad} (constraint -> violating-row count); fix the data "
+            "or drop the constraint"
+        )
+
+
 def _enforce_constraints(
     df: DataFrame, constraints: dict[str, str], table_path: str
 ) -> None:
@@ -1076,29 +1117,10 @@ def _enforce_constraints(
     if not constraints:
         return
     names = list(constraints)
-    row = df.agg(
-        *[
-            F.sum(
-                F.when(
-                    ~F.coalesce(F.expr(constraints[n]), F.lit(True)), 1
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias(f"_c{i}")
-            for i, n in enumerate(names)
-        ]
-    ).collect()[0]
-    bad = {
-        n: int(row[i])
-        for i, n in enumerate(names)
-        if row[i] is not None and row[i] > 0
-    }
-    if bad:
-        raise ConstraintViolationError(
-            f"commit to {table_path!r} violates CHECK constraints "
-            f"{bad} (constraint -> violating-row count); fix the data "
-            "or drop the constraint"
-        )
+    row = df.agg(*_constraint_aggs(names, constraints)).collect()[0]
+    _raise_violations(
+        {f"_c{i}": row[i] for i in range(len(names))}, names, table_path
+    )
 
 
 _CONSTRAINT_RETRIES = 8
