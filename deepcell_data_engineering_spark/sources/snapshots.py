@@ -1389,22 +1389,32 @@ def merge_upsert(
     # to look up a delta-sized key set (guide §3.1).
     from pyspark.sql import Observation
 
-    _obs = Observation()
-    source = source.observe(
-        _obs, F.count(F.lit(1)).alias("n")
-    ).localCheckpoint(eager=True)
-    _bcast = _obs.get["n"] <= _MERGE_BROADCAST_MAX_ROWS
-
-    def _keyside(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if _bcast else df
-
-    del_keys = None
+    dc = None
     if delete_condition is not None:
         dc = (
             F.expr(delete_condition)
             if isinstance(delete_condition, str)
             else delete_condition
         )
+    _obs = Observation()
+    _aggs = [F.count(F.lit(1)).alias("n")]
+    if dc is not None:
+        # upsert-row count (non-tombstones) rides the pin too — it
+        # replaces the later "pure-tombstone batch?" limit(1).count()
+        _aggs.append(
+            F.sum((~F.coalesce(dc, F.lit(False))).cast("long")).alias(
+                "n_upsert"
+            )
+        )
+    source = source.observe(_obs, *_aggs).localCheckpoint(eager=True)
+    _m = _obs.get
+    _bcast = _m["n"] <= _MERGE_BROADCAST_MAX_ROWS
+
+    def _keyside(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if _bcast else df
+
+    del_keys = None
+    if dc is not None:
         del_keys = source.where(dc).select(*keys).dropDuplicates(keys)
         source = source.where(~F.coalesce(dc, F.lit(False)))
     if source_meta_cols:
@@ -1510,10 +1520,10 @@ def merge_upsert(
     # classifies every source row as update_postimage (key existed) or
     # insert — the previous semi + anti pair scanned the source twice
     # for the same boolean
-    _m = "_dde_matched"
+    _mflag = "_dde_matched"
     pre_keys = preimages.select(*keys).dropDuplicates(keys)
     src_flagged = source.join(
-        _keyside(pre_keys.withColumn(_m, F.lit(True))), keys, "left"
+        _keyside(pre_keys.withColumn(_mflag, F.lit(True))), keys, "left"
     )
     chg = (
         preimages.select(*data_cols)
@@ -1523,7 +1533,7 @@ def merge_upsert(
             src_flagged.select(
                 *data_cols,
                 F.lit("insert").alias("_change_type"),
-                F.when(F.col(_m), F.lit("update_postimage"))
+                F.when(F.col(_mflag), F.lit("update_postimage"))
                 .otherwise(F.lit("insert"))
                 .alias("_change_subtype"),
             )
@@ -1551,8 +1561,8 @@ def merge_upsert(
         new_rels.append(rel)
         dir_stats[rel] = ranges
     # a pure-tombstone batch has no upsert rows — don't publish an
-    # empty source directory (cheap bounded count on the pinned frame)
-    if del_keys is None or source.limit(1).count() > 0:
+    # empty source directory (the upsert count was observed on the pin)
+    if del_keys is None or (_m["n_upsert"] or 0) > 0:
         rel, ranges = _write_data_dir(source, table_path, tracked)
         new_rels.append(rel)
         dir_stats[rel] = ranges
@@ -1784,18 +1794,26 @@ def update_where(
     )
     pre = flagged.where(F.col(flag)).drop(_DIR_COL, flag)
     # ONE pinned evaluation of the SET expressions — the postimage
-    # feeds BOTH the change set and the rewritten data
+    # feeds BOTH the change set and the rewritten data. Table-level
+    # CHECK constraints apply to the rows this UPDATE writes; their
+    # violation counts ride the pin job via observe (r13) instead of a
+    # second scan of the pinned postimages.
+    _cons = manifest.get("constraints", {})
+    _cnames = list(_cons)
     post = pre.select(
         *[
             (sets[c] if c in sets else F.col(c)).alias(c)
             for c in data_cols
         ]
-    ).localCheckpoint(eager=True)
-    # table-level CHECK constraints apply to the rows this UPDATE
-    # writes — the pinned postimages
-    _enforce_constraints(
-        post, manifest.get("constraints", {}), table_path
     )
+    if _cons:
+        from pyspark.sql import Observation
+
+        _cobs = Observation()
+        post = post.observe(_cobs, *_constraint_aggs(_cnames, _cons))
+    post = post.localCheckpoint(eager=True)
+    if _cons:
+        _raise_violations(_cobs.get, _cnames, table_path)
     chg = (
         pre.withColumn("_change_type", F.lit("delete"))
         .withColumn("_change_subtype", F.lit("update_preimage"))
@@ -1898,19 +1916,33 @@ def replace_where(
         raise ValueError(
             f"replacement frame carries reserved column {_DIR_COL!r}"
         )
-    # ONE pinned evaluation: validation + constraints + write + CDC
-    df = df.localCheckpoint(eager=True)
-    if validate:
-        bad = df.where(~F.coalesce(cond, F.lit(False))).count()
-        if bad:
-            raise ValueError(
-                f"replace_where: {bad} replacement row(s) do not "
-                "satisfy the predicate — pass validate=False only if "
-                "you really mean to insert rows outside the replaced "
-                "scope"
-            )
-
     basis = current_version(table_path, st)
+    manifest = (
+        _load_manifest(table_path, basis, st) if basis is not None else None
+    )
+    cons = manifest.get("constraints", {}) if manifest else {}
+    cnames = list(cons)
+    # ONE pinned evaluation: validation + constraints + write + CDC.
+    # The predicate-validation count, the emptiness count and the
+    # per-constraint violation counts ALL ride the pin job via observe
+    # (r13) — previously each was its own scan of the pinned frame.
+    from pyspark.sql import Observation
+
+    _obs = Observation()
+    df = df.observe(
+        _obs,
+        F.sum((~F.coalesce(cond, F.lit(False))).cast("long")).alias("_bad"),
+        F.count(F.lit(1)).alias("_n"),
+        *_constraint_aggs(cnames, cons),
+    ).localCheckpoint(eager=True)
+    _m = _obs.get
+    if validate and _m["_bad"]:
+        raise ValueError(
+            f"replace_where: {_m['_bad']} replacement row(s) do not "
+            "satisfy the predicate — pass validate=False only if "
+            "you really mean to insert rows outside the replaced "
+            "scope"
+        )
     if basis is None:
         # initial load: nothing to replace, plain v0 overwrite
         return commit(
@@ -1921,8 +1953,7 @@ def replace_where(
         seen = _batch_id_seen(table_path, basis, batch_id, st)
         if seen is not None:
             return seen
-    manifest = _load_manifest(table_path, basis, st)
-    _enforce_constraints(df, manifest.get("constraints", {}), table_path)
+    _raise_violations(_m, cnames, table_path)
     parent_dirs: list[str] = manifest["dirs"]
     parent = _with_dir_col(
         _snapshot_reader(spark, manifest, True).parquet(
@@ -1978,7 +2009,7 @@ def replace_where(
         rel, ranges = _write_data_dir(survivors, table_path, tracked)
         new_rels.append(rel)
         dir_stats[rel] = ranges
-    if df.limit(1).count() > 0:  # an empty reload = scoped delete
+    if _m["_n"] > 0:  # an empty reload = scoped delete (observed count)
         rel, ranges = _write_data_dir(
             df.select(*par_cols), table_path, tracked
         )
