@@ -1840,12 +1840,18 @@ def x43(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x44(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tx.tokens(docs)
+    from pyspark.sql import Observation
+
+    # the corpus token total rides the vocab pin job via observe (r13)
+    # instead of a second aggregate over the just-pinned blocks
+    _obs = Observation()
     vocab = (
         toks.groupBy("term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .observe(_obs, F.sum("tf").alias("total"))
         .localCheckpoint(eager=True)
     )
-    total = vocab.agg(F.sum("tf")).collect()[0][0]
+    total = _obs.get["total"]
     scored = (
         toks.join(F.broadcast(vocab), "term")
         .groupBy("doc_id")
@@ -2055,10 +2061,19 @@ def x47(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select(F.col("p.term_a").alias("term_a"), F.col("p.term_b").alias("term_b"))
+    from pyspark.sql import Observation
+
+    # both corpus totals ride their pin jobs via observe (r13) — the
+    # two separate sum() actions over just-pinned blocks disappear.
+    # n_bi is the UNFILTERED pair total (the oracle's tot CTE sums bic
+    # before the c_ab >= 10 cut), so observing the pre-filter pin is
+    # exactly the declared semantics.
+    obs_bi, obs_uni = Observation(), Observation()
     bic_all = (
         bi.where((F.col("term_a") != "") & (F.col("term_b") != ""))
         .groupBy("term_a", "term_b")
         .agg(F.count(F.lit(1)).alias("c_ab"))
+        .observe(obs_bi, F.sum("c_ab").alias("n_bi"))
         .localCheckpoint(eager=True)  # pair counts reused: filter + total
     )
     bic = bic_all.where(F.col("c_ab") >= 10)
@@ -2067,12 +2082,11 @@ def x47(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("term") != "")
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))
+        .observe(obs_uni, F.sum("c").alias("n_uni"))
         .localCheckpoint(eager=True)  # tiny vocab: cut both lineage replays
     )
-    totals = uni.agg(F.sum("c").alias("n_uni")).collect()[0]
-    # bigram total over the UNFILTERED pair stream (the oracle's tot CTE
-    # sums bic before the c_ab >= 10 cut)
-    n_bi = bic_all.agg(F.sum("c_ab")).collect()[0][0]
+    totals = obs_uni.get
+    n_bi = obs_bi.get["n_bi"]
     ua = uni.select(F.col("term").alias("term_a"), F.col("c").alias("c_a"))
     ub = uni.select(F.col("term").alias("term_b"), F.col("c").alias("c_b"))
     return (
@@ -5946,13 +5960,18 @@ def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = 0.5
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     sigs = dd.minhash_signatures(docs, num_hashes=6, k=5).localCheckpoint()
+    from pyspark.sql import Observation
+
+    # the truth-set size rides the pin job (r13): no separate count()
+    _tobs = Observation()
     truth = (
         dd.ngram_jaccard_pairs(docs, k=5)
         .where(F.col("jaccard") >= t)
         .select("id_a", "id_b")
+        .observe(_tobs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
-    n_true = truth.count()
+    n_true = _tobs.get["n"]
     cand_all = None
     for b, r in _X95_CONFIGS:
         groups = [[f"h{g * r + j}" for j in range(r)] for g in range(b)]
@@ -15715,7 +15734,6 @@ def x197(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderdate",
     )
-    n_all = tagged.count()
     shared = (
         tagged.where(F.col("split") == "train")
         .select("o_custkey")
@@ -15733,10 +15751,15 @@ def x197(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderdate").alias("max_date"),
         )
         .withColumn(
+            # the order total is the sum of the 3-row aggregate itself
+            # (r13): a scalar window over the grouped frame replaces a
+            # separate full count() scan of orders — same double math
             "share",
             F.round(
                 F.col("n_orders").cast("double")
-                / F.lit(float(n_all))
+                / F.sum("n_orders").over(Window.partitionBy()).cast(
+                    "double"
+                )
                 + F.lit(0.0),
                 6,
             ),
@@ -17766,8 +17789,14 @@ def x218(spark: SparkSession, sf_dir: str) -> DataFrame:
         ):
             ts_ok = 1
         chg = snap.read_changes(spark, t, vr - 1, vr)
-        n_del = chg.where(F.col("_change_type") == "delete").count()
-        n_ins = chg.where(F.col("_change_type") == "insert").count()
+        # one aggregate pass over the change set instead of two
+        # filtered count() jobs (r13)
+        _r = chg.agg(
+            F.sum((F.col("_change_type") == "delete").cast("long")),
+            F.sum((F.col("_change_type") == "insert").cast("long")),
+        ).collect()[0]
+        n_del = int(_r[0] or 0)
+        n_ins = int(_r[1] or 0)
         agg = (
             snap.read_snapshot(spark, t)
             .groupBy("pr")
