@@ -31,56 +31,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver oracle-checks the first 50 registry entries per round.
-# Round-13 rotation (executes the plan the round-12 verdict ordered):
-# the 18 rows that have NEVER had a driver verdict lead — the
-# round-12 additions x184–x201 (catalog rename, clone/restore
-# lifecycle, Cohen's kappa, HHI/CR4, Kruskal-Wallis, log-odds
-# keyness, Mann-Kendall, LCG sample, negative sampling, preference
-# pairs, nearest as-of, Poisson bootstrap CI, tombstone merge feed,
-# time-embargo split, SQL variables, FD histogram, UPDATE feed,
-# CHECK-constraint gate) — then all 28 rows whose latest verdict is
-# round 8 (d26–d30 and the r8 x-tier residue) in registry order,
-# then the 4 oldest round-9 rows (d31–d34) to fill the 50-slot
-# window. After this round no driver verdict is older than round 9;
-# the round-14 rotation should lead with the 32 round-13 additions
-# (x202–x217: constraint lifecycle, stream rate feed, Kaplan-Meier,
+# Round-14 rotation (executes the plan the r13 entry comment ordered,
+# re-derived from the CORRECTNESS_r* history this round): the 32 rows
+# that have NEVER had a driver verdict lead — the round-13 additions
+# x202–x233 (constraint lifecycle, stream rate feed, Kaplan-Meier,
 # mutual information, Zipf slope, RFM, cohort retention, key skew,
-# McNemar, Benford, Theil, streaks, funnel latency, CUPED, runs
-# test, vacuum lifecycle; and x218–x233: replace_where+timestamp
-# lifecycle, item similarity, ANOVA, forecast backtest,
-# single-source risk, interarrival dispersion, jackknife, Wilcoxon
-# signed-rank, Holt linear, Neyman allocation, JS divergence, info
-# gain, Z-order lifecycle, Spearman, DOW seasonality,
-# capture-recapture), then the oldest 18 of the 46 remaining
-# r9-stale rows (d35–d49 and the r9 x-tier residue) in registry
-# order.
+# McNemar, Benford, Theil, streaks, funnel latency, CUPED, runs test,
+# vacuum lifecycle, replace_where lifecycle, item similarity, ANOVA,
+# forecast backtest, single-source risk, interarrival dispersion,
+# jackknife, Wilcoxon signed-rank, Holt linear, Neyman allocation,
+# JS divergence, info gain, Z-order lifecycle, Spearman rank, DOW
+# seasonality, capture-recapture) — then the oldest 18 of the 46
+# r9-stale rows in registry order: d35–d49 (15) plus x02/x03/x04.
+# After this round no driver verdict is older than round 9 and only
+# 28 r9-stale rows remain (x05–x10, x46–x56 residue et al.); the
+# round-15 window should take those 28 plus the oldest r10 rows.
 _CHECK_FIRST = [
-    # never driver-checked (round-12 additions)
-    "x184_catalog_rename_view", "x185_lifecycle_clone_restore",
-    "x186_cohens_kappa", "x187_hhi_concentration",
-    "x188_kruskal_wallis", "x189_log_odds_keyness",
-    "x190_mann_kendall_trend", "x191_lcg_sample_estimate",
-    "x192_negative_sampling", "x193_preference_pairs",
-    "x194_asof_nearest_tolerance", "x195_poisson_bootstrap_ci",
-    "x196_tombstone_merge_feed", "x197_time_embargo_split",
-    "x198_sql_variables", "x199_fd_histogram",
-    "x200_update_feed_view", "x201_constraint_gate",
-    # oldest driver verdicts (round 8) — all 28, registry order
-    "d26_intersect", "d27_except", "d28_date_agg",
-    "d29_math_string", "d30_documents_agg",
-    "x01_token_stats", "x40_length_trim", "x41_tumbling_rollup",
-    "x42_sliding_rollup", "x43_pagerank", "x44_unigram_logprob",
-    "x45_minhash_calibration", "x115_markov_transitions",
-    "x116_cusum_changepoint", "x118_rrf_fusion",
-    "x121_cube_report", "x122_ntile_deciles",
-    "x123_expectations_report", "x124_unpivot_metrics",
-    "x125_trailing_zscore", "x126_bag_set_ops",
-    "x132_optimize_equivalence", "x134_funnel_conversion",
-    "x135_aqp_hash_sample", "x136_autocorrelation",
-    "x137_bloom_skipping", "x138_last_touch_attribution",
-    "x139_label_propagation",
-    # next-oldest (round 9): fill the last 4 slots
-    "d31_pivot", "d32_unpivot", "d33_string_agg", "d34_cube",
+    # never driver-checked (round-13 additions)
+    "x202_constraint_lifecycle", "x203_stream_rate_feed",
+    "x204_kaplan_meier", "x205_mutual_information",
+    "x206_zipf_slope", "x207_rfm_segments",
+    "x208_cohort_retention", "x209_key_skew_audit",
+    "x210_mcnemar_paired", "x211_benford_digits",
+    "x212_theil_index", "x213_activity_streaks",
+    "x214_funnel_latency", "x215_cuped_adjustment",
+    "x216_runs_test", "x217_vacuum_lifecycle",
+    "x218_replace_where_lifecycle", "x219_item_similarity",
+    "x220_anova_f", "x221_forecast_backtest",
+    "x222_single_source_risk", "x223_interarrival_dispersion",
+    "x224_jackknife_loo", "x225_wilcoxon_signed_rank",
+    "x226_holt_linear", "x227_neyman_allocation",
+    "x228_js_divergence", "x229_info_gain",
+    "x230_zorder_lifecycle", "x231_spearman_rank_corr",
+    "x232_dow_seasonality", "x233_capture_recapture",
+    # oldest driver verdicts (round 9) — first 18 in registry order
+    "d35_approx_distinct", "d36_exists_subquery",
+    "d37_scalar_subquery", "d38_ntile_percent_rank",
+    "d39_array_hof", "d40_except_all", "d41_moment_stats",
+    "d42_snapshot_diff", "d43_quantiles", "d44_null_semantics",
+    "d45_share_of_total", "d46_try_cast", "d47_incremental_agg",
+    "d48_apply_changes", "d49_revenue_rollup",
+    "x02_quality_features", "x03_lang_id", "x04_exact_dedup",
 ]
 
 
