@@ -1548,22 +1548,29 @@ def merge_upsert(
             .withColumn("_change_type", F.lit("delete"))
             .withColumn("_change_subtype", F.lit("delete"))
         )
-    chg_rel = _write_change_set(chg, table_path)
-
     tracked = _tracked_stat_cols(manifest)
-    new_rels: list[str] = []
-    dir_stats: dict[str, dict] = {}
+    # the change-set write, the survivors write and the source write
+    # are independent jobs over the same pins — overlap them (§2.6)
+    writes = [lambda: _write_change_set(chg, table_path)]
     if touched:
         # only when some parent directory actually contained a matched
         # key — a pure-insert merge (no key matches; the common CDC
         # upsert-stream case) must not publish an empty survivors dir
-        rel, ranges = _write_data_dir(survivors, table_path, tracked)
-        new_rels.append(rel)
-        dir_stats[rel] = ranges
+        writes.append(
+            lambda: _write_data_dir(survivors, table_path, tracked)
+        )
     # a pure-tombstone batch has no upsert rows — don't publish an
     # empty source directory (the upsert count was observed on the pin)
-    if del_keys is None or (_m["n_upsert"] or 0) > 0:
-        rel, ranges = _write_data_dir(source, table_path, tracked)
+    _write_src = del_keys is None or (_m["n_upsert"] or 0) > 0
+    if _write_src:
+        writes.append(
+            lambda: _write_data_dir(source, table_path, tracked)
+        )
+    results = _overlap_writes(writes)
+    chg_rel = results[0]
+    new_rels: list[str] = []
+    dir_stats: dict[str, dict] = {}
+    for rel, ranges in results[1:]:
         new_rels.append(rel)
         dir_stats[rel] = ranges
     kept = [d for d in parent_dirs if d not in touched]
@@ -1680,16 +1687,23 @@ def delete_where(
     chg = deleted.withColumn(
         "_change_type", F.lit("delete")
     ).withColumn("_change_subtype", F.lit("delete"))
-    chg_rel = _write_change_set(chg, table_path)
-
+    # change set and survivors both derive from the SAME pinned
+    # evaluation — independent writes, overlapped (§2.6)
+    writes = [lambda: _write_change_set(chg, table_path)]
+    if touched:
+        survivors = flagged.where(~F.col(flag)).drop(_DIR_COL, flag)
+        writes.append(
+            lambda: _write_data_dir(
+                survivors, table_path, _tracked_stat_cols(manifest)
+            )
+        )
+    results = _overlap_writes(writes)
+    chg_rel = results[0]
     kept = [d for d in parent_dirs if d not in touched]
     dirs = list(kept)
     dir_stats: dict[str, dict] = {}
     if touched:
-        survivors = flagged.where(~F.col(flag)).drop(_DIR_COL, flag)
-        rel, ranges = _write_data_dir(
-            survivors, table_path, _tracked_stat_cols(manifest)
-        )
+        rel, ranges = results[1]
         dir_stats[rel] = ranges
         dirs.append(rel)
     return commit(
@@ -1823,18 +1837,25 @@ def update_where(
             )
         )
     )
-    chg_rel = _write_change_set(chg, table_path)
-
+    # change set and rewritten data both derive from the SAME pinned
+    # pre/post evaluations — independent writes, overlapped (§2.6)
+    writes = [lambda: _write_change_set(chg, table_path)]
+    if touched:
+        survivors = flagged.where(~F.col(flag)).drop(_DIR_COL, flag)
+        writes.append(
+            lambda: _write_data_dir(
+                survivors.unionByName(post),
+                table_path,
+                _tracked_stat_cols(manifest),
+            )
+        )
+    results = _overlap_writes(writes)
+    chg_rel = results[0]
     kept = [d for d in parent_dirs if d not in touched]
     dirs = list(kept)
     dir_stats: dict[str, dict] = {}
     if touched:
-        survivors = flagged.where(~F.col(flag)).drop(_DIR_COL, flag)
-        rel, ranges = _write_data_dir(
-            survivors.unionByName(post),
-            table_path,
-            _tracked_stat_cols(manifest),
-        )
+        rel, ranges = results[1]
         dir_stats[rel] = ranges
         dirs.append(rel)
     return commit(
@@ -1864,6 +1885,37 @@ def _write_change_set(chg: DataFrame, table_path: str) -> str:
     )
     chg.write.parquet(chg_dir)
     return os.path.relpath(chg_dir, table_path)
+
+
+# A rewrite commit's output writes (change set / survivors / merge
+# source) are mutually independent jobs over frames that derive from
+# the SAME already-materialized pins, so the driver may submit them
+# concurrently and let the scheduler back-fill each write's task tail
+# with the next write's tasks (guide §2.6 — actions are sequential
+# only because the driver calls them sequentially). This is the warm
+# x128 overlap case, NOT the rejected cold-audit-read case (r13): the
+# inputs are pinned blocks plus just-scanned parquet, and each thunk
+# is one write job, so the driver-side analysis contention that made
+# cold snapshot reads 2x slower does not apply. Set
+# SPARK_GRAFT_OVERLAP_COMMIT_WRITES=0 to force sequential writes.
+_OVERLAP_COMMIT_WRITES = os.environ.get(
+    "SPARK_GRAFT_OVERLAP_COMMIT_WRITES", "1"
+) not in ("0", "false", "False")
+
+
+def _overlap_writes(thunks):
+    """Run independent write thunks concurrently (results in input
+    order, first failure re-raised — same contract as the sequential
+    loop; a sibling write that already landed is an orphan dir the
+    next vacuum sweeps, exactly the crash-between-write-and-publish
+    case the manifest-written-last protocol already covers)."""
+    if not _OVERLAP_COMMIT_WRITES or len(thunks) <= 1:
+        return [t() for t in thunks]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(3, len(thunks))) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futs]
 
 
 def replace_where(
@@ -1998,21 +2050,27 @@ def replace_where(
             .withColumn("_change_subtype", F.lit("insert"))
         )
     )
-    chg_rel = _write_change_set(chg, table_path)
-
     kept = [d for d in parent_dirs if d not in touched]
     tracked = _tracked_stat_cols(manifest)
-    new_rels: list[str] = []
-    dir_stats: dict[str, dict] = {}
+    # change set, survivors and the replacement frame all derive from
+    # the two pins — independent writes, overlapped (§2.6)
+    writes = [lambda: _write_change_set(chg, table_path)]
     if touched:
         survivors = flagged.where(~F.col(flag)).drop(_DIR_COL, flag)
-        rel, ranges = _write_data_dir(survivors, table_path, tracked)
-        new_rels.append(rel)
-        dir_stats[rel] = ranges
-    if _m["_n"] > 0:  # an empty reload = scoped delete (observed count)
-        rel, ranges = _write_data_dir(
-            df.select(*par_cols), table_path, tracked
+        writes.append(
+            lambda: _write_data_dir(survivors, table_path, tracked)
         )
+    if _m["_n"] > 0:  # an empty reload = scoped delete (observed count)
+        writes.append(
+            lambda: _write_data_dir(
+                df.select(*par_cols), table_path, tracked
+            )
+        )
+    results = _overlap_writes(writes)
+    chg_rel = results[0]
+    new_rels: list[str] = []
+    dir_stats: dict[str, dict] = {}
+    for rel, ranges in results[1:]:
         new_rels.append(rel)
         dir_stats[rel] = ranges
     dirs = kept + new_rels
