@@ -169,37 +169,60 @@ def merge_grouped_sums(
     )
 
 
-def disc_percentile_by_histogram(
-    df: DataFrame, col: str, q: float
-) -> float:
-    """Exact percentile_disc (the value at row ceil(q*n)) computed over
-    the column's VALUE HISTOGRAM: groupBy(value).count, a cumulative
-    window over the (small) distinct-value vocabulary, pick the least
-    value whose cumulative count reaches k. Distributed end to end —
-    the only ordered window runs over distinct VALUES (thousands for a
-    rounded feature), never over rows, so no 100 TB global sort/row-
-    number. Returns a driver scalar (the k-means convention: corpus-
-    level thresholds are 1-row driver state)."""
+def disc_percentiles_by_histogram(
+    df: DataFrame, col: str, qs: list[float]
+) -> list:
+    """Exact percentile_disc (the value at row ceil(q*n)) for EVERY q
+    in ``qs``, computed over the column's VALUE HISTOGRAM in ONE
+    distributed action: groupBy(value).count, a cumulative window over
+    the (small) distinct-value vocabulary, and per q the least value
+    whose cumulative count reaches ceil(q*n). The row total folds into
+    the same pass as a scalar window over the aggregated histogram
+    (aggregate-bounded — the PLANCHECK window contract's allowed
+    shape), so asking for three thresholds costs one job instead of
+    six (r14: x76 previously recomputed its quality-feature pass per
+    threshold AND per total). ceil(q*n) is evaluated in SQL as
+    ``CEIL(q * n)`` over doubles — bit-identical to ``math.ceil`` on
+    the same IEEE product. Distributed end to end — the only ordered
+    window runs over distinct VALUES, never rows. Returns driver
+    scalars in ``qs`` order (the k-means convention: corpus-level
+    thresholds are 1-row driver state)."""
     from pyspark.sql import Window
 
     vc = df.where(F.col(col).isNotNull()).groupBy(F.col(col).alias("v")).agg(
         F.count(F.lit(1)).alias("c")
     )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    import math
-
-    total = vc.agg(F.sum("c")).collect()[0][0]
-    if total is None:
-        raise ValueError(f"disc percentile over empty/all-NULL column {col!r}")
-    n = int(total)
-    k = math.ceil(q * n)
-    row = (
+    wall = Window.partitionBy()
+    cum = (
         vc.withColumn("cum", F.sum("c").over(w))
-        .where(F.col("cum") >= F.lit(int(k)))
-        .agg(F.min("v"))
-        .collect()
+        .withColumn("n", F.sum("c").over(wall))
     )
-    return row[0][0]
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.ceil(F.lit(float(q)) * F.col("n").cast("double")),
+                F.col("v"),
+            )
+        ).alias(f"_p{i}")
+        for i, q in enumerate(qs)
+    ]
+    rows = cum.agg(*aggs).collect()
+    row = rows[0]
+    if all(row[f"_p{i}"] is None for i in range(len(qs))):
+        # an empty/all-NULL column yields an empty histogram: every
+        # aggregate is NULL (the old two-action form raised here too)
+        raise ValueError(f"disc percentile over empty/all-NULL column {col!r}")
+    return [row[f"_p{i}"] for i in range(len(qs))]
+
+
+def disc_percentile_by_histogram(
+    df: DataFrame, col: str, q: float
+) -> float:
+    """Single-q convenience wrapper over
+    :func:`disc_percentiles_by_histogram` (one action either way)."""
+    return disc_percentiles_by_histogram(df, col, [q])[0]
 
 
 def key_skew_report(

@@ -4000,19 +4000,30 @@ def _x76_disc(expr: str, q: str) -> str:
 )
 def x76(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepcell_data_engineering_spark.functions.stats import (
-        disc_percentile_by_histogram,
+        disc_percentiles_by_histogram,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    f = tx.quality_features(docs).select(
-        "source",
-        F.col("q_n_tokens").alias("nt"),
-        F.col("q_alpha_ratio").alias("ar"),
-        F.col("q_avg_token_len").alias("atl"),
+    # pin the NARROW feature projection once (source + 3 scalars/doc —
+    # doc-count-sized, the x84 pin precedent): the threshold passes and
+    # the final rollup previously each re-ran the quality-feature text
+    # pass over raw documents (r14: 7 recomputes -> 1 compute + 3
+    # cheap aggregates over the pin)
+    f = (
+        tx.quality_features(docs)
+        .select(
+            "source",
+            F.col("q_n_tokens").alias("nt"),
+            F.col("q_alpha_ratio").alias("ar"),
+            F.col("q_avg_token_len").alias("atl"),
+        )
+        .localCheckpoint()
     )
-    th_alpha = float(disc_percentile_by_histogram(f, "ar", 0.05))
-    th_lo = float(disc_percentile_by_histogram(f, "atl", 0.05))
-    th_hi = float(disc_percentile_by_histogram(f, "atl", 0.95))
+    th_alpha = float(disc_percentiles_by_histogram(f, "ar", [0.05])[0])
+    th_lo, th_hi = (
+        float(v)
+        for v in disc_percentiles_by_histogram(f, "atl", [0.05, 0.95])
+    )
     keep = (
         (F.col("nt") >= 10)
         & (F.col("ar") >= th_alpha)

@@ -128,6 +128,31 @@ def test_disc_percentile_by_histogram_matches_numpy_disc(spark):
         assert disc_percentile_by_histogram(df, "x", q) == int(srt[k - 1]), q
 
 
+def test_disc_percentiles_multi_q_single_pass_matches_scalar(spark):
+    """The one-action multi-q form returns exactly the per-q scalars,
+    in qs order, including duplicate qs and the q=1.0 edge."""
+    import numpy as np
+
+    from deepcell_data_engineering_spark.functions.stats import (
+        disc_percentiles_by_histogram,
+    )
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate([rng.randint(-20, 20, 400), np.full(50, -3)])
+    df = spark.createDataFrame([(int(v),) for v in vals], "x int")
+    srt = np.sort(vals)
+    qs = [0.05, 0.5, 0.95, 1.0, 0.05]
+    got = disc_percentiles_by_histogram(df, "x", qs)
+    want = [int(srt[int(np.ceil(q * len(vals))) - 1]) for q in qs]
+    assert got == want
+    import pytest
+
+    with pytest.raises(ValueError):
+        disc_percentiles_by_histogram(
+            df.where("x > 1000"), "x", [0.5]
+        )
+
+
 def test_key_skew_report_constructed_distribution(spark):
     from deepcell_data_engineering_spark.functions.stats import key_skew_report
 
