@@ -11915,6 +11915,11 @@ def x160(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the equality as a hash key (both sides trace to hist.f) and fell
     # back to BroadcastNestedLoopJoin; with a fresh attribute the plan
     # is a BroadcastHashJoin on the flag with the cum >= k residual.
+    # (r14 rejected experiment, measured: collecting tot to the driver
+    # and rebuilding ks from LOCAL data cut executed fact scans 5 -> 3
+    # but ran 4x the tasks — AQE stopped coalescing the cum subtree's
+    # exchanges — and 2.4 -> 16 s wall isolated. The tot-under-
+    # broadcast shape stands.)
     ks = tot.crossJoin(F.broadcast(pcts)).select(
         F.col("f").alias("flag"),
         "pct",
@@ -15938,33 +15943,47 @@ def x199(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("c")
     )
     cum = grouped_cumsum(hist, [], "cents", ["c"])
-    tot = hist.agg(
+    # The tot -> q1/q3 -> params chain previously nested FOUR broadcast
+    # subtrees, and broadcast subtrees escape AQE shuffle-stage reuse
+    # (the r13 x103 lesson) — the executed plan re-ran the histogram
+    # per consumer: 10 orders scans for one query. Now two dedicated
+    # scalar actions (each exact longs, lossless through the driver)
+    # and the bin parameters rebuilt from literals: scan totals + both
+    # quartiles in ONE conditional aggregate over the shared cum; the
+    # IEEE width expression is unchanged SQL (round/cbrt over the same
+    # doubles — constant-folded once), so bins are bit-identical.
+    _t = hist.agg(
         F.sum("c").cast("long").alias("n"),
         F.min("cents").alias("cmin"),
-    )
-    ranked = cum.crossJoin(F.broadcast(tot))
-    q1 = ranked.where(
-        F.col("cum_c") >= F.expr("(25 * n + 99) div 100")
-    ).agg(F.min("cents").alias("q1"))
-    q3 = ranked.where(
-        F.col("cum_c") >= F.expr("(75 * n + 99) div 100")
-    ).agg(F.min("cents").alias("q3"))
-    params = (
-        tot.crossJoin(F.broadcast(q1))
-        .crossJoin(F.broadcast(q3))
-        .select(
-            "cmin",
-            "n",
-            F.greatest(
-                F.lit(1).cast("bigint"),
-                F.round(
-                    F.lit(2.0)
-                    * (F.col("q3") - F.col("q1")).cast("double")
-                    / F.cbrt(F.col("n").cast("double")),
-                    0,
-                ).cast("bigint"),
-            ).alias("bw"),
-        )
+    ).collect()[0]
+    _n, _cmin = int(_t["n"]), int(_t["cmin"])
+    _q = cum.agg(
+        F.min(
+            F.when(
+                F.col("cum_c") >= F.lit((25 * _n + 99) // 100), F.col("cents")
+            )
+        ).alias("q1"),
+        F.min(
+            F.when(
+                F.col("cum_c") >= F.lit((75 * _n + 99) // 100), F.col("cents")
+            )
+        ).alias("q3"),
+    ).collect()[0]
+    params = spark.createDataFrame(
+        [(_cmin, _n, int(_q["q1"]), int(_q["q3"]))],
+        "cmin LONG, n LONG, q1 LONG, q3 LONG",
+    ).select(
+        "cmin",
+        "n",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.round(
+                F.lit(2.0)
+                * (F.col("q3") - F.col("q1")).cast("double")
+                / F.cbrt(F.col("n").cast("double")),
+                0,
+            ).cast("bigint"),
+        ).alias("bw"),
     )
     binned = vals.crossJoin(F.broadcast(params)).select(
         F.expr("(cents - cmin) div bw").alias("bin"),
