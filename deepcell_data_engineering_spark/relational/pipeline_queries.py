@@ -6784,9 +6784,16 @@ def x103(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("m").alias("cm"),
         )
     )
-    totals = vc.groupBy("layout").agg(F.sum("c").cast("long").alias("n"))
-    cum = ly.grouped_cumsum(vc, ["layout"], "code", "c").join(
-        F.broadcast(totals), "layout"
+    # per-layout row totals: every source row emits EXACTLY ONE struct
+    # per layout (explode of a 3-element array), so sum(c) per layout
+    # is identically n_total — which the narrow 2-column stats scan
+    # already computed. The previous vc.groupBy("layout") ran under a
+    # broadcast, and broadcast subtrees escape AQE stage reuse (the
+    # r13 lesson), so it re-executed the ENTIRE exploded aggregation —
+    # the query's most expensive subtree — once more per run. Now the
+    # broadcast side is the cheap stats scan (r14; isolated A/B below).
+    cum = ly.grouped_cumsum(vc, ["layout"], "code", "c").crossJoin(
+        F.broadcast(stats.select(F.col("n_total").cast("long").alias("n")))
     )
     bounds = (
         ly.boundary_ranges(cum, ["layout"], "code", "c", "n", 64)
