@@ -15934,7 +15934,12 @@ def x198(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integers. Bin ids are pure BIGINT arithmetic ((cents-min) div "
     "width); the float appears only inside the rounded-once width "
     "(cbrt of an exact count, one IEEE expression both engines "
-    "evaluate identically). Output: first 30 bins.",
+    "evaluate identically). Output: first 30 bins. The one BNLJ is "
+    "the bin-parameter attach: a crossJoin against a 1-row literal-"
+    "built frame (bounded by construction — r14 moved the parameter "
+    "derivation driver-side so the threshold broadcasts stopped "
+    "re-executing the histogram).",
+    bnlj_bounded=1,
 )
 def x199(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepcell_data_engineering_spark.functions.layout import (
